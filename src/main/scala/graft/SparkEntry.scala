@@ -1,13 +1,439 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.rainer
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` on the same
+  * parquet tables. Column names are aligned between both sides (the
+  * driver's compare sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0.
+    * End-to-end slice from SURVEY §7: synth syslog lines from events →
+    * parse → PRI filter → enrich via lookup → aggregate.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Queries.synthSyslog(spark, dir)
+    val parsed = ev.withColumn("p", rainer.parse_syslog(col("rawmsg")))
+    parsed
+      .filter(rainer.prifilt("*.err")(col("p.facility"), col("p.severity")))
+      .groupBy(col("p.hostname").as("hostname"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
+}
+
+/** The operator-coverage query suite. Each query reads the driver parquet
+  * tables (TESTDATA.md) and exercises one operator family from SURVEY §2.
+  */
+object Queries {
+
+  /** events with a deterministic synthesized RFC3164 rawmsg column — the
+    * stream stand-in from FIXTURES.md §4: PRI from (user_id, event_id),
+    * hostname from user_id, tag from event_type, msg body with seq.
+    */
+  def synthSyslog(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.withColumn("facility", (col("user_id") % 24).cast("int"))
+      .withColumn("severity", (col("event_id") % 8).cast("int"))
+      .withColumn("pri", col("facility") * 8 + col("severity"))
+      .withColumn("hostname", concat(lit("host"), col("user_id")))
+      // v100 = value in integer cents: avoids double→string dialect gaps
+      .withColumn("v100", round(col("value") * 100, 0).cast("long"))
+      .withColumn("rawmsg", concat(
+        lit("<"), col("pri"), lit(">"),
+        // RFC3164 TIMESTAMP from ts (second granularity)
+        date_format(col("ts"), "MMM "),
+        lpad(date_format(col("ts"), "d"), 2, " "),
+        date_format(col("ts"), " HH:mm:ss "),
+        col("hostname"), lit(" "),
+        col("event_type"), lit("[" ), col("event_id"), lit("]: "),
+        lit("msgnum:"), lpad(col("event_id"), 8, "0"), lit(": v100="), col("v100")))
+  }
+
+  /** Shared DuckDB CTE mirroring synthSyslog's derived fields. */
+  val synthSql: String =
+    """WITH ev AS (
+      |  SELECT *,
+      |    CAST(user_id % 24 AS INT) AS facility,
+      |    CAST(event_id % 8 AS INT) AS severity,
+      |    'host' || user_id AS hostname,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS v100,
+      |    event_type || '[' || event_id || ']' AS syslogtag
+      |  FROM events
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val all: Map[String, Q] = Map(
+    // §2 flagship agg (baseline relational capability)
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // §2.1 S_PRIFILT — PRI bitmask filter compiled from a selector string
+    "prifilt" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      ev.filter(rainer.prifilt("*.err;mail.none;local0.=debug")(col("facility"), col("severity")))
+        .groupBy(col("facility"), col("severity"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.1 S_PROPFILT — legacy property filters: contains/startswith/regex
+    "propfilt" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(rainer.rs_contains(col("text"), "spark") &&
+                !rainer.rs_startswith(col("text"), "the") &&
+                rainer.re_match(col("text"), "join .* merge"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.1 S_SET/S_UNSET via json_set/json_unset custom exprs
+    "set_unset_json" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val withVar = ev.withColumn("vars",
+        rainer.json_set(col("props"), "enrich!vdouble", col("value") * 2))
+      withVar
+        .withColumn("vdouble", get_json_object(col("vars"), "$.enrich.vdouble").cast("double"))
+        .withColumn("k_gone",
+          get_json_object(rainer.json_unset(col("vars"), "k"), "$.k").isNull)
+        .select(col("event_id"), round(col("vdouble"), 2).as("vdouble"), col("k_gone"))
+    }),
+
+    // §2.1 S_FOREACH — foreach over array → explode
+    "foreach_explode" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.6 lookup table (string type) — broadcast-map enrichment
+    "lookup_string" -> ((s, dir) => {
+      val tbl = StringLookup(
+        Map("error" -> "E", "signup" -> "S", "purchase" -> "P", "view" -> "V"),
+        nomatch = "UNK")
+      Tables.events(s, dir)
+        .withColumn("code", tbl.probe(col("event_type")))
+        .groupBy(col("code")).agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+    }),
+
+    // §2.6 lookup table (sparseArray type) — floor-match on sorted ranges
+    "lookup_sparse" -> ((s, dir) => {
+      val tbl = SparseArrayLookup(
+        IndexedSeq(0L -> "low", 50L -> "mid", 150L -> "high", 500L -> "xhigh"),
+        nomatch = "neg")
+      Tables.events(s, dir)
+        .withColumn("band", tbl.probe(floor(col("value")).cast("long")))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.6 lookup table (regex type) — ordered first-match-wins
+    "lookup_regex" -> ((s, dir) => {
+      val tbl = RegexLookup(
+        IndexedSeq("^p" -> "p-ish", "^(e|s)" -> "es-ish", "w$" -> "w-end"),
+        nomatch = "other")
+      Tables.events(s, dir)
+        .withColumn("cls", tbl.probe(col("event_type")))
+        .groupBy(col("cls")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.7 dynstats — dyn_inc counters keyed by runtime string, with
+    // maxCardinality semantics (first-seen keys kept, rest → overflow)
+    "dynstats" -> ((s, dir) => {
+      DynStats.counters(Tables.events(s, dir),
+        keyCol = col("event_type"), orderCol = col("event_id"),
+        maxCardinality = 3)
+    }),
+
+    // §2.7 percentile_stats — per-key percentiles over an observation window
+    "perctile" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(min(col("value")), 2).as("window_min"),
+          round(max(col("value")), 2).as("window_max"),
+          count(lit(1)).as("window_count"))
+    }),
+
+    // §2.4 template/property-replacer — RFC3164 file-format projection
+    "template_render" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      ev.select(col("event_id"),
+        concat(
+          date_format(col("ts"), "MMM "),
+          lpad(date_format(col("ts"), "d"), 2, " "),
+          date_format(col("ts"), " HH:mm:ss "),
+          col("hostname"), lit(" "),
+          col("event_type"), lit("["), col("event_id"), lit("]: "),
+          lit("v100="), col("v100")).as("line"))
+    }),
+
+    // §2.9 pmrfc3164 — synth rawmsg → custom parse expr → fields roundtrip
+    "parse_rfc3164" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val p = ev.withColumn("p", rainer.parse_syslog(col("rawmsg")))
+      p.select(
+        col("event_id"),
+        col("p.facility").as("facility"),
+        col("p.severity").as("severity"),
+        col("p.hostname").as("hostname"),
+        col("p.programname").as("programname"),
+        col("p.procid").as("procid"),
+        col("p.msg").as("msg"),
+        col("p.parsesuccess").as("parsesuccess"))
+    }),
+
+    // §2.9 pmrfc5424 + mmpstrucdata — 5424 header + SD parse
+    "parse_rfc5424" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("raw5424", concat(
+          lit("<165>1 "),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit(" "),
+          concat(lit("host"), col("user_id")), lit(" "),
+          col("event_type"), lit(" "), col("event_id"), lit(" ID"), col("event_id") % 10,
+          lit(" [ev@32473 v=\""), round(col("value") * 100, 0).cast("long"), lit("\"] "),
+          lit("payload "), col("event_id")))
+      val p = ev.withColumn("p", rainer.parse_syslog(col("raw5424")))
+      p.select(
+        col("event_id"),
+        col("p.hostname").as("hostname"),
+        col("p.app_name").as("app_name"),
+        col("p.procid").as("procid"),
+        col("p.msgid").as("msgid"),
+        get_json_object(rainer.parse_structured_data(col("p.structured_data")),
+          "$['ev@32473'].v").as("sd_v"),
+        col("p.msg").as("msg"))
+    }),
+
+    // §2.3 string function battery: strlen/tolower/substring/field/replace/wrap
+    "func_strings" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        rainer.strlen(col("text")).as("len"),
+        rainer.toupper(rainer.rs_substring(col("text"), 0, 10)).as("head10"),
+        rainer.field(col("text"), " ", 3).as("f3"),
+        rainer.wrap(rainer.field(col("text"), " ", 1), "'").as("wrapped"),
+        rainer.rs_replace(rainer.rs_substring(col("text"), 0, 20), " ", "_").as("und"))
+    }),
+
+    // §2.3 numeric/ip functions: num2ipv4, ipv42num, int2hex, is_in_subnet
+    "func_net" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ipn", (col("user_id") * 7777777L + col("event_id")) % 4294967296L)
+      ev.select(
+        col("event_id"),
+        rainer.num2ipv4(col("ipn")).as("ip"),
+        (rainer.ipv42num(rainer.num2ipv4(col("ipn"))) === col("ipn")).as("roundtrip"),
+        rainer.int2hex(col("event_id")).as("hexid"),
+        rainer.is_in_subnet(rainer.num2ipv4(col("ipn")), "10.0.0.0/8").as("in10"),
+        rainer.anon_ipv4(rainer.num2ipv4(col("ipn")), 8).as("anon"))
+    }),
+
+    // §2.3 time functions: format_time / parse_time roundtrip
+    "func_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("epoch", expr("ts_ns div 1000000000"))
+      ev.select(
+        col("event_id"),
+        rainer.format_time(col("epoch"), "date-rfc3339").as("rfc3339"),
+        rainer.format_time(col("epoch"), "date-rfc3164").as("rfc3164"),
+        (rainer.parse_time(rainer.format_time(col("epoch"), "date-rfc3339")) === col("epoch"))
+          .as("roundtrip"))
+    }),
+
+    // §2.9 mmjsonparse — CEE/JSON body extraction
+    "mmjsonparse" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("cee", concat(lit("@cee: "), col("props")))
+      ev.select(
+        col("event_id"),
+        get_json_object(regexp_replace(col("cee"), "^@cee: ", ""), "$.k")
+          .cast("long").as("k"),
+        rainer.parse_json_ok(regexp_replace(col("cee"), "^@cee: ", "")).as("valid"))
+    }),
+
+    // §2.9 mmfields — delimiter split into f_1..f_n
+    "mmfields" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+        .withColumn("fields", concat_ws("|",
+          col("event_type"), col("user_id"), col("v100"), col("hostname")))
+      val f = split(col("fields"), "\\|")
+      ev.select(
+        col("event_id"),
+        element_at(f, 1).as("f1"),
+        element_at(f, 2).as("f2"),
+        element_at(f, 3).as("f3"),
+        element_at(f, 4).as("f4"),
+        size(f).as("nf"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // mask per facility for "*.err;mail.none;local0.=debug": default
+    // bits 0-3 (err and more severe), mail(2) cleared, local0(16) adds =debug
+    "prifilt" -> (synthSql +
+      """ SELECT facility, severity, count(*) AS n FROM ev
+        | WHERE ((CASE
+        |   WHEN facility = 2 THEN 0
+        |   WHEN facility = 16 THEN 143
+        |   ELSE 15 END) & (1 << severity)) <> 0
+        | GROUP BY 1, 2""".stripMargin),
+
+    "propfilt" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE text LIKE '%spark%' AND text NOT LIKE 'the%'
+        |  AND regexp_matches(text, 'join .* merge')
+        |GROUP BY 1""".stripMargin,
+
+    "set_unset_json" ->
+      """SELECT event_id,
+        |  round(value * 2, 2) AS vdouble,
+        |  true AS k_gone
+        |FROM events""".stripMargin,
+
+    "foreach_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY 1""".stripMargin,
+
+    "lookup_string" ->
+      """SELECT CASE event_type
+        |    WHEN 'error' THEN 'E' WHEN 'signup' THEN 'S'
+        |    WHEN 'purchase' THEN 'P' WHEN 'view' THEN 'V'
+        |    ELSE 'UNK' END AS code,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "lookup_sparse" ->
+      """SELECT CASE
+        |    WHEN floor(value) >= 500 THEN 'xhigh'
+        |    WHEN floor(value) >= 150 THEN 'high'
+        |    WHEN floor(value) >= 50 THEN 'mid'
+        |    WHEN floor(value) >= 0 THEN 'low'
+        |    ELSE 'neg' END AS band,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "lookup_regex" ->
+      """SELECT CASE
+        |    WHEN regexp_matches(event_type, '^p') THEN 'p-ish'
+        |    WHEN regexp_matches(event_type, '^(e|s)') THEN 'es-ish'
+        |    WHEN regexp_matches(event_type, 'w$') THEN 'w-end'
+        |    ELSE 'other' END AS cls,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "dynstats" -> DynStats.oracleSql(maxCardinality = 3),
+
+    "perctile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.95), 4) AS p95,
+        |  round(min(value), 2) AS window_min,
+        |  round(max(value), 2) AS window_max,
+        |  count(*) AS window_count
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "template_render" -> (synthSql +
+      """ SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
+        |  lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+        |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
+        |  hostname || ' ' || event_type || '[' || event_id || ']: ' ||
+        |  'v100=' || v100 AS line
+        | FROM ev""".stripMargin),
+
+    "parse_rfc3164" -> (synthSql +
+      """ SELECT event_id, facility, severity, hostname,
+        |   event_type AS programname,
+        |   CAST(event_id AS VARCHAR) AS procid,
+        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100 AS msg,
+        |   true AS parsesuccess
+        | FROM ev""".stripMargin),
+
+    "parse_rfc5424" -> (synthSql +
+      """ SELECT event_id,
+        |  hostname,
+        |  event_type AS app_name,
+        |  CAST(event_id AS VARCHAR) AS procid,
+        |  'ID' || (event_id % 10) AS msgid,
+        |  CAST(v100 AS VARCHAR) AS sd_v,
+        |  'payload ' || event_id AS msg
+        | FROM ev""".stripMargin),
+
+    "func_strings" ->
+      """SELECT doc_id,
+        |  length(text) AS len,
+        |  upper(substring(text, 1, 10)) AS head10,
+        |  coalesce(string_split(text, ' ')[3], '***FIELD NOT FOUND***') AS f3,
+        |  '''' || string_split(text, ' ')[1] || '''' AS wrapped,
+        |  replace(substring(text, 1, 20), ' ', '_') AS und
+        |FROM documents""".stripMargin,
+
+    "func_net" ->
+      """WITH e AS (
+        |  SELECT event_id, (user_id * 7777777 + event_id) % 4294967296 AS ipn
+        |  FROM events)
+        |SELECT event_id,
+        |  ((ipn // 16777216) % 256) || '.' || ((ipn // 65536) % 256) || '.' ||
+        |    ((ipn // 256) % 256) || '.' || (ipn % 256) AS ip,
+        |  true AS roundtrip,
+        |  lower(format('{:x}', event_id)) AS hexid,
+        |  (ipn // 16777216) % 256 = 10 AS in10,
+        |  ((ipn // 16777216) % 256) || '.' || ((ipn // 65536) % 256) || '.' ||
+        |    ((ipn // 256) % 256) || '.0' AS anon
+        |FROM e""".stripMargin,
+
+    "func_time" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') || '+00:00' AS rfc3339,
+        |  strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
+        |    lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+        |    strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS rfc3164,
+        |  true AS roundtrip
+        |FROM events""".stripMargin,
+
+    "mmjsonparse" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  true AS valid
+        |FROM events""".stripMargin,
+
+    "mmfields" -> (synthSql +
+      """ SELECT event_id,
+        |  event_type AS f1,
+        |  CAST(user_id AS VARCHAR) AS f2,
+        |  CAST(v100 AS VARCHAR) AS f3,
+        |  hostname AS f4,
+        |  4 AS nf
+        | FROM ev""".stripMargin)
+  )
 }

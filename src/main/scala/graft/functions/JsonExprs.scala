@@ -1,0 +1,233 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ObjectNode, ArrayNode}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for mutable-JSON-tree semantics.
+  *
+  * rsyslog messages carry json-c variable trees mutated by
+  * `set $!a!b = expr` / `unset $!a!b` (reference: runtime/ruleset.c:190-227,
+  * runtime/msg.h:294). Spark has no built-in JSON mutation, so these are
+  * genuine custom `Expression`s (SURVEY.md §1.2). Paths use rsyslog's `!`
+  * separator ("a!b!c"); a leading `$!` is stripped.
+  */
+object JsonPathUtil {
+  val mapper = new ObjectMapper()
+
+  def splitPath(path: String): Array[String] = {
+    val p0 = if (path.startsWith("$!")) path.substring(2)
+             else if (path.startsWith("!")) path.substring(1)
+             else path
+    p0.split('!').filter(_.nonEmpty)
+  }
+
+  /** Navigate to parent of the leaf, creating objects along the way. */
+  def ensureParent(root: ObjectNode, segs: Array[String]): ObjectNode = {
+    var cur = root
+    var i = 0
+    while (i < segs.length - 1) {
+      val nxt = cur.get(segs(i))
+      cur = nxt match {
+        case o: ObjectNode => o
+        case _ =>
+          val fresh = mapper.createObjectNode()
+          cur.set(segs(i), fresh)
+          fresh
+      }
+      i += 1
+    }
+    cur
+  }
+
+  def parseOrEmpty(s: String): ObjectNode =
+    try {
+      mapper.readTree(s) match {
+        case o: ObjectNode => o
+        case _ => mapper.createObjectNode()
+      }
+    } catch { case _: Exception => mapper.createObjectNode() }
+}
+
+/** json_set(json, path, value): returns json with value written at path.
+  * Value keeps its Spark type: longs/doubles/booleans become JSON numbers/
+  * booleans; a string that itself parses as JSON object/array is embedded
+  * as a subtree (mirrors rsyslog's 'J'-typed svar assignment).
+  */
+case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = json
+  override def second: Expression = path
+  override def third: Expression = value
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_set"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = json.eval(input)
+    val p = path.eval(input)
+    if (p == null) return j
+    val v = value.eval(input)
+    val root = JsonPathUtil.parseOrEmpty(if (j == null) "{}" else j.toString)
+    val segs = JsonPathUtil.splitPath(p.toString)
+    if (segs.isEmpty) return j
+    val parent = JsonPathUtil.ensureParent(root, segs)
+    val leaf = segs.last
+    if (v == null) parent.putNull(leaf)
+    else value.dataType match {
+      case LongType    => parent.put(leaf, v.asInstanceOf[Long])
+      case IntegerType => parent.put(leaf, v.asInstanceOf[Int].toLong)
+      case DoubleType  => parent.put(leaf, v.asInstanceOf[Double])
+      case BooleanType => parent.put(leaf, v.asInstanceOf[Boolean])
+      case _ =>
+        val s = v.toString
+        val trimmed = s.trim
+        val asTree: JsonNode =
+          if (trimmed.startsWith("{") || trimmed.startsWith("[")) {
+            try JsonPathUtil.mapper.readTree(trimmed) catch { case _: Exception => null }
+          } else null
+        if (asTree != null && !asTree.isValueNode) parent.set(leaf, asTree)
+        else parent.put(leaf, s)
+    }
+    UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(root))
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(json = f, path = s, value = t)
+}
+
+/** json_unset(json, path): delete the node at path (rsyslog `unset`). */
+case class JsonUnsetExpr(json: Expression, path: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = json
+  override def right: Expression = path
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_unset"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = json.eval(input)
+    if (j == null) return null
+    val p = path.eval(input)
+    if (p == null) return j
+    val root = JsonPathUtil.parseOrEmpty(j.toString)
+    val segs = JsonPathUtil.splitPath(p.toString)
+    if (segs.nonEmpty) {
+      var cur: JsonNode = root
+      var i = 0
+      while (i < segs.length - 1 && cur != null) { cur = cur.get(segs(i)); i += 1 }
+      cur match {
+        case o: ObjectNode => o.remove(segs.last)
+        case _ =>
+      }
+    }
+    UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(root))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(json = l, path = r)
+}
+
+/** json_merge(dst, src): merge src object's fields into dst (rsyslog
+  * append_json, grammar/rainerscript.c:3614). Scalars in src overwrite dst.
+  */
+case class JsonMergeExpr(dst: Expression, src: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = dst
+  override def right: Expression = src
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_merge"
+
+  private def merge(a: ObjectNode, b: ObjectNode): Unit = {
+    val it = b.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      (a.get(e.getKey), e.getValue) match {
+        case (ao: ObjectNode, bo: ObjectNode) => merge(ao, bo)
+        case (_, v) => a.set(e.getKey, v)
+      }
+    }
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val d = dst.eval(input)
+    val s = src.eval(input)
+    if (s == null) return d
+    if (d == null) return s
+    val droot = JsonPathUtil.parseOrEmpty(d.toString)
+    val sroot = JsonPathUtil.parseOrEmpty(s.toString)
+    merge(droot, sroot)
+    UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(droot))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(dst = l, src = r)
+}
+
+/** unflatten(json, sep): dotted keys → nested objects (reference:
+  * contrib/fmunflatten/fmunflatten.c:207, plugins/mmjsontransform).
+  * {"a.b": 1, "a.c": 2} → {"a": {"b": 1, "c": 2}}
+  */
+case class JsonUnflattenExpr(json: Expression, sep: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = json
+  override def right: Expression = sep
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_unflatten"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = json.eval(input)
+    if (j == null) return null
+    val sepEv = sep.eval(input)
+    val sepCh = if (sepEv == null) "." else sepEv.toString
+    val root = JsonPathUtil.parseOrEmpty(j.toString)
+    val out = JsonPathUtil.mapper.createObjectNode()
+    val it = root.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val segs = e.getKey.split(java.util.regex.Pattern.quote(sepCh)).filter(_.nonEmpty)
+      if (segs.isEmpty) out.set(e.getKey, e.getValue)
+      else {
+        val parent = JsonPathUtil.ensureParent(out, segs)
+        parent.set(segs.last, e.getValue)
+      }
+    }
+    UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(out))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(json = l, sep = r)
+}
+
+/** json_exists(json, path): rsyslog `exists($!a!b)` — existence is distinct
+  * from null/empty (grammar/grammar.y:224, runtime/msg.h:286).
+  */
+case class JsonExistsExpr(json: Expression, path: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = json
+  override def right: Expression = path
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_exists"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = json.eval(input)
+    if (j == null) return false
+    val p = path.eval(input)
+    if (p == null) return false
+    val segs = JsonPathUtil.splitPath(p.toString)
+    var cur: JsonNode = try JsonPathUtil.mapper.readTree(j.toString) catch { case _: Exception => null }
+    var i = 0
+    while (i < segs.length && cur != null) { cur = cur.get(segs(i)); i += 1 }
+    cur != null
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(json = l, path = r)
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.net.InetAddress
+
+/** CIDR membership test — rsyslog `is_in_subnet(ip, "10.0.0.0/8")`
+  * (reference: grammar/rainerscript.c:3514). Supports IPv4 and IPv6;
+  * malformed input → false (mirrors rsyslog's 0-on-error).
+  */
+case class IsInSubnetExpr(ip: Expression, cidr: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = ip
+  override def right: Expression = cidr
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "is_in_subnet"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ipEv = ip.eval(input)
+    val cEv = cidr.eval(input)
+    if (ipEv == null || cEv == null) return false
+    IsInSubnetExpr.check(ipEv.toString, cEv.toString)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(ip = l, cidr = r)
+}
+
+object IsInSubnetExpr {
+  def check(ip: String, cidr: String): Boolean = {
+    try {
+      val slash = cidr.indexOf('/')
+      val (netStr, bits) =
+        if (slash < 0) (cidr, -1)
+        else (cidr.substring(0, slash), cidr.substring(slash + 1).toInt)
+      val ipB = InetAddress.getByName(ip).getAddress
+      val netB = InetAddress.getByName(netStr).getAddress
+      if (ipB.length != netB.length) return false
+      val prefix = if (bits < 0) netB.length * 8 else bits
+      if (prefix > netB.length * 8) return false
+      var i = 0
+      var remaining = prefix
+      while (remaining >= 8) {
+        if (ipB(i) != netB(i)) return false
+        i += 1; remaining -= 8
+      }
+      if (remaining > 0) {
+        val mask = (0xFF << (8 - remaining)) & 0xFF
+        if ((ipB(i) & mask) != (netB(i) & mask)) return false
+      }
+      true
+    } catch { case _: Exception => false }
+  }
+}
