@@ -271,6 +271,85 @@ object Queries {
         rainer.parse_json_ok(regexp_replace(col("cee"), "^@cee: ", "")).as("valid"))
     }),
 
+    // ------------------------- training-data pipeline operators -------------
+
+    // exact dedup: hash-groupBy on normalized-content fingerprint
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    // MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, bands = 16, rows = 4, minEstJaccard = 0.5)
+    }),
+
+    // SimHash near-dup pairs (custom simhash64 expr + banded blocking)
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // exact n-gram Jaccard pairs (inverted-index verify path)
+    "dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 3, minJaccard = 0.5)
+    }),
+
+    // brute-force cosine top-k ANN baseline
+    "ann_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // LSH-bucketed ANN (scale path; recall<1 by design → rows-only check)
+    "ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // embedding-cosine near-dup pairs within label blocks
+    "emb_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "label",
+        threshold = 0.5, sampleMod = 1)
+    }),
+
+    // language-ID heuristic (marker stopword argmax)
+    "langid" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+    }),
+
+    // quality scoring + token counting
+    "text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    // document fingerprinting (md5 of normalized content)
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // multimodal: binary payload + metadata + batch feature extraction
+    "multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.synthMedia(Tables.documents(s, dir))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("content_sha"), col("frames_sampled"))
+    }),
+
+    // multimodal: frame sampling over video payloads
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.synthMedia(Tables.documents(s, dir))
+      Multimodal.sampleFrames(media, everyNth = 3)
+    }),
+
     // §2.9 mmfields — delimiter split into f_1..f_n
     "mmfields" -> ((s, dir) => {
       val ev = synthSyslog(s, dir)
@@ -434,6 +513,112 @@ object Queries {
         |  CAST(v100 AS VARCHAR) AS f3,
         |  hostname AS f4,
         |  4 AS nf
-        | FROM ev""".stripMargin)
+        | FROM ev""".stripMargin),
+
+    // ------------------------- training-data pipeline oracles ---------------
+
+    "dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    "ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 8),
+        |sims AS (
+        |  SELECT q.q_id, c.vec_id AS neighbor,
+        |    round(list_cosine_similarity(q.q_emb, c.embedding), 4) AS sim
+        |  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk
+        |  FROM sims)
+        |SELECT q_id, rk, neighbor, sim FROM ranked WHERE rk <= 5""".stripMargin,
+
+    "emb_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin,
+
+    "langid" ->
+      ("SELECT doc_id, lang, predicted FROM " +
+        graft.operators.TextAnalysis.langIdSql("text")),
+
+    "text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
+        |    length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        |    len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_subwords,
+        |  floor((
+        |    (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1.0
+        |          WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |    (CASE WHEN n_tokens > 0
+        |          AND CAST(n_chars AS DOUBLE)/n_tokens >= 3
+        |          AND CAST(n_chars AS DOUBLE)/n_tokens <= 12
+        |          THEN 1.0 ELSE 0.3 END) * 0.2 +
+        |    (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0 END) * 0.3 +
+        |    (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0.0 END) * 0.1
+        |  ) * 1e6) / 1e6 AS quality
+        |FROM base""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |                  ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  sha256(text) AS content_sha,
+        |  CASE doc_id % 3
+        |    WHEN 2 THEN octet_length(encode(text)) // 1024 + 1
+        |    WHEN 1 THEN octet_length(encode(text)) // 4096 + 1
+        |    ELSE 1 END AS frames_sampled
+        |FROM documents""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(f.i AS INT) AS frame_no,
+        |  CAST(f.blk AS INT) AS block_offset_kib
+        |FROM documents,
+        |LATERAL (
+        |  SELECT row_number() OVER (ORDER BY blk) - 1 AS i, blk
+        |  FROM (SELECT unnest(list_filter(
+        |    range(octet_length(encode(text)) // 1024 + 1),
+        |    x -> x % 3 = 0)) AS blk)
+        |) f
+        |WHERE doc_id % 3 = 2""".stripMargin
   )
 }

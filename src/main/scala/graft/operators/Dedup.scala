@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.rainer
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one hash-groupBy on a fingerprint (map-side combinable).
+  *  - MinHash+LSH: shingle → k minhashes → b bands; only band-bucket
+  *    groupBys shuffle (each key ~few rows), never an all-pairs join.
+  *  - SimHash: one 64-bit fingerprint per doc, banded into 4×16-bit keys
+  *    for candidate generation, Hamming-verified.
+  *  - n-gram Jaccard: exact verification via shingle-inverted-index
+  *    self-join — the expensive path, bounded by a blocking key.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalized-content fingerprint: keeps the smallest
+    * id per group, reports group size. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => when(i + n <= size(toks),
+            concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
+        s => s.isNotNull))
+  }
+
+  /** k MinHash signatures over the shingle set: min over shingles of a
+    * seeded xxhash64. Pure Column composition — whole-stage codegen'd. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** MinHash-LSH candidate pairs: b bands of r rows (k = b*r). Docs
+    * sharing any band bucket become candidates; estimated Jaccard =
+    * matching-minhash fraction. Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b. Only band-key groupBys shuffle; no all-pairs stage.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 16, rows: Int = 4,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    val k = bands * rows
+    val withSig = df
+      .select(col(idCol).as("doc"), col(textCol).as("t"))
+      .withColumn("sig", minhashSignature(shingles(col("t"), n), k))
+      .drop("t")
+    val banded = withSig.select(
+      col("doc"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          e => e)).cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash per doc, 4×16-bit bands for
+    * blocking, Hamming ≤ maxHamming verification. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withH = df.select(col(idCol).as("doc"),
+      rainer.simhash64(TextAnalysis.tokens(col(textCol))).as("h"))
+    val banded = withH.select(col("doc"), col("h"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity pairs within a blocking key (lang):
+    * inverted index on shingles → pair intersection counts → Jaccard.
+    * The blocking column bounds bucket fan-out so the shingle self-join
+    * stays linear-ish at scale; this is the *verifier*, LSH is the filter.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 3,
+                        minJaccard: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        explode(shingles(col(textCol), n)).as("s"))
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+        col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`). Two paths:
+  *
+  *  - brute-force cosine top-k: broadcast the (small) query set against
+  *    the full corpus — one scan, no shuffle except the final per-query
+  *    top-k window over ≤ corpus rows; the correctness baseline.
+  *  - LSH (random hyperplanes): deterministic seeded planes → sign-bit
+  *    bucket per vector → candidates share a bucket → exact cosine only
+  *    within buckets. At 100 TB the bucket groupBy is the only shuffle
+  *    and the all-pairs cross product never materializes.
+  */
+object Similarity {
+
+  /** Cosine similarity between two double arrays (element-wise exprs,
+    * codegen'd; cast to double first so the arithmetic matches DuckDB's).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector (queries = a filtered
+    * subset of the corpus, broadcast). Deterministic: ties broken by
+    * vec_id after rounding. Excludes self-matches. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c").join(
+        broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
+        col("c.vec_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c.embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c.vec_id"))
+    joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c.vec_id").as("neighbor"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane(p)[d] derived from a
+    * splitmix-style integer hash of (seed, p, d) — reproducible across
+    * engines and runs, no RNG state. */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      var z = seed + p * 1000003L + d * 998244353L
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+      z = z ^ (z >>> 33)
+      (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+
+  /** Sign-bit LSH bucket id for an embedding column. */
+  def lshBucket(emb: Column, planeArr: Array[Array[Double]]): Column = {
+    val bits = planeArr.zipWithIndex.map { case (plane, i) =>
+      val planeCol = array(plane.map(lit): _*)
+      val dot = aggregate(zip_with(emb, planeCol, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact cosine only among bucket-mates of each
+    * query. Returns per-query neighbors found (recall < 1 vs brute force
+    * by design — the scale path). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val pl = planes(nPlanes, dim)
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), pl))
+    val qb = bucketed.join(
+      broadcast(queries.select(col("vec_id").as("q_id"))), col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+    val cands = bucketed.as("c").join(broadcast(qb),
+        col("c.bucket") === col("q_bucket") && col("c.vec_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c.embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c.vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c.vec_id").as("neighbor"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
+    * key (label), ids ascending — the embedding-cosine near-dup operator.
+    */
+  def embeddingNearDupPairs(corpus: DataFrame, blockCol: String,
+                            threshold: Double, sampleMod: Int = 1): DataFrame = {
+    val base = (if (sampleMod > 1) corpus.filter(col("vec_id") % sampleMod === 0)
+                else corpus)
+      .select(col("vec_id"), col(blockCol).as("blk"), col("embedding"))
+    base.as("a").join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID (stopword-marker heuristic), quality scoring, token
+  * counting, and document fingerprinting. All pure Column compositions —
+  * codegen'd, shuffle-free, scan-bound: exactly what survives a 100 TB run.
+  */
+object TextAnalysis {
+
+  /** Per-language marker/stopword sets for the n-gram-free language-ID
+    * heuristic. Deterministic tie-break = this declaration order.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "eine"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** token count, whitespace tokenization. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword estimate: alpha runs + digit runs + isolated
+    * punctuation, each ≈ one token (a public, common char-class regex
+    * approximation of byte-pair tokenizers).
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Marker-hit count for one language over a token array. */
+  def markerHits(toks: Column, markers: Seq[String]): Column = {
+    val markerArr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(markerArr, t)))
+  }
+
+  /** Language-ID: argmax of marker hits; 'und' when no marker at all.
+    * Tie-break: earlier language in `langMarkers` wins (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = langMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((l, h), rest) =>
+      when(h > 0 && h === best, lit(l)).otherwise(rest)
+    }
+  }
+
+  /** Quality score in [0,1]: combines length band, mean word length,
+    * alpha ratio and digit ratio — the standard cheap heuristics
+    * (C4/Gopher-style filters) as one arithmetic expression.
+    */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nToks = tokenCount(text)
+    val meanWord = when(nToks > 0, nChars.cast("double") / nToks).otherwise(lit(0.0))
+    val alphaRatio = when(nChars > 0,
+      size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double") / nChars)
+      .otherwise(lit(0.0))
+    val digitRatio = when(nChars > 0,
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") / nChars)
+      .otherwise(lit(0.0))
+    val lenScore = when(nToks >= 50 && nToks <= 100000, lit(1.0))
+      .otherwise(when(nToks >= 10, lit(0.5)).otherwise(lit(0.0)))
+    val wordScore = when(meanWord >= 3 && meanWord <= 12, lit(1.0)).otherwise(lit(0.3))
+    // floor-quantize rather than round: both engines compute the same
+    // IEEE double, so floor is bit-stable while round-half diverges at
+    // exact .5 boundaries between dialects
+    floor((lenScore * 0.4 + wordScore * 0.2 + alphaRatio * 0.3 +
+      (lit(1.0) - digitRatio) * 0.1) * 1e6) / 1e6
+  }
+
+  /** Stable content fingerprint: md5 of casefolded, punctuation-stripped,
+    * whitespace-collapsed text — the exact-near-dup key for clustering.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+
+  /** DuckDB-side mirrors (shared with oracle SQL). */
+  def langIdSql(col: String): String = {
+    val hitExprs = langMarkers.map { case (l, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(list_filter(string_split(lower($col), ' '), x -> x <> ''), x -> list_contains($lst, x))) AS hits_$l"
+    }.mkString(",\n    ")
+    val bestExpr = langMarkers.map { case (l, _) => s"hits_$l" }.mkString("greatest(", ", ", ")")
+    val caseExpr = langMarkers.foldRight("'und'") { case ((l, _), rest) =>
+      s"CASE WHEN hits_$l > 0 AND hits_$l = best THEN '$l' ELSE $rest END"
+    }
+    s"(SELECT *, $caseExpr AS predicted FROM (SELECT *, $bestExpr AS best FROM (SELECT *,\n    $hitExprs FROM documents)))"
+  }
+}
