@@ -578,15 +578,17 @@ object Queries {
         |    len(regexp_extract_all(text, '[0-9]')) AS n_digit
         |  FROM documents)
         |SELECT doc_id, n_tokens, n_subwords,
+        |  -- all constants forced to DOUBLE: DuckDB decimal literals would
+        |  -- do exact-decimal arithmetic and diverge from Spark by 1 ulp
         |  floor((
-        |    (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1.0
-        |          WHEN n_tokens >= 10 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |    (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1.0::DOUBLE
+        |          WHEN n_tokens >= 10 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE +
         |    (CASE WHEN n_tokens > 0
         |          AND CAST(n_chars AS DOUBLE)/n_tokens >= 3
         |          AND CAST(n_chars AS DOUBLE)/n_tokens <= 12
-        |          THEN 1.0 ELSE 0.3 END) * 0.2 +
-        |    (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0 END) * 0.3 +
-        |    (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0.0 END) * 0.1
+        |          THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END) * 0.2::DOUBLE +
+        |    (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0::DOUBLE END) * 0.3::DOUBLE +
+        |    (1.0::DOUBLE - CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0.0::DOUBLE END) * 0.1::DOUBLE
         |  ) * 1e6) / 1e6 AS quality
         |FROM base""".stripMargin,
 
