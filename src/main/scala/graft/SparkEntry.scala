@@ -271,6 +271,115 @@ object Queries {
         rainer.parse_json_ok(regexp_replace(col("cee"), "^@cee: ", "")).as("valid"))
     }),
 
+    // §2.8 ratelimit — token bucket (interval+burst) per key over event time
+    "ratelimit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      RateLimit(ev, col("user_id"), col("ts"), col("event_id"),
+        intervalSec = 3600, burst = 3)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_passed"))
+    }),
+
+    // §2.8 ratelimit drop summary ("N messages dropped" marks)
+    "ratelimit_summary" -> ((s, dir) => {
+      RateLimit.dropSummary(Tables.events(s, dir), col("user_id"), col("ts"),
+        intervalSec = 3600, burst = 3)
+    }),
+
+    // §2.1 action gates — execOnlyEveryNthTime / execOnlyOnceEveryInterval
+    "exec_gates" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val nth = RateLimit.everyNth(ev, col("user_id"), col("event_id"), 5)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_nth"))
+      val once = RateLimit.onceEveryInterval(ev, col("user_id"), col("ts"),
+          col("event_id"), 86400)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_once"))
+      nth.join(once, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("n_nth"), lit(0L)).as("n_nth"),
+          coalesce(col("n_once"), lit(0L)).as("n_once"))
+    }),
+
+    // §2.7 "last message repeated n times" — consecutive-run reduction
+    "repeat_reduce" -> ((s, dir) => {
+      RateLimit.repeatedMsgReduction(Tables.events(s, dir),
+        col("user_id"), col("event_type"), col("event_id"))
+    }),
+
+    // §2.1 stop/omdiscard — anti-filter semantics
+    "stop_discard" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      // `if $syslogseverity >= 5 then stop` → survivors continue
+      ev.filter(!(col("severity") >= 5))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.4 property-replacer: severity/facility text names (22 date formats'
+    // sibling table options), case conversion, space compression
+    "prop_replacer" -> ((s, dir) => {
+      val sevNames = array(Seq("emerg", "alert", "crit", "err", "warning",
+        "notice", "info", "debug").map(lit): _*)
+      val ev = synthSyslog(s, dir)
+      ev.select(
+        col("event_id"),
+        element_at(sevNames, col("severity") + 1).as("sev_name"),
+        upper(col("event_type")).as("tag_upper"),
+        regexp_replace(concat(lit("  x  "), col("event_type"), lit("  ")),
+          "\\s+", " ").as("compressed"),
+        rainer.rs_substring(col("hostname"), 0, 4).as("host4"))
+    }),
+
+    // §2.9 mmrm1stspace + control-char/space cleanup pipeline
+    "msg_cleanup" -> ((s, dir) => {
+      val dirty = Tables.documents(s, dir)
+        .withColumn("dirty", concat(lit(" "), col("text"), lit("\n")))
+      dirty.select(
+        col("doc_id"),
+        regexp_replace(regexp_replace(col("dirty"), "^ ", ""), "\n$", "")
+          .as("clean"),
+        (length(col("dirty")) - length(
+          regexp_replace(regexp_replace(col("dirty"), "^ ", ""), "\n$", "")))
+          .as("removed"))
+    }),
+
+    // §2.6 lookup table (array type) — dense offset lookup
+    "lookup_array" -> ((s, dir) => {
+      val tbl = ArrayLookup(100L,
+        (0 until 20).map(i => s"svc${i}").toIndexedSeq, nomatch = "nosvc")
+      Tables.events(s, dir)
+        .withColumn("svc", tbl.probe(col("user_id") % 30 + 100))
+        .groupBy(col("svc")).agg(count(lit(1)).as("n"))
+    }),
+
+    // §1.3 comparison-coercion matrix — numeric iff both sides numeric,
+    // else strcmp (the 171-test rscript_compare_* corpus semantics)
+    "rs_coercion" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("numstr", get_json_object(col("props"), "$.k"))
+      ev.select(
+        col("event_id"),
+        rainer.rs_eq(col("numstr"), col("user_id")).as("eq_numstr_num"),
+        rainer.rs_le(col("numstr"), lit("50")).as("le_numstr_numstr"),
+        rainer.rs_lt(col("event_type"), lit("purchase")).as("lt_str_str"),
+        rainer.rs_eq(col("event_type"), col("numstr")).as("eq_str_numstr"),
+        rainer.rs_gt(col("numstr"), lit("9")).as("gt_numeric_not_lexico"))
+    }),
+
+    // §2.1 foreach over JSON *object* — key/value explode
+    "foreach_object" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_id"),
+          explode(from_json(col("props"),
+            MapType(StringType, StringType))))
+        .withColumnRenamed("key", "k").withColumnRenamed("value", "v")
+    }),
+
+    // §2.4 subtree/jsonf template — structured JSON projection
+    "template_json" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"))).as("j"))
+    }),
+
     // ------------------------- training-data pipeline operators -------------
 
     // exact dedup: hash-groupBy on normalized-content fingerprint
@@ -514,6 +623,116 @@ object Queries {
         |  hostname AS f4,
         |  4 AS nf
         | FROM ev""".stripMargin),
+
+    // ------------------------- stateful / gate oracles -----------------------
+
+    "ratelimit" ->
+      """WITH seq AS (
+        |  SELECT user_id, row_number() OVER (
+        |    PARTITION BY user_id, epoch_ns(ts)//1000000000//3600
+        |    ORDER BY event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_passed FROM seq WHERE rn <= 3 GROUP BY 1""".stripMargin,
+
+    "ratelimit_summary" ->
+      """SELECT user_id AS key, epoch_ns(ts)//1000000000//3600 AS rl_win,
+        |  count(*) AS n_total,
+        |  least(count(*), 3) AS n_passed,
+        |  count(*) - least(count(*), 3) AS n_dropped
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "exec_gates" ->
+      """WITH seq AS (
+        |  SELECT user_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS rn FROM events),
+        |nth AS (SELECT user_id, count(*) AS n_nth FROM seq
+        |        WHERE rn % 5 = 0 GROUP BY 1),
+        |onceseq AS (
+        |  SELECT user_id, row_number() OVER (
+        |    PARTITION BY user_id, epoch_ns(ts)//1000000000//86400
+        |    ORDER BY event_id) AS rn2 FROM events),
+        |once AS (SELECT user_id, count(*) AS n_once FROM onceseq
+        |         WHERE rn2 = 1 GROUP BY 1)
+        |SELECT coalesce(n.user_id, o.user_id) AS user_id,
+        |  coalesce(n_nth, 0) AS n_nth, coalesce(n_once, 0) AS n_once
+        |FROM nth n FULL OUTER JOIN once o ON n.user_id = o.user_id""".stripMargin,
+
+    "repeat_reduce" ->
+      """WITH base AS (
+        |  SELECT user_id AS key, event_type AS msg, event_id,
+        |    CASE WHEN lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |         OR lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY event_id) <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |runs AS (SELECT *, sum(chg) OVER (
+        |    PARTITION BY key ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+        |  AS run_id FROM base)
+        |SELECT key, msg, min(event_id) AS first_seen,
+        |  count(*) AS n_repeats
+        |FROM runs GROUP BY key, run_id, msg""".stripMargin,
+
+    "stop_discard" -> (synthSql +
+      """ SELECT event_type, count(*) AS n FROM ev
+        | WHERE NOT (severity >= 5) GROUP BY 1""".stripMargin),
+
+    "prop_replacer" -> (synthSql +
+      """ SELECT event_id,
+        |  (['emerg','alert','crit','err','warning','notice','info','debug'])[severity + 1]
+        |    AS sev_name,
+        |  upper(event_type) AS tag_upper,
+        |  regexp_replace('  x  ' || event_type || '  ', '\s+', ' ', 'g')
+        |    AS compressed,
+        |  substring(hostname, 1, 4) AS host4
+        | FROM ev""".stripMargin),
+
+    "msg_cleanup" ->
+      """WITH d AS (
+        |  SELECT doc_id, ' ' || text || chr(10) AS dirty FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(dirty, '^ ', ''), chr(10) || '$', '')
+        |    AS clean,
+        |  length(dirty) - length(
+        |    regexp_replace(regexp_replace(dirty, '^ ', ''), chr(10) || '$', ''))
+        |    AS removed
+        |FROM d""".stripMargin,
+
+    "lookup_array" ->
+      """SELECT CASE WHEN user_id % 30 + 100 <= 119
+        |    THEN 'svc' || (user_id % 30) ELSE 'nosvc' END AS svc,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "rs_coercion" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    json_extract_string(props, '$.k') AS numstr
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN TRY_CAST(numstr AS BIGINT) IS NOT NULL
+        |       THEN TRY_CAST(numstr AS BIGINT) = user_id
+        |       ELSE numstr = CAST(user_id AS VARCHAR) END AS eq_numstr_num,
+        |  CASE WHEN TRY_CAST(numstr AS BIGINT) IS NOT NULL
+        |       THEN TRY_CAST(numstr AS BIGINT) <= 50
+        |       ELSE numstr <= '50' END AS le_numstr_numstr,
+        |  event_type < 'purchase' AS lt_str_str,
+        |  event_type = numstr AS eq_str_numstr,
+        |  CASE WHEN TRY_CAST(numstr AS BIGINT) IS NOT NULL
+        |       THEN TRY_CAST(numstr AS BIGINT) > 9
+        |       ELSE numstr > '9' END AS gt_numeric_not_lexico
+        |FROM e""".stripMargin,
+
+    "foreach_object" ->
+      """SELECT event_id, k, json_extract_string(props, '$.' || k) AS v
+        |FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+        |      FROM events)""".stripMargin,
+
+    "template_json" ->
+      """SELECT event_id,
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+        |    AS j
+        |FROM events""".stripMargin,
 
     // ------------------------- training-data pipeline oracles ---------------
 

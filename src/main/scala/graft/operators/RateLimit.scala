@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rate limiting and action-execution gates (reference: runtime/
+  * ratelimit.c token bucket `interval`+`burst` keyed per source;
+  * runtime/action.c:2257-2290 execOnlyEveryNthTime /
+  * execOnlyOnceEveryInterval; runtime/action.c:172 "last message
+  * repeated n times" reduction).
+  *
+  * Batch semantics: rsyslog's wall-clock token bucket maps onto event-time
+  * interval windows — within each (key, interval-window), the first `burst`
+  * messages pass, the rest are dropped (ratelimit.c's drop policy) with a
+  * per-window discard summary. The per-key window ranking shuffles once on
+  * (key, window) — the natural partitioning a 1000-executor run needs; no
+  * global ordering is ever required.
+  */
+object RateLimit {
+
+  /** Token-bucket pass/drop over event time. Returns the passed rows. */
+  def apply(df: DataFrame, keyCol: Column, tsCol: Column, orderCol: Column,
+            intervalSec: Int, burst: Int): DataFrame = {
+    val winStart = (unix_timestamp(tsCol) / intervalSec).cast("long")
+    val withWin = df.withColumn("rl_win", winStart)
+    val w = Window.partitionBy(keyCol, col("rl_win")).orderBy(orderCol)
+    withWin.withColumn("rl_seq", row_number().over(w))
+      .filter(col("rl_seq") <= burst)
+      .drop("rl_win", "rl_seq")
+  }
+
+  /** Drop summary: per (key, window) how many were passed vs discarded —
+    * rsyslog emits "begin to drop" / "N messages dropped" marks. */
+  def dropSummary(df: DataFrame, keyCol: Column, tsCol: Column,
+                  intervalSec: Int, burst: Int): DataFrame = {
+    df.withColumn("rl_win", (unix_timestamp(tsCol) / intervalSec).cast("long"))
+      .groupBy(keyCol.as("key"), col("rl_win"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("n_passed", least(col("n_total"), lit(burst.toLong)))
+      .withColumn("n_dropped", col("n_total") - col("n_passed"))
+  }
+
+  /** action.execOnlyEveryNthTime: per key, every Nth call fires
+    * (action.c:2257-2266 — counts calls, fires when count % N == 0). */
+  def everyNth(df: DataFrame, keyCol: Column, orderCol: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    df.withColumn("gate_seq", row_number().over(w))
+      .filter(col("gate_seq") % n === 0)
+      .drop("gate_seq")
+  }
+
+  /** action.execOnlyOnceEveryInterval: first call per (key, interval)
+    * fires (action.c:2280-2290). */
+  def onceEveryInterval(df: DataFrame, keyCol: Column, tsCol: Column,
+                        orderCol: Column, intervalSec: Int): DataFrame = {
+    val withWin = df.withColumn("gate_win",
+      (unix_timestamp(tsCol) / intervalSec).cast("long"))
+    val w = Window.partitionBy(keyCol, col("gate_win")).orderBy(orderCol)
+    withWin.withColumn("gate_seq", row_number().over(w))
+      .filter(col("gate_seq") === 1)
+      .drop("gate_win", "gate_seq")
+  }
+
+  /** "last message repeated n times" reduction (action.c msg-reduction):
+    * collapse runs of consecutive identical messages per key into one row
+    * + repeat count. Consecutive = adjacent in orderCol within key. */
+  def repeatedMsgReduction(df: DataFrame, keyCol: Column, msgCol: Column,
+                           orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    // run-id via the standard gaps-and-islands trick: count of
+    // change-points up to each row
+    val changed = when(lag(msgCol, 1).over(w).isNull ||
+      lag(msgCol, 1).over(w) =!= msgCol, 1).otherwise(0)
+    df.withColumn("chg", changed)
+      .withColumn("run_id", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keyCol.as("key"), col("run_id"))
+      .agg(first(msgCol).as("msg"), // constant within a run by construction
+        min(orderCol).as("first_seen"), count(lit(1)).as("n_repeats"))
+      .drop("run_id")
+  }
+}
