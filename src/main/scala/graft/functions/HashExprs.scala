@@ -43,6 +43,83 @@ case class SimHash64Expr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** k-permutation MinHash signature over a string array in ONE pass:
+  * each element is hashed once (FNV-1a 64), then the k permutations are
+  * derived by affine mixing (h XOR seed_i, finalized splitmix-style) —
+  * the standard multiply-shift derivation. O(n·k) cheap integer ops vs
+  * the O(n·k) *string re-hashes* a Column-level transform() would cost,
+  * and no per-element Catalyst interpretation overhead.
+  */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashUtil.fnv1a64(arr.getUTF8String(i).toString)
+        var j = 0
+        while (j < k) {
+          // splitmix64 finalizer over (h ^ seed_j)
+          var z = h ^ (0x9E3779B97F4A7C15L * (j + 1))
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          z = z ^ (z >>> 31)
+          if (z < mins(j)) mins(j) = z
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Cosine similarity between two numeric arrays in one fused pass —
+  * dot, |a|², |b|² accumulated together. A Column-level zip_with/
+  * aggregate composition walks both arrays three times through
+  * interpreted higher-order lambdas; this is the hot kernel of every
+  * ANN/near-dup operator so it gets a native expression.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val aType = left.dataType.asInstanceOf[ArrayType].elementType
+    val bType = right.dataType.asInstanceOf[ArrayType].elementType
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val isFloat = aType == FloatType
+    val isFloatB = bType == FloatType
+    while (i < n) {
+      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloatB) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object HashUtil {
   /** FNV-1a 64-bit — deterministic, seedable by suffixing. */
   def fnv1a64(s: String): Long = {

@@ -149,7 +149,9 @@ case class JsonMergeExpr(dst: Expression, src: Expression)
       val e = it.next()
       (a.get(e.getKey), e.getValue) match {
         case (ao: ObjectNode, bo: ObjectNode) => merge(ao, bo)
-        case (_, v) => a.set(e.getKey, v)
+        // explicit type param: Jackson's generic set() would otherwise
+        // infer BoxedUnit here and CCE at runtime
+        case (_, v) => a.set[JsonNode](e.getKey, v)
       }
     }
   }

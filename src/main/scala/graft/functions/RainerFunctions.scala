@@ -57,7 +57,7 @@ object rainer {
   val FieldNotFound = "***FIELD NOT FOUND***"
   def field(s: Column, delim: String, n: Int): Column = {
     val parts = split(s, java.util.regex.Pattern.quote(delim))
-    coalesce(element_at(parts, n), lit(FieldNotFound))
+    coalesce(try_element_at(parts, lit(n)), lit(FieldNotFound))
   }
 
   /** split(s, delim) → array (rainerscript.c:3245; JSON array there). */
@@ -67,9 +67,10 @@ object rainer {
   // ---------- casts (rainerscript.c:2237-2305) ----------
 
   def cstr(x: Column): Column = x.cast(StringType)
-  /** cnum: non-numeric → 0 (rsyslog var2Number semantics). */
-  def cnum(x: Column): Column = coalesce(x.cast(LongType), lit(0L))
-  def cbool(x: Column): Column = x.cast(BooleanType)
+  /** cnum: non-numeric → 0 (rsyslog var2Number semantics); try_cast keeps
+    * ANSI mode from throwing on malformed input. */
+  def cnum(x: Column): Column = coalesce(x.try_cast(LongType), lit(0L))
+  def cbool(x: Column): Column = x.try_cast(BooleanType)
 
   // ---------- regex (rainerscript.c:1681,2338) ----------
 
@@ -109,10 +110,10 @@ object rainer {
   /** ipv42num(s) — rainerscript.c:2365 */
   def ipv42num(s: Column): Column = {
     val p = split(s, "\\.")
-    (element_at(p, 1).cast(LongType) * 16777216L +
-     element_at(p, 2).cast(LongType) * 65536L +
-     element_at(p, 3).cast(LongType) * 256L +
-     element_at(p, 4).cast(LongType))
+    (try_element_at(p, lit(1)).try_cast(LongType) * 16777216L +
+     try_element_at(p, lit(2)).try_cast(LongType) * 65536L +
+     try_element_at(p, lit(3)).try_cast(LongType) * 256L +
+     try_element_at(p, lit(4)).try_cast(LongType))
   }
 
   // ---------- time (rainerscript.c:2744-2983) ----------
@@ -133,13 +134,14 @@ object rainer {
   /** parse_time(s) — accepts RFC3339 or RFC3164, → epoch secs (UTC);
     * rainerscript.c:2822. Unparsable → null (script_error in reference). */
   def parse_time(s: Column, defaultYear: Int = 2024): Column = {
-    val rfc3339 = unix_timestamp(
-      to_timestamp(regexp_replace(s, "([+-]\\d{2}):(\\d{2})$|Z$", ""),
-        "yyyy-MM-dd'T'HH:mm:ss"))
-    val rfc3164 = unix_timestamp(to_timestamp(
+    // try_to_timestamp: ANSI mode must not throw on the non-matching format
+    val rfc3339 = try_to_timestamp(
+      regexp_replace(s, "([+-]\\d{2}):(\\d{2})$|Z$", ""),
+      lit("yyyy-MM-dd'T'HH:mm:ss"))
+    val rfc3164 = try_to_timestamp(
       concat(lit(defaultYear.toString + " "), regexp_replace(s, "\\s+", " ")),
-      "yyyy MMM d HH:mm:ss"))
-    coalesce(rfc3339, rfc3164)
+      lit("yyyy MMM d HH:mm:ss"))
+    unix_timestamp(coalesce(rfc3339, rfc3164))
   }
 
   def is_time(s: Column): Column = parse_time(s).isNotNull
@@ -211,10 +213,10 @@ object rainer {
   def faup_path(url: Column): Column = parse_url(url, lit("PATH"))
   def faup_query(url: Column): Column = parse_url(url, lit("QUERY"))
   def faup_tld(url: Column): Column =
-    element_at(split(parse_url(url, lit("HOST")), "\\."), -1)
+    try_element_at(split(parse_url(url, lit("HOST")), "\\."), lit(-1))
   def faup_domain(url: Column): Column = {
     val parts = split(parse_url(url, lit("HOST")), "\\.")
-    concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    concat_ws(".", try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
   }
 
   // ---------- syslog parsing ----------

@@ -219,6 +219,11 @@ object SyslogParseExpr {
     } else if (j < n && raw(j) == ':') {
       tag = raw.substring(tagStart, j + 1)
       i = j + 1
+    } else if (j < n && raw(j) == ' ' && j > tagStart) {
+      // space-terminated TAG (tcpflood "tag msgnum:..." shape — rsyslog
+      // accepts it; the classic 3164 TAG/MSG ambiguity resolved tag-first)
+      tag = raw.substring(tagStart, j)
+      i = j + 1
     } else {
       // no tag terminator → message has no TAG; rest after hostname is MSG
       tag = null

@@ -37,11 +37,13 @@ object Dedup {
         s => s.isNotNull))
   }
 
-  /** k MinHash signatures over the shingle set: min over shingles of a
-    * seeded xxhash64. Pure Column composition — whole-stage codegen'd. */
+  /** k MinHash signatures over the shingle set — single-pass custom
+    * expression (each shingle hashed once, k permutations derived by
+    * integer mixing; see MinHashSignatureExpr). */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashSignatureExpr(
+        org.apache.spark.sql.GraftBridge.expression(sh), k))
 
   /** MinHash-LSH candidate pairs: b bands of r rows (k = b*r). Docs
     * sharing any band bucket become candidates; estimated Jaccard =
@@ -52,8 +54,13 @@ object Dedup {
                       n: Int = 3, bands: Int = 16, rows: Int = 4,
                       minEstJaccard: Double = 0.5): DataFrame = {
     val k = bands * rows
+    // signature computation is CPU-bound (k hashes × shingles per doc);
+    // a small input often arrives as 1-2 parquet partitions, which would
+    // serialize the whole stage — spread it across the cluster first
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val withSig = df
       .select(col(idCol).as("doc"), col(textCol).as("t"))
+      .repartition(par)
       .withColumn("sig", minhashSignature(shingles(col("t"), n), k))
       .drop("t")
     val banded = withSig.select(
@@ -80,8 +87,10 @@ object Dedup {
     * blocking, Hamming ≤ maxHamming verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withH = df.select(col(idCol).as("doc"),
-      rainer.simhash64(TextAnalysis.tokens(col(textCol))).as("h"))
+    val withH = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"),
+        rainer.simhash64(TextAnalysis.tokens(col(textCol))).as("h"))
     val banded = withH.select(col("doc"), col("h"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -106,7 +115,9 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         minJaccard: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+    val sh = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
         explode(shingles(col(textCol), n)).as("s"))
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),

@@ -17,17 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two double arrays (element-wise exprs,
-    * codegen'd; cast to double first so the arithmetic matches DuckDB's).
-    */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity — native fused expression (one pass over both
+    * arrays, float→double promotion matching DuckDB's arithmetic). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CosineSimilarityExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   /** Exact top-k neighbors for each query vector (queries = a filtered
     * subset of the corpus, broadcast). Deterministic: ties broken by

@@ -1,0 +1,30 @@
+package graft.rainerscript
+
+/** RainerScript AST — the logical IR our front-end builds from config
+  * text, mirroring the reference's cnfstmt/cnfexpr tree
+  * (grammar/rainerscript.h:112-124, grammar/grammar.y:131-236) before
+  * compilation to Spark Column/DataFrame plans.
+  */
+sealed trait RExpr
+case class RStr(s: String) extends RExpr
+case class RNum(n: Long) extends RExpr
+case class RArr(items: Seq[String]) extends RExpr
+/** $msg / $hostname (core), $!a!b (CEE tree), $.a (local), $/g (global) */
+case class RVar(raw: String) extends RExpr
+case class RFunc(name: String, args: Seq[RExpr]) extends RExpr
+case class RBinop(op: String, l: RExpr, r: RExpr) extends RExpr
+case class RNot(e: RExpr) extends RExpr
+case class RNeg(e: RExpr) extends RExpr
+
+sealed trait RStmt
+case class RSet(target: RVar, value: RExpr) extends RStmt
+case class RUnset(target: RVar) extends RStmt
+case class RIf(cond: RExpr, thenB: Seq[RStmt], elseB: Seq[RStmt]) extends RStmt
+/** legacy PRI selector filter: "mail.info" / "*.err" { block } */
+case class RPriFilt(selector: String, body: Seq[RStmt]) extends RStmt
+/** legacy property filter: :msg, contains, "x" { block } */
+case class RPropFilt(prop: String, op: String, negated: Boolean,
+                     value: String, body: Seq[RStmt]) extends RStmt
+case object RStop extends RStmt
+case class RCall(ruleset: String) extends RStmt
+case class RAction(params: Map[String, String]) extends RStmt

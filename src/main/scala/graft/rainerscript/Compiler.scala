@@ -1,0 +1,265 @@
+package graft.rainerscript
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.rainer
+import graft.operators.LookupTable
+import graft.templates.TemplateCompiler
+
+/** Compiles a RainerScript AST into a DataFrame pipeline — the Spark
+  * analogue of the reference interpreter `scriptExec`
+  * (runtime/ruleset.c:536-596), but *declarative*: the whole script
+  * becomes a chain of `withColumn` projections Catalyst fuses into one
+  * whole-stage-codegen'd stage. Control flow lowers to boolean path
+  * conditions, exactly how the reference's per-message branches become
+  * per-row predicates:
+  *
+  *  - `if c then A else B` → A under path∧c, B under path∧¬c; each
+  *    condition is *materialized* into a temp column at its sequence
+  *    point so later variable mutations can't retroactively change it
+  *    (rsyslog evaluates the guard before the body runs).
+  *  - `set $!a!b = e` → vars_msg = if(path) json_set(vars_msg,"a!b",e)
+  *  - `stop` → __stopped |= path; survivors = ¬__stopped at the end.
+  *  - `action(...)` → records (frozen condition, params); each action's
+  *    rows = rows whose path reached it un-stopped.
+  *
+  * Input contract: the DataFrame carries the fixed LogEvent columns the
+  * script references ($msg → msg, …) plus `vars_msg`/`vars_local` JSON
+  * columns (created if absent).
+  */
+object RainerCompiler {
+
+  case class CompiledAction(index: Int, params: Map[String, String], condCol: String)
+
+  case class ScriptResult(frame: DataFrame, actions: Seq[CompiledAction]) {
+    /** Rows that survive the script (not stopped), internals dropped. */
+    def output: DataFrame = frame.filter(!col("__stopped"))
+      .drop(frame.columns.filter(_.startsWith("__")): _*)
+    /** Rows reaching action i, with the action's template rendered when
+      * a `template` param is present (inline template string). */
+    def actionFrame(i: Int): DataFrame = {
+      val a = actions(i)
+      val base = frame.filter(col(a.condCol))
+      val rendered = a.params.get("template") match {
+        case Some(tpl) =>
+          base.withColumn("__rendered",
+            TemplateCompiler.compile(tpl, n => resolveProp(n)))
+        case None => base
+      }
+      rendered.drop(rendered.columns.filter(c =>
+        c.startsWith("__") && c != "__rendered"): _*)
+    }
+  }
+
+  /** Property name → Column for the fixed schema + JSON var trees. */
+  def resolveProp(name: String): Column = name match {
+    case n if n.startsWith("$!") || n.startsWith("!") =>
+      val p = n.dropWhile(c => c == '$' || c == '!')
+      get_json_object(col("vars_msg"), "$." + p.replace('!', '.'))
+    case n if n.startsWith("$.") =>
+      get_json_object(col("vars_local"), "$." + n.drop(2).replace('!', '.'))
+    case n if n.startsWith("$") => resolveProp(n.drop(1))
+    case "syslogseverity" | "severity" => col("severity")
+    case "syslogfacility" | "facility" => col("facility")
+    case "pri" => col("facility") * 8 + col("severity")
+    case other => col(other)
+  }
+
+  def compileExpr(e: RExpr, tables: Map[String, LookupTable]): Column = {
+    def go(e: RExpr): Column = e match {
+      case RStr(s) => lit(s)
+      case RNum(n) => lit(n)
+      case RArr(items) => array(items.map(lit): _*)
+      case RVar(raw) => resolveProp(raw)
+      case RNot(x) => !toBool(x)
+      case RNeg(x) => -rainer.cnum(go(x))
+      case RBinop("and", l, r) => toBool(l) && toBool(r)
+      case RBinop("or", l, r) => toBool(l) || toBool(r)
+      case RBinop("&", l, r) => concat(go(l).cast("string"), go(r).cast("string"))
+      case RBinop(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
+        val (a, b) = (rainer.cnum(go(l)), rainer.cnum(go(r)))
+        op match {
+          case "+" => a + b
+          case "-" => a - b
+          case "*" => a * b
+          // div-by-zero yields "undefined" in the reference (guarded);
+          // try_divide → null mirrors that
+          case "/" => try_divide(a, b).cast("long")
+          case "%" => when(b =!= 0, a % b)
+        }
+      case RBinop("==", l, RArr(items)) => rainer.rs_in(go(l).cast("string"), items)
+      case RBinop("!=", l, RArr(items)) => !rainer.rs_in(go(l).cast("string"), items)
+      case RBinop("==", l, r) => rainer.rs_eq(go(l), go(r))
+      case RBinop("!=" | "<>", l, r) => rainer.rs_ne(go(l), go(r))
+      case RBinop("<", l, r) => rainer.rs_lt(go(l), go(r))
+      case RBinop("<=", l, r) => rainer.rs_le(go(l), go(r))
+      case RBinop(">", l, r) => rainer.rs_gt(go(l), go(r))
+      case RBinop(">=", l, r) => rainer.rs_ge(go(l), go(r))
+      case RBinop("contains", l, r) => go(l).cast("string").contains(go(r).cast("string"))
+      case RBinop("contains_i", l, r) =>
+        lower(go(l).cast("string")).contains(lower(go(r).cast("string")))
+      case RBinop("startswith", l, r) => go(l).cast("string").startsWith(go(r).cast("string"))
+      case RBinop("startswith_i", l, r) =>
+        lower(go(l).cast("string")).startsWith(lower(go(r).cast("string")))
+      case RBinop("endswith", l, r) => go(l).cast("string").endsWith(go(r).cast("string"))
+      case RBinop(op, _, _) => throw new IllegalArgumentException(s"op $op")
+      case RFunc(name, args) => compileFunc(name, args, tables, go)
+    }
+    def toBool(e: RExpr): Column = e match {
+      case RBinop("and" | "or" | "==" | "!=" | "<>" | "<" | "<=" | ">" | ">=" |
+                  "contains" | "contains_i" | "startswith" | "startswith_i" |
+                  "endswith", _, _) | RNot(_) => go(e).cast("boolean")
+      case RFunc("prifilt" | "re_match" | "re_match_i" | "is_in_subnet" |
+                 "exists" | "is_time", _) => go(e).cast("boolean")
+      // numeric truthiness: non-zero = true (var2Number semantics)
+      case other => coalesce(rainer.cnum(go(other)) =!= 0, lit(false))
+    }
+    go(e)
+  }
+
+  private def compileFunc(name: String, args: Seq[RExpr],
+                          tables: Map[String, LookupTable],
+                          go: RExpr => Column): Column = {
+    def a(i: Int): Column = go(args(i))
+    def s(i: Int): String = args(i) match {
+      case RStr(x) => x
+      case RNum(n) => n.toString
+      case other => throw new IllegalArgumentException(
+        s"$name arg $i must be a literal, got $other")
+    }
+    name match {
+      case "strlen" => length(a(0))
+      case "substring" => rainer.rs_substring(a(0), a(1), a(2))
+      case "ltrim" => ltrim(a(0))
+      case "rtrim" => rtrim(a(0))
+      case "tolower" => lower(a(0))
+      case "toupper" => upper(a(0))
+      case "replace" => replace(a(0), a(1), a(2))
+      case "wrap" =>
+        if (args.length > 2) rainer.wrap(a(0), s(1), s(2)) else rainer.wrap(a(0), s(1))
+      case "field" => rainer.field(a(0), fieldDelim(s(1)), s(2).toInt)
+      case "split" => split(a(0), java.util.regex.Pattern.quote(s(1)))
+      case "cstr" => a(0).cast("string")
+      case "cnum" => rainer.cnum(a(0))
+      case "cbool" => a(0).cast("boolean")
+      case "re_match" => a(0).rlike(s(1))
+      case "re_match_i" => a(0).rlike("(?i)" + s(1))
+      case "re_extract" => rainer.re_extract(a(0), s(1), s(3).toInt, s(4))
+      case "re_extract_i" => rainer.re_extract_i(a(0), s(1), s(3).toInt, s(4))
+      case "getenv" => rainer.rs_getenv(s(0))
+      case "random" => rainer.rs_random(a(0))
+      case "num2ipv4" => rainer.num2ipv4(a(0))
+      case "ipv42num" | "ip42num" => rainer.ipv42num(a(0))
+      case "int2hex" => rainer.int2hex(a(0))
+      case "format_time" => rainer.format_time(a(0), s(1))
+      case "parse_time" => rainer.parse_time(a(0))
+      case "is_time" => rainer.is_time(a(0))
+      case "parse_json" => a(0) // validity via parse_json_ok; tree = the string
+      case "get_property" => get_json_object(a(0), "$." + s(1))
+      case "lookup" =>
+        val tbl = tables.getOrElse(s(0),
+          throw new IllegalArgumentException(s"unknown lookup table ${s(0)}"))
+        tbl.probe(a(1))
+      case "prifilt" => rainer.prifilt(s(0))(col("facility"), col("severity"))
+      case "b64_decode" => rainer.b64_decode(a(0))
+      case "hash64" => xxhash64(a(0))
+      case "hash64mod" => pmod(xxhash64(a(0)), a(1))
+      case "hash32" => rainer.hash32(a(0))
+      case "hash32mod" => rainer.hash32mod(a(0), s(1).toLong)
+      case "is_in_subnet" => rainer.is_in_subnet(a(0), a(1))
+      case "exists" => args(0) match {
+        case RVar(raw) if raw.startsWith("$!") =>
+          rainer.json_exists(col("vars_msg"), raw.drop(2))
+        case RVar(raw) if raw.startsWith("$.") =>
+          rainer.json_exists(col("vars_local"), raw.drop(2))
+        case RVar(raw) => resolveProp(raw).isNotNull
+        case _ => a(0).isNotNull
+      }
+      case "unflatten" => rainer.unflatten(a(0), s(1))
+      case "cef_ext_escape" => rainer.cef_ext_escape(a(0))
+      case other => throw new IllegalArgumentException(s"unknown function $other")
+    }
+  }
+
+  /** rsyslog field() delimiter: decimal char code or string. */
+  private def fieldDelim(d: String): String =
+    if (d.forall(_.isDigit)) d.toInt.toChar.toString else d
+
+  /** Compile and apply a script to a DataFrame. */
+  def run(src: String, input: DataFrame,
+          tables: Map[String, LookupTable] = Map.empty): ScriptResult = {
+    val stmts = RainerParser.parseScript(src)
+    var df = input
+    if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
+    if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))
+    df = df.withColumn("__stopped", lit(false))
+    var condId = 0
+    val actions = scala.collection.mutable.ArrayBuffer.empty[CompiledAction]
+
+    def freshCond(): String = { condId += 1; s"__cond_$condId" }
+
+    def varCol(raw: String): (String, String) =
+      if (raw.startsWith("$.")) ("vars_local", raw.drop(2).replace('!', '.'))
+      else ("vars_msg", raw.dropWhile(c => c == '$' || c == '!'))
+
+    def exec(stmts: Seq[RStmt], path: Column): Unit = stmts.foreach {
+      case RSet(RVar(raw), value) =>
+        val (vc, p) = varCol(raw)
+        val v = compileExpr(value, tables)
+        df = df.withColumn(vc,
+          when(path && !col("__stopped"),
+            graft.functions.rainer.json_set(col(vc), p.replace('.', '!'), v))
+          .otherwise(col(vc)))
+      case RUnset(RVar(raw)) =>
+        val (vc, p) = varCol(raw)
+        df = df.withColumn(vc,
+          when(path && !col("__stopped"),
+            graft.functions.rainer.json_unset(col(vc), p.replace('.', '!')))
+          .otherwise(col(vc)))
+      case RIf(cond, thenB, elseB) =>
+        // freeze the guard at this sequence point
+        val cn = freshCond()
+        df = df.withColumn(cn,
+          path && !col("__stopped") &&
+            coalesce(compileExpr(cond, tables).cast("boolean"), lit(false)))
+        exec(thenB, col(cn))
+        if (elseB.nonEmpty) {
+          val en = freshCond()
+          df = df.withColumn(en, path && !col("__stopped") && !col(cn))
+          exec(elseB, col(en))
+        }
+      case RPriFilt(sel, body) =>
+        val cn = freshCond()
+        df = df.withColumn(cn, path && !col("__stopped") &&
+          rainer.prifilt(sel)(col("facility"), col("severity")))
+        exec(body, col(cn))
+      case RPropFilt(prop, op, neg, v, body) =>
+        val base = resolveProp(prop).cast("string")
+        val test = op match {
+          case "contains" => base.contains(v)
+          case "isequal" => base === v
+          case "startswith" => base.startsWith(v)
+          case "endswith" => base.endsWith(v)
+          case "regex" | "ereregex" => base.rlike(v)
+          case "isempty" => base.isNull || base === ""
+          case other => throw new IllegalArgumentException(s"propfilt op $other")
+        }
+        val cn = freshCond()
+        df = df.withColumn(cn, path && !col("__stopped") &&
+          (if (neg) !coalesce(test, lit(false)) else coalesce(test, lit(false))))
+        exec(body, col(cn))
+      case RStop =>
+        df = df.withColumn("__stopped", col("__stopped") || path)
+      case RAction(params) =>
+        val cn = freshCond()
+        df = df.withColumn(cn, path && !col("__stopped"))
+        actions += CompiledAction(actions.size, params, cn)
+      case RCall(_) =>
+        // single-ruleset scope in round 1: call is a no-op marker
+      case other => throw new IllegalArgumentException(s"stmt $other")
+    }
+
+    exec(stmts, lit(true))
+    ScriptResult(df, actions.toSeq)
+  }
+}

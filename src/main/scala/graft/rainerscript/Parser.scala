@@ -1,0 +1,135 @@
+package graft.rainerscript
+
+import scala.util.parsing.combinator.RegexParsers
+
+/** Recursive-descent RainerScript parser (reference grammar:
+  * grammar/grammar.y:131-236, lexer tokens grammar/lexer.l — notably
+  * `$[$!./]name` variables at lexer.l:373). Covers the script-statement
+  * and expression surface; config *objects* handled: action(...).
+  * Comments: `#` to end of line and C-style block comments.
+  */
+object RainerParser extends RegexParsers {
+  override protected val whiteSpace =
+    """(\s|#.*|/\*(?s:.*?)\*/)+""".r
+
+  // ---- lexical ----
+  private def ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_\-]*""".r
+  private def number: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
+  private def qstring: Parser[String] =
+    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s =>
+      s.substring(1, s.length - 1)
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+        .replace("\\n", "\n").replace("\\t", "\t")
+    } |
+    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s =>
+      s.substring(1, s.length - 1).replace("\\'", "'").replace("\\\\", "\\")
+    }
+  private def variable: Parser[RVar] =
+    """\$[!./]?[A-Za-z0-9_\-]+(![A-Za-z0-9_\-]+)*""".r ^^ RVar.apply
+
+  // ---- expressions (precedence: or < and < not < cmp < concat < add < mul < unary) ----
+  def expr: Parser[RExpr] = orExpr
+
+  private def orExpr: Parser[RExpr] =
+    andExpr ~ rep(("or" | "OR") ~> andExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => RBinop("or", a, b))
+    }
+  private def andExpr: Parser[RExpr] =
+    notExpr ~ rep(("and" | "AND") ~> notExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => RBinop("and", a, b))
+    }
+  private def notExpr: Parser[RExpr] =
+    ("not" | "NOT") ~> notExpr ^^ RNot.apply | cmpExpr
+
+  private def cmpOp: Parser[String] =
+    "==" | "!=" | "<>" | "<=" | ">=" | "<" | ">" |
+    "contains_i" | "contains" | "startswith_i" | "startswith" | "endswith"
+  private def cmpExpr: Parser[RExpr] =
+    concatExpr ~ opt(cmpOp ~ concatExpr) ^^ {
+      case l ~ None => l
+      case l ~ Some(op ~ r) => RBinop(op, l, r)
+    }
+  private def concatExpr: Parser[RExpr] =
+    addExpr ~ rep("&" ~> addExpr) ^^ {
+      case h ~ t => t.foldLeft(h)((a, b) => RBinop("&", a, b))
+    }
+  private def addExpr: Parser[RExpr] =
+    mulExpr ~ rep(("+" | "-") ~ mulExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => RBinop(op, a, b) }
+    }
+  private def mulExpr: Parser[RExpr] =
+    unaryExpr ~ rep(("*" | "/" | "%") ~ unaryExpr) ^^ {
+      case h ~ t => t.foldLeft(h) { case (a, op ~ b) => RBinop(op, a, b) }
+    }
+  private def unaryExpr: Parser[RExpr] =
+    "-" ~> primary ^^ RNeg.apply | primary
+
+  private def arrayLit: Parser[RArr] =
+    "[" ~> repsep(qstring, ",") <~ "]" ^^ RArr.apply
+
+  private def funcCall: Parser[RFunc] =
+    ident ~ ("(" ~> repsep(expr, ",") <~ ")") ^^ {
+      case n ~ args => RFunc(n.toLowerCase, args)
+    }
+
+  private def primary: Parser[RExpr] =
+    "(" ~> expr <~ ")" |
+    arrayLit |
+    funcCall |
+    variable |
+    number ^^ RNum.apply |
+    qstring ^^ RStr.apply
+
+  // ---- statements ----
+  def stmt: Parser[RStmt] =
+    setStmt | unsetStmt | ifStmt | stopStmt | callStmt | actionStmt |
+    priFiltStmt | propFiltStmt
+
+  private def setStmt: Parser[RStmt] =
+    "set" ~> variable ~ ("=" ~> expr) <~ ";" ^^ { case v ~ e => RSet(v, e) }
+  private def unsetStmt: Parser[RStmt] =
+    "unset" ~> variable <~ ";" ^^ RUnset.apply
+  private def block: Parser[Seq[RStmt]] =
+    "{" ~> rep(stmt) <~ "}" | stmt ^^ (s => Seq(s))
+  private def ifStmt: Parser[RStmt] =
+    ("if" ~> expr) ~ ("then" ~> block) ~ opt("else" ~> block) ^^ {
+      case c ~ t ~ e => RIf(c, t, e.getOrElse(Seq.empty))
+    }
+  private def stopStmt: Parser[RStmt] = "stop" <~ opt(";") ^^^ RStop
+  private def callStmt: Parser[RStmt] =
+    "call" ~> ident <~ opt(";") ^^ RCall.apply
+  private def actionParam: Parser[(String, String)] =
+    """[A-Za-z_][A-Za-z0-9_.\-]*""".r ~ ("=" ~> qstring) ^^ { case k ~ v => (k, v) }
+  private def actionStmt: Parser[RStmt] =
+    "action" ~> "(" ~> rep(actionParam) <~ ")" ^^ (ps => RAction(ps.toMap))
+
+  /** legacy selector line: `mail.info action(...)` / `*.err { ... }` */
+  private def priFiltStmt: Parser[RStmt] =
+    """[a-z0-9*,\-]+\.[!=*a-z]+(;[a-z0-9*,\-]+\.[!=*a-z]+)*""".r ~ block ^^ {
+      case sel ~ b => RPriFilt(sel, b)
+    }
+
+  /** legacy property filter: `:msg, contains, "x"` + block */
+  private def propFiltStmt: Parser[RStmt] =
+    (":" ~> ident) ~ ("," ~> opt("!")) ~ ident ~ ("," ~> qstring) ~ block ^^ {
+      case prop ~ neg ~ op ~ v ~ b => RPropFilt(prop, op, neg.isDefined, v, b)
+    }
+
+  def script: Parser[Seq[RStmt]] = rep(stmt)
+
+  def parseScript(src: String): Seq[RStmt] = parseAll(script, src) match {
+    case Success(r, _) => r
+    case NoSuccess(msg, next) =>
+      throw new IllegalArgumentException(
+        s"RainerScript parse error at line ${next.pos.line}, col ${next.pos.column}: $msg")
+    case other => throw new IllegalStateException(other.toString)
+  }
+
+  def parseExpr(src: String): RExpr = parseAll(expr, src) match {
+    case Success(r, _) => r
+    case NoSuccess(msg, next) =>
+      throw new IllegalArgumentException(
+        s"expression parse error at col ${next.pos.column}: $msg")
+    case other => throw new IllegalStateException(other.toString)
+  }
+}

@@ -1,0 +1,180 @@
+package graft.templates
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiler from rsyslog template strings to a single Spark `Column`
+  * projection (reference: the property replacer pipeline in
+  * runtime/msg.c:3696-4730 and template options in runtime/template.h).
+  *
+  * A template like
+  *   "%timereported:::date-rfc3339% %hostname% %syslogtag%%msg:::drop-last-lf%\n"
+  * becomes one `concat(...)` expression — the whole 10-stage per-property
+  * pipeline (field select, regex, substring, case conversion, date
+  * rendering, escaping) collapses into nested Column functions that
+  * Catalyst fuses into one whole-stage-codegen'd projection. This is the
+  * "strgen" compiled-template trick (tools/smfile.c) for free.
+  *
+  * Property text syntax: %name:fromChar:toChar:options% with
+  *  - numeric from/to → substring [from..to] (1-based, inclusive)
+  *  - from = "F,<ch>" → field extraction, to = field number (1-based),
+  *    <ch> = decimal char code of the delimiter (template.h:125-140 style)
+  *  - from = "R,<regex>,<submatch>" → regex extraction
+  * Options (comma lists): lowercase uppercase date-rfc3339 date-rfc3164
+  * date-unixtimestamp date-year date-month date-day date-hour date-minute
+  * date-second csv json jsonf drop-last-lf compressed-sp sp-if-no-1st-sp
+  */
+object TemplateCompiler {
+
+  sealed trait Part
+  case class Constant(text: String) extends Part
+  case class Property(name: String, from: String, to: String, options: Seq[String]) extends Part
+
+  /** Parse the %...% / constant structure of a template string.
+    * Escapes: \\% for literal percent, \\n \\t \\\\ in constants. */
+  def parse(tpl: String): Seq[Part] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Part]
+    val sb = new StringBuilder
+    var i = 0
+    val n = tpl.length
+    def flush(): Unit = { if (sb.nonEmpty) { parts += Constant(sb.toString); sb.clear() } }
+    while (i < n) {
+      tpl(i) match {
+        case '\\' if i + 1 < n =>
+          tpl(i + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case '%' => sb.append('%'); case '\\' => sb.append('\\')
+            case c => sb.append(c)
+          }
+          i += 2
+        case '%' =>
+          val end = tpl.indexOf('%', i + 1)
+          require(end > i, s"unterminated property at offset $i in: $tpl")
+          flush()
+          val body = tpl.substring(i + 1, end)
+          // split into name:from:to:options — but F,<ch> / R,<re> segments
+          // may contain ':' only in regexes; handle common case
+          val segs = body.split(":", 4)
+          val name = segs(0)
+          val from = if (segs.length > 1) segs(1) else ""
+          val to = if (segs.length > 2) segs(2) else ""
+          val opts = if (segs.length > 3 && segs(3).nonEmpty)
+            segs(3).split(",").map(_.trim.toLowerCase).toSeq else Seq.empty
+          parts += Property(name, from, to, opts)
+          i = end + 1
+        case c => sb.append(c); i += 1
+      }
+    }
+    flush()
+    parts.toSeq
+  }
+
+  private val sevNames = Seq("emerg", "alert", "crit", "err", "warning",
+    "notice", "info", "debug")
+  private val facNames = Seq("kern", "user", "mail", "daemon", "auth",
+    "syslog", "lpr", "news", "uucp", "cron", "authpriv", "ftp", "ntp",
+    "security", "console", "solaris-cron", "local0", "local1", "local2",
+    "local3", "local4", "local5", "local6", "local7")
+
+  /** Resolve a property name to its base Column. `props` maps schema
+    * fields; derived text properties (severity/facility names, $!path)
+    * are synthesized here (runtime/msg.c:3727-3990 property switch). */
+  def resolve(name: String, props: String => Column): Column = name match {
+    case "pri" => props("facility") * 8 + props("severity")
+    case "syslogseverity" => props("severity")
+    case "syslogseverity-text" =>
+      element_at(array(sevNames.map(lit): _*), props("severity").cast("int") + 1)
+    case "syslogfacility" => props("facility")
+    case "syslogfacility-text" =>
+      element_at(array(facNames.map(lit): _*), props("facility").cast("int") + 1)
+    case "timereported" | "timestamp" => props("ts")
+    case "timegenerated" => props("ts")
+    case n if n.startsWith("$!") =>
+      get_json_object(props("vars_msg"), "$." + n.drop(2).replace('!', '.'))
+    case n if n.startsWith("$.") =>
+      get_json_object(props("vars_local"), "$." + n.drop(2).replace('!', '.'))
+    case other => props(other)
+  }
+
+  /** Apply the property-replacer stages to a base column. */
+  def compileProperty(p: Property, props: String => Column): Column = {
+    var c = resolve(p.name, props)
+
+    // stage: date formats (applied to timestamp-typed props)
+    val dateOpt = p.options.find(_.startsWith("date-"))
+    dateOpt match {
+      case Some("date-rfc3339") =>
+        c = concat(date_format(c, "yyyy-MM-dd'T'HH:mm:ss"), lit("+00:00"))
+      case Some("date-rfc3164") =>
+        c = concat(date_format(c, "MMM "), lpad(date_format(c, "d"), 2, " "),
+          date_format(c, " HH:mm:ss"))
+      case Some("date-unixtimestamp") => c = unix_timestamp(c)
+      case Some("date-year") => c = date_format(c, "yyyy")
+      case Some("date-month") => c = date_format(c, "MM")
+      case Some("date-day") => c = date_format(c, "dd")
+      case Some("date-hour") => c = date_format(c, "HH")
+      case Some("date-minute") => c = date_format(c, "mm")
+      case Some("date-second") => c = date_format(c, "ss")
+      case Some("date-wday") => c = dayofweek(c) - 1
+      case Some("date-week") => c = weekofyear(c)
+      case _ =>
+    }
+    c = c.cast("string")
+
+    // stage: field extraction (from = F,<charcode>, to = field index)
+    if (p.from.startsWith("F")) {
+      val delim = p.from.split(",").lift(1).map(_.trim.toInt).getOrElse(9)
+      val fieldNo = if (p.to.nonEmpty) p.to.toInt else 1
+      c = coalesce(
+        element_at(split(c, java.util.regex.Pattern.quote(delim.toChar.toString)), fieldNo),
+        lit("***FIELD NOT FOUND***"))
+    } else if (p.from.startsWith("R")) {
+      // from = R,<regex>[,<submatch>]
+      val bits = p.from.split(",", 3)
+      val re = bits.lift(1).getOrElse("")
+      val sub = bits.lift(2).map(_.toInt).getOrElse(0)
+      c = when(c.rlike(re), regexp_extract(c, re, sub)).otherwise(lit(""))
+    } else if (p.from.nonEmpty && p.from.forall(_.isDigit) && p.to.nonEmpty) {
+      // substring, 1-based from..to inclusive (template.h:122-123)
+      val fromPos = p.from.toInt
+      val toPos = p.to.toInt
+      c = substring(c, fromPos, toPos - fromPos + 1)
+    }
+
+    // stage: case conversion
+    if (p.options.contains("lowercase")) c = lower(c)
+    if (p.options.contains("uppercase")) c = upper(c)
+
+    // stage: misc text ops
+    if (p.options.contains("drop-last-lf")) c = regexp_replace(c, "\n$", "")
+    if (p.options.contains("compressed-sp")) c = regexp_replace(c, "\\s+", " ")
+    if (p.options.contains("sp-if-no-1st-sp"))
+      c = when(c.startsWith(" "), c).otherwise(concat(lit(" "), c))
+
+    // stage: sink-dialect escaping (template.h:50-55)
+    if (p.options.contains("csv"))
+      c = concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))
+    if (p.options.contains("json") || p.options.contains("jsonf"))
+      c = regexp_replace(regexp_replace(regexp_replace(c,
+        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+
+    coalesce(c, lit(""))
+  }
+
+  /** Compile a full template string into one Column. */
+  def compile(tpl: String, props: String => Column): Column = {
+    val cols = parse(tpl).map {
+      case Constant(t) => lit(t)
+      case p: Property => compileProperty(p, props)
+    }
+    if (cols.isEmpty) lit("") else concat(cols: _*)
+  }
+
+  /** jsonf list-template: render properties as a JSON object with
+    * outname keys (template.h:170-178 dataType/onEmpty collapsed to
+    * string/auto). */
+  def compileJsonf(fields: Seq[(String, String)], props: String => Column): Column =
+    to_json(struct(fields.map { case (outname, prop) =>
+      resolve(prop, props).as(outname)
+    }: _*))
+}

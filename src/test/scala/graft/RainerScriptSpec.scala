@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rainerscript.{RainerParser, RainerCompiler}
+import graft.rainerscript._
+import graft.operators.StringLookup
+
+/** RainerScript front-end: parse + compile + execute semantics, golden
+  * cases mirroring the reference's rscript_compare_* corpus (the
+  * comparison-coercion matrix) and scriptExec control flow.
+  */
+class RainerScriptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // severity, facility, msg, numstr
+    (3, 2, "error on disk0", "10"),
+    (6, 16, "info ok", "9"),
+    (7, 2, "debug trace", "abc"),
+    (1, 4, "alert!", "10")
+  ).toDF("severity", "facility", "msg", "numstr")
+
+  test("parser: statements and expressions") {
+    val stmts = RainerParser.parseScript(
+      """# comment
+        |set $!a!b = 1 + 2 * 3;
+        |if $msg contains "error" and $severity <= 3 then {
+        |  set $.x = tolower($msg);
+        |  stop
+        |} else set $!y = "n";
+        |/* block comment */
+        |action(type="omfile" file="/tmp/x" template="%msg%\n")
+        |""".stripMargin)
+    assert(stmts.length == 3)
+    assert(stmts(0) == RSet(RVar("$!a!b"),
+      RBinop("+", RNum(1), RBinop("*", RNum(2), RNum(3)))))
+    stmts(1) match {
+      case RIf(RBinop("and", _, _), thenB, elseB) =>
+        assert(thenB.length == 2); assert(elseB.length == 1)
+      case other => fail(other.toString)
+    }
+    assert(stmts(2).isInstanceOf[RAction])
+  }
+
+  test("compile: set/if/stop/action semantics") {
+    val res = RainerCompiler.run(
+      """set $!sevsq = $severity * $severity;
+        |if $severity >= 7 then stop
+        |if $msg startswith "error" then {
+        |  set $!cls = "E";
+        |} else {
+        |  set $!cls = "other";
+        |}
+        |action(type="omfile")
+        |""".stripMargin, fixture)
+    val out = res.output
+      .withColumn("cls", get_json_object(col("vars_msg"), "$.cls"))
+      .withColumn("sevsq", get_json_object(col("vars_msg"), "$.sevsq"))
+      .select("severity", "cls", "sevsq").collect()
+    // severity 7 row stopped
+    assert(out.length == 3)
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSet ==
+      Set((3, "E"), (6, "other"), (1, "other")))
+    assert(out.find(_.getInt(0) == 3).get.getString(2) == "9")
+    // action sees the same 3 un-stopped rows
+    assert(res.actionFrame(0).count() == 3)
+  }
+
+  test("guard frozen at sequence point (mutation after if does not rewrite history)") {
+    val res = RainerCompiler.run(
+      """if $!flag == "x" then set $!hit = "yes";
+        |set $!flag = "x";
+        |""".stripMargin,
+      Seq(("m")).toDF("msg").withColumn("vars_msg", lit("""{"flag":"other"}""")))
+    val r = res.output.select(
+      get_json_object(col("vars_msg"), "$.hit"),
+      get_json_object(col("vars_msg"), "$.flag")).collect()(0)
+    assert(r.getString(0) == null) // guard saw flag=other
+    assert(r.getString(1) == "x")
+  }
+
+  test("comparison coercion matrix (rscript_compare_* semantics)") {
+    // numeric iff both sides numeric, else strcmp
+    val df = fixture
+    def ev(src: String) = RainerCompiler.run(s"""set $$.r = $src;""", df)
+      .output.select(get_json_object(col("vars_local"), "$.r")).collect()
+      .map(_.getString(0)).toSeq
+    // "10" == 10 → numeric equal → 1 (rows with numstr=10)
+    assert(ev("""$numstr == 10""") == Seq("true", "false", "false", "true"))
+    // "9" > 10 numeric → false (lexicographic would be true);
+    // "abc" vs 10 → strcmp("abc","10") → true (reference fallback)
+    assert(ev("""$numstr > 10""") == Seq("false", "false", "true", "false"))
+    // both non-numeric → strcmp
+    assert(ev(""" $msg < "f" """) == Seq("true", "false", "true", "true"))
+  }
+
+  test("array IN and prifilt function") {
+    val res = RainerCompiler.run(
+      """if $numstr == ["10", "77"] then set $.in = "y";
+        |if prifilt("mail.err") then set $.pf = "y";
+        |""".stripMargin, fixture)
+    val out = res.output.select(
+      get_json_object(col("vars_local"), "$.in"),
+      get_json_object(col("vars_local"), "$.pf"),
+      col("severity"), col("facility")).collect()
+    assert(out.count(_.getString(0) == "y") == 2)
+    // mail.err = facility 2, severity <= 3: rows (3,2) and (1,4→no) → 1 row...
+    // facility 2 rows: sev 3 (yes), sev 7 (no)
+    assert(out.count(_.getString(1) == "y") == 1)
+  }
+
+  test("functions inside scripts + lookup tables") {
+    val tbl = StringLookup(Map("error on disk0" -> "DISK"), "NONE")
+    val res = RainerCompiler.run(
+      """set $.lk = lookup("t", $msg);
+        |set $.b = tolower(substring($msg, 0, 5)) & "|" & strlen($msg);
+        |set $.h = int2hex(255);
+        |""".stripMargin, fixture, tables = Map("t" -> tbl))
+    val r = res.output.select(
+      get_json_object(col("vars_local"), "$.lk"),
+      get_json_object(col("vars_local"), "$.b"),
+      get_json_object(col("vars_local"), "$.h")).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("DISK", "NONE", "NONE", "NONE"))
+    assert(r(0).getString(1) == "error|14")
+    assert(r(0).getString(2) == "ff")
+  }
+
+  test("legacy PRI selector and property filter statements") {
+    val res = RainerCompiler.run(
+      """*.err set $.e = "1";
+        |:msg, contains, "ok" set $.k = "1";
+        |""".stripMargin, fixture)
+    val out = res.output.select(
+      get_json_object(col("vars_local"), "$.e"),
+      get_json_object(col("vars_local"), "$.k")).collect()
+    assert(out.count(_.getString(0) == "1") == 2) // sev 3 and 1
+    assert(out.count(_.getString(1) == "1") == 1) // "info ok"
+  }
+
+  test("unset and exists") {
+    val res = RainerCompiler.run(
+      """set $!a!b = "v";
+        |if exists($!a!b) then set $.saw = "y";
+        |unset $!a!b;
+        |if not exists($!a!b) then set $.gone = "y";
+        |""".stripMargin, Seq("m").toDF("msg"))
+    val r = res.output.select(
+      get_json_object(col("vars_local"), "$.saw"),
+      get_json_object(col("vars_local"), "$.gone")).collect()(0)
+    assert(r.getString(0) == "y" && r.getString(1) == "y")
+  }
+}

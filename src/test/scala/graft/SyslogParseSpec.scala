@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.rainer
+
+/** Golden tests for the syslog parser expression, fixtures from
+  * FIXTURES.md §1 (tcpflood formats) and the reference parser heuristics.
+  */
+class SyslogParseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse1(raw: String): org.apache.spark.sql.Row =
+    Seq(raw).toDF("raw")
+      .select(rainer.parse_syslog(col("raw"), defaultYear = 2003).as("p"))
+      .select("p.*").collect()(0)
+
+  test("tcpflood RFC3164 format") {
+    val r = parse1("<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000001:")
+    assert(r.getAs[Int]("protocol_version") == 0)
+    assert(r.getAs[Int]("facility") == 20)
+    assert(r.getAs[Int]("severity") == 7)
+    assert(r.getAs[String]("hostname") == "172.20.245.8")
+    assert(r.getAs[String]("msg") == "msgnum:00000001:")
+    assert(r.getAs[Boolean]("parsesuccess"))
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2003-03-01T01:00:00Z")
+  }
+
+  test("RFC3164 with TAG[pid]:") {
+    val r = parse1("<13>Oct 11 22:14:15 myhost su[1234]: 'su root' failed")
+    assert(r.getAs[String]("syslogtag") == "su[1234]:")
+    assert(r.getAs[String]("programname") == "su")
+    assert(r.getAs[String]("procid") == "1234")
+    assert(r.getAs[String]("msg") == "'su root' failed")
+  }
+
+  test("tcpflood RFC5424 with SD") {
+    val r = parse1("<167>1 2003-03-01T01:00:00.000Z host tag - - " +
+      "[tcpflood@32473 MSGNUM=\"00000001\"] msgnum:00000001:")
+    assert(r.getAs[Int]("protocol_version") == 1)
+    assert(r.getAs[String]("hostname") == "host")
+    assert(r.getAs[String]("app_name") == "tag")
+    assert(r.getAs[String]("procid") == null)
+    assert(r.getAs[String]("structured_data") == "[tcpflood@32473 MSGNUM=\"00000001\"]")
+    assert(r.getAs[String]("msg") == "msgnum:00000001:")
+  }
+
+  test("RFC5424 with offset timestamp and multiple SD elements") {
+    val r = parse1("<34>1 2003-10-11T22:14:15.003-07:00 mymachine.example.com " +
+      "su 1234 ID47 [ex@32473 a=\"1\"][ex2@32473 b=\"2\"] BOM'su root' failed")
+    assert(r.getAs[Int]("facility") == 4)
+    assert(r.getAs[Int]("severity") == 2)
+    assert(r.getAs[String]("procid") == "1234")
+    assert(r.getAs[String]("msgid") == "ID47")
+    assert(r.getAs[String]("structured_data") == "[ex@32473 a=\"1\"][ex2@32473 b=\"2\"]")
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2003-10-12T05:14:15.003Z")
+  }
+
+  test("no PRI defaults to 13 (user.notice)") {
+    val r = parse1("Mar  1 01:00:00 host tag: hi")
+    assert(r.getAs[Int]("facility") == 1)
+    assert(r.getAs[Int]("severity") == 5)
+  }
+
+  test("headerless message falls back to msg-only") {
+    val r = parse1("<14>this is not a syslog header")
+    assert(r.getAs[Boolean]("parsesuccess"))
+    assert(r.getAs[String]("msg") == "this is not a syslog header")
+    assert(r.getAs[String]("hostname") == null)
+  }
+
+  test("RFC3164 year-after-timestamp heuristic") {
+    val r = parse1("<13>Mar  1 01:00:00 2024 host tag: m")
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2024-03-01T01:00:00Z")
+    assert(r.getAs[String]("hostname") == "host")
+  }
+
+  test("structured data to JSON") {
+    val sd = "[tcpflood@32473 MSGNUM=\"00000001\" X=\"a\\\"b\"][other k=\"v\"]"
+    val j = Seq(sd).toDF("sd")
+      .select(rainer.parse_structured_data(col("sd")).as("j"))
+      .collect()(0).getString(0)
+    assert(j == """{"tcpflood@32473":{"MSGNUM":"00000001","X":"a\"b"},"other":{"k":"v"}}""")
+  }
+}

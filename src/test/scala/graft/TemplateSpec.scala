@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.templates.TemplateCompiler
+
+class TemplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (3, 2, "host1", "app[7]:", " body msg\n", "2024-03-01T01:02:03Z")
+  ).toDF("severity", "facility", "hostname", "syslogtag", "msg", "tss")
+    .withColumn("ts", to_timestamp(col("tss")))
+
+  private def render(tpl: String): String =
+    fixture.select(TemplateCompiler.compile(tpl, col).as("r"))
+      .collect()(0).getString(0)
+
+  test("RSYSLOG_TraditionalFileFormat shape") {
+    val tpl = "%timereported:::date-rfc3164% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp,drop-last-lf%\n"
+    assert(render(tpl) == "Mar  1 01:02:03 host1 app[7]: body msg\n")
+  }
+
+  test("rfc3339 + severity/facility text") {
+    val tpl = "%timereported:::date-rfc3339% [%syslogseverity-text%/%syslogfacility-text%]"
+    assert(render(tpl) == "2024-03-01T01:02:03+00:00 [err/mail]")
+  }
+
+  test("substring and case options") {
+    assert(render("%hostname:1:4:uppercase%") == "HOST")
+    assert(render("%msg:2:5%") == "body")
+  }
+
+  test("field extraction with char-code delimiter") {
+    // delimiter 32 = space; field 3 of " body msg\n" is "msg\n"
+    assert(render("%msg:F,32:3:drop-last-lf%") == "msg")
+  }
+
+  test("regex extraction") {
+    assert(render("%msg:R,b(o)dy,1:%") == "o")
+  }
+
+  test("csv and json escaping") {
+    val df = Seq(Tuple1("say \"hi\"\nx")).toDF("msg")
+    val csv = df.select(TemplateCompiler.compile("%msg:::csv%", col).as("r"))
+      .collect()(0).getString(0)
+    assert(csv == "\"say \"\"hi\"\"\nx\"")
+    val json = df.select(TemplateCompiler.compile("%msg:::json%", col).as("r"))
+      .collect()(0).getString(0)
+    assert(json == "say \\\"hi\\\"\\nx")
+  }
+
+  test("date part options and unixtimestamp") {
+    assert(render("%timereported:::date-year%-%timereported:::date-month%-%timereported:::date-day%")
+      == "2024-03-01")
+    assert(render("%timereported:::date-unixtimestamp%") == "1709254923")
+  }
+
+  test("escapes in constants") {
+    assert(render("""a\%b\nc""") == "a%b\nc")
+  }
+
+  test("jsonf template") {
+    val j = fixture.select(
+      TemplateCompiler.compileJsonf(
+        Seq("host" -> "hostname", "sev" -> "syslogseverity"), col).as("r"))
+      .collect()(0).getString(0)
+    assert(j == """{"host":"host1","sev":3}""")
+  }
+}
