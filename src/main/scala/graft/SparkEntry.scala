@@ -271,6 +271,56 @@ object Queries {
         rainer.parse_json_ok(regexp_replace(col("cee"), "^@cee: ", "")).as("valid"))
     }),
 
+    // §3.1/§7 flagship: RainerScript config text → parsed AST → compiled
+    // DataFrame pipeline → action output (the reference's whole compile+
+    // execute path, oracle-verified)
+    "rainerscript_e2e" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+        .withColumn("msg", concat(lit("msgnum:"), lpad(col("event_id"), 8, "0"),
+          lit(": v100="), col("v100")))
+        .select("event_id", "facility", "severity", "msg", "hostname")
+      val script =
+        """set $!sevsq = $severity * $severity;
+          |if prifilt("*.err") and $msg contains "v100" then {
+          |  set $!flag = "important";
+          |} else {
+          |  set $!flag = "routine";
+          |}
+          |if $severity == 7 then stop
+          |action(type="omfile" template="%hostname% %msg%")
+          |""".stripMargin
+      val res = graft.rainerscript.RainerCompiler.run(script, ev)
+      res.actionFrame(0).select(
+        col("event_id"),
+        get_json_object(col("vars_msg"), "$.flag").as("flag"),
+        get_json_object(col("vars_msg"), "$.sevsq").cast("long").as("sevsq"),
+        col("__rendered").as("line"))
+    }),
+
+    // §2.3 misc functions: b64, wrap, unflatten, CEF, URL decomposition
+    "func_misc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("url", concat(lit("https://h"), col("user_id"),
+          lit(".example.com/p/"), col("event_id"), lit("?q="), col("user_id")))
+      ev.select(
+        col("event_id"),
+        rainer.b64_decode(rainer.b64_encode(col("event_type"))).as("b64rt"),
+        rainer.wrap(col("event_type"), "'", "_").as("wrapped"),
+        get_json_object(
+          rainer.unflatten(
+            concat(lit("""{"a.b":"""), col("user_id"), lit("""}""")), "."),
+          "$.a.b").cast("long").as("unflat"),
+        rainer.tocef(lit("graft"), lit("engine"), lit("1.0"),
+          col("event_id").cast("string"), col("event_type"),
+          (col("user_id") % 10).cast("string"),
+          concat(lit("uid="), col("user_id"))).as("cef"),
+        rainer.faup_scheme(col("url")).as("scheme"),
+        rainer.faup_host(col("url")).as("host"),
+        rainer.faup_tld(col("url")).as("tld"),
+        rainer.faup_path(col("url")).as("path"),
+        rainer.faup_query(col("url")).as("q"))
+    }),
+
     // §2.8 ratelimit — token bucket (interval+burst) per key over event time
     "ratelimit" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -623,6 +673,31 @@ object Queries {
         |  hostname AS f4,
         |  4 AS nf
         | FROM ev""".stripMargin),
+
+    "rainerscript_e2e" -> (synthSql +
+      """ SELECT event_id,
+        |  CASE WHEN severity <= 3
+        |         AND ('msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+        |              || ': v100=' || v100) LIKE '%v100%'
+        |       THEN 'important' ELSE 'routine' END AS flag,
+        |  CAST(severity * severity AS BIGINT) AS sevsq,
+        |  hostname || ' ' || 'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+        |    || ': v100=' || v100 AS line
+        | FROM ev WHERE severity <> 7""".stripMargin),
+
+    "func_misc" ->
+      """SELECT event_id,
+        |  event_type AS b64rt,
+        |  '''' || event_type || '''' AS wrapped,
+        |  user_id AS unflat,
+        |  'CEF:0|graft|engine|1.0|' || event_id || '|' || event_type || '|'
+        |    || (user_id % 10) || '|uid=' || user_id AS cef,
+        |  'https' AS scheme,
+        |  'h' || user_id || '.example.com' AS host,
+        |  'com' AS tld,
+        |  '/p/' || event_id AS path,
+        |  'q=' || user_id AS q
+        |FROM events""".stripMargin,
 
     // ------------------------- stateful / gate oracles -----------------------
 

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.Row
+import graft.functions.rainer
+
+/** Source/sink surface -- the Spark re-expression of rsyslog's input and
+  * output module families (SURVEY S2.5/S2.10). Network listeners (imudp/imtcp)
+  * are transport, which the platform owns (Kafka/files/sockets); what the
+  * engine owns is the *decode* step -- framing + syslog parse -- and the
+  * sink-side template/partition logic.
+  */
+object Sources {
+
+  /** imfile-lite batch: read text files, one row per line, with the
+    * provenance columns rsyslog attaches (inputname, fromhost). */
+  def fileLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .withColumn("inputname", lit("imfile"))
+      .withColumn("fromhost", lit(java.net.InetAddress.getLocalHost.getHostName))
+
+  /** imfile-lite streaming: tail a directory of log files. */
+  def fileTail(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path)
+      .withColumn("inputname", lit("imfile"))
+
+  /** imtcp octet-counted framing decode: "NNN <frame>" per RFC6587 --
+    * strips the length prefix; LF framing is the line split the text
+    * source already did. (Framing logic from runtime/tcpsrv.c.) */
+  def deframeOctetCounted(lines: DataFrame, valueCol: String = "value"): DataFrame =
+    lines.withColumn(valueCol,
+      when(col(valueCol).rlike("^\\d+ "),
+        expr(s"substring($valueCol, instr($valueCol, ' ') + 1)"))
+      .otherwise(col(valueCol)))
+
+  /** The standard decode pipeline: framed lines -> parsed LogEvent columns
+    * (parser chain ~= one expression, SURVEY S2.9). */
+  def decodeSyslog(lines: DataFrame, valueCol: String = "value",
+                   defaultYear: Int = 2024): DataFrame =
+    lines
+      .withColumn("rawmsg", col(valueCol))
+      .withColumn("p", rainer.parse_syslog(col("rawmsg"), defaultYear))
+      .select((lines.columns.filter(_ != valueCol).map(col) :+ col("rawmsg")) ++
+        Seq("protocol_version", "pri", "facility", "severity", "ts", "hostname",
+          "app_name", "procid", "msgid", "structured_data", "syslogtag",
+          "programname", "msg", "parsesuccess").map(f => col(s"p.$f").as(f)): _*)
+      .withColumn("vars_msg", lit("{}"))
+      .withColumn("vars_local", lit("{}"))
+
+  /** omfile with dynafile semantics: the dynafile path template becomes
+    * partition columns -- rsyslog's template-computed file path + LRU fd
+    * cache (tools/omfile.c:276-319) IS partitioned-write in Spark. */
+  def omfilePartitioned(df: DataFrame, outPath: String,
+                        partitionCols: Seq[String], format: String = "parquet"): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*)
+      .format(format).save(outPath)
+
+  /** omfile static-file batch sink: render a template column to text. */
+  def omfileText(df: DataFrame, lineCol: String, outPath: String): Unit =
+    df.select(col(lineCol)).write.mode("overwrite").text(outPath)
+
+  /** omkafka config builder (native Kafka sink; dynatopic == the `topic`
+    * column, plugins/omkafka dynatopic param). */
+  def omkafka(ds: DataFrame, brokers: String, topicCol: String,
+              valueCol: String): DataStreamWriter[Row] =
+    ds.select(col(topicCol).as("topic"), col(valueCol).cast("string").as("value"))
+      .writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+
+  /** impstats-style engine self-metrics: per-query observed counters via
+    * the observe API (statsobj/impstats -> StreamingQueryListener in
+    * streaming; observe() in batch). */
+  def withStats(df: DataFrame, name: String): DataFrame =
+    df.observe(name, count(lit(1)).as("n_processed"),
+      sum(when(col("parsesuccess") === false, 1).otherwise(0)).as("n_parse_fail"))
+}

@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming stateful operators mirroring rsyslog's runtime
+  * state machines. All use flatMapGroupsWithState — state is per-key,
+  * partitioned by Spark's state store, so a 1000-executor run shards key
+  * space with no coordination (the reference shards the same way across
+  * worker threads, runtime/ratelimit.c / runtime/dynstats.c).
+  */
+object Stateful {
+
+  // ---------------------------------------------------------------- ratelimit
+
+  case class RlInput(key: String, tsMillis: Long, payload: String)
+  case class RlState(windowStart: Long, used: Long)
+  case class RlOutput(key: String, tsMillis: Long, payload: String, dropped: Boolean)
+
+  /** Token bucket `interval`+`burst` per key (runtime/ratelimit.c:388-404):
+    * within each interval window at most `burst` messages pass; emits
+    * passed rows (and optionally drop markers, mirroring the "begin to
+    * drop messages" mark rsyslog logs).
+    */
+  def rateLimit(ds: Dataset[RlInput], intervalMillis: Long, burst: Long,
+                emitDropMarks: Boolean = false): Dataset[RlOutput] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[RlState, RlOutput](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[RlState]) =>
+          var st = state.getOption.getOrElse(RlState(Long.MinValue, 0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RlOutput]
+          rows.toSeq.sortBy(_.tsMillis).foreach { r =>
+            val win = r.tsMillis / intervalMillis
+            if (win != st.windowStart) st = RlState(win, 0)
+            if (st.used < burst) {
+              st = st.copy(used = st.used + 1)
+              out += RlOutput(key, r.tsMillis, r.payload, dropped = false)
+            } else if (emitDropMarks && st.used == burst) {
+              st = st.copy(used = st.used + 1)
+              out += RlOutput(key, r.tsMillis, "begin to drop messages", dropped = true)
+            } else st = st.copy(used = st.used + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  // ---------------------------------------------------------------- dynstats
+
+  case class DynInput(bucket: String, key: String, tsMillis: Long)
+  case class DynState(counters: Map[String, Long], lastSeen: Map[String, Long],
+                      overflow: Long)
+  case class DynSnapshot(bucket: String, metric: String, value: Long)
+
+  /** dyn_stats bucket with maxCardinality cap and unusedMetricLife TTL
+    * (runtime/dynstats.c:73-97): new keys beyond the cap increment
+    * ops_overflow; keys idle past the TTL are evicted. Emits the full
+    * counter snapshot on every trigger (impstats-style interval flush).
+    */
+  def dynStats(ds: Dataset[DynInput], maxCardinality: Int,
+               unusedMetricLifeMillis: Long): Dataset[DynSnapshot] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.bucket)
+      .flatMapGroupsWithState[DynState, DynSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state: GroupState[DynState]) =>
+          var st = state.getOption.getOrElse(DynState(Map.empty, Map.empty, 0))
+          var maxTs = 0L
+          rows.foreach { r =>
+            maxTs = math.max(maxTs, r.tsMillis)
+            st.counters.get(r.key) match {
+              case Some(c) =>
+                st = st.copy(counters = st.counters + (r.key -> (c + 1)),
+                  lastSeen = st.lastSeen + (r.key -> r.tsMillis))
+              case None if st.counters.size < maxCardinality =>
+                st = st.copy(counters = st.counters + (r.key -> 1L),
+                  lastSeen = st.lastSeen + (r.key -> r.tsMillis))
+              case None => st = st.copy(overflow = st.overflow + 1)
+            }
+          }
+          // TTL eviction (unusedMetricLife)
+          val expired = st.lastSeen.filter(_._2 < maxTs - unusedMetricLifeMillis).keySet
+          if (expired.nonEmpty)
+            st = st.copy(counters = st.counters -- expired, lastSeen = st.lastSeen -- expired)
+          state.update(st)
+          (st.counters.map { case (k, v) => DynSnapshot(bucket, k, v) } ++
+            (if (st.overflow > 0) Seq(DynSnapshot(bucket, "ops_overflow", st.overflow))
+             else Nil)).iterator
+      }
+  }
+
+  // ---------------------------------------------------------------- perctile
+
+  case class PctInput(bucket: String, key: String, value: Long)
+  case class PctState(ring: Vector[Long])
+  case class PctSnapshot(bucket: String, key: String, window_count: Long,
+                         window_min: Long, window_max: Long, window_sum: Long,
+                         p50: Long, p95: Long, p99: Long)
+
+  /** percentile_stats ring buffer of the last `windowSize` observations
+    * per (bucket, key), emitting p50/p95/p99 + min/max/sum/count
+    * (runtime/perctile_stats.c:239-343, perctile_ringbuf.c). Exact within
+    * the window — matches the reference's ring-buffer semantics rather
+    * than a sketch. */
+  def perctileStats(ds: Dataset[PctInput], windowSize: Int): Dataset[PctSnapshot] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => (r.bucket, r.key))
+      .flatMapGroupsWithState[PctState, PctSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((bucket, key), rows, state: GroupState[PctState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          rows.foreach { r => ring = (ring :+ r.value).takeRight(windowSize) }
+          state.update(PctState(ring))
+          if (ring.isEmpty) Iterator.empty
+          else {
+            val sorted = ring.sorted
+            def pct(p: Double): Long =
+              sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+            Iterator.single(PctSnapshot(bucket, key, ring.size, sorted.head,
+              sorted.last, ring.sum, pct(0.50), pct(0.95), pct(0.99)))
+          }
+      }
+  }
+
+  // ---------------------------------------------------------------- multiline
+
+  case class MlInput(key: String, seq: Long, line: String)
+  case class MlState(pending: Vector[String], startSeq: Long)
+  case class MlOutput(key: String, startSeq: Long, record: String)
+
+  /** imfile-style multiline assembly (plugins/imfile/imfile.c
+    * startmsg.regex readmode): a line matching `startRegex` begins a new
+    * record; continuation lines append. Emits a record when the next
+    * start arrives; call with the stream's last batch flushing via
+    * timeout in production. */
+  def multiline(ds: Dataset[MlInput], startRegex: String): Dataset[MlOutput] = {
+    import ds.sparkSession.implicits._
+    val re = startRegex
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[MlState, MlOutput](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[MlState]) =>
+          val p = java.util.regex.Pattern.compile(re)
+          var st = state.getOption.getOrElse(MlState(Vector.empty, -1))
+          val out = scala.collection.mutable.ArrayBuffer.empty[MlOutput]
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            if (p.matcher(r.line).find()) {
+              if (st.pending.nonEmpty)
+                out += MlOutput(key, st.startSeq, st.pending.mkString("\n"))
+              st = MlState(Vector(r.line), r.seq)
+            } else if (st.pending.nonEmpty) {
+              st = st.copy(pending = st.pending :+ r.line)
+            } else {
+              // orphan continuation (no start seen): emit as-is
+              out += MlOutput(key, r.seq, r.line)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

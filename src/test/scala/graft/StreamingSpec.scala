@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Stateful
+import graft.streaming.Stateful._
+
+/** Structured-Streaming stateful operators driven by MemoryStream —
+  * the tcpflood/chkseq e2e pattern from the reference testbench
+  * (FIXTURES.md §1): inject sequenced messages, assert exact delivery.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def runToCompletion[T](q: org.apache.spark.sql.streaming.DataStreamWriter[T],
+                                 name: String): Unit = {
+    val query = q.queryName(name).outputMode(OutputMode.Append)
+      .format("memory").start()
+    query.processAllAvailable()
+    query.stop()
+  }
+
+  test("token-bucket ratelimit: burst passes, rest dropped, window resets") {
+    val in = MemoryStream[RlInput]
+    // 5 msgs in window 0, 2 msgs in window 1 (interval 1000ms, burst 2)
+    in.addData(
+      RlInput("k1", 100, "a"), RlInput("k1", 200, "b"), RlInput("k1", 300, "c"),
+      RlInput("k1", 400, "d"), RlInput("k1", 500, "e"),
+      RlInput("k1", 1100, "f"), RlInput("k1", 1200, "g"),
+      RlInput("k2", 150, "z"))
+    runToCompletion(
+      Stateful.rateLimit(in.toDS(), intervalMillis = 1000, burst = 2).writeStream,
+      "rl_out")
+    val out = spark.table("rl_out").as[RlOutput].collect()
+    assert(out.filter(_.key == "k1").map(_.payload).sorted.toSeq ==
+      Seq("a", "b", "f", "g"))
+    assert(out.filter(_.key == "k2").map(_.payload).toSeq == Seq("z"))
+  }
+
+  test("ratelimit state persists across micro-batches") {
+    val in = MemoryStream[RlInput]
+    in.addData(RlInput("k", 100, "a"))
+    val query = Stateful.rateLimit(in.toDS(), 1000, 2).writeStream
+      .queryName("rl_mb").outputMode(OutputMode.Append).format("memory").start()
+    query.processAllAvailable()
+    in.addData(RlInput("k", 200, "b"), RlInput("k", 300, "c")) // same window
+    query.processAllAvailable()
+    query.stop()
+    // burst=2 across batches: a (batch1), b (batch2), c dropped
+    assert(spark.table("rl_mb").as[RlOutput].collect().map(_.payload).sorted.toSeq
+      == Seq("a", "b"))
+  }
+
+  test("dynstats maxCardinality and overflow") {
+    val in = MemoryStream[DynInput]
+    in.addData(
+      DynInput("b", "k1", 1000), DynInput("b", "k1", 1001),
+      DynInput("b", "k2", 1002), DynInput("b", "k3", 1003),
+      DynInput("b", "k4", 1004)) // cap 3 → k4 overflows
+    runToCompletion(
+      Stateful.dynStats(in.toDS(), maxCardinality = 3,
+        unusedMetricLifeMillis = 1000000).writeStream, "dyn_out")
+    val out = spark.table("dyn_out").as[DynSnapshot].collect()
+      .map(s => s.metric -> s.value).toMap
+    assert(out("k1") == 2 && out("k2") == 1 && out("k3") == 1)
+    assert(out("ops_overflow") == 1)
+    assert(!out.contains("k4"))
+  }
+
+  test("perctile ring buffer window") {
+    val in = MemoryStream[PctInput]
+    in.addData((1 to 10).map(i => PctInput("b", "lat", i * 10L)): _*)
+    runToCompletion(
+      Stateful.perctileStats(in.toDS(), windowSize = 5).writeStream, "pct_out")
+    val out = spark.table("pct_out").as[PctSnapshot].collect()
+    val last = out.last
+    // ring keeps last 5 observations: 60..100
+    assert(last.window_count == 5)
+    assert(last.window_min == 60 && last.window_max == 100)
+    assert(last.window_sum == 60 + 70 + 80 + 90 + 100)
+    assert(last.p50 == 80)
+  }
+
+  test("multiline assembly via startmsg regex") {
+    val in = MemoryStream[MlInput]
+    in.addData(
+      MlInput("f", 0, "2024-01-01 start of record one"),
+      MlInput("f", 1, "  continuation A"),
+      MlInput("f", 2, "  continuation B"),
+      MlInput("f", 3, "2024-01-02 record two"),
+      MlInput("f", 4, "  tail"),
+      MlInput("f", 5, "2024-01-03 record three (pending, not emitted)"))
+    runToCompletion(
+      Stateful.multiline(in.toDS(), "^\\d{4}-\\d{2}-\\d{2} ").writeStream, "ml_out")
+    val out = spark.table("ml_out").as[MlOutput].collect().sortBy(_.startSeq)
+    assert(out.length == 2)
+    assert(out(0).record ==
+      "2024-01-01 start of record one\n  continuation A\n  continuation B")
+    assert(out(1).record == "2024-01-02 record two\n  tail")
+  }
+
+  test("chkseq: exact gapless delivery through decode pipeline") {
+    // tcpflood pattern: sequenced msgs through frame-decode + parse;
+    // assert gapless 0..N-1 (tests/chkseq.c logic)
+    val n = 500
+    val lines = (0 until n).map(i =>
+      f"${52 + f"<167>Mar  1 01:00:00 h t msgnum:$i%08d:".length}%d <167>Mar  1 01:00:00 h t msgnum:$i%08d:")
+    val df = lines.toDF("value")
+    val decoded = graft.sources.Sources.decodeSyslog(
+      graft.sources.Sources.deframeOctetCounted(df))
+    val seqs = decoded
+      .select(org.apache.spark.sql.functions.regexp_extract(
+        org.apache.spark.sql.functions.col("msg"), "msgnum:(\\d+):", 1)
+        .cast("long").as("s"))
+      .collect().map(_.getLong(0)).sorted
+    assert(seqs.toSeq == (0L until n.toLong))
+  }
+}
