@@ -321,6 +321,59 @@ object Queries {
         rainer.faup_query(col("url")).as("q"))
     }),
 
+    // BASELINE workload shape: full ingest→deframe→parse→filter→enrich→
+    // template→count pipeline in one query (the 524,288-msg trial analogue)
+    "pipeline_e2e" -> ((s, dir) => {
+      val raw = synthSyslog(s, dir).select(col("rawmsg").as("value"))
+      val decoded = graft.sources.Sources.decodeSyslog(raw)
+      val sevNames = array(Seq("emerg", "alert", "crit", "err", "warning",
+        "notice", "info", "debug").map(lit): _*)
+      decoded
+        .filter(rainer.prifilt("*.warning")(col("facility"), col("severity")))
+        .withColumn("line", concat(
+          date_format(col("ts"), "MMM "),
+          lpad(date_format(col("ts"), "d"), 2, " "),
+          date_format(col("ts"), " HH:mm:ss "),
+          col("hostname"), lit(" "),
+          col("syslogtag"), lit(" "),
+          element_at(sevNames, col("severity") + 1), lit(": "), col("msg")))
+        .groupBy(col("hostname"))
+        .agg(count(lit(1)).as("n"), max(length(col("line"))).as("max_len"))
+    }),
+
+    // §2.7 mmcount — running count per key annotated back onto rows
+    "mmcount" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("event_id"))
+      ev.withColumn("msgcnt", row_number().over(w))
+        .filter(col("msgcnt") % 100 === 0)
+        .select(col("event_id"), col("event_type"), col("msgcnt"))
+    }),
+
+    // §2.7 mmsequence — monotonic per-key sequence numbers
+    "mmsequence" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      ev.withColumn("seq", row_number().over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("seq")).as("max_seq"), count(lit(1)).as("n"))
+    }),
+
+    // §2.9 mmanon — IPv4 anonymization (zero low bits, CIDR-aware)
+    "mmanon" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ipn", (col("user_id") * 7777777L + col("event_id")) % 4294967296L)
+        .withColumn("ip", rainer.num2ipv4(col("ipn")))
+      ev.select(
+        col("event_id"),
+        rainer.anon_ipv4(col("ip"), 8).as("anon8"),
+        rainer.anon_ipv4(col("ip"), 16).as("anon16"),
+        rainer.is_in_subnet(rainer.anon_ipv4(col("ip"), 8),
+          concat(rainer.anon_ipv4(col("ip"), 8), lit("/24"))).as("still_in_24"))
+    }),
+
     // §2.8 ratelimit — token bucket (interval+burst) per key over event time
     "ratelimit" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -698,6 +751,45 @@ object Queries {
         |  '/p/' || event_id AS path,
         |  'q=' || user_id AS q
         |FROM events""".stripMargin,
+
+    "pipeline_e2e" -> (synthSql +
+      """ SELECT hostname, count(*) AS n,
+        |  max(length(
+        |    strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
+        |    lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+        |    strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
+        |    hostname || ' ' || syslogtag || ': ' ||
+        |    (['emerg','alert','crit','err','warning','notice','info','debug'])[severity + 1]
+        |    || ': ' ||
+        |    'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100
+        |  )) AS max_len
+        | FROM ev WHERE severity <= 4 GROUP BY 1""".stripMargin),
+
+    "mmcount" ->
+      """WITH seq AS (
+        |  SELECT event_id, event_type, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY event_id) AS msgcnt
+        |  FROM events)
+        |SELECT event_id, event_type, msgcnt FROM seq WHERE msgcnt % 100 = 0""".stripMargin,
+
+    "mmsequence" ->
+      """WITH seq AS (
+        |  SELECT user_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY event_id) AS s
+        |  FROM events)
+        |SELECT user_id, max(s) AS max_seq, count(*) AS n FROM seq GROUP BY 1""".stripMargin,
+
+    "mmanon" ->
+      """WITH e AS (
+        |  SELECT event_id, (user_id * 7777777 + event_id) % 4294967296 AS ipn
+        |  FROM events)
+        |SELECT event_id,
+        |  ((ipn // 16777216) % 256) || '.' || ((ipn // 65536) % 256) || '.' ||
+        |    ((ipn // 256) % 256) || '.0' AS anon8,
+        |  ((ipn // 16777216) % 256) || '.' || ((ipn // 65536) % 256) || '.0.0'
+        |    AS anon16,
+        |  true AS still_in_24
+        |FROM e""".stripMargin,
 
     // ------------------------- stateful / gate oracles -----------------------
 
