@@ -68,6 +68,10 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      // self-joined below: without caching, the signature computation (the
+      // expensive stage) would run twice — at scale this is the table
+      // you'd persist/bucket by (band, bucket)
+      .cache()
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -95,6 +99,7 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .cache() // self-joined below; avoid recomputing simhash twice
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") &&
@@ -119,6 +124,7 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
         explode(shingles(col(textCol), n)).as("s"))
+      .cache() // used three ways below (sizes + both join sides)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&

@@ -187,8 +187,12 @@ object RainerCompiler {
 
   /** Compile and apply a script to a DataFrame. */
   def run(src: String, input: DataFrame,
-          tables: Map[String, LookupTable] = Map.empty): ScriptResult = {
-    val stmts = RainerParser.parseScript(src)
+          tables: Map[String, LookupTable] = Map.empty): ScriptResult =
+    runStmts(RainerParser.parseScript(src), input, tables)
+
+  /** Compile and apply an already-parsed statement list. */
+  def runStmts(stmts: Seq[RStmt], input: DataFrame,
+               tables: Map[String, LookupTable] = Map.empty): ScriptResult = {
     var df = input
     if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
     if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))

@@ -8,7 +8,7 @@ import scala.util.parsing.combinator.RegexParsers
   * and expression surface; config *objects* handled: action(...).
   * Comments: `#` to end of line and C-style block comments.
   */
-object RainerParser extends RegexParsers {
+class RainerParserBase extends RegexParsers {
   override protected val whiteSpace =
     """(\s|#.*|/\*(?s:.*?)\*/)+""".r
 
@@ -133,3 +133,5 @@ object RainerParser extends RegexParsers {
     case other => throw new IllegalStateException(other.toString)
   }
 }
+
+object RainerParser extends RainerParserBase

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rainerscript.RsyslogConfig
+
+class ConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (3, 2, "host1", "app:", "disk failing", "2024-03-01T01:02:03Z"),
+    (6, 16, "host2", "cron:", "job ok", "2024-03-01T02:00:00Z"),
+    (2, 0, "host3", "kern:", "panic imminent", "2024-03-01T03:00:00Z")
+  ).toDF("severity", "facility", "hostname", "syslogtag", "msg", "tss")
+    .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+
+  test("full config: objects + rulesets + call + templates") {
+    val tblFile = java.io.File.createTempFile("lktable", ".json")
+    java.nio.file.Files.writeString(tblFile.toPath,
+      """{"version":1,"nomatch":"UNK","type":"string","table":[
+        |{"index":"host1","value":"dc-east"},{"index":"host3","value":"dc-west"}]}""".stripMargin)
+
+    val cfg = RsyslogConfig.parse(
+      s"""# graft test config
+         |template(name="shortmsg" type="string"
+         |         string="%hostname% [%syslogseverity-text%] %msg:1:10%")
+         |lookup_table(name="dc" file="${tblFile.getAbsolutePath}")
+         |
+         |ruleset(name="enrich") {
+         |  set $$!dc = lookup("dc", $$hostname);
+         |}
+         |
+         |set $$!sev = $$severity;
+         |call enrich
+         |if $$severity <= 3 then {
+         |  action(type="omfile" name="critical")
+         |} else {
+         |  stop
+         |}
+         |action(type="omfile" name="all-crit")
+         |""".stripMargin)
+
+    assert(cfg.templates.contains("shortmsg"))
+    assert(cfg.templates.contains("RSYSLOG_TraditionalFileFormat"))
+    assert(cfg.rulesets.contains("enrich"))
+
+    val res = cfg.run(fixture)
+    val out = res.output
+      .withColumn("dc", get_json_object(col("vars_msg"), "$.dc"))
+      .select("hostname", "dc").collect()
+    // severity 6 row stopped in else-branch
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("host1", "dc-east"), ("host3", "dc-west")))
+    // both actions see the two surviving rows
+    assert(res.actionFrame(0).count() == 2)
+    assert(res.actionFrame(1).count() == 2)
+
+    // named template rendering over the result
+    val lines = res.output
+      .withColumn("line", cfg.renderTemplate("shortmsg", col))
+      .select("line").collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("host1 [err] disk faili", "host3 [crit] panic immi"))
+    tblFile.delete()
+  }
+
+  test("list template compiles to concatenated string") {
+    val cfg = RsyslogConfig.parse(
+      """template(name="lst" type="list") {
+        |  constant(value="H=")
+        |  property(name="hostname")
+        |  constant(value=" S=")
+        |  property(name="syslogseverity")
+        |}
+        |""".stripMargin)
+    val line = fixture.limit(1)
+      .select(cfg.renderTemplate("lst", col).as("l")).collect()(0).getString(0)
+    assert(line == "H=host1 S=3")
+  }
+
+  test("builtin TraditionalFileFormat renders") {
+    val cfg = RsyslogConfig.parse("")
+    val line = fixture.limit(1)
+      .withColumn("l", cfg.renderTemplate("RSYSLOG_TraditionalFileFormat", col))
+      .select("l").collect()(0).getString(0)
+    assert(line == "Mar  1 01:02:03 host1 app: disk failing\n")
+  }
+}
