@@ -483,6 +483,38 @@ object Queries {
         to_json(struct(col("event_id"), col("event_type"))).as("j"))
     }),
 
+    // event-time tumbling window aggregation (Spark-native extension the
+    // reference lacks — SURVEY §2.8 late/out-of-order note)
+    "window_agg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(unix_timestamp(col("w.start")).as("day_start"),
+          col("event_type"), col("n"), col("sum_v"))
+    }),
+
+    // §2.9 mmnormalize — rulebase field extraction, first rule wins
+    "mmnormalize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("msg",
+          when(col("event_type") === "error",
+            concat(lit("error code="), col("event_id") % 500,
+              lit(" at host"), col("user_id"), lit(" fatal")))
+          .otherwise(concat(lit("user u"), col("user_id"),
+            lit(" did "), col("event_type"), lit(" n="), col("event_id"))))
+      val rules = Seq(
+        "error code=%code:number% at %host:word% fatal",
+        "user %u:word% did %act:word% n=%n:number%")
+      ev.select(col("event_id"),
+          Normalize.normalize(col("msg"), rules).as("vars"))
+        .select(col("event_id"),
+          get_json_object(col("vars"), "$.code").cast("long").as("code"),
+          get_json_object(col("vars"), "$.host").as("host"),
+          get_json_object(col("vars"), "$.u").as("u"),
+          get_json_object(col("vars"), "$.act").as("act"),
+          get_json_object(col("vars"), "$.n").cast("long").as("n"))
+    }),
+
     // ------------------------- training-data pipeline operators -------------
 
     // exact dedup: hash-groupBy on normalized-content fingerprint
@@ -900,6 +932,34 @@ object Queries {
         |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
         |    AS j
         |FROM events""".stripMargin,
+
+    "window_agg" ->
+      """SELECT CAST(epoch_ns(date_trunc('day', ts)) // 1000000000 AS BIGINT)
+        |    AS day_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "mmnormalize" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_type = 'error'
+        |      THEN 'error code=' || (event_id % 500) || ' at host' || user_id || ' fatal'
+        |      ELSE 'user u' || user_id || ' did ' || event_type || ' n=' || event_id
+        |    END AS msg,
+        |    event_type
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN event_type = 'error'
+        |    THEN CAST(regexp_extract(msg, '^error code=(\d+) at (\S+) fatal$', 1) AS BIGINT) END AS code,
+        |  CASE WHEN event_type = 'error'
+        |    THEN regexp_extract(msg, '^error code=(\d+) at (\S+) fatal$', 2) END AS host,
+        |  CASE WHEN event_type <> 'error'
+        |    THEN regexp_extract(msg, '^user (\S+) did (\S+) n=(\d+)$', 1) END AS u,
+        |  CASE WHEN event_type <> 'error'
+        |    THEN regexp_extract(msg, '^user (\S+) did (\S+) n=(\d+)$', 2) END AS act,
+        |  CASE WHEN event_type <> 'error'
+        |    THEN CAST(regexp_extract(msg, '^user (\S+) did (\S+) n=(\d+)$', 3) AS BIGINT) END AS n
+        |FROM m""".stripMargin,
 
     // ------------------------- training-data pipeline oracles ---------------
 
