@@ -30,7 +30,52 @@ case class IsInSubnetExpr(ip: Expression, cidr: Expression)
 }
 
 object IsInSubnetExpr {
+  /** Parse dotted-quad IPv4 without java.net (no exception overhead, no
+    * hostname fallback); returns -1 if not a valid IPv4 literal. */
+  def parseIpv4(s: String): Long = {
+    var value = 0L
+    var octet = 0L
+    var digits = 0
+    var dots = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        octet = octet * 10 + (c - '0')
+        digits += 1
+        if (digits > 3 || octet > 255) return -1L
+      } else if (c == '.') {
+        if (digits == 0 || dots == 3) return -1L
+        value = (value << 8) | octet
+        octet = 0; digits = 0; dots += 1
+      } else return -1L
+      i += 1
+    }
+    if (dots != 3 || digits == 0) return -1L
+    (value << 8) | octet
+  }
+
   def check(ip: String, cidr: String): Boolean = {
+    // IPv4 fast path: pure integer arithmetic, no java.net parsing
+    val ipV4 = parseIpv4(ip)
+    if (ipV4 >= 0) {
+      val slash = cidr.indexOf('/')
+      val netStr = if (slash < 0) cidr else cidr.substring(0, slash)
+      val netV4 = parseIpv4(netStr)
+      if (netV4 >= 0) {
+        val bits = if (slash < 0) 32
+                   else try cidr.substring(slash + 1).toInt catch { case _: Exception => return false }
+        if (bits < 0 || bits > 32) return false
+        val mask = if (bits == 0) 0L else (0xFFFFFFFFL << (32 - bits)) & 0xFFFFFFFFL
+        return (ipV4 & mask) == (netV4 & mask)
+      }
+      return false
+    }
+    checkGeneric(ip, cidr)
+  }
+
+  private def checkGeneric(ip: String, cidr: String): Boolean = {
     try {
       val slash = cidr.indexOf('/')
       val (netStr, bits) =
