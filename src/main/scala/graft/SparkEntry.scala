@@ -14,17 +14,30 @@ import graft.operators._
 object SparkEntry {
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0.
-    * End-to-end slice from SURVEY §7: synth syslog lines from events →
-    * parse → PRI filter → enrich via lookup → aggregate.
+    * The full SURVEY §7 minimum slice through the config front-end:
+    * rsyslog.conf text → objects + script → decode synth syslog lines →
+    * filter/enrich/stop → action with rendered template → aggregate.
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val ev = Queries.synthSyslog(spark, dir)
-    val parsed = ev.withColumn("p", rainer.parse_syslog(col("rawmsg")))
-    parsed
-      .filter(rainer.prifilt("*.err")(col("p.facility"), col("p.severity")))
-      .groupBy(col("p.hostname").as("hostname"))
-      .agg(count(lit(1)).as("n"))
+    val raw = Queries.synthSyslog(spark, dir).select(col("rawmsg").as("value"))
+    val decoded = graft.sources.Sources.decodeSyslog(raw)
+    val cfg = graft.rainerscript.RsyslogConfig.parse(
+      """template(name="out" type="string"
+        |         string="%timereported:::date-rfc3164% %hostname% %syslogtag% %msg%")
+        |ruleset(name="classify") {
+        |  if prifilt("*.err") then set $!class = "high";
+        |  else set $!class = "low";
+        |}
+        |call classify
+        |if $severity == 7 then stop
+        |action(type="omfile" name="keep")
+        |""".stripMargin)
+    val res = cfg.run(decoded)
+    res.actionFrame(0)
+      .withColumn("line", cfg.renderTemplate("out", col))
+      .groupBy(get_json_object(col("vars_msg"), "$.class").as("class"))
+      .agg(count(lit(1)).as("n"), max(length(col("line"))).as("max_len"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
@@ -531,6 +544,14 @@ object Queries {
     // SimHash near-dup pairs (custom simhash64 expr + banded blocking)
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // dedup cluster formation: LSH pairs → connected components
+    // (min-label propagation; rows-only — DuckDB lacks the iteration)
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, bands = 16, rows = 4, minEstJaccard = 0.5)
+      Dedup.clusters(pairs)
     }),
 
     // exact n-gram Jaccard pairs (inverted-index verify path)

@@ -112,6 +112,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Dedup cluster formation: connected components over a near-dup pair
+    * list via iterative min-label propagation (the standard large-scale
+    * approach — each iteration is one join + groupBy, label space shrinks
+    * monotonically, converges in O(log(diameter)) rounds; no driver-side
+    * graph ever materializes). Returns (doc, cluster) where cluster = the
+    * smallest doc id reachable. */
+  def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+               maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.groupBy(col("src").as("doc"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+      .cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // propagate: my new label = min(my label, labels of my neighbors)
+      val nbr = edges.join(labels, edges("dst") === labels("doc"))
+        .select(edges("src").as("doc"), col("cluster"))
+      val next = labels.select(col("doc"), col("cluster")).union(nbr)
+        .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), Seq("doc"))
+        .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+      labels.unpersist()
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity pairs within a blocking key (lang):
     * inverted index on shingles → pair intersection counts → Jaccard.
     * The blocking column bounds bucket fan-out so the shingle self-join

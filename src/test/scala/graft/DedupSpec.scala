@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("five", "FIVE")), // near-dup of 1
+      (3L, base.split(" ").reverse.mkString(" ")), // same words, shuffled order
+      (4L, "completely unrelated text with entirely different tokens here " +
+           "nothing shared at all between documents whatsoever truly")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 16, rows = 4, minEstJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val docs = Seq(
+      (10L, "Hello,  World!"), (11L, "hello world"), (12L, "other text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(out(10L) == 2) // 10 and 11 normalize identically
+    assert(out(12L) == 1)
+  }
+
+  test("connected components cluster transitive near-dups") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), // chain: 1-2-3
+      (10L, 11L),         // separate pair
+      (20L, 21L), (21L, 22L), (22L, 23L) // chain of 4
+    ).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L)
+    assert(cl(10L) == 10L && cl(11L) == 10L)
+    assert(Seq(20L, 21L, 22L, 23L).map(cl).toSet == Set(20L))
+  }
+
+  test("simhash banding catches small hamming distances") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok7", "tokX")),
+      (3L, (100 to 140).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

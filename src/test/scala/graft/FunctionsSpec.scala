@@ -96,6 +96,24 @@ class FunctionsSpec extends SparkSpec {
     assert(ham(h(0), h(2)) > ham(h(0), h(1)))
   }
 
+  test("winnow fingerprint overlap detects shared content") {
+    val fps = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      "the quick brown fox jumps over the lazy dog near the mountain top now",
+      "completely different content with zero overlap whatsoever in any form"
+    ).toDF("t").select(rainer.winnow_fingerprint(col("t"), 5, 4).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    val overlapSimilar = fps(0).intersect(fps(1)).size.toDouble / fps(0).union(fps(1)).size
+    val overlapDifferent = fps(0).intersect(fps(2)).size.toDouble / fps(0).union(fps(2)).size
+    assert(overlapSimilar > 0.3)
+    assert(overlapDifferent < 0.05)
+    // deterministic across invocations
+    val again = Seq("the quick brown fox jumps over the lazy dog near the river bank today")
+      .toDF("t").select(rainer.winnow_fingerprint(col("t"), 5, 4).as("fp"))
+      .collect()(0).getSeq[Long](0).toSet
+    assert(again == fps(0))
+  }
+
   test("lookup table types") {
     val sj = """{"version":1,"nomatch":"NA","type":"string","table":[
       {"index":"a","value":"1"},{"index":"b","value":"2"}]}"""
