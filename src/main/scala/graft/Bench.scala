@@ -37,7 +37,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // BASELINE.md anchor: end-to-end msgs/sec through the full ingest→
+    // parse→filter→template pipeline (the 524,288-msg trial shape)
+    val e2eRate = try {
+      val nMsgs = Tables.events(spark, sfDir).count()
+      val secs = results.toMap.getOrElse("pipeline_e2e", Double.NaN)
+      if (secs > 0) nMsgs / secs else 0.0
+    } catch { case _: Throwable => 0.0 }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f}""")
     spark.stop()
   }
 }

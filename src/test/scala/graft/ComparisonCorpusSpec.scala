@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rainerscript.RainerCompiler
+
+/** Replicates the reference's rscript_compare_* corpus (tests/
+  * rscript_compare-common.sh driven by the {num,numstr,str}×{...} value
+  * matrix): for each (lower, higher) pair all six comparisons must
+  * orient correctly. This is the de-facto spec of the coercion rules.
+  */
+class ComparisonCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (name, lower literal, higher literal) exactly as the corpus exports
+  private val matrix = Seq(
+    ("num-num", "1", "2"),
+    ("num-numstr", "1", "\"2\""),
+    ("num-str", "1", "\"b\""),
+    ("numstr-num", "\"1\"", "2"),
+    ("numstr-numstr", "\"1\"", "\"2\""),
+    ("numstr-str", "\"1\"", "\"abc\""),
+    ("str-num", "\"a\"", "2"),      // strcmp: "a" > "2" → orientation flips
+    ("str-numstr", "\"a\"", "\"2\""),
+    ("str-str", "\"a\"", "\"b\"")
+  )
+
+  test("rscript_compare corpus: all six operators orient correctly") {
+    matrix.foreach { case (name, lo, hi) =>
+      // str-num / str-numstr: rsyslog strcmp puts digits before letters,
+      // so the "lower" literal is actually greater — expected flips
+      val flipped = name == "str-num" || name == "str-numstr"
+      val script =
+        s"""set $$!lower = $lo;
+           |set $$!higher = $hi;
+           |if $$!lower <= $$!higher then set $$.le = "R"; else set $$.le = "W";
+           |if $$!lower < $$!higher then set $$.lt = "R"; else set $$.lt = "W";
+           |if $$!higher >= $$!lower then set $$.ge = "R"; else set $$.ge = "W";
+           |if $$!higher > $$!lower then set $$.gt = "R"; else set $$.gt = "W";
+           |if $$!higher != $$!lower then set $$.ne = "R"; else set $$.ne = "W";
+           |if $$!higher == $$!lower then set $$.eq = "W"; else set $$.eq = "R";
+           |""".stripMargin
+      val r = RainerCompiler.run(script, Seq("m").toDF("msg")).output
+        .select(
+          get_json_object(col("vars_local"), "$.le"),
+          get_json_object(col("vars_local"), "$.lt"),
+          get_json_object(col("vars_local"), "$.ge"),
+          get_json_object(col("vars_local"), "$.gt"),
+          get_json_object(col("vars_local"), "$.ne"),
+          get_json_object(col("vars_local"), "$.eq")).collect()(0)
+      val got = (0 until 6).map(r.getString)
+      val expected =
+        if (flipped) Seq("W", "W", "W", "W", "R", "R") // ordering flips, in/equality hold
+        else Seq("R", "R", "R", "R", "R", "R")
+      assert(got == expected, s"case $name: got $got")
+    }
+  }
+}
