@@ -528,6 +528,17 @@ object Queries {
           get_json_object(col("vars"), "$.n").cast("long").as("n"))
     }),
 
+    // §2.10 omsendertrack — per-sender first/last-seen + volume state
+    "sender_track" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      ev.groupBy(col("hostname").as("sender"))
+        .agg(
+          expr("min(ts_ns div 1000000000)").as("first_seen"),
+          expr("max(ts_ns div 1000000000)").as("last_seen"),
+          count(lit(1)).as("n_msgs"),
+          round(sum(col("value")), 2).as("sum_v"))
+    }),
+
     // ------------------------- training-data pipeline operators -------------
 
     // exact dedup: hash-groupBy on normalized-content fingerprint
@@ -981,6 +992,14 @@ object Queries {
         |  CASE WHEN event_type <> 'error'
         |    THEN CAST(regexp_extract(msg, '^user (\S+) did (\S+) n=(\d+)$', 3) AS BIGINT) END AS n
         |FROM m""".stripMargin,
+
+    "sender_track" -> (synthSql +
+      """ SELECT hostname AS sender,
+        |  min(epoch_ns(ts) // 1000000000) AS first_seen,
+        |  max(epoch_ns(ts) // 1000000000) AS last_seen,
+        |  count(*) AS n_msgs,
+        |  round(sum(value), 2) AS sum_v
+        | FROM ev GROUP BY 1""".stripMargin),
 
     // ------------------------- training-data pipeline oracles ---------------
 
