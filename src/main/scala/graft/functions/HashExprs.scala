@@ -13,13 +13,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * array 64×).
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64Expr.kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SimHash64Expr$$.MODULE$$.kernel($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object SimHash64Expr {
+  def kernel(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -39,8 +52,6 @@ case class SimHash64Expr(child: Expression)
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** k-permutation MinHash signature over a string array in ONE pass:
@@ -51,13 +62,26 @@ case class SimHash64Expr(child: Expression)
   * and no per-element Catalyst interpretation overhead.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpr.kernel(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSignatureExpr$$.MODULE$$.kernel($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashSignatureExpr {
+  def kernel(arr: ArrayData, k: Int): GenericArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -79,8 +103,6 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Cosine similarity between two numeric arrays in one fused pass —
@@ -90,34 +112,51 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
   * ANN/near-dup operator so it gets a native expression.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
+  private def isFloatA = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  private def isFloatB = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    val aType = left.dataType.asInstanceOf[ArrayType].elementType
-    val bType = right.dataType.asInstanceOf[ArrayType].elementType
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val isFloat = aType == FloatType
-    val isFloatB = bType == FloatType
-    while (i < n) {
-      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (isFloatB) b.getFloat(i).toDouble else b.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) null
-    else dot / (math.sqrt(na) * math.sqrt(nb))
+    val v = CosineSimilarityExpr.kernel(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData], isFloatA, isFloatB)
+    if (v.isNaN) null else v
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.CosineSimilarityExpr$$.MODULE$$.kernel(
+         |  $a, $b, $isFloatA, $isFloatB);
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+         |""".stripMargin)
+    code
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+object CosineSimilarityExpr {
+  /** Returns NaN for zero-norm inputs (mapped to SQL null by callers). */
+  def kernel(a: ArrayData, b: ArrayData, isFloatA: Boolean, isFloatB: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloatA) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloatB) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }
 
 object HashUtil {

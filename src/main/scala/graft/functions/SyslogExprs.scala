@@ -20,7 +20,7 @@ import java.time.{LocalDateTime, ZoneOffset, OffsetDateTime}
   * fallback semantics collapsed into one expression).
   */
 case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = SyslogParseExpr.schema
   override def nullable: Boolean = true
@@ -28,6 +28,16 @@ case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024)
 
   override protected def nullSafeEval(input: Any): Any =
     SyslogParseExpr.parse(input.toString, defaultYear)
+
+  // real codegen (not CodegenFallback): children stay codegen'd and the
+  // kernel is one static call — keeps the scan→parse→filter pipeline
+  // inside a single WholeStageCodegen stage
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SyslogParseExpr$$.MODULE$$.parse($c.toString(), $defaultYear);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
