@@ -29,21 +29,22 @@ import graft.templates.TemplateCompiler
   */
 object RainerCompiler {
 
-  case class CompiledAction(index: Int, params: Map[String, String], condCol: String)
+  case class CompiledAction(index: Int, params: Map[String, String],
+                            condCol: String, renderCol: Option[String])
 
   case class ScriptResult(frame: DataFrame, actions: Seq[CompiledAction]) {
     /** Rows that survive the script (not stopped), internals dropped. */
     def output: DataFrame = frame.filter(!col("__stopped"))
       .drop(frame.columns.filter(_.startsWith("__")): _*)
-    /** Rows reaching action i, with the action's template rendered when
-      * a `template` param is present (inline template string). */
+    /** Rows reaching action i; `__rendered` carries the action's template
+      * output as materialized AT the action's sequence point (rsyslog
+      * renders when the action fires — later variable mutations must not
+      * leak in). */
     def actionFrame(i: Int): DataFrame = {
       val a = actions(i)
       val base = frame.filter(col(a.condCol))
-      val rendered = a.params.get("template") match {
-        case Some(tpl) =>
-          base.withColumn("__rendered",
-            TemplateCompiler.compile(tpl, n => resolveProp(n)))
+      val rendered = a.renderCol match {
+        case Some(rc) => base.withColumn("__rendered", col(rc))
         case None => base
       }
       rendered.drop(rendered.columns.filter(c =>
@@ -187,12 +188,14 @@ object RainerCompiler {
 
   /** Compile and apply a script to a DataFrame. */
   def run(src: String, input: DataFrame,
-          tables: Map[String, LookupTable] = Map.empty): ScriptResult =
-    runStmts(RainerParser.parseScript(src), input, tables)
+          tables: Map[String, LookupTable] = Map.empty,
+          templates: Map[String, String] = Map.empty): ScriptResult =
+    runStmts(RainerParser.parseScript(src), input, tables, templates)
 
   /** Compile and apply an already-parsed statement list. */
   def runStmts(stmts: Seq[RStmt], input: DataFrame,
-               tables: Map[String, LookupTable] = Map.empty): ScriptResult = {
+               tables: Map[String, LookupTable] = Map.empty,
+               templates: Map[String, String] = Map.empty): ScriptResult = {
     var df = input
     if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
     if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))
@@ -257,7 +260,17 @@ object RainerCompiler {
       case RAction(params) =>
         val cn = freshCond()
         df = df.withColumn(cn, path && !col("__stopped"))
-        actions += CompiledAction(actions.size, params, cn)
+        // render the template NOW: action-time variable state, frozen
+        // against later mutations (runtime/action.c renders at doAction)
+        val renderCol = params.get("template").map { t =>
+            val tpl = if (t.contains("%")) t
+                      else templates.getOrElse(t, t)
+            val rc = s"__render_${actions.size}"
+            df = df.withColumn(rc,
+              when(col(cn), TemplateCompiler.compile(tpl, resolveProp)))
+            rc
+          }
+        actions += CompiledAction(actions.size, params, cn, renderCol)
       case RCall(_) =>
         // single-ruleset scope in round 1: call is a no-op marker
       case other => throw new IllegalArgumentException(s"stmt $other")

@@ -27,7 +27,8 @@ case class RsyslogConfig(
     val stmts = if (ruleset.isEmpty) mainStmts
                 else rulesets.getOrElse(ruleset,
                   throw new IllegalArgumentException(s"unknown ruleset $ruleset"))
-    RainerCompiler.runStmts(inlineCalls(stmts, Set.empty), input, lookupTables)
+    RainerCompiler.runStmts(inlineCalls(stmts, Set.empty), input, lookupTables,
+      templates)
   }
 
   private def inlineCalls(stmts: Seq[RStmt], seen: Set[String]): Seq[RStmt] =

@@ -137,6 +137,26 @@ class RainerScriptSpec extends SparkSpec {
     assert(out.count(_.getString(1) == "1") == 1) // "info ok"
   }
 
+  test("action template renders action-time state (later mutations don't leak)") {
+    val res = RainerCompiler.run(
+      """set $!x = "a";
+        |action(type="omfile" template="x=%$!x%")
+        |set $!x = "b";
+        |action(type="omfile" template="x=%$!x%")
+        |""".stripMargin, Seq("m").toDF("msg"))
+    assert(res.actionFrame(0).select("__rendered").collect()(0).getString(0) == "x=a")
+    assert(res.actionFrame(1).select("__rendered").collect()(0).getString(0) == "x=b")
+  }
+
+  test("named template resolution in actions") {
+    val res = RainerCompiler.run(
+      """set $!x = "v";
+        |action(type="omfile" template="tname")
+        |""".stripMargin, Seq("m").toDF("msg"),
+      templates = Map("tname" -> "got:%$!x%"))
+    assert(res.actionFrame(0).select("__rendered").collect()(0).getString(0) == "got:v")
+  }
+
   test("unset and exists") {
     val res = RainerCompiler.run(
       """set $!a!b = "v";
