@@ -25,6 +25,9 @@ case class RPriFilt(selector: String, body: Seq[RStmt]) extends RStmt
 /** legacy property filter: :msg, contains, "x" { block } */
 case class RPropFilt(prop: String, op: String, negated: Boolean,
                      value: String, body: Seq[RStmt]) extends RStmt
+/** foreach ($.x in expr) do { body } — iterate a JSON array, body sees
+  * the loop var (grammar/grammar.y foreach, runtime/ruleset.c:310-401) */
+case class RForeach(loopVar: RVar, source: RExpr, body: Seq[RStmt]) extends RStmt
 case object RStop extends RStmt
 case class RCall(ruleset: String) extends RStmt
 case class RAction(params: Map[String, String]) extends RStmt

@@ -255,6 +255,69 @@ object RainerCompiler {
         df = df.withColumn(cn, path && !col("__stopped") &&
           (if (neg) !coalesce(test, lit(false)) else coalesce(test, lit(false))))
         exec(body, col(cn))
+      case RForeach(RVar(loopRaw), source, body) =>
+        // explode → body-per-element → last-element-wins collapse.
+        // Restrictions (documented): no action/stop inside the body, and
+        // each element sees the PRE-loop variable state (cross-iteration
+        // accumulators need an aggregation, not a loop, in a set engine).
+        def hasUnsupported(ss: Seq[RStmt]): Boolean = ss.exists {
+          case RStop | _: RAction => true
+          case RIf(_, t, e) => hasUnsupported(t) || hasUnsupported(e)
+          case _: RForeach => true
+          case _ => false
+        }
+        require(!hasUnsupported(body),
+          "foreach body: action/stop/nested-foreach not supported in batch lowering")
+        condId += 1
+        val tag = condId
+        val (lvCol, lvPath) = varCol(loopRaw)
+        val srcCol = compileExpr(source, tables)
+        // split()/array-valued sources are arrays already; anything else
+        // (a $! var read) is a JSON-array string to parse
+        val arrCol = source match {
+          case RFunc("split", _) | RArr(_) => srcCol
+          case _ => from_json(srcCol.cast("string"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))
+        }
+        df = df
+          .withColumn(s"__fe_id_$tag", monotonically_increasing_id())
+          .withColumn(s"__fe_arr_$tag", arrCol)
+        df = df.select(col("*"),
+          posexplode_outer(col(s"__fe_arr_$tag"))
+            .as(Seq(s"__fe_pos_$tag", s"__fe_item_$tag")))
+        val iterCond = freshCond()
+        df = df.withColumn(iterCond,
+          path && !col("__stopped") && col(s"__fe_item_$tag").isNotNull)
+        df = df.withColumn(lvCol,
+          when(col(iterCond),
+            graft.functions.rainer.json_set(col(lvCol), lvPath.replace('.', '!'),
+              col(s"__fe_item_$tag")))
+          .otherwise(col(lvCol)))
+        exec(body, col(iterCond))
+        // collapse: each iteration row = pre-loop vars + that element's
+        // sets; merge the per-row var trees in element order (later
+        // elements overwrite — rsyslog's sequential mutation order).
+        val tempPrefix = s"__fe_"
+        val orderedCols = df.columns.toSeq
+        val varsCols = Seq("vars_msg", "vars_local").filter(orderedCols.contains)
+        val otherCols = orderedCols.filter(c =>
+          !varsCols.contains(c) && !(c.startsWith(tempPrefix) && c.endsWith(s"_$tag")))
+        val aggs =
+          otherCols.filterNot(_ == s"__fe_id_$tag").map(c => first(col(c)).as(c)) ++
+          varsCols.map { v =>
+            val sorted = transform(
+              array_sort(collect_list(struct(
+                col(s"__fe_pos_$tag").as("p"), col(v).as("v")))),
+              s => s.getField("v"))
+            aggregate(sorted, lit("{}"),
+              (acc, x) => graft.functions.rainer.json_merge(acc, x)).as(v)
+          }
+        df = df.groupBy(col(s"__fe_id_$tag"))
+          .agg(aggs.head, aggs.tail: _*)
+          .drop(s"__fe_id_$tag")
+          .select(orderedCols.filter(c =>
+            !(c.startsWith(tempPrefix) && c.endsWith(s"_$tag"))).map(col): _*)
       case RStop =>
         df = df.withColumn("__stopped", col("__stopped") || path)
       case RAction(params) =>

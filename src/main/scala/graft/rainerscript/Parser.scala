@@ -82,8 +82,8 @@ class RainerParserBase extends RegexParsers {
 
   // ---- statements ----
   def stmt: Parser[RStmt] =
-    setStmt | unsetStmt | ifStmt | stopStmt | callStmt | actionStmt |
-    priFiltStmt | propFiltStmt
+    setStmt | unsetStmt | ifStmt | foreachStmt | stopStmt | callStmt |
+    actionStmt | priFiltStmt | propFiltStmt
 
   private def setStmt: Parser[RStmt] =
     "set" ~> variable ~ ("=" ~> expr) <~ ";" ^^ { case v ~ e => RSet(v, e) }
@@ -94,6 +94,10 @@ class RainerParserBase extends RegexParsers {
   private def ifStmt: Parser[RStmt] =
     ("if" ~> expr) ~ ("then" ~> block) ~ opt("else" ~> block) ^^ {
       case c ~ t ~ e => RIf(c, t, e.getOrElse(Seq.empty))
+    }
+  private def foreachStmt: Parser[RStmt] =
+    ("foreach" ~> "(" ~> variable) ~ ("in" ~> expr <~ ")") ~ ("do" ~> block) ^^ {
+      case v ~ src ~ b => RForeach(v, src, b)
     }
   private def stopStmt: Parser[RStmt] = "stop" <~ opt(";") ^^^ RStop
   private def callStmt: Parser[RStmt] =

@@ -157,6 +157,28 @@ class RainerScriptSpec extends SparkSpec {
     assert(res.actionFrame(0).select("__rendered").collect()(0).getString(0) == "got:v")
   }
 
+  test("foreach over JSON array and split()") {
+    val res = RainerCompiler.run(
+      """set $!arr = "[\"x\",\"y\",\"z\"]";
+        |foreach ($.e in $!arr) do {
+        |  set $!last = toupper($.e);
+        |}
+        |foreach ($.w in split($msg, " ")) do {
+        |  if $.w startswith "err" then set $!haserr = "y";
+        |}
+        |""".stripMargin,
+      Seq("boot error on disk", "all fine here").toDF("msg"))
+    val out = res.output.select(col("msg"),
+      get_json_object(col("vars_msg"), "$.last"),
+      get_json_object(col("vars_msg"), "$.haserr")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    // rows preserved 1:1 after the loops
+    assert(out.size == 2)
+    assert(out.values.forall(_._1 == "Z")) // last element uppercased
+    assert(out("boot error on disk")._2 == "y")
+    assert(out("all fine here")._2 == null)
+  }
+
   test("unset and exists") {
     val res = RainerCompiler.run(
       """set $!a!b = "v";
