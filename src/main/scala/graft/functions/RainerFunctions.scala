@@ -74,18 +74,24 @@ object rainer {
 
   // ---------- regex (rainerscript.c:1681,2338) ----------
 
-  /** re_match(s, re) — POSIX ERE in the reference; Java regex here (the
-    * overlapping core dialect: classes, anchors, alternation, counts). */
-  def re_match(s: Column, re: String): Column = s.rlike(re)
-  def re_match_i(s: Column, re: String): Column = s.rlike("(?i)" + re)
+  /** re_match(s, re) — POSIX ERE in the reference; translated to Java
+    * regex ([[:digit:]] classes etc. — PosixRegex.translate). */
+  def re_match(s: Column, re: String): Column =
+    s.rlike(PosixRegex.translate(re))
+  def re_match_i(s: Column, re: String): Column =
+    s.rlike("(?i)" + PosixRegex.translate(re))
 
   /** re_extract(s, re, match#, submatch#, default) — rainerscript.c:1681.
     * Returns `default` when there is no match (Spark's regexp_extract
     * returns "" on no-match; rsyslog returns the default). */
-  def re_extract(s: Column, re: String, submatch: Int, dflt: String): Column =
-    when(s.rlike(re), regexp_extract(s, re, submatch)).otherwise(lit(dflt))
-  def re_extract_i(s: Column, re: String, submatch: Int, dflt: String): Column =
-    re_extract(s, "(?i)" + re, submatch, dflt)
+  def re_extract(s: Column, re: String, submatch: Int, dflt: String): Column = {
+    val jre = PosixRegex.translate(re)
+    when(s.rlike(jre), regexp_extract(s, jre, submatch)).otherwise(lit(dflt))
+  }
+  def re_extract_i(s: Column, re: String, submatch: Int, dflt: String): Column = {
+    val jre = "(?i)" + PosixRegex.translate(re)
+    when(s.rlike(jre), regexp_extract(s, jre, submatch)).otherwise(lit(dflt))
+  }
 
   // ---------- numeric / misc ----------
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{rainer, PriFilt}
+import graft.functions.{rainer, PriFilt, PosixRegex}
 import graft.operators._
 
 class FunctionsSpec extends SparkSpec {
@@ -66,6 +66,19 @@ class FunctionsSpec extends SparkSpec {
     assert(!one[Boolean](rainer.rs_eq(lit("abc"), lit("10"))))
     assert(one[Boolean](rainer.rs_gt(lit("87"), lit("9"))))   // numeric, not lexicographic
     assert(one[Boolean](rainer.rs_lt(lit("a87"), lit("a9")))) // strcmp fallback
+  }
+
+  test("POSIX ERE classes translate and match") {
+    assert(PosixRegex.translate("[[:digit:]]+") == "[\\d]+")
+    assert(PosixRegex.translate("^[[:alpha:]_][[:alnum:]_]*$")
+      == "^[\\p{Alpha}_][\\p{Alnum}_]*$")
+    assert(PosixRegex.translate("[^[:space:]]") == "[^\\s]")
+    assert(PosixRegex.translate("[]a]") == "[]a]") // literal ] first
+    assert(PosixRegex.translate("plain(a|b){2,3}") == "plain(a|b){2,3}")
+    assert(one[Boolean](rainer.re_match(lit("abc123"), "[[:alpha:]]+[[:digit:]]+")))
+    assert(!one[Boolean](rainer.re_match(lit("!!"), "[[:alnum:]]+")))
+    assert(one[String](rainer.re_extract(lit("v=42;"), "v=([[:digit:]]+)", 1, "NA")) == "42")
+    assert(one[String](rainer.re_extract(lit("nope"), "v=([[:digit:]]+)", 1, "NA")) == "NA")
   }
 
   test("wrap/ltrim/substring 0-based") {
