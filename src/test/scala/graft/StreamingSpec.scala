@@ -100,6 +100,29 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).record == "2024-01-02 record two\n  tail")
   }
 
+  test("event-time window aggregation with watermark over a decoded stream") {
+    import org.apache.spark.sql.functions._
+    val in = MemoryStream[String]
+    in.addData(
+      "<13>Mar  1 01:00:10 h1 app: a",
+      "<13>Mar  1 01:00:40 h1 app: b",
+      "<13>Mar  1 01:01:10 h2 app: c",
+      "<11>Mar  1 01:01:20 h1 app: d")
+    val decoded = graft.sources.Sources.decodeSyslog(in.toDF())
+    val agg = decoded
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("hostname"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("win_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("win_out")
+      .select(col("window.start").cast("long").as("w"), col("hostname"), col("n"))
+      .collect().map(r => (r.getLong(0) % 3600, r.getString(1), r.getLong(2))).toSet
+    assert(out == Set((0L, "h1", 2L), (60L, "h2", 1L), (60L, "h1", 1L)))
+  }
+
   test("chkseq: exact gapless delivery through decode pipeline") {
     // tcpflood pattern: sequenced msgs through frame-decode + parse;
     // assert gapless 0..N-1 (tests/chkseq.c logic)
