@@ -557,11 +557,12 @@ object Queries {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
     }),
 
-    // dedup cluster formation: LSH pairs → connected components
-    // (min-label propagation; rows-only — DuckDB lacks the iteration)
+    // dedup cluster formation: near-dup pairs → connected components
+    // (min-label propagation over the exact n-gram pairs, so the whole
+    // chain is oracle-verifiable via a recursive CTE)
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, bands = 16, rows = 4, minEstJaccard = 0.5)
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCol = "lang", n = 3, minJaccard = 0.5)
       Dedup.clusters(pairs)
     }),
 
@@ -1029,6 +1030,35 @@ object Queries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc, least(a, min(b)) AS cluster
+        |FROM reach GROUP BY a""".stripMargin,
 
     "ann_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
