@@ -51,6 +51,29 @@ object JsonPathUtil {
         case _ => mapper.createObjectNode()
       }
     } catch { case _: Exception => mapper.createObjectNode() }
+
+  /** Write an evaluated Spark value into `parent` at `leaf`, preserving
+    * its type (JSON-object strings embed as subtrees — rsyslog 'J' svar). */
+  def putTyped(parent: ObjectNode, leaf: String, v: Any,
+               dt: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    if (v == null) { parent.putNull(leaf); return }
+    dt match {
+      case LongType    => parent.put(leaf, v.asInstanceOf[Long])
+      case IntegerType => parent.put(leaf, v.asInstanceOf[Int].toLong)
+      case DoubleType  => parent.put(leaf, v.asInstanceOf[Double])
+      case BooleanType => parent.put(leaf, v.asInstanceOf[Boolean])
+      case _ =>
+        val s = v.toString
+        val trimmed = s.trim
+        val asTree: JsonNode =
+          if (trimmed.startsWith("{") || trimmed.startsWith("[")) {
+            try mapper.readTree(trimmed) catch { case _: Exception => null }
+          } else null
+        if (asTree != null && !asTree.isValueNode) parent.set[JsonNode](leaf, asTree)
+        else parent.put(leaf, s)
+    }
+  }
 }
 
 /** json_set(json, path, value): returns json with value written at path.
@@ -76,28 +99,51 @@ case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
     val segs = JsonPathUtil.splitPath(p.toString)
     if (segs.isEmpty) return j
     val parent = JsonPathUtil.ensureParent(root, segs)
-    val leaf = segs.last
-    if (v == null) parent.putNull(leaf)
-    else value.dataType match {
-      case LongType    => parent.put(leaf, v.asInstanceOf[Long])
-      case IntegerType => parent.put(leaf, v.asInstanceOf[Int].toLong)
-      case DoubleType  => parent.put(leaf, v.asInstanceOf[Double])
-      case BooleanType => parent.put(leaf, v.asInstanceOf[Boolean])
-      case _ =>
-        val s = v.toString
-        val trimmed = s.trim
-        val asTree: JsonNode =
-          if (trimmed.startsWith("{") || trimmed.startsWith("[")) {
-            try JsonPathUtil.mapper.readTree(trimmed) catch { case _: Exception => null }
-          } else null
-        if (asTree != null && !asTree.isValueNode) parent.set(leaf, asTree)
-        else parent.put(leaf, s)
-    }
+    JsonPathUtil.putTyped(parent, segs.last, v, value.dataType)
     UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(root))
   }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(json = f, path = s, value = t)
+}
+
+/** Batched json_set: applies N (path, value) writes with ONE parse and
+  * ONE serialize of the tree — the compiler's peephole for consecutive
+  * `set $!…` statements (each JsonSetExpr alone costs a full Jackson
+  * roundtrip; scripts routinely run 5-10 sets in a row).
+  * children = json +: guard +: values; writes apply only when guard=true.
+  */
+case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  private def json: Expression = children.head
+  private def guard: Expression = children(1)
+  private def values: Seq[Expression] = children.drop(2)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_set_multi"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = json.eval(input)
+    val g = guard.eval(input)
+    if (g == null || !g.asInstanceOf[Boolean]) return j
+    val root = JsonPathUtil.parseOrEmpty(if (j == null) "{}" else j.toString)
+    var i = 0
+    while (i < paths.length) {
+      val segs = JsonPathUtil.splitPath(paths(i))
+      if (segs.nonEmpty) {
+        val parent = JsonPathUtil.ensureParent(root, segs)
+        JsonPathUtil.putTyped(parent, segs.last, values(i).eval(input),
+          values(i).dataType)
+      }
+      i += 1
+    }
+    UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(root))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }
 
 /** json_unset(json, path): delete the node at path (rsyslog `unset`). */

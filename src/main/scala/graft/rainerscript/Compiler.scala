@@ -209,7 +209,67 @@ object RainerCompiler {
       if (raw.startsWith("$.")) ("vars_local", raw.drop(2).replace('!', '.'))
       else ("vars_msg", raw.dropWhile(c => c == '$' || c == '!'))
 
-    def exec(stmts: Seq[RStmt], path: Column): Unit = stmts.foreach {
+    /** Does this expression read variables from namespace column `vc`?
+      * Guards the consecutive-set batching: a later set whose value reads
+      * the same tree must see the earlier sets' effects, so it can't be
+      * folded into one multi-write. */
+    def readsNs(e: RExpr, vc: String): Boolean = e match {
+      case RVar(raw) =>
+        (vc == "vars_msg" && (raw.startsWith("$!") || raw.startsWith("!"))) ||
+        (vc == "vars_local" && raw.startsWith("$."))
+      case RBinop(_, l, r) => readsNs(l, vc) || readsNs(r, vc)
+      case RNot(x) => readsNs(x, vc)
+      case RNeg(x) => readsNs(x, vc)
+      case RFunc(_, args) => args.exists(readsNs(_, vc))
+      case _ => false
+    }
+
+    def execOne(s: RStmt, path: Column): Unit = exec(Seq(s), path)
+
+    def exec(stmts: Seq[RStmt], path: Column): Unit = {
+      var idx = 0
+      while (idx < stmts.length) {
+        stmts(idx) match {
+          case RSet(RVar(raw0), _) =>
+            // peephole: batch the run of consecutive sets to the same
+            // namespace column (one JSON parse+serialize for the run)
+            val (vc0, _) = varCol(raw0)
+            val run = scala.collection.mutable.ArrayBuffer.empty[(String, RExpr)]
+            var j = idx
+            var ok = true
+            while (ok && j < stmts.length) {
+              stmts(j) match {
+                case RSet(RVar(raw), value)
+                    if varCol(raw)._1 == vc0 &&
+                       (j == idx || !readsNs(value, vc0)) =>
+                  run += ((varCol(raw)._2.replace('.', '!'), value))
+                  j += 1
+                case _ => ok = false
+              }
+            }
+            val guard = path && !col("__stopped")
+            if (run.length == 1) {
+              df = df.withColumn(vc0,
+                when(guard, graft.functions.rainer.json_set(col(vc0),
+                  run(0)._1, compileExpr(run(0)._2, tables)))
+                .otherwise(col(vc0)))
+            } else {
+              val expr = graft.functions.JsonSetMultiExpr(
+                run.map(_._1).toSeq,
+                (col(vc0) +: coalesce(guard, lit(false)) +:
+                  run.map(r => compileExpr(r._2, tables)).toSeq)
+                  .map(org.apache.spark.sql.GraftBridge.expression))
+              df = df.withColumn(vc0, org.apache.spark.sql.GraftBridge.column(expr))
+            }
+            idx = j
+          case other =>
+            execStmt(other, path)
+            idx += 1
+        }
+      }
+    }
+
+    def execStmt(stmt: RStmt, path: Column): Unit = stmt match {
       case RSet(RVar(raw), value) =>
         val (vc, p) = varCol(raw)
         val v = compileExpr(value, tables)

@@ -179,6 +179,24 @@ class RainerScriptSpec extends SparkSpec {
     assert(out("all fine here")._2 == null)
   }
 
+  test("consecutive sets batch correctly and dependent sets stay sequential") {
+    val res = RainerCompiler.run(
+      """set $!a = 1;
+        |set $!b = "two";
+        |set $!c!d = 3;
+        |set $!sum = $!a + 10;
+        |""".stripMargin, Seq("m").toDF("msg"))
+    val r = res.output.select(
+      get_json_object(col("vars_msg"), "$.a"),
+      get_json_object(col("vars_msg"), "$.b"),
+      get_json_object(col("vars_msg"), "$.c.d"),
+      get_json_object(col("vars_msg"), "$.sum")).collect()(0)
+    assert(r.getString(0) == "1")
+    assert(r.getString(1) == "two")
+    assert(r.getString(2) == "3")
+    assert(r.getString(3) == "11") // reads $!a set in the same run
+  }
+
   test("unset and exists") {
     val res = RainerCompiler.run(
       """set $!a!b = "v";
