@@ -17,6 +17,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // test parquet is a handful of ~10-30MB files; the 128MB default
+      // split size would serialize every scan onto one core. At cluster
+      // scale the default is right — this mirrors having many input files.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
