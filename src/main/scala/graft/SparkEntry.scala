@@ -310,6 +310,18 @@ object Queries {
         col("__rendered").as("line"))
     }),
 
+    // §2.3 exec_template + builtin template registry: render the stock
+    // RSYSLOG_FileFormat (rfc3339 variant) through the config front-end
+    "exec_template" -> ((s, dir) => {
+      val cfg = graft.rainerscript.RsyslogConfig.parse("")
+      val ev = synthSyslog(s, dir)
+        .withColumn("msg", concat(lit(" v100="), col("v100")))
+        .withColumn("syslogtag", concat(col("event_type"), lit(":")))
+      ev.select(col("event_id"),
+        cfg.renderTemplate("RSYSLOG_FileFormat",
+          n => if (n == "timereported") col("ts") else col(n)).as("line"))
+    }),
+
     // §2.3 misc functions: b64, wrap, unflatten, CEF, URL decomposition
     "func_misc" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -802,6 +814,12 @@ object Queries {
         |  hostname || ' ' || 'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
         |    || ': v100=' || v100 AS line
         | FROM ev WHERE severity <> 7""".stripMargin),
+
+    "exec_template" -> (synthSql +
+      """ SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') || '+00:00 ' ||
+        |  hostname || ' ' || event_type || ': v100=' || v100 || chr(10) AS line
+        | FROM ev""".stripMargin),
 
     "func_misc" ->
       """SELECT event_id,
