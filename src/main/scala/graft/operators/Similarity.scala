@@ -63,18 +63,24 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: exact cosine only among bucket-mates of each
-    * query. Returns per-query neighbors found (recall < 1 vs brute force
-    * by design — the scale path). */
+  /** Multi-probe LSH ANN: exact cosine among corpus vectors whose bucket
+    * is the query's bucket OR differs in one bit (the standard multi-probe
+    * scheme — a sign flipped by a near-boundary hyperplane is the common
+    * miss mode). Recall < 1 vs brute force by design — the scale path:
+    * candidates per query ≈ (nPlanes+1) · corpus/2^nPlanes, never the
+    * full cross product. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nPlanes: Int = 12, dim: Int = 64): DataFrame = {
+              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val pl = planes(nPlanes, dim)
     val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), pl))
     val qb = bucketed.join(
       broadcast(queries.select(col("vec_id").as("q_id"))), col("vec_id") === col("q_id"))
       .select(col("q_id"), col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+      // probe set: exact bucket + all Hamming-1 neighbors
+      .withColumn("probes", array((lit(0L) +:
+        (0 until nPlanes).map(i => lit(1L << i))).map(b => col("q_bucket").bitwiseXOR(b)): _*))
     val cands = bucketed.as("c").join(broadcast(qb),
-        col("c.bucket") === col("q_bucket") && col("c.vec_id") =!= col("q_id"))
+        array_contains(col("probes"), col("c.bucket")) && col("c.vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("c.embedding")), 4))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c.vec_id"))
     cands.withColumn("rk", row_number().over(w))

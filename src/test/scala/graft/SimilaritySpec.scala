@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    // deterministic synthetic vectors: 64-dim from a seeded integer hash
+    val rows = (0 until 300).map { id =>
+      val v = Array.tabulate(64) { d =>
+        var z = id * 7919L + d * 104729L + 17
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        (z.toFloat / Long.MaxValue)
+      }
+      (id.toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("multi-probe LSH recall vs brute force") {
+    val q = corpus.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(corpus, q, k = 5, nPlanes = 8)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    // every query must get candidates, and recall must be non-trivial
+    assert(lsh.map(_._1).size == 5 || lsh.nonEmpty)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall $recall too low; lsh=${lsh.size} pairs")
+  }
+
+  test("brute force top-k is deterministic, self-excluded, ordered") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val rows = Similarity.bruteForceTopK(corpus, q, k = 10)
+      .orderBy("rk").collect()
+    assert(rows.length == 10)
+    assert(!rows.exists(_.getAs[Long]("neighbor") == 0L))
+    val sims = rows.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+}
