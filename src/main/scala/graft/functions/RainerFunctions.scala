@@ -82,16 +82,28 @@ object rainer {
     s.rlike("(?i)" + PosixRegex.translate(re))
 
   /** re_extract(s, re, match#, submatch#, default) — rainerscript.c:1681.
-    * Returns `default` when there is no match (Spark's regexp_extract
-    * returns "" on no-match; rsyslog returns the default). */
-  def re_extract(s: Column, re: String, submatch: Int, dflt: String): Column = {
-    val jre = PosixRegex.translate(re)
-    when(s.rlike(jre), regexp_extract(s, jre, submatch)).otherwise(lit(dflt))
-  }
-  def re_extract_i(s: Column, re: String, submatch: Int, dflt: String): Column = {
-    val jre = "(?i)" + PosixRegex.translate(re)
-    when(s.rlike(jre), regexp_extract(s, jre, submatch)).otherwise(lit(dflt))
-  }
+    * `match#` selects the Nth regex occurrence (0-based), `submatch#` the
+    * capture group within it. Returns `default` when there is no match
+    * (Spark's regexp_extract returns "" on no-match; rsyslog returns the
+    * default). */
+  def re_extract(s: Column, re: String, matchNo: Int, submatch: Int, dflt: String): Column =
+    reExtractImpl(s, PosixRegex.translate(re), matchNo, submatch, dflt)
+  def re_extract_i(s: Column, re: String, matchNo: Int, submatch: Int, dflt: String): Column =
+    reExtractImpl(s, "(?i)" + PosixRegex.translate(re), matchNo, submatch, dflt)
+  /** 4-arg convenience (first occurrence). */
+  def re_extract(s: Column, re: String, submatch: Int, dflt: String): Column =
+    re_extract(s, re, 0, submatch, dflt)
+  def re_extract_i(s: Column, re: String, submatch: Int, dflt: String): Column =
+    re_extract_i(s, re, 0, submatch, dflt)
+  private def reExtractImpl(s: Column, jre: String, matchNo: Int,
+                            submatch: Int, dflt: String): Column =
+    if (matchNo == 0)
+      when(s.rlike(jre), regexp_extract(s, jre, submatch)).otherwise(lit(dflt))
+    else
+      // Nth occurrence: extract the group from every match, index in
+      coalesce(
+        try_element_at(regexp_extract_all(s, lit(jre), lit(submatch)), lit(matchNo + 1)),
+        lit(dflt))
 
   // ---------- numeric / misc ----------
 
@@ -138,12 +150,18 @@ object rainer {
   }
 
   /** parse_time(s) — accepts RFC3339 or RFC3164, → epoch secs (UTC);
-    * rainerscript.c:2822. Unparsable → null (script_error in reference). */
+    * rainerscript.c:2822. Unparsable → null (script_error in reference).
+    * RFC3339 offsets (Z / ±HH:MM) are honored like the reference's
+    * parseTIMESTAMP3339; fractional seconds are accepted and truncated
+    * (the return type is whole epoch seconds). */
   def parse_time(s: Column, defaultYear: Int = 2024): Column = {
+    // fraction stripped up front: epoch-seconds result can't carry it and
+    // a single pattern then covers any digit count
+    val noFrac = regexp_replace(s, "\\.\\d+", "")
     // try_to_timestamp: ANSI mode must not throw on the non-matching format
-    val rfc3339 = try_to_timestamp(
-      regexp_replace(s, "([+-]\\d{2}):(\\d{2})$|Z$", ""),
-      lit("yyyy-MM-dd'T'HH:mm:ss"))
+    val rfc3339 = coalesce(
+      try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mm:ss")))
     val rfc3164 = try_to_timestamp(
       concat(lit(defaultYear.toString + " "), regexp_replace(s, "\\s+", " ")),
       lit("yyyy MMM d HH:mm:ss"))

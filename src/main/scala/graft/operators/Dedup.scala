@@ -113,35 +113,48 @@ object Dedup {
   }
 
   /** Dedup cluster formation: connected components over a near-dup pair
-    * list via iterative min-label propagation (the standard large-scale
-    * approach — each iteration is one join + groupBy, label space shrinks
-    * monotonically, converges in O(log(diameter)) rounds; no driver-side
-    * graph ever materializes). Returns (doc, cluster) where cluster = the
-    * smallest doc id reachable. */
+    * list via min-label propagation WITH pointer doubling — each round
+    * propagates one hop through edges AND one hop through the current
+    * label table itself (doc→label→label-of-label), so chain length halves
+    * per round and convergence is O(log(diameter)) joins, not O(diameter).
+    * No driver-side graph ever materializes. Returns (doc, cluster) where
+    * cluster = the smallest doc id reachable. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 10): DataFrame = {
+               maxIter: Int = 16): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().cache()
+    // localCheckpoint (not cache) each round: the iteration references
+    // `labels` three times, so without lineage truncation the logical plan
+    // doubles per round — exponential analysis cost long before any data
+    // moves. Checkpointing keeps the plan O(1) per round.
     var labels = edges.groupBy(col("src").as("doc"))
       .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // propagate: my new label = min(my label, labels of my neighbors)
-      val nbr = edges.join(labels, edges("dst") === labels("doc"))
+      // one hop through edges: min over my neighbors' labels
+      val viaEdges = edges.join(labels, edges("dst") === labels("doc"))
         .select(edges("src").as("doc"), col("cluster"))
-      val next = labels.select(col("doc"), col("cluster")).union(nbr)
+      // pointer doubling: follow my label's own label
+      val viaLabels = labels.as("l1").join(labels.as("l2"),
+          col("l1.cluster") === col("l2.doc"))
+        .select(col("l1.doc").as("doc"), col("l2.cluster").as("cluster"))
+      val next = labels.select(col("doc"), col("cluster"))
+        .union(viaEdges).union(viaLabels)
         .groupBy(col("doc")).agg(min(col("cluster")).as("cluster"))
-        .cache()
+        .localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), Seq("doc"))
         .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
-      labels.unpersist()
       labels = next
       converged = !changed
       i += 1
     }
+    if (!converged)
+      log.warn(s"clusters() exited after $maxIter rounds without converging; " +
+        "components may be split — raise maxIter")
     edges.unpersist()
     labels
   }

@@ -143,10 +143,12 @@ object RainerCompiler {
       case "cstr" => a(0).cast("string")
       case "cnum" => rainer.cnum(a(0))
       case "cbool" => a(0).cast("boolean")
-      case "re_match" => a(0).rlike(s(1))
-      case "re_match_i" => a(0).rlike("(?i)" + s(1))
-      case "re_extract" => rainer.re_extract(a(0), s(1), s(3).toInt, s(4))
-      case "re_extract_i" => rainer.re_extract_i(a(0), s(1), s(3).toInt, s(4))
+      case "re_match" => rainer.re_match(a(0), s(1))
+      case "re_match_i" => rainer.re_match_i(a(0), s(1))
+      case "re_extract" =>
+        rainer.re_extract(a(0), s(1), s(2).toInt, s(3).toInt, s(4))
+      case "re_extract_i" =>
+        rainer.re_extract_i(a(0), s(1), s(2).toInt, s(3).toInt, s(4))
       case "getenv" => rainer.rs_getenv(s(0))
       case "random" => rainer.rs_random(a(0))
       case "num2ipv4" => rainer.num2ipv4(a(0))

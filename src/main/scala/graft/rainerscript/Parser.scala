@@ -15,15 +15,29 @@ class RainerParserBase extends RegexParsers {
   // ---- lexical ----
   private def ident: Parser[String] = """[A-Za-z_][A-Za-z0-9_\-]*""".r
   private def number: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
-  private def qstring: Parser[String] =
-    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s =>
-      s.substring(1, s.length - 1)
-        .replace("\\\"", "\"").replace("\\\\", "\\")
-        .replace("\\n", "\n").replace("\\t", "\t")
-    } |
-    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s =>
-      s.substring(1, s.length - 1).replace("\\'", "'").replace("\\\\", "\\")
+  /** Single left-to-right escape scan: chained String.replace is wrong
+    * (input `\\n` — escaped backslash then n — must decode to `\n` the
+    * two chars, not a newline). */
+  private def unescape(body: String): String = {
+    val sb = new StringBuilder(body.length)
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case other => sb.append(other) // \" \' \\ and unknown → literal
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
     }
+    sb.toString
+  }
+  private def qstring: Parser[String] =
+    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s => unescape(s.substring(1, s.length - 1)) } |
+    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s => unescape(s.substring(1, s.length - 1)) }
   private def variable: Parser[RVar] =
     """\$[!./]?[A-Za-z0-9_\-]+(![A-Za-z0-9_\-]+)*""".r ^^ RVar.apply
 

@@ -33,7 +33,10 @@ object Stateful {
           val out = scala.collection.mutable.ArrayBuffer.empty[RlOutput]
           rows.toSeq.sortBy(_.tsMillis).foreach { r =>
             val win = r.tsMillis / intervalMillis
-            if (win != st.windowStart) st = RlState(win, 0)
+            // only a FORWARD window move resets the bucket: late rows from
+            // an earlier window count against the stored one, so event-time
+            // regressions can never re-admit a fresh burst
+            if (win > st.windowStart) st = RlState(win, 0)
             if (st.used < burst) {
               st = st.copy(used = st.used + 1)
               out += RlOutput(key, r.tsMillis, r.payload, dropped = false)

@@ -46,6 +46,15 @@ class DedupSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L, 23L).map(cl).toSet == Set(20L))
   }
 
+  test("pointer doubling converges on a chain longer than the round count") {
+    // 40-node chain: diameter 40; one-hop propagation would need 40 rounds,
+    // pointer doubling needs ~log2(40)+2 ≈ 8 — well inside maxIter
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cl = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(cl.size == 41)
+    assert(cl.values.toSet == Set(0L))
+  }
+
   test("simhash banding catches small hamming distances") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq(

@@ -79,6 +79,13 @@ class FunctionsSpec extends SparkSpec {
     assert(!one[Boolean](rainer.re_match(lit("!!"), "[[:alnum:]]+")))
     assert(one[String](rainer.re_extract(lit("v=42;"), "v=([[:digit:]]+)", 1, "NA")) == "42")
     assert(one[String](rainer.re_extract(lit("nope"), "v=([[:digit:]]+)", 1, "NA")) == "NA")
+    // occurrence selection (rsyslog's `match` arg): 0-based Nth match
+    assert(one[String](rainer.re_extract(lit("a=1 b=2 c=3"),
+      "[[:alpha:]]=([[:digit:]])", 1, 1, "NA")) == "2")
+    assert(one[String](rainer.re_extract(lit("a=1 b=2 c=3"),
+      "[[:alpha:]]=([[:digit:]])", 2, 1, "NA")) == "3")
+    assert(one[String](rainer.re_extract(lit("a=1"),
+      "[[:alpha:]]=([[:digit:]])", 5, 1, "NA")) == "NA")
   }
 
   test("wrap/ltrim/substring 0-based") {
@@ -94,6 +101,13 @@ class FunctionsSpec extends SparkSpec {
       == "Mar  1 01:02:03")
     assert(one[Long](rainer.parse_time(lit("2024-03-01T01:02:03+00:00"))) == 1709254923L)
     assert(one[Long](rainer.parse_time(lit("Mar  1 01:02:03"), 2024)) == 1709254923L)
+    // non-zero offsets honored (parseTIMESTAMP3339): same instant, +05:00 wall time
+    assert(one[Long](rainer.parse_time(lit("2024-03-01T06:02:03+05:00"))) == 1709254923L)
+    assert(one[Long](rainer.parse_time(lit("2024-02-29T20:02:03-05:00"))) == 1709254923L)
+    assert(one[Long](rainer.parse_time(lit("2024-03-01T01:02:03Z"))) == 1709254923L)
+    // fractional seconds accepted, truncated to whole epoch seconds
+    assert(one[Long](rainer.parse_time(lit("2024-03-01T01:02:03.123456+00:00"))) == 1709254923L)
+    assert(one[Long](rainer.parse_time(lit("2024-03-01T06:02:03.5+05:00"))) == 1709254923L)
   }
 
   test("simhash64 similar inputs have small hamming distance") {

@@ -42,6 +42,14 @@ class RainerScriptSpec extends SparkSpec {
     assert(stmts(2).isInstanceOf[RAction])
   }
 
+  test("parser: string escapes decode left-to-right") {
+    // literal input \\n (escaped backslash, then n) is backslash+n, NOT newline
+    assert(RainerParser.parseExpr("\"a\\\\nb\"") == RStr("a\\nb"))
+    assert(RainerParser.parseExpr("\"a\\nb\"") == RStr("a\nb"))
+    assert(RainerParser.parseExpr("\"q\\\"t\\\\\"") == RStr("q\"t\\"))
+    assert(RainerParser.parseExpr("'it\\'s'") == RStr("it's"))
+  }
+
   test("compile: set/if/stop/action semantics") {
     val res = RainerCompiler.run(
       """set $!sevsq = $severity * $severity;

@@ -52,6 +52,22 @@ class StreamingSpec extends SparkSpec {
       == Seq("a", "b"))
   }
 
+  test("ratelimit: out-of-order timestamps cannot refill the bucket") {
+    val in = MemoryStream[RlInput]
+    // batch 1 exhausts window 1's budget (interval 1000, burst 2)
+    in.addData(RlInput("k", 1100, "a"), RlInput("k", 1200, "b"), RlInput("k", 1300, "c"))
+    val query = Stateful.rateLimit(in.toDS(), 1000, 2).writeStream
+      .queryName("rl_ooo").outputMode(OutputMode.Append).format("memory").start()
+    query.processAllAvailable()
+    // batch 2 regresses to window 0, then returns to window 1: neither the
+    // backwards move nor the return may reset the window-1 bucket
+    in.addData(RlInput("k", 100, "late"), RlInput("k", 1400, "d"))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("rl_ooo").as[RlOutput].collect().map(_.payload).toSet
+    assert(out == Set("a", "b")) // c over budget; late + d count against stored window
+  }
+
   test("dynstats maxCardinality and overflow") {
     val in = MemoryStream[DynInput]
     in.addData(
