@@ -120,11 +120,60 @@ object Dedup {
     * No driver-side graph ever materializes. Returns (doc, cluster) where
     * cluster = the smallest doc id reachable. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 16): DataFrame = {
+               maxIter: Int = 16, localThreshold: Long = 5000000L): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // materialize the (possibly expensive) pair computation exactly once —
+    // it is referenced twice below, and without this the whole upstream
+    // join DAG runs once per reference. cache+count, NOT localCheckpoint:
+    // checkpointing drops to the RDD and loses AQE's runtime join
+    // optimization of the upstream plan (measured 3.5× slower here).
+    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
+    // Scale-adaptive: a near-dup edge list is orders of magnitude smaller
+    // than the corpus (it's the LSH/verify survivors), so up to
+    // `localThreshold` edges a driver-side union-find (one collect, zero
+    // iterative jobs) beats scheduling log(d) join rounds — the same
+    // small-side-local tradeoff as a broadcast join. Past the threshold,
+    // fall through to the distributed pointer-doubling loop.
+    val nEdges = p.count()
+    if (nEdges <= localThreshold) {
+      val spark = pairs.sparkSession
+      val srcType = edges.schema("src").dataType
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression
+        var c = x
+        while (parent.getOrDefault(c, c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      val ord = implicitly[Ordering[String]]
+      def lessThan(a: Any, b: Any): Boolean = (a, b) match {
+        case (x: Long, y: Long) => x < y
+        case (x: Int, y: Int) => x < y
+        case (x, y) => ord.lt(x.toString, y.toString)
+      }
+      val nodes = new java.util.LinkedHashSet[Any]()
+      // one fetch job: row count is bounded by localThreshold
+      p.collect().foreach { row =>
+        val (x, y) = (row.get(0), row.get(1))
+        nodes.add(x); nodes.add(y)
+        val (a, b) = (find(x), find(y))
+        if (a != b) {
+          // min id becomes the representative (cluster = smallest reachable)
+          if (lessThan(a, b)) parent.put(b, a) else parent.put(a, b)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+      nodes.forEach { k => out += org.apache.spark.sql.Row(k, find(k)) }
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq, 1),
+        StructType(Seq(StructField("doc", srcType), StructField("cluster", srcType))))
+    }
     // localCheckpoint (not cache) each round: the iteration references
     // `labels` three times, so without lineage truncation the logical plan
     // doubles per round — exponential analysis cost long before any data

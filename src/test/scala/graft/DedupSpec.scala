@@ -48,11 +48,23 @@ class DedupSpec extends SparkSpec {
 
   test("pointer doubling converges on a chain longer than the round count") {
     // 40-node chain: diameter 40; one-hop propagation would need 40 rounds,
-    // pointer doubling needs ~log2(40)+2 ≈ 8 — well inside maxIter
+    // pointer doubling needs ~log2(40)+2 ≈ 8 — well inside maxIter.
+    // localThreshold=0 forces the distributed loop (the scale path).
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cl = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val cl = Dedup.clusters(pairs, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
     assert(cl.size == 41)
     assert(cl.values.toSet == Set(0L))
+  }
+
+  test("driver union-find path matches the distributed path") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (7L, 8L), (1L, 9L)).toDF("id_a", "id_b")
+    val local = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.clusters(pairs, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(5L) == 1L && local(3L) == 1L && local(9L) == 1L && local(1L) == 1L)
+    assert(local(7L) == 7L && local(8L) == 7L)
   }
 
   test("simhash banding catches small hamming distances") {
