@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.rainer
+import graft.functions.{device, rainer}
 import graft.operators._
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -652,6 +652,219 @@ object Queries {
         element_at(f, 3).as("f3"),
         element_at(f, 4).as("f4"),
         size(f).as("nf"))
+    }),
+
+    // §2.9 device-parser chain: pmciscoios → pmaixforwardedfrom →
+    // pmcisconames, first-parser-wins (runtime/parser.c:613-686)
+    "parse_cisco" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val cts = concat(
+        date_format(col("ts"), "MMM "),
+        lpad(date_format(col("ts"), "d"), 2, " "),
+        date_format(col("ts"), " HH:mm:ss"))
+      val body = when(col("event_id") % 3 === 0,
+          concat(col("event_id"), lit(": *"), cts, lit(": %SYS-"),
+            col("severity"), lit("-CONFIG_I: configured by u"), col("user_id")))
+        .when(col("event_id") % 3 === 1,
+          concat(lit("Message forwarded from host"), col("user_id"),
+            lit(": app n="), col("event_id")))
+        .otherwise(concat(cts, lit(" host"), col("user_id"),
+          lit(" : %ASA-6-302013: built conn n="), col("event_id")))
+      val withB = ev.withColumn("body", body)
+        .withColumn("p_ios", device.parseCiscoIos(col("body")))
+        .withColumn("p_aix", device.parseAixForwardedFrom(col("body")))
+        .withColumn("p_nam", device.parseCiscoNames(col("body")))
+      withB.select(
+        col("event_id"),
+        when(col("p_ios").isNotNull, "ios")
+          .when(col("p_aix").isNotNull, "aix")
+          .when(col("p_nam").isNotNull, "names")
+          .otherwise("none").as("parser"),
+        coalesce(col("p_aix.hostname"), col("p_nam.hostname")).as("hostname"),
+        coalesce(col("p_ios.severity"), col("p_nam.severity")).as("sev"),
+        coalesce(col("p_ios.text"), col("p_aix.text"), col("p_nam.text")).as("text"))
+    }),
+
+    // §2.9 mmleefparse — LEEF header + tab-delimited extension block
+    "parse_leef" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("raw", concat(
+          lit("LEEF:1.0|Vendor"), col("user_id") % 5, lit("|IDS|2.0|"),
+          col("event_id") % 100,
+          lit("|src=10.0.0."), col("user_id") % 256,
+          lit("\tdst=192.168.1."), col("event_id") % 256,
+          lit("\tsev="), col("event_id") % 8,
+          lit("\tact="), col("event_type")))
+      val p = device.parseLeef(col("raw"))
+      ev.select(
+        col("event_id"),
+        p.getField("vendor").as("vendor"),
+        p.getField("event_id").as("leef_event"),
+        element_at(p.getField("ext"), "src").as("src"),
+        element_at(p.getField("ext"), "dst").as("dst"),
+        element_at(p.getField("ext"), "sev").cast("int").as("sev"),
+        element_at(p.getField("ext"), "act").as("act"))
+    }),
+
+    // §2.9 pmsnare/mmsnareparse — tab-delimited Snare Windows event
+    "parse_snare" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("raw", concat_ws("\t",
+          lit("MSWinEventLog"), (col("event_id") % 5).cast("string"),
+          lit("Security"), col("event_id").cast("string"),
+          date_format(col("ts"), "EEE MMM dd HH:mm:ss yyyy"),
+          (lit(4624) + col("user_id") % 4).cast("string"),
+          lit("Microsoft-Windows-Security-Auditing"),
+          concat(lit("u"), col("user_id")), lit("N/A"), lit("Success Audit"),
+          concat(lit("host"), col("user_id")), lit("Logon"), lit(""),
+          concat(lit("An account was logged on n="), col("event_id"))))
+      val p = device.parseSnare(col("raw"))
+      ev.select(
+        col("event_id"),
+        p.getField("criticality").as("criticality"),
+        p.getField("win_event_id").as("win_event_id"),
+        p.getField("user").as("usr"),
+        p.getField("host").as("host"),
+        p.getField("message").as("message"))
+    }),
+
+    // §2.9 mmaudit — Linux audit header + k=v body into a map
+    "parse_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("epoch", expr("ts_ns div 1000000000"))
+        .withColumn("raw", concat(
+          lit("type="), when(col("event_id") % 2 === 0, "SYSCALL").otherwise("EXECVE"),
+          lit(" msg=audit("), col("epoch"), lit("."),
+          lpad((col("event_id") % 1000).cast("string"), 3, "0"),
+          lit(":"), col("event_id"), lit("): syscall="), col("event_id") % 300,
+          lit(" success="), when(col("user_id") % 2 === 0, "yes").otherwise("no"),
+          lit(" pid="), col("user_id")))
+      val p = device.parseAudit(col("raw"))
+      ev.select(
+        col("event_id"),
+        p.getField("audit_type").as("audit_type"),
+        p.getField("epoch").as("epoch"),
+        p.getField("serial").as("serial"),
+        element_at(p.getField("kv"), "syscall").cast("long").as("syscall"),
+        element_at(p.getField("kv"), "success").as("success"),
+        element_at(p.getField("kv"), "pid").cast("long").as("pid"))
+    }),
+
+    // §2.9 mmutf8fix — byte-level UTF-8 repair over a binary payload
+    "utf8fix" -> ((s, dir) => {
+      val doc = Tables.documents(s, dir)
+      // dirty1: valid 2-byte é then 0xFF (stray) + 0xC3 (truncated tail);
+      // dirty2: 0x80 stray continuation mid-string
+      val dirty1 = concat(encode(concat(col("text"), lit("é")), "UTF-8"),
+        lit(Array[Byte](0xFF.toByte, 0xC3.toByte)))
+      val dirty2 = concat(encode(col("text"), "UTF-8"),
+        lit(Array[Byte](0x80.toByte)), encode(lit("end"), "UTF-8"))
+      doc.select(
+        col("doc_id"),
+        device.utf8fix(dirty1).as("fixed"),
+        device.utf8fix(dirty2).as("fixed2"))
+    }),
+
+    // §2.9 mmrfc5424addhmac — keyed signature appended as an SD element
+    "hmac_sign" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("m", concat(lit("<165>1 - host"), col("user_id"),
+          lit(" app - - - payload "), col("event_id")))
+      ev.select(
+        col("event_id"),
+        device.hmacSha256Hex(col("m"), "graftkey").as("sig"),
+        device.addHmacSd(col("m"), "graftkey", "hmac@32473").as("signed"))
+    }),
+
+    // §2.9 pmlastmsg — "last message repeated n times" bodies take the
+    // previous real message per sender
+    "lastmsg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("m", when(col("event_id") % 4 === 3,
+            lit("last message repeated 2 times"))
+          .otherwise(concat(lit("real "), col("event_type"),
+            lit(" n="), col("event_id"))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      ev.select(
+        col("event_id"), col("user_id"), col("m").as("msg"),
+        coalesce(
+          last(when(!device.isLastMsgRepeated(col("m")), col("m")),
+            ignoreNulls = true).over(w),
+          col("m")).as("effective"))
+    }),
+
+    // §2.9 mmdblookup — GeoIP-style enrichment: broadcast range join of
+    // the IP integer against an exported range table (mmdb → ranges)
+    "geo_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val ranges = Seq(
+        (0L, 0x1FFFFFFFL, "apnic"),
+        (0x20000000L, 0x5FFFFFFFL, "ripe"),
+        (0x60000000L, 0x9FFFFFFFL, "arin"),
+        (0xA0000000L, 0xBFFFFFFFL, "lacnic"),
+        (0xD0000000L, 0xFFFFFFFFL, "afrinic")).toDF("lo", "hi", "geo")
+      val ev = Tables.events(s, dir)
+        .withColumn("ipn",
+          (col("user_id") * 7777777L + col("event_id") * 2654435761L) % 4294967296L)
+      ev.join(broadcast(ranges),
+          col("ipn") >= col("lo") && col("ipn") <= col("hi"), "left")
+        .withColumn("geo", coalesce(col("geo"), lit("unknown")))
+        .groupBy(col("geo"))
+        .agg(count(lit(1)).as("n"), min(col("ipn")).as("min_ipn"))
+    }),
+
+    // §2.9 mmgrok — grok pattern field extraction
+    "grok" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("m", concat(
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"),
+          lit(" INFO user u"), col("user_id"),
+          lit(" did "), col("event_type"),
+          lit(" from 10."), col("user_id") % 256, lit(".1."), col("event_id") % 256))
+      val g = Normalize.grok(col("m"),
+        "%{TIMESTAMP_ISO8601:gts} %{LOGLEVEL:lvl} user %{WORD:usr} did " +
+          "%{WORD:act} from %{IP:ip}")
+      ev.select(
+        col("event_id"),
+        g.getField("gts").as("gts"),
+        g.getField("lvl").as("lvl"),
+        g.getField("usr").as("usr"),
+        g.getField("act").as("act"),
+        g.getField("ip").as("ip"))
+    }),
+
+    // §2.9 mmtaghostname + mmsnmptrapd — tag/hostname/severity rewrite
+    "tag_rewrite" -> ((s, dir) => {
+      val sevWords = array(Seq("emerg", "alert", "critical", "error",
+        "warning", "notice", "info", "debug").map(lit): _*)
+      val ev = synthSyslog(s, dir)
+        .withColumn("tag", when(col("event_id") % 3 === 0, lit(""))
+          .when(col("event_id") % 3 === 1, lit("snmptrapd:"))
+          .otherwise(concat(col("event_type"), lit(":"))))
+        .withColumn("body", when(col("event_id") % 3 === 1,
+            concat(element_at(sevWords, (col("user_id") % 8).cast("int") + 1),
+              lit(" trap received")))
+          .otherwise(lit("normal body")))
+      val th = device.tagHostname(col("tag"), col("hostname"),
+        newTag = "graft-relay:", localHost = "graftnode", forceLocalHostname = true)
+      ev.select(
+        col("event_id"),
+        th.getField("tag").as("newtag"),
+        th.getField("hostname").as("newhost"),
+        device.snmptrapdRewrite(col("tag"), col("body"), col("severity"))
+          .as("newsev"))
+    }),
+
+    // IVF-Flat ANN: coarse-quantized cells + nprobe probing (the scale
+    // path next to ann_lsh; fully oracle-checked — the quantizer is
+    // deterministic)
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        nlist = 16, nprobe = 4)
     })
   )
 
@@ -1155,6 +1368,152 @@ object Queries {
         |    range(octet_length(encode(text)) // 1024 + 1),
         |    x -> x % 3 = 0)) AS blk)
         |) f
-        |WHERE doc_id % 3 = 2""".stripMargin
+        |WHERE doc_id % 3 = 2""".stripMargin,
+
+    // ------------------------- device parser / mm-module oracles ------------
+
+    "parse_cisco" -> (synthSql +
+      """ SELECT event_id,
+        |  CASE event_id % 3 WHEN 0 THEN 'ios' WHEN 1 THEN 'aix'
+        |    ELSE 'names' END AS parser,
+        |  CASE WHEN event_id % 3 = 0 THEN NULL
+        |    ELSE 'host' || user_id END AS hostname,
+        |  CASE event_id % 3 WHEN 0 THEN severity WHEN 2 THEN 6 END AS sev,
+        |  CASE event_id % 3
+        |    WHEN 0 THEN 'configured by u' || user_id
+        |    WHEN 1 THEN 'app n=' || event_id
+        |    ELSE 'built conn n=' || event_id END AS text
+        | FROM ev""".stripMargin),
+
+    "parse_leef" ->
+      """SELECT event_id,
+        |  'Vendor' || (user_id % 5) AS vendor,
+        |  CAST(event_id % 100 AS VARCHAR) AS leef_event,
+        |  '10.0.0.' || (user_id % 256) AS src,
+        |  '192.168.1.' || (event_id % 256) AS dst,
+        |  CAST(event_id % 8 AS INT) AS sev,
+        |  event_type AS act
+        |FROM events""".stripMargin,
+
+    "parse_snare" ->
+      """SELECT event_id,
+        |  CAST(event_id % 5 AS INT) AS criticality,
+        |  4624 + user_id % 4 AS win_event_id,
+        |  'u' || user_id AS usr,
+        |  'host' || user_id AS host,
+        |  'An account was logged on n=' || event_id AS message
+        |FROM events""".stripMargin,
+
+    "parse_audit" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 'SYSCALL' ELSE 'EXECVE' END
+        |    AS audit_type,
+        |  epoch_ns(ts) // 1000000000 AS epoch,
+        |  event_id AS serial,
+        |  event_id % 300 AS syscall,
+        |  CASE WHEN user_id % 2 = 0 THEN 'yes' ELSE 'no' END AS success,
+        |  user_id AS pid
+        |FROM events""".stripMargin,
+
+    "utf8fix" ->
+      """SELECT doc_id,
+        |  text || 'é  ' AS fixed,
+        |  text || ' end' AS fixed2
+        |FROM documents""".stripMargin,
+
+    "hmac_sign" -> {
+      val kp = "graftkey".getBytes("UTF-8").padTo(64, 0.toByte)
+      val ipad = new String(kp.map(b => (b ^ 0x36).toByte), "ISO-8859-1")
+      val opad = new String(kp.map(b => (b ^ 0x5c).toByte), "ISO-8859-1")
+      def sq(s: String) = s.replace("'", "''")
+      s"""WITH e AS (
+         |  SELECT event_id,
+         |    '<165>1 - host' || user_id || ' app - - - payload ' || event_id
+         |      AS m
+         |  FROM events)
+         |SELECT event_id,
+         |  sha256('${sq(opad)}' || sha256('${sq(ipad)}' || m)) AS sig,
+         |  m || ' [hmac@32473 h="' ||
+         |    sha256('${sq(opad)}' || sha256('${sq(ipad)}' || m)) || '"]'
+         |    AS signed
+         |FROM e""".stripMargin
+    },
+
+    "lastmsg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 4 = 3 THEN 'last message repeated 2 times'
+        |      ELSE 'real ' || event_type || ' n=' || event_id END AS m
+        |  FROM events)
+        |SELECT event_id, user_id, m AS msg,
+        |  coalesce(
+        |    last_value(CASE WHEN NOT starts_with(m, 'last message repeated ')
+        |        THEN m END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    m) AS effective
+        |FROM e""".stripMargin,
+
+    "geo_enrich" ->
+      """WITH e AS (
+        |  SELECT (user_id * 7777777 + event_id * 2654435761) % 4294967296 AS ipn
+        |  FROM events)
+        |SELECT CASE
+        |    WHEN ipn <= 536870911 THEN 'apnic'
+        |    WHEN ipn <= 1610612735 THEN 'ripe'
+        |    WHEN ipn <= 2684354559 THEN 'arin'
+        |    WHEN ipn <= 3221225471 THEN 'lacnic'
+        |    WHEN ipn >= 3489660928 THEN 'afrinic'
+        |    ELSE 'unknown' END AS geo,
+        |  count(*) AS n, min(ipn) AS min_ipn
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "grok" ->
+      """SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS gts,
+        |  'INFO' AS lvl,
+        |  'u' || user_id AS usr,
+        |  event_type AS act,
+        |  '10.' || (user_id % 256) || '.1.' || (event_id % 256) AS ip
+        |FROM events""".stripMargin,
+
+    "tag_rewrite" -> (synthSql +
+      """ SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 'graft-relay:'
+        |    WHEN event_id % 3 = 1 THEN 'snmptrapd:'
+        |    ELSE event_type || ':' END AS newtag,
+        |  'graftnode' AS newhost,
+        |  CAST(CASE WHEN event_id % 3 = 1 THEN user_id % 8
+        |    ELSE severity END AS INT) AS newsev
+        | FROM ev""".stripMargin),
+
+    "ann_ivf" ->
+      """WITH cb AS (
+        |  SELECT list(embedding ORDER BY vec_id) AS ce
+        |  FROM embeddings WHERE vec_id < 16),
+        |simd AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    list_transform(cb.ce, x -> list_cosine_similarity(e.embedding, x))
+        |      AS sims
+        |  FROM embeddings e, cb),
+        |assigned AS (
+        |  SELECT vec_id, embedding,
+        |    list_position(sims, list_max(sims)) - 1 AS cl
+        |  FROM simd),
+        |qp AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb,
+        |    unnest(list_transform(list_sort(list_transform(range(16),
+        |        i -> {'ns': -sims[i + 1], 'i': i})),
+        |      x -> x.i)[1:4]) AS probe
+        |  FROM simd WHERE vec_id < 8),
+        |cands AS (
+        |  SELECT qp.q_id, a.vec_id AS neighbor,
+        |    round(list_cosine_similarity(qp.q_emb, a.embedding), 4) AS sim
+        |  FROM assigned a JOIN qp ON a.cl = qp.probe AND a.vec_id <> qp.q_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk
+        |  FROM cands)
+        |SELECT q_id, rk, neighbor, sim FROM ranked WHERE rk <= 5""".stripMargin
   )
 }

@@ -1,0 +1,274 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Device-specific parser (pm*) and message-modification (mm*) operators
+  * from SURVEY §2.9 — each a pure Column combinator over Spark built-ins
+  * (codegen'd regexp/split/map ops), composed with `coalesce` for the
+  * reference's first-parser-wins chain semantics
+  * (runtime/parser.c:613-686).
+  */
+object device {
+
+  private def col2(e: Expression): Column =
+    org.apache.spark.sql.GraftBridge.column(e)
+  private implicit class RichCol(val c: Column) {
+    def expr: Expression = org.apache.spark.sql.GraftBridge.expression(c)
+  }
+
+  // ------------------------------------------------------------ pmciscoios
+  /** Cisco IOS body: `[seq: ][*|.]TIMESTAMP: %FAC-SEV-MNEMONIC: text`
+    * (reference: plugins/pmciscoios/pmciscoios.c:148-215 — sequence
+    * number, '*'/'.' clock-unsynced markers, %-tag). Null when the line
+    * is not IOS-shaped. */
+  private val iosRe =
+    "^(?:(\\d+): )?[*.]?((?:[A-Z][a-z]{2} +\\d+|\\d{4} [A-Z][a-z]{2} +\\d+) " +
+      "\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?: [A-Z]{1,4})?): " +
+      "%([A-Z0-9_]+)-(\\d)-([A-Z0-9_]+): (.*)$"
+
+  def parseCiscoIos(msg: Column): Column =
+    when(msg.rlike(iosRe), struct(
+      nullif(regexp_extract(msg, iosRe, 1), lit("")).cast(LongType).as("seqno"),
+      regexp_extract(msg, iosRe, 2).as("ts"),
+      regexp_extract(msg, iosRe, 3).as("msg_facility"),
+      regexp_extract(msg, iosRe, 4).cast(IntegerType).as("severity"),
+      regexp_extract(msg, iosRe, 5).as("mnemonic"),
+      regexp_extract(msg, iosRe, 6).as("text")))
+
+  // --------------------------------------------------- pmaixforwardedfrom
+  /** AIX `Message forwarded from <host>: <msg>` unmangling (reference:
+    * contrib/pmaixforwardedfrom/pmaixforwardedfrom.c:69 OpeningText). */
+  private val aixRe = "^Message forwarded from ([^:]+): (.*)$"
+
+  def parseAixForwardedFrom(msg: Column): Column =
+    when(msg.rlike(aixRe), struct(
+      regexp_extract(msg, aixRe, 1).as("hostname"),
+      regexp_extract(msg, aixRe, 2).as("text")))
+
+  // --------------------------------------------------------- pmcisconames
+  /** `TIMESTAMP <name> : %TAG-SEV-MNEMONIC: text` — devices that put the
+    * name between timestamp and tag with a ` : ` separator (reference:
+    * contrib/pmcisconames/pmcisconames.c:69 `": %"` scan). */
+  private val namesRe =
+    "^([A-Z][a-z]{2} +\\d+ \\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?) (\\S+) : " +
+      "%([A-Z0-9_]+)-(\\d)-([A-Z0-9_]+): (.*)$"
+
+  def parseCiscoNames(msg: Column): Column =
+    when(msg.rlike(namesRe), struct(
+      regexp_extract(msg, namesRe, 2).as("hostname"),
+      regexp_extract(msg, namesRe, 3).as("msg_facility"),
+      regexp_extract(msg, namesRe, 4).cast(IntegerType).as("severity"),
+      regexp_extract(msg, namesRe, 5).as("mnemonic"),
+      regexp_extract(msg, namesRe, 6).as("text")))
+
+  // ---------------------------------------------------------- mmleefparse
+  /** LEEF event: `LEEF:ver|vendor|product|pversion|eventID|k=v<delim>k=v…`
+    * (reference: plugins/mmleefparse/mmleefparse.c:238-295 header walk,
+    * default delimiter TAB, `LEEF:` cookie at :110). Extension block
+    * exposed as MAP<STRING,STRING>. */
+  def parseLeef(raw: Column, delim: String = "\t"): Column = {
+    val body = regexp_replace(raw, "^LEEF:", "")
+    val seg = split(body, "\\|", 6)
+    when(raw.startsWith("LEEF:") && size(seg) >= 5, struct(
+      element_at(seg, 1).as("version"),
+      element_at(seg, 2).as("vendor"),
+      element_at(seg, 3).as("product"),
+      element_at(seg, 4).as("product_version"),
+      element_at(seg, 5).as("event_id"),
+      str_to_map(coalesce(element_at(seg, 6), lit("")),
+        lit(java.util.regex.Pattern.quote(delim)), lit("=")).as("ext")))
+  }
+
+  // --------------------------------------------------- pmsnare/mmsnareparse
+  /** Snare-agent Windows event (tab-delimited): cookie MSWinEventLog,
+    * criticality, log source, counter, submit time, windows event id,
+    * provider, user, SID type, event-log type, host, category, expanded
+    * info, message (reference: contrib/pmsnare, plugins/mmsnareparse
+    * field tables). */
+  def parseSnare(raw: Column): Column = {
+    val f = split(raw, "\t")
+    when(element_at(f, 1) === "MSWinEventLog" && size(f) >= 14, struct(
+      element_at(f, 2).cast(IntegerType).as("criticality"),
+      element_at(f, 3).as("log_source"),
+      element_at(f, 4).cast(LongType).as("counter"),
+      element_at(f, 5).as("submit_time"),
+      element_at(f, 6).cast(LongType).as("win_event_id"),
+      element_at(f, 7).as("provider"),
+      element_at(f, 8).as("user"),
+      element_at(f, 9).as("sid_type"),
+      element_at(f, 10).as("log_type"),
+      element_at(f, 11).as("host"),
+      element_at(f, 12).as("category"),
+      element_at(f, 14).as("message")))
+  }
+
+  // -------------------------------------------------------------- mmaudit
+  /** Linux audit record: `type=<T> msg=audit(<sec>.<ms>:<serial>): k=v …`
+    * (reference: plugins/mmaudit/mmaudit.c:216-244 header check, k=v body
+    * via parseName/parseValue). Body exposed as MAP<STRING,STRING>. */
+  private val auditHdr = "^type=(\\S+) msg=audit\\((\\d+)\\.(\\d+):(\\d+)\\): (.*)$"
+
+  def parseAudit(msg: Column): Column =
+    when(msg.rlike(auditHdr), struct(
+      regexp_extract(msg, auditHdr, 1).as("audit_type"),
+      regexp_extract(msg, auditHdr, 2).cast(LongType).as("epoch"),
+      regexp_extract(msg, auditHdr, 4).cast(LongType).as("serial"),
+      str_to_map(regexp_extract(msg, auditHdr, 5), lit(" "), lit("=")).as("kv")))
+
+  // ------------------------------------------------------------ mmutf8fix
+  /** Repair invalid UTF-8 in a binary payload: every byte of an invalid
+    * sequence (stray continuation, overlong form, surrogate, >U+10FFFF,
+    * truncated tail) is replaced with `repl` (reference:
+    * plugins/mmutf8fix/mmutf8fix.c fixUTF8 kernel, default ' '). */
+  def utf8fix(bin: Column, repl: Char = ' '): Column =
+    col2(Utf8FixExpr(bin.expr, repl.toByte))
+
+  // ---------------------------------------------------- mmrfc5424addhmac
+  /** Keyed message signature (reference: contrib/mmrfc5424addhmac — HMAC
+    * of the raw message appended as an SD element). Hex-domain HMAC:
+    * standard two-pass keyed construction sha256(opad ‖ hex(sha256(ipad ‖
+    * msg))) with the inner digest hex-encoded so the whole chain stays in
+    * string space (byte-exact RFC 2104 would need binary sha2 in the
+    * oracle engine; the security structure is identical). Pads derive
+    * from the zero-padded key XOR 0x36/0x5c as usual. */
+  def hmacSha256Hex(msg: Column, key: String): Column = {
+    val kp = key.getBytes("UTF-8").padTo(64, 0.toByte)
+    require(key.getBytes("UTF-8").length <= 64, "key must be <= 64 bytes")
+    val ipad = new String(kp.map(b => (b ^ 0x36).toByte), "ISO-8859-1")
+    val opad = new String(kp.map(b => (b ^ 0x5c).toByte), "ISO-8859-1")
+    sha2(concat(lit(opad), sha2(concat(lit(ipad), msg), 256)), 256)
+  }
+
+  /** Append the signature SD element `[sdid h="<sig>"]` to a message —
+    * the shape mmrfc5424addhmac writes into STRUCTURED-DATA. */
+  def addHmacSd(msg: Column, key: String, sdid: String): Column =
+    concat(msg, lit(" ["), lit(sdid), lit(" h=\""),
+      hmacSha256Hex(msg, key), lit("\"]"))
+
+  // ------------------------------------------------------------ pmlastmsg
+  /** Marker for `last message repeated n times` bodies (reference:
+    * plugins/pmlastmsg/pmlastmsg.c:75 OpeningText). */
+  def isLastMsgRepeated(msg: Column): Column =
+    msg.startsWith("last message repeated ")
+
+  // -------------------------------------------------------- mmtaghostname
+  /** Tag messages from tag-less inputs and optionally force the local
+    * hostname (reference: contrib/mmtaghostname/mmtaghostname.c:67-68
+    * `tag`, `forcelocalhostname`). */
+  def tagHostname(tag: Column, hostname: Column, newTag: String,
+                  localHost: String, forceLocalHostname: Boolean): Column = {
+    val t = coalesce(nullif(tag, lit("")), lit(newTag)).as("tag")
+    val h = if (forceLocalHostname) lit(localHost).as("hostname")
+            else hostname.as("hostname")
+    struct(t, h)
+  }
+
+  // --------------------------------------------------------- mmsnmptrapd
+  /** Rewrite severity/facility for snmptrapd-originated messages: when
+    * the tag matches, the severity *word* leading the body is mapped to
+    * its numerical code (reference: plugins/mmsnmptrapd/mmsnmptrapd.c:
+    * 80-81 tag trigger + severity mapping table). */
+  def snmptrapdRewrite(tag: Column, msg: Column, severity: Column,
+                       trigger: String = "snmptrapd:",
+                       mapping: Seq[(String, Int)] = Seq(
+                         "emerg" -> 0, "alert" -> 1, "critical" -> 2,
+                         "error" -> 3, "warning" -> 4, "notice" -> 5,
+                         "info" -> 6, "debug" -> 7)): Column = {
+    val word = regexp_extract(msg, "^(\\w+)", 1)
+    val mapped = mapping.foldLeft(lit(null).cast(IntegerType): Column) {
+      case (acc, (w, code)) => when(word === w, lit(code)).otherwise(acc)
+    }
+    when(tag === trigger, coalesce(mapped, severity)).otherwise(severity)
+  }
+
+  // ------------------------------------------------------------ pmdb2diag
+  /** DB2 diagnostic log first line: `<ts> <recid> LEVEL: <level> PID :
+    * <pid> …` (reference: contrib/pmdb2diag — level/pid/tid extraction
+    * at fixed offsets after the timestamp). */
+  private val db2Re =
+    "^(\\S+) (\\S+) +LEVEL: (\\w+) +PID +: +(\\d+) +TID +: +(\\d+) +PROC : (.*)$"
+
+  def parseDb2Diag(msg: Column): Column =
+    when(msg.rlike(db2Re), struct(
+      regexp_extract(msg, db2Re, 1).as("ts"),
+      regexp_extract(msg, db2Re, 3).as("level"),
+      regexp_extract(msg, db2Re, 4).cast(LongType).as("pid"),
+      regexp_extract(msg, db2Re, 5).cast(LongType).as("tid"),
+      regexp_extract(msg, db2Re, 6).as("proc")))
+
+  // ------------------------------------------------------------ pmpanngfw
+  /** Palo Alto NGFW CSV body: `1,<recv time>,<serial>,<type>,<subtype>,…`
+    * (reference: contrib/pmpanngfw/pmpanngfw.c — comma-separated after
+    * the FUTURE_USE leading field). */
+  def parsePanNgfw(msg: Column): Column = {
+    val f = split(msg, ",")
+    when(element_at(f, 1) === "1" && size(f) >= 6, struct(
+      element_at(f, 2).as("recv_time"),
+      element_at(f, 3).as("serial"),
+      element_at(f, 4).as("pan_type"),
+      element_at(f, 5).as("subtype"),
+      element_at(f, 6).as("rest")))
+  }
+}
+
+/** Byte-level UTF-8 repair (mmutf8fix kernel): validates sequences the
+  * same way the reference does (overlong forms, UTF-16 surrogates,
+  * codepoints > U+10FFFF, stray continuation bytes, truncated tails) and
+  * overwrites every byte of an invalid sequence with `repl`.
+  * Reference: plugins/mmutf8fix/mmutf8fix.c (MODE_UTF8 path).
+  */
+case class Utf8FixExpr(child: Expression, repl: Byte)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "utf8fix"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Utf8FixExpr.kernel(input.asInstanceOf[Array[Byte]], repl)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Utf8FixExpr$$.MODULE$$.kernel($c, (byte) $repl);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object Utf8FixExpr {
+  def kernel(in: Array[Byte], repl: Byte): UTF8String = {
+    val out = in.clone()
+    val n = out.length
+    var i = 0
+    while (i < n) {
+      val c = out(i) & 0xff
+      if ((c & 0x80) == 0) { i += 1 } // ASCII
+      else if (c >= 0xc0 && c <= 0xf7) {
+        val seqLen = if (c < 0xe0) 2 else if (c < 0xf0) 3 else 4
+        var cp = c & (0x3f >> (seqLen - 1))
+        var j = i + 1
+        var ok = true
+        while (ok && j < i + seqLen) {
+          if (j >= n || (out(j) & 0xc0) != 0x80) ok = false
+          else { cp = (cp << 6) | (out(j) & 0x3f); j += 1 }
+        }
+        val overlong = ok && ((seqLen == 2 && cp < 0x80) ||
+          (seqLen == 3 && cp < 0x800) || (seqLen == 4 && cp < 0x10000))
+        val badCp = ok && ((cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF)
+        if (ok && !overlong && !badCp) i += seqLen
+        else {
+          // invalidate all bytes consumed so far in this sequence
+          var k = i
+          while (k < j) { out(k) = repl; k += 1 }
+          i = j
+        }
+      } else { out(i) = repl; i += 1 } // stray continuation / 5-6 byte start
+    }
+    UTF8String.fromBytes(out)
+  }
+}

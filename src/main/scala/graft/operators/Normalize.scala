@@ -65,4 +65,53 @@ object Normalize {
     * runtime/parser.c:613-686). */
   def normalize(msg: Column, rules: Seq[String]): Column =
     coalesce(rules.map(r => extract(msg, r)) :+ lit("{}"): _*)
+
+  // ------------------------------------------------------------- mmgrok
+  /** Grok base-pattern table (the usual logstash names; reference:
+    * contrib/mmgrok/mmgrok.c compiles patterns via libgrok). */
+  val grokPatterns: Map[String, String] = Map(
+    "WORD" -> "\\w+",
+    "NOTSPACE" -> "\\S+",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "NUMBER" -> "(?:\\d+(?:\\.\\d+)?)",
+    "INT" -> "[+-]?\\d+",
+    "IP" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "TIMESTAMP_ISO8601" ->
+      "\\d{4}-\\d{2}-\\d{2}[T ]?\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:?\\d{2})?",
+    "LOGLEVEL" -> "(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+    "HOSTNAME" -> "[A-Za-z0-9][A-Za-z0-9._-]*")
+
+  /** Compile a grok expression `lit %{TYPE:name} lit …` into one regex +
+    * named capture list — same shape as the liblognorm rule compiler
+    * above, so the extraction path is shared. */
+  def compileGrok(pattern: String): CompiledRule = {
+    val sb = new StringBuilder("^")
+    val fields = scala.collection.mutable.ArrayBuffer.empty[Field]
+    val m = java.util.regex.Pattern.compile("%\\{(\\w+)(?::(\\w+))?\\}").matcher(pattern)
+    var last = 0
+    while (m.find()) {
+      sb.append(java.util.regex.Pattern.quote(pattern.substring(last, m.start())))
+      val typ = m.group(1)
+      val re = grokPatterns.getOrElse(typ,
+        throw new IllegalArgumentException(s"unknown grok pattern %{$typ}"))
+      Option(m.group(2)) match {
+        case Some(name) => fields += Field(name, typ); sb.append(s"($re)")
+        case None => sb.append(s"(?:$re)")
+      }
+      last = m.end()
+    }
+    sb.append(java.util.regex.Pattern.quote(pattern.substring(last))).append("$")
+    CompiledRule(sb.toString.replace("\\Q\\E", ""), fields.toSeq)
+  }
+
+  /** mmgrok: extract grok fields as named struct columns (null struct
+    * when the pattern doesn't match). */
+  def grok(msg: Column, pattern: String): Column = {
+    val cr = compileGrok(pattern)
+    when(msg.rlike(cr.regex),
+      struct(cr.fields.zipWithIndex.map { case (f, idx) =>
+        regexp_extract(msg, cr.regex, idx + 1).as(f.name)
+      }: _*))
+  }
 }

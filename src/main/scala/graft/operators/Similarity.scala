@@ -88,6 +88,55 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("c.vec_id").as("neighbor"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into nlist cells; each query probes only its nprobe nearest cells.
+    * At 100 TB the corpus is scanned ONCE to assign cells (embarrassingly
+    * parallel), the probe join touches nprobe/nlist of the data, and no
+    * cross product ever materializes — the classic IVF-Flat layout, with
+    * the cell id as the natural partitioning/bucketing key.
+    *
+    * The quantizer here takes the first nlist corpus vectors as centroids
+    * (deterministic stand-in for k-means — at scale, train on a sample
+    * and broadcast the codebook; the assignment/probe machinery is
+    * identical). Cell assignment = argmax cosine, first-max-wins.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // codebook: tiny (nlist × dim) — collect + embed as literals, so the
+    // assignment is one codegen'd projection, no join
+    val cents = corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.length == nlist, s"expected $nlist centroids, got ${cents.length}")
+    def sims(emb: Column): Column =
+      array(cents.map { case (_, ce) =>
+        cosine(emb, array(ce.map(lit): _*)) }: _*)
+    def cell(emb: Column): Column = {
+      val s = sims(emb)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }
+    val assigned = corpus.withColumn("cl", cell(col("embedding")))
+    // per query: the nprobe cells with highest centroid similarity
+    // (sort by (-sim, cid) — deterministic first-max-wins ordering)
+    val qprobes = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("s", sims(col("q_emb")))
+      .withColumn("probes", slice(transform(
+        array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+          i => struct((-element_at(col("s"), i + 1)).as("ns"), i.as("i")))),
+        x => x.getField("i")), 1, nprobe))
+      .select(col("q_id"), col("q_emb"), explode(col("probes")).as("probe"))
+    val cands = assigned.as("c").join(broadcast(qprobes),
+        col("cl") === col("probe") && col("c.vec_id") =!= col("q_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c.embedding")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c.vec_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c.vec_id").as("neighbor"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * key (label), ids ascending — the embedding-cosine near-dup operator.
     */

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{device, Utf8FixExpr}
+import graft.operators.Normalize
+
+class DeviceParsersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(c: org.apache.spark.sql.Column) =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0)
+
+  test("pmciscoios: seq, unsynced marker, %tag") {
+    val r = row(device.parseCiscoIos(
+      lit("123: *Mar  1 18:48:50.483 UTC: %SYS-5-CONFIG_I: Configured from console"))
+    ).getStruct(0)
+    assert(r.getAs[Long]("seqno") == 123L)
+    assert(r.getAs[String]("msg_facility") == "SYS")
+    assert(r.getAs[Int]("severity") == 5)
+    assert(r.getAs[String]("mnemonic") == "CONFIG_I")
+    assert(r.getAs[String]("text") == "Configured from console")
+    // no seq, no marker
+    val r2 = row(device.parseCiscoIos(
+      lit("Mar  1 18:48:50: %LINK-3-UPDOWN: Interface up"))).getStruct(0)
+    assert(r2.getAs[Long]("seqno") == null.asInstanceOf[Long] || r2.isNullAt(r2.fieldIndex("seqno")))
+    assert(r2.getAs[Int]("severity") == 3)
+    // non-IOS → null struct
+    assert(row(device.parseCiscoIos(lit("plain text"))).isNullAt(0))
+  }
+
+  test("pmaixforwardedfrom strips the AIX prefix") {
+    val r = row(device.parseAixForwardedFrom(
+      lit("Message forwarded from aixhost: real payload"))).getStruct(0)
+    assert(r.getAs[String]("hostname") == "aixhost")
+    assert(r.getAs[String]("text") == "real payload")
+  }
+
+  test("pmcisconames: name between timestamp and %tag") {
+    val r = row(device.parseCiscoNames(
+      lit("Mar  1 18:48:50 fw01 : %ASA-6-302013: Built outbound TCP"))).getStruct(0)
+    assert(r.getAs[String]("hostname") == "fw01")
+    assert(r.getAs[Int]("severity") == 6)
+    assert(r.getAs[String]("text") == "Built outbound TCP")
+  }
+
+  test("mmleefparse: header + tab extension") {
+    val r = row(device.parseLeef(
+      lit("LEEF:2.0|IBM|QRadar|9.1|12|src=10.0.0.1\tdst=2.1.2.2\tspt=1234")))
+      .getStruct(0)
+    assert(r.getAs[String]("version") == "2.0")
+    assert(r.getAs[String]("vendor") == "IBM")
+    assert(r.getAs[String]("event_id") == "12")
+    val ext = r.getAs[Map[String, String]]("ext")
+    assert(ext("src") == "10.0.0.1" && ext("spt") == "1234")
+    assert(row(device.parseLeef(lit("CEF:0|x|y"))).isNullAt(0))
+  }
+
+  test("mmaudit: header + k=v map") {
+    val r = row(device.parseAudit(
+      lit("type=SYSCALL msg=audit(1718000000.123:456): arch=c000003e syscall=59 success=yes")))
+      .getStruct(0)
+    assert(r.getAs[String]("audit_type") == "SYSCALL")
+    assert(r.getAs[Long]("epoch") == 1718000000L)
+    assert(r.getAs[Long]("serial") == 456L)
+    assert(r.getAs[Map[String, String]]("kv")("syscall") == "59")
+  }
+
+  test("mmutf8fix kernel: reference semantics per byte class") {
+    def fix(bytes: Array[Byte]): String =
+      Utf8FixExpr.kernel(bytes, ' '.toByte).toString
+    // valid ASCII + valid 2-byte stays
+    assert(fix("aé".getBytes("UTF-8")) == "aé")
+    // stray continuation byte
+    assert(fix(Array('a'.toByte, 0x80.toByte, 'b'.toByte)) == "a b")
+    // truncated 2-byte at end
+    assert(fix(Array('a'.toByte, 0xC3.toByte)) == "a ")
+    // 5-byte lead (forbidden)
+    assert(fix(Array(0xF9.toByte, 'x'.toByte)) == " x")
+    // overlong encoding of '/' (C0 AF) → both bytes replaced
+    assert(fix(Array(0xC0.toByte, 0xAF.toByte)) == "  ")
+    // UTF-16 surrogate D800 (ED A0 80) → three bytes replaced
+    assert(fix(Array(0xED.toByte, 0xA0.toByte, 0x80.toByte)) == "   ")
+    // invalid continuation mid-sequence: lead replaced, tail re-examined
+    assert(fix(Array(0xE2.toByte, 0x28.toByte, 0xA1.toByte)) == " ( ")
+    // 4-byte valid (U+1F600) passes
+    assert(fix(Array(0xF0.toByte, 0x9F.toByte, 0x98.toByte, 0x80.toByte)) == "😀")
+  }
+
+  test("hex-domain hmac is keyed and deterministic") {
+    val a = row(device.hmacSha256Hex(lit("hello"), "graftkey")).getString(0)
+    val b = row(device.hmacSha256Hex(lit("hello"), "graftkey")).getString(0)
+    val c = row(device.hmacSha256Hex(lit("hello"), "otherkey")).getString(0)
+    val d = row(device.hmacSha256Hex(lit("hellp"), "graftkey")).getString(0)
+    assert(a == b && a != c && a != d && a.length == 64)
+    val sd = row(device.addHmacSd(lit("m1"), "graftkey", "hmac@1")).getString(0)
+    assert(sd.startsWith("m1 [hmac@1 h=\"") && sd.endsWith("\"]"))
+  }
+
+  test("mmsnmptrapd severity word rewrite only fires on the trigger tag") {
+    def sev(tag: String, msg: String) =
+      row(device.snmptrapdRewrite(lit(tag), lit(msg), lit(6))).getInt(0)
+    assert(sev("snmptrapd:", "warning trap text") == 4)
+    assert(sev("snmptrapd:", "unknownword trap") == 6) // unmapped → keep
+    assert(sev("other:", "warning trap text") == 6)    // wrong tag → keep
+  }
+
+  test("grok compiles and extracts named fields") {
+    val g = Normalize.grok(
+      lit("2024-06-01 10:00:00 ERROR user u7 did purchase from 10.1.2.3"),
+      "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} user %{WORD:u} did %{WORD:act} from %{IP:ip}")
+    val r = row(g).getStruct(0)
+    assert(r.getAs[String]("lvl") == "ERROR")
+    assert(r.getAs[String]("u") == "u7")
+    assert(r.getAs[String]("ip") == "10.1.2.3")
+    // unnamed pattern groups are non-capturing
+    val g2 = Normalize.grok(lit("x 42"), "%{WORD} %{INT:n}")
+    assert(row(g2).getStruct(0).getAs[String]("n") == "42")
+  }
+
+  test("pmdb2diag and pmpanngfw field extraction") {
+    val r = row(device.parseDb2Diag(lit(
+      "2024-01-01-12.00.00.123456+000 I12345A678 LEVEL: Error PID : 1234 TID : 5678 PROC : db2sysc"
+    ))).getStruct(0)
+    assert(r.getAs[String]("level") == "Error")
+    assert(r.getAs[Long]("pid") == 1234L)
+    assert(r.getAs[String]("proc") == "db2sysc")
+    val p = row(device.parsePanNgfw(lit(
+      "1,2024/01/01 12:00:00,0011223344,TRAFFIC,end,rest of fields"))).getStruct(0)
+    assert(p.getAs[String]("pan_type") == "TRAFFIC")
+    assert(p.getAs[String]("subtype") == "end")
+  }
+}

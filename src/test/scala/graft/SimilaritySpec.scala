@@ -31,6 +31,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"recall $recall too low; lsh=${lsh.size} pairs")
   }
 
+  test("IVF with full probing equals brute force; partial probing recalls") {
+    val q = corpus.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .select("q_id", "rk", "neighbor").as[(Long, Int, Long)].collect().toSet
+    // nprobe == nlist probes every cell → identical to brute force
+    val full = Similarity.ivfTopK(corpus, q, k = 5, nlist = 8, nprobe = 8)
+      .select("q_id", "rk", "neighbor").as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+    // partial probing: recall must stay useful
+    val part = Similarity.ivfTopK(corpus, q, k = 5, nlist = 8, nprobe = 3)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(t => (t._1, t._3))
+    val recall = exactPairs.intersect(part).size.toDouble / exactPairs.size
+    assert(recall > 0.3, s"ivf recall $recall too low")
+  }
+
   test("brute force top-k is deterministic, self-excluded, ordered") {
     val q = corpus.filter(col("vec_id") === 0)
     val rows = Similarity.bruteForceTopK(corpus, q, k = 10)
