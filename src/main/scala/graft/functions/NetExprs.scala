@@ -1,17 +1,20 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import java.net.InetAddress
 
 /** CIDR membership test — rsyslog `is_in_subnet(ip, "10.0.0.0/8")`
   * (reference: grammar/rainerscript.c:3514). Supports IPv4 and IPv6;
-  * malformed input → false (mirrors rsyslog's 0-on-error).
+  * malformed input → false (mirrors rsyslog's 0-on-error). Generates
+  * inline code (a CodegenFallback here would break whole-stage codegen
+  * for every projection it appears in).
   */
 case class IsInSubnetExpr(ip: Expression, cidr: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = ip
   override def right: Expression = cidr
   override def dataType: DataType = BooleanType
@@ -23,6 +26,21 @@ case class IsInSubnetExpr(ip: Expression, cidr: Expression)
     val cEv = cidr.eval(input)
     if (ipEv == null || cEv == null) return false
     IsInSubnetExpr.check(ipEv.toString, cEv.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ip.genCode(ctx)
+    val r = cidr.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.value} = false;
+        if (!(${l.isNull}) && !(${r.isNull})) {
+          ${ev.value} = graft.functions.IsInSubnetExpr$$.MODULE$$.check(
+            ${l.value}.toString(), ${r.value}.toString());
+        }""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

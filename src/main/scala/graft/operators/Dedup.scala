@@ -26,16 +26,13 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
-  /** Word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => when(i + n <= size(toks),
-            concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
-        s => s.isNotNull))
-  }
+  /** Word n-gram shingles of a text column — native one-pass expression
+    * (see ShinglesExpr: the equivalent transform/element_at HOF chain is
+    * interpreted and re-evaluated per reference, ~9× slower here). */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
 
   /** k MinHash signatures over the shingle set — single-pass custom
     * expression (each shingle hashed once, k permutations derived by
@@ -45,10 +42,28 @@ object Dedup {
       graft.functions.MinHashSignatureExpr(
         org.apache.spark.sql.GraftBridge.expression(sh), k))
 
+  /** Ordered within-bucket pair emission: group members by bucket, sort,
+    * and emit every (a, b) with a < b via a nested transform. ONE shuffle
+    * (the groupBy) where a bucket self-join costs two exchanges plus the
+    * join build; the pair fan-out (Σ m²/2 per bucket) is identical — it is
+    * inherent to candidate generation, not to the physical plan. Member
+    * structs carry per-doc payloads (signatures, set sizes) so downstream
+    * needs no joins back to the corpus. */
+  private def bucketPairs(df: DataFrame, bucketCols: Seq[Column],
+                          member: Column): DataFrame =
+    df.groupBy(bucketCols: _*)
+      .agg(sort_array(collect_list(member)).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        transform(
+          slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+
   /** MinHash-LSH candidate pairs: b bands of r rows (k = b*r). Docs
     * sharing any band bucket become candidates; estimated Jaccard =
     * matching-minhash fraction. Returns (id_a, id_b, est_jaccard) with
-    * id_a < id_b. Only band-key groupBys shuffle; no all-pairs stage.
+    * id_a < id_b. Two shuffles total (band-bucket groupBy + pair dedupe);
+    * no all-pairs stage, no self-join, no cache.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rows: Int = 4,
@@ -68,27 +83,21 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      // self-joined below: without caching, the signature computation (the
-      // expensive stage) would run twice — at scale this is the table
-      // you'd persist/bucket by (band, bucket)
-      .cache()
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-    pairs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          e => e)).cast("double") / k)
+    // est_jaccard is computed at emission (both sigs in hand); the pair
+    // groupBy then dedupes docs that collide in several bands
+    bucketPairs(banded, Seq(col("band"), col("bucket")),
+        struct(col("doc"), col("sig")))
+      .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"),
+        (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => x === y),
+          e => e)).cast("double") / k).as("est"))
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("est")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit simhash per doc, 4×16-bit bands for
-    * blocking, Hamming ≤ maxHamming verification. */
+    * blocking, Hamming ≤ maxHamming verification. Same two-shuffle
+    * bucket-pairs layout as MinHash-LSH. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val withH = df
@@ -99,17 +108,12 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .cache() // self-joined below; avoid recomputing simhash twice
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
-        col("a.h").as("ha"), col("b.h").as("hb"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    bucketPairs(banded, Seq(col("band"), col("bucket")),
+        struct(col("doc"), col("h")))
+      .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"),
+        bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))).as("hamming"))
+      .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Dedup cluster formation: connected components over a near-dup pair
@@ -216,20 +220,20 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         minJaccard: Double = 0.8): DataFrame = {
+    // each shingle row carries the owner's set size, so |A∪B| is known the
+    // moment an intersection count exists — no sizes join, no cache, and
+    // exactly two shuffles: the shingle groupBy and the pair groupBy
     val sh = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"), col(blockCol).as("blk"),
-        explode(shingles(col(textCol), n)).as("s"))
-      .cache() // used three ways below (sizes + both join sides)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
-        col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+        shingles(col(textCol), n).as("sharr"))
+      .select(col("doc"), col("blk"), size(col("sharr")).as("sz"),
+        explode(col("sharr")).as("s"))
+    bucketPairs(sh, Seq(col("blk"), col("s")),
+        struct(col("doc"), col("sz")))
+      .groupBy(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"),
+        col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 4))
