@@ -127,6 +127,72 @@ object Stateful {
       }
   }
 
+  // ------------------------------------------------------- repeated-msg squash
+
+  case class RrInput(key: String, seq: Long, msg: String)
+  case class RrState(lastMsg: String, suppressed: Long)
+  case class RrOutput(key: String, seq: Long, msg: String, synthetic: Boolean)
+
+  /** Streaming "last message repeated n times" reduction
+    * (runtime/action.c:172 RepeatedMsgReduction): the first occurrence
+    * passes, consecutive identical messages per key are suppressed; when a
+    * different message arrives, a synthetic repeat-mark is emitted first.
+    * State (last message + suppressed count) survives micro-batch
+    * boundaries, so a run spanning triggers still collapses. */
+  def repeatedMsgSquash(ds: Dataset[RrInput]): Dataset[RrOutput] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[RrState, RrOutput](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[RrState]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[RrOutput]
+          rows.toSeq.sortBy(_.seq).foreach { r =>
+            if (st == null) {
+              out += RrOutput(key, r.seq, r.msg, synthetic = false)
+              st = RrState(r.msg, 0)
+            } else if (r.msg == st.lastMsg) {
+              st = st.copy(suppressed = st.suppressed + 1)
+            } else {
+              if (st.suppressed > 0)
+                out += RrOutput(key, r.seq,
+                  s"last message repeated ${st.suppressed} times", synthetic = true)
+              out += RrOutput(key, r.seq, r.msg, synthetic = false)
+              st = RrState(r.msg, 0)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  // ------------------------------------------------------------- sender track
+
+  case class StInput(sender: String, tsMillis: Long, bytes: Long)
+  case class StState(firstSeen: Long, lastSeen: Long, n: Long, bytes: Long)
+  case class StSnapshot(sender: String, first_seen: Long, last_seen: Long,
+                        n_msgs: Long, n_bytes: Long)
+
+  /** omsendertrack per-sender statistics (plugins/omsendertrack): running
+    * first/last-seen + message/byte counters per sender, snapshot emitted
+    * every trigger (the reference writes periodic JSON snapshots). */
+  def senderTrack(ds: Dataset[StInput]): Dataset[StSnapshot] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.sender)
+      .flatMapGroupsWithState[StState, StSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (sender, rows, state: GroupState[StState]) =>
+          var st = state.getOption.getOrElse(
+            StState(Long.MaxValue, Long.MinValue, 0, 0))
+          rows.foreach { r =>
+            st = StState(math.min(st.firstSeen, r.tsMillis),
+              math.max(st.lastSeen, r.tsMillis), st.n + 1, st.bytes + r.bytes)
+          }
+          state.update(st)
+          Iterator.single(StSnapshot(sender, st.firstSeen, st.lastSeen, st.n, st.bytes))
+      }
+  }
+
   // ---------------------------------------------------------------- multiline
 
   case class MlInput(key: String, seq: Long, line: String)

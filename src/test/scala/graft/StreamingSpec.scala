@@ -155,4 +155,64 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(seqs.toSeq == (0L until n.toLong))
   }
+
+  test("repeated-msg squash collapses runs across micro-batches") {
+    val in = MemoryStream[RrInput]
+    in.addData(RrInput("h", 0, "up"), RrInput("h", 1, "up"), RrInput("h", 2, "up"))
+    val query = Stateful.repeatedMsgSquash(in.toDS()).writeStream
+      .queryName("rr_out").outputMode(OutputMode.Append).format("memory").start()
+    query.processAllAvailable()
+    in.addData(RrInput("h", 3, "up"), RrInput("h", 4, "down")) // run continues, then breaks
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("rr_out").as[RrOutput].collect().sortBy(_.seq)
+    assert(out.map(_.msg).toSeq ==
+      Seq("up", "last message repeated 3 times", "down"))
+    assert(out.map(_.synthetic).toSeq == Seq(false, true, false))
+  }
+
+  test("omsendertrack accumulates per-sender state across batches") {
+    val in = MemoryStream[StInput]
+    in.addData(StInput("s1", 1000, 10), StInput("s1", 2000, 20))
+    val query = Stateful.senderTrack(in.toDS()).writeStream
+      .queryName("st_out").outputMode(OutputMode.Append).format("memory").start()
+    query.processAllAvailable()
+    in.addData(StInput("s1", 500, 5), StInput("s2", 3000, 30))
+    query.processAllAvailable()
+    query.stop()
+    val snaps = spark.table("st_out").as[StSnapshot].collect()
+    // latest s1 snapshot reflects all three msgs incl. the early-ts one
+    val s1 = snaps.filter(_.sender == "s1").maxBy(_.n_msgs)
+    assert(s1.first_seen == 500 && s1.last_seen == 2000 &&
+      s1.n_msgs == 3 && s1.n_bytes == 35)
+    assert(snaps.exists(s => s.sender == "s2" && s.n_msgs == 1))
+  }
+
+  test("compiled RainerScript pipeline runs unchanged on a streaming frame") {
+    // the compiled config is pure Column ops (filters/projections), so the
+    // same RsyslogConfig.run works on a readStream DataFrame — batch/
+    // streaming parity for the script surface
+    val in = MemoryStream[String]
+    in.addData(
+      "<11>Mar  1 01:00:00 h1 app: critical failure",
+      "<30>Mar  1 01:00:01 h2 app: routine note",
+      "<191>Mar  1 01:00:02 h3 app: debug spam")
+    val decoded = graft.sources.Sources.decodeSyslog(in.toDF())
+    val cfg = graft.rainerscript.RsyslogConfig.parse(
+      """if $severity == 7 then stop
+        |if prifilt("*.err") then set $!class = "high";
+        |action(type="omfile" template="%hostname% %msg%")
+        |""".stripMargin)
+    val res = cfg.run(decoded)
+    val query = res.actionFrame(0)
+      .select(org.apache.spark.sql.functions.col("__rendered"))
+      .writeStream.queryName("rs_stream").outputMode(OutputMode.Append)
+      .format("memory").start()
+    query.processAllAvailable()
+    query.stop()
+    val lines = spark.table("rs_stream").collect().map(_.getString(0)).sorted
+    assert(lines.length == 2) // debug row stopped
+    assert(lines.exists(_.contains("critical failure")))
+    assert(!lines.exists(_.contains("debug spam")))
+  }
 }
