@@ -4,7 +4,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ObjectNode, ArrayNode}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -52,6 +53,93 @@ object JsonPathUtil {
       }
     } catch { case _: Exception => mapper.createObjectNode() }
 
+  /** Compact value-type tag so generated code can dispatch without
+    * DataType objects: 0=long 1=int 2=double 3=boolean 4=string/other. */
+  def typeTag(dt: DataType): Int = dt match {
+    case LongType => 0
+    case IntegerType => 1
+    case DoubleType => 2
+    case BooleanType => 3
+    case _ => 4
+  }
+
+  def putTagged(parent: ObjectNode, leaf: String, v: Any, tag: Int): Unit = {
+    if (v == null) { parent.putNull(leaf); return }
+    tag match {
+      case 0 => parent.put(leaf, v.asInstanceOf[Long])
+      case 1 => parent.put(leaf, v.asInstanceOf[Int].toLong)
+      case 2 => parent.put(leaf, v.asInstanceOf[Double])
+      case 3 => parent.put(leaf, v.asInstanceOf[Boolean])
+      case _ =>
+        val s = v.toString
+        val trimmed = s.trim
+        val asTree: JsonNode =
+          if (trimmed.startsWith("{") || trimmed.startsWith("[")) {
+            try mapper.readTree(trimmed) catch { case _: Exception => null }
+          } else null
+        if (asTree != null && !asTree.isValueNode) parent.set[JsonNode](leaf, asTree)
+        else parent.put(leaf, s)
+    }
+  }
+
+  // ---- static kernels for generated code (null dispatch inside) ----
+
+  /** json_set kernel: p==null → j unchanged (may be null). */
+  def setKernel(j: UTF8String, p: UTF8String, v: Any, tag: Int): UTF8String = {
+    if (p == null) return j
+    val root = parseOrEmpty(if (j == null) "{}" else j.toString)
+    val segs = splitPath(p.toString)
+    if (segs.isEmpty) return j
+    val parent = ensureParent(root, segs)
+    putTagged(parent, segs.last, v, tag)
+    UTF8String.fromString(mapper.writeValueAsString(root))
+  }
+
+  /** batched json_set kernel: guard==false/null → j unchanged. */
+  def setMultiKernel(j: UTF8String, guard: java.lang.Boolean, paths: Array[String],
+                     values: Array[AnyRef], tags: Array[Int]): UTF8String = {
+    if (guard == null || !guard.booleanValue()) return j
+    val root = parseOrEmpty(if (j == null) "{}" else j.toString)
+    var i = 0
+    while (i < paths.length) {
+      val segs = splitPath(paths(i))
+      if (segs.nonEmpty) {
+        val parent = ensureParent(root, segs)
+        putTagged(parent, segs.last, values(i), tags(i))
+      }
+      i += 1
+    }
+    UTF8String.fromString(mapper.writeValueAsString(root))
+  }
+
+  /** json_unset kernel: j==null → null; p==null → j. */
+  def unsetKernel(j: UTF8String, p: UTF8String): UTF8String = {
+    if (j == null) return null
+    if (p == null) return j
+    val root = parseOrEmpty(j.toString)
+    val segs = splitPath(p.toString)
+    if (segs.nonEmpty) {
+      var cur: JsonNode = root
+      var i = 0
+      while (i < segs.length - 1 && cur != null) { cur = cur.get(segs(i)); i += 1 }
+      cur match {
+        case o: ObjectNode => o.remove(segs.last)
+        case _ =>
+      }
+    }
+    UTF8String.fromString(mapper.writeValueAsString(root))
+  }
+
+  /** json_exists kernel. */
+  def existsKernel(j: UTF8String, p: UTF8String): Boolean = {
+    if (j == null || p == null) return false
+    val segs = splitPath(p.toString)
+    var cur: JsonNode = try mapper.readTree(j.toString) catch { case _: Exception => null }
+    var i = 0
+    while (i < segs.length && cur != null) { cur = cur.get(segs(i)); i += 1 }
+    cur != null
+  }
+
   /** Write an evaluated Spark value into `parent` at `leaf`, preserving
     * its type (JSON-object strings embed as subtrees — rsyslog 'J' svar). */
   def putTyped(parent: ObjectNode, leaf: String, v: Any,
@@ -82,7 +170,7 @@ object JsonPathUtil {
   * as a subtree (mirrors rsyslog's 'J'-typed svar assignment).
   */
 case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = json
   override def second: Expression = path
   override def third: Expression = value
@@ -90,17 +178,24 @@ case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "json_set"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val j = json.eval(input)
-    val p = path.eval(input)
-    if (p == null) return j
-    val v = value.eval(input)
-    val root = JsonPathUtil.parseOrEmpty(if (j == null) "{}" else j.toString)
-    val segs = JsonPathUtil.splitPath(p.toString)
-    if (segs.isEmpty) return j
-    val parent = JsonPathUtil.ensureParent(root, segs)
-    JsonPathUtil.putTyped(parent, segs.last, v, value.dataType)
-    UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(root))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    JsonPathUtil.setKernel(
+      json.eval(input).asInstanceOf[UTF8String],
+      path.eval(input).asInstanceOf[UTF8String],
+      value.eval(input), JsonPathUtil.typeTag(value.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val j = json.genCode(ctx); val p = path.genCode(ctx); val v = value.genCode(ctx)
+    val tag = JsonPathUtil.typeTag(value.dataType)
+    ev.copy(code = code"""
+      ${j.code}
+      ${p.code}
+      ${v.code}
+      UTF8String ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.setKernel(
+        ${j.isNull} ? null : ${j.value},
+        ${p.isNull} ? null : ${p.value},
+        ${v.isNull} ? null : (Object) ${v.value}, $tag);
+      boolean ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
@@ -114,7 +209,7 @@ case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
   * children = json +: guard +: values; writes apply only when guard=true.
   */
 case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
-    extends Expression with CodegenFallback {
+    extends Expression {
   private def json: Expression = children.head
   private def guard: Expression = children(1)
   private def values: Seq[Expression] = children.drop(2)
@@ -123,22 +218,35 @@ case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
   override def nullable: Boolean = true
   override def prettyName: String = "json_set_multi"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val j = json.eval(input)
-    val g = guard.eval(input)
-    if (g == null || !g.asInstanceOf[Boolean]) return j
-    val root = JsonPathUtil.parseOrEmpty(if (j == null) "{}" else j.toString)
-    var i = 0
-    while (i < paths.length) {
-      val segs = JsonPathUtil.splitPath(paths(i))
-      if (segs.nonEmpty) {
-        val parent = JsonPathUtil.ensureParent(root, segs)
-        JsonPathUtil.putTyped(parent, segs.last, values(i).eval(input),
-          values(i).dataType)
-      }
-      i += 1
-    }
-    UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(root))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    JsonPathUtil.setMultiKernel(
+      json.eval(input).asInstanceOf[UTF8String],
+      guard.eval(input).asInstanceOf[java.lang.Boolean],
+      paths.toArray,
+      values.map(v => v.eval(input).asInstanceOf[AnyRef]).toArray,
+      values.map(v => JsonPathUtil.typeTag(v.dataType)).toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val j = json.genCode(ctx); val g = guard.genCode(ctx)
+    val vs = values.map(_.genCode(ctx))
+    val pathsRef = ctx.addReferenceObj("jsmPaths", paths.toArray, "java.lang.String[]")
+    val tagsRef = ctx.addReferenceObj("jsmTags",
+      values.map(v => JsonPathUtil.typeTag(v.dataType)).toArray, "int[]")
+    val valsArr = ctx.freshName("jsmVals")
+    val fill = vs.zipWithIndex.map { case (v, i) =>
+      s"$valsArr[$i] = ${v.isNull} ? null : (Object) ${v.value};"
+    }.mkString("\n")
+    ev.copy(code = code"""
+      ${j.code}
+      ${g.code}
+      ${vs.map(_.code).mkString("\n")}
+      Object[] $valsArr = new Object[${vs.length}];
+      $fill
+      UTF8String ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.setMultiKernel(
+        ${j.isNull} ? null : ${j.value},
+        ${g.isNull} ? null : (Boolean) (Object) ${g.value},
+        $pathsRef, $valsArr, $tagsRef);
+      boolean ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildrenInternal(
@@ -148,30 +256,27 @@ case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
 
 /** json_unset(json, path): delete the node at path (rsyslog `unset`). */
 case class JsonUnsetExpr(json: Expression, path: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = json
   override def right: Expression = path
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_unset"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val j = json.eval(input)
-    if (j == null) return null
-    val p = path.eval(input)
-    if (p == null) return j
-    val root = JsonPathUtil.parseOrEmpty(j.toString)
-    val segs = JsonPathUtil.splitPath(p.toString)
-    if (segs.nonEmpty) {
-      var cur: JsonNode = root
-      var i = 0
-      while (i < segs.length - 1 && cur != null) { cur = cur.get(segs(i)); i += 1 }
-      cur match {
-        case o: ObjectNode => o.remove(segs.last)
-        case _ =>
-      }
-    }
-    UTF8String.fromString(JsonPathUtil.mapper.writeValueAsString(root))
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    JsonPathUtil.unsetKernel(
+      json.eval(input).asInstanceOf[UTF8String],
+      path.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val j = json.genCode(ctx); val p = path.genCode(ctx)
+    ev.copy(code = code"""
+      ${j.code}
+      ${p.code}
+      UTF8String ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.unsetKernel(
+        ${j.isNull} ? null : ${j.value},
+        ${p.isNull} ? null : ${p.value});
+      boolean ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -257,23 +362,28 @@ case class JsonUnflattenExpr(json: Expression, sep: Expression)
   * from null/empty (grammar/grammar.y:224, runtime/msg.h:286).
   */
 case class JsonExistsExpr(json: Expression, path: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = json
   override def right: Expression = path
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
   override def prettyName: String = "json_exists"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
-    val j = json.eval(input)
-    if (j == null) return false
-    val p = path.eval(input)
-    if (p == null) return false
-    val segs = JsonPathUtil.splitPath(p.toString)
-    var cur: JsonNode = try JsonPathUtil.mapper.readTree(j.toString) catch { case _: Exception => null }
-    var i = 0
-    while (i < segs.length && cur != null) { cur = cur.get(segs(i)); i += 1 }
-    cur != null
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    JsonPathUtil.existsKernel(
+      json.eval(input).asInstanceOf[UTF8String],
+      path.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val j = json.genCode(ctx); val p = path.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${j.code}
+        ${p.code}
+        boolean ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.existsKernel(
+          ${j.isNull} ? null : ${j.value},
+          ${p.isNull} ? null : ${p.value});""",
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
