@@ -170,6 +170,22 @@ object rainer {
 
   def is_time(s: Column): Column = parse_time(s).isNotNull
 
+  /** parse_time_localtz(s, tz) — rainerscript.c:2865: like parse_time but
+    * offset-less timestamps are interpreted in the given zone instead of
+    * UTC (rsyslog uses the daemon's local TZ; a distributed engine takes
+    * the zone explicitly). Timestamps with an explicit offset are
+    * unaffected. */
+  def parse_time_localtz(s: Column, tz: String, defaultYear: Int = 2024): Column = {
+    val noFrac = regexp_replace(s, "\\.\\d+", "")
+    val withOffset = try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    val bare3339 = to_utc_timestamp(
+      try_to_timestamp(noFrac, lit("yyyy-MM-dd'T'HH:mm:ss")), tz)
+    val bare3164 = to_utc_timestamp(try_to_timestamp(
+      concat(lit(defaultYear.toString + " "), regexp_replace(s, "\\s+", " ")),
+      lit("yyyy MMM d HH:mm:ss")), tz)
+    unix_timestamp(coalesce(withOffset, bare3339, bare3164))
+  }
+
   // ---------- JSON (custom expressions; SURVEY §1.2) ----------
 
   def json_set(json: Column, path: String, value: Column): Column =

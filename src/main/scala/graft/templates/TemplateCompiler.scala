@@ -117,6 +117,27 @@ object TemplateCompiler {
       case Some("date-second") => c = date_format(c, "ss")
       case Some("date-wday") => c = dayofweek(c) - 1
       case Some("date-week") => c = weekofyear(c)
+      // remaining tplFmt* variants (runtime/template.h:72-96,
+      // runtime/datetime.c:769-835): mysql is the bare 14-digit form,
+      // pgsql the spaced ISO form, subseconds the fractional-digits field;
+      // rfc3164-buggyday zero-pads the day (the historical syslogd bug the
+      // option name preserves); tz offsets render against the session TZ
+      // (UTC here — parsed offsets normalize at decode, §1.1 tz_offset)
+      case Some("date-mysql") => c = date_format(c, "yyyyMMddHHmmss")
+      case Some("date-pgsql") => c = date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case Some("date-subseconds") => c = date_format(c, "SSSSSS")
+      case Some("date-rfc3164-buggyday") =>
+        c = date_format(c, "MMM dd HH:mm:ss")
+      case Some("date-wdayname") => c = date_format(c, "EEE")
+      case Some("date-ordinal") => c = date_format(c, "D")
+      case Some("date-isoweek") => c = weekofyear(c)
+      case Some("date-isoweekyear") =>
+        // year of the ISO week = year of that week's Thursday (Spark 3+
+        // rejects the week-based 'YYYY' pattern)
+        c = year(date_add(c, lit(4) - (((dayofweek(c) + 5) % 7) + 1)))
+      case Some("date-tzoffshour") => c = lit("00")
+      case Some("date-tzoffsmin") => c = lit("00")
+      case Some("date-tzoffsdirection") => c = lit("+")
       case _ =>
     }
     c = c.cast("string")

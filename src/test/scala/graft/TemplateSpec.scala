@@ -55,6 +55,30 @@ class TemplateSpec extends SparkSpec {
     assert(render("%timereported:::date-unixtimestamp%") == "1709254923")
   }
 
+  test("full date-format table (mysql/pgsql/subseconds/wday/ordinal/tz)") {
+    assert(render("%timereported:::date-mysql%") == "20240301010203")
+    assert(render("%timereported:::date-pgsql%") == "2024-03-01 01:02:03")
+    assert(render("%timereported:::date-subseconds%") == "000000")
+    assert(render("%timereported:::date-rfc3164-buggyday%") == "Mar 01 01:02:03")
+    assert(render("%timereported:::date-wdayname%") == "Fri")
+    assert(render("%timereported:::date-wday%") == "5") // 0=Sunday
+    assert(render("%timereported:::date-ordinal%") == "61") // Mar 1 in a leap year
+    assert(render("%timereported:::date-isoweek%") == "9")
+    assert(render("%timereported:::date-isoweekyear%") == "2024")
+    assert(render("%timereported:::date-tzoffshour%:%timereported:::date-tzoffsmin%" +
+      " %timereported:::date-tzoffsdirection%") == "00:00 +")
+  }
+
+  test("parse_time_localtz honors the zone only for offset-less input") {
+    import graft.functions.rainer
+    val r = fixture.select(
+      rainer.parse_time_localtz(lit("2024-03-01T01:02:03"), "America/New_York").as("bare"),
+      rainer.parse_time_localtz(lit("2024-03-01T01:02:03+00:00"), "America/New_York").as("offs"),
+      rainer.parse_time(lit("2024-03-01T01:02:03")).as("utc")).collect()(0)
+    assert(r.getAs[Long]("bare") - r.getAs[Long]("utc") == 5 * 3600) // EST = UTC-5
+    assert(r.getAs[Long]("offs") == r.getAs[Long]("utc"))
+  }
+
   test("escapes in constants") {
     assert(render("""a\%b\nc""") == "a%b\nc")
   }
