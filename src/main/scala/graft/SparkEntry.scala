@@ -531,13 +531,16 @@ object Queries {
         "error code=%code:number% at %host:word% fatal",
         "user %u:word% did %act:word% n=%n:number%")
       ev.select(col("event_id"),
-          Normalize.normalize(col("msg"), rules).as("vars"))
+          // one JSON parse for all fields (5 get_json_object = 5 parses)
+          from_json(Normalize.normalize(col("msg"), rules),
+            StructType(Seq("code", "host", "u", "act", "n")
+              .map(StructField(_, StringType)))).as("v"))
         .select(col("event_id"),
-          get_json_object(col("vars"), "$.code").cast("long").as("code"),
-          get_json_object(col("vars"), "$.host").as("host"),
-          get_json_object(col("vars"), "$.u").as("u"),
-          get_json_object(col("vars"), "$.act").as("act"),
-          get_json_object(col("vars"), "$.n").cast("long").as("n"))
+          col("v.code").cast("long").as("code"),
+          col("v.host").as("host"),
+          col("v.u").as("u"),
+          col("v.act").as("act"),
+          col("v.n").cast("long").as("n"))
     }),
 
     // §2.10 omsendertrack — per-sender first/last-seen + volume state
@@ -856,6 +859,35 @@ object Queries {
         th.getField("hostname").as("newhost"),
         device.snmptrapdRewrite(col("tag"), col("body"), col("severity"))
           .as("newsev"))
+    }),
+
+    // §2.9 pmdb2diag + pmpanngfw — DB2 diagnostic and PAN-OS CSV parsers
+    "parse_db2_pan" -> ((s, dir) => {
+      val levels = array(Seq("Info", "Warning", "Error", "Severe").map(lit): _*)
+      val ev = Tables.events(s, dir)
+        .withColumn("db2", concat(
+          date_format(col("ts"), "yyyy-MM-dd-HH.mm.ss.SSSSSS"), lit("+000 I"),
+          col("event_id"), lit("A"), col("user_id"),
+          lit(" LEVEL: "), element_at(levels, (col("event_id") % 4).cast("int") + 1),
+          lit(" PID : "), col("user_id"), lit(" TID : "), col("event_id") % 100,
+          lit(" PROC : db2sysc ("), col("event_type"), lit(")")))
+        .withColumn("pan", concat(
+          lit("1,"), date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"),
+          lit(",00"), col("user_id"),
+          lit(","), when(col("user_id") % 2 === 0, "TRAFFIC").otherwise("THREAT"),
+          lit(","), when(col("event_id") % 2 === 0, "start").otherwise("end"),
+          lit(",rest "), col("event_id")))
+      val d = device.parseDb2Diag(col("db2"))
+      val p = device.parsePanNgfw(col("pan"))
+      ev.select(
+        col("event_id"),
+        d.getField("level").as("db2_level"),
+        d.getField("pid").as("db2_pid"),
+        d.getField("tid").as("db2_tid"),
+        d.getField("proc").as("db2_proc"),
+        p.getField("serial").as("pan_serial"),
+        p.getField("pan_type").as("pan_type"),
+        p.getField("subtype").as("pan_subtype"))
     }),
 
     // IVF-Flat ANN: coarse-quantized cells + nprobe probing (the scale
@@ -1486,6 +1518,20 @@ object Queries {
         |  CAST(CASE WHEN event_id % 3 = 1 THEN user_id % 8
         |    ELSE severity END AS INT) AS newsev
         | FROM ev""".stripMargin),
+
+    "parse_db2_pan" ->
+      """SELECT event_id,
+        |  (['Info','Warning','Error','Severe'])[CAST(event_id % 4 AS INT) + 1]
+        |    AS db2_level,
+        |  user_id AS db2_pid,
+        |  event_id % 100 AS db2_tid,
+        |  'db2sysc (' || event_type || ')' AS db2_proc,
+        |  '00' || user_id AS pan_serial,
+        |  CASE WHEN user_id % 2 = 0 THEN 'TRAFFIC' ELSE 'THREAT' END
+        |    AS pan_type,
+        |  CASE WHEN event_id % 2 = 0 THEN 'start' ELSE 'end' END
+        |    AS pan_subtype
+        |FROM events""".stripMargin,
 
     "ann_ivf" ->
       """WITH cb AS (

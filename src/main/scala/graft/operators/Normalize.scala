@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** mmnormalize-lite: a liblognorm-style rulebase compiler
   * (reference: plugins/mmnormalize, liblognorm rule syntax
@@ -62,9 +65,17 @@ object Normalize {
   }
 
   /** First-matching-rule-wins over a rulebase (parser chain semantics,
-    * runtime/parser.c:613-686). */
-  def normalize(msg: Column, rules: Seq[String]): Column =
-    coalesce(rules.map(r => extract(msg, r)) :+ lit("{}"): _*)
+    * runtime/parser.c:613-686) — single-pass expression: ONE regex match
+    * attempt per rule per row, versus the Column-level coalesce chain's
+    * (1 rlike + N regexp_extract) per rule. Output values are identical
+    * (number fields long-normalized, non-numeric omitted like a null
+    * struct field under to_json). */
+  def normalize(msg: Column, rules: Seq[String]): Column = {
+    val compiled = rules.map(compileRule)
+    org.apache.spark.sql.GraftBridge.column(
+      NormalizeExpr(org.apache.spark.sql.GraftBridge.expression(msg),
+        compiled.map(cr => (cr.regex, cr.fields.map(f => (f.name, f.typ))))))
+  }
 
   // ------------------------------------------------------------- mmgrok
   /** Grok base-pattern table (the usual logstash names; reference:
@@ -114,4 +125,60 @@ object Normalize {
         regexp_extract(msg, cr.regex, idx + 1).as(f.name)
       }: _*))
   }
+}
+
+/** First-matching-rule field extraction in one pass. `rules` is
+  * (regex, fields(name, type)) per rule; the first rule whose regex
+  * matches yields a JSON object of its captured fields ("number" fields
+  * long-normalized; unparsable numbers omitted), no rule → "{}".
+  * Patterns compile once per executor (transient lazy), and generated
+  * code is one instance-method call via a reference object.
+  */
+case class NormalizeExpr(child: Expression,
+                         rules: Seq[(String, Seq[(String, String)])])
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "normalize"
+
+  @transient private lazy val compiled =
+    rules.map { case (re, fs) => (java.util.regex.Pattern.compile(re), fs) }
+
+  def kernel(msg: UTF8String): UTF8String = {
+    val s = msg.toString
+    val it = compiled.iterator
+    while (it.hasNext) {
+      val (p, fields) = it.next()
+      val m = p.matcher(s)
+      if (m.find()) {
+        val node = graft.functions.JsonPathUtil.mapper.createObjectNode()
+        var i = 0
+        while (i < fields.length) {
+          val (name, typ) = fields(i)
+          val v = m.group(i + 1)
+          if (typ == "number") {
+            try node.put(name, java.lang.Long.parseLong(v).toString)
+            catch { case _: NumberFormatException => } // cast-null → omitted
+          } else node.put(name, v)
+          i += 1
+        }
+        return UTF8String.fromString(node.toString)
+      }
+    }
+    UTF8String.fromString("{}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("normExpr", this,
+      "graft.operators.NormalizeExpr")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
