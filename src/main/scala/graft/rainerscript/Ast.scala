@@ -30,4 +30,7 @@ case class RPropFilt(prop: String, op: String, negated: Boolean,
 case class RForeach(loopVar: RVar, source: RExpr, body: Seq[RStmt]) extends RStmt
 case object RStop extends RStmt
 case class RCall(ruleset: String) extends RStmt
+/** call_indirect expr; — dynamic ruleset dispatch by computed name
+  * (runtime/ruleset.c:236-275; unknown name = NOP). */
+case class RCallIndirect(expr: RExpr) extends RStmt
 case class RAction(params: Map[String, String]) extends RStmt

@@ -398,6 +398,10 @@ object RainerCompiler {
         actions += CompiledAction(actions.size, params, cn, renderCol)
       case RCall(_) =>
         // single-ruleset scope in round 1: call is a no-op marker
+      case RCallIndirect(_) =>
+        // without a config registry every computed name is unknown → NOP
+        // (runtime/ruleset.c:250-255); RsyslogConfig.run lowers this to
+        // per-ruleset equality guards before compilation
       case other => throw new IllegalArgumentException(s"stmt $other")
     }
 

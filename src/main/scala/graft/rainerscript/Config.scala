@@ -35,6 +35,15 @@ case class RsyslogConfig(
     stmts.flatMap {
       case RCall(name) if rulesets.contains(name) && !seen(name) =>
         inlineCalls(rulesets(name), seen + name)
+      // call_indirect: evaluate-at-runtime dispatch lowers to one
+      // name-equality guard per known ruleset (a message's computed name
+      // selects at most one branch; unknown names fall through = NOP,
+      // runtime/ruleset.c:250-255). Cycle guard via `seen` as for call.
+      case RCallIndirect(e) =>
+        rulesets.toSeq.sortBy(_._1).collect {
+          case (name, body) if !seen(name) =>
+            RIf(RBinop("==", e, RStr(name)), inlineCalls(body, seen + name), Nil)
+        }
       case RIf(c, t, e) => Seq(RIf(c, inlineCalls(t, seen), inlineCalls(e, seen)))
       case RPriFilt(s, b) => Seq(RPriFilt(s, inlineCalls(b, seen)))
       case RPropFilt(p, o, n, v, b) => Seq(RPropFilt(p, o, n, v, inlineCalls(b, seen)))

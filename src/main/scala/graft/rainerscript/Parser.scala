@@ -96,8 +96,8 @@ class RainerParserBase extends RegexParsers {
 
   // ---- statements ----
   def stmt: Parser[RStmt] =
-    setStmt | unsetStmt | ifStmt | foreachStmt | stopStmt | callStmt |
-    actionStmt | priFiltStmt | propFiltStmt
+    setStmt | unsetStmt | ifStmt | foreachStmt | stopStmt | callIndirectStmt |
+    callStmt | actionStmt | priFiltStmt | propFiltStmt
 
   private def setStmt: Parser[RStmt] =
     "set" ~> variable ~ ("=" ~> expr) <~ ";" ^^ { case v ~ e => RSet(v, e) }
@@ -114,6 +114,8 @@ class RainerParserBase extends RegexParsers {
       case v ~ src ~ b => RForeach(v, src, b)
     }
   private def stopStmt: Parser[RStmt] = "stop" <~ opt(";") ^^^ RStop
+  private def callIndirectStmt: Parser[RStmt] =
+    "call_indirect" ~> expr <~ opt(";") ^^ RCallIndirect.apply
   private def callStmt: Parser[RStmt] =
     "call" ~> ident <~ opt(";") ^^ RCall.apply
   private def actionParam: Parser[(String, String)] =

@@ -62,6 +62,26 @@ class ConfigSpec extends SparkSpec {
     tblFile.delete()
   }
 
+  test("call_indirect dispatches by computed ruleset name, unknown = NOP") {
+    val cfg = RsyslogConfig.parse(
+      """ruleset(name="by_app") { set $!route = "app-path"; }
+        |ruleset(name="by_cron") { set $!route = "cron-path"; }
+        |call_indirect "by_" & $syslogtag;
+        |action(type="omfile" template="%hostname%")
+        |""".stripMargin)
+    // syslogtag values: "app:", "cron:", "kern:" → strip ':' to route
+    val in = fixture.withColumn("syslogtag",
+      regexp_replace(col("syslogtag"), ":", ""))
+    val res = cfg.run(in)
+    val out = res.frame
+      .select(col("hostname"),
+        get_json_object(col("vars_msg"), "$.route").as("route"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("host1") == "app-path")   // by_app
+    assert(out("host2") == "cron-path")  // by_cron
+    assert(out("host3") == null)         // by_kern unknown → NOP
+  }
+
   test("list template compiles to concatenated string") {
     val cfg = RsyslogConfig.parse(
       """template(name="lst" type="list") {
