@@ -413,18 +413,24 @@ object Queries {
         intervalSec = 3600, burst = 3)
     }),
 
-    // §2.1 action gates — execOnlyEveryNthTime / execOnlyOnceEveryInterval
+    // §2.1 action gates — execOnlyEveryNthTime / execOnlyOnceEveryInterval.
+    // Both windows cluster by user_id, so chaining them reuses ONE
+    // exchange (HashPartitioning(user_id) satisfies the (user_id, win)
+    // clustering) and the gate counts aggregate in the same pass — no
+    // per-gate frames, no full-outer join.
     "exec_gates" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val nth = RateLimit.everyNth(ev, col("user_id"), col("event_id"), 5)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_nth"))
-      val once = RateLimit.onceEveryInterval(ev, col("user_id"), col("ts"),
-          col("event_id"), 86400)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_once"))
-      nth.join(once, Seq("user_id"), "full_outer")
-        .select(col("user_id"),
-          coalesce(col("n_nth"), lit(0L)).as("n_nth"),
-          coalesce(col("n_once"), lit(0L)).as("n_once"))
+        .withColumn("gate_win", (unix_timestamp(col("ts")) / 86400).cast("long"))
+      val wNth = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      val wOnce = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("gate_win")).orderBy(col("event_id"))
+      ev.withColumn("rn", row_number().over(wNth))
+        .withColumn("rn_win", row_number().over(wOnce))
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("rn") % 5 === 0, 1)).as("n_nth"),
+          count(when(col("rn_win") === 1, 1)).as("n_once"))
     }),
 
     // §2.7 "last message repeated n times" — consecutive-run reduction
