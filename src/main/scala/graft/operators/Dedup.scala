@@ -126,25 +126,18 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 16, localThreshold: Long = 5000000L): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    // materialize the (possibly expensive) pair computation exactly once —
-    // it is referenced twice below, and without this the whole upstream
-    // join DAG runs once per reference. cache+count, NOT localCheckpoint:
-    // checkpointing drops to the RDD and loses AQE's runtime join
-    // optimization of the upstream plan (measured 3.5× slower here).
-    val p = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
-    val edges = p
-      .union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+    val p0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
     // Scale-adaptive: a near-dup edge list is orders of magnitude smaller
     // than the corpus (it's the LSH/verify survivors), so up to
-    // `localThreshold` edges a driver-side union-find (one collect, zero
-    // iterative jobs) beats scheduling log(d) join rounds — the same
-    // small-side-local tradeoff as a broadcast join. Past the threshold,
-    // fall through to the distributed pointer-doubling loop.
-    val nEdges = p.count()
-    if (nEdges <= localThreshold) {
+    // `localThreshold` edges a driver-side union-find (zero iterative
+    // jobs) beats scheduling log(d) join rounds — the same
+    // small-side-local tradeoff as a broadcast join. The bounded collect
+    // probes size and fetches the edges in ONE job: ≤ threshold rows back
+    // means we hold the complete set; one extra row → distributed loop.
+    val probe = p0.limit((localThreshold + 1).toInt).collect()
+    if (probe.length <= localThreshold) {
       val spark = pairs.sparkSession
-      val srcType = edges.schema("src").dataType
+      val srcType = p0.schema("src").dataType
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
         var r = x
@@ -161,8 +154,7 @@ object Dedup {
         case (x, y) => ord.lt(x.toString, y.toString)
       }
       val nodes = new java.util.LinkedHashSet[Any]()
-      // one fetch job: row count is bounded by localThreshold
-      p.collect().foreach { row =>
+      probe.foreach { row =>
         val (x, y) = (row.get(0), row.get(1))
         nodes.add(x); nodes.add(y)
         val (a, b) = (find(x), find(y))
@@ -178,6 +170,15 @@ object Dedup {
         spark.sparkContext.parallelize(out.toSeq, 1),
         StructType(Seq(StructField("doc", srcType), StructField("cluster", srcType))))
     }
+    // distributed path: materialize the pair computation once (it is
+    // referenced twice per round below). cache, NOT localCheckpoint, for
+    // the edge list: checkpointing drops to the RDD and loses AQE's
+    // runtime join optimization of the upstream plan (measured 3.5×
+    // slower here).
+    val p = p0.cache()
+    val edges = p
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
     // localCheckpoint (not cache) each round: the iteration references
     // `labels` three times, so without lineage truncation the logical plan
     // doubles per round — exponential analysis cost long before any data
