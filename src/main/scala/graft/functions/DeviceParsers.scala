@@ -215,6 +215,52 @@ object device {
   }
 }
 
+/** Property-replacer control-character handling (reference:
+  * runtime/msg.c:4420-4512, template.h options drop-cc/space-cc/
+  * escape-cc/escape-cc-octal): mode 0 drops control chars, 1 replaces
+  * with space, 2 escapes as #DDD decimal, 3 as #OOO octal.
+  */
+case class ControlCharExpr(child: Expression, mode: Int)
+    extends UnaryExpression {
+  require(mode >= 0 && mode <= 3)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "control_chars"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ControlCharExpr.kernel(input.asInstanceOf[UTF8String], mode)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ControlCharExpr$$.MODULE$$.kernel($c, $mode);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ControlCharExpr {
+  def kernel(s: UTF8String, mode: Int): UTF8String = {
+    val in = s.toString
+    val sb = new java.lang.StringBuilder(in.length + 8)
+    var i = 0
+    while (i < in.length) {
+      val c = in.charAt(i)
+      if (Character.isISOControl(c)) mode match {
+        case 0 => // drop
+        case 1 => sb.append(' ')
+        case 2 => sb.append('#').append(('0' + c / 100).toChar)
+          .append(('0' + (c / 10) % 10).toChar).append(('0' + c % 10).toChar)
+        case 3 => sb.append('#').append(('0' + ((c >> 6) & 7)).toChar)
+          .append(('0' + ((c >> 3) & 7)).toChar).append(('0' + (c & 7)).toChar)
+      } else sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Byte-level UTF-8 repair (mmutf8fix kernel): validates sequences the
   * same way the reference does (overlong forms, UTF-16 surrogates,
   * codepoints > U+10FFFF, stray continuation bytes, truncated tails) and

@@ -166,6 +166,20 @@ object TemplateCompiler {
     if (p.options.contains("lowercase")) c = lower(c)
     if (p.options.contains("uppercase")) c = upper(c)
 
+    // stage: control-char handling (msg.c:4420-4512)
+    def cc(mode: Int): Column = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.ControlCharExpr(
+        org.apache.spark.sql.GraftBridge.expression(c), mode))
+    if (p.options.contains("drop-cc")) c = cc(0)
+    if (p.options.contains("space-cc")) c = cc(1)
+    if (p.options.contains("escape-cc")) c = cc(2)
+    if (p.options.contains("escape-cc-octal")) c = cc(3)
+
+    // stage: secpath — make the value safe as a path component
+    // (msg.c bSecPathDrop/bSecPathReplace, used for dynafile names)
+    if (p.options.contains("secpath-drop")) c = regexp_replace(c, "/", "")
+    if (p.options.contains("secpath-replace")) c = regexp_replace(c, "/", "_")
+
     // stage: misc text ops
     if (p.options.contains("drop-last-lf")) c = regexp_replace(c, "\n$", "")
     if (p.options.contains("compressed-sp")) c = regexp_replace(c, "\\s+", " ")
@@ -178,6 +192,11 @@ object TemplateCompiler {
     if (p.options.contains("json") || p.options.contains("jsonf"))
       c = regexp_replace(regexp_replace(regexp_replace(c,
         "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+    // sql = MySQL dialect (quote ' and \), stdsql = standard '' doubling
+    if (p.options.contains("sql"))
+      c = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "\\\\'")
+    if (p.options.contains("stdsql"))
+      c = regexp_replace(c, "'", "''")
 
     coalesce(c, lit(""))
   }

@@ -69,6 +69,20 @@ class TemplateSpec extends SparkSpec {
       " %timereported:::date-tzoffsdirection%") == "00:00 +")
   }
 
+  test("control-char, secpath, and SQL escaping options") {
+    val dirty = Seq(("a\tbc/d'e\\f", 0)).toDF("msg", "x")
+    def r(tpl: String): String =
+      dirty.select(TemplateCompiler.compile(tpl, col).as("r")).collect()(0).getString(0)
+    assert(r("%msg:::drop-cc%") == "abc/d'e\\f")
+    assert(r("%msg:::space-cc%") == "a b c/d'e\\f")
+    assert(r("%msg:::escape-cc%") == "a#009b#001c/d'e\\f")
+    assert(r("%msg:::escape-cc-octal%") == "a#011b#001c/d'e\\f")
+    assert(r("%msg:::drop-cc,secpath-drop%") == "abcd'e\\f")
+    assert(r("%msg:::drop-cc,secpath-replace%") == "abc_d'e\\f")
+    assert(r("%msg:::drop-cc,sql%") == "abc/d\\'e\\\\f")
+    assert(r("%msg:::drop-cc,stdsql%") == "abc/d''e\\f")
+  }
+
   test("parse_time_localtz honors the zone only for offset-less input") {
     import graft.functions.rainer
     val r = fixture.select(
