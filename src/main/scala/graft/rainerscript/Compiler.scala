@@ -59,6 +59,11 @@ object RainerCompiler {
       get_json_object(col("vars_msg"), "$." + p.replace('!', '.'))
     case n if n.startsWith("$.") =>
       get_json_object(col("vars_local"), "$." + n.drop(2).replace('!', '.'))
+    // $/ globals: own namespace column, per-message scope — cross-message
+    // mutation is per-partition-unsafe in a parallel engine (rsyslog
+    // itself documents $/ as not reliably thread-safe); SURVEY §1.2
+    case n if n.startsWith("$/") =>
+      get_json_object(col("vars_global"), "$." + n.drop(2).replace('!', '.'))
     case n if n.startsWith("$") => resolveProp(n.drop(1))
     case "syslogseverity" | "severity" => col("severity")
     case "syslogfacility" | "facility" => col("facility")
@@ -175,6 +180,8 @@ object RainerCompiler {
           rainer.json_exists(col("vars_msg"), raw.drop(2))
         case RVar(raw) if raw.startsWith("$.") =>
           rainer.json_exists(col("vars_local"), raw.drop(2))
+        case RVar(raw) if raw.startsWith("$/") =>
+          rainer.json_exists(col("vars_global"), raw.drop(2))
         case RVar(raw) => resolveProp(raw).isNotNull
         case _ => a(0).isNotNull
       }
@@ -201,6 +208,7 @@ object RainerCompiler {
     var df = input
     if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
     if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))
+    if (!df.columns.contains("vars_global")) df = df.withColumn("vars_global", lit("{}"))
     df = df.withColumn("__stopped", lit(false))
     var condId = 0
     val actions = scala.collection.mutable.ArrayBuffer.empty[CompiledAction]
@@ -209,6 +217,7 @@ object RainerCompiler {
 
     def varCol(raw: String): (String, String) =
       if (raw.startsWith("$.")) ("vars_local", raw.drop(2).replace('!', '.'))
+      else if (raw.startsWith("$/")) ("vars_global", raw.drop(2).replace('!', '.'))
       else ("vars_msg", raw.dropWhile(c => c == '$' || c == '!'))
 
     /** Does this expression read variables from namespace column `vc`?
@@ -218,7 +227,8 @@ object RainerCompiler {
     def readsNs(e: RExpr, vc: String): Boolean = e match {
       case RVar(raw) =>
         (vc == "vars_msg" && (raw.startsWith("$!") || raw.startsWith("!"))) ||
-        (vc == "vars_local" && raw.startsWith("$."))
+        (vc == "vars_local" && raw.startsWith("$.")) ||
+        (vc == "vars_global" && raw.startsWith("$/"))
       case RBinop(_, l, r) => readsNs(l, vc) || readsNs(r, vc)
       case RNot(x) => readsNs(x, vc)
       case RNeg(x) => readsNs(x, vc)

@@ -217,4 +217,21 @@ class RainerScriptSpec extends SparkSpec {
       get_json_object(col("vars_local"), "$.gone")).collect()(0)
     assert(r.getString(0) == "y" && r.getString(1) == "y")
   }
+
+  test("global $/ namespace is distinct from $! and $. (per-message scope)") {
+    val res = RainerCompiler.run(
+      """set $/site = "dc-east";
+        |set $!site = "msg-ns";
+        |if exists($/site) then set $.from_global = $/site;
+        |unset $/site;
+        |if not exists($/site) then set $.global_gone = "y";
+        |""".stripMargin, Seq("m").toDF("msg"))
+    val r = res.output.select(
+      get_json_object(col("vars_local"), "$.from_global"),
+      get_json_object(col("vars_msg"), "$.site"),
+      get_json_object(col("vars_local"), "$.global_gone")).collect()(0)
+    assert(r.getString(0) == "dc-east") // read through $/ not $!
+    assert(r.getString(1) == "msg-ns")  // $! untouched by $/ writes
+    assert(r.getString(2) == "y")
+  }
 }
