@@ -249,7 +249,11 @@ object rainer {
 
   def faup_scheme(url: Column): Column = parse_url(url, lit("PROTOCOL"))
   def faup_host(url: Column): Column = parse_url(url, lit("HOST"))
-  def faup_port(url: Column): Column = parse_url(url, lit("PORT"))
+  def faup_port(url: Column): Column =
+    // parse_url PORT misses authorities with userinfo — regex fallback
+    coalesce(parse_url(url, lit("PORT")),
+      nullif(regexp_extract(url,
+        "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^@/?#]+@)?[^:/?#]+:(\\d+)", 1), lit("")))
   def faup_path(url: Column): Column = parse_url(url, lit("PATH"))
   def faup_query(url: Column): Column = parse_url(url, lit("QUERY"))
   def faup_tld(url: Column): Column =
@@ -258,6 +262,25 @@ object rainer {
     val parts = split(parse_url(url, lit("HOST")), "\\.")
     concat_ws(".", try_element_at(parts, lit(-2)), try_element_at(parts, lit(-1)))
   }
+  /** `user:pass` before the authority's `@` (tests/rscript_faup_credential.sh). */
+  def faup_credential(url: Column): Column =
+    nullif(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^@/?#]+)@", 1), lit(""))
+  /** URL fragment after `#` (ffaup fragment extractor). */
+  def faup_fragment(url: Column): Column = parse_url(url, lit("REF"))
+  /** Host labels left of the registrable domain — `www` for
+    * www.rsyslog.com (ffaup subdomain extractor). */
+  def faup_subdomain(url: Column): Column = {
+    val host = parse_url(url, lit("HOST"))
+    val parts = split(host, "\\.")
+    when(size(parts) > 2,
+      concat_ws(".", slice(parts, lit(1), size(parts) - 2)))
+  }
+  /** Registrable label without its TLD — `rsyslog` for www.rsyslog.com
+    * (tests/rscript_faup_domain_without_tld.sh). */
+  def faup_domain_without_tld(url: Column): Column =
+    try_element_at(split(parse_url(url, lit("HOST")), "\\."), lit(-2))
+  /** Path component (ffaup resource_path extractor). */
+  def faup_resource_path(url: Column): Column = parse_url(url, lit("PATH"))
 
   // ---------- syslog parsing ----------
 

@@ -187,6 +187,31 @@ object RainerCompiler {
       }
       case "unflatten" => rainer.unflatten(a(0), s(1))
       case "cef_ext_escape" => rainer.cef_ext_escape(a(0))
+      // ffaup URL component extractors (contrib/ffaup/ffaup.c:307-318)
+      case "faup" => // full decomposition as a JSON object
+        to_json(struct(
+          rainer.faup_scheme(a(0)).as("scheme"),
+          rainer.faup_credential(a(0)).as("credential"),
+          rainer.faup_subdomain(a(0)).as("subdomain"),
+          rainer.faup_domain(a(0)).as("domain"),
+          rainer.faup_domain_without_tld(a(0)).as("domain_without_tld"),
+          rainer.faup_host(a(0)).as("host"),
+          rainer.faup_tld(a(0)).as("tld"),
+          rainer.faup_port(a(0)).as("port"),
+          rainer.faup_resource_path(a(0)).as("resource_path"),
+          rainer.faup_query(a(0)).as("query_string"),
+          rainer.faup_fragment(a(0)).as("fragment")))
+      case "faup_scheme" => rainer.faup_scheme(a(0))
+      case "faup_host" => rainer.faup_host(a(0))
+      case "faup_port" => rainer.faup_port(a(0))
+      case "faup_path" | "faup_resource_path" => rainer.faup_resource_path(a(0))
+      case "faup_query_string" => rainer.faup_query(a(0))
+      case "faup_fragment" => rainer.faup_fragment(a(0))
+      case "faup_credential" => rainer.faup_credential(a(0))
+      case "faup_subdomain" => rainer.faup_subdomain(a(0))
+      case "faup_domain" => rainer.faup_domain(a(0))
+      case "faup_domain_without_tld" => rainer.faup_domain_without_tld(a(0))
+      case "faup_tld" => rainer.faup_tld(a(0))
       case other => throw new IllegalArgumentException(s"unknown function $other")
     }
   }
