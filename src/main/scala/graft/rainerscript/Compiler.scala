@@ -71,7 +71,8 @@ object RainerCompiler {
     case other => col(other)
   }
 
-  def compileExpr(e: RExpr, tables: Map[String, LookupTable]): Column = {
+  def compileExpr(e: RExpr, tables: Map[String, LookupTable],
+                  templates: Map[String, String] = Map.empty): Column = {
     def go(e: RExpr): Column = e match {
       case RStr(s) => lit(s)
       case RNum(n) => lit(n)
@@ -109,7 +110,7 @@ object RainerCompiler {
         lower(go(l).cast("string")).startsWith(lower(go(r).cast("string")))
       case RBinop("endswith", l, r) => go(l).cast("string").endsWith(go(r).cast("string"))
       case RBinop(op, _, _) => throw new IllegalArgumentException(s"op $op")
-      case RFunc(name, args) => compileFunc(name, args, tables, go)
+      case RFunc(name, args) => compileFunc(name, args, tables, templates, go)
     }
     def toBool(e: RExpr): Column = e match {
       case RBinop("and" | "or" | "==" | "!=" | "<>" | "<" | "<=" | ">" | ">=" |
@@ -125,6 +126,7 @@ object RainerCompiler {
 
   private def compileFunc(name: String, args: Seq[RExpr],
                           tables: Map[String, LookupTable],
+                          templates: Map[String, String],
                           go: RExpr => Column): Column = {
     def a(i: Int): Column = go(args(i))
     def s(i: Int): String = args(i) match {
@@ -187,6 +189,24 @@ object RainerCompiler {
       }
       case "unflatten" => rainer.unflatten(a(0), s(1))
       case "cef_ext_escape" => rainer.cef_ext_escape(a(0))
+      case "b64_encode" => rainer.b64_encode(a(0))
+      case "tocef" =>
+        rainer.tocef(a(0), a(1), a(2), a(3), a(4), a(5), a(6))
+      case "parse_time_localtz" =>
+        if (args.length > 1) rainer.parse_time_localtz(a(0), s(1))
+        else rainer.parse_time(a(0)) // session TZ is UTC
+      // append_json(src, dst): expression form returns the merged tree
+      // (the reference mutates dst in place, grammar/rainerscript.c:3614)
+      case "append_json" => rainer.json_merge(a(1), a(0))
+      // dyn_inc / percentile_observe are streaming-counter side effects in
+      // the reference; the set-engine derives the same counters with the
+      // DynStats / perctile operators over the frame (IMPLEMENTATION
+      // §2.7). The call sites themselves return success.
+      case "dyn_inc" | "percentile_observe" => lit(0L)
+      case "exec_template" =>
+        TemplateCompiler.compile(
+          templates.getOrElse(s(0), throw new IllegalArgumentException(
+            s"exec_template: unknown template ${s(0)}")), resolveProp)
       // ffaup URL component extractors (contrib/ffaup/ffaup.c:307-318)
       case "faup" => // full decomposition as a JSON object
         to_json(struct(
@@ -288,13 +308,13 @@ object RainerCompiler {
             if (run.length == 1) {
               df = df.withColumn(vc0,
                 when(guard, graft.functions.rainer.json_set(col(vc0),
-                  run(0)._1, compileExpr(run(0)._2, tables)))
+                  run(0)._1, compileExpr(run(0)._2, tables, templates)))
                 .otherwise(col(vc0)))
             } else {
               val expr = graft.functions.JsonSetMultiExpr(
                 run.map(_._1).toSeq,
                 (col(vc0) +: coalesce(guard, lit(false)) +:
-                  run.map(r => compileExpr(r._2, tables)).toSeq)
+                  run.map(r => compileExpr(r._2, tables, templates)).toSeq)
                   .map(org.apache.spark.sql.GraftBridge.expression))
               df = df.withColumn(vc0, org.apache.spark.sql.GraftBridge.column(expr))
             }
@@ -309,7 +329,7 @@ object RainerCompiler {
     def execStmt(stmt: RStmt, path: Column): Unit = stmt match {
       case RSet(RVar(raw), value) =>
         val (vc, p) = varCol(raw)
-        val v = compileExpr(value, tables)
+        val v = compileExpr(value, tables, templates)
         df = df.withColumn(vc,
           when(path && !col("__stopped"),
             graft.functions.rainer.json_set(col(vc), p.replace('.', '!'), v))
@@ -325,7 +345,7 @@ object RainerCompiler {
         val cn = freshCond()
         df = df.withColumn(cn,
           path && !col("__stopped") &&
-            coalesce(compileExpr(cond, tables).cast("boolean"), lit(false)))
+            coalesce(compileExpr(cond, tables, templates).cast("boolean"), lit(false)))
         exec(thenB, col(cn))
         if (elseB.nonEmpty) {
           val en = freshCond()
@@ -368,7 +388,7 @@ object RainerCompiler {
         condId += 1
         val tag = condId
         val (lvCol, lvPath) = varCol(loopRaw)
-        val srcCol = compileExpr(source, tables)
+        val srcCol = compileExpr(source, tables, templates)
         // split()/array-valued sources are arrays already; anything else
         // (a $! var read) is a JSON-array string to parse
         val arrCol = source match {

@@ -218,6 +218,27 @@ class RainerScriptSpec extends SparkSpec {
     assert(r.getString(0) == "y" && r.getString(1) == "y")
   }
 
+  test("exec_template, append_json, b64_encode, tocef resolve in scripts") {
+    val res = RainerCompiler.run(
+      """set $.line = exec_template("short");
+        |set $.merged = append_json("{\"a\":1}", "{\"b\":2}");
+        |set $.b64 = b64_encode($msg);
+        |set $.cef = tocef("v", "p", "1", "7", "evt", "3", "k=1");
+        |""".stripMargin,
+      Seq(("payload", "h1")).toDF("msg", "hostname"),
+      templates = Map("short" -> "%hostname%!"))
+    val r = res.output.select(
+      get_json_object(col("vars_local"), "$.line"),
+      get_json_object(col("vars_local"), "$.merged.a"),
+      get_json_object(col("vars_local"), "$.merged.b"),
+      get_json_object(col("vars_local"), "$.b64"),
+      get_json_object(col("vars_local"), "$.cef")).collect()(0)
+    assert(r.getString(0) == "h1!")
+    assert(r.getString(1) == "1" && r.getString(2) == "2")
+    assert(new String(java.util.Base64.getDecoder.decode(r.getString(3))) == "payload")
+    assert(r.getString(4) == "CEF:0|v|p|1|7|evt|3|k=1")
+  }
+
   test("global $/ namespace is distinct from $! and $. (per-message scope)") {
     val res = RainerCompiler.run(
       """set $/site = "dc-east";
