@@ -14,7 +14,7 @@ import graft.templates.TemplateCompiler
   */
 case class RsyslogConfig(
     templates: Map[String, String],
-    jsonfTemplates: Map[String, Seq[(String, String)]],
+    jsonfTemplates: Map[String, Seq[TemplateCompiler.JsonfField]],
     lookupTables: Map[String, LookupTable],
     rulesets: Map[String, Seq[RStmt]],
     mainStmts: Seq[RStmt]) {
@@ -85,7 +85,7 @@ object RsyslogConfig {
 
     sealed trait Item
     case class TemplateObj(p: Map[String, String],
-                           fields: Seq[(String, String)]) extends Item
+                           fields: Seq[Map[String, String]]) extends Item
     case class LookupObj(p: Map[String, String]) extends Item
     case class RulesetObj(name: String, body: Seq[RStmt]) extends Item
     case class StmtItem(s: RStmt) extends Item
@@ -96,12 +96,16 @@ object RsyslogConfig {
       "template" ~> "(" ~> params ~ (")" ~> opt(listBody)) ^^ {
         case p ~ body => TemplateObj(p, body.getOrElse(Seq.empty))
       }
-    def listEntry: Parser[(String, String)] =
-      "constant" ~> "(" ~> params <~ ")" ^^ (p => ("__const", p.getOrElse("value", ""))) |
+    def listEntry: Parser[Map[String, String]] =
+      "constant" ~> "(" ~> params <~ ")" ^^ (p =>
+        Map("outname" -> "__const", "name" -> p.getOrElse("value", ""))) |
       "property" ~> "(" ~> params <~ ")" ^^ { p =>
-        (p.getOrElse("outname", p.getOrElse("name", "")), p.getOrElse("name", ""))
+        Map("outname" -> p.getOrElse("outname", p.getOrElse("name", "")),
+          "name" -> p.getOrElse("name", ""),
+          "datatype" -> p.getOrElse("datatype", p.getOrElse("dataType", "string")),
+          "onEmpty" -> p.getOrElse("onEmpty", p.getOrElse("onempty", "keep")))
       }
-    def listBody: Parser[Seq[(String, String)]] = "{" ~> rep(listEntry) <~ "}"
+    def listBody: Parser[Seq[Map[String, String]]] = "{" ~> rep(listEntry) <~ "}"
 
     def lookupObj: Parser[Item] =
       "lookup_table" ~> "(" ~> params <~ ")" ^^ LookupObj.apply
@@ -127,7 +131,7 @@ object RsyslogConfig {
       case other => throw new IllegalStateException(other.toString)
     }
     var templates = builtinTemplates
-    var jsonf = Map.empty[String, Seq[(String, String)]]
+    var jsonf = Map.empty[String, Seq[TemplateCompiler.JsonfField]]
     var lookups = Map.empty[String, LookupTable]
     var rulesets = Map.empty[String, Seq[RStmt]]
     val main = scala.collection.mutable.ArrayBuffer.empty[RStmt]
@@ -140,10 +144,12 @@ object RsyslogConfig {
             // list templates with only properties compile to jsonf when
             // option.jsonf="on", else to a concatenated string template
             if (p.get("option.jsonf").contains("on"))
-              jsonf += name -> fields.filter(_._1 != "__const")
-            else templates += name -> fields.map {
-              case ("__const", v) => v.replace("%", "\\%")
-              case (_, prop) => s"%$prop%"
+              jsonf += name -> fields.filter(_("outname") != "__const").map(f =>
+                TemplateCompiler.JsonfField(f("outname"), f("name"),
+                  f.getOrElse("datatype", "string"), f.getOrElse("onEmpty", "keep")))
+            else templates += name -> fields.map { f =>
+              if (f("outname") == "__const") f("name").replace("%", "\\%")
+              else s"%${f("name")}%"
             }.mkString
           case "subtree" => templates += name -> s"%${p("subtree")}%"
           case other =>

@@ -213,8 +213,42 @@ object TemplateCompiler {
   /** jsonf list-template: render properties as a JSON object with
     * outname keys (template.h:170-178 dataType/onEmpty collapsed to
     * string/auto). */
-  def compileJsonf(fields: Seq[(String, String)], props: String => Column): Column =
-    to_json(struct(fields.map { case (outname, prop) =>
-      resolve(prop, props).as(outname)
+  /** One jsonf field: outname key, source property, dataType
+    * string|number|bool|auto, onEmpty keep|skip|null
+    * (runtime/template.h:170-178, runtime/msg.c:3485-3540). */
+  case class JsonfField(outname: String, prop: String,
+                        dataType: String = "string", onEmpty: String = "keep")
+
+  private def jsonQuote(c: Column): Column = concat(lit("\""),
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), lit("\""))
+
+  /** jsonf emission with dataType/onEmpty semantics. Typed values ride a
+    * VARIANT where the JSON rendering must vary per row (numbers, auto,
+    * explicit nulls — a variant null renders as `null` while a struct
+    * null field is omitted, which is exactly the onEmpty null/skip
+    * distinction); plain strings/bools stay native struct fields. */
+  def compileJsonf(fields: Seq[JsonfField], props: String => Column): Column =
+    to_json(struct(fields.map { f =>
+      val base = resolve(f.prop, props).cast("string")
+      val isEmpty = base.isNull || base === ""
+      val typed: Column = f.dataType match {
+        case "number" =>
+          try_parse_json(when(base.rlike("^-?\\d+(\\.\\d+)?$"), base))
+        case "bool" =>
+          // variant so it composes with onEmpty=null; cbool semantics
+          try_parse_json(when(lower(base) === "true" || base === "1", "true")
+            .when(lower(base) === "false" || base === "0", "false"))
+        case "auto" =>
+          coalesce(try_parse_json(base), try_parse_json(jsonQuote(base)))
+        case _ => // string
+          if (f.onEmpty == "null") try_parse_json(jsonQuote(base)) else base
+      }
+      val withEmpty = f.onEmpty match {
+        case "skip" => when(isEmpty, lit(null)).otherwise(typed)
+        case "null" => when(isEmpty, parse_json(lit("null"))).otherwise(typed)
+        case _ => typed // keep
+      }
+      withEmpty.as(f.outname)
     }: _*))
 }

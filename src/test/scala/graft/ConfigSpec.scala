@@ -96,6 +96,25 @@ class ConfigSpec extends SparkSpec {
     assert(line == "H=host1 S=3")
   }
 
+  test("jsonf template: dataType and onEmpty semantics") {
+    val cfg = RsyslogConfig.parse(
+      """template(name="j" type="list" option.jsonf="on") {
+        |  property(outname="host" name="hostname")
+        |  property(outname="sev" name="severity" datatype="number")
+        |  property(outname="maybe" name="msg" onEmpty="skip")
+        |  property(outname="always" name="msg" onEmpty="null")
+        |  property(outname="anum" name="msg" datatype="auto")
+        |}""".stripMargin)
+    val frame = Seq(
+      ("h1", "3", "42"),   // msg numeric → auto renders number
+      ("h2", "5", "")      // msg empty → skip omits, null emits null
+    ).toDF("hostname", "severity", "msg")
+    val out = frame.select(cfg.renderTemplate("j", col).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == """{"host":"h1","sev":3,"maybe":"42","always":"42","anum":42}""")
+    assert(out(1) == """{"host":"h2","sev":5,"always":null,"anum":""}""")
+  }
+
   test("builtin TraditionalFileFormat renders") {
     val cfg = RsyslogConfig.parse("")
     val line = fixture.limit(1)

@@ -100,7 +100,9 @@ class TemplateSpec extends SparkSpec {
   test("jsonf template") {
     val j = fixture.select(
       TemplateCompiler.compileJsonf(
-        Seq("host" -> "hostname", "sev" -> "syslogseverity"), col).as("r"))
+        Seq(TemplateCompiler.JsonfField("host", "hostname"),
+          TemplateCompiler.JsonfField("sev", "syslogseverity", "number")),
+        col).as("r"))
       .collect()(0).getString(0)
     assert(j == """{"host":"host1","sev":3}""")
   }
