@@ -34,6 +34,50 @@ class ReliableSinkSpec extends SparkSpec {
     assert(deadLetterRows == 3)
   }
 
+  test("mmexternal pipe: per-partition worker transforms the JSON tree") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, """{"a":1}"""), (2L, """{"a":2}"""), (3L, null))
+      .toDF("id", "vars")
+    // worker = the external program stand-in: wraps the tree
+    val out = graft.operators.External.pipeJson(df, "vars",
+      () => (in: String) => s"""{"seen":true,"orig":$in}""")
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getString(1) == """{"seen":true,"orig":{"a":1}}""")
+    assert(rows(2).getString(1) == """{"seen":true,"orig":{}}""") // null → {}
+  }
+
+  test("impstats-style observe metrics surface per action") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        qe.observedMetrics.get("ingest").foreach { row =>
+          metrics.add((row.getAs[Long]("n_processed"), row.getAs[Long]("n_parse_fail")))
+        }
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = Seq(("a", true), ("b", false), ("c", true))
+        .toDF("msg", "parsesuccess")
+      graft.sources.Sources.withStats(df, "ingest").collect()
+      // QueryExecutionListener callbacks are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(!metrics.isEmpty, "no observed metrics delivered")
+      val (n, fails) = metrics.peek()
+      assert(n == 3 && fails == 1)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("foreachBatch adapter persists and unpersists") {
     val fn = ReliableSink.foreachBatchWithRetry(
       write = _ => (), fallback = _ => (), RetryPolicy(resumeIntervalMs = 1))
