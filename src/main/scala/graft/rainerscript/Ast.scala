@@ -33,4 +33,8 @@ case class RCall(ruleset: String) extends RStmt
 /** call_indirect expr; — dynamic ruleset dispatch by computed name
   * (runtime/ruleset.c:236-275; unknown name = NOP). */
 case class RCallIndirect(expr: RExpr) extends RStmt
+/** reload_lookup_table(name[, stub]); — hot reload procedure
+  * (runtime/lookup.c:975-1011). Set-engine: tables rebuild per epoch, so
+  * the statement is a parsed no-op marker. */
+case class RReloadLookupTable(table: String, stub: Option[String]) extends RStmt
 case class RAction(params: Map[String, String]) extends RStmt

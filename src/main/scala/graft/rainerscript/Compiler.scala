@@ -203,6 +203,11 @@ object RainerCompiler {
       // DynStats / perctile operators over the frame (IMPLEMENTATION
       // §2.7). The call sites themselves return success.
       case "dyn_inc" | "percentile_observe" => lit(0L)
+      // interpreter-state introspection: the declarative engine exposes
+      // failure through null-propagation / ReliableSink instead; calls
+      // resolve to their success values so real configs run
+      case "script_error" => lit(0L)
+      case "previous_action_suspended" => lit(false)
       case "exec_template" =>
         TemplateCompiler.compile(
           templates.getOrElse(s(0), throw new IllegalArgumentException(
@@ -453,6 +458,9 @@ object RainerCompiler {
         actions += CompiledAction(actions.size, params, cn, renderCol)
       case RCall(_) =>
         // single-ruleset scope in round 1: call is a no-op marker
+      case RReloadLookupTable(_, _) =>
+        // per-epoch rebuild is the reload mechanism here (Config.lookupTables
+        // is immutable within a run; foreachBatch re-parses per epoch)
       case RCallIndirect(_) =>
         // without a config registry every computed name is unknown → NOP
         // (runtime/ruleset.c:250-255); RsyslogConfig.run lowers this to

@@ -97,7 +97,7 @@ class RainerParserBase extends RegexParsers {
   // ---- statements ----
   def stmt: Parser[RStmt] =
     setStmt | unsetStmt | ifStmt | foreachStmt | stopStmt | callIndirectStmt |
-    callStmt | actionStmt | priFiltStmt | propFiltStmt
+    callStmt | reloadLookupStmt | actionStmt | priFiltStmt | propFiltStmt
 
   private def setStmt: Parser[RStmt] =
     "set" ~> variable ~ ("=" ~> expr) <~ ";" ^^ { case v ~ e => RSet(v, e) }
@@ -116,6 +116,10 @@ class RainerParserBase extends RegexParsers {
   private def stopStmt: Parser[RStmt] = "stop" <~ opt(";") ^^^ RStop
   private def callIndirectStmt: Parser[RStmt] =
     "call_indirect" ~> expr <~ opt(";") ^^ RCallIndirect.apply
+  private def reloadLookupStmt: Parser[RStmt] =
+    "reload_lookup_table" ~> "(" ~> qstring ~ (opt("," ~> qstring) <~ ")") <~ opt(";") ^^ {
+      case t ~ stub => RReloadLookupTable(t, stub)
+    }
   private def callStmt: Parser[RStmt] =
     "call" ~> ident <~ opt(";") ^^ RCall.apply
   private def actionParam: Parser[(String, String)] =

@@ -239,6 +239,18 @@ class RainerScriptSpec extends SparkSpec {
     assert(r.getString(4) == "CEF:0|v|p|1|7|evt|3|k=1")
   }
 
+  test("reload_lookup_table / script_error / previous_action_suspended parse and run") {
+    val res = RainerCompiler.run(
+      """reload_lookup_table("geo", "stub");
+        |set $.err = script_error();
+        |if previous_action_suspended() then set $.susp = "y";
+        |""".stripMargin, Seq("m").toDF("msg"))
+    val r = res.output.select(
+      get_json_object(col("vars_local"), "$.err"),
+      get_json_object(col("vars_local"), "$.susp")).collect()(0)
+    assert(r.getString(0) == "0" && r.getString(1) == null)
+  }
+
   test("global $/ namespace is distinct from $! and $. (per-message scope)") {
     val res = RainerCompiler.run(
       """set $/site = "dc-east";
