@@ -369,7 +369,9 @@ object RainerCompiler {
           case "isequal" => base === v
           case "startswith" => base.startsWith(v)
           case "endswith" => base.endsWith(v)
-          case "regex" | "ereregex" => base.rlike(v)
+          case "regex" | "ereregex" =>
+            // POSIX dialect translated like re_match ([[:class:]] forms)
+            base.rlike(graft.functions.PosixRegex.translate(v))
           case "isempty" => base.isNull || base === ""
           case other => throw new IllegalArgumentException(s"propfilt op $other")
         }
