@@ -68,19 +68,34 @@ object device {
   // ---------------------------------------------------------- mmleefparse
   /** LEEF event: `LEEF:ver|vendor|product|pversion|eventID|k=v<delim>k=v…`
     * (reference: plugins/mmleefparse/mmleefparse.c:238-295 header walk,
-    * default delimiter TAB, `LEEF:` cookie at :110). Extension block
-    * exposed as MAP<STRING,STRING>. */
+    * default delimiter TAB, `LEEF:` cookie at :110). LEEF 2.0 may carry a
+    * sixth header field declaring the extension delimiter — a literal
+    * char or the `xHH` hex form — which overrides `delim`. Extension
+    * block exposed as MAP<STRING,STRING>. */
   def parseLeef(raw: Column, delim: String = "\t"): Column = {
     val body = regexp_replace(raw, "^LEEF:", "")
     val seg = split(body, "\\|", 6)
+    val tail = coalesce(element_at(seg, 6), lit(""))
+    // 2.0 delimiter header: a 1-char (or xHH) field followed by '|' then
+    // the k=v block; 1.0 tails (or 2.0 without the field) start at k=v
+    val hasDelimHdr = element_at(seg, 1).startsWith("2") &&
+      tail.rlike("^(x[0-9A-Fa-f]{2}|[^=|])\\|")
+    val declared = regexp_extract(tail, "^(x[0-9A-Fa-f]{2}|[^=|])\\|", 1)
+    val delimCol = when(!hasDelimHdr, lit(delim))
+      .when(declared.rlike("^x[0-9A-Fa-f]{2}$"),
+        // xHH hex form → the character it encodes
+        chr(conv(substring(declared, 2, 2), 16, 10).cast(LongType)))
+      .otherwise(declared)
+    val ext = when(hasDelimHdr, regexp_replace(tail,
+        "^(x[0-9A-Fa-f]{2}|[^=|])\\|", "")).otherwise(tail)
     when(raw.startsWith("LEEF:") && size(seg) >= 5, struct(
       element_at(seg, 1).as("version"),
       element_at(seg, 2).as("vendor"),
       element_at(seg, 3).as("product"),
       element_at(seg, 4).as("product_version"),
       element_at(seg, 5).as("event_id"),
-      str_to_map(coalesce(element_at(seg, 6), lit("")),
-        lit(java.util.regex.Pattern.quote(delim)), lit("=")).as("ext")))
+      str_to_map(ext,
+        concat(lit("\\Q"), delimCol, lit("\\E")), lit("=")).as("ext")))
   }
 
   // --------------------------------------------------- pmsnare/mmsnareparse
@@ -109,15 +124,23 @@ object device {
   // -------------------------------------------------------------- mmaudit
   /** Linux audit record: `type=<T> msg=audit(<sec>.<ms>:<serial>): k=v …`
     * (reference: plugins/mmaudit/mmaudit.c:216-244 header check, k=v body
-    * via parseName/parseValue). Body exposed as MAP<STRING,STRING>. */
+    * via parseName/parseValue — parseValue handles quoted values, so
+    * `cmd="ls -la"` is ONE entry). Body exposed as MAP<STRING,STRING>
+    * with surrounding quotes stripped. */
   private val auditHdr = "^type=(\\S+) msg=audit\\((\\d+)\\.(\\d+):(\\d+)\\): (.*)$"
+  private val auditKv = "([A-Za-z0-9_-]+)=(\"[^\"]*\"|\\S+)"
 
-  def parseAudit(msg: Column): Column =
+  def parseAudit(msg: Column): Column = {
+    val body = regexp_extract(msg, auditHdr, 5)
+    val keys = regexp_extract_all(body, lit(auditKv), lit(1))
+    val vals = transform(regexp_extract_all(body, lit(auditKv), lit(2)),
+      v => regexp_replace(v, "^\"|\"$", ""))
     when(msg.rlike(auditHdr), struct(
       regexp_extract(msg, auditHdr, 1).as("audit_type"),
       regexp_extract(msg, auditHdr, 2).cast(LongType).as("epoch"),
       regexp_extract(msg, auditHdr, 4).cast(LongType).as("serial"),
-      str_to_map(regexp_extract(msg, auditHdr, 5), lit(" "), lit("=")).as("kv")))
+      map_from_arrays(keys, vals).as("kv")))
+  }
 
   // ------------------------------------------------------------ mmutf8fix
   /** Repair invalid UTF-8 in a binary payload: every byte of an invalid
@@ -205,7 +228,9 @@ object device {
     * (reference: contrib/pmpanngfw/pmpanngfw.c — comma-separated after
     * the FUTURE_USE leading field). */
   def parsePanNgfw(msg: Column): Column = {
-    val f = split(msg, ",")
+    // limit 6: the 6th segment keeps the remainder (a real PAN line has
+    // dozens more CSV fields — `rest` is everything after subtype)
+    val f = split(msg, ",", 6)
     when(element_at(f, 1) === "1" && size(f) >= 6, struct(
       element_at(f, 2).as("recv_time"),
       element_at(f, 3).as("serial"),

@@ -218,13 +218,17 @@ case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
   override def nullable: Boolean = true
   override def prettyName: String = "json_set_multi"
 
-  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-    JsonPathUtil.setMultiKernel(
-      json.eval(input).asInstanceOf[UTF8String],
-      guard.eval(input).asInstanceOf[java.lang.Boolean],
-      paths.toArray,
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = json.eval(input).asInstanceOf[UTF8String]
+    val g = guard.eval(input).asInstanceOf[java.lang.Boolean]
+    // short-circuit: a false guard must not evaluate the values (they can
+    // be arbitrarily expensive and the statement is usually inside a
+    // rarely-true `if`)
+    if (g == null || !g.booleanValue()) return j
+    JsonPathUtil.setMultiKernel(j, g, paths.toArray,
       values.map(v => v.eval(input).asInstanceOf[AnyRef]).toArray,
       values.map(v => JsonPathUtil.typeTag(v.dataType)).toArray)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val j = json.genCode(ctx); val g = guard.genCode(ctx)
@@ -236,16 +240,22 @@ case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
     val fill = vs.zipWithIndex.map { case (v, i) =>
       s"$valsArr[$i] = ${v.isNull} ? null : (Object) ${v.value};"
     }.mkString("\n")
+    // value expressions evaluate only under a true guard (same
+    // short-circuit as the interpreted path)
     ev.copy(code = code"""
       ${j.code}
       ${g.code}
-      ${vs.map(_.code).mkString("\n")}
-      Object[] $valsArr = new Object[${vs.length}];
-      $fill
-      UTF8String ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.setMultiKernel(
-        ${j.isNull} ? null : ${j.value},
-        ${g.isNull} ? null : (Boolean) (Object) ${g.value},
-        $pathsRef, $valsArr, $tagsRef);
+      UTF8String ${ev.value};
+      if (!${g.isNull} && ${g.value}) {
+        ${vs.map(_.code.toString).mkString("\n")}
+        Object[] $valsArr = new Object[${vs.length}];
+        $fill
+        ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.setMultiKernel(
+          ${j.isNull} ? null : ${j.value}, Boolean.TRUE,
+          $pathsRef, $valsArr, $tagsRef);
+      } else {
+        ${ev.value} = ${j.isNull} ? null : ${j.value};
+      }
       boolean ${ev.isNull} = ${ev.value} == null;""")
   }
 

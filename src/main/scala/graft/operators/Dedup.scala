@@ -45,15 +45,22 @@ object Dedup {
   /** Ordered within-bucket pair emission: group members by bucket, sort,
     * and emit every (a, b) with a < b via a nested transform. ONE shuffle
     * (the groupBy) where a bucket self-join costs two exchanges plus the
-    * join build; the pair fan-out (Σ m²/2 per bucket) is identical — it is
-    * inherent to candidate generation, not to the physical plan. Member
-    * structs carry per-doc payloads (signatures, set sizes) so downstream
-    * needs no joins back to the corpus. */
+    * join build; the pair fan-out (Σ m²/2 per bucket) is inherent to
+    * candidate generation. Member structs carry per-doc payloads
+    * (signatures, set sizes) so downstream needs no joins back to the
+    * corpus.
+    *
+    * Unlike a join, the m²/2 pairs of one bucket materialize in a single
+    * row before explode, so a degenerate hot bucket (a stop-shingle, a
+    * band bucket full of identical docs) is a task-OOM hazard —
+    * `maxBucket` drops buckets above the bound (the standard stop-shingle
+    * guard: a key shared by >1024 documents identifies nothing). Raise it
+    * if a corpus legitimately needs bigger buckets. */
   private def bucketPairs(df: DataFrame, bucketCols: Seq[Column],
-                          member: Column): DataFrame =
+                          member: Column, maxBucket: Int = 1024): DataFrame =
     df.groupBy(bucketCols: _*)
       .agg(sort_array(collect_list(member)).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
       .select(explode(flatten(transform(col("ms"), (a, i) =>
         transform(
           slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
@@ -126,7 +133,10 @@ object Dedup {
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 16, localThreshold: Long = 5000000L): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
-    val p0 = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // cached BEFORE the probe so the expensive upstream pair DAG is never
+    // recomputed: the probe materializes (and caches) whatever partitions
+    // it touches, and the distributed path reuses them
+    val p0 = pairs.select(col(idA).as("src"), col(idB).as("dst")).cache()
     // Scale-adaptive: a near-dup edge list is orders of magnitude smaller
     // than the corpus (it's the LSH/verify survivors), so up to
     // `localThreshold` edges a driver-side union-find (zero iterative
@@ -134,8 +144,11 @@ object Dedup {
     // small-side-local tradeoff as a broadcast join. The bounded collect
     // probes size and fetches the edges in ONE job: ≤ threshold rows back
     // means we hold the complete set; one extra row → distributed loop.
+    // localThreshold bounds driver heap (rows × 2 ids) — size it to the
+    // driver as you would any broadcast/collect limit.
     val probe = p0.limit((localThreshold + 1).toInt).collect()
     if (probe.length <= localThreshold) {
+      p0.unpersist()
       val spark = pairs.sparkSession
       val srcType = p0.schema("src").dataType
       val parent = new java.util.HashMap[Any, Any]()
@@ -170,12 +183,11 @@ object Dedup {
         spark.sparkContext.parallelize(out.toSeq, 1),
         StructType(Seq(StructField("doc", srcType), StructField("cluster", srcType))))
     }
-    // distributed path: materialize the pair computation once (it is
-    // referenced twice per round below). cache, NOT localCheckpoint, for
-    // the edge list: checkpointing drops to the RDD and loses AQE's
-    // runtime join optimization of the upstream plan (measured 3.5×
-    // slower here).
-    val p = p0.cache()
+    // distributed path: p0 is already cached (partially materialized by
+    // the probe). cache, NOT localCheckpoint, for the edge list:
+    // checkpointing drops to the RDD and loses AQE's runtime join
+    // optimization of the upstream plan (measured 3.5× slower here).
+    val p = p0
     val edges = p
       .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
@@ -210,6 +222,7 @@ object Dedup {
       log.warn(s"clusters() exited after $maxIter rounds without converging; " +
         "components may be split — raise maxIter")
     edges.unpersist()
+    p0.unpersist()
     labels
   }
 

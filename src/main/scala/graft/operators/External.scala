@@ -20,13 +20,22 @@ object External {
 
   /** Pipe each row's `jsonCol` through an external transform; the reply
     * (a JSON object string) replaces the column. `workerFactory` is
-    * invoked once per partition (≈ one child process per task). */
+    * invoked once per partition (≈ one child process per task). A worker
+    * that implements AutoCloseable is closed when the task completes —
+    * success OR failure — so a wrapped child process gets its stdin
+    * closed and is reaped instead of leaking one orphan per task. */
   def pipeJson(df: DataFrame, jsonCol: String,
                workerFactory: () => String => String): DataFrame = {
     val schema = df.schema
     val idx = schema.fieldIndex(jsonCol)
     val rdd = df.rdd.mapPartitions { rows =>
       val worker = workerFactory() // per-partition child process analogue
+      worker match {
+        case c: AutoCloseable =>
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => c.close()))
+        case _ =>
+      }
       rows.map { r =>
         val in = r.getString(idx)
         val out = worker(if (in == null) "{}" else in)

@@ -129,16 +129,19 @@ object Stateful {
 
   // ---------------------------------------------------------- streaming dedup
 
-  /** Streaming exact dedup on a content fingerprint: Spark's
-    * dropDuplicates state keyed by the fingerprint, bounded by the
+  /** Streaming exact dedup on a content fingerprint, state bounded by the
     * watermark horizon (the streaming face of Dedup.exact — at 100 TB/day
-    * the watermark is what keeps fingerprint state finite). */
+    * the watermark is what keeps fingerprint state finite).
+    * dropDuplicatesWithinWatermark is required here: plain
+    * dropDuplicates("fp") would never evict state because the event-time
+    * column is not part of the dedup key — fingerprints would accumulate
+    * until the state store OOMs. */
   def dedupExact(df: org.apache.spark.sql.DataFrame, textCol: String,
                  eventTimeCol: String, watermark: String): org.apache.spark.sql.DataFrame =
     df.withColumn("fp", graft.operators.TextAnalysis.fingerprint(
         org.apache.spark.sql.functions.col(textCol)))
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
 
   // ------------------------------------------------------- repeated-msg squash
 

@@ -223,30 +223,47 @@ object TemplateCompiler {
     regexp_replace(regexp_replace(regexp_replace(c,
       "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), lit("\""))
 
-  /** jsonf emission with dataType/onEmpty semantics. Typed values ride a
-    * VARIANT where the JSON rendering must vary per row (numbers, auto,
-    * explicit nulls — a variant null renders as `null` while a struct
-    * null field is omitted, which is exactly the onEmpty null/skip
-    * distinction); plain strings/bools stay native struct fields. */
+  /** jsonf emission with dataType/onEmpty semantics, matching the
+    * reference's jsonField exactly (runtime/msg.c:3521-3596): empty+skip
+    * omits the field; empty+null emits a literal null; otherwise number
+    * renders empty as 0 (and falls back to a quoted string for
+    * non-numeric data — the reference emits it verbatim, which would be
+    * invalid JSON); bool is false ONLY for "0", true for everything else
+    * including empty; auto is numeric iff all-digits (no sign/decimal),
+    * else a quoted string. Values whose rendering varies per row ride a
+    * VARIANT — a variant null renders as `null` while a null struct field
+    * is omitted, which is exactly the null/skip distinction. */
   def compileJsonf(fields: Seq[JsonfField], props: String => Column): Column =
     to_json(struct(fields.map { f =>
-      val base = resolve(f.prop, props).cast("string")
-      val isEmpty = base.isNull || base === ""
+      // null property reads normalize to "" (the reference's property
+      // fetch always yields a string), so keep/skip/null see one case
+      val base = coalesce(resolve(f.prop, props).cast("string"), lit(""))
+      val isEmpty = base === ""
       val typed: Column = f.dataType match {
         case "number" =>
-          try_parse_json(when(base.rlike("^-?\\d+(\\.\\d+)?$"), base))
+          coalesce(
+            try_parse_json(when(isEmpty, "0")
+              .when(base.rlike("^-?\\d+(\\.\\d+)?$"), base)),
+            try_parse_json(jsonQuote(base)))
         case "bool" =>
-          // variant so it composes with onEmpty=null; cbool semantics
-          try_parse_json(when(lower(base) === "true" || base === "1", "true")
-            .when(lower(base) === "false" || base === "0", "false"))
+          // msg.c:3589: only the single char '0' is false
+          when(base === "0", lit(false)).otherwise(lit(true))
         case "auto" =>
-          coalesce(try_parse_json(base), try_parse_json(jsonQuote(base)))
+          // msg.c:3565: numeric iff every char is a digit
+          coalesce(try_parse_json(when(base.rlike("^[0-9]+$"), base)),
+            try_parse_json(jsonQuote(base)))
         case _ => // string
           if (f.onEmpty == "null") try_parse_json(jsonQuote(base)) else base
       }
       val withEmpty = f.onEmpty match {
         case "skip" => when(isEmpty, lit(null)).otherwise(typed)
-        case "null" => when(isEmpty, parse_json(lit("null"))).otherwise(typed)
+        case "null" =>
+          when(isEmpty, parse_json(lit("null")))
+            .otherwise(f.dataType match {
+              case "bool" => try_parse_json(when(base === "0", "false")
+                .otherwise("true"))
+              case _ => typed
+            })
         case _ => typed // keep
       }
       withEmpty.as(f.outname)

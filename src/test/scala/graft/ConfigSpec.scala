@@ -96,7 +96,7 @@ class ConfigSpec extends SparkSpec {
     assert(line == "H=host1 S=3")
   }
 
-  test("jsonf template: dataType and onEmpty semantics") {
+  test("jsonf template: dataType and onEmpty semantics (msg.c:3521-3596)") {
     val cfg = RsyslogConfig.parse(
       """template(name="j" type="list" option.jsonf="on") {
         |  property(outname="host" name="hostname")
@@ -104,15 +104,19 @@ class ConfigSpec extends SparkSpec {
         |  property(outname="maybe" name="msg" onEmpty="skip")
         |  property(outname="always" name="msg" onEmpty="null")
         |  property(outname="anum" name="msg" datatype="auto")
+        |  property(outname="nempty" name="msg" datatype="number")
+        |  property(outname="flag" name="msg" datatype="bool")
         |}""".stripMargin)
     val frame = Seq(
-      ("h1", "3", "42"),   // msg numeric → auto renders number
-      ("h2", "5", "")      // msg empty → skip omits, null emits null
+      ("h1", "3", "42"), // msg numeric → auto/number render numbers, bool→true
+      ("h2", "5", ""),   // msg empty → skip omits, null→null, number→0, bool→true
+      ("h3", "7", "0")   // bool: only the single char '0' is false
     ).toDF("hostname", "severity", "msg")
     val out = frame.select(cfg.renderTemplate("j", col).as("r"))
       .collect().map(_.getString(0))
-    assert(out(0) == """{"host":"h1","sev":3,"maybe":"42","always":"42","anum":42}""")
-    assert(out(1) == """{"host":"h2","sev":5,"always":null,"anum":""}""")
+    assert(out(0) == """{"host":"h1","sev":3,"maybe":"42","always":"42","anum":42,"nempty":42,"flag":true}""")
+    assert(out(1) == """{"host":"h2","sev":5,"always":null,"anum":"","nempty":0,"flag":true}""")
+    assert(out(2) == """{"host":"h3","sev":7,"maybe":"0","always":"0","anum":0,"nempty":0,"flag":false}""")
   }
 
   test("builtin TraditionalFileFormat renders") {

@@ -65,6 +65,37 @@ class DeviceParsersSpec extends SparkSpec {
     assert(r.getAs[Map[String, String]]("kv")("syscall") == "59")
   }
 
+  test("mmaudit: quoted values with spaces stay one entry") {
+    val r = row(device.parseAudit(
+      lit("""type=USER_CMD msg=audit(1718000000.123:457): pid=123 cmd="ls -la /tmp" acct="john doe"""")))
+      .getStruct(0)
+    val kv = r.getAs[Map[String, String]]("kv")
+    assert(kv("cmd") == "ls -la /tmp")
+    assert(kv("acct") == "john doe")
+    assert(kv("pid") == "123")
+  }
+
+  test("mmleefparse: LEEF 2.0 declared delimiter (literal and hex form)") {
+    val r = row(device.parseLeef(
+      lit("LEEF:2.0|V|P|1|id7|^|src=10.0.0.1^dst=10.0.0.2"))).getStruct(0)
+    val ext = r.getAs[Map[String, String]]("ext")
+    assert(ext("src") == "10.0.0.1" && ext("dst") == "10.0.0.2")
+    val rx = row(device.parseLeef(
+      lit("LEEF:2.0|V|P|1|id8|x5E|src=1^dst=2"))).getStruct(0)
+    val extx = rx.getAs[Map[String, String]]("ext")
+    assert(extx("src") == "1" && extx("dst") == "2")
+    // 2.0 without the optional delimiter field falls back to TAB
+    val r2 = row(device.parseLeef(
+      lit("LEEF:2.0|V|P|1|id9|src=3\tdst=4"))).getStruct(0)
+    assert(r2.getAs[Map[String, String]]("ext")("dst") == "4")
+  }
+
+  test("pmpanngfw: rest keeps the remainder past subtype") {
+    val p = row(device.parsePanNgfw(lit(
+      "1,2024/01/01 12:00:00,0011,TRAFFIC,end,2024/01/01,10.0.0.1,10.0.0.2,more"))).getStruct(0)
+    assert(p.getAs[String]("rest") == "2024/01/01,10.0.0.1,10.0.0.2,more")
+  }
+
   test("mmutf8fix kernel: reference semantics per byte class") {
     def fix(bytes: Array[Byte]): String =
       Utf8FixExpr.kernel(bytes, ' '.toByte).toString
