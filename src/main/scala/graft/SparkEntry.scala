@@ -1329,6 +1329,10 @@ object Queries {
         |SELECT a AS doc, least(a, min(b)) AS cluster
         |FROM reach GROUP BY a""".stripMargin,
 
+    // multi-probe LSH fully oracled: the deterministic plane matrix embeds
+    // as SQL literals (see Similarity.lshOracleSql)
+    "ann_lsh" -> Similarity.lshOracleSql(nPlanes = 8, dim = 64, k = 5),
+
     "ann_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 8),

@@ -88,6 +88,32 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("c.vec_id").as("neighbor"), col("sim"))
   }
 
+  /** DuckDB oracle for lshTopK: the hyperplanes are deterministic, so the
+    * whole multi-probe pipeline (sign-bit bucket, Hamming≤1 probe set,
+    * exact cosine, top-k) is SQL-expressible — the plane matrix embeds as
+    * literals and bucket equality reduces to bit_count(xor) ≤ 1.
+    * Sign agreement between engines holds because both compute the dot
+    * product in double; a flip would need |dot| at float-noise scale. */
+  def lshOracleSql(nPlanes: Int = 8, dim: Int = 64, k: Int = 5,
+                   maxQueryId: Int = 8): String = {
+    val pl = planes(nPlanes, dim)
+    val terms = pl.zipWithIndex.map { case (row, i) =>
+      s"(CASE WHEN list_dot_product(embedding, [${row.mkString(",")}]) >= 0 " +
+        s"THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, ($terms) AS bucket FROM embeddings),
+       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+       |       FROM b WHERE vec_id < $maxQueryId),
+       |cands AS (
+       |  SELECT qs.q_id, c.vec_id AS neighbor,
+       |    round(list_cosine_similarity(qs.q_emb, c.embedding), 4) AS sim
+       |  FROM b c JOIN qs ON c.vec_id <> qs.q_id
+       |    AND bit_count(xor(c.bucket::BIGINT, qs.q_bucket::BIGINT)) <= 1),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk FROM cands)
+       |SELECT q_id, rk, neighbor, sim FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nlist cells; each query probes only its nprobe nearest cells.
     * At 100 TB the corpus is scanned ONCE to assign cells (embarrassingly
