@@ -1333,6 +1333,12 @@ object Queries {
     // as SQL literals (see Similarity.lshOracleSql)
     "ann_lsh" -> Similarity.lshOracleSql(nPlanes = 8, dim = 64, k = 5),
 
+    // minhash/simhash fully oracled: FNV-1a + splitmix replicated in
+    // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)
+    "dedup_minhash" -> Dedup.minhashOracleSql(n = 3, bands = 16, rows = 4,
+      minEstJaccard = 0.5),
+    "dedup_simhash" -> Dedup.simhashOracleSql(maxHamming = 3),
+
     "ann_cosine" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 8),

@@ -123,6 +123,112 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------------- DuckDB oracles
+  // The minhash/simhash pipelines are fully deterministic, so they are
+  // oracle-expressible: FNV-1a runs as a list_reduce over character
+  // codes in HUGEINT mod-2^64 arithmetic, and the splitmix finalizer's
+  // 64×64-bit multiplies split into hi/lo halves to stay inside INT128.
+
+  private val fnvM = "18446744073709551616::HUGEINT" // 2^64
+  private val fnvHalf = "9223372036854775808::HUGEINT" // 2^63
+
+  /** a*b mod 2^64 without INT128 overflow: ((a>>32)*b mod 2^32)<<32 +
+    * (a mod 2^32)*b, mod 2^64. */
+  private def modMul(z: String, c: String): String = {
+    val b32 = "4294967296::HUGEINT"
+    s"(((($z) >> 32) * $c::HUGEINT % $b32) * $b32 + (($z) % $b32) * $c::HUGEINT) % $fnvM"
+  }
+
+  /** FNV-1a 64 of a string expression (HashUtil.fnv1a64, ASCII input). */
+  private def fnvSql(s: String): String =
+    s"""list_reduce(
+       |      list_prepend(14695981039346656037::HUGEINT,
+       |        list_transform(range(length($s)), i -> ascii(substring($s, (i+1)::INT, 1))::HUGEINT)),
+       |      (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % $fnvM)""".stripMargin
+
+  /** DuckDB oracle for minhashLshPairs (MinHashSignatureExpr semantics:
+    * splitmix64 finalizer over h XOR golden-ratio seeds, signed min).
+    * Band membership tests slice equality directly — the semantic
+    * definition the engine's xxhash64 bucketing approximates. */
+  def minhashOracleSql(n: Int = 3, bands: Int = 16, rows: Int = 4,
+                       minEstJaccard: Double = 0.5): String = {
+    val k = bands * rows
+    val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(len(t) - ${n - 1}), i -> $grams))) AS s
+       |  FROM toks WHERE len(t) >= $n),
+       |hashed AS (
+       |  SELECT doc_id, ${fnvSql("s")} AS h0
+       |  FROM sh),
+       |perms AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_transform(
+       |        list_transform(
+       |          list_transform(
+       |            list_transform(
+       |              list_transform(
+       |                list_transform(range($k), j -> xor(h0, (11400714819323198485::HUGEINT * (j+1)::HUGEINT) % $fnvM)),
+       |                z -> xor(z, z >> 30)),
+       |              z -> ${modMul("z", "13787848793156543929")}),
+       |            z -> xor(z, z >> 27)),
+       |          z -> ${modMul("z", "10723151780598845931")}),
+       |        z -> xor(z, z >> 31)),
+       |      z -> CASE WHEN z >= $fnvHalf THEN (z - $fnvM)::BIGINT ELSE z::BIGINT END) AS zs
+       |  FROM hashed),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    list_transform(range($k), j -> list_min(list_transform(zll, l -> l[j+1]))) AS sig
+       |  FROM (SELECT doc_id, list(zs) AS zll FROM perms GROUP BY doc_id)),
+       |banded AS (
+       |  SELECT doc_id, sig, unnest(range($bands)) AS band FROM sigs),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id
+       |   AND a.sig[(a.band*$rows+1)::INT:((a.band+1)*$rows)::INT]
+       |     = b.sig[(b.band*$rows+1)::INT:((b.band+1)*$rows)::INT]),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_filter(range($k), j -> sig_a[j+1] = sig_b[j+1])) / $k.0, 4) AS est_jaccard
+       |  FROM pairs)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= $minEstJaccard""".stripMargin
+  }
+
+  /** DuckDB oracle for simhashPairs (SimHash64Expr semantics: per-token
+    * FNV-1a bit votes, 4×16-bit band blocking, Hamming verify). */
+  def simhashOracleSql(maxHamming: Int = 3): String = {
+    val signedXor =
+      s"(CASE WHEN xor(ha, hb) >= $fnvHalf THEN (xor(ha, hb) - $fnvM)::BIGINT ELSE xor(ha, hb)::BIGINT END)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(t, tok -> ${fnvSql("tok")}) AS hl
+       |  FROM toks),
+       |sims AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(64), b ->
+       |      CASE WHEN coalesce(list_sum(list_transform(hl, h ->
+       |          CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |        THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))::HUGEINT AS h
+       |  FROM hs),
+       |banded AS (
+       |  SELECT doc_id, h, unnest(range(4)) AS band FROM sims),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.doc_id < b.doc_id
+       |   AND (a.h >> (a.band*16)::INT) % 65536 = (b.h >> (b.band*16)::INT) % 65536)
+       |SELECT id_a, id_b, bit_count($signedXor)::INT AS hamming
+       |FROM pairs WHERE bit_count($signedXor) <= $maxHamming""".stripMargin
+  }
+
   /** Dedup cluster formation: connected components over a near-dup pair
     * list via min-label propagation WITH pointer doubling — each round
     * propagates one hop through edges AND one hop through the current
