@@ -114,6 +114,44 @@ object Similarity {
        |SELECT q_id, rk, neighbor, sim FROM ranked WHERE rk <= $k""".stripMargin
   }
 
+  /** Train an IVF codebook with Lloyd iterations over a (sampled) corpus:
+    * deterministic k-means — init = the nlist lowest-id vectors, then
+    * `iters` rounds of assign (one distributed pass per round, centroids
+    * broadcast as literals) + mean-update (driver-side over nlist×dim
+    * doubles). At 100 TB: train on a bounded sample (`sampleMod`), the
+    * per-round cost is one scan of the sample; assignment of the full
+    * corpus stays the one codegen'd projection in ivfTopK. Empty cells
+    * keep their previous centroid (standard Lloyd fallback). */
+  def trainIvfCodebook(corpus: DataFrame, nlist: Int, iters: Int = 5,
+                       sampleMod: Int = 1): Array[Array[Float]] = {
+    val sample = (if (sampleMod > 1) corpus.filter(col("vec_id") % sampleMod === 0)
+                  else corpus).select(col("embedding"))
+    var cents: Array[Array[Float]] = corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    require(cents.length == nlist, s"corpus smaller than nlist=$nlist")
+    for (_ <- 0 until iters) {
+      def sims(emb: Column): Column =
+        array(cents.map(ce => cosine(emb, array(ce.map(lit): _*))): _*)
+      val s = sims(col("embedding"))
+      val assigned = sample.withColumn("cl",
+        (array_position(s, array_max(s)) - 1).cast("int"))
+      // per-cell mean in one aggregation (element-wise sum via
+      // posexplode + groupBy (cell, dim) stays distributed)
+      val means = assigned
+        .select(col("cl"), posexplode(col("embedding")))
+        .groupBy(col("cl"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
     * into nlist cells; each query probes only its nprobe nearest cells.
     * At 100 TB the corpus is scanned ONCE to assign cells (embarrassingly

@@ -47,6 +47,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"ivf recall $recall too low")
   }
 
+  test("IVF codebook training reduces quantization error") {
+    import org.apache.spark.sql.functions._
+    def quantError(cents: Array[Array[Float]]): Double = {
+      val s = array(cents.map(ce =>
+        Similarity.cosine(col("embedding"), array(ce.map(lit): _*))): _*)
+      corpus.select(avg(lit(1.0) - array_max(s)).as("e"))
+        .collect()(0).getDouble(0)
+    }
+    val init = corpus.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toArray)
+    val trained = Similarity.trainIvfCodebook(corpus, nlist = 8, iters = 4)
+    val e0 = quantError(init)
+    val e1 = quantError(trained)
+    assert(e1 <= e0 + 1e-9, s"training worsened quantization: $e0 -> $e1")
+    assert(e1 < e0 * 0.95, s"training barely moved: $e0 -> $e1")
+  }
+
   test("brute force top-k is deterministic, self-excluded, ordered") {
     val q = corpus.filter(col("vec_id") === 0)
     val rows = Similarity.bruteForceTopK(corpus, q, k = 10)

@@ -222,6 +222,23 @@ class StreamingSpec extends SparkSpec {
     assert(probe() == "dc-west")
   }
 
+  test("mmdblookup on a stream: static range table joins a streaming frame") {
+    import org.apache.spark.sql.functions._
+    val ranges = Seq((0L, 100L, "lo"), (101L, 200L, "hi")).toDF("lo", "hi", "geo")
+    val in = MemoryStream[Long]
+    in.addData(5L, 150L, 999L)
+    val query = in.toDF().toDF("ipn")
+      .join(broadcast(ranges), col("ipn") >= col("lo") && col("ipn") <= col("hi"), "left")
+      .select(col("ipn"), coalesce(col("geo"), lit("unknown")).as("geo"))
+      .writeStream.queryName("geo_out").outputMode(OutputMode.Append)
+      .format("memory").start()
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("geo_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(5L -> "lo", 150L -> "hi", 999L -> "unknown"))
+  }
+
   test("compiled RainerScript pipeline runs unchanged on a streaming frame") {
     // the compiled config is pure Column ops (filters/projections), so the
     // same RsyslogConfig.run works on a readStream DataFrame — batch/
