@@ -17,7 +17,16 @@ case class RsyslogConfig(
     jsonfTemplates: Map[String, Seq[TemplateCompiler.JsonfField]],
     lookupTables: Map[String, LookupTable],
     rulesets: Map[String, Seq[RStmt]],
-    mainStmts: Seq[RStmt]) {
+    mainStmts: Seq[RStmt],
+    // remaining CNFOBJ registries (grammar/rainerscript.h:36-53):
+    // dyn_stats / perctile_stats / ratelimit / timezone objects — params
+    // by object name, consumed by the DynStats / Stateful operators
+    objects: Map[(String, String), Map[String, String]] = Map.empty) {
+
+  /** Params of a named config object (kind = "dyn_stats",
+    * "perctile_stats", "ratelimit", "timezone"). */
+  def obj(kind: String, name: String): Option[Map[String, String]] =
+    objects.get((kind, name))
 
   /** Run a ruleset (or the main/default script) against a LogEvent frame.
     * `call` statements expand inline (runtime/ruleset.c:277-294 direct
@@ -110,6 +119,14 @@ object RsyslogConfig {
     def lookupObj: Parser[Item] =
       "lookup_table" ~> "(" ~> params <~ ")" ^^ LookupObj.apply
 
+    case class GenericObj(kind: String, p: Map[String, String]) extends Item
+    def genericObj: Parser[Item] =
+      ("dyn_stats" | "percentile_stats" | "perctile_stats" | "ratelimit" |
+        "timezone") ~ ("(" ~> params <~ ")") ^^ {
+        case kind ~ p =>
+          GenericObj(if (kind == "percentile_stats") "perctile_stats" else kind, p)
+      }
+
     def rulesetObj: Parser[Item] =
       "ruleset" ~> "(" ~> params ~ (")" ~> "{" ~> rep(stmt) <~ "}") ^^ {
         case p ~ body => RulesetObj(p.getOrElse("name",
@@ -117,7 +134,7 @@ object RsyslogConfig {
       }
 
     def item: Parser[Item] =
-      templateObj | lookupObj | rulesetObj | stmt ^^ StmtItem.apply
+      templateObj | lookupObj | genericObj | rulesetObj | stmt ^^ StmtItem.apply
 
     def config: Parser[Seq[Item]] = rep(item)
   }
@@ -134,6 +151,7 @@ object RsyslogConfig {
     var jsonf = Map.empty[String, Seq[TemplateCompiler.JsonfField]]
     var lookups = Map.empty[String, LookupTable]
     var rulesets = Map.empty[String, Seq[RStmt]]
+    var objects = Map.empty[(String, String), Map[String, String]]
     val main = scala.collection.mutable.ArrayBuffer.empty[RStmt]
     items.foreach {
       case P.TemplateObj(p, fields) =>
@@ -158,8 +176,10 @@ object RsyslogConfig {
       case P.LookupObj(p) =>
         lookups += p("name") -> LookupTable.load(p("file"))
       case P.RulesetObj(name, body) => rulesets += name -> body
+      case P.GenericObj(kind, p) =>
+        objects += (kind, p.getOrElse("name", "")) -> p
       case P.StmtItem(s) => main += s
     }
-    RsyslogConfig(templates, jsonf, lookups, rulesets, main.toSeq)
+    RsyslogConfig(templates, jsonf, lookups, rulesets, main.toSeq, objects)
   }
 }

@@ -119,6 +119,23 @@ class ConfigSpec extends SparkSpec {
     assert(out(2) == """{"host":"h3","sev":7,"maybe":"0","always":"0","anum":0,"nempty":0,"flag":false}""")
   }
 
+  test("dyn_stats / perctile_stats / ratelimit / timezone objects parse into registries") {
+    val cfg = RsyslogConfig.parse(
+      """dyn_stats(name="msg_per_host" resettable="on" maxCardinality="3000")
+        |percentile_stats(name="rt" percentiles="50,95,99" windowsize="1000")
+        |ratelimit(name="per_peer" interval="60" burst="1000")
+        |timezone(id="CET" offset="+01:00")
+        |action(type="omfile")
+        |""".stripMargin)
+    assert(cfg.obj("dyn_stats", "msg_per_host")
+      .exists(_("maxcardinality") == "3000"))
+    assert(cfg.obj("perctile_stats", "rt").exists(_("windowsize") == "1000"))
+    assert(cfg.obj("ratelimit", "per_peer").exists(p =>
+      p("interval") == "60" && p("burst") == "1000"))
+    assert(cfg.obj("timezone", "").exists(_("id") == "CET"))
+    assert(cfg.obj("ratelimit", "nope").isEmpty)
+  }
+
   test("builtin TraditionalFileFormat renders") {
     val cfg = RsyslogConfig.parse("")
     val line = fixture.limit(1)
