@@ -1289,9 +1289,13 @@ object Queries {
         |    range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
         |  FROM toks WHERE len(t) >= 3),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |kept AS ( -- the engine's maxBucket hot-shingle guard, mirrored
+        |  SELECT lang, s FROM sh GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 1024),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN kept k ON k.lang = a.lang AND k.s = a.s
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
@@ -1310,9 +1314,13 @@ object Queries {
         |    range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
         |  FROM toks WHERE len(t) >= 3),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |kept AS ( -- the engine's maxBucket hot-shingle guard, mirrored
+        |  SELECT lang, s FROM sh GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 1024),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN kept k ON k.lang = a.lang AND k.s = a.s
         |  GROUP BY 1, 2),
         |pairs AS (
         |  SELECT id_a, id_b FROM inter

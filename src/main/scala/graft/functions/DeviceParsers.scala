@@ -76,18 +76,19 @@ object device {
     val body = regexp_replace(raw, "^LEEF:", "")
     val seg = split(body, "\\|", 6)
     val tail = coalesce(element_at(seg, 6), lit(""))
-    // 2.0 delimiter header: a 1-char (or xHH) field followed by '|' then
-    // the k=v block; 1.0 tails (or 2.0 without the field) start at k=v
+    // 2.0 delimiter header: a 1-char (or xHH, or EMPTY = keep default)
+    // field followed by '|' then the k=v block; 1.0 tails (or 2.0
+    // without the field) start directly at k=v
     val hasDelimHdr = element_at(seg, 1).startsWith("2") &&
-      tail.rlike("^(x[0-9A-Fa-f]{2}|[^=|])\\|")
-    val declared = regexp_extract(tail, "^(x[0-9A-Fa-f]{2}|[^=|])\\|", 1)
-    val delimCol = when(!hasDelimHdr, lit(delim))
+      tail.rlike("^(x[0-9A-Fa-f]{2}|[^=|])?\\|")
+    val declared = regexp_extract(tail, "^(x[0-9A-Fa-f]{2}|[^=|])?\\|", 1)
+    val delimCol = when(!hasDelimHdr || declared === "", lit(delim))
       .when(declared.rlike("^x[0-9A-Fa-f]{2}$"),
         // xHH hex form → the character it encodes
         chr(conv(substring(declared, 2, 2), 16, 10).cast(LongType)))
       .otherwise(declared)
     val ext = when(hasDelimHdr, regexp_replace(tail,
-        "^(x[0-9A-Fa-f]{2}|[^=|])\\|", "")).otherwise(tail)
+        "^(x[0-9A-Fa-f]{2}|[^=|])?\\|", "")).otherwise(tail)
     when(raw.startsWith("LEEF:") && size(seg) >= 5, struct(
       element_at(seg, 1).as("version"),
       element_at(seg, 2).as("vendor"),
@@ -132,14 +133,18 @@ object device {
 
   def parseAudit(msg: Column): Column = {
     val body = regexp_extract(msg, auditHdr, 5)
-    val keys = regexp_extract_all(body, lit(auditKv), lit(1))
-    val vals = transform(regexp_extract_all(body, lit(auditKv), lit(2)),
-      v => regexp_replace(v, "^\"|\"$", ""))
+    // one regex scan; each k=v match splits on its first '=' with
+    // non-regex instr/substring (the body is the per-message hot path)
+    val entries = transform(regexp_extract_all(body, lit(auditKv), lit(0)),
+      m => struct(
+        substring(m, lit(1), instr(m, "=") - 1).as("key"),
+        regexp_replace(substr(m, instr(m, "=") + 1, length(m)),
+          "^\"|\"$", "").as("value")))
     when(msg.rlike(auditHdr), struct(
       regexp_extract(msg, auditHdr, 1).as("audit_type"),
       regexp_extract(msg, auditHdr, 2).cast(LongType).as("epoch"),
       regexp_extract(msg, auditHdr, 4).cast(LongType).as("serial"),
-      map_from_arrays(keys, vals).as("kv")))
+      map_from_entries(entries).as("kv")))
   }
 
   // ------------------------------------------------------------ mmutf8fix

@@ -54,8 +54,10 @@ object Dedup {
     * row before explode, so a degenerate hot bucket (a stop-shingle, a
     * band bucket full of identical docs) is a task-OOM hazard —
     * `maxBucket` drops buckets above the bound (the standard stop-shingle
-    * guard: a key shared by >1024 documents identifies nothing). Raise it
-    * if a corpus legitimately needs bigger buckets. */
+    * guard: a key shared by >1024 documents identifies nothing, and EXACT
+    * duplicates are the exact-dedup layer's job, which has no such cap).
+    * The cap is part of the operator contract: the DuckDB oracles apply
+    * the same bound, so engine and oracle agree on capped corpora too. */
   private def bucketPairs(df: DataFrame, bucketCols: Seq[Column],
                           member: Column, maxBucket: Int = 1024): DataFrame =
     df.groupBy(bucketCols: _*)
@@ -74,7 +76,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rows: Int = 4,
-                      minEstJaccard: Double = 0.5): DataFrame = {
+                      minEstJaccard: Double = 0.5,
+                      maxBucket: Int = 1024): DataFrame = {
     val k = bands * rows
     // signature computation is CPU-bound (k hashes × shingles per doc);
     // a small input often arrives as 1-2 parquet partitions, which would
@@ -83,6 +86,10 @@ object Dedup {
     val withSig = df
       .select(col(idCol).as("doc"), col(textCol).as("t"))
       .repartition(par)
+      // a doc with < n tokens has an empty shingle set; its signature
+      // would be all-Long.MaxValue and collide with every other such doc
+      // in every band — exclude it (it has no content to near-match)
+      .filter(size(shingles(col("t"), n)) > 0)
       .withColumn("sig", minhashSignature(shingles(col("t"), n), k))
       .drop("t")
     val banded = withSig.select(
@@ -93,7 +100,7 @@ object Dedup {
     // est_jaccard is computed at emission (both sigs in hand); the pair
     // groupBy then dedupes docs that collide in several bands
     bucketPairs(banded, Seq(col("band"), col("bucket")),
-        struct(col("doc"), col("sig")))
+        struct(col("doc"), col("sig")), maxBucket)
       .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"),
         (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => x === y),
           e => e)).cast("double") / k).as("est"))
@@ -106,7 +113,7 @@ object Dedup {
     * blocking, Hamming ≤ maxHamming verification. Same two-shuffle
     * bucket-pairs layout as MinHash-LSH. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val withH = df
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("doc"),
@@ -116,7 +123,7 @@ object Dedup {
         shiftrightunsigned(col("h"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     bucketPairs(banded, Seq(col("band"), col("bucket")),
-        struct(col("doc"), col("h")))
+        struct(col("doc"), col("h")), maxBucket)
       .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"),
         bit_count(col("p.a.h").bitwiseXOR(col("p.b.h"))).as("hamming"))
       .groupBy(col("id_a"), col("id_b")).agg(min(col("hamming")).as("hamming"))
@@ -139,11 +146,18 @@ object Dedup {
     s"(((($z) >> 32) * $c::HUGEINT % $b32) * $b32 + (($z) % $b32) * $c::HUGEINT) % $fnvM"
   }
 
-  /** FNV-1a 64 of a string expression (HashUtil.fnv1a64, ASCII input). */
+  /** FNV-1a 64 of a string expression (HashUtil.fnv1a64): one mix round
+    * of (c & 0xFF), plus a second round of (c >> 8) for wide chars —
+    * matching the engine's UTF-16 code-unit loop for the whole BMP
+    * (astral-plane codepoints would still diverge: the engine sees two
+    * surrogates where SQL sees one codepoint). */
   private def fnvSql(s: String): String =
     s"""list_reduce(
        |      list_prepend(14695981039346656037::HUGEINT,
-       |        list_transform(range(length($s)), i -> ascii(substring($s, (i+1)::INT, 1))::HUGEINT)),
+       |        flatten(list_transform(
+       |          list_transform(range(length($s)), i -> ascii(substring($s, (i+1)::INT, 1))),
+       |          c -> CASE WHEN c <= 255 THEN [c::HUGEINT]
+       |               ELSE [(c % 256)::HUGEINT, (c // 256)::HUGEINT] END))),
        |      (acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % $fnvM)""".stripMargin
 
   /** DuckDB oracle for minhashLshPairs (MinHashSignatureExpr semantics:
@@ -151,7 +165,8 @@ object Dedup {
     * Band membership tests slice equality directly — the semantic
     * definition the engine's xxhash64 bucketing approximates. */
   def minhashOracleSql(n: Int = 3, bands: Int = 16, rows: Int = 4,
-                       minEstJaccard: Double = 0.5): String = {
+                       minEstJaccard: Double = 0.5,
+                       maxBucket: Int = 1024): String = {
     val k = bands * rows
     val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
     s"""WITH toks AS (
@@ -185,13 +200,17 @@ object Dedup {
        |    list_transform(range($k), j -> list_min(list_transform(zll, l -> l[j+1]))) AS sig
        |  FROM (SELECT doc_id, list(zs) AS zll FROM perms GROUP BY doc_id)),
        |banded AS (
-       |  SELECT doc_id, sig, unnest(range($bands)) AS band FROM sigs),
+       |  SELECT doc_id, sig,
+       |    sig[(band*$rows+1)::INT:((band+1)*$rows)::INT] AS bkey, band
+       |  FROM (SELECT doc_id, sig, unnest(range($bands)) AS band FROM sigs)),
+       |kept AS ( -- the engine's maxBucket hot-bucket guard, mirrored
+       |  SELECT band, bkey FROM banded GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.doc_id < b.doc_id
-       |   AND a.sig[(a.band*$rows+1)::INT:((a.band+1)*$rows)::INT]
-       |     = b.sig[(b.band*$rows+1)::INT:((b.band+1)*$rows)::INT]),
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN kept k ON k.band = a.band AND k.bkey = a.bkey),
        |est AS (
        |  SELECT id_a, id_b,
        |    round(len(list_filter(range($k), j -> sig_a[j+1] = sig_b[j+1])) / $k.0, 4) AS est_jaccard
@@ -201,7 +220,7 @@ object Dedup {
 
   /** DuckDB oracle for simhashPairs (SimHash64Expr semantics: per-token
     * FNV-1a bit votes, 4×16-bit band blocking, Hamming verify). */
-  def simhashOracleSql(maxHamming: Int = 3): String = {
+  def simhashOracleSql(maxHamming: Int = 3, maxBucket: Int = 1024): String = {
     val signedXor =
       s"(CASE WHEN xor(ha, hb) >= $fnvHalf THEN (xor(ha, hb) - $fnvM)::BIGINT ELSE xor(ha, hb)::BIGINT END)"
     s"""WITH toks AS (
@@ -219,12 +238,16 @@ object Dedup {
        |        THEN (1::HUGEINT << b) ELSE 0::HUGEINT END))::HUGEINT AS h
        |  FROM hs),
        |banded AS (
-       |  SELECT doc_id, h, unnest(range(4)) AS band FROM sims),
+       |  SELECT doc_id, h, (h >> (band*16)::INT) % 65536 AS bkey, band
+       |  FROM (SELECT doc_id, h, unnest(range(4)) AS band FROM sims)),
+       |kept AS ( -- the engine's maxBucket hot-bucket guard, mirrored
+       |  SELECT band, bkey FROM banded GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
        |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.doc_id < b.doc_id
-       |   AND (a.h >> (a.band*16)::INT) % 65536 = (b.h >> (b.band*16)::INT) % 65536)
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN kept k ON k.band = a.band AND k.bkey = a.bkey)
        |SELECT id_a, id_b, bit_count($signedXor)::INT AS hamming
        |FROM pairs WHERE bit_count($signedXor) <= $maxHamming""".stripMargin
   }
@@ -339,7 +362,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
-                        minJaccard: Double = 0.8): DataFrame = {
+                        minJaccard: Double = 0.8,
+                        maxBucket: Int = 1024): DataFrame = {
     // each shingle row carries the owner's set size, so |A∪B| is known the
     // moment an intersection count exists — no sizes join, no cache, and
     // exactly two shuffles: the shingle groupBy and the pair groupBy
@@ -350,7 +374,7 @@ object Dedup {
       .select(col("doc"), col("blk"), size(col("sharr")).as("sz"),
         explode(col("sharr")).as("s"))
     bucketPairs(sh, Seq(col("blk"), col("s")),
-        struct(col("doc"), col("sz")))
+        struct(col("doc"), col("sz")), maxBucket)
       .groupBy(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"),
         col("p.a.sz").as("sz_a"), col("p.b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))

@@ -165,18 +165,20 @@ object Similarity {
     * identical). Cell assignment = argmax cosine, first-max-wins.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // codebook: tiny (nlist × dim) — collect + embed as literals, so the
+              nlist: Int = 16, nprobe: Int = 4,
+              codebook: Option[Array[Array[Float]]] = None): DataFrame = {
+    // codebook: tiny (nlist × dim) — trained via trainIvfCodebook or the
+    // deterministic first-nlist stand-in; embedded as literals so the
     // assignment is one codegen'd projection, no join
-    val cents = corpus.filter(col("vec_id") < nlist)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val cents: Array[Array[Float]] = codebook.getOrElse(
+      corpus.filter(col("vec_id") < nlist)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2))
     require(cents.length == nlist, s"expected $nlist centroids, got ${cents.length}")
     def sims(emb: Column): Column =
-      array(cents.map { case (_, ce) =>
-        cosine(emb, array(ce.map(lit): _*)) }: _*)
+      array(cents.map(ce => cosine(emb, array(ce.map(lit): _*))): _*)
     def cell(emb: Column): Column = {
       val s = sims(emb)
       (array_position(s, array_max(s)) - 1).cast("int")

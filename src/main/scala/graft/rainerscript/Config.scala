@@ -177,7 +177,8 @@ object RsyslogConfig {
         lookups += p("name") -> LookupTable.load(p("file"))
       case P.RulesetObj(name, body) => rulesets += name -> body
       case P.GenericObj(kind, p) =>
-        objects += (kind, p.getOrElse("name", "")) -> p
+        // timezone objects are identified by id=, the rest by name=
+        objects += (kind, p.getOrElse("name", p.getOrElse("id", ""))) -> p
       case P.StmtItem(s) => main += s
     }
     RsyslogConfig(templates, jsonf, lookups, rulesets, main.toSeq, objects)

@@ -132,7 +132,8 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.obj("perctile_stats", "rt").exists(_("windowsize") == "1000"))
     assert(cfg.obj("ratelimit", "per_peer").exists(p =>
       p("interval") == "60" && p("burst") == "1000"))
-    assert(cfg.obj("timezone", "").exists(_("id") == "CET"))
+    // timezone objects are identified by id=, not name=
+    assert(cfg.obj("timezone", "CET").exists(_("offset") == "+01:00"))
     assert(cfg.obj("ratelimit", "nope").isEmpty)
   }
 
