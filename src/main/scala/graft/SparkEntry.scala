@@ -781,8 +781,9 @@ object Queries {
           lit(" app - - - payload "), col("event_id")))
       ev.select(
         col("event_id"),
-        device.hmacSha256Hex(col("m"), "graftkey").as("sig"),
-        device.addHmacSd(col("m"), "graftkey", "hmac@32473").as("signed"))
+        device.hmacLikeHex(col("m"), "graftkey").as("sig"),
+        device.addHmacSd(col("m"), "graftkey", "hmac@32473",
+          oracleCompat = true).as("signed"))
     }),
 
     // §2.9 pmlastmsg — "last message repeated n times" bodies take the

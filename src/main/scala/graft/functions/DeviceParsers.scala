@@ -156,26 +156,52 @@ object device {
     col2(Utf8FixExpr(bin.expr, repl.toByte))
 
   // ---------------------------------------------------- mmrfc5424addhmac
-  /** Keyed message signature (reference: contrib/mmrfc5424addhmac — HMAC
-    * of the raw message appended as an SD element). Hex-domain HMAC:
-    * standard two-pass keyed construction sha256(opad ‖ hex(sha256(ipad ‖
-    * msg))) with the inner digest hex-encoded so the whole chain stays in
-    * string space (byte-exact RFC 2104 would need binary sha2 in the
-    * oracle engine; the security structure is identical). Pads derive
-    * from the zero-padded key XOR 0x36/0x5c as usual. */
-  def hmacSha256Hex(msg: Column, key: String): Column = {
-    val kp = key.getBytes("UTF-8").padTo(64, 0.toByte)
-    require(key.getBytes("UTF-8").length <= 64, "key must be <= 64 bytes")
+  /** RFC 2104 key schedule: hash keys longer than the 64-byte SHA-256
+    * block, then zero-pad to the block size. */
+  private def hmacKeyBlock(key: String): Array[Byte] = {
+    val kb = key.getBytes("UTF-8")
+    val k0 = if (kb.length > 64)
+      java.security.MessageDigest.getInstance("SHA-256").digest(kb)
+    else kb
+    k0.padTo(64, 0.toByte)
+  }
+
+  /** Byte-exact RFC 2104 HMAC-SHA256 of the message (reference:
+    * contrib/mmrfc5424addhmac/mmrfc5424addhmac.c — HMAC of the raw
+    * message appended as an SD element). Returns the lowercase hex
+    * digest, interoperable with rsyslog-verifiable signatures. The whole
+    * chain stays in binary space: sha256(K⊕opad ‖ sha256(K⊕ipad ‖ msg))
+    * with the inner digest fed through as raw bytes (`unhex`). */
+  def hmacSha256(msg: Column, key: String): Column = {
+    val k0 = hmacKeyBlock(key)
+    val ipad = k0.map(b => (b ^ 0x36).toByte)
+    val opad = k0.map(b => (b ^ 0x5c).toByte)
+    lower(sha2(concat(lit(opad),
+      unhex(sha2(concat(lit(ipad), msg.cast(BinaryType)), 256))), 256))
+  }
+
+  /** Hex-domain keyed two-pass construction sha256(opad ‖ hex(sha256(
+    * ipad ‖ msg))) with the inner digest left hex-encoded so the whole
+    * chain stays in string space. NOT RFC 2104 — signatures are not
+    * verifiable by rsyslog tooling; it exists because the DuckDB oracle
+    * engine has only VARCHAR sha256, so this variant is the one the
+    * driver can cross-check. Production signing is [[hmacSha256]]. */
+  def hmacLikeHex(msg: Column, key: String): Column = {
+    val kp = hmacKeyBlock(key)
     val ipad = new String(kp.map(b => (b ^ 0x36).toByte), "ISO-8859-1")
     val opad = new String(kp.map(b => (b ^ 0x5c).toByte), "ISO-8859-1")
     sha2(concat(lit(opad), sha2(concat(lit(ipad), msg), 256)), 256)
   }
 
   /** Append the signature SD element `[sdid h="<sig>"]` to a message —
-    * the shape mmrfc5424addhmac writes into STRUCTURED-DATA. */
-  def addHmacSd(msg: Column, key: String, sdid: String): Column =
-    concat(msg, lit(" ["), lit(sdid), lit(" h=\""),
-      hmacSha256Hex(msg, key), lit("\"]"))
+    * the shape mmrfc5424addhmac writes into STRUCTURED-DATA. Signs with
+    * byte-exact RFC 2104 HMAC-SHA256 unless `oracleCompat` selects the
+    * hex-domain variant (only for DuckDB-cross-checked pipelines). */
+  def addHmacSd(msg: Column, key: String, sdid: String,
+                oracleCompat: Boolean = false): Column = {
+    val sig = if (oracleCompat) hmacLikeHex(msg, key) else hmacSha256(msg, key)
+    concat(msg, lit(" ["), lit(sdid), lit(" h=\""), sig, lit("\"]"))
+  }
 
   // ------------------------------------------------------------ pmlastmsg
   /** Marker for `last message repeated n times` bodies (reference:
@@ -251,8 +277,10 @@ object device {
   * with space, 2 escapes as #DDD decimal, 3 as #OOO octal.
   */
 case class ControlCharExpr(child: Expression, mode: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(mode >= 0 && mode <= 3)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "control_chars"
@@ -298,7 +326,9 @@ object ControlCharExpr {
   * Reference: plugins/mmutf8fix/mmutf8fix.c (MODE_UTF8 path).
   */
 case class Utf8FixExpr(child: Expression, repl: Byte)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "utf8fix"

@@ -13,7 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * array 64×).
   */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash64"
@@ -62,7 +64,9 @@ object SimHash64Expr {
   * and no per-element Catalyst interpretation overhead.
   */
 case class MinHashSignatureExpr(child: Expression, k: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
@@ -182,7 +186,9 @@ object HashUtil {
   * estimates content overlap.
   */
 case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "winnow_fingerprint"

@@ -14,7 +14,9 @@ import java.net.InetAddress
   * for every projection it appears in).
   */
 case class IsInSubnetExpr(ip: Expression, cidr: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def left: Expression = ip
   override def right: Expression = cidr
   override def dataType: DataType = BooleanType

@@ -14,8 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * which measured ~9× slower than this kernel in the dedup pipelines.
   */
 case class ShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = s"shingles$n"

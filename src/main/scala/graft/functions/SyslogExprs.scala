@@ -20,7 +20,9 @@ import java.time.{LocalDateTime, ZoneOffset, OffsetDateTime}
   * fallback semantics collapsed into one expression).
   */
 case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = SyslogParseExpr.schema
   override def nullable: Boolean = true
@@ -258,7 +260,9 @@ object SyslogParseExpr {
   * → {"id@ent":{"k":"v","k2":"v2"},"id2":{}}. Escapes \" \\ \] honored.
   */
 case class ParseStructuredDataExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "parse_structured_data"

@@ -83,15 +83,19 @@ object Dedup {
     // a small input often arrives as 1-2 parquet partitions, which would
     // serialize the whole stage — spread it across the cluster first
     val par = df.sparkSession.sparkContext.defaultParallelism
+    // materialize shingles ONCE (Catalyst does not CSE the kernel across
+    // the Filter/Project boundary — naming the column halves the cost of
+    // the CPU-bound stage)
     val withSig = df
       .select(col(idCol).as("doc"), col(textCol).as("t"))
       .repartition(par)
+      .withColumn("sh", shingles(col("t"), n))
       // a doc with < n tokens has an empty shingle set; its signature
       // would be all-Long.MaxValue and collide with every other such doc
       // in every band — exclude it (it has no content to near-match)
-      .filter(size(shingles(col("t"), n)) > 0)
-      .withColumn("sig", minhashSignature(shingles(col("t"), n), k))
-      .drop("t")
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .select(col("doc"), col("sig"))
     val banded = withSig.select(
       col("doc"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -138,7 +138,7 @@ case class NormalizeExpr(child: Expression,
                          rules: Seq[(String, Seq[(String, String)])])
     extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false // null msg → "{}", never SQL NULL
   override def prettyName: String = "normalize"
 
   @transient private lazy val compiled =
@@ -168,17 +168,35 @@ case class NormalizeExpr(child: Expression,
     UTF8String.fromString("{}")
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    kernel(input.asInstanceOf[UTF8String])
+  // A null msg still yields "{}" (the documented no-rule contract), so
+  // the expression is total: eval/codegen handle the null child inline
+  // instead of the UnaryExpression null-propagating fast path.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) NormalizeExpr.EMPTY else kernel(v.asInstanceOf[UTF8String])
+  }
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     val ref = ctx.addReferenceObj("normExpr", this,
       "graft.operators.NormalizeExpr")
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        UTF8String ${ev.value} = ${childGen.isNull}
+          ? graft.operators.NormalizeExpr.EMPTY()
+          : $ref.kernel(${childGen.value});""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NormalizeExpr {
+  /** Shared "{}" result for null/ruleless rows (referenced from codegen). */
+  val EMPTY: UTF8String = UTF8String.fromString("{}")
 }

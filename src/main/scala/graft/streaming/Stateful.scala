@@ -146,7 +146,7 @@ object Stateful {
   // ------------------------------------------------------- repeated-msg squash
 
   case class RrInput(key: String, seq: Long, msg: String)
-  case class RrState(lastMsg: String, suppressed: Long)
+  case class RrState(lastMsg: String, lastSeq: Long, suppressed: Long)
   case class RrOutput(key: String, seq: Long, msg: String, synthetic: Boolean)
 
   /** Streaming "last message repeated n times" reduction
@@ -154,31 +154,48 @@ object Stateful {
     * passes, consecutive identical messages per key are suppressed; when a
     * different message arrives, a synthetic repeat-mark is emitted first.
     * State (last message + suppressed count) survives micro-batch
-    * boundaries, so a run spanning triggers still collapses. */
-  def repeatedMsgSquash(ds: Dataset[RrInput]): Dataset[RrOutput] = {
+    * boundaries, so a run spanning triggers still collapses. A key that
+    * goes quiet flushes its pending repeat-mark after `flushAfterMs` of
+    * processing time (the reference's iSecsExecOnceInterval timer flush —
+    * without it a trailing suppressed run would be silently lost). */
+  def repeatedMsgSquash(ds: Dataset[RrInput],
+                        flushAfterMs: Long = 30000L): Dataset[RrOutput] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[RrState, RrOutput](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         case (key, rows, state: GroupState[RrState]) =>
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer.empty[RrOutput]
-          rows.toSeq.sortBy(_.seq).foreach { r =>
-            if (st == null) {
-              out += RrOutput(key, r.seq, r.msg, synthetic = false)
-              st = RrState(r.msg, 0)
-            } else if (r.msg == st.lastMsg) {
-              st = st.copy(suppressed = st.suppressed + 1)
-            } else {
-              if (st.suppressed > 0)
-                out += RrOutput(key, r.seq,
-                  s"last message repeated ${st.suppressed} times", synthetic = true)
-              out += RrOutput(key, r.seq, r.msg, synthetic = false)
-              st = RrState(r.msg, 0)
+          if (state.hasTimedOut) {
+            // quiet key: emit the pending mark and forget the run, so a
+            // later identical message starts a fresh run (reference
+            // semantics after the timer fires)
+            val st = state.get
+            state.remove()
+            if (st.suppressed > 0)
+              Iterator.single(RrOutput(key, st.lastSeq,
+                s"last message repeated ${st.suppressed} times", synthetic = true))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer.empty[RrOutput]
+            rows.toSeq.sortBy(_.seq).foreach { r =>
+              if (st == null) {
+                out += RrOutput(key, r.seq, r.msg, synthetic = false)
+                st = RrState(r.msg, r.seq, 0)
+              } else if (r.msg == st.lastMsg) {
+                st = RrState(st.lastMsg, r.seq, st.suppressed + 1)
+              } else {
+                if (st.suppressed > 0)
+                  out += RrOutput(key, r.seq,
+                    s"last message repeated ${st.suppressed} times", synthetic = true)
+                out += RrOutput(key, r.seq, r.msg, synthetic = false)
+                st = RrState(r.msg, r.seq, 0)
+              }
             }
+            state.update(st)
+            state.setTimeoutDuration(flushAfterMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

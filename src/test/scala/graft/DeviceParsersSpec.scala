@@ -118,13 +118,37 @@ class DeviceParsersSpec extends SparkSpec {
   }
 
   test("hex-domain hmac is keyed and deterministic") {
-    val a = row(device.hmacSha256Hex(lit("hello"), "graftkey")).getString(0)
-    val b = row(device.hmacSha256Hex(lit("hello"), "graftkey")).getString(0)
-    val c = row(device.hmacSha256Hex(lit("hello"), "otherkey")).getString(0)
-    val d = row(device.hmacSha256Hex(lit("hellp"), "graftkey")).getString(0)
+    val a = row(device.hmacLikeHex(lit("hello"), "graftkey")).getString(0)
+    val b = row(device.hmacLikeHex(lit("hello"), "graftkey")).getString(0)
+    val c = row(device.hmacLikeHex(lit("hello"), "otherkey")).getString(0)
+    val d = row(device.hmacLikeHex(lit("hellp"), "graftkey")).getString(0)
     assert(a == b && a != c && a != d && a.length == 64)
-    val sd = row(device.addHmacSd(lit("m1"), "graftkey", "hmac@1")).getString(0)
+    val sd = row(device.addHmacSd(lit("m1"), "graftkey", "hmac@1",
+      oracleCompat = true)).getString(0)
     assert(sd.startsWith("m1 [hmac@1 h=\"") && sd.endsWith("\"]"))
+  }
+
+  test("hmacSha256 is byte-exact RFC 2104 (javax.crypto reference)") {
+    def jce(msg: String, key: String): String = {
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        key.getBytes("UTF-8"), "HmacSHA256"))
+      mac.doFinal(msg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // RFC 4231 test case 2 ("Jefe" / "what do ya want for nothing?")
+    assert(row(device.hmacSha256(lit("what do ya want for nothing?"), "Jefe"))
+      .getString(0) ==
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+    for ((m, k) <- Seq(
+        ("hello", "graftkey"),
+        ("", "k"),
+        ("msg with spaces and unicode é😀", "key"),
+        // oversized key (>64 bytes) must be hashed first per RFC 2104
+        ("long-key message", "K" * 131)))
+      assert(row(device.hmacSha256(lit(m), k)).getString(0) == jce(m, k),
+        s"mismatch for ($m, $k)")
+    val sd = row(device.addHmacSd(lit("m1"), "graftkey", "hmac@1")).getString(0)
+    assert(sd == "m1 [hmac@1 h=\"" + jce("m1", "graftkey") + "\"]")
   }
 
   test("mmsnmptrapd severity word rewrite only fires on the trigger tag") {
