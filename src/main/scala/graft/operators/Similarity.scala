@@ -73,12 +73,16 @@ object Similarity {
               nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val pl = planes(nPlanes, dim)
     val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), pl))
-    val qb = bucketed.join(
-      broadcast(queries.select(col("vec_id").as("q_id"))), col("vec_id") === col("q_id"))
-      .select(col("q_id"), col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+    // query buckets come from the query set DIRECTLY (small, broadcast
+    // side) — deriving them by joining the bucketed corpus would pay the
+    // nPlanes×dim dot products over every corpus vector a second time
+    val qb = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("q_bucket", lshBucket(col("q_emb"), pl))
       // probe set: exact bucket + all Hamming-1 neighbors
       .withColumn("probes", array((lit(0L) +:
         (0 until nPlanes).map(i => lit(1L << i))).map(b => col("q_bucket").bitwiseXOR(b)): _*))
+      .drop("q_bucket")
     val cands = bucketed.as("c").join(broadcast(qb),
         array_contains(col("probes"), col("c.bucket")) && col("c.vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("c.embedding")), 4))

@@ -145,7 +145,7 @@ object Stateful {
 
   // ------------------------------------------------------- repeated-msg squash
 
-  case class RrInput(key: String, seq: Long, msg: String)
+  case class RrInput(key: String, seq: Long, msg: String, ts: java.sql.Timestamp)
   case class RrState(lastMsg: String, lastSeq: Long, suppressed: Long)
   case class RrOutput(key: String, seq: Long, msg: String, synthetic: Boolean)
 
@@ -154,16 +154,27 @@ object Stateful {
     * passes, consecutive identical messages per key are suppressed; when a
     * different message arrives, a synthetic repeat-mark is emitted first.
     * State (last message + suppressed count) survives micro-batch
-    * boundaries, so a run spanning triggers still collapses. A key that
-    * goes quiet flushes its pending repeat-mark after `flushAfterMs` of
-    * processing time (the reference's iSecsExecOnceInterval timer flush —
-    * without it a trailing suppressed run would be silently lost). */
+    * boundaries, so a run spanning triggers still collapses.
+    *
+    * Flush is EVENT-TIME driven: a key whose run goes quiet emits its
+    * pending repeat-mark once the watermark passes lastTs + flushAfterMs
+    * (the reference's iSecsExecOnceInterval timer flush — without it a
+    * trailing suppressed run would be silently lost). EventTimeTimeout is
+    * deliberate: ProcessingTimeTimeout makes
+    * FlatMapGroupsWithStateExec.shouldRunAnotherBatch permanently true, so
+    * a 0-interval trigger busy-loops empty micro-batches and
+    * processAllAvailable() never observes quiescence — with event-time
+    * timeouts extra batches run only while the watermark advances, which
+    * requires new data. The timeout also evicts idle-key state, bounding
+    * the state store at 100 TB key cardinality. */
   def repeatedMsgSquash(ds: Dataset[RrInput],
+                        watermarkDelay: String = "0 seconds",
                         flushAfterMs: Long = 30000L): Dataset[RrOutput] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
       .flatMapGroupsWithState[RrState, RrOutput](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state: GroupState[RrState]) =>
           if (state.hasTimedOut) {
             // quiet key: emit the pending mark and forget the run, so a
@@ -177,8 +188,10 @@ object Stateful {
             else Iterator.empty
           } else {
             var st = state.getOption.orNull
+            var maxTs = Long.MinValue
             val out = scala.collection.mutable.ArrayBuffer.empty[RrOutput]
             rows.toSeq.sortBy(_.seq).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
               if (st == null) {
                 out += RrOutput(key, r.seq, r.msg, synthetic = false)
                 st = RrState(r.msg, r.seq, 0)
@@ -193,7 +206,10 @@ object Stateful {
               }
             }
             state.update(st)
-            state.setTimeoutDuration(flushAfterMs)
+            // must be strictly ahead of the current watermark or Spark
+            // rejects the timestamp; max() guards late batches
+            state.setTimeoutTimestamp(
+              math.max(maxTs + flushAfterMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -156,19 +156,44 @@ class StreamingSpec extends SparkSpec {
     assert(seqs.toSeq == (0L until n.toLong))
   }
 
+  // offset away from the epoch: a row whose event time equals the initial
+  // watermark (0) is filtered as late before reaching the state operator
+  private def rrTs(sec: Long) = new java.sql.Timestamp((100 + sec) * 1000L)
+
   test("repeated-msg squash collapses runs across micro-batches") {
     val in = MemoryStream[RrInput]
-    in.addData(RrInput("h", 0, "up"), RrInput("h", 1, "up"), RrInput("h", 2, "up"))
+    in.addData(RrInput("h", 0, "up", rrTs(0)), RrInput("h", 1, "up", rrTs(1)),
+      RrInput("h", 2, "up", rrTs(2)))
     val query = Stateful.repeatedMsgSquash(in.toDS()).writeStream
       .queryName("rr_out").outputMode(OutputMode.Append).format("memory").start()
     query.processAllAvailable()
-    in.addData(RrInput("h", 3, "up"), RrInput("h", 4, "down")) // run continues, then breaks
+    // run continues, then breaks
+    in.addData(RrInput("h", 3, "up", rrTs(3)), RrInput("h", 4, "down", rrTs(4)))
     query.processAllAvailable()
     query.stop()
     val out = spark.table("rr_out").as[RrOutput].collect().sortBy(_.seq)
     assert(out.map(_.msg).toSeq ==
       Seq("up", "last message repeated 3 times", "down"))
     assert(out.map(_.synthetic).toSeq == Seq(false, true, false))
+  }
+
+  test("repeated-msg squash flushes a quiet key via event-time timeout") {
+    val in = MemoryStream[RrInput]
+    // key h runs quiet after t=2s with 2 suppressed repeats pending
+    in.addData(RrInput("h", 0, "up", rrTs(0)), RrInput("h", 1, "up", rrTs(1)),
+      RrInput("h", 2, "up", rrTs(2)))
+    val query = Stateful.repeatedMsgSquash(in.toDS(), flushAfterMs = 30000L)
+      .writeStream.queryName("rr_flush").outputMode(OutputMode.Append)
+      .format("memory").start()
+    query.processAllAvailable()
+    // other-key traffic advances the watermark past 2s + 30s → timer fires
+    in.addData(RrInput("x", 10, "noise", rrTs(120)))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("rr_flush").as[RrOutput].collect()
+    val h = out.filter(_.key == "h").sortBy(_.seq)
+    assert(h.map(_.msg).toSeq == Seq("up", "last message repeated 2 times"))
+    assert(h.map(_.synthetic).toSeq == Seq(false, true))
   }
 
   test("omsendertrack accumulates per-sender state across batches") {
