@@ -605,10 +605,11 @@ object Queries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
 
-    // embedding-cosine near-dup pairs within label blocks
+    // embedding-cosine near-dup pairs within label blocks (banded sign-bit
+    // LSH candidates → capped buckets → exact-cosine verify)
     "emb_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, dir), "label",
-        threshold = 0.5, sampleMod = 1)
+        threshold = 0.3, sampleMod = 1)
     }),
 
     // language-ID heuristic (marker stopword argmax)
@@ -1361,12 +1362,9 @@ object Queries {
         |  FROM sims)
         |SELECT q_id, rk, neighbor, sim FROM ranked WHERE rk <= 5""".stripMargin,
 
-    "emb_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin,
+    // banded-LSH pipeline fully oracled: deterministic planes embed as
+    // literals, maxBucket guard mirrored (see Similarity.embNearDupOracleSql)
+    "emb_neardup" -> Similarity.embNearDupOracleSql(threshold = 0.3),
 
     "langid" ->
       ("SELECT doc_id, lang, predicted FROM " +

@@ -58,8 +58,8 @@ object Dedup {
     * duplicates are the exact-dedup layer's job, which has no such cap).
     * The cap is part of the operator contract: the DuckDB oracles apply
     * the same bound, so engine and oracle agree on capped corpora too. */
-  private def bucketPairs(df: DataFrame, bucketCols: Seq[Column],
-                          member: Column, maxBucket: Int = 1024): DataFrame =
+  private[operators] def bucketPairs(df: DataFrame, bucketCols: Seq[Column],
+                                     member: Column, maxBucket: Int = 1024): DataFrame =
     df.groupBy(bucketCols: _*)
       .agg(sort_array(collect_list(member)).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)

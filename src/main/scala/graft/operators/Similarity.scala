@@ -209,16 +209,71 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * key (label), ids ascending — the embedding-cosine near-dup operator.
-    */
+    *
+    * Candidate generation is banded sign-bit LSH (OR-construction, the
+    * same banded layout as MinHash-LSH): `bands` bands of `rowsPerBand`
+    * hyperplanes each; a pair is a candidate iff some band's sign bits
+    * agree within the block. Candidates flow through the shared capped
+    * `bucketPairs` kernel — ONE groupBy shuffle, a hot (blk, band, key)
+    * bucket above `maxBucket` is dropped — so a dominant block ("en" at
+    * 100 TB) can never materialize its m²/2 all-pairs cross product. The
+    * whole pipeline is deterministic (seeded planes), so the DuckDB
+    * oracle replicates it exactly, cap included; recall < 1 vs the
+    * all-pairs scan is part of the operator contract, as with ann_lsh. */
   def embeddingNearDupPairs(corpus: DataFrame, blockCol: String,
-                            threshold: Double, sampleMod: Int = 1): DataFrame = {
+                            threshold: Double, sampleMod: Int = 1,
+                            bands: Int = 8, rowsPerBand: Int = 4,
+                            dim: Int = 64, maxBucket: Int = 1024): DataFrame = {
+    val pl = planes(bands * rowsPerBand, dim)
+    val bandMask = (1L << rowsPerBand) - 1
     val base = (if (sampleMod > 1) corpus.filter(col("vec_id") % sampleMod === 0)
                 else corpus)
       .select(col("vec_id"), col(blockCol).as("blk"), col("embedding"))
-    base.as("a").join(base.as("b"),
-        col("a.blk") === col("b.blk") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 4))
-      .filter(col("sim") >= threshold)
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("sim"))
+      // all sign bits in one codegen'd projection over the single scan
+      .withColumn("bits", lshBucket(col("embedding"), pl))
+    val banded = base.select(col("vec_id"), col("blk"), col("embedding"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("bits"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    Dedup.bucketPairs(banded, Seq(col("blk"), col("band"), col("bkey")),
+        struct(col("vec_id").as("id"), col("embedding").as("emb")), maxBucket)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.emb"), col("p.b.emb")).as("sim_raw"))
+      // dedupe multi-band collisions (sim identical across bands)
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("sim_raw")).as("sim_raw"))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
+  }
+
+  /** DuckDB oracle for embeddingNearDupPairs: the seeded plane matrix
+    * embeds as literals, band keys are bit-slices of the sign vector, and
+    * the maxBucket hot-bucket guard is mirrored (as in
+    * Dedup.minhashOracleSql). */
+  def embNearDupOracleSql(threshold: Double, bands: Int = 8,
+                          rowsPerBand: Int = 4, dim: Int = 64,
+                          maxBucket: Int = 1024): String = {
+    val pl = planes(bands * rowsPerBand, dim)
+    val terms = pl.zipWithIndex.map { case (row, i) =>
+      s"(CASE WHEN list_dot_product(embedding, [${row.mkString(",")}]) >= 0 " +
+        s"THEN ${1L << i}::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, label, embedding, ($terms) AS bits FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, label, embedding, band,
+       |    (bits >> (band * $rowsPerBand)::INT) % ${1L << rowsPerBand} AS bkey
+       |  FROM (SELECT *, unnest(range($bands)) AS band FROM b)),
+       |kept AS ( -- the engine's maxBucket hot-bucket guard, mirrored
+       |  SELECT label, band, bkey FROM banded GROUP BY 1, 2, 3
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    a.embedding AS ea, b.embedding AS eb
+       |  FROM banded a JOIN banded b
+       |    ON a.label = b.label AND a.band = b.band AND a.bkey = b.bkey
+       |    AND a.vec_id < b.vec_id
+       |  JOIN kept k ON k.label = a.label AND k.band = a.band AND k.bkey = a.bkey)
+       |SELECT id_a, id_b, round(list_cosine_similarity(ea, eb), 4) AS sim
+       |FROM pairs WHERE list_cosine_similarity(ea, eb) >= $threshold""".stripMargin
   }
 }

@@ -65,6 +65,39 @@ class SimilaritySpec extends SparkSpec {
     assert(e1 < e0 * 0.95, s"training barely moved: $e0 -> $e1")
   }
 
+  test("embedding near-dup: finds planted near-duplicates within a block") {
+    // plant near-dups: vectors 1000/1001 and 1002/1003 are tiny
+    // perturbations of corpus vectors — cosine ≈ 1 within the same block
+    val base = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+    val planted = corpus.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"), x => x * 1.0001f).as("embedding"),
+        (col("vec_id") % 3).cast("int").as("label"))
+    val pairs = Similarity.embeddingNearDupPairs(base.union(planted), "label",
+        threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1000L)), s"missing planted pair in $pairs")
+    assert(pairs.contains((1L, 1001L)), s"missing planted pair in $pairs")
+  }
+
+  test("embedding near-dup: a hot block cannot materialize m²/2 pairs") {
+    // one block of 3000 IDENTICAL vectors: all-pairs would be ~4.5M rows;
+    // every LSH bucket holds all 3000 members > maxBucket → dropped, so
+    // the capped plan returns zero candidate pairs (exact duplicates are
+    // the exact-dedup layer's job — same contract as Dedup.bucketPairs)
+    val v = Array.tabulate(64)(d => (d + 1).toFloat / 64f).toSeq
+    val hot = (0 until 3000).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    val out = Similarity.embeddingNearDupPairs(hot, "label",
+      threshold = 0.3, maxBucket = 1024)
+    assert(out.count() == 0L)
+    // and a small block below the cap still yields its pairs
+    val small = (0 until 4).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+    assert(Similarity.embeddingNearDupPairs(small, "label", threshold = 0.3)
+      .count() == 6L) // C(4,2)
+  }
+
   test("brute force top-k is deterministic, self-excluded, ordered") {
     val q = corpus.filter(col("vec_id") === 0)
     val rows = Similarity.bruteForceTopK(corpus, q, k = 10)
