@@ -54,8 +54,12 @@ object Queries {
     * stream stand-in from FIXTURES.md §4: PRI from (user_id, event_id),
     * hostname from user_id, tag from event_type, msg body with seq.
     */
-  def synthSyslog(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def synthSyslog(spark: SparkSession, dir: String): DataFrame =
+    synthFrom(Tables.events(spark, dir))
+
+  /** Row-level synthesis only, so it runs unchanged on a readStream
+    * events frame (the streaming-gate queries reuse it). */
+  def synthFrom(ev: DataFrame): DataFrame = {
     ev.withColumn("facility", (col("user_id") % 24).cast("int"))
       .withColumn("severity", (col("event_id") % 8).cast("int"))
       .withColumn("pri", col("facility") * 8 + col("severity"))
@@ -905,10 +909,138 @@ object Queries {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
         nlist = 16, nprobe = 4)
+    }),
+
+    // ------------------------- streaming correctness gate -------------------
+    // Each stream_* query drives the REAL Structured Streaming path
+    // (readStream → watermark/state store → checkpointed AvailableNow run
+    // → sink) and is checked against the same DuckDB oracle discipline as
+    // its batch twin — the reference's tcpflood/chkseq exact-delivery bar.
+
+    // flagship: full decode→prifilt→template pipeline on a stream; the
+    // stateless row path is the stream, the final fold is batch over the
+    // sink (identical result to pipeline_e2e's oracle)
+    "stream_e2e" -> ((s, dir) => {
+      val raw = synthFrom(graft.streaming.StreamGate.readTable(s, dir, "events"))
+        .select(col("rawmsg").as("value"))
+      val decoded = graft.sources.Sources.decodeSyslog(raw)
+      val sevNames = array(Seq("emerg", "alert", "crit", "err", "warning",
+        "notice", "info", "debug").map(lit): _*)
+      val lines = decoded
+        .filter(rainer.prifilt("*.warning")(col("facility"), col("severity")))
+        .withColumn("line", concat(
+          date_format(col("ts"), "MMM "),
+          lpad(date_format(col("ts"), "d"), 2, " "),
+          date_format(col("ts"), " HH:mm:ss "),
+          col("hostname"), lit(" "),
+          col("syslogtag"), lit(" "),
+          element_at(sevNames, col("severity") + 1), lit(": "), col("msg")))
+        .select(col("hostname"), col("line"))
+      graft.streaming.StreamGate.run(lines)
+        .groupBy(col("hostname"))
+        .agg(count(lit(1)).as("n"), max(length(col("line"))).as("max_len"))
+    }),
+
+    // §2.8 token bucket through the state store: per-key windows survive
+    // micro-batch boundaries; pass-counts per user are order-independent
+    "stream_ratelimit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val in = ev.select(
+        col("user_id").cast("string").as("key"),
+        expr("ts_ns div 1000000").as("tsMillis"),
+        col("event_id").cast("string").as("payload"))
+        .as[graft.streaming.Stateful.RlInput]
+      val passed = graft.streaming.Stateful.rateLimit(in,
+        intervalMillis = 3600L * 1000L, burst = 3)
+      graft.streaming.StreamGate.run(passed.toDF())
+        .groupBy(col("key").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n_passed"))
+    }),
+
+    // §2.7 dynstats through the state store: maxCardinality admission in
+    // arrival (event_id) order, overflow folding; final counter snapshot
+    "stream_dynstats" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val in = ev.select(
+        lit("events").as("bucket"),
+        col("event_type").as("key"),
+        col("event_id").as("tsMillis"))
+        .as[graft.streaming.Stateful.DynInput]
+      val snaps = graft.streaming.Stateful.dynStats(in, maxCardinality = 3,
+        unusedMetricLifeMillis = Long.MaxValue / 4)
+      // counters are monotone (TTL disabled) → final value = max snapshot
+      graft.streaming.StreamGate.run(snaps.toDF())
+        .groupBy(when(col("metric") === "ops_overflow", "_overflow")
+          .otherwise(col("metric")).as("metric"))
+        .agg(max(col("value")).as("n"))
+    }),
+
+    // §2.7 repeated-msg squash through the state store incl. the
+    // event-time timer flush of trailing runs (flushAfterMs ≤ 0 drains
+    // every pending run once the final watermark is known)
+    "stream_repeat" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val in = ev.select(
+        col("user_id").cast("string").as("key"),
+        col("event_id").as("seq"),
+        col("event_type").as("msg"),
+        col("ts"))
+        .as[graft.streaming.Stateful.RrInput]
+      val out = graft.streaming.Stateful.repeatedMsgSquash(in,
+        watermarkDelay = "0 seconds", flushAfterMs = -1L)
+      graft.streaming.StreamGate.run(out.toDF())
+        .select(col("key").cast("long").as("user_id"), col("seq"),
+          col("msg"), col("synthetic"))
+    }),
+
+    // §2.10 omsendertrack through the state store: running per-sender
+    // first/last-seen + volume counters, final snapshot per sender
+    "stream_sender_track" -> ((s, dir) => {
+      import s.implicits._
+      val synth = synthFrom(graft.streaming.StreamGate.readTable(s, dir, "events"))
+      val in = synth.select(
+        col("hostname").as("sender"),
+        expr("ts_ns div 1000000000").as("tsMillis"), // epoch seconds
+        col("v100").as("bytes"))
+        .as[graft.streaming.Stateful.StInput]
+      val snaps = graft.streaming.Stateful.senderTrack(in)
+      // all fields monotone → final snapshot per sender
+      graft.streaming.StreamGate.run(snaps.toDF())
+        .groupBy(col("sender"))
+        .agg(min(col("first_seen")).as("first_seen"),
+          max(col("last_seen")).as("last_seen"),
+          max(col("n_msgs")).as("n_msgs"),
+          max(col("n_bytes")).as("n_bytes"))
     })
   )
 
   // ---------------------------------------------------------------- oracles
+
+  // shared between a batch query and its streaming twin — the gate's point
+  // is that both paths hit the SAME oracle
+  private val pipelineOracle: String = synthSql +
+    """ SELECT hostname, count(*) AS n,
+      |  max(length(
+      |    strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
+      |    lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+      |    strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
+      |    hostname || ' ' || syslogtag || ': ' ||
+      |    (['emerg','alert','crit','err','warning','notice','info','debug'])[severity + 1]
+      |    || ': ' ||
+      |    'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100
+      |  )) AS max_len
+      | FROM ev WHERE severity <= 4 GROUP BY 1""".stripMargin
+
+  private val ratelimitOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, row_number() OVER (
+      |    PARTITION BY user_id, epoch_ns(ts)//1000000000//3600
+      |    ORDER BY event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_passed FROM seq WHERE rn <= 3 GROUP BY 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -1088,18 +1220,7 @@ object Queries {
         |  'q=' || user_id AS q
         |FROM events""".stripMargin,
 
-    "pipeline_e2e" -> (synthSql +
-      """ SELECT hostname, count(*) AS n,
-        |  max(length(
-        |    strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
-        |    lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
-        |    strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
-        |    hostname || ' ' || syslogtag || ': ' ||
-        |    (['emerg','alert','crit','err','warning','notice','info','debug'])[severity + 1]
-        |    || ': ' ||
-        |    'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100
-        |  )) AS max_len
-        | FROM ev WHERE severity <= 4 GROUP BY 1""".stripMargin),
+    "pipeline_e2e" -> pipelineOracle,
 
     "mmcount" ->
       """WITH seq AS (
@@ -1129,13 +1250,7 @@ object Queries {
 
     // ------------------------- stateful / gate oracles -----------------------
 
-    "ratelimit" ->
-      """WITH seq AS (
-        |  SELECT user_id, row_number() OVER (
-        |    PARTITION BY user_id, epoch_ns(ts)//1000000000//3600
-        |    ORDER BY event_id) AS rn
-        |  FROM events)
-        |SELECT user_id, count(*) AS n_passed FROM seq WHERE rn <= 3 GROUP BY 1""".stripMargin,
+    "ratelimit" -> ratelimitOracle,
 
     "ratelimit_summary" ->
       """SELECT user_id AS key, epoch_ns(ts)//1000000000//3600 AS rl_win,
@@ -1583,6 +1698,53 @@ object Queries {
         |  SELECT *, row_number() OVER
         |    (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk
         |  FROM cands)
-        |SELECT q_id, rk, neighbor, sim FROM ranked WHERE rk <= 5""".stripMargin
+        |SELECT q_id, rk, neighbor, sim FROM ranked WHERE rk <= 5""".stripMargin,
+
+    // ------------------------- streaming-gate oracles -----------------------
+    // the batch twin's oracle, verbatim — one truth for both execution paths
+    "stream_e2e" -> pipelineOracle,
+    "stream_ratelimit" -> ratelimitOracle,
+    "stream_dynstats" -> DynStats.oracleSql(maxCardinality = 3),
+
+    // RrOutput semantics: every run start passes; a broken run's repeat-mark
+    // carries the breaking row's seq (the next run's first event); a trailing
+    // run's timer-flush mark carries the run's own last seq
+    "stream_repeat" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY event_id) IS NULL
+        |         OR lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY event_id) <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |runs0 AS (
+        |  SELECT *, sum(chg) OVER (
+        |    PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+        |    AS run_id
+        |  FROM base),
+        |runs AS (
+        |  SELECT user_id, run_id, event_type AS msg,
+        |    min(event_id) AS start_seq, max(event_id) AS end_seq,
+        |    count(*) AS len
+        |  FROM runs0 GROUP BY 1, 2, 3),
+        |marked AS (
+        |  SELECT *, lead(start_seq) OVER (
+        |    PARTITION BY user_id ORDER BY start_seq) AS next_start
+        |  FROM runs)
+        |SELECT user_id, start_seq AS seq, msg, false AS synthetic FROM runs
+        |UNION ALL
+        |SELECT user_id, coalesce(next_start, end_seq) AS seq,
+        |  'last message repeated ' || (len - 1) || ' times' AS msg,
+        |  true AS synthetic
+        |FROM marked WHERE len > 1""".stripMargin,
+
+    "stream_sender_track" -> (synthSql +
+      """ SELECT hostname AS sender,
+        |  min(epoch_ns(ts) // 1000000000) AS first_seen,
+        |  max(epoch_ns(ts) // 1000000000) AS last_seen,
+        |  count(*) AS n_msgs,
+        |  CAST(sum(v100) AS BIGINT) AS n_bytes
+        | FROM ev GROUP BY 1""".stripMargin)
   )
 }

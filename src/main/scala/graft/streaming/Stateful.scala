@@ -71,7 +71,11 @@ object Stateful {
         case (bucket, rows, state: GroupState[DynState]) =>
           var st = state.getOption.getOrElse(DynState(Map.empty, Map.empty, 0))
           var maxTs = 0L
-          rows.foreach { r =>
+          // arrival-order determinism: which keys land under the
+          // maxCardinality cap depends on processing order, so process the
+          // batch's rows in tsMillis order (rsyslog admits keys in arrival
+          // order; the buffer is one micro-batch's rows for this bucket)
+          rows.toSeq.sortBy(_.tsMillis).foreach { r =>
             maxTs = math.max(maxTs, r.tsMillis)
             st.counters.get(r.key) match {
               case Some(c) =>
@@ -166,7 +170,12 @@ object Stateful {
     * processAllAvailable() never observes quiescence — with event-time
     * timeouts extra batches run only while the watermark advances, which
     * requires new data. The timeout also evicts idle-key state, bounding
-    * the state store at 100 TB key cardinality. */
+    * the state store at 100 TB key cardinality.
+    *
+    * `flushAfterMs` ≤ 0 means "flush a run as soon as the watermark passes
+    * its last event" — the bounded-stream drain the verification gate uses
+    * (with 0 the max-event-time run would tie the final watermark and the
+    * strict `timeout < watermark` expiry check would never fire it). */
   def repeatedMsgSquash(ds: Dataset[RrInput],
                         watermarkDelay: String = "0 seconds",
                         flushAfterMs: Long = 30000L): Dataset[RrOutput] = {

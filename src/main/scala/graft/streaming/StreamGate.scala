@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Bounded-stream harness for the streaming correctness gate: every
+  * `stream_*` entry in SparkEntry.queries drives the REAL Structured
+  * Streaming path — file `readStream` → stateful operator (state store,
+  * watermarks, per-batch offset+state commits to a checkpoint) → sink —
+  * and then hands the sink contents back as a batch frame for the same
+  * DuckDB-oracle compare the batch queries get. This is the reference's
+  * tcpflood/chkseq bar (tests/diag.sh, tests/tcpflood.c:818-833): inject
+  * a bounded sequenced stream, assert exact delivery.
+  *
+  * `Trigger.AvailableNow` processes everything available then stops —
+  * including the trailing no-data micro-batches that fire event-time
+  * timeouts once the final watermark is known, so timer-flush semantics
+  * are part of what the gate verifies. The memory sink bounds this to
+  * verification data sizes; the production path is a file/kafka sink via
+  * sources.ReliableSink with the same checkpointing.
+  */
+object StreamGate {
+  private val ctr = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Streaming read of one driver parquet table; schema taken from the
+    * batch reader, events gets the same ts_ns/ts normalization as
+    * Tables.events. */
+  def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source requires a directory basePath; a {name} glob
+    // keeps basePath = dir while matching exactly this table's file
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/{$name.parquet}")
+    if (name == "events")
+      raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    else raw
+  }
+
+  /** Run a bounded streaming frame to completion (checkpointing ON) and
+    * return the sink table as a batch DataFrame. */
+  def run(df: DataFrame, outputMode: String = "append"): DataFrame = {
+    val name = s"graft_stream_${ctr.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val q = df.writeStream.queryName(name).outputMode(outputMode)
+      .format("memory")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}
