@@ -314,6 +314,40 @@ object Queries {
         col("__rendered").as("line"))
     }),
 
+    // §2.7 dyn_inc from SCRIPT TEXT → real DynStats counters: the call
+    // sites' frozen path guards aggregate over the final frame. The
+    // trailing severity==6 stop runs AFTER the dyn_inc sequence point, so
+    // those rows still count (reference fires the side effect the moment
+    // the statement runs); the leading severity==7 stop runs before, so
+    // those never count.
+    "rainerscript_dynstats" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+        .select("event_id", "facility", "severity", "event_type", "hostname")
+      val script =
+        """if $severity == 7 then stop
+          |if $severity <= 4 then {
+          |  set $.r = dyn_inc("by_type", $event_type);
+          |} else {
+          |  set $.r = dyn_inc("by_type", "quiet");
+          |}
+          |if $severity == 6 then stop
+          |""".stripMargin
+      graft.rainerscript.RainerCompiler.run(script, ev)
+        .dynStatsFrame("by_type", col("event_id"), maxCardinality = 3)
+    }),
+
+    // §2.7 percentile_observe from SCRIPT TEXT → perctile digest
+    "rainerscript_perctile" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+        .select("event_id", "facility", "severity", "event_type", "hostname")
+      val script =
+        """set $.p = percentile_observe("lat", $event_type,
+          |                             $severity * $severity + $facility);
+          |""".stripMargin
+      graft.rainerscript.RainerCompiler.run(script, ev)
+        .perctileFrame("lat")
+    }),
+
     // §2.3 exec_template + builtin template registry: render the stock
     // RSYSLOG_FileFormat (rfc3339 variant) through the config front-end
     "exec_template" -> ((s, dir) => {
@@ -1105,6 +1139,32 @@ object Queries {
         |FROM events GROUP BY 1""".stripMargin,
 
     "dynstats" -> DynStats.oracleSql(maxCardinality = 3),
+
+    "rainerscript_dynstats" -> (synthSql +
+      """, obs AS (
+        |  SELECT event_id,
+        |    CASE WHEN severity <= 4 THEN event_type ELSE 'quiet' END AS metric_key
+        |  FROM ev WHERE severity <> 7),
+        |perkey AS (
+        |  SELECT metric_key, count(*) AS cnt, min(event_id) AS first_seen
+        |  FROM obs GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (ORDER BY first_seen) AS rk FROM perkey)
+        |SELECT CASE WHEN rk <= 3 THEN metric_key ELSE '_overflow' END AS metric,
+        |  CAST(sum(cnt) AS BIGINT) AS n
+        |FROM ranked GROUP BY 1""".stripMargin),
+
+    "rainerscript_perctile" -> (synthSql +
+      """, obs AS (
+        |  SELECT event_type AS pkey,
+        |    CAST(severity * severity + facility AS DOUBLE) AS v
+        |  FROM ev)
+        |SELECT pkey, count(*) AS window_count,
+        |  round(min(v), 4) AS window_min, round(max(v), 4) AS window_max,
+        |  round(quantile_cont(v, 0.5), 4) AS p50,
+        |  round(quantile_cont(v, 0.95), 4) AS p95,
+        |  round(quantile_cont(v, 0.99), 4) AS p99
+        |FROM obs GROUP BY 1""".stripMargin),
 
     "perctile" ->
       """SELECT event_type,

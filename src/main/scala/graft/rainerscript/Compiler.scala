@@ -32,7 +32,57 @@ object RainerCompiler {
   case class CompiledAction(index: Int, params: Map[String, String],
                             condCol: String, renderCol: Option[String])
 
-  case class ScriptResult(frame: DataFrame, actions: Seq[CompiledAction]) {
+  /** A dyn_inc / percentile_observe call site captured at compile time:
+    * the key/value expressions plus the frozen path condition under which
+    * the reference interpreter would have executed the side effect
+    * (runtime/dynstats.c:73-97, runtime/perctile_stats.c:289-343). The
+    * set engine derives the counters by aggregating these observations
+    * over the final frame — same numbers, one distributed pass. */
+  case class CounterSite(kind: String, bucket: String, key: Column,
+                         value: Column, guard: Column)
+
+  /** Mutable compile context for counter-site capture: `guard` tracks the
+    * current statement's path condition while its expressions compile. */
+  final class CounterRecorder {
+    var guard: Column = lit(true)
+    val sites = scala.collection.mutable.ArrayBuffer.empty[CounterSite]
+  }
+
+  case class ScriptResult(frame: DataFrame, actions: Seq[CompiledAction],
+                          counterSites: Seq[CounterSite] = Nil) {
+    /** dyn_stats counters for one named bucket, aggregated from every
+      * dyn_inc site with maxCardinality admission in `orderCol` order —
+      * the batch face of Stateful.dynStats, wired to the script surface. */
+    def dynStatsFrame(bucket: String, orderCol: Column,
+                      maxCardinality: Int): DataFrame = {
+      val obs = counterSites
+        .filter(s => s.kind == "dyn" && s.bucket == bucket)
+        .map(s => frame.filter(s.guard)
+          .select(s.key.cast("string").as("metric_key"), orderCol.as("ord")))
+      require(obs.nonEmpty, s"no dyn_inc site for bucket $bucket")
+      graft.operators.DynStats.counters(
+        obs.reduce(_ unionAll _), col("metric_key"), col("ord"), maxCardinality)
+    }
+
+    /** percentile_stats digest for one named bucket from every
+      * percentile_observe site (full-window percentiles — the batch face
+      * of Stateful.perctileStats). */
+    def perctileFrame(bucket: String): DataFrame = {
+      val obs = counterSites
+        .filter(s => s.kind == "pct" && s.bucket == bucket)
+        .map(s => frame.filter(s.guard)
+          .select(s.key.cast("string").as("pkey"), s.value.cast("double").as("v")))
+      require(obs.nonEmpty, s"no percentile_observe site for bucket $bucket")
+      obs.reduce(_ unionAll _)
+        .groupBy(col("pkey"))
+        .agg(
+          count(lit(1)).as("window_count"),
+          round(min(col("v")), 4).as("window_min"),
+          round(max(col("v")), 4).as("window_max"),
+          round(expr("percentile(v, 0.5)"), 4).as("p50"),
+          round(expr("percentile(v, 0.95)"), 4).as("p95"),
+          round(expr("percentile(v, 0.99)"), 4).as("p99"))
+    }
     /** Rows that survive the script (not stopped), internals dropped. */
     def output: DataFrame = frame.filter(!col("__stopped"))
       .drop(frame.columns.filter(_.startsWith("__")): _*)
@@ -72,7 +122,8 @@ object RainerCompiler {
   }
 
   def compileExpr(e: RExpr, tables: Map[String, LookupTable],
-                  templates: Map[String, String] = Map.empty): Column = {
+                  templates: Map[String, String] = Map.empty,
+                  rec: CounterRecorder = null): Column = {
     def go(e: RExpr): Column = e match {
       case RStr(s) => lit(s)
       case RNum(n) => lit(n)
@@ -110,7 +161,7 @@ object RainerCompiler {
         lower(go(l).cast("string")).startsWith(lower(go(r).cast("string")))
       case RBinop("endswith", l, r) => go(l).cast("string").endsWith(go(r).cast("string"))
       case RBinop(op, _, _) => throw new IllegalArgumentException(s"op $op")
-      case RFunc(name, args) => compileFunc(name, args, tables, templates, go)
+      case RFunc(name, args) => compileFunc(name, args, tables, templates, go, rec)
     }
     def toBool(e: RExpr): Column = e match {
       case RBinop("and" | "or" | "==" | "!=" | "<>" | "<" | "<=" | ">" | ">=" |
@@ -127,7 +178,8 @@ object RainerCompiler {
   private def compileFunc(name: String, args: Seq[RExpr],
                           tables: Map[String, LookupTable],
                           templates: Map[String, String],
-                          go: RExpr => Column): Column = {
+                          go: RExpr => Column,
+                          rec: CounterRecorder = null): Column = {
     def a(i: Int): Column = go(args(i))
     def s(i: Int): String = args(i) match {
       case RStr(x) => x
@@ -199,10 +251,22 @@ object RainerCompiler {
       // (the reference mutates dst in place, grammar/rainerscript.c:3614)
       case "append_json" => rainer.json_merge(a(1), a(0))
       // dyn_inc / percentile_observe are streaming-counter side effects in
-      // the reference; the set-engine derives the same counters with the
-      // DynStats / perctile operators over the frame (IMPLEMENTATION
-      // §2.7). The call sites themselves return success.
-      case "dyn_inc" | "percentile_observe" => lit(0L)
+      // the reference (grammar/rainerscript.c:2724, rainerscript.c:4282);
+      // the set engine CAPTURES each call site (bucket, key/value, frozen
+      // path guard) and derives the same counters by aggregating the
+      // observations over the final frame — ScriptResult.dynStatsFrame /
+      // perctileFrame. The expression itself returns success (0), exactly
+      // like the reference's script-visible return value.
+      case "dyn_inc" =>
+        require(rec != null,
+          "dyn_inc outside a script compilation has no counter context")
+        rec.sites += CounterSite("dyn", s(0), a(1), lit(1L), rec.guard)
+        lit(0L)
+      case "percentile_observe" =>
+        require(rec != null,
+          "percentile_observe outside a script compilation has no counter context")
+        rec.sites += CounterSite("pct", s(0), a(1), rainer.cnum(a(2)), rec.guard)
+        lit(0L)
       // interpreter-state introspection: the declarative engine exposes
       // failure through null-propagation / ReliableSink instead; calls
       // resolve to their success values so real configs run
@@ -262,8 +326,32 @@ object RainerCompiler {
     df = df.withColumn("__stopped", lit(false))
     var condId = 0
     val actions = scala.collection.mutable.ArrayBuffer.empty[CompiledAction]
+    // counter-site capture: rec.guard is set to the active path condition
+    // before each expression compiles, so dyn_inc/percentile_observe sites
+    // freeze the condition under which the reference would have fired
+    val rec = new CounterRecorder
 
     def freshCond(): String = { condId += 1; s"__cond_$condId" }
+
+    /** Compile an expression under `guard`, then MATERIALIZE any counter
+      * sites it produced into fresh columns: the guard must see the
+      * __stopped/variable state AT this sequence point — a later `stop` or
+      * `set` must not retroactively change what dyn_inc counted (the
+      * reference fires the side effect the moment the statement runs). */
+    def compileWithSites(e: RExpr, guard: Column): Column = {
+      rec.guard = guard
+      val before = rec.sites.length
+      val c = compileExpr(e, tables, templates, rec)
+      def freeze(x: Column): Column = {
+        val cn = freshCond(); df = df.withColumn(cn, x); col(cn)
+      }
+      for (i <- before until rec.sites.length) {
+        val site = rec.sites(i)
+        rec.sites(i) = site.copy(guard = freeze(site.guard),
+          key = freeze(site.key), value = freeze(site.value))
+      }
+      c
+    }
 
     def varCol(raw: String): (String, String) =
       if (raw.startsWith("$.")) ("vars_local", raw.drop(2).replace('!', '.'))
@@ -311,15 +399,16 @@ object RainerCompiler {
             }
             val guard = path && !col("__stopped")
             if (run.length == 1) {
+              val v = compileWithSites(run(0)._2, guard)
               df = df.withColumn(vc0,
                 when(guard, graft.functions.rainer.json_set(col(vc0),
-                  run(0)._1, compileExpr(run(0)._2, tables, templates)))
+                  run(0)._1, v))
                 .otherwise(col(vc0)))
             } else {
+              val vs = run.map(r => compileWithSites(r._2, guard)).toSeq
               val expr = graft.functions.JsonSetMultiExpr(
                 run.map(_._1).toSeq,
-                (col(vc0) +: coalesce(guard, lit(false)) +:
-                  run.map(r => compileExpr(r._2, tables, templates)).toSeq)
+                (col(vc0) +: coalesce(guard, lit(false)) +: vs)
                   .map(org.apache.spark.sql.GraftBridge.expression))
               df = df.withColumn(vc0, org.apache.spark.sql.GraftBridge.column(expr))
             }
@@ -334,7 +423,7 @@ object RainerCompiler {
     def execStmt(stmt: RStmt, path: Column): Unit = stmt match {
       case RSet(RVar(raw), value) =>
         val (vc, p) = varCol(raw)
-        val v = compileExpr(value, tables, templates)
+        val v = compileWithSites(value, path && !col("__stopped"))
         df = df.withColumn(vc,
           when(path && !col("__stopped"),
             graft.functions.rainer.json_set(col(vc), p.replace('.', '!'), v))
@@ -347,10 +436,11 @@ object RainerCompiler {
           .otherwise(col(vc)))
       case RIf(cond, thenB, elseB) =>
         // freeze the guard at this sequence point
+        val compiled = compileWithSites(cond, path && !col("__stopped"))
         val cn = freshCond()
         df = df.withColumn(cn,
           path && !col("__stopped") &&
-            coalesce(compileExpr(cond, tables, templates).cast("boolean"), lit(false)))
+            coalesce(compiled.cast("boolean"), lit(false)))
         exec(thenB, col(cn))
         if (elseB.nonEmpty) {
           val en = freshCond()
@@ -395,7 +485,7 @@ object RainerCompiler {
         condId += 1
         val tag = condId
         val (lvCol, lvPath) = varCol(loopRaw)
-        val srcCol = compileExpr(source, tables, templates)
+        val srcCol = compileWithSites(source, path && !col("__stopped"))
         // split()/array-valued sources are arrays already; anything else
         // (a $! var read) is a JSON-array string to parse
         val arrCol = source match {
@@ -471,6 +561,6 @@ object RainerCompiler {
     }
 
     exec(stmts, lit(true))
-    ScriptResult(df, actions.toSeq)
+    ScriptResult(df, actions.toSeq, rec.sites.toSeq)
   }
 }

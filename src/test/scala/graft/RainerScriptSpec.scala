@@ -251,6 +251,52 @@ class RainerScriptSpec extends SparkSpec {
     assert(r.getString(0) == "0" && r.getString(1) == null)
   }
 
+  test("dyn_inc counts under the frozen path guard; later stop does not uncount") {
+    val ev = Seq(
+      (1L, 3, "error"), (2L, 3, "error"), (3L, 6, "view"), (4L, 7, "debugspam"))
+      .toDF("event_id", "severity", "event_type")
+    val res = RainerCompiler.run(
+      """if $severity == 7 then stop
+        |if $severity <= 4 then {
+        |  set $.r = dyn_inc("b", $event_type);
+        |} else {
+        |  set $.r = dyn_inc("b", "quiet");
+        |}
+        |if $severity == 6 then stop
+        |""".stripMargin, ev)
+    val counts = res.dynStatsFrame("b", col("event_id"), maxCardinality = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sev 7 stopped BEFORE the count → absent; sev 6 stopped AFTER → counted
+    assert(counts == Map("error" -> 2L, "quiet" -> 1L))
+    // the expression itself returns success (0) like the reference
+    val r0 = res.output.filter(col("severity") === 3).limit(1)
+      .select(get_json_object(col("vars_local"), "$.r")).collect()(0)
+    assert(r0.getString(0) == "0")
+  }
+
+  test("dyn_inc maxCardinality folds late keys into _overflow") {
+    val ev = (1 to 10).map(i => (i.toLong, s"k${(i - 1) / 2}"))
+      .toDF("event_id", "event_type")
+    val res = RainerCompiler.run(
+      """set $.r = dyn_inc("b", $event_type);""", ev)
+    val counts = res.dynStatsFrame("b", col("event_id"), maxCardinality = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // first 3 keys by arrival (k0,k1,k2) kept; k3,k4 → _overflow (4 obs)
+    assert(counts == Map("k0" -> 2L, "k1" -> 2L, "k2" -> 2L, "_overflow" -> 4L))
+  }
+
+  test("percentile_observe from script produces the perctile digest") {
+    val ev = (1 to 100).map(i => (i.toLong, "lat", i.toLong))
+      .toDF("event_id", "event_type", "v")
+    val res = RainerCompiler.run(
+      """set $.p = percentile_observe("lat", $event_type, $v);""", ev)
+    val row = res.perctileFrame("lat").collect()(0)
+    assert(row.getAs[Long]("window_count") == 100L)
+    assert(row.getAs[Double]("window_min") == 1.0)
+    assert(row.getAs[Double]("window_max") == 100.0)
+    assert(row.getAs[Double]("p50") == 50.5)
+  }
+
   test("global $/ namespace is distinct from $! and $. (per-message scope)") {
     val res = RainerCompiler.run(
       """set $/site = "dc-east";
