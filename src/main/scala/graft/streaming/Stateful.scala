@@ -253,39 +253,181 @@ object Stateful {
 
   // ---------------------------------------------------------------- multiline
 
-  case class MlInput(key: String, seq: Long, line: String)
-  case class MlState(pending: Vector[String], startSeq: Long)
+  case class MlInput(key: String, seq: Long, line: String, ts: java.sql.Timestamp)
+  case class MlState(pending: Option[String], startSeq: Long, lastSeq: Long,
+                     ignoring: Boolean)
   case class MlOutput(key: String, startSeq: Long, record: String)
 
-  /** imfile-style multiline assembly (plugins/imfile/imfile.c
-    * startmsg.regex readmode): a line matching `startRegex` begins a new
-    * record; continuation lines append. Emits a record when the next
-    * start arrives; call with the stream's last batch flushing via
-    * timeout in production. */
-  def multiline(ds: Dataset[MlInput], startRegex: String): Dataset[MlOutput] = {
+  /** imfile multiline assembly, regex flavor (runtime/stream.c
+    * strmReadMultiLine, plugins/imfile/imfile.c startmsg.regex /
+    * endmsg.regex):
+    *
+    *  - a line matching `startRegex` completes the previous record and
+    *    begins a new one; a line matching `endRegex` completes the record
+    *    including itself (a line may match both: it completes the previous
+    *    record AND emits alone).
+    *  - continuation lines join with `\n`-escape (`escapeLFString`,
+    *    default the two characters `\n` as in strmReadMultiLine) or a raw
+    *    newline when `escapeLF` is false.
+    *  - lines before the first start accumulate and flush at the first
+    *    start (the reference buffers them as prevMsgSegment).
+    *  - a record crossing `maxMsgSize` emits truncated at the boundary;
+    *    the line remainder starts a new record, or — with
+    *    `discardTruncatedMsg` — is dropped until the next start match
+    *    (imfile discardTruncatedMsg / msgDiscardingError semantics).
+    *  - a key quiet past `flushAfterMs` of event time emits its pending
+    *    record (imfile readTimeout; `flushAfterMs` ≤ 0 drains at the
+    *    final watermark — see repeatedMsgSquash).
+    *  - a `seq` regression (file truncated + rewritten under the reader,
+    *    imfile reopenOnTruncate) flushes the pending record and resets.
+    */
+  def imfileMultiline(ds: Dataset[MlInput],
+                      startRegex: Option[String], endRegex: Option[String],
+                      escapeLF: Boolean = true,
+                      escapeLFString: Option[String] = None,
+                      maxMsgSize: Int = 8096,
+                      discardTruncatedMsg: Boolean = false,
+                      watermarkDelay: String = "0 seconds",
+                      flushAfterMs: Long = 30000L): Dataset[MlOutput] = {
     import ds.sparkSession.implicits._
-    val re = startRegex
-    ds.groupByKey(_.key)
+    require(startRegex.nonEmpty || endRegex.nonEmpty,
+      "imfileMultiline needs startmsg.regex and/or endmsg.regex")
+    val sep = if (escapeLF) escapeLFString.getOrElse("\\n") else "\n"
+    val (sre, ere) = (startRegex, endRegex)
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
       .flatMapGroupsWithState[MlState, MlOutput](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state: GroupState[MlState]) =>
-          val p = java.util.regex.Pattern.compile(re)
-          var st = state.getOption.getOrElse(MlState(Vector.empty, -1))
-          val out = scala.collection.mutable.ArrayBuffer.empty[MlOutput]
-          rows.toSeq.sortBy(_.seq).foreach { r =>
-            if (p.matcher(r.line).find()) {
-              if (st.pending.nonEmpty)
-                out += MlOutput(key, st.startSeq, st.pending.mkString("\n"))
-              st = MlState(Vector(r.line), r.seq)
-            } else if (st.pending.nonEmpty) {
-              st = st.copy(pending = st.pending :+ r.line)
-            } else {
-              // orphan continuation (no start seen): emit as-is
-              out += MlOutput(key, r.seq, r.line)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            st.pending.map(p => MlOutput(key, st.startSeq, p)).iterator
+          } else {
+            val sp = sre.map(java.util.regex.Pattern.compile)
+            val ep = ere.map(java.util.regex.Pattern.compile)
+            var st = state.getOption.getOrElse(MlState(None, -1L, Long.MinValue, false))
+            var maxTs = Long.MinValue
+            val out = scala.collection.mutable.ArrayBuffer.empty[MlOutput]
+            def flush(): Unit = {
+              st.pending.foreach(p => out += MlOutput(key, st.startSeq, p))
+              st = st.copy(pending = None)
             }
+            // arrival order = read time then file offset: a truncated-and-
+            // rewritten file REGRESSES seq at a LATER read time, and that
+            // order must survive the sort for the reset to be seen
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.seq)).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              if (r.seq < st.lastSeq) { // truncation: file restarted
+                flush(); st = MlState(None, -1L, Long.MinValue, false)
+              }
+              val isStart = sp.exists(_.matcher(r.line).find())
+              val isEnd = ep.exists(_.matcher(r.line).find())
+              if (isStart) {
+                if (!st.ignoring) flush()
+                st = MlState(Some(r.line), r.seq, r.seq, false)
+              } else if (!st.ignoring) {
+                st.pending match {
+                  case None => st = st.copy(pending = Some(r.line), startSeq = r.seq)
+                  case Some(p) =>
+                    val joined = p + sep
+                    if (joined.length + r.line.length < maxMsgSize)
+                      st = st.copy(pending = Some(joined + r.line))
+                    else { // oversize: emit truncated, remainder continues/drops
+                      val keep = math.max(0, maxMsgSize - joined.length)
+                      out += MlOutput(key, st.startSeq, joined + r.line.take(keep))
+                      st =
+                        if (discardTruncatedMsg) st.copy(pending = None, ignoring = true)
+                        else st.copy(pending = Some(r.line.drop(keep)), startSeq = r.seq)
+                    }
+                }
+              }
+              if (isEnd) {
+                if (!st.ignoring) flush()
+                st = st.copy(ignoring = false)
+              }
+              st = st.copy(lastSeq = r.seq)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + flushAfterMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
+
+  /** imfile readMode assembly (runtime/stream.c strmReadLine modes 1/2,
+    * line-level re-expression of the char loop):
+    *
+    *  - mode 1 ("paragraph"): blank lines separate records; record lines
+    *    join with `escapeLFString` (default `#012`) or a raw newline.
+    *  - mode 2 ("indented"): a line starting with space/tab continues the
+    *    previous record; blank lines terminate; `trimLineOverBytes` keeps
+    *    the first N chars of an oversize record.
+    *
+    * Timer flush / truncation reset as in imfileMultiline. */
+  def imfileReadMode(ds: Dataset[MlInput], readMode: Int,
+                     escapeLF: Boolean = true,
+                     escapeLFString: Option[String] = None,
+                     trimLineOverBytes: Int = 0,
+                     watermarkDelay: String = "0 seconds",
+                     flushAfterMs: Long = 30000L): Dataset[MlOutput] = {
+    import ds.sparkSession.implicits._
+    require(readMode == 1 || readMode == 2,
+      "readMode 0 is plain line input; use the source directly")
+    val sep = if (escapeLF) escapeLFString.getOrElse("#012") else "\n"
+    def trim(s: String): String =
+      if (trimLineOverBytes > 0 && s.length > trimLineOverBytes)
+        s.take(trimLineOverBytes) else s
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MlState, MlOutput](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[MlState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            st.pending.map(p => MlOutput(key, st.startSeq, trim(p))).iterator
+          } else {
+            var st = state.getOption.getOrElse(MlState(None, -1L, Long.MinValue, false))
+            var maxTs = Long.MinValue
+            val out = scala.collection.mutable.ArrayBuffer.empty[MlOutput]
+            def flush(): Unit = {
+              st.pending.foreach(p => out += MlOutput(key, st.startSeq, trim(p)))
+              st = st.copy(pending = None)
+            }
+            // arrival order = read time then file offset (see imfileMultiline)
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.seq)).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              if (r.seq < st.lastSeq) { // truncation: file restarted
+                flush(); st = MlState(None, -1L, Long.MinValue, false)
+              }
+              val blank = r.line.isEmpty
+              val continues = readMode == 2 && !blank &&
+                (r.line.charAt(0) == ' ' || r.line.charAt(0) == '\t')
+              (st.pending, blank) match {
+                case (_, true) => flush() // blank line terminates (and is eaten)
+                case (None, _) => st = st.copy(pending = Some(r.line), startSeq = r.seq)
+                case (Some(p), _) =>
+                  if (readMode == 1 || continues)
+                    st = st.copy(pending = Some(p + sep + r.line))
+                  else { // mode 2: non-indented line starts a new record
+                    flush()
+                    st = st.copy(pending = Some(r.line), startSeq = r.seq)
+                  }
+              }
+              st = st.copy(lastSeq = r.seq)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + flushAfterMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** startmsg.regex-only assembly (back-compat face of imfileMultiline
+    * with the raw-newline join). */
+  def multiline(ds: Dataset[MlInput], startRegex: String): Dataset[MlOutput] =
+    imfileMultiline(ds, Some(startRegex), None, escapeLF = false)
 }

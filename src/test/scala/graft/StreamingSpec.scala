@@ -98,15 +98,18 @@ class StreamingSpec extends SparkSpec {
     assert(last.p50 == 80)
   }
 
+  private def ml(key: String, seq: Long, line: String) =
+    MlInput(key, seq, line, new java.sql.Timestamp((100 + seq) * 1000L))
+
   test("multiline assembly via startmsg regex") {
     val in = MemoryStream[MlInput]
     in.addData(
-      MlInput("f", 0, "2024-01-01 start of record one"),
-      MlInput("f", 1, "  continuation A"),
-      MlInput("f", 2, "  continuation B"),
-      MlInput("f", 3, "2024-01-02 record two"),
-      MlInput("f", 4, "  tail"),
-      MlInput("f", 5, "2024-01-03 record three (pending, not emitted)"))
+      ml("f", 0, "2024-01-01 start of record one"),
+      ml("f", 1, "  continuation A"),
+      ml("f", 2, "  continuation B"),
+      ml("f", 3, "2024-01-02 record two"),
+      ml("f", 4, "  tail"),
+      ml("f", 5, "2024-01-03 record three (pending, not emitted)"))
     runToCompletion(
       Stateful.multiline(in.toDS(), "^\\d{4}-\\d{2}-\\d{2} ").writeStream, "ml_out")
     val out = spark.table("ml_out").as[MlOutput].collect().sortBy(_.startSeq)
@@ -114,6 +117,115 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).record ==
       "2024-01-01 start of record one\n  continuation A\n  continuation B")
     assert(out(1).record == "2024-01-02 record two\n  tail")
+  }
+
+  test("multiline endmsg.regex completes a record including the end line") {
+    val in = MemoryStream[MlInput]
+    in.addData(
+      ml("f", 0, "{"), ml("f", 1, "  \"a\": 1,"), ml("f", 2, "}"),
+      ml("f", 3, "{"), ml("f", 4, "}"),
+      ml("f", 5, "orphan pending"))
+    runToCompletion(
+      Stateful.imfileMultiline(in.toDS(), None, Some("^\\}"),
+        escapeLF = false).writeStream, "ml_end")
+    val out = spark.table("ml_end").as[MlOutput].collect().sortBy(_.startSeq)
+    assert(out.map(_.record).toSeq == Seq("{\n  \"a\": 1,\n}", "{\n}"))
+  }
+
+  test("multiline maxMsgSize splits oversize records; discard drops remainder") {
+    val in = MemoryStream[MlInput]
+    in.addData(
+      ml("f", 0, "START " + "x" * 20),
+      ml("f", 1, "y" * 30), // crosses maxMsgSize=32 → truncated emit
+      ml("f", 2, "START next"))
+    runToCompletion(
+      Stateful.imfileMultiline(in.toDS(), Some("^START"), None,
+        maxMsgSize = 32).writeStream, "ml_trunc")
+    val out = spark.table("ml_trunc").as[MlOutput].collect().sortBy(_.startSeq)
+    // record 1 = 26 chars + sep(2) = 28, keep 32-28=4 chars of the y-line;
+    // remainder (26 y's) becomes its own pending record, flushed by START
+    assert(out.length == 2)
+    assert(out(0).record == "START " + "x" * 20 + "\\n" + "y" * 4)
+    assert(out(1).record == "y" * 26)
+    // discardTruncatedMsg: remainder is dropped instead
+    val in2 = MemoryStream[MlInput]
+    in2.addData(
+      ml("f", 0, "START " + "x" * 20),
+      ml("f", 1, "y" * 30),
+      ml("f", 2, "START next"))
+    runToCompletion(
+      Stateful.imfileMultiline(in2.toDS(), Some("^START"), None,
+        maxMsgSize = 32, discardTruncatedMsg = true).writeStream, "ml_disc")
+    val out2 = spark.table("ml_disc").as[MlOutput].collect().sortBy(_.startSeq)
+    assert(out2.length == 1)
+    assert(out2(0).record == "START " + "x" * 20 + "\\n" + "y" * 4)
+  }
+
+  test("multiline event-time timer flush drains a quiet file's pending record") {
+    val in = MemoryStream[MlInput]
+    in.addData(ml("f", 0, "2024-01-01 lone pending record"), ml("f", 1, "  tail"))
+    val query = Stateful.imfileMultiline(in.toDS(),
+        Some("^\\d{4}-\\d{2}-\\d{2} "), None, escapeLF = false,
+        flushAfterMs = 30000L)
+      .writeStream.queryName("ml_flush").outputMode(OutputMode.Append)
+      .format("memory").start()
+    query.processAllAvailable()
+    in.addData(ml("other", 100, "2024-01-01 noise")) // watermark past 1s+30s
+    query.processAllAvailable()
+    query.stop()
+    val f = spark.table("ml_flush").as[MlOutput].collect().filter(_.key == "f")
+    assert(f.map(_.record).toSeq ==
+      Seq("2024-01-01 lone pending record\n  tail"))
+  }
+
+  test("multiline seq regression (file truncation) flushes and resets") {
+    // arrival (read) time advances while the file OFFSET regresses
+    def at(seq: Long, arrival: Long, line: String) =
+      MlInput("f", seq, line, new java.sql.Timestamp((100 + arrival) * 1000L))
+    val in = MemoryStream[MlInput]
+    in.addData(
+      at(10, 0, "2024-01-01 before truncate"),
+      at(11, 1, "  tail"),
+      // file truncated + rewritten: offsets restart at 0
+      at(0, 2, "2024-02-02 after truncate"),
+      at(1, 3, "  tail2"),
+      at(2, 4, "2024-03-03 breaker"))
+    runToCompletion(
+      Stateful.imfileMultiline(in.toDS(), Some("^\\d{4}-\\d{2}-\\d{2} "), None,
+        escapeLF = false).writeStream, "ml_reset")
+    val out = spark.table("ml_reset").as[MlOutput].collect().sortBy(_.record)
+    assert(out.map(_.record).toSeq == Seq(
+      "2024-01-01 before truncate\n  tail",
+      "2024-02-02 after truncate\n  tail2"))
+  }
+
+  test("readMode 1 (paragraph) and readMode 2 (indented) assembly") {
+    val in1 = MemoryStream[MlInput]
+    in1.addData(
+      ml("f", 0, "para one line 1"), ml("f", 1, "para one line 2"),
+      ml("f", 2, ""), // blank separates
+      ml("f", 3, "para two"), ml("f", 4, ""),
+      ml("f", 5, "pending until blank or timeout"))
+    runToCompletion(
+      Stateful.imfileReadMode(in1.toDS(), readMode = 1).writeStream, "rm1")
+    val p = spark.table("rm1").as[MlOutput].collect().sortBy(_.startSeq)
+    assert(p.map(_.record).toSeq ==
+      Seq("para one line 1#012para one line 2", "para two"))
+
+    val in2 = MemoryStream[MlInput]
+    in2.addData(
+      ml("f", 0, "java.lang.RuntimeException: boom"),
+      ml("f", 1, "\tat com.example.Main(Main.java:1)"),
+      ml("f", 2, "  at com.example.Other(Other.java:2)"),
+      ml("f", 3, "next message"),
+      ml("f", 4, ""))
+    runToCompletion(
+      Stateful.imfileReadMode(in2.toDS(), readMode = 2,
+        escapeLF = false).writeStream, "rm2")
+    val s = spark.table("rm2").as[MlOutput].collect().sortBy(_.startSeq)
+    assert(s.map(_.record).toSeq == Seq(
+      "java.lang.RuntimeException: boom\n\tat com.example.Main(Main.java:1)\n  at com.example.Other(Other.java:2)",
+      "next message"))
   }
 
   test("event-time window aggregation with watermark over a decoded stream") {
