@@ -992,6 +992,20 @@ object Queries {
         .agg(count(lit(1)).as("n_passed"))
     }),
 
+    // §2.5/§2.7 impstats as a MESSAGE stream (plugins/impstats): per-hour
+    // counter snapshots of the events flow rendered as legacy + CEE
+    // pstats message rows through the real streaming path — the window
+    // close IS the interval fire; only windows the final watermark passed
+    // have reported (the trailing window stays pending, mirrored in the
+    // oracle's window_end <= max(ts) filter)
+    "impstats_stream" -> ((s, dir) => {
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val msgs = graft.sources.Impstats.statsMessageStream(
+        ev, "ts", concat(lit("events."), col("event_type")),
+        origin = "imfile", interval = "1 hour")
+      graft.streaming.StreamGate.run(msgs)
+    }),
+
     // §2.7 dynstats through the state store: maxCardinality admission in
     // arrival (event_id) order, overflow folding; final counter snapshot
     "stream_dynstats" -> ((s, dir) => {
@@ -1765,6 +1779,31 @@ object Queries {
     "stream_e2e" -> pipelineOracle,
     "stream_ratelimit" -> ratelimitOracle,
     "stream_dynstats" -> DynStats.oracleSql(maxCardinality = 3),
+
+    // window end <= max(ts) mirrors the watermark: the trailing window is
+    // still pending when the bounded stream drains (ns→µs cast truncation
+    // matches Tables.events' timestamp_micros normalization)
+    "impstats_stream" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('hour', ts::TIMESTAMP) AS ws, event_type,
+        |         count(*) AS submitted
+        |  FROM events GROUP BY 1, 2),
+        |emit AS (
+        |  SELECT ws + INTERVAL 1 HOUR AS reported_at,
+        |         'events.' || event_type AS name, submitted
+        |  FROM ev
+        |  WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts::TIMESTAMP) FROM events))
+        |SELECT reported_at, name, fmt, msg, 46 AS pri,
+        |       'rsyslogd-pstats:' AS tag
+        |FROM (
+        |  SELECT reported_at, name, 'legacy' AS fmt,
+        |         name || ': origin=imfile submitted=' || submitted || ' ' AS msg
+        |  FROM emit
+        |  UNION ALL
+        |  SELECT reported_at, name, 'cee',
+        |         '@cee: {"name":"' || name || '","origin":"imfile","submitted":'
+        |           || submitted || '}'
+        |  FROM emit)""".stripMargin,
 
     // RrOutput semantics: every run start passes; a broken run's repeat-mark
     // carries the breaking row's seq (the next run's first event); a trailing

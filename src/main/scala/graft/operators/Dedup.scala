@@ -264,7 +264,7 @@ object Dedup {
     * No driver-side graph ever materializes. Returns (doc, cluster) where
     * cluster = the smallest doc id reachable. */
   def clusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 16, localThreshold: Long = 5000000L): DataFrame = {
+               maxIter: Int = 16, localThreshold: Long = 1000000L): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger(getClass)
     // cached BEFORE the probe so the expensive upstream pair DAG is never
     // recomputed: the probe materializes (and caches) whatever partitions
@@ -278,7 +278,10 @@ object Dedup {
     // probes size and fetches the edges in ONE job: ≤ threshold rows back
     // means we hold the complete set; one extra row → distributed loop.
     // localThreshold bounds driver heap (rows × 2 ids) — size it to the
-    // driver as you would any broadcast/collect limit.
+    // driver as you would any broadcast/collect limit. The 1M default
+    // keeps the fetched edge set (~tens of MB) comfortably under the
+    // default spark.driver.maxResultSize (1g); raise it only alongside
+    // that setting.
     val probe = p0.limit((localThreshold + 1).toInt).collect()
     if (probe.length <= localThreshold) {
       p0.unpersist()

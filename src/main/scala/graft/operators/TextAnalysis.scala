@@ -41,14 +41,36 @@ object TextAnalysis {
 
   /** Language-ID: argmax of marker hits; 'und' when no marker at all.
     * Tie-break: earlier language in `langMarkers` wins (deterministic).
+    *
+    * Single-pass: one token→hit-vector map literal (markers are SHARED
+    * across languages — "de"/"la"/"en" each appear in several lists — so
+    * the map value is a per-language 0/1 vector, not a single lang tag),
+    * one `aggregate` traversal summing vectors, and a `finish` lambda
+    * doing the argmax so the token array is walked exactly once instead
+    * of once per language through HOF filters.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val hits = langMarkers.map { case (l, ms) => l -> markerHits(toks, ms) }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    hits.foldRight(lit("und"): Column) { case ((l, h), rest) =>
-      when(h > 0 && h === best, lit(l)).otherwise(rest)
+    val n = langMarkers.size
+    val mask = scala.collection.mutable.LinkedHashMap[String, Int]()
+    langMarkers.zipWithIndex.foreach { case ((_, ms), i) =>
+      ms.foreach(mk => mask(mk) = mask.getOrElse(mk, 0) | (1 << i))
     }
+    val keys = mask.keys.toSeq
+    val hitMap = map_from_arrays(
+      array(keys.map(lit): _*),
+      array(keys.map(k =>
+        array((0 until n).map(i => lit((mask(k) >> i) & 1)): _*)): _*))
+    val langArr = array(langMarkers.map(p => lit(p._1)): _*)
+    val zeroVec = array_repeat(lit(0), n)
+    aggregate(
+      tokens(text),
+      zeroVec,
+      (acc, t) => zip_with(acc,
+        coalesce(try_element_at(hitMap, t), array_repeat(lit(0), n)),
+        (a, b) => a + b),
+      acc => when(array_max(acc) > 0,
+        element_at(langArr, array_position(acc, array_max(acc)).cast("int")))
+        .otherwise(lit("und")))
   }
 
   /** Quality score in [0,1]: combines length band, mean word length,

@@ -257,15 +257,22 @@ object RainerCompiler {
       // observations over the final frame — ScriptResult.dynStatsFrame /
       // perctileFrame. The expression itself returns success (0), exactly
       // like the reference's script-visible return value.
+      // Entry points that compile lone expressions (no CounterRecorder)
+      // degrade to the reference's script-visible return value (0) with a
+      // warning rather than a hard error — the reference's call is valid
+      // from any expression position, so ours must be too; only the
+      // counter side effect is lost, and the log says so.
       case "dyn_inc" =>
-        require(rec != null,
-          "dyn_inc outside a script compilation has no counter context")
-        rec.sites += CounterSite("dyn", s(0), a(1), lit(1L), rec.guard)
+        if (rec == null) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "dyn_inc compiled without a counter context: side effect dropped")
+        } else rec.sites += CounterSite("dyn", s(0), a(1), lit(1L), rec.guard)
         lit(0L)
       case "percentile_observe" =>
-        require(rec != null,
-          "percentile_observe outside a script compilation has no counter context")
-        rec.sites += CounterSite("pct", s(0), a(1), rainer.cnum(a(2)), rec.guard)
+        if (rec == null) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "percentile_observe compiled without a counter context: side effect dropped")
+        } else rec.sites += CounterSite("pct", s(0), a(1), rainer.cnum(a(2)), rec.guard)
         lit(0L)
       // interpreter-state introspection: the declarative engine exposes
       // failure through null-propagation / ReliableSink instead; calls
@@ -508,7 +515,17 @@ object RainerCompiler {
             graft.functions.rainer.json_set(col(lvCol), lvPath.replace('.', '!'),
               col(s"__fe_item_$tag")))
           .otherwise(col(lvCol)))
+        val sitesBeforeBody = rec.sites.length
         exec(body, col(iterCond))
+        // counter sites live as frozen per-row columns, but the collapse
+        // below keeps first() per pre-loop record — a dyn_inc in the body
+        // would silently count only element 0 of each array. Part of the
+        // documented foreach body restrictions (like action/stop): hoist
+        // the counter out of the loop or aggregate the array instead.
+        require(rec.sites.length == sitesBeforeBody,
+          "foreach body: dyn_inc/percentile_observe not supported in batch " +
+            "lowering (the collapse keeps one row per pre-loop record, so " +
+            "per-element counter side effects would undercount)")
         // collapse: each iteration row = pre-loop vars + that element's
         // sets; merge the per-row var trees in element order (later
         // elements overwrite — rsyslog's sequential mutation order).

@@ -56,36 +56,72 @@ object Stateful {
   case class DynState(counters: Map[String, Long], lastSeen: Map[String, Long],
                       overflow: Long)
   case class DynSnapshot(bucket: String, metric: String, value: Long)
+  /** per-input-partition digest of one (bucket, key): count + first/last
+    * arrival time within the micro-batch partition. */
+  case class DynPartial(bucket: String, key: String, n: Long,
+                        firstTs: Long, lastTs: Long)
+
+  /** map-side combine for dynStats: collapse one input partition's raw
+    * rows to per-(bucket, key) partials. Stateless and narrow — runs with
+    * the source's full parallelism, so a single hot bucket is digested by
+    * every task instead of funneling raw rows into one state-store task. */
+  private[graft] def digestPartition(it: Iterator[DynInput]): Iterator[DynPartial] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[(String, String), (Long, Long, Long)]
+    it.foreach { r =>
+      val k = (r.bucket, r.key)
+      val (n, f, l) = m.getOrElse(k, (0L, Long.MaxValue, Long.MinValue))
+      m(k) = (n + 1, math.min(f, r.tsMillis), math.max(l, r.tsMillis))
+    }
+    m.iterator.map { case ((b, k), (n, f, l)) => DynPartial(b, k, n, f, l) }
+  }
 
   /** dyn_stats bucket with maxCardinality cap and unusedMetricLife TTL
     * (runtime/dynstats.c:73-97): new keys beyond the cap increment
     * ops_overflow; keys idle past the TTL are evicted. Emits the full
     * counter snapshot on every trigger (impstats-style interval flush).
+    *
+    * Scale shape: raw rows never reach the per-bucket state task. Each
+    * input partition first collapses to per-(bucket, key) partials
+    * (`digestPartition` — the map-side combine), so the single stateful
+    * task per bucket merges ≤ partitions × distinct-keys digest rows, not
+    * the bucket's whole event volume. Admission under the cap depends
+    * ONLY on each key's FIRST arrival time, so processing merged digests
+    * in first-arrival order is exactly the reference's arrival-order
+    * admission (the reference pays a bucket mutex per op; we pay one
+    * narrow digest pass + a tiny shuffle).
     */
   def dynStats(ds: Dataset[DynInput], maxCardinality: Int,
                unusedMetricLifeMillis: Long): Dataset[DynSnapshot] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.bucket)
+    ds.mapPartitions(digestPartition _)
+      .groupByKey(_.bucket)
       .flatMapGroupsWithState[DynState, DynSnapshot](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (bucket, rows, state: GroupState[DynState]) =>
+        case (bucket, parts, state: GroupState[DynState]) =>
           var st = state.getOption.getOrElse(DynState(Map.empty, Map.empty, 0))
+          // merge the per-partition partials per key
+          val merged = scala.collection.mutable.HashMap.empty[String, (Long, Long, Long)]
+          parts.foreach { p =>
+            val (n, f, l) = merged.getOrElse(p.key, (0L, Long.MaxValue, Long.MinValue))
+            merged(p.key) = (n + p.n, math.min(f, p.firstTs), math.max(l, p.lastTs))
+          }
           var maxTs = 0L
           // arrival-order determinism: which keys land under the
-          // maxCardinality cap depends on processing order, so process the
-          // batch's rows in tsMillis order (rsyslog admits keys in arrival
-          // order; the buffer is one micro-batch's rows for this bucket)
-          rows.toSeq.sortBy(_.tsMillis).foreach { r =>
-            maxTs = math.max(maxTs, r.tsMillis)
-            st.counters.get(r.key) match {
-              case Some(c) =>
-                st = st.copy(counters = st.counters + (r.key -> (c + 1)),
-                  lastSeen = st.lastSeen + (r.key -> r.tsMillis))
-              case None if st.counters.size < maxCardinality =>
-                st = st.copy(counters = st.counters + (r.key -> 1L),
-                  lastSeen = st.lastSeen + (r.key -> r.tsMillis))
-              case None => st = st.copy(overflow = st.overflow + 1)
-            }
+          // maxCardinality cap depends on first-arrival order (key name as
+          // the tie-break for equal timestamps — the row-level order was
+          // iterator-dependent there, this is strictly more deterministic)
+          merged.toSeq.sortBy { case (k, (_, f, _)) => (f, k) }.foreach {
+            case (k, (n, _, l)) =>
+              maxTs = math.max(maxTs, l)
+              st.counters.get(k) match {
+                case Some(c) =>
+                  st = st.copy(counters = st.counters + (k -> (c + n)),
+                    lastSeen = st.lastSeen + (k -> l))
+                case None if st.counters.size < maxCardinality =>
+                  st = st.copy(counters = st.counters + (k -> n),
+                    lastSeen = st.lastSeen + (k -> l))
+                case None => st = st.copy(overflow = st.overflow + n)
+              }
           }
           // TTL eviction (unusedMetricLife)
           val expired = st.lastSeen.filter(_._2 < maxTs - unusedMetricLifeMillis).keySet
@@ -313,6 +349,23 @@ object Stateful {
               st.pending.foreach(p => out += MlOutput(key, st.startSeq, p))
               st = st.copy(pending = None)
             }
+            // truncate at record-construction time (imfile caps EVERY
+            // record at maxMsgSize, including a single oversize line):
+            // full-size head chunk(s) emit immediately; the tail seeds the
+            // pending record, or with discardTruncatedMsg the tail is
+            // dropped and continuation lines ignored until the next match
+            def clampPending(text: String, seq: Long): Unit = {
+              var rest = text
+              var dropped = false
+              while (!dropped && rest.length > maxMsgSize) {
+                out += MlOutput(key, seq, rest.take(maxMsgSize))
+                if (discardTruncatedMsg) dropped = true
+                else rest = rest.drop(maxMsgSize)
+              }
+              st =
+                if (dropped) st.copy(pending = None, ignoring = true)
+                else st.copy(pending = Some(rest), startSeq = seq)
+            }
             // arrival order = read time then file offset: a truncated-and-
             // rewritten file REGRESSES seq at a LATER read time, and that
             // order must survive the sort for the reset to be seen
@@ -325,20 +378,24 @@ object Stateful {
               val isEnd = ep.exists(_.matcher(r.line).find())
               if (isStart) {
                 if (!st.ignoring) flush()
-                st = MlState(Some(r.line), r.seq, r.seq, false)
+                st = MlState(None, r.seq, r.seq, false)
+                clampPending(r.line, r.seq)
               } else if (!st.ignoring) {
                 st.pending match {
-                  case None => st = st.copy(pending = Some(r.line), startSeq = r.seq)
+                  case None => clampPending(r.line, r.seq)
                   case Some(p) =>
                     val joined = p + sep
                     if (joined.length + r.line.length < maxMsgSize)
                       st = st.copy(pending = Some(joined + r.line))
                     else { // oversize: emit truncated, remainder continues/drops
                       val keep = math.max(0, maxMsgSize - joined.length)
-                      out += MlOutput(key, st.startSeq, joined + r.line.take(keep))
-                      st =
-                        if (discardTruncatedMsg) st.copy(pending = None, ignoring = true)
-                        else st.copy(pending = Some(r.line.drop(keep)), startSeq = r.seq)
+                      // .take also caps the keep=0 case, where `joined`
+                      // alone exceeds maxMsgSize by the separator length
+                      out += MlOutput(key, st.startSeq,
+                        (joined + r.line.take(keep)).take(maxMsgSize))
+                      if (discardTruncatedMsg)
+                        st = st.copy(pending = None, ignoring = true)
+                      else clampPending(r.line.drop(keep), r.seq)
                     }
                 }
               }

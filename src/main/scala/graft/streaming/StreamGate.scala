@@ -25,14 +25,33 @@ object StreamGate {
 
   /** Streaming read of one driver parquet table; schema taken from the
     * batch reader, events gets the same ts_ns/ts normalization as
-    * Tables.events. */
+    * Tables.events.
+    *
+    * Determinism contract of the oracle gate: stateful operators that
+    * sort within a micro-batch (rateLimit window resets, dynStats cap
+    * admission) only match the oracle's global event_id order if ALL
+    * input lands in ONE micro-batch. The driver writes each table as a
+    * single parquet file today, and `maxFilesPerTrigger` is pinned to
+    * MaxValue so even a multi-file table would still arrive as one
+    * batch — the stateful ops then sort by event_id inside it, so the
+    * batch-vs-oracle order stays total. A table split across
+    * AvailableNow batches would void the gate's determinism, not the
+    * operator's correctness.
+    */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // same legacy-nanos flag (same value) every session builder and
+    // Tables.events already set — repeated here only so a bare session
+    // can still schema-infer events.parquet's TIMESTAMP(NANOS) column;
+    // it cannot diverge batch-read behavior because the batch readers
+    // set the identical value.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/$name.parquet"
     val schema = spark.read.parquet(path).schema
     // the file stream source requires a directory basePath; a {name} glob
     // keeps basePath = dir while matching exactly this table's file
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/{$name.parquet}")
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue.toString)
+      .parquet(s"$dir/{$name.parquet}")
     if (name == "events")
       raw.withColumnRenamed("ts", "ts_ns")
         .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
@@ -40,16 +59,25 @@ object StreamGate {
   }
 
   /** Run a bounded streaming frame to completion (checkpointing ON) and
-    * return the sink table as a batch DataFrame. */
+    * return the sink table as a batch DataFrame. The checkpoint dir is
+    * reaped once the bounded query stops — the memory sink table owns
+    * the results from then on, so nothing references it afterwards. */
   def run(df: DataFrame, outputMode: String = "append"): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_")
     val q = df.writeStream.queryName(name).outputMode(outputMode)
       .format("memory")
-      .option("checkpointLocation", ckpt)
+      .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: java.io.IOException => } // best-effort reap
+    }
     df.sparkSession.table(name)
   }
 }

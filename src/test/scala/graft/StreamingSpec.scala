@@ -84,6 +84,28 @@ class StreamingSpec extends SparkSpec {
     assert(!out.contains("k4"))
   }
 
+  test("dynstats digests one bucket's input with full task parallelism") {
+    import spark.implicits._
+    // 10k rows of ONE bucket spread over 8 partitions: the map-side
+    // digest (the stage that replaced the raw-row funnel into the single
+    // state task) must run per-partition — i.e. each of the 8 tasks
+    // contributes its own partial for the hot key, and only those 8
+    // digest rows reach the per-bucket state task.
+    val rows = (0 until 10000).map(i =>
+      DynInput("hot", s"k${i % 4}", 1000L + i))
+    val partials = spark.createDataset(rows).repartition(8)
+      .mapPartitions(Stateful.digestPartition _)
+      .collect()
+    val hotKey = partials.filter(p => p.bucket == "hot" && p.key == "k0")
+    assert(hotKey.length > 1, "expected >1 task to digest the hot bucket")
+    assert(hotKey.length <= 8)
+    // partials merge back to exact row-level counts and arrival bounds
+    assert(hotKey.map(_.n).sum == 2500)
+    assert(hotKey.map(_.firstTs).min == 1000L)
+    assert(partials.filter(_.key == "k3").map(_.lastTs).max == 1000L + 9999)
+    assert(partials.map(_.n).sum == 10000)
+  }
+
   test("perctile ring buffer window") {
     val in = MemoryStream[PctInput]
     in.addData((1 to 10).map(i => PctInput("b", "lat", i * 10L)): _*)
@@ -159,6 +181,35 @@ class StreamingSpec extends SparkSpec {
     val out2 = spark.table("ml_disc").as[MlOutput].collect().sortBy(_.startSeq)
     assert(out2.length == 1)
     assert(out2(0).record == "START " + "x" * 20 + "\\n" + "y" * 4)
+  }
+
+  test("multiline maxMsgSize clamps a single oversize line and the keep=0 join") {
+    // a SINGLE line longer than maxMsgSize is truncated at construction
+    // (imfile caps every record), not stored and emitted whole
+    val in = MemoryStream[MlInput]
+    in.addData(
+      ml("f", 0, "START " + "x" * 40), // 46 chars > 32
+      ml("f", 1, "START next"))
+    runToCompletion(
+      Stateful.imfileMultiline(in.toDS(), Some("^START"), None,
+        maxMsgSize = 32).writeStream, "ml_clamp1")
+    val out = spark.table("ml_clamp1").as[MlOutput].collect().sortBy(_.startSeq)
+    // 32-char head emits immediately; 14-char tail pends, flushed by START
+    assert(out.map(_.record).toSeq == Seq("START " + "x" * 26, "x" * 14))
+    // keep=0 join: pending(31) + sep(2) = 33 > 32 — the emitted record is
+    // capped at maxMsgSize instead of overflowing by the separator length
+    val in2 = MemoryStream[MlInput]
+    in2.addData(
+      ml("g", 0, "START " + "x" * 25),
+      ml("g", 1, "zzz"),
+      ml("g", 2, "START next"))
+    runToCompletion(
+      Stateful.imfileMultiline(in2.toDS(), Some("^START"), None,
+        maxMsgSize = 32).writeStream, "ml_clamp2")
+    val out2 = spark.table("ml_clamp2").as[MlOutput].collect().sortBy(_.startSeq)
+    assert(out2.map(_.record).toSeq ==
+      Seq(("START " + "x" * 25 + "\\n").take(32), "zzz"))
+    assert(out2(0).record.length == 32)
   }
 
   test("multiline event-time timer flush drains a quiet file's pending record") {
