@@ -314,6 +314,50 @@ object Queries {
         col("__rendered").as("line"))
     }),
 
+    // stock-config front-end e2e: an unmodified distro-style rsyslog.conf
+    // (module/input/global/main_queue objects, legacy $-directives,
+    // selector lines with file/fwd/usrmsg targets, '&' continuation)
+    // parses and drives the pipeline; output = routed count per action,
+    // computed in ONE aggregation over the compiled frame's frozen
+    // per-action condition columns (no per-action re-scan)
+    "config_e2e" -> ((s, dir) => {
+      val conf =
+        """module(load="imuxsock")
+          |module(load="imklog" permitnonkernelfacility="on")
+          |$ModLoad immark
+          |global(workDirectory="/var/spool/rsyslog")
+          |main_queue(queue.size="100000")
+          |$ActionFileDefaultTemplate RSYSLOG_TraditionalFileFormat
+          |$RepeatedMsgReduction on
+          |$FileOwner root
+          |auth,authpriv.*    /var/log/auth.log
+          |*.*;auth,authpriv.none    -/var/log/syslog
+          |cron.*    /var/log/cron.log
+          |kern.*    -/var/log/kern.log
+          |mail.err    /var/log/mail.err
+          |*.emerg    :omusrmsg:*
+          |mail.*    @loghost.example.net
+          |& stop
+          |""".stripMargin
+      val cfg = graft.rainerscript.RsyslogConfig.parse(conf)
+      require(cfg.hasModule("imuxsock") && cfg.hasModule("immark") &&
+        cfg.globals("fileowner") == "root", "stock config surface missing")
+      val ev = synthSyslog(s, dir).select(
+        col("event_id"), col("facility"), col("severity"), col("ts"),
+        col("hostname"),
+        concat(col("event_type"), lit("["), col("event_id"), lit("]")).as("syslogtag"),
+        concat(lit("msgnum:"), lpad(col("event_id"), 8, "0"),
+          lit(": v100="), col("v100")).as("msg"))
+      val res = cfg.run(ev)
+      val names = Seq("n_auth", "n_syslog", "n_cron", "n_kern", "n_mailerr",
+        "n_emerg", "n_mailfwd")
+      require(res.actions.length == names.length, "action count drifted")
+      val aggs = res.actions.zip(names).map { case (a, n) =>
+        count(when(col(a.condCol), lit(1))).as(n)
+      }
+      res.frame.agg(aggs.head, aggs.tail: _*)
+    }),
+
     // §2.7 dyn_inc from SCRIPT TEXT → real DynStats counters: the call
     // sites' frozen path guards aggregate over the final frame. The
     // trailing severity==6 stop runs AFTER the dyn_inc sequence point, so
@@ -865,6 +909,24 @@ object Queries {
         .agg(count(lit(1)).as("n"), min(col("ipn")).as("min_ipn"))
     }),
 
+    // skew tooling as a load-bearing query: a structural hot key (one
+    // host carries ~70% of the stream) enriched against a host→site dim
+    // through the salted-join kernel — the hot key spreads over 8 salt
+    // partitions instead of hammering one (at this dim size Spark may
+    // still broadcast, which is fine: the salting is the contract for
+    // when the dim outgrows broadcast at 100 TB)
+    "skew_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("hostkey",
+        when(col("user_id") % 10 < 7, lit("host0"))
+          .otherwise(concat(lit("host"), col("user_id") % 100)))
+      val dim = s.range(100).select(
+        concat(lit("host"), col("id")).as("hostkey"),
+        concat(lit("site"), col("id") % 5).as("site"))
+      Skew.saltedJoin(ev, dim, "hostkey", col("event_id"), factor = 8)
+        .groupBy(col("site"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("user_id")).as("nu"))
+    }),
+
     // §2.9 mmgrok — grok pattern field extraction
     "grok" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1261,6 +1323,20 @@ object Queries {
         |  CAST(v100 AS VARCHAR) AS f3,
         |  hostname AS f4,
         |  4 AS nf
+        | FROM ev""".stripMargin),
+
+    // selector semantics: auth=4, authpriv=10, cron=9, kern=0, mail=2;
+    // '& stop' only affects statements after the mail fwd (none), so it
+    // changes no counts — it's there to prove the continuation parses
+    "config_e2e" -> (synthSql +
+      """ SELECT
+        |  count(CASE WHEN facility IN (4,10) THEN 1 END) AS n_auth,
+        |  count(CASE WHEN facility NOT IN (4,10) THEN 1 END) AS n_syslog,
+        |  count(CASE WHEN facility = 9 THEN 1 END) AS n_cron,
+        |  count(CASE WHEN facility = 0 THEN 1 END) AS n_kern,
+        |  count(CASE WHEN facility = 2 AND severity <= 3 THEN 1 END) AS n_mailerr,
+        |  count(CASE WHEN severity = 0 THEN 1 END) AS n_emerg,
+        |  count(CASE WHEN facility = 2 THEN 1 END) AS n_mailfwd
         | FROM ev""".stripMargin),
 
     "rainerscript_e2e" -> (synthSql +
@@ -1711,6 +1787,17 @@ object Queries {
         |    ELSE 'unknown' END AS geo,
         |  count(*) AS n, min(ipn) AS min_ipn
         |FROM e GROUP BY 1""".stripMargin,
+
+    "skew_join" ->
+      """WITH dim AS (
+        |  SELECT 'host' || i AS hostkey, 'site' || (i % 5) AS site
+        |  FROM range(100) t(i)),
+        |e AS (
+        |  SELECT *, CASE WHEN user_id % 10 < 7 THEN 'host0'
+        |                 ELSE 'host' || (user_id % 100) END AS hostkey
+        |  FROM events)
+        |SELECT site, count(*) AS n, count(DISTINCT user_id) AS nu
+        |FROM e JOIN dim USING (hostkey) GROUP BY 1""".stripMargin,
 
     "grok" ->
       """SELECT event_id,

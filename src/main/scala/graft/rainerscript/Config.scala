@@ -21,7 +21,20 @@ case class RsyslogConfig(
     // remaining CNFOBJ registries (grammar/rainerscript.h:36-53):
     // dyn_stats / perctile_stats / ratelimit / timezone objects — params
     // by object name, consumed by the DynStats / Stateful operators
-    objects: Map[(String, String), Map[String, String]] = Map.empty) {
+    objects: Map[(String, String), Map[String, String]] = Map.empty,
+    // module(load=...) params in declaration order (CNFOBJ_MODULE);
+    // $ModLoad folds in here too
+    modules: Seq[Map[String, String]] = Nil,
+    // input(type=...) params in declaration order (CNFOBJ_INPUT); legacy
+    // $UDPServerRun / $InputTCPServerRun fold in here
+    inputs: Seq[Map[String, String]] = Nil,
+    // global()/main_queue() params (key-prefixed) plus legacy
+    // $-directives the engine records but does not act on (ownership /
+    // privilege / queue plumbing that Spark owns) — the warn-skip ledger
+    globals: Map[String, String] = Map.empty) {
+
+  /** Is a module loaded (module(load=) or $ModLoad)? */
+  def hasModule(name: String): Boolean = modules.exists(_.get("load").contains(name))
 
   /** Params of a named config object (kind = "dyn_stats",
     * "perctile_stats", "ratelimit", "timezone"). */
@@ -133,26 +146,164 @@ object RsyslogConfig {
           throw new IllegalArgumentException("ruleset needs name=")), body)
       }
 
+    // ---- stock-config object surface (grammar/rainerscript.h:36-53
+    // CNFOBJ_MODULE/INPUT/GLOBAL/MAINQ; include at lexer.l:379-382) ----
+    case class ModuleObj(p: Map[String, String]) extends Item
+    case class InputObj(p: Map[String, String]) extends Item
+    case class SettingsObj(kind: String, p: Map[String, String]) extends Item
+    case class IncludeObj(p: Map[String, String]) extends Item
+    /** `$Directive args` legacy line (lexer.l:145-230 $-handlers). */
+    case class LegacyDirective(name: String, arg: String) extends Item
+    /** `& stop` / `& <target>` continuation: extends the previous
+      * filter's action list (legacy conf continuation lines). */
+    case class AmpCont(stmts: Seq[RStmt]) extends Item
+
+    def moduleObj: Parser[Item] = "module" ~> "(" ~> params <~ ")" ^^ ModuleObj.apply
+    def inputObj: Parser[Item] = "input" ~> "(" ~> params <~ ")" ^^ InputObj.apply
+    def settingsObj: Parser[Item] =
+      ("main_queue" | "global") ~ ("(" ~> params <~ ")") ^^ {
+        case k ~ p => SettingsObj(k, p)
+      }
+    def includeObj: Parser[Item] = "include" ~> "(" ~> params <~ ")" ^^ IncludeObj.apply
+
+    /** `$Word rest-of-line`: args run to end of line (legacy directives
+      * are line-oriented; the expression `$var` surface never appears at
+      * item position — statements start with keywords). */
+    def legacyDirective: Parser[Item] =
+      """\$[A-Za-z][A-Za-z0-9]*""".r ~ """[^\n]*""".r ^^ {
+        case name ~ arg => LegacyDirective(name.drop(1), arg.trim)
+      }
+
+    /** legacy action targets (sysklogd selector lines; tools/omfile,
+      * omfwd, omusrmsg, ompipe shorthands): `/file`, `-/file` (async),
+      * `|pipe`, `@udp` / `@@tcp` host, `:omusrmsg:users`, `~` discard,
+      * `*` wall-message. Optional `;templateName` suffix on file/fwd. */
+    def legacyTarget: Parser[Seq[RStmt]] =
+      "~" ^^^ Seq(RStop) |
+      """-?/[^\s;#]+""".r ~ opt(";" ~> cfgIdent) ^^ { case path ~ tpl =>
+        val async = path.startsWith("-")
+        Seq(RAction(Map("type" -> "omfile",
+          "file" -> (if (async) path.drop(1) else path),
+          "sync" -> (if (async) "off" else "on")) ++ tpl.map("template" -> _)))
+      } |
+      """\|[^\s;#]+""".r ^^ (p =>
+        Seq(RAction(Map("type" -> "ompipe", "pipe" -> p.drop(1))))) |
+      """@@?[^\s;#]+""".r ~ opt(";" ~> cfgIdent) ^^ { case tgt ~ tpl =>
+        Seq(RAction(Map("type" -> "omfwd",
+          "target" -> tgt.dropWhile(_ == '@'),
+          "protocol" -> (if (tgt.startsWith("@@")) "tcp" else "udp")) ++
+          tpl.map("template" -> _)))
+      } |
+      """:[A-Za-z][A-Za-z0-9]*:[^\s;#]*""".r ^^ { t =>
+        val Array(mod, rest) = t.drop(1).split(":", 2)
+        Seq(RAction(Map("type" -> mod, "target" -> rest)))
+      } |
+      "*" ^^^ Seq(RAction(Map("type" -> "omusrmsg", "users" -> "*")))
+
+    /** `mail.err /var/log/mail.err` — selector + legacy target. */
+    def selectorLine: Parser[Item] =
+      """[a-z0-9*,\-]+\.[!=*a-z]+(;[a-z0-9*,\-]+\.[!=*a-z]+)*""".r ~ legacyTarget ^^ {
+        case sel ~ acts => StmtItem(RPriFilt(sel, acts))
+      }
+
+    /** `:msg, contains, "x" /var/log/x.log` — property filter + target. */
+    def propLine: Parser[Item] =
+      (":" ~> cfgIdent) ~ ("," ~> opt("!")) ~ cfgIdent ~ ("," ~> cfgString) ~ legacyTarget ^^ {
+        case prop ~ neg ~ op ~ v ~ acts =>
+          StmtItem(RPropFilt(prop, op, neg.isDefined, v, acts))
+      }
+
+    def ampCont: Parser[Item] =
+      "&" ~> ("stop" ^^^ Seq(RStop) | legacyTarget) ^^ AmpCont.apply
+
     def item: Parser[Item] =
-      templateObj | lookupObj | genericObj | rulesetObj | stmt ^^ StmtItem.apply
+      templateObj | lookupObj | genericObj | rulesetObj |
+      moduleObj | inputObj | settingsObj | includeObj |
+      legacyDirective | ampCont | selectorLine | propLine |
+      stmt ^^ StmtItem.apply
 
     def config: Parser[Seq[Item]] = rep(item)
   }
 
-  def parse(src: String): RsyslogConfig = {
-    val items = P.parseAll(P.config, src) match {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def parseRaw(src: String): Seq[P.Item] =
+    P.parseAll(P.config, src) match {
       case P.Success(r, _) => r
       case P.NoSuccess(msg, next) =>
         throw new IllegalArgumentException(
           s"config parse error at line ${next.pos.line}: $msg")
       case other => throw new IllegalStateException(other.toString)
     }
+
+  /** Expand a possibly-globbed include path (lexer.l:379-382 cnfDoInclude
+    * uses glob(3); we support the common single-`*` filename glob). */
+  private def globFiles(pattern: String): Seq[java.io.File] = {
+    val p = java.nio.file.Paths.get(pattern.trim)
+    val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+    if (!java.nio.file.Files.isDirectory(dir)) Nil
+    else {
+      val m = java.nio.file.FileSystems.getDefault
+        .getPathMatcher("glob:" + p.getFileName.toString)
+      dir.toFile.listFiles.toSeq
+        .filter(f => f.isFile && m.matches(f.toPath.getFileName))
+        .sortBy(_.getName) // glob(3) sorts; include order is load order
+    }
+  }
+
+  /** include()/$IncludeConfig expansion, recursive with a depth guard.
+    * Missing files warn-skip (mode="optional" semantics) rather than
+    * abort — the engine parses distro configs outside the distro. */
+  private def expandIncludes(items: Seq[P.Item], depth: Int): Seq[P.Item] = {
+    require(depth < 16, "include nesting too deep (cycle?)")
+    items.flatMap {
+      case P.IncludeObj(p) =>
+        val texts: Seq[String] = p.get("text").map(Seq(_)).getOrElse {
+          val files = p.get("file").map(globFiles).getOrElse(Nil)
+          if (files.isEmpty && !p.get("mode").contains("optional"))
+            log.warn(s"include ${p.get("file").getOrElse("")} matched no files; skipping")
+          files.map(f => java.nio.file.Files.readString(f.toPath))
+        }
+        texts.flatMap(t => expandIncludes(parseRaw(t), depth + 1))
+      case P.LegacyDirective(n, arg) if n.equalsIgnoreCase("IncludeConfig") =>
+        val files = globFiles(stripTrailingComment(arg))
+        if (files.isEmpty)
+          log.warn(s"\\$$IncludeConfig $arg matched no files; skipping")
+        files.flatMap(f =>
+          expandIncludes(parseRaw(java.nio.file.Files.readString(f.toPath)), depth + 1))
+      case other => Seq(other)
+    }
+  }
+
+  private def stripTrailingComment(arg: String): String = {
+    val i = arg.indexOf('#')
+    (if (i >= 0) arg.substring(0, i) else arg).trim
+  }
+
+  def parse(src: String): RsyslogConfig = {
+    // 1) parse, 2) expand includes, 3) fold `&` continuations into the
+    // preceding filter's block (legacy continuation lines)
+    val expanded = expandIncludes(parseRaw(src), 0)
+    val items = expanded.foldLeft(Vector.empty[P.Item]) {
+      case (acc :+ P.StmtItem(RPriFilt(sel, b)), P.AmpCont(s)) =>
+        acc :+ P.StmtItem(RPriFilt(sel, b ++ s))
+      case (acc :+ P.StmtItem(RPropFilt(p, o, n, v, b)), P.AmpCont(s)) =>
+        acc :+ P.StmtItem(RPropFilt(p, o, n, v, b ++ s))
+      case (_, P.AmpCont(_)) =>
+        throw new IllegalArgumentException("'&' continuation without a preceding filter")
+      case (acc, i) => acc :+ i
+    }
     var templates = builtinTemplates
     var jsonf = Map.empty[String, Seq[TemplateCompiler.JsonfField]]
     var lookups = Map.empty[String, LookupTable]
     var rulesets = Map.empty[String, Seq[RStmt]]
     var objects = Map.empty[(String, String), Map[String, String]]
+    val modules = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    val inputs = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
+    var globals = Map.empty[String, String]
     val main = scala.collection.mutable.ArrayBuffer.empty[RStmt]
+    // legacy $template NAME,"format"(,options)
+    val legacyTemplate = """([A-Za-z0-9_\-]+)\s*,\s*"((?:[^"\\]|\\.)*)".*""".r
     items.foreach {
       case P.TemplateObj(p, fields) =>
         val name = p("name")
@@ -179,8 +330,57 @@ object RsyslogConfig {
       case P.GenericObj(kind, p) =>
         // timezone objects are identified by id=, the rest by name=
         objects += (kind, p.getOrElse("name", p.getOrElse("id", ""))) -> p
+      case P.ModuleObj(p) => modules += p
+      case P.InputObj(p) => inputs += p
+      case P.SettingsObj(kind, p) =>
+        // key-prefix main_queue params so they don't collide with global()
+        val prefix = if (kind == "main_queue") "main_queue." else ""
+        globals ++= p.map { case (k, v) => (prefix + k) -> v }
+      case P.LegacyDirective(name, rawArg) =>
+        val arg = stripTrailingComment(rawArg)
+        name.toLowerCase match {
+          case "modload" => modules += Map("load" -> arg)
+          case "template" => rawArg.trim match {
+            // $template NAME,"format" — template string may contain '#',
+            // so match on the raw arg, not the comment-stripped one
+            case legacyTemplate(n, fmt) => templates += n -> fmt
+            case other =>
+              throw new IllegalArgumentException(s"bad \\$$template: $other")
+          }
+          case "udpserverrun" => inputs += Map("type" -> "imudp", "port" -> arg)
+          case "inputtcpserverrun" => inputs += Map("type" -> "imtcp", "port" -> arg)
+          case "workdirectory" => globals += "workdirectory" -> arg
+          case "actionfiledefaulttemplate" =>
+            globals += "actionfiledefaulttemplate" -> arg
+          case other =>
+            // warn-skip ledger: recorded verbatim, not acted on (file
+            // ownership, privilege drop, queue tuning — Spark owns those
+            // concerns; the reference's own v8 path also just maps these
+            // to object params, lexer.l:145-230)
+            log.debug(s"legacy directive \\$$$name recorded, not acted on")
+            globals += other -> arg
+        }
+      case P.IncludeObj(_) | P.AmpCont(_) =>
+        throw new IllegalStateException("unreachable: expanded earlier")
       case P.StmtItem(s) => main += s
     }
-    RsyslogConfig(templates, jsonf, lookups, rulesets, main.toSeq, objects)
+    // $ActionFileDefaultTemplate / builtin default: file actions without
+    // an explicit template render with the default (tools/omfile.c
+    // setLegacyDfltTpl) — inject so action render columns materialize
+    val dfltFileTpl = globals.getOrElse("actionfiledefaulttemplate",
+      "RSYSLOG_TraditionalFileFormat")
+    def injectDefault(ss: Seq[RStmt]): Seq[RStmt] = ss.map {
+      case RAction(p) if p.get("type").contains("omfile") && !p.contains("template") =>
+        RAction(p + ("template" -> dfltFileTpl))
+      case RIf(c, t, e) => RIf(c, injectDefault(t), injectDefault(e))
+      case RPriFilt(s, b) => RPriFilt(s, injectDefault(b))
+      case RPropFilt(p, o, n, v, b) => RPropFilt(p, o, n, v, injectDefault(b))
+      case RForeach(v, src, b) => RForeach(v, src, injectDefault(b))
+      case other => other
+    }
+    RsyslogConfig(templates, jsonf, lookups,
+      rulesets.map { case (k, v) => k -> injectDefault(v) },
+      injectDefault(main.toSeq), objects,
+      modules.toSeq, inputs.toSeq, globals)
   }
 }

@@ -55,6 +55,82 @@ class ComparisonCorpusSpec extends SparkSpec {
     }
   }
 
+  test("POSIX ERE conformance sweep: reference regex corpus patterns") {
+    import graft.functions.rainer
+    // the reference's own regex test corpus (tests/rscript_re_match.sh,
+    // rscript_re_match_i.sh, rscript_re_extract.sh, rscript_re_extract_i
+    // .sh, rscript_re_extract_loop.sh, rscript_re_match-dbl_quotes.sh) —
+    // each row: the tcpflood input's MSG part + the script's pattern, the
+    // expectation the shell test content_checks
+    val dateTimeMsg =
+      " at Thu Oct 30 13:20:18 IST 2014 random number is 19597"
+
+    def one(input: String) = Seq(input).toDF("msg")
+    def evalB(input: String, c: org.apache.spark.sql.Column): Boolean =
+      one(input).select(c.as("r")).collect()(0).getBoolean(0)
+    def evalS(input: String, c: org.apache.spark.sql.Column): String =
+      one(input).select(c.as("r")).collect()(0).getString(0)
+
+    // rscript_re_match.sh: '.* ([0-9]+)$' matches the date_time_msg
+    assert(evalB(dateTimeMsg, rainer.re_match(col("msg"), ".* ([0-9]+)$")))
+    // rscript_re_extract.sh: submatch 1 of match 0 = the trailing number
+    assert(evalS(dateTimeMsg,
+      rainer.re_extract(col("msg"), ".* ([0-9]+)$", 0, 1, "none")) == "19597")
+    // rscript_re_match_i.sh: case-insensitive literal
+    assert(evalB(dateTimeMsg, rainer.re_match_i(col("msg"), "RANDOM NUMBER")))
+    assert(!evalB(dateTimeMsg, rainer.re_match(col("msg"), "RANDOM NUMBER")))
+    // rscript_re_extract_i.sh: 'msg (.*)' over mixed-case inputs
+    assert(evalS("MSG test1",
+      rainer.re_extract_i(col("msg"), "msg (.*)", 0, 1, "none")) == "test1")
+    // rscript_re_match-dbl_quotes.sh: '$' as literal end anchor after group
+    assert(evalB("string 19597", rainer.re_match(col("msg"), " ([0-9]+)$")))
+    assert(!evalB("string 19597x", rainer.re_match(col("msg"), " ([0-9]+)$")))
+    // rscript_re_extract_loop.sh: empty-match iteration must not loop and
+    // must land match#1 on "a" (reference advances offset+1 on rm_eo==0,
+    // rainerscript.c:1726-1734; Java's find() advances the same way)
+    assert(evalS(" a", rainer.re_extract(col("msg"), "a?", 1, 0, "fail")) == "a")
+    // no-match returns the default, not "" (rainerscript.c bHadNoMatch)
+    assert(evalS("abc", rainer.re_extract(col("msg"), "([0-9]+)", 0, 1, "none")) == "none")
+    // match# beyond the last occurrence → default
+    assert(evalS("x1 y2", rainer.re_extract(col("msg"), "[0-9]", 5, 0, "none")) == "none")
+
+    // ---- POSIX ERE dialect features regcomp(REG_EXTENDED) accepts ----
+    // bracket classes (translated to Java \p classes)
+    assert(evalS("ip=10.1.2.3 port=514",
+      rainer.re_extract(col("msg"), "port=([[:digit:]]+)", 0, 1, "-")) == "514")
+    assert(evalB("HOST abc", rainer.re_match(col("msg"), "^[[:upper:]]+ [[:lower:]]+$")))
+    assert(evalB("a b", rainer.re_match(col("msg"), "a[[:space:]]b")))
+    assert(evalB("0xFF", rainer.re_match(col("msg"), "^0x[[:xdigit:]]+$")))
+    // negated bracket with class + literal ] first-in-class
+    assert(evalB("a]b", rainer.re_match(col("msg"), "a[]]b")))
+    assert(evalB("ab", rainer.re_match(col("msg"), "a[^[:digit:]]")))
+    assert(!evalB("a1", rainer.re_match(col("msg"), "a[^[:digit:]]")))
+    // intervals, alternation, grouping — shared ERE core
+    assert(evalB("aaab", rainer.re_match(col("msg"), "^a{2,3}b$")))
+    assert(!evalB("ab", rainer.re_match(col("msg"), "^a{2,3}b$")))
+    assert(evalB("error: disk", rainer.re_match(col("msg"), "(error|warn): (disk|net)")))
+    assert(evalS("error: disk",
+      rainer.re_extract(col("msg"), "(error|warn): (disk|net)", 0, 2, "-")) == "disk")
+    // '.' does not match NUL-terminator semantics differences don't apply
+    // to column strings; '.' vs newline: POSIX regexec has no /s flag and
+    // '.' DOES match \n in the absence of REG_NEWLINE — Java '.' does not
+    // by default. Translated behavior matches regcomp-without-REG_NEWLINE
+    // only for newline-free inputs; syslog messages are single-line by
+    // framing, so the gap is unreachable through the decode path.
+
+    // ---- documented dialect gaps (the astral-plane list) ----
+    // 1) POSIX leftmost-LONGEST alternation vs Java leftmost-FIRST:
+    //    regexec('(a|ab)') on "ab" yields "ab", Java yields "a". None of
+    //    the reference's shipped configs/tests rely on it; divergence
+    //    asserted here so a behavior change would surface.
+    assert(evalS("ab", rainer.re_extract(col("msg"), "(a|ab)", 0, 1, "-")) == "a")
+    // 2) back-references / collating elements are outside ERE's portable
+    //    subset — the translator rejects collating forms explicitly
+    intercept[IllegalArgumentException] {
+      graft.functions.PosixRegex.translate("[[.hyphen.]]x")
+    }
+  }
+
   test("rscript_faup corpus: component extraction on the reference URL") {
     // the URL vector from tests/rscript_faup_*.sh
     val script =

@@ -137,6 +137,134 @@ class ConfigSpec extends SparkSpec {
     assert(cfg.obj("ratelimit", "nope").isEmpty)
   }
 
+  test("stock distro rsyslog.conf parses: modules, inputs, globals, legacy lines") {
+    // a Debian/Ubuntu-style default config, unmodified shapes: module()/
+    // input()/global()/main_queue() objects, $-directives, selector lines
+    // with file/fwd/usrmsg targets, '&' continuation, $IncludeConfig glob
+    val incDir = java.nio.file.Files.createTempDirectory("rsyslog.d").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(incDir, "20-extra.conf").toPath,
+      """# dropped-in fragment
+        |:programname, isequal, "cron-apt" /var/log/cron-apt.log
+        |& stop
+        |local7.*    -/var/log/boot.log
+        |""".stripMargin)
+    val cfg = RsyslogConfig.parse(
+      s"""#  /etc/rsyslog.conf    Configuration file for rsyslog.
+         |#
+         |#################
+         |#### MODULES ####
+         |#################
+         |module(load="imuxsock") # provides support for local system logging
+         |module(load="imklog" permitnonkernelfacility="on")
+         |#module(load="immark")  # provides --MARK-- message capability
+         |$$ModLoad immark
+         |
+         |# provides UDP syslog reception
+         |module(load="imudp")
+         |input(type="imudp" port="514")
+         |$$InputTCPServerRun 10514
+         |
+         |###########################
+         |#### GLOBAL DIRECTIVES ####
+         |###########################
+         |global(workDirectory="/var/spool/rsyslog")
+         |main_queue(queue.size="100000" queue.dequeuebatchsize="1000")
+         |
+         |$$ActionFileDefaultTemplate RSYSLOG_TraditionalFileFormat
+         |$$RepeatedMsgReduction on
+         |
+         |$$FileOwner root
+         |$$FileGroup adm
+         |$$FileCreateMode 0640
+         |$$DirCreateMode 0755
+         |$$Umask 0022
+         |$$PrivDropToUser syslog
+         |$$PrivDropToGroup syslog
+         |
+         |$$template precise,"%syslogseverity% %hostname% %msg%\\n"
+         |
+         |$$IncludeConfig ${incDir.getAbsolutePath}/*.conf
+         |$$IncludeConfig /etc/nonexistent.d/*.conf
+         |
+         |###############
+         |#### RULES ####
+         |###############
+         |auth,authpriv.*\t\t\t/var/log/auth.log
+         |*.*;auth,authpriv.none\t\t-/var/log/syslog
+         |cron.*\t\t\t\t/var/log/cron.log
+         |daemon.*\t\t\t-/var/log/daemon.log
+         |kern.*\t\t\t\t-/var/log/kern.log
+         |mail.*\t\t\t\t-/var/log/mail.log;precise
+         |mail.err\t\t\t/var/log/mail.err
+         |*.emerg\t\t\t\t:omusrmsg:*
+         |news.crit\t\t\t@loghost.example.net
+         |& ~
+         |""".stripMargin)
+
+    assert(cfg.hasModule("imuxsock") && cfg.hasModule("imklog") &&
+      cfg.hasModule("immark") && cfg.hasModule("imudp"))
+    assert(!cfg.hasModule("imrelp"))
+    assert(cfg.inputs.exists(i =>
+      i.get("type").contains("imudp") && i.get("port").contains("514")))
+    assert(cfg.inputs.exists(i =>
+      i.get("type").contains("imtcp") && i.get("port").contains("10514")))
+    assert(cfg.globals("workdirectory") == "/var/spool/rsyslog")
+    assert(cfg.globals("main_queue.queue.size") == "100000")
+    assert(cfg.globals("repeatedmsgreduction") == "on") // warn-skip ledger
+    assert(cfg.globals("fileowner") == "root")
+    assert(cfg.templates("precise") == "%syslogseverity% %hostname% %msg%\\n")
+
+    // $IncludeConfig spliced the fragment's rules in; missing glob skipped
+    val filts = cfg.mainStmts.collect { case f: graft.rainerscript.RPriFilt => f }
+    val props = cfg.mainStmts.collect { case f: graft.rainerscript.RPropFilt => f }
+    assert(props.exists(p => p.prop == "programname" && p.value == "cron-apt" &&
+      p.body.exists(_ == graft.rainerscript.RStop))) // '& stop' folded in
+    assert(filts.exists(_.selector == "local7.*"))
+
+    // selector targets → actions with the right params; default template
+    // injected into file actions, explicit ;template respected
+    val acts = cfg.mainStmts.collect {
+      case graft.rainerscript.RPriFilt(_, b) => b
+    }.flatten.collect { case a: graft.rainerscript.RAction => a.params }
+    assert(acts.exists(p => p.get("file").contains("/var/log/auth.log") &&
+      p.get("sync").contains("on") &&
+      p.get("template").contains("RSYSLOG_TraditionalFileFormat")))
+    assert(acts.exists(p => p.get("file").contains("/var/log/syslog") &&
+      p.get("sync").contains("off")))
+    assert(acts.exists(p => p.get("file").contains("/var/log/mail.log") &&
+      p.get("template").contains("precise")))
+    assert(acts.exists(p => p.get("type").contains("omusrmsg") &&
+      p.get("target").contains("*")))
+    assert(acts.exists(p => p.get("type").contains("omfwd") &&
+      p.get("target").contains("loghost.example.net") &&
+      p.get("protocol").contains("udp")))
+    // '& ~' after the fwd line = discard continuation on the same filter
+    assert(filts.exists(f => f.selector == "news.crit" &&
+      f.body.exists(_ == graft.rainerscript.RStop)))
+
+    // and the parsed config actually RUNS as a pipeline
+    val res = cfg.run(fixture.withColumn("programname",
+      regexp_replace(col("syslogtag"), ":$", "")))
+    // fixture: (sev=3,fac=2 mail.err+mail.*), (6,16 local0), (2,0 kern)
+    val mailErrIdx = cfg.mainStmts.indexWhere {
+      case graft.rainerscript.RPriFilt(sel, _) => sel == "mail.err"
+      case _ => false
+    }
+    assert(mailErrIdx >= 0)
+    // +1: the included propfilt's cron-apt action (not an RPriFilt body)
+    assert(res.actions.length == acts.length + 1)
+    // action 0 = included cron-apt file (no matching programname rows),
+    // action 1 = included local7 boot.log (no local7 rows in fixture)
+    assert(res.actionFrame(0).count() == 0)
+    assert(res.actionFrame(1).count() == 0)
+    val authAct = res.actions.find(_.params.get("file").contains("/var/log/auth.log")).get
+    val syslogAct = res.actions.find(_.params.get("file").contains("/var/log/syslog")).get
+    // no auth-facility rows in the fixture; catch-all sees all 3
+    assert(res.actionFrame(authAct.index).count() == 0)
+    assert(res.actionFrame(syslogAct.index).count() == 3)
+  }
+
   test("builtin TraditionalFileFormat renders") {
     val cfg = RsyslogConfig.parse("")
     val line = fixture.limit(1)
