@@ -25,6 +25,28 @@ object Similarity {
         org.apache.spark.sql.GraftBridge.expression(a),
         org.apache.spark.sql.GraftBridge.expression(b)))
 
+  /** Two-phase deterministic top-k per query over (q_id, neighbor, sim)
+    * candidates: rank within (q_id, source partition) first — parallelism
+    * = #queries × #scan partitions — then rank the ≤ k·partitions
+    * survivors per query. Any true top-k row survives its partition-local
+    * cut (standard superset argument), so results are identical to the
+    * single-window form while the per-query serial task only ever sees
+    * k·partitions rows. This is what keeps a LARGE query set from
+    * serializing the full candidate stream through #queries tasks. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val pre = Window.partitionBy(col("q_id"), col("__pid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    val fin = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prk", row_number().over(pre))
+      .filter(col("__prk") <= k)
+      .withColumn("rk", row_number().over(fin))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("neighbor"), col("sim"))
+  }
+
   /** Exact top-k neighbors for each query vector (queries = a filtered
     * subset of the corpus, broadcast). Deterministic: ties broken by
     * vec_id after rounding. Excludes self-matches. */
@@ -33,11 +55,8 @@ object Similarity {
         broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
         col("c.vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("c.embedding")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c.vec_id"))
-    joined
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c.vec_id").as("neighbor"), col("sim"))
+    topKPerQuery(joined.select(col("q_id"), col("c.vec_id").as("neighbor"),
+      col("sim")), k)
   }
 
   /** Deterministic pseudo-random hyperplanes: plane(p)[d] derived from a
@@ -86,10 +105,8 @@ object Similarity {
     val cands = bucketed.as("c").join(broadcast(qb),
         array_contains(col("probes"), col("c.bucket")) && col("c.vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("c.embedding")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c.vec_id"))
-    cands.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c.vec_id").as("neighbor"), col("sim"))
+    topKPerQuery(cands.select(col("q_id"), col("c.vec_id").as("neighbor"),
+      col("sim")), k)
   }
 
   /** DuckDB oracle for lshTopK: the hyperplanes are deterministic, so the
@@ -201,10 +218,8 @@ object Similarity {
     val cands = assigned.as("c").join(broadcast(qprobes),
         col("cl") === col("probe") && col("c.vec_id") =!= col("q_id"))
       .withColumn("sim", round(cosine(col("q_emb"), col("c.embedding")), 4))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c.vec_id"))
-    cands.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q_id"), col("rk"), col("c.vec_id").as("neighbor"), col("sim"))
+    topKPerQuery(cands.select(col("q_id"), col("c.vec_id").as("neighbor"),
+      col("sim")), k)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking

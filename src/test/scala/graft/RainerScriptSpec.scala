@@ -285,6 +285,20 @@ class RainerScriptSpec extends SparkSpec {
     assert(counts == Map("k0" -> 2L, "k1" -> 2L, "k2" -> 2L, "_overflow" -> 4L))
   }
 
+  test("dyn_inc inside a foreach body is rejected (documented restriction)") {
+    // the loop collapse keeps one row per pre-loop record, so a counter
+    // in the body would silently count only element 0 — hard error, like
+    // the other foreach body restrictions (action/stop/nested-foreach)
+    val ev = Seq((1L, """["a","b"]""")).toDF("event_id", "arr")
+    val e = intercept[IllegalArgumentException] {
+      RainerCompiler.run(
+        """foreach ($.x in $arr) do {
+          |  set $.r = dyn_inc("b", $.x);
+          |}""".stripMargin, ev)
+    }
+    assert(e.getMessage.contains("foreach body"))
+  }
+
   test("percentile_observe from script produces the perctile digest") {
     val ev = (1 to 100).map(i => (i.toLong, "lat", i.toLong))
       .toDF("event_id", "event_type", "v")
