@@ -1007,6 +1007,138 @@ object Queries {
         nlist = 16, nprobe = 4)
     }),
 
+    // §2.1 ruleset + call + call_indirect + §2.2 IN-array/exists, all
+    // oracle-checked: rulesets dispatch by computed name (call_indirect),
+    // a routed ruleset nests a plain `call`, unknown names fall through
+    // (runtime/ruleset.c:250-294), and the post-dispatch script uses
+    // exists($!v) and `== ["a","b"]` IN
+    "ruleset_call" -> ((s, dir) => {
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        """ruleset(name="audit") { set $!seen = "yes"; }
+          |ruleset(name="route_error") { set $!route = "alerts"; call audit }
+          |ruleset(name="route_purchase") { set $!route = "billing"; }
+          |call_indirect "route_" & $event_type;
+          |if not exists($!route) then set $!route = "default";
+          |if $event_type == ["view", "signup"] then set $!cls = "funnel";
+          |else set $!cls = "other";
+          |""".stripMargin)
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      cfg.run(ev).frame.select(
+        col("event_id"),
+        get_json_object(col("vars_msg"), "$.route").as("route"),
+        get_json_object(col("vars_msg"), "$.seen").as("seen"),
+        get_json_object(col("vars_msg"), "$.cls").as("cls"))
+    }),
+
+    // §2.5 imfile-lite batch READ path oracle-checked end-to-end: frame
+    // the synth stream octet-counted (RFC6587), write real text files,
+    // read them back through fileLines (provenance cols) → deframe →
+    // decode — the full imtcp/imfile ingest surface on actual files
+    "imfile_read" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_imfile_")
+      val framed = synthSyslog(s, dir)
+        .select(concat(length(col("rawmsg")), lit(" "), col("rawmsg")).as("value"))
+      framed.write.mode("overwrite").text(tmp.toString)
+      val lines = graft.sources.Sources.fileLines(s, tmp.toString)
+      val decoded = graft.sources.Sources.decodeSyslog(
+        graft.sources.Sources.deframeOctetCounted(lines))
+      decoded.select(
+        regexp_extract(col("msg"), "msgnum:(\\d+)", 1).cast("long").as("event_id"),
+        col("inputname"),
+        col("facility"), col("severity"), col("hostname"),
+        col("syslogtag"), col("msg"), col("parsesuccess"))
+    }),
+
+    // §2.10 omfile dynafile oracle-checked round-trip: the dynafile path
+    // template IS partitionBy (tools/omfile.c:276-319 template-computed
+    // path + fd cache) — write partitioned by the computed key, read the
+    // directory back, verify content per partition
+    "omfile_dynafile" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dynafile_")
+      val ev = synthSyslog(s, dir)
+        .select(col("event_id"), col("severity"), col("hostname"), col("v100"))
+      graft.sources.Sources.omfilePartitioned(ev, tmp.toString, Seq("severity"))
+      s.read.parquet(tmp.toString)
+        .groupBy(col("severity").cast("int").as("severity"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v100")).as("sum_v100"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }),
+
+    // §2.8/§2.10 action retry/suspend → dead-letter, oracle-checked: a
+    // healthy action delivers its slice on attempt 1; a permanently
+    // suspended action exhausts its retries (action.c:856-1015 backoff)
+    // and the batch lands in the error-file/dead-letter path instead of
+    // being lost (omelasticsearch error-file pattern)
+    "dead_letter" -> ((s, dir) => {
+      import graft.sources.ReliableSink
+      val base = java.nio.file.Files.createTempDirectory("graft_dlq_")
+      val (primary, dlq) = (s"$base/primary", s"$base/dlq")
+      val ev = synthSyslog(s, dir).select(col("event_id"), col("severity"))
+      val policy = ReliableSink.RetryPolicy(maxRetries = 2,
+        resumeIntervalMs = 1, resumeIntervalMaxMs = 4)
+      val okPrimary = ReliableSink.writeWithRetry(ev.filter(col("severity") < 4),
+        df => df.write.mode("overwrite").parquet(primary),
+        df => df.write.mode("overwrite").parquet(dlq), policy)
+      var attempts = 0
+      val okSuspended = ReliableSink.writeWithRetry(ev.filter(col("severity") >= 4),
+        df => { attempts += 1; throw new java.io.IOException("action suspended") },
+        df => df.write.mode("overwrite").parquet(dlq), policy)
+      require(okPrimary && !okSuspended && attempts == 3,
+        s"retry contract drifted: ok=$okPrimary susp=$okSuspended tries=$attempts")
+      s.read.parquet(primary).withColumn("handled_by", lit("primary"))
+        .unionByName(s.read.parquet(dlq).withColumn("handled_by", lit("dead_letter")))
+        .select(col("event_id"), col("handled_by"))
+    }),
+
+    // flagship LLM-data-prep composition: language-ID → quality filter →
+    // exact near-dup removal (fingerprint keep-first) → per-language
+    // token accounting. One declarative plan: scan-side scoring (no
+    // shuffle), ONE shuffle for the dedup window, one partial-agg'd
+    // groupBy — the canonical pretraining-corpus pass at 100 TB
+    "llm_prep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val kept = scored.filter(col("quality") >= 0.5)
+      val deduped = kept.withColumn("rn",
+          row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      deduped.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"),
+          min(col("quality")).as("min_q"),
+          max(col("quality")).as("max_q"))
+    }),
+
+    // deterministic stratified hash-bucket sampling (Sampling.scala): the
+    // reproducible-across-engines sample every pipeline debug/eval loop
+    // needs — row-level output so the oracle verifies the exact selection
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(Tables.documents(s, dir),
+          stratumCol = "lang", keyCol = "doc_id",
+          numerator = 64, digits = 2, salt = "graft")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // event-time SESSION windows (Spark-native extension next to the
+    // tumbling window_agg): per-user activity sessions split on 30-min
+    // idle gaps — the log-analytics sessionization primitive
+    "session_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n"), col("sum_v"))
+    }),
+
     // ------------------------- streaming correctness gate -------------------
     // Each stream_* query drives the REAL Structured Streaming path
     // (readStream → watermark/state store → checkpointed AvailableNow run
@@ -1860,6 +1992,95 @@ object Queries {
         |    (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk
         |  FROM cands)
         |SELECT q_id, rk, neighbor, sim FROM ranked WHERE rk <= 5""".stripMargin,
+
+    // routes: error→alerts (+nested call audit), purchase→billing,
+    // click/view/signup→no matching ruleset→default; cls = IN-array test
+    "ruleset_call" ->
+      """SELECT event_id,
+        |  CASE event_type WHEN 'error' THEN 'alerts'
+        |    WHEN 'purchase' THEN 'billing' ELSE 'default' END AS route,
+        |  CASE WHEN event_type = 'error' THEN 'yes' END AS seen,
+        |  CASE WHEN event_type IN ('view', 'signup') THEN 'funnel'
+        |    ELSE 'other' END AS cls
+        |FROM events""".stripMargin,
+
+    "imfile_read" -> (synthSql +
+      """ SELECT event_id, 'imfile' AS inputname, facility, severity,
+        |   hostname, syslogtag || ':' AS syslogtag,
+        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+        |     || ': v100=' || v100 AS msg,
+        |   true AS parsesuccess
+        | FROM ev""".stripMargin),
+
+    "omfile_dynafile" -> (synthSql +
+      """ SELECT CAST(severity AS INT) AS severity, count(*) AS n,
+        |   CAST(sum(v100) AS BIGINT) AS sum_v100,
+        |   min(event_id) AS min_id, max(event_id) AS max_id
+        | FROM ev GROUP BY 1""".stripMargin),
+
+    "dead_letter" -> (synthSql +
+      """ SELECT event_id,
+        |   CASE WHEN severity < 4 THEN 'primary' ELSE 'dead_letter' END
+        |     AS handled_by
+        | FROM ev""".stripMargin),
+
+    // the text_quality oracle's arithmetic (constants forced DOUBLE, floor
+    // quantization) + langid oracle + dedup_exact fingerprint, composed
+    "llm_prep" ->
+      (s"""WITH li AS (SELECT doc_id, text, predicted FROM ${TextAnalysis.langIdSql("text")}),
+        |sc AS (
+        |  SELECT doc_id, predicted,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+        |  FROM li),
+        |q AS (
+        |  SELECT *, floor((
+        |    (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1.0::DOUBLE
+        |          WHEN n_tokens >= 10 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE +
+        |    (CASE WHEN n_tokens > 0
+        |          AND CAST(n_chars AS DOUBLE)/n_tokens >= 3
+        |          AND CAST(n_chars AS DOUBLE)/n_tokens <= 12
+        |          THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END) * 0.2::DOUBLE +
+        |    (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0::DOUBLE END) * 0.3::DOUBLE +
+        |    (1.0::DOUBLE - CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0.0::DOUBLE END) * 0.1::DOUBLE
+        |  ) * 1e6) / 1e6 AS quality FROM sc),
+        |kept AS (
+        |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM q WHERE quality >= 0.5)
+        |SELECT predicted AS lang_pred, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(quality) AS min_q, max(quality) AS max_q
+        |FROM kept WHERE rn = 1 GROUP BY 1""".stripMargin),
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang,
+        |  len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+        |FROM documents
+        |WHERE ${Sampling.hashBucketSql("lang || ':' || doc_id",
+             numerator = 64, digits = 2, salt = "graft")}""".stripMargin,
+
+    // gaps-and-islands on MICROSECOND-truncated event time — exactly the
+    // precision Spark's session_window sees after the ns→µs normalization,
+    // so a gap straddling the 30-min boundary within 1 µs cannot diverge
+    "session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                 OR us - lag(us) OVER w >= 1800000000
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sgrp AS (
+        |  SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, min(us) // 1000000 AS session_start,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM sgrp GROUP BY user_id, sid""".stripMargin,
 
     // ------------------------- streaming-gate oracles -----------------------
     // the batch twin's oracle, verbatim — one truth for both execution paths
