@@ -1238,6 +1238,32 @@ object Queries {
           col("msg"), col("synthetic"))
     }),
 
+    // §2.5 imfile multiline through the state store, oracle-checked: a
+    // deterministic multi-line log (every 4th event STARTs a record, the
+    // rest continue it) assembled by the startmsg.regex state machine;
+    // pre-start lines flush at the first start, the trailing record
+    // drains at the final watermark (flushAfterMs ≤ 0). Event time =
+    // timestamp_millis(seq) so arrival order is total and mirrors the
+    // oracle's island reconstruction exactly.
+    "stream_multiline" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val in = ev.select(
+        concat(lit("file"), col("user_id") % 8).as("key"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 4 === 0,
+          concat(lit("START "), col("event_type"), lit(" "), col("event_id")))
+          .otherwise(concat(lit(" cont "), col("event_id"))).as("line"),
+        // +1 day: epoch-0 event time would equal the INITIAL watermark (0)
+        // and be dropped as late before the state machine ever saw it
+        timestamp_millis(col("event_id") + lit(86400000L)).as("ts"))
+        .as[graft.streaming.Stateful.MlInput]
+      val out = graft.streaming.Stateful.imfileMultiline(in,
+        startRegex = Some("^START"), endRegex = None, flushAfterMs = -1L)
+      graft.streaming.StreamGate.run(out.toDF())
+        .select(col("key"), col("startSeq").as("start_seq"), col("record"))
+    }),
+
     // §2.10 omsendertrack through the state store: running per-sender
     // first/last-seen + volume counters, final snapshot per sender
     "stream_sender_track" -> ((s, dir) => {
@@ -2145,6 +2171,28 @@ object Queries {
         |  'last message repeated ' || (len - 1) || ' times' AS msg,
         |  true AS synthetic
         |FROM marked WHERE len > 1""".stripMargin,
+
+    // islands over the per-key line stream: a record = a START line plus
+    // everything until the next START; island 0 = pre-start accumulation;
+    // '\n' in a plain DuckDB string literal is the same two characters as
+    // the engine's escapeLF default (strmReadMultiLine escape)
+    "stream_multiline" ->
+      """WITH o AS (
+        |  SELECT user_id % 8 AS k, event_id,
+        |    CASE WHEN event_id % 4 = 0
+        |         THEN 'START ' || event_type || ' ' || event_id
+        |         ELSE ' cont ' || event_id END AS line,
+        |    CASE WHEN event_id % 4 = 0 THEN 1 ELSE 0 END AS is_start
+        |  FROM events),
+        |ord AS (
+        |  SELECT *, sum(is_start) OVER (
+        |    PARTITION BY k ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+        |    AS island
+        |  FROM o)
+        |SELECT 'file' || k AS key,
+        |  min(event_id) AS start_seq,
+        |  string_agg(line, '\n' ORDER BY event_id) AS record
+        |FROM ord GROUP BY k, island""".stripMargin,
 
     "stream_sender_track" -> (synthSql +
       """ SELECT hostname AS sender,
