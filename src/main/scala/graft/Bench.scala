@@ -89,7 +89,8 @@ object Bench {
     val names = Seq(
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_clusters", "emb_neardup", "ann_cosine", "ann_lsh", "ann_ivf",
-      "langid", "text_quality", "stream_dynstats", "stream_ratelimit")
+      "langid", "text_quality", "stream_dynstats", "stream_ratelimit",
+      "llm_prep", "sample_stratified", "session_window")
     val sf1Dir = synthesizeSf1(spark, sfDir)
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
