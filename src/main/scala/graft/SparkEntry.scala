@@ -1139,6 +1139,87 @@ object Queries {
           col("n"), col("sum_v"))
     }),
 
+    // Gopher-style repetition signals: duplicate word-bigram/trigram
+    // fractions per doc — scan-side zip-shift n-grams, no explode, no
+    // shuffle; the boilerplate/generation-loop filter of a corpus pass
+    "text_repetition" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 2)).as("n_bigrams"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("dup_bigram_frac"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_trigram_frac"))
+    }),
+
+    // near-dup resolution policy: canonical-doc selection — keep the
+    // HIGHEST-QUALITY member of each exact-dup group (not keep-first),
+    // the usual crawl-dedup policy when mirrors differ in truncation.
+    // One shuffle (the fp window); group_size rides the same window.
+    "dedup_canonical" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val byFp = Window.partitionBy(col("fp"))
+      scored
+        .withColumn("rn", row_number().over(
+          byFp.orderBy(col("quality").desc, col("doc_id").asc)))
+        .withColumn("group_size", count(lit(1)).over(byFp))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fp"), col("quality"), col("group_size"))
+    }),
+
+    // §2.1 reload_lookup_table — hot reload ≡ per-epoch rebuild: the table
+    // FILE is rewritten and re-loaded between epochs (the exact mechanics
+    // of the foreachBatch re-read at stream epoch boundaries; reference
+    // runtime/lookup.c lookupReload). Epoch 1 probes v1, epoch 2 the
+    // reloaded v2; routing stays declarative per epoch.
+    "lookup_reload" -> ((s, dir) => {
+      val f = java.io.File.createTempFile("graft_lookup_reload", ".json")
+      f.deleteOnExit()
+      def write(json: String): Unit = {
+        val w = new java.io.PrintWriter(f)
+        try w.write(json) finally w.close()
+      }
+      write("""{"version":1,"nomatch":"UNK","type":"string","table":[
+        {"index":"error","value":"sev-high"},{"index":"purchase","value":"rev"}]}""")
+      val v1 = LookupTable.load(f.getPath)
+      write("""{"version":1,"nomatch":"UNK","type":"string","table":[
+        {"index":"error","value":"sev-crit"},{"index":"signup","value":"acq"}]}""")
+      val v2 = LookupTable.load(f.getPath)
+      val ev = Tables.events(s, dir)
+      val epoch1 = ev.filter(col("event_id") % 2 === 0)
+        .withColumn("cls", v1.probe(col("event_type")))
+        .withColumn("epoch", lit(1L))
+      val epoch2 = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("cls", v2.probe(col("event_type")))
+        .withColumn("epoch", lit(2L))
+      epoch1.unionByName(epoch2)
+        .groupBy(col("epoch"), col("cls"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.5 imkafka — the Kafka-source CONTRACT decode: a kafka-shaped
+    // frame (key/value binary, topic/partition/offset) through
+    // imkafkaDecode → syslog parse, provenance carried like imfile's.
+    // The connector jar only changes who produces the contract columns;
+    // this oracles the engine-owned half (decode + provenance) end-to-end.
+    "kafka_decode" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val kafka = ev.select(
+        col("rawmsg").cast("binary").as("value"),
+        col("user_id").cast("string").cast("binary").as("key"),
+        concat(lit("syslog."), col("event_type")).as("topic"),
+        (col("user_id") % 4).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        col("ts").as("timestamp"))
+      graft.sources.Sources.imkafkaDecode(kafka)
+        .select(col("offset").as("event_id"), col("topic"),
+          col("partition").as("kafka_partition"), col("inputname"),
+          col("facility"), col("severity"), col("hostname"),
+          col("programname"), col("msg"))
+    }),
+
     // ------------------------- streaming correctness gate -------------------
     // Each stream_* query drives the REAL Structured Streaming path
     // (readStream → watermark/state store → checkpointed AvailableNow run
@@ -1282,6 +1363,50 @@ object Queries {
           max(col("last_seen")).as("last_seen"),
           max(col("n_msgs")).as("n_msgs"),
           max(col("n_bytes")).as("n_bytes"))
+    }),
+
+    // §2.7 perctile_stats through the state store: the ring buffer holds
+    // every observation (windowSize > input), so the final snapshot's
+    // order statistics are batch-exact and order-independent; per-batch
+    // snapshots are monotone in window_count → final = max-struct
+    "stream_perctile" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val in = ev.select(
+        lit("events").as("bucket"),
+        col("event_type").as("key"),
+        floor(col("value") * 100).cast("long").as("value"))
+        .as[graft.streaming.Stateful.PctInput]
+      val snaps = graft.streaming.Stateful.perctileStats(in, windowSize = 1 << 20)
+      graft.streaming.StreamGate.run(snaps.toDF())
+        .groupBy(col("key"))
+        .agg(max(struct(col("window_count"), col("window_min"),
+          col("window_max"), col("window_sum"),
+          col("p50"), col("p95"), col("p99"))).as("f"))
+        .select(col("key"), col("f.window_count").as("window_count"),
+          col("f.window_min").as("window_min"),
+          col("f.window_max").as("window_max"),
+          col("f.window_sum").as("window_sum"),
+          col("f.p50").as("p50"), col("f.p95").as("p95"), col("f.p99").as("p99"))
+    }),
+
+    // §2.9 mmkubernetes — stream-static enrichment join through the gate:
+    // the static pod-metadata cache (the API-server snapshot) broadcast
+    // against a streaming frame; per-namespace routing counts. The
+    // reference caches API lookups per pod (plugins/mmkubernetes); the
+    // engine's equivalent is exactly this broadcast stream-static join.
+    "stream_kube_enrich" -> ((s, dir) => {
+      val pods = Tables.nation(s, dir).select(
+        concat(lit("pod-"), col("n_nationkey")).as("pod"),
+        col("n_name").as("pod_ns"),
+        col("n_regionkey").as("zone"))
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+        .withColumn("pod", concat(lit("pod-"), col("user_id") % 25))
+      val joined = ev.join(broadcast(pods), Seq("pod"), "left")
+        .select(col("event_id"), col("pod_ns"), col("zone"))
+      graft.streaming.StreamGate.run(joined)
+        .groupBy(col("pod_ns"), col("zone"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"))
     })
   )
 
@@ -2200,6 +2325,115 @@ object Queries {
         |  max(epoch_ns(ts) // 1000000000) AS last_seen,
         |  count(*) AS n_msgs,
         |  CAST(sum(v100) AS BIGINT) AS n_bytes
-        | FROM ev GROUP BY 1""".stripMargin)
+        | FROM ev GROUP BY 1""".stripMargin),
+
+    // zip-shift n-grams mirrored as 1-based list_transform over range();
+    // range(1, n) excludes n, greatest(…, 1) voids the 0/1-token edge
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS bi,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tri
+        |  FROM t)
+        |SELECT doc_id,
+        |  len(bi) AS n_bigrams,
+        |  CASE WHEN len(bi) > 0 THEN
+        |    floor((1.0::DOUBLE - CAST(len(list_distinct(bi)) AS DOUBLE)/len(bi)) * 1e6)/1e6
+        |  ELSE 0.0::DOUBLE END AS dup_bigram_frac,
+        |  CASE WHEN len(tri) > 0 THEN
+        |    floor((1.0::DOUBLE - CAST(len(list_distinct(tri)) AS DOUBLE)/len(tri)) * 1e6)/1e6
+        |  ELSE 0.0::DOUBLE END AS dup_trigram_frac
+        |FROM g""".stripMargin,
+
+    "dedup_canonical" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        |    len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |    floor((
+        |      (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1.0::DOUBLE
+        |            WHEN n_tokens >= 10 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE +
+        |      (CASE WHEN n_tokens > 0
+        |            AND CAST(n_chars AS DOUBLE)/n_tokens >= 3
+        |            AND CAST(n_chars AS DOUBLE)/n_tokens <= 12
+        |            THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END) * 0.2::DOUBLE +
+        |      (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0::DOUBLE END) * 0.3::DOUBLE +
+        |      (1.0::DOUBLE - CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0.0::DOUBLE END) * 0.1::DOUBLE
+        |    ) * 1e6) / 1e6 AS quality
+        |  FROM base),
+        |ranked AS (
+        |  SELECT doc_id, fp, quality,
+        |    row_number() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS group_size
+        |  FROM scored)
+        |SELECT doc_id, fp, quality, group_size FROM ranked WHERE rn = 1""".stripMargin,
+
+    "lookup_reload" ->
+      """WITH e1 AS (
+        |  SELECT CASE event_type WHEN 'error' THEN 'sev-high'
+        |                         WHEN 'purchase' THEN 'rev'
+        |                         ELSE 'UNK' END AS cls
+        |  FROM events WHERE event_id % 2 = 0),
+        |e2 AS (
+        |  SELECT CASE event_type WHEN 'error' THEN 'sev-crit'
+        |                         WHEN 'signup' THEN 'acq'
+        |                         ELSE 'UNK' END AS cls
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT CAST(1 AS BIGINT) AS epoch, cls, count(*) AS n FROM e1 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS epoch, cls, count(*) AS n FROM e2 GROUP BY 1, 2""".stripMargin,
+
+    "kafka_decode" -> (synthSql +
+      """ SELECT event_id,
+        |  'syslog.' || event_type AS topic,
+        |  CAST(user_id % 4 AS INT) AS kafka_partition,
+        |  'imkafka' AS inputname,
+        |  facility, severity, hostname,
+        |  event_type AS programname,
+        |  'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100 AS msg
+        | FROM ev""".stripMargin),
+
+    // ring window ≥ input size → order statistics over ALL observations;
+    // pct index convention mirrors Stateful.perctileStats exactly:
+    // sorted[min(n-1, floor(p*n))], 1-based in DuckDB
+    "stream_perctile" ->
+      """WITH obs AS (
+        |  SELECT event_type AS key,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |agg AS (
+        |  SELECT key, list_sort(list(v)) AS lst, count(*) AS cnt,
+        |    min(v) AS mn, max(v) AS mx, sum(v) AS sm
+        |  FROM obs GROUP BY 1)
+        |SELECT key, cnt AS window_count, mn AS window_min, mx AS window_max,
+        |  CAST(sm AS BIGINT) AS window_sum,
+        |  lst[CAST(least(cnt - 1, floor(0.50 * cnt)) AS BIGINT) + 1] AS p50,
+        |  lst[CAST(least(cnt - 1, floor(0.95 * cnt)) AS BIGINT) + 1] AS p95,
+        |  lst[CAST(least(cnt - 1, floor(0.99 * cnt)) AS BIGINT) + 1] AS p99
+        |FROM agg""".stripMargin,
+
+    "stream_kube_enrich" ->
+      """WITH ev AS (
+        |  SELECT event_id, 'pod-' || (user_id % 25) AS pod FROM events),
+        |pods AS (
+        |  SELECT 'pod-' || n_nationkey AS pod, n_name AS pod_ns,
+        |    n_regionkey AS zone
+        |  FROM nation)
+        |SELECT pod_ns, zone, count(*) AS n, min(event_id) AS first_event
+        |FROM ev LEFT JOIN pods USING (pod)
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -103,6 +103,33 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
 
+  /** Word n-grams as an array column: zip-shift construction (no explode,
+    * no shuffle). Trailing incomplete grams null out through `concat`'s
+    * null propagation and are filtered.
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 2, "use tokens() for unigrams")
+    def shifted(k: Int): Column =
+      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0)))
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, shifted(k), (a, b) => concat(a, lit(" "), b))
+    }
+    filter(grams, _.isNotNull)
+  }
+
+  /** Duplicate-n-gram fraction: 1 - distinct/total over the doc's word
+    * n-grams — the Gopher-style repetition signal (high value = boilerplate
+    * or generation loops). Floor-quantized at 1e-6 for cross-engine
+    * bit-stability, 0.0 for docs too short to form a gram.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val grams = wordNgrams(tokens(text), n)
+    val total = size(grams)
+    when(total > 0,
+      floor((lit(1.0) - size(array_distinct(grams)).cast("double") / total) * 1e6) / 1e6)
+      .otherwise(lit(0.0))
+  }
+
   /** DuckDB-side mirrors (shared with oracle SQL). */
   def langIdSql(col: String): String = {
     val hitExprs = langMarkers.map { case (l, ms) =>

@@ -61,13 +61,45 @@ object Sources {
   def omfileText(df: DataFrame, lineCol: String, outPath: String): Unit =
     df.select(col(lineCol)).write.mode("overwrite").text(outPath)
 
-  /** omkafka config builder (native Kafka sink; dynatopic == the `topic`
-    * column, plugins/omkafka dynatopic param). */
+  /** Shape a frame to the Spark Kafka SINK contract (topic/key/value) —
+    * the pure, broker-free half of omkafka. dynatopic == the `topic`
+    * column (plugins/omkafka dynatopic param); `keyCol` is omkafka's
+    * partitioning key (`key` param), None = sticky partitioner. Split out
+    * from the writer so the protocol shaping is testable in a sandbox
+    * with no broker and no kafka connector jar.
+    */
+  def kafkaSinkFrame(ds: DataFrame, topicCol: String, valueCol: String,
+                     keyCol: Option[String] = None): DataFrame = {
+    val base = Seq(col(topicCol).cast("string").as("topic"),
+      col(valueCol).cast("string").as("value"))
+    ds.select(keyCol.map(k => base :+ col(k).cast("string").as("key"))
+      .getOrElse(base): _*)
+  }
+
+  /** omkafka config builder (native Kafka sink). */
   def omkafka(ds: DataFrame, brokers: String, topicCol: String,
               valueCol: String): DataStreamWriter[Row] =
-    ds.select(col(topicCol).as("topic"), col(valueCol).cast("string").as("value"))
+    kafkaSinkFrame(ds, topicCol, valueCol)
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
+
+  /** imkafka decode: a Kafka-SOURCE-shaped frame (the Spark kafka source
+    * contract: key/value binary + topic/partition/offset/timestamp) to
+    * decoded pipeline rows with imkafka's provenance (inputname=imkafka,
+    * plugins/imkafka/imkafka.c msgConsume; offset/partition kept the way
+    * imfile keeps file/line provenance). Works identically on the real
+    * `readStream.format("kafka")` output and on a synthesized frame — the
+    * connector only changes who PRODUCES the contract columns.
+    */
+  def imkafkaDecode(kafka: DataFrame, defaultYear: Int = 2024): DataFrame = {
+    val lines = kafka.select(
+      col("value").cast("string").as("value"),
+      lit("imkafka").as("inputname"),
+      col("topic").cast("string").as("topic"),
+      col("partition").cast("int").as("partition"),
+      col("offset").cast("long").as("offset"))
+    decodeSyslog(lines, defaultYear = defaultYear)
+  }
 
   /** impstats-style engine self-metrics: per-query observed counters via
     * the observe API (statsobj/impstats -> StreamingQueryListener in
