@@ -90,7 +90,8 @@ object Bench {
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
       "dedup_clusters", "emb_neardup", "ann_cosine", "ann_lsh", "ann_ivf",
       "langid", "text_quality", "stream_dynstats", "stream_ratelimit",
-      "llm_prep", "sample_stratified", "session_window")
+      "llm_prep", "sample_stratified", "session_window",
+      "dedup_canonical", "text_repetition", "stream_perctile")
     val sf1Dir = synthesizeSf1(spark, sfDir)
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
@@ -144,6 +145,13 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val trials = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
+      // one UNTIMED warm-up run per query: JIT/codegen/classload of the
+      // query's own kernels otherwise lands in trial 1 and — because the
+      // warm-up curve is monotone — drags the median (observed: a
+      // regex+JSON kernel at 14.8s cold vs 1.6s steady). The reference's
+      // methodology likewise measures only warmed trials.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => failed = true }
       var i = 0
       while (i < nTrials && !failed) {
         val t0 = System.nanoTime()
@@ -245,7 +253,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench:sf1] section failed: ${e.getMessage}"); ""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,$ratioJson$sf1Json}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,$ratioJson$sf1Json}""")
     spark.stop()
   }
 }

@@ -701,13 +701,21 @@ object Queries {
         TextAnalysis.langId(col("text")).as("predicted"))
     }),
 
-    // quality scoring + token counting
+    // quality scoring + token counting — staged select so the token
+    // array (a non-cheap HOF alias) is built once per row and every
+    // nToks reference in the score arithmetic is a plain attribute
     "text_quality" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.subwordCount(col("text")).as("n_subwords"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          size(col("toks")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+          TextAnalysis.qualityScoreFrom(length(col("text")), col("n_tokens"),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
+            size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+            .as("quality"))
     }),
 
     // document fingerprinting (md5 of normalized content)
@@ -1099,12 +1107,18 @@ object Queries {
     // groupBy — the canonical pretraining-corpus pass at 100 TB
     "llm_prep" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val scored = Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.qualityScore(col("text")).as("quality"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"),
+          TextAnalysis.qualityScoreFrom(length(col("text")), size(col("toks")),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
+            size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+            .as("quality"),
+          size(col("toks")).as("n_tokens"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
       val kept = scored.filter(col("quality") >= 0.5)
       val deduped = kept.withColumn("rn",
           row_number().over(Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
@@ -1143,11 +1157,19 @@ object Queries {
     // fractions per doc — scan-side zip-shift n-grams, no explode, no
     // shuffle; the boilerplate/generation-loop filter of a corpus pass
     "text_repetition" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(TextAnalysis.wordNgrams(TextAnalysis.tokens(col("text")), 2)).as("n_bigrams"),
-        TextAnalysis.dupNgramFrac(col("text"), 2).as("dup_bigram_frac"),
-        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_trigram_frac"))
+      // staged selects: toks/bi/tri are multiply-referenced non-cheap
+      // aliases, so CollapseProject leaves each in its own projection —
+      // one tokenization + one gram build per row instead of one per
+      // output column
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextAnalysis.wordNgrams(col("toks"), 2).as("bi"),
+          TextAnalysis.wordNgrams(col("toks"), 3).as("tri"))
+        .select(col("doc_id"),
+          size(col("bi")).as("n_bigrams"),
+          TextAnalysis.dupFrac(col("bi")).as("dup_bigram_frac"),
+          TextAnalysis.dupFrac(col("tri")).as("dup_trigram_frac"))
     }),
 
     // near-dup resolution policy: canonical-doc selection — keep the
@@ -1156,10 +1178,16 @@ object Queries {
     // One shuffle (the fp window); group_size rides the same window.
     "dedup_canonical" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val scored = Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.qualityScoreFrom(length(col("text")), col("n_tokens"),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
+            size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+            .as("quality"))
       val byFp = Window.partitionBy(col("fp"))
       scored
         .withColumn("rn", row_number().over(
@@ -1218,6 +1246,18 @@ object Queries {
           col("partition").as("kafka_partition"), col("inputname"),
           col("facility"), col("severity"), col("hostname"),
           col("programname"), col("msg"))
+    }),
+
+    // §2.5 immark — "-- MARK --" heartbeat + action-side mark suppression
+    // (writeAllMarkMessages="off"): a mark row per (host, hour boundary)
+    // where the host logged nothing in the preceding hour. Row-level
+    // output so the oracle checks the exact suppression set.
+    "immark" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.sources.Sources.immarkMarks(ev,
+          concat(lit("host"), col("user_id")), col("ts"))
+        .select(col("host"), unix_timestamp(col("mark_ts")).as("mark_sec"),
+          col("msg"))
     }),
 
     // ------------------------- streaming correctness gate -------------------
@@ -2424,6 +2464,29 @@ object Queries {
         |  lst[CAST(least(cnt - 1, floor(0.95 * cnt)) AS BIGINT) + 1] AS p95,
         |  lst[CAST(least(cnt - 1, floor(0.99 * cnt)) AS BIGINT) + 1] AS p99
         |FROM agg""".stripMargin,
+
+    "immark" ->
+      """WITH ev AS (
+        |  SELECT 'host' || user_id AS host, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events),
+        |span AS (
+        |  SELECT date_trunc('hour', min(t)) + INTERVAL 1 HOUR AS t0,
+        |         date_trunc('hour', max(t)) + INTERVAL 1 HOUR AS t1
+        |  FROM ev),
+        |marks AS (
+        |  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS mark_ts
+        |  FROM span),
+        |hosts AS (SELECT DISTINCT host FROM ev),
+        |activity AS (
+        |  SELECT DISTINCT host,
+        |    date_trunc('hour', t) + INTERVAL 1 HOUR AS mark_ts
+        |  FROM ev)
+        |SELECT h.host,
+        |  epoch_ns(m.mark_ts) // 1000000000 AS mark_sec,
+        |  '-- MARK --' AS msg
+        |FROM hosts h CROSS JOIN marks m
+        |LEFT JOIN activity a ON a.host = h.host AND a.mark_ts = m.mark_ts
+        |WHERE a.host IS NULL""".stripMargin,
 
     "stream_kube_enrich" ->
       """WITH ev AS (

@@ -49,7 +49,11 @@ object TextAnalysis {
     * doing the argmax so the token array is walked exactly once instead
     * of once per language through HOF filters.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** Staged form over an already-materialized token array (use from a
+    * previous select so the tokenization is shared across signals). */
+  def langIdFromTokens(toks: Column): Column = {
     val n = langMarkers.size
     val mask = scala.collection.mutable.LinkedHashMap[String, Int]()
     langMarkers.zipWithIndex.foreach { case ((_, ms), i) =>
@@ -63,7 +67,7 @@ object TextAnalysis {
     val langArr = array(langMarkers.map(p => lit(p._1)): _*)
     val zeroVec = array_repeat(lit(0), n)
     aggregate(
-      tokens(text),
+      toks,
       zeroVec,
       (acc, t) => zip_with(acc,
         coalesce(try_element_at(hitMap, t), array_repeat(lit(0), n)),
@@ -77,15 +81,22 @@ object TextAnalysis {
     * alpha ratio and digit ratio — the standard cheap heuristics
     * (C4/Gopher-style filters) as one arithmetic expression.
     */
-  def qualityScore(text: Column): Column = {
-    val nChars = length(text)
-    val nToks = tokenCount(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(length(text), tokenCount(text),
+      size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))),
+      size(regexp_extract_all(text, lit("[0-9]"), lit(0))))
+
+  /** Staged form over pre-computed per-doc stats. `nToks` is referenced
+    * several times by the score arithmetic — pass an attribute (staged
+    * select over a shared token array), not a fresh tokenization chain,
+    * or each reference re-evaluates the whole HOF subtree per row.
+    */
+  def qualityScoreFrom(nChars: Column, nToks: Column,
+                       nAlpha: Column, nDigit: Column): Column = {
     val meanWord = when(nToks > 0, nChars.cast("double") / nToks).otherwise(lit(0.0))
-    val alphaRatio = when(nChars > 0,
-      size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))).cast("double") / nChars)
+    val alphaRatio = when(nChars > 0, nAlpha.cast("double") / nChars)
       .otherwise(lit(0.0))
-    val digitRatio = when(nChars > 0,
-      size(regexp_extract_all(text, lit("[0-9]"), lit(0))).cast("double") / nChars)
+    val digitRatio = when(nChars > 0, nDigit.cast("double") / nChars)
       .otherwise(lit(0.0))
     val lenScore = when(nToks >= 50 && nToks <= 100000, lit(1.0))
       .otherwise(when(nToks >= 10, lit(0.5)).otherwise(lit(0.0)))
@@ -117,18 +128,24 @@ object TextAnalysis {
     filter(grams, _.isNotNull)
   }
 
-  /** Duplicate-n-gram fraction: 1 - distinct/total over the doc's word
-    * n-grams — the Gopher-style repetition signal (high value = boilerplate
-    * or generation loops). Floor-quantized at 1e-6 for cross-engine
-    * bit-stability, 0.0 for docs too short to form a gram.
+  /** Duplicate fraction over an already-materialized gram ARRAY column:
+    * 1 - distinct/total — the Gopher-style repetition signal (high value
+    * = boilerplate or generation loops). Floor-quantized at 1e-6 for
+    * cross-engine bit-stability, 0.0 when no gram formed. Take the gram
+    * column as a REFERENCE (staged select) so the n-gram chain is built
+    * once per row — CollapseProject keeps multiply-referenced non-cheap
+    * aliases in their own projection instead of inlining them per use.
     */
-  def dupNgramFrac(text: Column, n: Int): Column = {
-    val grams = wordNgrams(tokens(text), n)
+  def dupFrac(grams: Column): Column = {
     val total = size(grams)
     when(total > 0,
       floor((lit(1.0) - size(array_distinct(grams)).cast("double") / total) * 1e6) / 1e6)
       .otherwise(lit(0.0))
   }
+
+  /** One-shot convenience form (tokenizes + builds grams inline). */
+  def dupNgramFrac(text: Column, n: Int): Column =
+    dupFrac(wordNgrams(tokens(text), n))
 
   /** DuckDB-side mirrors (shared with oracle SQL). */
   def langIdSql(col: String): String = {

@@ -101,6 +101,36 @@ object Sources {
     decodeSyslog(lines, defaultYear = defaultYear)
   }
 
+  /** immark heartbeat with action-side mark suppression (plugins/immark
+    * emits "-- MARK --" every interval; an action with
+    * writeAllMarkMessages="off" writes a mark only if nothing else was
+    * written in the preceding interval — tools/rsyslogd.c mark handling).
+    *
+    * Set re-expression: the mark lattice = per-host interval boundaries
+    * across the frame's time span; suppression = anti-join against the
+    * set of boundaries whose preceding interval saw a real message. All
+    * declarative — the lattice is hosts x intervals (tiny next to the
+    * event volume at any scale) and both joins shuffle only lattice-sized
+    * frames.
+    */
+  def immarkMarks(ev: DataFrame, hostCol: org.apache.spark.sql.Column,
+                  tsCol: org.apache.spark.sql.Column): DataFrame = {
+    // hour-aligned lattice; other MarkIntervals need their own alignment
+    val step = expr("INTERVAL 1 HOUR")
+    val named = ev.select(hostCol.as("host"), tsCol.as("t"))
+    val span = named.agg(
+      date_trunc("hour", min(col("t"))).as("t0"),
+      date_trunc("hour", max(col("t"))).as("t1"))
+    val marks = span.select(explode(
+      sequence(col("t0") + step, col("t1") + step, step)).as("mark_ts"))
+    val hosts = named.select(col("host")).distinct()
+    val activity = named.select(col("host"),
+      (date_trunc("hour", col("t")) + step).as("mark_ts")).distinct()
+    hosts.crossJoin(broadcast(marks))
+      .join(activity, Seq("host", "mark_ts"), "left_anti")
+      .select(col("host"), col("mark_ts"), lit("-- MARK --").as("msg"))
+  }
+
   /** impstats-style engine self-metrics: per-query observed counters via
     * the observe API (statsobj/impstats -> StreamingQueryListener in
     * streaming; observe() in batch). */
