@@ -1248,6 +1248,23 @@ object Queries {
           col("programname"), col("msg"))
     }),
 
+    // §2.9 mmexternal — REAL child process per partition: each row's JSON
+    // envelope goes one-line-in/one-line-out through a live `sed -u`
+    // (the mmexternal stdin/stdout protocol, ProcessWorker with
+    // crash-restart + task-completion reaping). Oracled end-to-end: the
+    // transform is deterministic so DuckDB replicates it with replace().
+    "mmexternal_pipe" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir).select(col("event_id"),
+        External.envelope(
+          concat(lit("msgnum:"), lpad(col("event_id"), 8, "0"),
+            lit(": v100="), col("v100")),
+          lit("{}")).as("env"))
+      val piped = External.pipeProgram(ev, "env",
+        Seq("/bin/sed", "-u", "s/msgnum:/SEQ:/"))
+      piped.select(col("event_id"),
+        get_json_object(col("env"), "$.msg").as("msg"))
+    }),
+
     // §2.5 immark — "-- MARK --" heartbeat + action-side mark suppression
     // (writeAllMarkMessages="off"): a mark row per (host, hour boundary)
     // where the host logged nothing in the preceding hour. Row-level
@@ -2464,6 +2481,11 @@ object Queries {
         |  lst[CAST(least(cnt - 1, floor(0.95 * cnt)) AS BIGINT) + 1] AS p95,
         |  lst[CAST(least(cnt - 1, floor(0.99 * cnt)) AS BIGINT) + 1] AS p99
         |FROM agg""".stripMargin,
+
+    "mmexternal_pipe" -> (synthSql +
+      """ SELECT event_id,
+        |  'SEQ:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100 AS msg
+        | FROM ev""".stripMargin),
 
     "immark" ->
       """WITH ev AS (
