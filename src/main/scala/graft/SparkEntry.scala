@@ -1402,6 +1402,29 @@ object Queries {
         .select(col("key"), col("startSeq").as("start_seq"), col("record"))
     }),
 
+    // §2.5 imfile readMode 2 ("indented") through the state store:
+    // indented lines continue the record, blank lines terminate (and are
+    // eaten), an indented line after a flush starts its own record —
+    // all mirrored in the oracle's lag()-aware island reconstruction.
+    // Same +1-day event-time offset as stream_multiline.
+    "stream_readmode" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val in = ev.select(
+        concat(lit("file"), col("user_id") % 8).as("key"),
+        col("event_id").as("seq"),
+        when(col("event_id") % 5 === 4, lit(""))
+          .when(col("event_id") % 5 === 0,
+            concat(lit("REC "), col("event_type"), lit(" "), col("event_id")))
+          .otherwise(concat(lit("  cont "), col("event_id"))).as("line"),
+        timestamp_millis(col("event_id") + lit(86400000L)).as("ts"))
+        .as[graft.streaming.Stateful.MlInput]
+      val out = graft.streaming.Stateful.imfileReadMode(in, readMode = 2,
+        flushAfterMs = -1L)
+      graft.streaming.StreamGate.run(out.toDF())
+        .select(col("key"), col("startSeq").as("start_seq"), col("record"))
+    }),
+
     // §2.10 omsendertrack through the state store: running per-sender
     // first/last-seen + volume counters, final snapshot per sender
     "stream_sender_track" -> ((s, dir) => {
@@ -2375,6 +2398,33 @@ object Queries {
         |  min(event_id) AS start_seq,
         |  string_agg(line, '\n' ORDER BY event_id) AS record
         |FROM ord GROUP BY k, island""".stripMargin,
+
+    // readMode 2 islands: a new record starts at any non-blank line that
+    // is either unindented or follows a blank (post-flush indented lines
+    // open their own record); blanks are terminators and are eaten
+    "stream_readmode" ->
+      """WITH o AS (
+        |  SELECT 'file' || (user_id % 8) AS k, event_id,
+        |    CASE WHEN event_id % 5 = 4 THEN ''
+        |         WHEN event_id % 5 = 0 THEN 'REC ' || event_type || ' ' || event_id
+        |         ELSE '  cont ' || event_id END AS line
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    CASE WHEN line = '' THEN NULL
+        |         WHEN (line[1] <> ' ' AND line[1] <> chr(9))
+        |           OR coalesce(lag(line) OVER (
+        |                PARTITION BY k ORDER BY event_id), '') = ''
+        |         THEN 1 ELSE 0 END AS new_rec
+        |  FROM o),
+        |isl AS (
+        |  SELECT *, sum(new_rec) OVER (
+        |    PARTITION BY k ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+        |    AS island
+        |  FROM m WHERE line <> '')
+        |SELECT k AS key, min(event_id) AS start_seq,
+        |  string_agg(line, '#012' ORDER BY event_id) AS record
+        |FROM isl GROUP BY k, island""".stripMargin,
 
     "stream_sender_track" -> (synthSql +
       """ SELECT hostname AS sender,
