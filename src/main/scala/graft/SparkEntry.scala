@@ -1432,6 +1432,19 @@ object Queries {
         .select(col("key"), col("startSeq").as("start_seq"), col("record"))
     }),
 
+    // streaming exact dedup (the LLM-pipeline streaming face): content
+    // fingerprints through dropDuplicatesWithinWatermark — which row of
+    // a dup group wins is arrival-dependent, so the oracle-checked
+    // output is the winner-invariant part (the fingerprint set, one row
+    // each); state is watermark-bounded exactly as at 100 TB/day
+    "stream_dedup" -> ((s, dir) => {
+      val docs = graft.streaming.StreamGate.readTable(s, dir, "documents")
+        .withColumn("ts", timestamp_millis(col("doc_id") + lit(86400000L)))
+      val dd = graft.streaming.Stateful.dedupExact(docs, "text", "ts", "1 hour")
+      graft.streaming.StreamGate.run(dd.select(col("fp")))
+        .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    }),
+
     // §2.10 omsendertrack through the state store: running per-sender
     // first/last-seen + volume counters, final snapshot per sender
     "stream_sender_track" -> ((s, dir) => {
@@ -2432,6 +2445,15 @@ object Queries {
         |SELECT k AS key, min(event_id) AS start_seq,
         |  string_agg(line, '#012' ORDER BY event_id) AS record
         |FROM isl GROUP BY k, island""".stripMargin,
+
+    // exactly one emission per distinct fingerprint (state holds the
+    // horizon in one AvailableNow batch)
+    "stream_dedup" ->
+      """SELECT DISTINCT
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(1 AS BIGINT) AS n
+        |FROM documents""".stripMargin,
 
     "stream_sender_track" -> (synthSql +
       """ SELECT hostname AS sender,

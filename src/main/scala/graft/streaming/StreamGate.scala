@@ -61,15 +61,31 @@ object StreamGate {
   /** Run a bounded streaming frame to completion (checkpointing ON) and
     * return the sink table as a batch DataFrame. The checkpoint dir is
     * reaped once the bounded query stops — the memory sink table owns
-    * the results from then on, so nothing references it afterwards. */
+    * the results from then on, so nothing references it afterwards.
+    *
+    * State-store sharding is sized to the gate's data: the stateful
+    * shuffle partition count is frozen into the checkpoint at first
+    * start, and 32 state stores each committing delta files per batch
+    * is pure fixed overhead at verification scale (production sizes
+    * this knob to keyspace/volume; the gate's keyspace is tiny). Scoped
+    * set-and-restore around start() — the planning of THIS query reads
+    * it; the post-gate batch aggregation runs at the session default.
+    */
   def run(df: DataFrame, outputMode: String = "append"): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_")
-    val q = df.writeStream.queryName(name).outputMode(outputMode)
-      .format("memory")
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val spark = df.sparkSession
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          math.min(8, prevShuffle.toInt).toString)
+        df.writeStream.queryName(name).outputMode(outputMode)
+          .format("memory")
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try q.awaitTermination()
     finally {
       import java.nio.file.{Files, Path}
