@@ -1248,6 +1248,18 @@ object Queries {
           col("programname"), col("msg"))
     }),
 
+    // PII-style scrubbing (the text-side sibling of mmanon): emails,
+    // bare IPv4s, long digit runs → stable class tokens. Deterministic
+    // markers are synthesized into the text so the redaction paths all
+    // fire; pure regexp_replace chain, scan-bound
+    "text_redact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("txt", concat(
+          lit("user"), col("doc_id"), lit("@example.com ip=10.0."),
+          col("doc_id") % 256, lit(".7 acct=123456789 "), col("text")))
+        .select(col("doc_id"), TextAnalysis.redact(col("txt")).as("redacted"))
+    }),
+
     // §2.9 mmexternal — REAL child process per partition: each row's JSON
     // envelope goes one-line-in/one-line-out through a live `sed -u`
     // (the mmexternal stdin/stdout protocol, ProcessWorker with
@@ -1443,6 +1455,37 @@ object Queries {
       val dd = graft.streaming.Stateful.dedupExact(docs, "text", "ts", "1 hour")
       graft.streaming.StreamGate.run(dd.select(col("fp")))
         .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    }),
+
+    // the flagship LLM corpus-prep composition on the REAL streaming
+    // path: scan-side scoring → quality filter → exact-bytes streaming
+    // dedup (md5 of raw text as the key, so every group member is
+    // byte-identical and all per-doc stats are winner-invariant) →
+    // per-language accounting over the sink. State bounded by the
+    // watermark horizon exactly as a 100 TB/day run would be.
+    "stream_llm_prep" -> ((s, dir) => {
+      val docs = graft.streaming.StreamGate.readTable(s, dir, "documents")
+        .withColumn("ts", timestamp_millis(col("doc_id") + lit(86400000L)))
+      val scored = docs
+        .select(col("text"), col("ts"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("text"), col("ts"),
+          TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"),
+          TextAnalysis.qualityScoreFrom(length(col("text")), size(col("toks")),
+            size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
+            size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+            .as("quality"),
+          size(col("toks")).as("n_tokens"))
+        .filter(col("quality") >= 0.5)
+      val deduped = scored
+        .withColumn("fp", md5(col("text")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+      graft.streaming.StreamGate.run(
+          deduped.select(col("lang_pred"), col("n_tokens")))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("sum_tokens"))
     }),
 
     // §2.10 omsendertrack through the state store: running per-sender
@@ -2306,6 +2349,48 @@ object Queries {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(quality) AS min_q, max(quality) AS max_q
         |FROM kept WHERE rn = 1 GROUP BY 1""".stripMargin),
+
+    "text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        'user' || doc_id || '@example.com ip=10.0.' || (doc_id % 256)
+        |          || '.7 acct=123456789 ' || text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS redacted
+        |FROM documents""".stripMargin,
+
+    // exact-bytes dedup → all group members identical → DISTINCT over
+    // (text, derived stats) is the winner set; same quality/langid SQL
+    // as llm_prep
+    "stream_llm_prep" ->
+      (s"""WITH li AS (SELECT doc_id, text, predicted FROM ${TextAnalysis.langIdSql("text")}),
+        |sc AS (
+        |  SELECT doc_id, text, predicted,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+        |    len(regexp_extract_all(text, '[0-9]')) AS n_digit
+        |  FROM li),
+        |q AS (
+        |  SELECT *, floor((
+        |    (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1.0::DOUBLE
+        |          WHEN n_tokens >= 10 THEN 0.5::DOUBLE ELSE 0.0::DOUBLE END) * 0.4::DOUBLE +
+        |    (CASE WHEN n_tokens > 0
+        |          AND CAST(n_chars AS DOUBLE)/n_tokens >= 3
+        |          AND CAST(n_chars AS DOUBLE)/n_tokens <= 12
+        |          THEN 1.0::DOUBLE ELSE 0.3::DOUBLE END) * 0.2::DOUBLE +
+        |    (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE)/n_chars ELSE 0.0::DOUBLE END) * 0.3::DOUBLE +
+        |    (1.0::DOUBLE - CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE)/n_chars ELSE 0.0::DOUBLE END) * 0.1::DOUBLE
+        |  ) * 1e6) / 1e6 AS quality FROM sc),
+        |winners AS (
+        |  SELECT DISTINCT text, predicted, n_tokens
+        |  FROM q WHERE quality >= 0.5)
+        |SELECT predicted AS lang_pred, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM winners GROUP BY 1""".stripMargin),
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang,

@@ -147,6 +147,23 @@ object TextAnalysis {
   def dupNgramFrac(text: Column, n: Int): Column =
     dupFrac(wordNgrams(tokens(text), n))
 
+  /** PII-style scrubbing for training corpora: emails, bare IPv4s and
+    * long digit runs (phone/account numbers) replaced with stable class
+    * tokens — the text-side sibling of mmanon's IP zeroing. Pure
+    * regexp_replace chain: scan-bound, shuffle-free, and expressible
+    * verbatim in the oracle dialect.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longDigitsRe = "\\b\\d{7,}\\b"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      longDigitsRe, "<NUM>")
+
   /** DuckDB-side mirrors (shared with oracle SQL). */
   def langIdSql(col: String): String = {
     val hitExprs = langMarkers.map { case (l, ms) =>
