@@ -1248,6 +1248,19 @@ object Queries {
           col("programname"), col("msg"))
     }),
 
+    // §2.10 omfile static sink: render the RFC3164 wire line, write it
+    // through the text sink, read the files back — the whole write path
+    // is under oracle (the dynafile twin is omfile_dynafile)
+    "omfile_text" -> ((s, dir) => {
+      // fixed path, mode=overwrite: repeated bench trials reuse the same
+      // scratch dir instead of leaking one temp dir per run
+      val out = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_omfile_text").getPath
+      val ev = synthSyslog(s, dir).select(col("rawmsg").as("line"))
+      graft.sources.Sources.omfileText(ev, "line", out)
+      s.read.text(out).select(col("value").as("line"))
+    }),
+
     // PII-style scrubbing (the text-side sibling of mmanon): emails,
     // bare IPv4s, long digit runs → stable class tokens. Deterministic
     // markers are synthesized into the text so the redaction paths all
@@ -2349,6 +2362,16 @@ object Queries {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(quality) AS min_q, max(quality) AS max_q
         |FROM kept WHERE rn = 1 GROUP BY 1""".stripMargin),
+
+    "omfile_text" -> (synthSql +
+      """ SELECT '<' || (facility * 8 + severity) || '>' ||
+        |  strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
+        |  lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+        |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
+        |  hostname || ' ' || syslogtag || ': ' ||
+        |  'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') ||
+        |  ': v100=' || v100 AS line
+        | FROM ev""".stripMargin),
 
     "text_redact" ->
       """SELECT doc_id,
