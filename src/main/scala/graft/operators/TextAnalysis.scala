@@ -20,8 +20,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
 
+  /** Casefolded whitespace tokens — native single-pass kernel
+    * (TokensExpr; semantics equal the interpreted
+    * `filter(split(lower(text), "\\s+"), _ != "")` HOF chain it
+    * replaced, but stays inside whole-stage codegen). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.TokensExpr(
+        org.apache.spark.sql.GraftBridge.expression(text)))
 
   /** token count, whitespace tokenization. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -52,30 +58,15 @@ object TextAnalysis {
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Staged form over an already-materialized token array (use from a
-    * previous select so the tokenization is shared across signals). */
-  def langIdFromTokens(toks: Column): Column = {
-    val n = langMarkers.size
-    val mask = scala.collection.mutable.LinkedHashMap[String, Int]()
-    langMarkers.zipWithIndex.foreach { case ((_, ms), i) =>
-      ms.foreach(mk => mask(mk) = mask.getOrElse(mk, 0) | (1 << i))
-    }
-    val keys = mask.keys.toSeq
-    val hitMap = map_from_arrays(
-      array(keys.map(lit): _*),
-      array(keys.map(k =>
-        array((0 until n).map(i => lit((mask(k) >> i) & 1)): _*)): _*))
-    val langArr = array(langMarkers.map(p => lit(p._1)): _*)
-    val zeroVec = array_repeat(lit(0), n)
-    aggregate(
-      toks,
-      zeroVec,
-      (acc, t) => zip_with(acc,
-        coalesce(try_element_at(hitMap, t), array_repeat(lit(0), n)),
-        (a, b) => a + b),
-      acc => when(array_max(acc) > 0,
-        element_at(langArr, array_position(acc, array_max(acc)).cast("int")))
-        .otherwise(lit("und")))
-  }
+    * previous select so the tokenization is shared across signals).
+    * Native marker-argmax kernel (LangIdExpr) — identical semantics to
+    * the `aggregate` HOF chain it replaced (per-language marker-hit
+    * counts, declaration-order tie-break, no hit → "und"), one static
+    * call per row inside codegen. */
+  def langIdFromTokens(toks: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.LangIdExpr(
+        org.apache.spark.sql.GraftBridge.expression(toks), langMarkers))
 
   /** Quality score in [0,1]: combines length band, mean word length,
     * alpha ratio and digit ratio — the standard cheap heuristics
@@ -114,18 +105,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
 
-  /** Word n-grams as an array column: zip-shift construction (no explode,
-    * no shuffle). Trailing incomplete grams null out through `concat`'s
-    * null propagation and are filtered.
-    */
+  /** Word n-grams as an array column — native kernel (NgramJoinExpr; no
+    * explode, no shuffle, and no per-gram interpreted zip_with chain). */
   def wordNgrams(toks: Column, n: Int): Column = {
     require(n >= 2, "use tokens() for unigrams")
-    def shifted(k: Int): Column =
-      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0)))
-    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
-      zip_with(acc, shifted(k), (a, b) => concat(a, lit(" "), b))
-    }
-    filter(grams, _.isNotNull)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.NgramJoinExpr(
+        org.apache.spark.sql.GraftBridge.expression(toks), n))
   }
 
   /** Duplicate fraction over an already-materialized gram ARRAY column:
