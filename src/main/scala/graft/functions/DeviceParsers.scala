@@ -30,14 +30,13 @@ object device {
       "\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?: [A-Z]{1,4})?): " +
       "%([A-Z0-9_]+)-(\\d)-([A-Z0-9_]+): (.*)$"
 
+  /** Whole-struct one-match parse (RegexStructExpr): the regex runs once
+    * per row and returns the typed struct (null struct = no match);
+    * GetStructField consumers in plain projections CSE to one call. */
   def parseCiscoIos(msg: Column): Column =
-    when(msg.rlike(iosRe), struct(
-      nullif(regexp_extract(msg, iosRe, 1), lit("")).cast(LongType).as("seqno"),
-      regexp_extract(msg, iosRe, 2).as("ts"),
-      regexp_extract(msg, iosRe, 3).as("msg_facility"),
-      regexp_extract(msg, iosRe, 4).cast(IntegerType).as("severity"),
-      regexp_extract(msg, iosRe, 5).as("mnemonic"),
-      regexp_extract(msg, iosRe, 6).as("text")))
+    col2(RegexStructExpr(msg.expr, iosRe, Seq(
+      ("seqno", 1, 'L'), ("ts", 2, 'S'), ("msg_facility", 3, 'S'),
+      ("severity", 4, 'I'), ("mnemonic", 5, 'S'), ("text", 6, 'S'))))
 
   // --------------------------------------------------- pmaixforwardedfrom
   /** AIX `Message forwarded from <host>: <msg>` unmangling (reference:
@@ -45,9 +44,8 @@ object device {
   private val aixRe = "^Message forwarded from ([^:]+): (.*)$"
 
   def parseAixForwardedFrom(msg: Column): Column =
-    when(msg.rlike(aixRe), struct(
-      regexp_extract(msg, aixRe, 1).as("hostname"),
-      regexp_extract(msg, aixRe, 2).as("text")))
+    col2(RegexStructExpr(msg.expr, aixRe, Seq(
+      ("hostname", 1, 'S'), ("text", 2, 'S'))))
 
   // --------------------------------------------------------- pmcisconames
   /** `TIMESTAMP <name> : %TAG-SEV-MNEMONIC: text` — devices that put the
@@ -58,12 +56,9 @@ object device {
       "%([A-Z0-9_]+)-(\\d)-([A-Z0-9_]+): (.*)$"
 
   def parseCiscoNames(msg: Column): Column =
-    when(msg.rlike(namesRe), struct(
-      regexp_extract(msg, namesRe, 2).as("hostname"),
-      regexp_extract(msg, namesRe, 3).as("msg_facility"),
-      regexp_extract(msg, namesRe, 4).cast(IntegerType).as("severity"),
-      regexp_extract(msg, namesRe, 5).as("mnemonic"),
-      regexp_extract(msg, namesRe, 6).as("text")))
+    col2(RegexStructExpr(msg.expr, namesRe, Seq(
+      ("hostname", 2, 'S'), ("msg_facility", 3, 'S'),
+      ("severity", 4, 'I'), ("mnemonic", 5, 'S'), ("text", 6, 'S'))))
 
   // ---------------------------------------------------------- mmleefparse
   /** LEEF event: `LEEF:ver|vendor|product|pversion|eventID|k=v<delim>k=v…`
@@ -131,21 +126,13 @@ object device {
   private val auditHdr = "^type=(\\S+) msg=audit\\((\\d+)\\.(\\d+):(\\d+)\\): (.*)$"
   private val auditKv = "([A-Za-z0-9_-]+)=(\"[^\"]*\"|\\S+)"
 
-  def parseAudit(msg: Column): Column = {
-    val body = regexp_extract(msg, auditHdr, 5)
-    // one regex scan; each k=v match splits on its first '=' with
-    // non-regex instr/substring (the body is the per-message hot path)
-    val entries = transform(regexp_extract_all(body, lit(auditKv), lit(0)),
-      m => struct(
-        substring(m, lit(1), instr(m, "=") - 1).as("key"),
-        regexp_replace(substr(m, instr(m, "=") + 1, length(m)),
-          "^\"|\"$", "").as("value")))
-    when(msg.rlike(auditHdr), struct(
-      regexp_extract(msg, auditHdr, 1).as("audit_type"),
-      regexp_extract(msg, auditHdr, 2).cast(LongType).as("epoch"),
-      regexp_extract(msg, auditHdr, 4).cast(LongType).as("serial"),
-      map_from_entries(entries).as("kv")))
-  }
+  /** Header match + k=v body scan in ONE kernel: the 'M' field runs the
+    * quoted-value-aware k=v scan (parseName/parseValue semantics,
+    * first-wins on duplicate keys) over the body group. */
+  def parseAudit(msg: Column): Column =
+    col2(RegexStructExpr(msg.expr, auditHdr, Seq(
+      ("audit_type", 1, 'S'), ("epoch", 2, 'L'),
+      ("serial", 4, 'L'), ("kv", 5, 'M'))))
 
   // ------------------------------------------------------------ mmutf8fix
   /** Repair invalid UTF-8 in a binary payload: every byte of an invalid
@@ -247,12 +234,9 @@ object device {
     "^(\\S+) (\\S+) +LEVEL: (\\w+) +PID +: +(\\d+) +TID +: +(\\d+) +PROC : (.*)$"
 
   def parseDb2Diag(msg: Column): Column =
-    when(msg.rlike(db2Re), struct(
-      regexp_extract(msg, db2Re, 1).as("ts"),
-      regexp_extract(msg, db2Re, 3).as("level"),
-      regexp_extract(msg, db2Re, 4).cast(LongType).as("pid"),
-      regexp_extract(msg, db2Re, 5).cast(LongType).as("tid"),
-      regexp_extract(msg, db2Re, 6).as("proc")))
+    col2(RegexStructExpr(msg.expr, db2Re, Seq(
+      ("ts", 1, 'S'), ("level", 3, 'S'), ("pid", 4, 'L'),
+      ("tid", 5, 'L'), ("proc", 6, 'S'))))
 
   // ------------------------------------------------------------ pmpanngfw
   /** Palo Alto NGFW CSV body: `1,<recv time>,<serial>,<type>,<subtype>,…`

@@ -82,6 +82,107 @@ case class NgramJoinExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Whole device-parser struct in ONE regex match: field spec =
+  * (name, groupIdx, conv) with conv 'S' string ("" for an unmatched
+  * optional group, like regexp_extract), 'L' long (empty/unparsable →
+  * null — the nullif+cast idiom), 'I' int, 'M' the mmaudit k=v map
+  * (quoted values kept whole, surrounding quotes stripped —
+  * plugins/mmaudit parseName/parseValue). Returns a null struct when
+  * the pattern does not match. One kernel call replaces the
+  * guard-rlike + per-group regexp_extract pattern (7 regex executions
+  * for a 6-field parser), and plain GetStructField consumers CSE to a
+  * single evaluation.
+  */
+case class RegexStructExpr(child: Expression, pattern: String,
+                           fields: Seq[(String, Int, Char)])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(fields.nonEmpty)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(fields.map { case (n, _, c) =>
+    StructField(n, c match {
+      case 'S' => StringType
+      case 'L' => LongType
+      case 'I' => IntegerType
+      case 'M' => MapType(StringType, StringType, valueContainsNull = false)
+    }, nullable = true)
+  })
+  override def nullable: Boolean = true
+  override def prettyName: String = "regex_struct"
+
+  @transient private lazy val p = java.util.regex.Pattern.compile(pattern)
+
+  def kernel(msg: UTF8String): Any = {
+    val m = p.matcher(msg.toString)
+    if (!m.find()) return null
+    val out = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      val (_, g, conv) = fields(i)
+      val gv = m.group(g)
+      out(i) = conv match {
+        case 'S' => UTF8String.fromString(if (gv == null) "" else gv)
+        case 'L' =>
+          if (gv == null || gv.isEmpty) null
+          else try java.lang.Long.valueOf(gv)
+          catch { case _: NumberFormatException => null }
+        case 'I' =>
+          if (gv == null || gv.isEmpty) null
+          else try Integer.valueOf(gv)
+          catch { case _: NumberFormatException => null }
+        case 'M' => RegexStructExpr.kvMap(if (gv == null) "" else gv)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("regexStruct", this,
+      "graft.functions.RegexStructExpr")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      Object ${ev.value}_o = $ref.kernel($c);
+      if (${ev.value}_o == null) { ${ev.isNull} = true; }
+      else { ${ev.value} =
+        (org.apache.spark.sql.catalyst.InternalRow) ${ev.value}_o; }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object RegexStructExpr {
+  private val kvPat =
+    java.util.regex.Pattern.compile("([A-Za-z0-9_-]+)=(\"[^\"]*\"|\\S+)")
+
+  /** mmaudit body scan: k=v pairs, quoted values ONE entry with the
+    * surrounding quotes stripped. First occurrence of a duplicate key
+    * wins (LinkedHashMap insertion order preserved). */
+  def kvMap(body: String): org.apache.spark.sql.catalyst.util.MapData = {
+    val keys = new java.util.ArrayList[Any]()
+    val vals = new java.util.ArrayList[Any]()
+    val seen = new java.util.HashSet[String]()
+    val m = kvPat.matcher(body)
+    while (m.find()) {
+      val k = m.group(1)
+      if (seen.add(k)) {
+        var v = m.group(2)
+        if (v.length >= 2 && v.charAt(0) == '"' && v.charAt(v.length - 1) == '"')
+          v = v.substring(1, v.length - 1)
+        keys.add(UTF8String.fromString(k))
+        vals.add(UTF8String.fromString(v))
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      keys.toArray, vals.toArray)
+  }
+}
+
 /** Marker-argmax language ID over a token array — the native form of the
   * `aggregate(toks, zero, zip_with-add, argmax)` HOF chain (semantics
   * identical: counts of per-language marker hits, argmax with
