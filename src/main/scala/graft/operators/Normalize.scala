@@ -117,13 +117,14 @@ object Normalize {
   }
 
   /** mmgrok: extract grok fields as named struct columns (null struct
-    * when the pattern doesn't match). */
+    * when the pattern doesn't match). Single-match struct kernel — one
+    * regex execution per row instead of guard + one per field. */
   def grok(msg: Column, pattern: String): Column = {
     val cr = compileGrok(pattern)
-    when(msg.rlike(cr.regex),
-      struct(cr.fields.zipWithIndex.map { case (f, idx) =>
-        regexp_extract(msg, cr.regex, idx + 1).as(f.name)
-      }: _*))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.RegexStructExpr(
+        org.apache.spark.sql.GraftBridge.expression(msg), cr.regex,
+        cr.fields.zipWithIndex.map { case (f, idx) => (f.name, idx + 1, 'S') }))
   }
 }
 
