@@ -1248,6 +1248,22 @@ object Queries {
           col("programname"), col("msg"))
     }),
 
+    // embedding QA stats (the corpus-health face of the ANN family):
+    // per-label counts + L2-norm distribution — the standard sanity pass
+    // before indexing/training. Per-row norm is a sequential fold (same
+    // IEEE order both engines); scan-bound + one partial-agg'd groupBy
+    "emb_stats" -> ((s, dir) => {
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      Tables.embeddings(s, dir)
+        .select(col("label"), norm.as("norm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("norm")), 4).as("avg_norm"),
+          round(min(col("norm")), 4).as("min_norm"),
+          round(max(col("norm")), 4).as("max_norm"))
+    }),
+
     // §2.10 omfile static sink: render the RFC3164 wire line, write it
     // through the text sink, read the files back — the whole write path
     // is under oracle (the dynafile twin is omfile_dynafile)
@@ -2362,6 +2378,18 @@ object Queries {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(quality) AS min_q, max(quality) AS max_q
         |FROM kept WHERE rn = 1 GROUP BY 1""".stripMargin),
+
+    "emb_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  round(avg(norm), 4) AS avg_norm,
+        |  round(min(norm), 4) AS min_norm,
+        |  round(max(norm), 4) AS max_norm
+        |FROM n GROUP BY 1""".stripMargin,
 
     "omfile_text" -> (synthSql +
       """ SELECT '<' || (facility * 8 + severity) || '>' ||
