@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.functions.device
+import graft.operators.TextAnalysis
+
+/** Randomized parity: every native kernel must be value-identical to the
+  * declarative HOF/regexp formulation it replaced, on inputs nastier
+  * than the oracle tables (unicode, empty strings, runs of whitespace,
+  * partial matches). Seeded generators — failures reproduce.
+  */
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260813L)
+  private val wsChars = Array(' ', ' ', ' ', '\t', '\n', '\u000B', '\f', '\r')
+  private val wordChars = "abcXYZ089äßé中_-%=\"|.".toCharArray
+
+  private def randText(): String = {
+    val sb = new StringBuilder
+    val segs = rnd.nextInt(12)
+    (0 until segs).foreach { _ =>
+      if (rnd.nextBoolean()) sb.append(wsChars(rnd.nextInt(wsChars.length)))
+      else (0 to rnd.nextInt(6)).foreach(_ =>
+        sb.append(wordChars(rnd.nextInt(wordChars.length))))
+    }
+    sb.toString
+  }
+
+  test("TokensExpr == filter(split(lower, \\s+), nonempty) on random text") {
+    val texts = (0 until 300).map(_ => randText()) ++
+      Seq("", " ", "\t\n", "a", " a ", "a  b\tc\nd")
+    val df = texts.toDF("t")
+    val got = df.select(TextAnalysis.tokens(col("t")).as("x"))
+      .as[Seq[String]].collect().toSeq
+    val want = df.select(
+        filter(split(lower(col("t")), "\\s+"), x => x =!= "").as("x"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == want)
+  }
+
+  test("NgramJoinExpr == zip-shift construction on random token arrays") {
+    val arrays = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ =>
+        (0 to rnd.nextInt(4)).map(_ =>
+          wordChars(rnd.nextInt(wordChars.length))).mkString)
+    }
+    val df = arrays.toDF("toks")
+    for (n <- Seq(2, 3)) {
+      def shifted(k: Int) =
+        slice(col("toks"), lit(k + 1), greatest(size(col("toks")) - k, lit(0)))
+      val zipShift = filter(
+        (1 until n).foldLeft(col("toks")) { (acc, k) =>
+          zip_with(acc, shifted(k), (a, b) => concat(a, lit(" "), b))
+        }, _.isNotNull)
+      val got = df.select(TextAnalysis.wordNgrams(col("toks"), n).as("x"))
+        .as[Seq[String]].collect().toSeq
+      val want = df.select(zipShift.as("x")).as[Seq[String]].collect().toSeq
+      assert(got == want, s"n=$n")
+    }
+  }
+
+  test("LangIdExpr == aggregate-HOF marker argmax on random token arrays") {
+    val markerPool = TextAnalysis.langMarkers.flatMap(_._2) ++
+      Seq("zzz", "qq", "", "THE", "la")
+    val arrays = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(10)).map(_ =>
+        markerPool(rnd.nextInt(markerPool.length)))
+    }
+    val df = arrays.toDF("toks")
+    // the pre-kernel formulation, verbatim
+    val n = TextAnalysis.langMarkers.size
+    val mask = scala.collection.mutable.LinkedHashMap[String, Int]()
+    TextAnalysis.langMarkers.zipWithIndex.foreach { case ((_, ms), i) =>
+      ms.foreach(mk => mask(mk) = mask.getOrElse(mk, 0) | (1 << i))
+    }
+    val keys = mask.keys.toSeq
+    val hitMap = map_from_arrays(
+      array(keys.map(lit): _*),
+      array(keys.map(k =>
+        array((0 until n).map(i => lit((mask(k) >> i) & 1)): _*)): _*))
+    val langArr = array(TextAnalysis.langMarkers.map(p => lit(p._1)): _*)
+    val hof = aggregate(col("toks"), array_repeat(lit(0), n),
+      (acc, t) => zip_with(acc,
+        coalesce(try_element_at(hitMap, t), array_repeat(lit(0), n)),
+        (a, b) => a + b),
+      acc => when(array_max(acc) > 0,
+        element_at(langArr, array_position(acc, array_max(acc)).cast("int")))
+        .otherwise(lit("und")))
+    val got = df.select(TextAnalysis.langIdFromTokens(col("toks")).as("x"))
+      .as[String].collect().toSeq
+    val want = df.select(hof.as("x")).as[String].collect().toSeq
+    assert(got == want)
+  }
+
+  test("RegexStructExpr == guard-rlike + per-group regexp_extract (cisco)") {
+    val good = (0 until 50).map { _ =>
+      val seq = if (rnd.nextBoolean()) s"${rnd.nextInt(9999)}: " else ""
+      val mark = Seq("", "*", ".")(rnd.nextInt(3))
+      s"${seq}${mark}Mar ${1 + rnd.nextInt(28)} 03:04:05: " +
+        s"%SYS-${rnd.nextInt(8)}-CONFIG_I: configured by u${rnd.nextInt(99)}"
+    }
+    val bad = (0 until 50).map(_ => randText())
+    val df = (good ++ bad).toDF("m")
+    val re = ("^(?:(\\d+): )?[*.]?((?:[A-Z][a-z]{2} +\\d+|\\d{4} [A-Z][a-z]{2} +\\d+) " +
+      "\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?: [A-Z]{1,4})?): " +
+      "%([A-Z0-9_]+)-(\\d)-([A-Z0-9_]+): (.*)$")
+    val legacy = when(col("m").rlike(re), struct(
+      nullif(regexp_extract(col("m"), re, 1), lit("")).cast(LongType).as("seqno"),
+      regexp_extract(col("m"), re, 2).as("ts"),
+      regexp_extract(col("m"), re, 3).as("msg_facility"),
+      regexp_extract(col("m"), re, 4).cast(IntegerType).as("severity"),
+      regexp_extract(col("m"), re, 5).as("mnemonic"),
+      regexp_extract(col("m"), re, 6).as("text")))
+    val got = df.select(to_json(device.parseCiscoIos(col("m"))).as("x"))
+      .as[String].collect().toSeq
+    val want = df.select(to_json(legacy).as("x")).as[String].collect().toSeq
+    assert(got == want)
+  }
+}
