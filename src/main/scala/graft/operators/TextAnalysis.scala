@@ -39,22 +39,11 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Marker-hit count for one language over a token array. */
-  def markerHits(toks: Column, markers: Seq[String]): Column = {
-    val markerArr = array(markers.map(lit): _*)
-    size(filter(toks, t => array_contains(markerArr, t)))
-  }
-
   /** Language-ID: argmax of marker hits; 'und' when no marker at all.
     * Tie-break: earlier language in `langMarkers` wins (deterministic).
-    *
-    * Single-pass: one token→hit-vector map literal (markers are SHARED
-    * across languages — "de"/"la"/"en" each appear in several lists — so
-    * the map value is a per-language 0/1 vector, not a single lang tag),
-    * one `aggregate` traversal summing vectors, and a `finish` lambda
-    * doing the argmax so the token array is walked exactly once instead
-    * of once per language through HOF filters.
-    */
+    * Markers are SHARED across languages ("de"/"la"/"en" each appear in
+    * several lists), so the kernel's token lookup yields a per-language
+    * bit vector, not a single lang tag. */
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Staged form over an already-materialized token array (use from a
