@@ -1248,6 +1248,24 @@ object Queries {
           col("programname"), col("msg"))
     }),
 
+    // benchmark decontamination (the standard pretraining hygiene pass):
+    // flag corpus docs sharing any 5-gram with the eval set. The eval
+    // side is small by nature → its distinct gram set broadcasts; the
+    // corpus side is one scan + explode + broadcast join + partial-agg'd
+    // count — no corpus-side shuffle before the per-doc fold
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def grams(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        explode(TextAnalysis.wordNgrams(
+          TextAnalysis.tokens(col("text")), 5)).as("g"))
+      val evalGrams = grams(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("g")).distinct()
+      grams(docs.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared"))
+    }),
+
     // embedding QA stats (the corpus-health face of the ANN family):
     // per-label counts + L2-norm distribution — the standard sanity pass
     // before indexing/training. Per-row norm is a sequential fold (same
@@ -2378,6 +2396,22 @@ object Queries {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(quality) AS min_q, max(quality) AS max_q
         |FROM kept WHERE rn = 1 GROUP BY 1""".stripMargin),
+
+    "decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(toks) - 3, 1)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+        |         || toks[i+3] || ' ' || toks[i+4])) AS g
+        |  FROM t),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |co AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, count(DISTINCT g) AS n_shared
+        |FROM co JOIN ev USING (g) GROUP BY 1""".stripMargin,
 
     "emb_stats" ->
       """WITH n AS (
