@@ -91,7 +91,8 @@ object Bench {
       "dedup_clusters", "emb_neardup", "ann_cosine", "ann_lsh", "ann_ivf",
       "langid", "text_quality", "stream_dynstats", "stream_ratelimit",
       "llm_prep", "sample_stratified", "session_window",
-      "dedup_canonical", "text_repetition", "stream_perctile")
+      "dedup_canonical", "text_repetition", "stream_perctile",
+      "decontaminate", "emb_stats", "stream_llm_prep")
     val sf1Dir = synthesizeSf1(spark, sfDir)
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
