@@ -94,6 +94,27 @@ class KernelParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("NormalizeExpr == per-rule extract() coalesce chain on random lines") {
+    import graft.operators.Normalize
+    val rules = Seq(
+      "error code=%code:number% at %host:word% fatal",
+      "user %u:word% did %act:word% n=%n:number%")
+    val good = (0 until 60).map { _ =>
+      if (rnd.nextBoolean())
+        s"error code=${rnd.nextInt(500)} at host${rnd.nextInt(40)} fatal"
+      else s"user u${rnd.nextInt(40)} did act${rnd.nextInt(9)} n=${rnd.nextInt(999)}"
+    }
+    val bad = (0 until 40).map(_ => randText())
+    val df = (good ++ bad).toDF("m")
+    // reference formulation: first-matching-rule coalesce over extract()
+    val legacy = coalesce(
+      (rules.map(r => Normalize.extract(col("m"), r)) :+ lit("{}")): _*)
+    val got = df.select(Normalize.normalize(col("m"), rules).as("x"))
+      .as[String].collect().toSeq
+    val want = df.select(legacy.as("x")).as[String].collect().toSeq
+    assert(got == want)
+  }
+
   test("RegexStructExpr == guard-rlike + per-group regexp_extract (cisco)") {
     val good = (0 until 50).map { _ =>
       val seq = if (rnd.nextBoolean()) s"${rnd.nextInt(9999)}: " else ""
