@@ -349,7 +349,14 @@ case class JsonUnflattenExpr(json: Expression, sep: Expression)
     if (j == null) return null
     val sepEv = sep.eval(input)
     val sepCh = if (sepEv == null) "." else sepEv.toString
-    val root = JsonPathUtil.parseOrEmpty(j.toString)
+    // a non-object input passes through unchanged — fmunflatten returns
+    // the value itself when there is nothing to unflatten
+    // (tests/rscript_unflatten_non_object.sh)
+    val parsed =
+      try JsonPathUtil.mapper.readTree(j.toString)
+      catch { case _: Exception => null }
+    if (parsed == null || !parsed.isObject) return j
+    val root = parsed.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val out = JsonPathUtil.mapper.createObjectNode()
     val it = root.fields()
     while (it.hasNext) {

@@ -160,6 +160,70 @@ class ComparisonCorpusSpec extends SparkSpec {
     assert(r.getString(8) == "param=value")
   }
 
+  test("rscript_wrap corpus: 2-arg wrap and 3-arg escape semantics") {
+    import graft.functions.rainer
+    val df = Seq("x").toDF("m")
+    // rscript_wrap3.sh: wrap(str, wrapper, escape) replaces wrapper
+    // occurrences inside str by escape, then wraps
+    val r3 = df.select(rainer.wrap(
+        lit("foo says a abcbcdefbcdefb has bcdefbc"), "bcdefbc", "ESC"))
+      .as[String].collect()(0)
+    assert(r3 == "bcdefbcfoo says a abcESCdefb has ESCbcdefbc")
+    // rscript_wrap2.sh: 2-arg form wraps verbatim
+    val r2 = df.select(rainer.wrap(lit("foo"), "**")).as[String].collect()(0)
+    assert(r2 == "**foo**")
+  }
+
+  test("rscript_replace_complex corpus: chained literal global replaces") {
+    import graft.functions.rainer
+    def chain(c: org.apache.spark.sql.Column) =
+      rainer.rs_replace(rainer.rs_replace(rainer.rs_replace(rainer.rs_replace(
+        c, "syslog", "rsyslog"), "hello", "hello_world"),
+        "foo_bar_baz", "FBB"),
+        "as_longer_this_string_as_more_probability_to_catch_the_bug", "ss")
+    val in = Seq(
+      "try to replace syslog and sysyslog with rsyslog",
+      "try to replace hello in hellolo and helhello with hello_world",
+      "try to foo_bar_baz in foo_bar_baz_quux and quux_foo_bar_baz with FBB",
+      "in the end of msg; try to not lose as_longer_this_string_as_more_probability_to_catch_the_bu")
+    val got = in.toDF("m").select(chain(col("m"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "try to replace rsyslog and syrsyslog with rrsyslog",
+      "try to replace hello_world in hello_worldlo and helhello_world with hello_world_world",
+      "try to FBB in FBB_quux and quux_FBB with FBB",
+      "in the end of msg; try to not lose as_longer_this_string_as_more_probability_to_catch_the_bu"))
+  }
+
+  test("rscript_unflatten corpus: nesting, conflicts, non-object passthrough") {
+    import graft.functions.rainer
+    def un(json: String, sep: String): String =
+      Seq(json).toDF("j")
+        .select(rainer.unflatten(col("j"), sep)).as[String].collect()(0)
+    def norm(s: String): String = s.replaceAll("\\s", "")
+    // rscript_unflatten_object.sh
+    assert(norm(un(
+      """{"source.ip":"1.2.3.4","source.bytes":3258,
+        |"source.geo.country_iso_code":"FR","destination.ip":"4.3.2.1"}"""
+        .stripMargin, ".")) ==
+      norm("""{"source":{"ip":"1.2.3.4","bytes":3258,
+        |"geo":{"country_iso_code":"FR"}},"destination":{"ip":"4.3.2.1"}}"""
+        .stripMargin))
+    // rscript_unflatten_object_exclamation.sh: '!' separator
+    assert(norm(un("""{"source!ip":"1.2.3.4","source!port":53}""", "!")) ==
+      norm("""{"source":{"ip":"1.2.3.4","port":53}}"""))
+    // rscript_unflatten_conflict1.sh: intermediate string overridden by object
+    assert(norm(un("""{"a":{"b":"foo"},"a.b.c":"bar"}""", ".")) ==
+      norm("""{"a":{"b":{"c":"bar"}}}"""))
+    // rscript_unflatten_conflict2.sh: final string overridden by object
+    assert(norm(un("""{"a":{"b":"foo"},"a.b":{"a":21}}""", ".")) ==
+      norm("""{"a":{"b":{"a":21}}}"""))
+    // rscript_unflatten_conflict3.sh: final string overridden by string
+    assert(norm(un("""{"a":{"b":"foo"},"a.b":"bar"}""", ".")) ==
+      norm("""{"a":{"b":"bar"}}"""))
+    // rscript_unflatten_non_object.sh: non-object passes through unchanged
+    assert(un("42", ".") == "42")
+  }
+
   test("rscript_str2num corpus: cnum on empty and negative strings") {
     val script =
       """set $.empty = cnum("");
