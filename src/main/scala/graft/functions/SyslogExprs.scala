@@ -171,10 +171,26 @@ object SyslogParseExpr {
                         defaultYear: Int): InternalRow = {
     var i = start
     val n = raw.length
-    // TIMESTAMP "Mmm dd hh:mm:ss" (day may be space-padded: "Mar  1")
+    // TIMESTAMP "Mmm dd hh:mm:ss" (day may be space-padded: "Mar  1");
+    // rsyslog's rfc3164 parser FIRST tries an RFC3339 timestamp in the
+    // TIMESTAMP slot (runtime/parser.c ParseTIMESTAMP3339 before
+    // TIMESTAMP3164 — pinned by prop-programname-with-slashes.sh's
+    // "<133>2011-03-01T11:22:12Z host tag..." wire format)
     var tsMicros: java.lang.Long = null
     var ok = false
-    if (i + 15 <= n) {
+    if (i + 19 <= n && raw(i + 4) == '-' && raw(i + 7) == '-' &&
+        (raw(i + 10) == 'T' || raw(i + 10) == 't')) {
+      val sp = raw.indexOf(' ', i)
+      val end = if (sp < 0) n else sp
+      try {
+        val odt = OffsetDateTime.parse(raw.substring(i, end))
+        tsMicros = java.lang.Long.valueOf(
+          odt.toInstant.getEpochSecond * 1000000L + odt.getNano / 1000L)
+        i = end
+        ok = true
+      } catch { case _: Exception => }
+    }
+    if (!ok && i + 15 <= n) {
       val mon = months.get(raw.substring(i, i + 3))
       if (mon.isDefined && raw(i + 3) == ' ') {
         val dayStr = raw.substring(i + 4, i + 6).trim

@@ -77,6 +77,16 @@ class SyslogParseSpec extends SparkSpec {
     assert(r.getAs[String]("hostname") == "host")
   }
 
+  test("programname keeps slashes (prop-programname-with-slashes.sh)") {
+    // the reference's exact wire message and expected tag,programname pair
+    val r = parse1("<133>2011-03-01T11:22:12Z host tag/with/slashes msgh ...x")
+    assert(r.getAs[String]("programname") == "tag/with/slashes")
+    assert(r.getAs[String]("syslogtag") == "tag/with/slashes")
+    assert(r.getAs[String]("hostname") == "host")
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2011-03-01T11:22:12Z")
+  }
+
   test("structured data to JSON") {
     val sd = "[tcpflood@32473 MSGNUM=\"00000001\" X=\"a\\\"b\"][other k=\"v\"]"
     val j = Seq(sd).toDF("sd")

@@ -30,6 +30,11 @@ class TemplateSpec extends SparkSpec {
     assert(render("%msg:2:5%") == "body")
   }
 
+  test("from:to past the value renders empty (template-pos-from-to-oversize.sh)") {
+    assert(render("-%msg:109:116:%-") == "--")
+    assert(render("-%msg:109:116:lowercase%-") == "--")
+  }
+
   test("field extraction with char-code delimiter") {
     // delimiter 32 = space; field 3 of " body msg\n" is "msg\n"
     assert(render("%msg:F,32:3:drop-last-lf%") == "msg")
