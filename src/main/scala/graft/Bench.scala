@@ -210,7 +210,7 @@ object Bench {
           date_format(col("ts"), " HH:mm:ss "),
           col("hostname"), lit(" "),
           col("syslogtag"), lit(" "),
-          element_at(sevNames, col("severity") + 1), lit(": "), col("msg")))
+          element_at(sevNames, col("severity") + 1), lit(":"), col("msg")))
         .groupBy(col("hostname"))
         .agg(count(lit(1)).as("n"), max(length(col("line"))).as("max_len"))
       val rates = (1 to nTrials).map { _ =>

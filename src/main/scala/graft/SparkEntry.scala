@@ -443,7 +443,9 @@ object Queries {
           date_format(col("ts"), " HH:mm:ss "),
           col("hostname"), lit(" "),
           col("syslogtag"), lit(" "),
-          element_at(sevNames, col("severity") + 1), lit(": "), col("msg")))
+          // msg carries its leading space (reference semantics) — the
+          // template separator is just ":" so the line is unchanged
+          element_at(sevNames, col("severity") + 1), lit(":"), col("msg")))
         .groupBy(col("hostname"))
         .agg(count(lit(1)).as("n"), max(length(col("line"))).as("max_len"))
     }),
@@ -1366,7 +1368,9 @@ object Queries {
           date_format(col("ts"), " HH:mm:ss "),
           col("hostname"), lit(" "),
           col("syslogtag"), lit(" "),
-          element_at(sevNames, col("severity") + 1), lit(": "), col("msg")))
+          // msg carries its leading space (reference semantics) — the
+          // template separator is just ":" so the line is unchanged
+          element_at(sevNames, col("severity") + 1), lit(":"), col("msg")))
         .select(col("hostname"), col("line"))
       graft.streaming.StreamGate.run(lines)
         .groupBy(col("hostname"))
@@ -1737,7 +1741,7 @@ object Queries {
       """ SELECT event_id, facility, severity, hostname,
         |   event_type AS programname,
         |   CAST(event_id AS VARCHAR) AS procid,
-        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100 AS msg,
+        |   ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100 AS msg,
         |   true AS parsesuccess
         | FROM ev""".stripMargin),
 
@@ -2348,7 +2352,7 @@ object Queries {
     "imfile_read" -> (synthSql +
       """ SELECT event_id, 'imfile' AS inputname, facility, severity,
         |   hostname, syslogtag || ':' AS syslogtag,
-        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+        |   ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
         |     || ': v100=' || v100 AS msg,
         |   true AS parsesuccess
         | FROM ev""".stripMargin),
@@ -2709,7 +2713,7 @@ object Queries {
         |  'imkafka' AS inputname,
         |  facility, severity, hostname,
         |  event_type AS programname,
-        |  'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100 AS msg
+        |  ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100 AS msg
         | FROM ev""".stripMargin),
 
     // ring window ≥ input size → order statistics over ALL observations;

@@ -284,8 +284,11 @@ object rainer {
 
   // ---------- syslog parsing ----------
 
-  def parse_syslog(raw: Column, defaultYear: Int = 2024): Column =
-    col2(SyslogParseExpr(raw.expr, defaultYear))
+  def parse_syslog(raw: Column, defaultYear: Int = 2024,
+                   detectYearAfterTimestamp: Boolean = false,
+                   permitSlashInProgramname: Boolean = false): Column =
+    col2(SyslogParseExpr(raw.expr, defaultYear,
+      detectYearAfterTimestamp, permitSlashInProgramname))
   def parse_structured_data(sd: Column): Column =
     col2(ParseStructuredDataExpr(sd.expr))
 

@@ -19,7 +19,9 @@ import java.time.{LocalDateTime, ZoneOffset, OffsetDateTime}
   * `msg` and nulls elsewhere (rsyslog's COULD_NOT_PARSE → next parser →
   * fallback semantics collapsed into one expression).
   */
-case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024)
+case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024,
+                           detectYearAfterTimestamp: Boolean = false,
+                           permitSlashInProgramname: Boolean = false)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -29,7 +31,8 @@ case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024)
   override def prettyName: String = "parse_syslog"
 
   override protected def nullSafeEval(input: Any): Any =
-    SyslogParseExpr.parse(input.toString, defaultYear)
+    SyslogParseExpr.parse(input.toString, defaultYear,
+      detectYearAfterTimestamp, permitSlashInProgramname)
 
   // real codegen (not CodegenFallback): children stay codegen'd and the
   // kernel is one static call — keeps the scan→parse→filter pipeline
@@ -39,7 +42,7 @@ case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SyslogParseExpr$$.MODULE$$.parse($c.toString(), $defaultYear);")
+      s"${ev.value} = graft.functions.SyslogParseExpr$$.MODULE$$.parse($c.toString(), $defaultYear, $detectYearAfterTimestamp, $permitSlashInProgramname);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -62,24 +65,30 @@ object SyslogParseExpr {
     StructField("parsesuccess", BooleanType)
   ))
 
+  // lowercase keys: the reference's month scan is case-insensitive
+  // (datetime.c "2009-08-17: we now do case-insensitive comparisons")
   private val months = Map(
-    "Jan" -> 1, "Feb" -> 2, "Mar" -> 3, "Apr" -> 4, "May" -> 5, "Jun" -> 6,
-    "Jul" -> 7, "Aug" -> 8, "Sep" -> 9, "Oct" -> 10, "Nov" -> 11, "Dec" -> 12)
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5, "jun" -> 6,
+    "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10, "nov" -> 11, "dec" -> 12)
 
   private def utf8(s: String): UTF8String = if (s == null) null else UTF8String.fromString(s)
 
-  /** program name = tag up to first char not in [A-Za-z0-9_/.-] (rsyslog
-    * msg.c programname derivation). */
-  def programName(tag: String): String = {
+  /** program name = tag up to end / nonprintable / ':' / '[' / '/'
+    * (the FreeBSD definition, runtime/msg.c acquireProgramName; '/'
+    * terminates unless global parser.permitSlashInProgramname is on —
+    * pinned by tests/prop-programname-with-slashes.sh). */
+  def programName(tag: String, permitSlash: Boolean = false): String = {
     if (tag == null) return null
     var i = 0
-    while (i < tag.length && (tag(i).isLetterOrDigit ||
-           tag(i) == '_' || tag(i) == '/' || tag(i) == '.' || tag(i) == '-')) i += 1
+    while (i < tag.length && tag(i) >= ' ' && tag(i) != ':' &&
+           tag(i) != '[' && (permitSlash || tag(i) != '/')) i += 1
     tag.substring(0, i)
   }
 
-  def parse(raw: String, defaultYear: Int): InternalRow = {
-    try parseImpl(raw, defaultYear)
+  def parse(raw: String, defaultYear: Int,
+            detectYearAfterTime: Boolean = false,
+            permitSlashProg: Boolean = false): InternalRow = {
+    try parseImpl(raw, defaultYear, detectYearAfterTime, permitSlashProg)
     catch { case _: Exception => fallback(raw) }
   }
 
@@ -87,7 +96,9 @@ object SyslogParseExpr {
     InternalRow(1, null, null, null, null, null, null, null, null, null,
       null, null, utf8(raw), false)
 
-  private def parseImpl(raw: String, defaultYear: Int): InternalRow = {
+  private def parseImpl(raw: String, defaultYear: Int,
+                        detectYearAfterTime: Boolean,
+                        permitSlashProg: Boolean): InternalRow = {
     var i = 0
     val n = raw.length
     // ---- PRI ----
@@ -110,7 +121,8 @@ object SyslogParseExpr {
     if (i + 1 < n && raw(i) == '1' && raw(i + 1) == ' ') {
       parse5424(raw, i + 2, pri, facility, severity)
     } else {
-      parse3164(raw, i, pri, facility, severity, defaultYear)
+      parse3164(raw, i, pri, facility, severity, defaultYear,
+        detectYearAfterTime, permitSlashProg)
     }
   }
 
@@ -160,22 +172,145 @@ object SyslogParseExpr {
         java.lang.Long.valueOf(odt.toInstant.getEpochSecond * 1000000L + odt.getNano / 1000L)
       } catch { case _: Exception => null }
     val appN = nilNull(app)
-    val tag = if (appN == null) null else appN + (if (nilNull(procid) != null) "[" + procid + "]" else "") + ":"
+    // RFC5424 TAG = APP-NAME[PROCID], NO trailing colon (msg.c getTAG on
+    // protocol-24 messages; pinned by parsertest-parse1.sh: tag
+    // "myproc[8710]" / "su", never "su:")
+    val tag = if (appN == null) null
+      else appN + (if (nilNull(procid) != null) "[" + procid + "]" else "")
     InternalRow(1, pri, fac, sev,
       if (tsMicros == null) null else tsMicros.longValue(),
       utf8(nilNull(host)), utf8(appN), utf8(nilNull(procid)), utf8(nilNull(msgid)),
       utf8(sd), utf8(tag), utf8(programName(appN)), utf8(msg), true)
   }
 
-  private def parse3164(raw: String, start: Int, pri: Int, fac: Int, sev: Int,
-                        defaultYear: Int): InternalRow = {
+  /** datetime.c ParseTIMESTAMP3164 re-expressed: optional 4-digit year
+    * BEFORE the month (Brocade), case-insensitive month, one-digit days,
+    * a year in the hour position (Cisco "Mar 7 2008 19:06:53"),
+    * fractional seconds, an optional stray ':' after the time, optional
+    * " YYYY" after the time behind `detectYearAfterTime` (pmrfc3164's
+    * detect.yearAfterTimestamp, default off), and exactly one trailing
+    * SP consumed — any other trailing char invalidates the timestamp.
+    * Returns (endIndex, epochMicros) or null when not a timestamp.
+    */
+  private def parseTs3164(raw: String, start: Int, defaultYear: Int,
+                          detectYearAfterTime: Boolean): (Int, Long) = {
     var i = start
     val n = raw.length
-    // TIMESTAMP "Mmm dd hh:mm:ss" (day may be space-padded: "Mar  1");
-    // rsyslog's rfc3164 parser FIRST tries an RFC3339 timestamp in the
-    // TIMESTAMP slot (runtime/parser.c ParseTIMESTAMP3339 before
-    // TIMESTAMP3164 — pinned by prop-programname-with-slashes.sh's
-    // "<133>2011-03-01T11:22:12Z host tag..." wire format)
+    def digits(): Int = { // srSLMGParseInt32: read all digits
+      var v = 0
+      var any = false
+      while (i < n && raw(i) >= '0' && raw(i) <= '9') {
+        v = v * 10 + (raw(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    var year = 0
+    // year BEFORE the month (e.g. Brocade)
+    if (i < n && raw(i).isDigit) {
+      year = digits()
+      if (year < 1970 || year > 2100 || i >= n || raw(i) != ' ') return null
+      i += 1
+    }
+    if (i + 3 > n) return null
+    val mon = months.get(
+      raw.substring(i, i + 3).toLowerCase(java.util.Locale.ROOT)).getOrElse(-1)
+    if (mon < 0) return null
+    i += 3
+    if (i >= n || raw(i) != ' ') return null
+    i += 1
+    if (i < n && raw(i) == ' ') i += 1 // one-digit day: "Mar  7"
+    val day = digits()
+    if (day < 1 || day > 31) return null
+    if (i >= n || raw(i) != ' ') return null
+    i += 1
+    var hour = digits()
+    if (year == 0 && hour > 1970 && hour < 2100) {
+      // a year in the hour position (Cisco); re-read the real hour
+      year = hour
+      if (i >= n || raw(i) != ' ') return null
+      i += 1
+      hour = digits()
+    }
+    if (hour < 0 || hour > 23) return null
+    if (i >= n || raw(i) != ':') return null
+    i += 1
+    val minute = digits()
+    if (minute < 0 || minute > 59) return null
+    if (i >= n || raw(i) != ':') return null
+    i += 1
+    val second = digits()
+    if (second < 0 || second > 60) return null
+    var frac = 0L
+    var fracDigits = 0
+    if (i < n && raw(i) == '.') { // subsecond extension (Cisco IOS)
+      i += 1
+      while (i < n && raw(i).isDigit) {
+        if (fracDigits < 6) { frac = frac * 10 + (raw(i) - '0'); fracDigits += 1 }
+        i += 1
+      }
+    }
+    // optional " YYYY" after the time (option, default off; NOT consumed
+    // when followed by more than a year token — datetime.c:703-716)
+    if (detectYearAfterTime && year == 0 && i + 5 <= n && raw(i) == ' ') {
+      var y = 0
+      var j = 1
+      var okY = true
+      while (j < 5 && okY) {
+        if (raw(i + j).isDigit) { y = y * 10 + (raw(i + j) - '0'); j += 1 }
+        else okY = false
+      }
+      if (okY && i + 5 < n && raw(i + 5) != ' ') okY = false
+      if (okY && y >= 2000 && y < 2100) i += 5
+      else y = 0
+      if (y != 0) year = y
+    }
+    if (i < n && raw(i) == ':') i += 1 // stray ':' after the date (Cisco)
+    if (i < n) {
+      if (raw(i) != ' ') return null // not a space → not a "good" time
+      i += 1
+    }
+    val y = if (year > 0) year else defaultYear
+    val ldt = LocalDateTime.of(y, mon, day, hour, minute, second)
+    var micros = ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L
+    if (fracDigits > 0) {
+      var f = frac
+      var d = fracDigits
+      while (d < 6) { f *= 10; d += 1 }
+      micros += f
+    }
+    (i, micros)
+  }
+
+  private def isHostChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'
+
+  private def isAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** The default pmrfc3164 parse (tools/pmrfc3164.c parse2), re-expressed
+    * byte-for-byte against the reference's own parsertest-parse1 corpus:
+    * brace-headerless detect, 3339-then-3164 timestamp (HP-procurve
+    * one-space retry), validated HOSTNAME (else it stays in TAG/MSG and
+    * hostname falls back to the receiver — null here), TAG with NO size
+    * cap ended by ':' (part of TAG) or SP (part of MSG), and MSG keeping
+    * its leading space.
+    */
+  private def parse3164(raw: String, start: Int, pri: Int, fac: Int, sev: Int,
+                        defaultYear: Int, detectYearAfterTime: Boolean,
+                        permitSlashProg: Boolean): InternalRow = {
+    var i = start
+    val n = raw.length
+    // completely headerless: spaces/tabs then '{' or '[' (pmrfc3164.c
+    // "grown heuristics") — everything is MSG
+    var b = i
+    while (b < n && (raw(b) == ' ' || raw(b) == '\t')) b += 1
+    if (b < n && (raw(b) == '{' || raw(b) == '[')) {
+      return InternalRow(0, pri, fac, sev, null, null, null, null, null, null,
+        null, null, utf8(raw.substring(start)), true)
+    }
+    // TIMESTAMP: RFC3339 first (runtime/parser.c order), then 3164, then
+    // the HP-procurve one-leading-space retry
     var tsMicros: java.lang.Long = null
     var ok = false
     if (i + 19 <= n && raw(i + 4) == '-' && raw(i + 7) == '-' &&
@@ -186,88 +321,60 @@ object SyslogParseExpr {
         val odt = OffsetDateTime.parse(raw.substring(i, end))
         tsMicros = java.lang.Long.valueOf(
           odt.toInstant.getEpochSecond * 1000000L + odt.getNano / 1000L)
-        i = end
+        i = if (end < n) end + 1 else end // consume the SP delimiter
         ok = true
       } catch { case _: Exception => }
     }
-    if (!ok && i + 15 <= n) {
-      val mon = months.get(raw.substring(i, i + 3))
-      if (mon.isDefined && raw(i + 3) == ' ') {
-        val dayStr = raw.substring(i + 4, i + 6).trim
-        if (dayStr.nonEmpty && dayStr.forall(_.isDigit) && raw(i + 6) == ' ') {
-          val t = raw.substring(i + 7, i + 15)
-          if (t(2) == ':' && t(5) == ':') {
-            val hh = t.substring(0, 2).toInt
-            val mm = t.substring(3, 5).toInt
-            val ss = t.substring(6, 8).toInt
-            var year = defaultYear
-            var j = i + 15
-            // rsyslog heuristic: optional " YYYY" after the time
-            // (tools/pmrfc3164.c year-after-timestamp detection)
-            if (j + 5 <= n && raw(j) == ' ' && j + 5 <= n &&
-                raw.substring(j + 1, j + 5).forall(_.isDigit)) {
-              val y = raw.substring(j + 1, j + 5).toInt
-              if (y >= 1970 && y <= 2100) { year = y; j += 5 }
-            }
-            val ldt = LocalDateTime.of(year, mon.get, dayStr.toInt, hh, mm, ss)
-            tsMicros = java.lang.Long.valueOf(ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L)
-            i = j
-            ok = true
-          }
-        }
-      }
-    }
     if (!ok) {
-      // headerless (rsyslog: whole rest is MSG, hostname unknown)
-      val msg = raw.substring(start)
-      return InternalRow(0, pri, fac, sev, null, null, null, null, null, null,
-        null, null, utf8(msg), true)
+      val r = parseTs3164(raw, i, defaultYear, detectYearAfterTime)
+      if (r != null) { tsMicros = java.lang.Long.valueOf(r._2); i = r._1; ok = true }
     }
-    while (i < n && raw(i) == ' ') i += 1
-    // HOSTNAME then TAG; rsyslog treats first token w/o ':'-terminated tag
-    // shape ambiguity by: token1 = hostname, token2.. = TAG if it contains ':'
-    val (host, i2) = token(raw, i)
-    i = i2
-    while (i < n && raw(i) == ' ') i += 1
-    // TAG: up to 32 chars ending at ':' or '[' or ' '
-    var tag: String = null
-    var procid: String = null
+    if (!ok && i < n && raw(i) == ' ') {
+      val r = parseTs3164(raw, i + 1, defaultYear, detectYearAfterTime)
+      if (r != null) { tsMicros = java.lang.Long.valueOf(r._2); i = r._1; ok = true }
+    }
+    // no timestamp is NOT a failure: hostname/TAG parsing continues and
+    // the timestamp falls back to reception time (null here)
+
+    // HOSTNAME: [alnum._-]+, valid only if it ends the message or is
+    // followed by SP with an alnum last char; otherwise NOT consumed
+    // (the BSD tag-first case: hostname = receiver)
+    var host: String = null
+    var hEnd = i
+    while (hEnd < n && isHostChar(raw(hEnd))) hEnd += 1
+    if (hEnd > i &&
+        (hEnd == n || (raw(hEnd) == ' ' && isAlnum(raw(hEnd - 1))))) {
+      host = raw.substring(i, hEnd)
+      i = if (hEnd == n) hEnd else hEnd + 1
+    }
+    // TAG: everything up to ':' (part of the TAG, consumed) or SP (NOT
+    // consumed — it is MSG content); no length cap (removed 2008-04-04)
     val tagStart = i
     var j = i
-    while (j < n && raw(j) != ':' && raw(j) != ' ' && raw(j) != '[' && j - tagStart < 32) j += 1
-    if (j < n && raw(j) == '[') {
-      val pEnd = raw.indexOf(']', j)
-      if (pEnd > 0) {
-        procid = raw.substring(j + 1, pEnd)
-        var k = pEnd + 1
-        if (k < n && raw(k) == ':') k += 1
-        tag = raw.substring(tagStart, pEnd + 1) + ":"
-        i = k
-      } else { tag = raw.substring(tagStart, j); i = j }
-    } else if (j < n && raw(j) == ':') {
+    while (j < n && raw(j) != ':' && raw(j) != ' ') j += 1
+    var tag: String = null
+    if (j < n && raw(j) == ':') {
       tag = raw.substring(tagStart, j + 1)
       i = j + 1
-    } else if (j < n && raw(j) == ' ' && j > tagStart) {
-      // space-terminated TAG (tcpflood "tag msgnum:..." shape — rsyslog
-      // accepts it; the classic 3164 TAG/MSG ambiguity resolved tag-first)
-      tag = raw.substring(tagStart, j)
-      i = j + 1
     } else {
-      // no tag terminator → message has no TAG; rest after hostname is MSG
-      tag = null
-      i = tagStart
+      if (j > tagStart) tag = raw.substring(tagStart, j)
+      i = j
     }
-    if (i < n && raw(i) == ' ') i += 1
+    // PROCID from TAG: text inside the first [..] (msg.c aquirePROCIDFromTAG)
+    var procid: String = null
+    if (tag != null) {
+      val bOpen = tag.indexOf('[')
+      val bClose = if (bOpen >= 0) tag.indexOf(']', bOpen) else -1
+      if (bOpen >= 0 && bClose > bOpen) procid = tag.substring(bOpen + 1, bClose)
+    }
+    // MSG: the remainder, INCLUDING any leading space
     val msg = if (i < n) raw.substring(i) else ""
-    val tagNoColon = if (tag == null) null else tag.stripSuffix(":")
-    val appFromTag = if (tagNoColon == null) null else {
-      val b = tagNoColon.indexOf('[')
-      if (b >= 0) tagNoColon.substring(0, b) else tagNoColon
-    }
+    val prog = programName(tag, permitSlashProg)
+    val appFromTag = if (prog == null || prog.isEmpty) null else prog
     InternalRow(0, pri, fac, sev,
       if (tsMicros == null) null else tsMicros.longValue(),
       utf8(host), utf8(appFromTag), utf8(procid), null, null,
-      utf8(tag), utf8(programName(appFromTag)), utf8(msg), true)
+      utf8(tag), utf8(if (tag == null) null else prog), utf8(msg), true)
   }
 }
 

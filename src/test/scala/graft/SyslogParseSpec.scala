@@ -9,9 +9,13 @@ import graft.functions.rainer
 class SyslogParseSpec extends SparkSpec {
   import spark.implicits._
 
-  private def parse1(raw: String): org.apache.spark.sql.Row =
+  private def parse1(raw: String,
+                     yearAfter: Boolean = false,
+                     slashProg: Boolean = false): org.apache.spark.sql.Row =
     Seq(raw).toDF("raw")
-      .select(rainer.parse_syslog(col("raw"), defaultYear = 2003).as("p"))
+      .select(rainer.parse_syslog(col("raw"), defaultYear = 2003,
+        detectYearAfterTimestamp = yearAfter,
+        permitSlashInProgramname = slashProg).as("p"))
       .select("p.*").collect()(0)
 
   test("tcpflood RFC3164 format") {
@@ -20,7 +24,8 @@ class SyslogParseSpec extends SparkSpec {
     assert(r.getAs[Int]("facility") == 20)
     assert(r.getAs[Int]("severity") == 7)
     assert(r.getAs[String]("hostname") == "172.20.245.8")
-    assert(r.getAs[String]("msg") == "msgnum:00000001:")
+    // MSG keeps its leading space (reference parsertest-parse1 corpus)
+    assert(r.getAs[String]("msg") == " msgnum:00000001:")
     assert(r.getAs[Boolean]("parsesuccess"))
     assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString
       == "2003-03-01T01:00:00Z")
@@ -31,7 +36,7 @@ class SyslogParseSpec extends SparkSpec {
     assert(r.getAs[String]("syslogtag") == "su[1234]:")
     assert(r.getAs[String]("programname") == "su")
     assert(r.getAs[String]("procid") == "1234")
-    assert(r.getAs[String]("msg") == "'su root' failed")
+    assert(r.getAs[String]("msg") == " 'su root' failed")
   }
 
   test("tcpflood RFC5424 with SD") {
@@ -63,23 +68,53 @@ class SyslogParseSpec extends SparkSpec {
     assert(r.getAs[Int]("severity") == 5)
   }
 
-  test("headerless message falls back to msg-only") {
+  test("no timestamp: BSD tag-first parse continues (parsertest-parse-nodate)") {
+    // the reference parses hostname/TAG even without a timestamp — the
+    // classic BSD mis-parse is authentic behavior
     val r = parse1("<14>this is not a syslog header")
     assert(r.getAs[Boolean]("parsesuccess"))
-    assert(r.getAs[String]("msg") == "this is not a syslog header")
-    assert(r.getAs[String]("hostname") == null)
+    assert(r.getAs[java.sql.Timestamp]("ts") == null)
+    assert(r.getAs[String]("hostname") == "this")
+    assert(r.getAs[String]("syslogtag") == "is")
+    assert(r.getAs[String]("msg") == " not a syslog header")
+    // tag-first without hostname: "xapi: ..." keeps hostname unset
+    val x = parse1("<27>xapi: [error|xen3] Connection to master died.")
+    assert(x.getAs[String]("hostname") == null)
+    assert(x.getAs[String]("syslogtag") == "xapi:")
+    assert(x.getAs[String]("programname") == "xapi")
+    assert(x.getAs[String]("msg") == " [error|xen3] Connection to master died.")
   }
 
-  test("RFC3164 year-after-timestamp heuristic") {
-    val r = parse1("<13>Mar  1 01:00:00 2024 host tag: m")
+  test("brace-headerless: spaces then '{' or '[' means all-MSG") {
+    val r = parse1("<14>  {\"json\": 1}")
+    assert(r.getAs[String]("hostname") == null)
+    assert(r.getAs[String]("syslogtag") == null)
+    assert(r.getAs[String]("msg") == "  {\"json\": 1}")
+  }
+
+  test("year-after-timestamp is an OPTION, default off (datetime.c:703)") {
+    // default: the year token becomes the hostname (parse1 corpus line
+    // "<6>AUG 10 22:18:24 2009  netips-warden2-p ...")
+    val d = parse1("<13>Mar  1 01:00:00 2024 host tag: m")
+    assert(d.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2003-03-01T01:00:00Z")
+    assert(d.getAs[String]("hostname") == "2024")
+    // with detect.yearAfterTimestamp="on": the year is consumed
+    val r = parse1("<13>Mar  1 01:00:00 2024 host tag: m", yearAfter = true)
     assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString
       == "2024-03-01T01:00:00Z")
     assert(r.getAs[String]("hostname") == "host")
   }
 
-  test("programname keeps slashes (prop-programname-with-slashes.sh)") {
-    // the reference's exact wire message and expected tag,programname pair
-    val r = parse1("<133>2011-03-01T11:22:12Z host tag/with/slashes msgh ...x")
+  test("programname slash handling (prop-programname-with-slashes.sh)") {
+    // default: '/' terminates programname (FreeBSD rule, msg.c)
+    val d = parse1("<133>2011-03-01T11:22:12Z host tag/with/slashes msgh ...x")
+    assert(d.getAs[String]("programname") == "tag")
+    assert(d.getAs[String]("syslogtag") == "tag/with/slashes")
+    // global(parser.PermitSlashInProgramname="on"): slashes kept — the
+    // reference test's exact wire message and expected pair
+    val r = parse1("<133>2011-03-01T11:22:12Z host tag/with/slashes msgh ...x",
+      slashProg = true)
     assert(r.getAs[String]("programname") == "tag/with/slashes")
     assert(r.getAs[String]("syslogtag") == "tag/with/slashes")
     assert(r.getAs[String]("hostname") == "host")
