@@ -36,11 +36,17 @@ object Sources {
       .otherwise(col(valueCol)))
 
   /** The standard decode pipeline: framed lines -> parsed LogEvent columns
-    * (parser chain ~= one expression, SURVEY S2.9). */
+    * (parser chain ~= one expression, SURVEY S2.9). Trailing-LF drop is
+    * inherent to the line sources; `dropTrailingCr` mirrors the opt-in
+    * parser.dropTrailingCrOnReception (runtime/parser.c:372, default off
+    * per glbl.c:1185 — pinned by tests/parser-drop-trailing-cr.sh). */
   def decodeSyslog(lines: DataFrame, valueCol: String = "value",
-                   defaultYear: Int = 2024): DataFrame =
+                   defaultYear: Int = 2024,
+                   dropTrailingCr: Boolean = false): DataFrame =
     lines
-      .withColumn("rawmsg", col(valueCol))
+      .withColumn("rawmsg",
+        if (dropTrailingCr) regexp_replace(col(valueCol), "\r$", "")
+        else col(valueCol))
       .withColumn("p", rainer.parse_syslog(col("rawmsg"), defaultYear))
       .select((lines.columns.filter(_ != valueCol).map(col) :+ col("rawmsg")) ++
         Seq("protocol_version", "pri", "facility", "severity", "ts", "hostname",

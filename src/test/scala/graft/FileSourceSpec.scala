@@ -33,6 +33,15 @@ class FileSourceSpec extends SparkSpec {
     assert(back.filter(col("value").rlike("^host\\d+ app\\[\\d+\\]: msgnum:")).count() == 100)
   }
 
+  test("dropTrailingCr mirrors parser.dropTrailingCrOnReception (default off)") {
+    import spark.implicits._
+    val lines = Seq("<13>Mar  1 01:00:00 h a: m\r").toDF("value")
+    val kept = Sources.decodeSyslog(lines).collect()(0)
+    assert(kept.getAs[String]("msg") == " m\r") // default: CR preserved
+    val dropped = Sources.decodeSyslog(lines, dropTrailingCr = true).collect()(0)
+    assert(dropped.getAs[String]("msg") == " m")
+  }
+
   test("dynafile ≡ partitioned write by computed columns") {
     val outDir = new java.io.File(
       Files.createTempDirectory("graft_dyna").toFile, "part")
