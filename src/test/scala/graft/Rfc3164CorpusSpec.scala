@@ -97,7 +97,14 @@ class Rfc3164CorpusSpec extends SparkSpec {
       "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
       "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA", ""),
     ("<14>2010-08-30T23:00:05Z X4711 ", 14, "Aug 30 23:00:05", "X4711", null, null, ""),
-    ("<14>2010-08-30T23:00:05Z X4711", 14, "Aug 30 23:00:05", "X4711", null, null, "")
+    ("<14>2010-08-30T23:00:05Z X4711", 14, "Aug 30 23:00:05", "X4711", null, null, ""),
+    // parsertest-parse-nodate.sh: no timestamp — parsing continues;
+    // hostname = receiver (null here) for the tag-first row, and the
+    // classic BSD mis-parse for the bare-text row
+    ("<27>xapi: [error|xen3|15|Guest liveness monitor D:bca30ab3f1c1|master_connection] Connection to master died. I will continue to retry indefinitely (suppressing future logging of this message)",
+      27, null, null, "xapi", "xapi:",
+      " [error|xen3|15|Guest liveness monitor D:bca30ab3f1c1|master_connection] Connection to master died. I will continue to retry indefinitely (suppressing future logging of this message)"),
+    ("This is a message!", 13, null, "This", "is", "is", " a message!")
   )
 
   test("parsertest-parse1 corpus: every row matches the reference EXPECTED table") {
