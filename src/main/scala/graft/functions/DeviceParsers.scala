@@ -263,7 +263,11 @@ object device {
 case class ControlCharExpr(child: Expression, mode: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
-  require(mode >= 0 && mode <= 3)
+  // modes 0-3: property-replacer drop/space/#DDD/#OOO (isISOControl);
+  // mode 4: reception sanitize — ONLY c < 32 escaped as #OOO octal
+  // (runtime/parser.c:441-499 SanitizeMsg default: EscapeCCOnRcv=1,
+  // prefix '#', DEL and 8-bit chars untouched)
+  require(mode >= 0 && mode <= 4)
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -289,12 +293,13 @@ object ControlCharExpr {
     var i = 0
     while (i < in.length) {
       val c = in.charAt(i)
-      if (Character.isISOControl(c)) mode match {
+      val isCtrl = if (mode == 4) c < ' ' else Character.isISOControl(c)
+      if (isCtrl) mode match {
         case 0 => // drop
         case 1 => sb.append(' ')
         case 2 => sb.append('#').append(('0' + c / 100).toChar)
           .append(('0' + (c / 10) % 10).toChar).append(('0' + c % 10).toChar)
-        case 3 => sb.append('#').append(('0' + ((c >> 6) & 7)).toChar)
+        case _ => sb.append('#').append(('0' + ((c >> 6) & 7)).toChar)
           .append(('0' + ((c >> 3) & 7)).toChar).append(('0' + (c & 7)).toChar)
       } else sb.append(c)
       i += 1

@@ -36,17 +36,30 @@ object Sources {
       .otherwise(col(valueCol)))
 
   /** The standard decode pipeline: framed lines -> parsed LogEvent columns
-    * (parser chain ~= one expression, SURVEY S2.9). Trailing-LF drop is
-    * inherent to the line sources; `dropTrailingCr` mirrors the opt-in
-    * parser.dropTrailingCrOnReception (runtime/parser.c:372, default off
-    * per glbl.c:1185 — pinned by tests/parser-drop-trailing-cr.sh). */
+    * (parser chain ~= one expression, SURVEY S2.9). Reception sanitize
+    * mirrors runtime/parser.c SanitizeMsg in the reference's default
+    * order: trailing-LF drop is inherent to the line sources;
+    * `dropTrailingCr` mirrors the opt-in
+    * parser.dropTrailingCrOnReception (parser.c:372, default off per
+    * glbl.c:1185 — tests/parser-drop-trailing-cr.sh); then control
+    * characters < 32 escape as '#'+octal (`escapeControlCharacters`,
+    * reference default ON per glbl.c:1186 — tab included, DEL and
+    * 8-bit chars untouched). */
   def decodeSyslog(lines: DataFrame, valueCol: String = "value",
                    defaultYear: Int = 2024,
-                   dropTrailingCr: Boolean = false): DataFrame =
+                   dropTrailingCr: Boolean = false,
+                   escapeControlCharacters: Boolean = true): DataFrame = {
+    val trimmed =
+      if (dropTrailingCr) regexp_replace(col(valueCol), "\r$", "")
+      else col(valueCol)
+    val sanitized =
+      if (escapeControlCharacters)
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.ControlCharExpr(
+            org.apache.spark.sql.GraftBridge.expression(trimmed), 4))
+      else trimmed
     lines
-      .withColumn("rawmsg",
-        if (dropTrailingCr) regexp_replace(col(valueCol), "\r$", "")
-        else col(valueCol))
+      .withColumn("rawmsg", sanitized)
       .withColumn("p", rainer.parse_syslog(col("rawmsg"), defaultYear))
       .select((lines.columns.filter(_ != valueCol).map(col) :+ col("rawmsg")) ++
         Seq("protocol_version", "pri", "facility", "severity", "ts", "hostname",
@@ -54,6 +67,7 @@ object Sources {
           "programname", "msg", "parsesuccess").map(f => col(s"p.$f").as(f)): _*)
       .withColumn("vars_msg", lit("{}"))
       .withColumn("vars_local", lit("{}"))
+  }
 
   /** omfile with dynafile semantics: the dynafile path template becomes
     * partition columns -- rsyslog's template-computed file path + LRU fd

@@ -33,13 +33,21 @@ class FileSourceSpec extends SparkSpec {
     assert(back.filter(col("value").rlike("^host\\d+ app\\[\\d+\\]: msgnum:")).count() == 100)
   }
 
-  test("dropTrailingCr mirrors parser.dropTrailingCrOnReception (default off)") {
+  test("reception sanitize: CR-drop option, control-char octal escaping default") {
     import spark.implicits._
     val lines = Seq("<13>Mar  1 01:00:00 h a: m\r").toDF("value")
+    // default: CR kept (drop is opt-in) and escaped #015 (EscapeCCOnRcv=1)
     val kept = Sources.decodeSyslog(lines).collect()(0)
-    assert(kept.getAs[String]("msg") == " m\r") // default: CR preserved
+    assert(kept.getAs[String]("msg") == " m#015")
     val dropped = Sources.decodeSyslog(lines, dropTrailingCr = true).collect()(0)
     assert(dropped.getAs[String]("msg") == " m")
+    // tab escapes as #011 (snare's wire format under default settings);
+    // 8-bit chars pass through (Escape8BitCharacters default off)
+    val tab = Seq("<13>Mar  1 01:00:00 h a: x\ty ü").toDF("value")
+    val t = Sources.decodeSyslog(tab).collect()(0)
+    assert(t.getAs[String]("msg") == " x#011y ü")
+    val ccoff = Sources.decodeSyslog(tab, escapeControlCharacters = false).collect()(0)
+    assert(ccoff.getAs[String]("msg") == " x\ty ü")
   }
 
   test("dynafile ≡ partitioned write by computed columns") {
