@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
-import java.time.{LocalDateTime, ZoneOffset, OffsetDateTime}
+import java.time.OffsetDateTime
 
 /** Single-pass syslog header parser covering RFC5424 and RFC3164 with
   * rsyslog's heuristics. One custom Catalyst expression replaces rsyslog's
@@ -119,7 +119,7 @@ object SyslogParseExpr {
 
     // ---- protocol detect: "1 " right after PRI → RFC5424 ----
     if (i + 1 < n && raw(i) == '1' && raw(i + 1) == ' ') {
-      parse5424(raw, i + 2, pri, facility, severity)
+      parse5424(raw, i + 2, pri, facility, severity, permitSlashProg)
     } else {
       parse3164(raw, i, pri, facility, severity, defaultYear,
         detectYearAfterTime, permitSlashProg)
@@ -137,7 +137,10 @@ object SyslogParseExpr {
     (raw.substring(s, i), i)
   }
 
-  private def parse5424(raw: String, start: Int, pri: Int, fac: Int, sev: Int): InternalRow = {
+  // permitSlashProg: the program-name '/' terminator is a GLOBAL parser
+  // setting (msg.c acquireProgramName), so it applies to RFC5424 too
+  private def parse5424(raw: String, start: Int, pri: Int, fac: Int, sev: Int,
+                        permitSlashProg: Boolean = false): InternalRow = {
     var i = start
     val n = raw.length
     val (tsStr, i1) = token(raw, i)
@@ -180,7 +183,7 @@ object SyslogParseExpr {
     InternalRow(1, pri, fac, sev,
       if (tsMicros == null) null else tsMicros.longValue(),
       utf8(nilNull(host)), utf8(appN), utf8(nilNull(procid)), utf8(nilNull(msgid)),
-      utf8(sd), utf8(tag), utf8(programName(appN)), utf8(msg), true)
+      utf8(sd), utf8(tag), utf8(programName(appN, permitSlashProg)), utf8(msg), true)
   }
 
   /** datetime.c ParseTIMESTAMP3164 re-expressed: optional 4-digit year
@@ -250,28 +253,36 @@ object SyslogParseExpr {
       }
     }
     // optional " YYYY" after the time (option, default off; NOT consumed
-    // when followed by more than a year token — datetime.c:703-716)
-    if (detectYearAfterTime && year == 0 && i + 5 <= n && raw(i) == ' ') {
+    // when followed by more than a year token — datetime.c:703-716).
+    // Boundaries replicate the reference exactly: lenStr > 5 to enter
+    // (so a year at end-of-string is NOT detected), lenStr > 6 for the
+    // must-be-space-after check (a single trailing char after the year
+    // skips it — the later "good time" check then adjudicates).
+    if (detectYearAfterTime && year == 0 && i + 5 < n && raw(i) == ' ') {
       var y = 0
       var j = 1
-      var okY = true
-      while (j < 5 && okY) {
-        if (raw(i + j).isDigit) { y = y * 10 + (raw(i + j) - '0'); j += 1 }
-        else okY = false
+      while (j < 5 && raw(i + j) >= '0' && raw(i + j) <= '9') {
+        y = 10 * y + (raw(i + j) - '0'); j += 1
       }
-      if (okY && i + 5 < n && raw(i + 5) != ' ') okY = false
-      if (okY && y >= 2000 && y < 2100) i += 5
-      else y = 0
-      if (y != 0) year = y
+      if (i + 6 < n && raw(i + 5) != ' ') y = 0
+      if (y >= 2000 && y < 2100) { year = y; i += 5 }
     }
     if (i < n && raw(i) == ':') i += 1 // stray ':' after the date (Cisco)
     if (i < n) {
       if (raw(i) != ' ') return null // not a space → not a "good" time
       i += 1
     }
+    // Epoch via cumulative-day arithmetic, NO calendar validation —
+    // the reference (datetime.c syslogTime2time_t:1017-1101) only
+    // range-checks fields, so "Feb 30" overflows into March and the
+    // leap-second ss=60 rolls into the next minute; a calendar-strict
+    // LocalDateTime.of would throw and wrongly fail the whole row.
+    // LocalDate.of(y, mon, 1) never throws (mon is 1-12 from the month
+    // map, y range-checked 1970-2100 or the defaultYear).
     val y = if (year > 0) year else defaultYear
-    val ldt = LocalDateTime.of(y, mon, day, hour, minute, second)
-    var micros = ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L
+    val epochSecs = (java.time.LocalDate.of(y, mon, 1).toEpochDay +
+        (day - 1)) * 86400L + hour * 3600L + minute * 60L + second
+    var micros = epochSecs * 1000000L
     if (fracDigits > 0) {
       var f = frac
       var d = fracDigits
@@ -348,10 +359,14 @@ object SyslogParseExpr {
       i = if (hEnd == n) hEnd else hEnd + 1
     }
     // TAG: everything up to ':' (part of the TAG, consumed) or SP (NOT
-    // consumed — it is MSG content); no length cap (removed 2008-04-04)
+    // consumed — it is MSG content); the RFC's 32-char cap was removed
+    // 2008-04-04 but the scan still stops at CONF_TAG_MAXSIZE-2 = 510
+    // bytes (pmrfc3164.c:472, rsyslog.h:200) — an over-long token is
+    // split: first 510 chars become TAG, the remainder is MSG (unless
+    // char 510 is ':' which still terminates-and-joins the TAG)
     val tagStart = i
     var j = i
-    while (j < n && raw(j) != ':' && raw(j) != ' ') j += 1
+    while (j < n && raw(j) != ':' && raw(j) != ' ' && j - tagStart < 510) j += 1
     var tag: String = null
     if (j < n && raw(j) == ':') {
       tag = raw.substring(tagStart, j + 1)

@@ -67,33 +67,48 @@ object StreamGate {
     * shuffle partition count is frozen into the checkpoint at first
     * start, and 32 state stores each committing delta files per batch
     * is pure fixed overhead at verification scale (production sizes
-    * this knob to keyspace/volume; the gate's keyspace is tiny). Scoped
-    * set-and-restore around start() — the planning of THIS query reads
-    * it; the post-gate batch aggregation runs at the session default.
+    * this knob to keyspace/volume; the gate's keyspace is tiny). The
+    * count is pinned PER QUERY by planning in a cloned session with its
+    * own SQLConf — the shared session's conf is never mutated, so
+    * concurrent planning elsewhere can't observe a transient value
+    * (the former set-and-restore around start() was racy).
     */
   def run(df: DataFrame, outputMode: String = "append"): DataFrame = {
     val name = s"graft_stream_${ctr.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_")
     val spark = df.sparkSession
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    val q =
+    // clone shares the SparkContext + catalog but owns an isolated
+    // SQLConf; the bounded gate query plans against the clone's conf
+    val gate = spark.newSession()
+    gate.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    gate.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+    // hand the already-analyzed plan across sessions via a global temp
+    // view (the only public cross-session channel)
+    val vname = s"${name}_src"
+    df.createOrReplaceGlobalTempView(vname)
+    val out =
       try {
-        spark.conf.set("spark.sql.shuffle.partitions",
-          math.min(8, prevShuffle.toInt).toString)
-        df.writeStream.queryName(name).outputMode(outputMode)
+        val q = gate.table(s"global_temp.$vname")
+          .writeStream.queryName(name).outputMode(outputMode)
           .format("memory")
           .option("checkpointLocation", ckpt.toString)
           .trigger(Trigger.AvailableNow())
           .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try q.awaitTermination()
-    finally {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      try Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case _: java.io.IOException => } // best-effort reap
-    }
-    df.sparkSession.table(name)
+        try q.awaitTermination()
+        finally {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          try Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          catch { case _: java.io.IOException => } // best-effort reap
+        }
+        gate.table(name)
+      } finally spark.catalog.dropGlobalTempView(vname)
+    // re-home the sink contents into the caller's session so downstream
+    // batch composition never mixes sessions; the memory sink already
+    // holds all rows on the driver, so this copies no extra data
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

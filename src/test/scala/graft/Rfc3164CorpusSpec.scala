@@ -121,6 +121,43 @@ class Rfc3164CorpusSpec extends SparkSpec {
     }
   }
 
+  test("parsertest-parse2: snare-style '#001' token is TAG, not hostname") {
+    // tests/parsertest-parse2.sh: '#' is not a hostname char, so the
+    // token stays TAG/MSG and hostname falls back to the receiver
+    // (localHostname there; null here). #011 in the .sh = a real TAB.
+    val body = "MSWinEventLog 0\tSecurity\t19023582\tFri Oct 16 16:30:44 " +
+      "2009\t592\tSecurity\trgabcde\tUser\tSuccess Audit\tXSXSXSN01\t" +
+      "Detailed Tracking\t\t2572\t19013885"
+    val r = parse(s"<175>Oct 16 23:47:31 #001 $body")
+    assert(r.getAs[Int]("pri") == 175)
+    assert(r.getAs[Int]("facility") == 21)  // local5
+    assert(r.getAs[Int]("severity") == 7)   // debug
+    assert(r.getAs[String]("ts3164") == "Oct 16 23:47:31")
+    assert(r.getAs[String]("hostname") == null)
+    assert(r.getAs[String]("programname") == "#001")
+    assert(r.getAs[String]("syslogtag") == "#001")
+    assert(r.getAs[String]("msg") == s" $body")
+  }
+
+  test("parsertest-parse3: Cisco year-in-hour-position rows render csv fields") {
+    // tests/parsertest-parse3.sh: "Oct 16 2009 23:47:31" — the year sits
+    // where the hour would be; both rows share everything but [procid]
+    val r1 = parse("<175>Oct 16 2009 23:47:31 hostname tag This is a message")
+    assert(r1.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2009-10-16T23:47:31Z")
+    assert(r1.getAs[String]("hostname") == "hostname")
+    assert(r1.getAs[String]("programname") == "tag")
+    assert(r1.getAs[String]("syslogtag") == "tag")
+    assert(r1.getAs[String]("procid") == null)
+    assert(r1.getAs[Int]("severity") == 7)
+    assert(r1.getAs[String]("msg") == " This is a message")
+    val r2 = parse("<175>Oct 16 2009 23:47:31 hostname tag[1234] This is a message")
+    assert(r2.getAs[String]("syslogtag") == "tag[1234]")
+    assert(r2.getAs[String]("programname") == "tag")
+    assert(r2.getAs[String]("procid") == "1234")
+    assert(r2.getAs[String]("msg") == " This is a message")
+  }
+
   test("offset timestamp row: instant preserved (our UTC normalization)") {
     // "<165>1 2003-08-24T05:14:15.000003-07:00 ..." — rsyslog renders the
     // original -07:00 local time; we normalize to a UTC instant

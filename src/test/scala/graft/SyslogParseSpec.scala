@@ -122,6 +122,59 @@ class SyslogParseSpec extends SparkSpec {
       == "2011-03-01T11:22:12Z")
   }
 
+  test("calendar-invalid timestamps do NOT fail the row (datetime.c range-check-only)") {
+    // the reference's syslogTime2time_t (datetime.c:1017-1101) converts
+    // via a cumulative-day table with no month-length check: Feb 30
+    // overflows into March, Apr 31 into May, ss=60 into the next minute
+    val feb30 = parse1("<13>Feb 30 12:00:00 host tag: m")
+    assert(feb30.getAs[Boolean]("parsesuccess"))
+    assert(feb30.getAs[String]("hostname") == "host")
+    assert(feb30.getAs[String]("syslogtag") == "tag:")
+    assert(feb30.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2003-03-02T12:00:00Z") // 2003 non-leap: Feb 30 ≡ Mar 2
+    val leap = parse1("<13>Mar  1 01:00:60 host tag: m")
+    assert(leap.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2003-03-01T01:01:00Z") // leap second rolls forward
+    assert(leap.getAs[String]("hostname") == "host")
+    val apr31 = parse1("<13>Apr 31 12:00:00 host tag: m")
+    assert(apr31.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2003-05-01T12:00:00Z")
+    val feb29 = parse1("<13>Feb 29 2023 12:00:00 host tag: m")
+    assert(feb29.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2023-03-01T12:00:00Z") // non-leap Feb 29 ≡ Mar 1
+    assert(feb29.getAs[String]("hostname") == "host")
+    assert(feb29.getAs[String]("msg") == " m")
+  }
+
+  test("TAG scan caps at CONF_TAG_MAXSIZE-2 = 510 chars (pmrfc3164.c:472)") {
+    val tok = "A" * 600
+    val r = parse1(s"<13>Oct 11 22:14:15 myhost $tok")
+    assert(r.getAs[String]("syslogtag") == "A" * 510)
+    assert(r.getAs[String]("msg") == "A" * 90) // remainder is MSG content
+    // a ':' exactly at the cap still terminates-and-joins the TAG
+    val r2 = parse1(s"<13>Oct 11 22:14:15 myhost ${"B" * 510}: rest")
+    assert(r2.getAs[String]("syslogtag") == "B" * 510 + ":")
+    assert(r2.getAs[String]("msg") == " rest")
+  }
+
+  test("permitSlashInProgramname applies to RFC5424 too (msg.c global)") {
+    val raw = "<34>1 2003-10-11T22:14:15Z host app/sub 77 - - body"
+    val d = parse1(raw)
+    assert(d.getAs[String]("programname") == "app")
+    val r = parse1(raw, slashProg = true)
+    assert(r.getAs[String]("programname") == "app/sub")
+    assert(r.getAs[String]("syslogtag") == "app/sub[77]")
+  }
+
+  test("year-after-timestamp at end of string is NOT detected (lenStr > 5)") {
+    // datetime.c:703 requires more than 5 remaining chars, so a bare
+    // trailing " YYYY" stays unconsumed even with the option on
+    val r = parse1("<13>Mar  1 01:00:00 2024", yearAfter = true)
+    assert(r.getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2003-03-01T01:00:00Z")
+    assert(r.getAs[String]("hostname") == "2024")
+  }
+
   test("structured data to JSON") {
     val sd = "[tcpflood@32473 MSGNUM=\"00000001\" X=\"a\\\"b\"][other k=\"v\"]"
     val j = Seq(sd).toDF("sd")
