@@ -666,9 +666,19 @@ object Queries {
     // (min-label propagation over the exact n-gram pairs, so the whole
     // chain is oracle-verifiable via a recursive CTE)
     "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      // canonical composition: exact dedup → near-dup verify → cluster
+      // representatives → expand members back (a dup group whose rep is
+      // unclustered still forms its own cluster, labeled by the rep)
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         blockCol = "lang", n = 3, minJaccard = 0.5)
-      Dedup.clusters(pairs)
+      val repLabels = Dedup.clusters(pairs)
+      val members = Dedup.textMembers(docs, "doc_id", "text", "lang")
+      members.join(repLabels, members("rep") === repLabels("doc"), "left")
+        .select(members("doc"),
+          coalesce(repLabels("cluster"),
+            when(members("grp_n") >= 2, members("rep"))).as("cluster"))
+        .filter(col("cluster").isNotNull)
     }),
 
     // exact n-gram Jaccard pairs (inverted-index verify path)
@@ -2024,10 +2034,14 @@ object Queries {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dedup_ngram" ->
-      """WITH toks AS (
+      """WITH grp AS ( -- engine's preDedup: one rep per identical lowered text
+        |  SELECT doc_id, lang, text,
+        |    min(doc_id) OVER (PARTITION BY lang, lower(text)) AS rep
+        |  FROM documents),
+        |toks AS (
         |  SELECT doc_id, lang,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-        |  FROM documents),
+        |  FROM grp WHERE doc_id = rep),
         |sh AS (
         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
         |    range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
@@ -2049,10 +2063,15 @@ object Queries {
         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
 
     "dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
+      """WITH RECURSIVE grp AS ( -- engine's preDedup + member map
+        |  SELECT doc_id, lang, text,
+        |    min(doc_id) OVER (PARTITION BY lang, lower(text)) AS rep,
+        |    count(*) OVER (PARTITION BY lang, lower(text)) AS grp_n
+        |  FROM documents),
+        |toks AS (
         |  SELECT doc_id, lang,
         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
-        |  FROM documents),
+        |  FROM grp WHERE doc_id = rep),
         |sh AS (
         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
         |    range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS s
@@ -2077,9 +2096,15 @@ object Queries {
         |reach AS (
         |  SELECT a, b FROM edges
         |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc, least(a, min(b)) AS cluster
-        |FROM reach GROUP BY a""".stripMargin,
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (
+        |  SELECT a AS doc, least(a, min(b)) AS cluster
+        |  FROM reach GROUP BY a)
+        |SELECT g.doc_id AS doc,
+        |  coalesce(l.cluster, CASE WHEN g.grp_n >= 2 THEN g.rep END) AS cluster
+        |FROM grp g LEFT JOIN labels l ON l.doc = g.rep
+        |WHERE coalesce(l.cluster, CASE WHEN g.grp_n >= 2 THEN g.rep END)
+        |  IS NOT NULL""".stripMargin,
 
     // multi-probe LSH fully oracled: the deterministic plane matrix embeds
     // as SQL literals (see Similarity.lshOracleSql)

@@ -362,22 +362,71 @@ object Dedup {
     labels
   }
 
+  /** Exact-text group map for the dedup-before-near-dup composition:
+    * one row per doc with its group representative (min id among docs
+    * with byte-identical lowered text in the same block) and group size.
+    * The key is lowered text itself, NOT the punctuation-stripping
+    * canonical fingerprint — identical lowered text implies an identical
+    * shingle set (shingles are lowered-whitespace-token n-grams), which
+    * is what makes representative-only pair verification sound; fp-equal
+    * docs can still shingle differently. One map-side-combinable shuffle.
+    */
+  def textGroups(df: DataFrame, idCol: String, textCol: String,
+                 blockCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        col(textCol).as("t"))
+      .groupBy(col("blk"), md5(lower(col("t"))).as("g"))
+      .agg(min(struct(col("doc"), col("t"))).as("m"),
+        count(lit(1)).as("grp_n"))
+      .select(col("m.doc").as("rep"), col("blk"), col("m.t").as("t"),
+        col("grp_n"))
+
+  /** Member-level companion to textGroups: every doc mapped to its
+    * group representative and group size (one window shuffle, no join
+    * back to the corpus). Drives the expand-members-after-clustering
+    * step of the canonical dedup composition. */
+  def textMembers(df: DataFrame, idCol: String, textCol: String,
+                  blockCol: String): DataFrame = {
+    val w = Window.partitionBy(col("blk"), col("g"))
+    df.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+        md5(lower(col(textCol))).as("g"))
+      .withColumn("rep", min(col("doc")).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .select(col("doc"), col("rep"), col("grp_n"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs within a blocking key (lang):
     * inverted index on shingles → pair intersection counts → Jaccard.
     * The blocking column bounds bucket fan-out so the shingle self-join
     * stays linear-ish at scale; this is the *verifier*, LSH is the filter.
+    *
+    * Composition order matters on a dup-dense corpus (the expected input
+    * at crawl scale): exact duplicates share every shingle, so a group of
+    * d copies would fill buckets with d(d-1)/2 jaccard-1.0 pairs plus d
+    * copies of every cross pair — work the exact-dedup layer removes for
+    * free. `preDedup` (default on) therefore collapses byte-identical
+    * lowered text to one representative BEFORE the inverted index, and
+    * pairs are emitted between representatives only (run textGroups to
+    * map members back when group-level pairs are needed).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         minJaccard: Double = 0.8,
-                        maxBucket: Int = 1024): DataFrame = {
+                        maxBucket: Int = 1024,
+                        preDedup: Boolean = true): DataFrame = {
+    val src =
+      if (preDedup)
+        textGroups(df, idCol, textCol, blockCol)
+          .select(col("rep").as("doc"), col("blk"), col("t"))
+      else
+        df.select(col(idCol).as("doc"), col(blockCol).as("blk"),
+          col(textCol).as("t"))
     // each shingle row carries the owner's set size, so |A∪B| is known the
     // moment an intersection count exists — no sizes join, no cache, and
-    // exactly two shuffles: the shingle groupBy and the pair groupBy
-    val sh = df
+    // two shuffles past the dedup: the shingle groupBy and the pair groupBy
+    val sh = src
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc"), col(blockCol).as("blk"),
-        shingles(col(textCol), n).as("sharr"))
+      .select(col("doc"), col("blk"), shingles(col("t"), n).as("sharr"))
       .select(col("doc"), col("blk"), size(col("sharr")).as("sz"),
         explode(col("sharr")).as("s"))
     bucketPairs(sh, Seq(col("blk"), col("s")),

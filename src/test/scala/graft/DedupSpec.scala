@@ -67,6 +67,42 @@ class DedupSpec extends SparkSpec {
     assert(local(7L) == 7L && local(8L) == 7L)
   }
 
+  test("ngram verify pre-dedups exact copies; members expand to rep clusters") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, "en", base),
+      (2L, "en", base),                       // exact copy of 1
+      (3L, "en", base.toUpperCase),           // copy modulo case
+      (4L, "en", base.replace("zeta", "Z")),  // genuine near-dup of 1
+      (5L, "en", "unrelated words entirely different from the others " +
+                 "nothing shared here at all truly distinct content"),
+      (6L, "en", "lone duplicate pair text with its own unique tokens " +
+                 "spread over enough words to shingle cleanly right"),
+      (7L, "en", "lone duplicate pair text with its own unique tokens " +
+                 "spread over enough words to shingle cleanly right")
+    ).toDF("doc_id", "lang", "text")
+    // pairs are between representatives only: (1,4), never (2,4)/(3,4)
+    // or the jaccard-1.0 pairs (1,2)(1,3)(2,3)(6,7)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "lang",
+      n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 4L)))
+    // member expansion (the dedup_clusters composition): copies 2 and 3
+    // inherit rep 1's cluster; the pair-less dup group {6,7} forms its
+    // own cluster labeled by its rep
+    val members = Dedup.textMembers(docs, "doc_id", "text", "lang")
+    val repLabels = Dedup.clusters(Dedup.ngramJaccardPairs(docs, "doc_id",
+      "text", "lang", n = 3, minJaccard = 0.5))
+    val cl = members.join(repLabels, members("rep") === repLabels("doc"), "left")
+      .select(members("doc"),
+        coalesce(repLabels("cluster"),
+          when(members("grp_n") >= 2, members("rep"))).as("cluster"))
+      .filter(col("cluster").isNotNull)
+      .as[(Long, Long)].collect().toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 6L -> 6L, 7L -> 6L))
+  }
+
   test("simhash banding catches small hamming distances") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
