@@ -34,21 +34,26 @@ object Bench {
     xs.map(x => f"$x%.3f").mkString("[", ",", "]")
 
   /** sf1 rehearsal corpus: 10 shards of the sf0.1 documents/embeddings/
-    * events tables with remapped ids. Cross-shard copies differ by one
-    * trailing token (docs) / a small vector shift (embeddings), so every
-    * document has ~10 near-identical variants — the crawl-duplication
-    * shape whose hot buckets the capped LSH generators must absorb.
-    * Cached under /tmp; events keep the LONG-nanos ts convention. */
+    * events tables with remapped ids. Doc shards 0-3 are EXACT copies
+    * (byte-identical text) and shards 4-9 differ by one trailing token,
+    * so every document has 4 exact duplicates plus 6 near-identical
+    * variants — the crawl-duplication shape: the exact mass exercises
+    * the dedup-before-verify composition (preDedup collapses it), the
+    * near mass exercises the capped LSH/bucket generators. Embeddings
+    * get a small per-shard vector shift. Cached under /tmp; events keep
+    * the LONG-nanos ts convention. */
   private def synthesizeSf1(spark: SparkSession, sfDir: String,
                             shards: Int = 10): String = {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_sf1"
-    val marker = new java.io.File(out, "_SYNTH_DONE")
+    // versioned marker: bumping it invalidates caches synthesized with an
+    // older corpus shape (v2 = exact-copy shards + lineitem/nation)
+    val marker = new java.io.File(out, "_SYNTH_DONE_v2")
     if (!marker.exists()) {
       val sh = spark.range(shards).select(col("id").as("shard"))
       Tables.documents(spark, sfDir).crossJoin(sh).select(
         (col("doc_id") + col("shard") * 100000000L).as("doc_id"),
-        when(col("shard") === 0, col("text"))
+        when(col("shard") <= 3, col("text"))
           .otherwise(concat(col("text"), lit(" shard"), col("shard"))).as("text"),
         col("lang"), col("source"), col("n_chars"))
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -75,24 +80,32 @@ object Bench {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       new java.io.File(evTmp).listFiles().foreach(_.delete())
       new java.io.File(evTmp).delete()
+      // lineitem ×shards with remapped order keys (q1_agg is a scan-agg,
+      // but keep keys disjoint anyway); nation is a 25-row dim — copied
+      // unscaled, as a real deployment would
+      Tables.lineitem(spark, sfDir).crossJoin(sh).select(
+        (col("l_orderkey") + col("shard") * 1000000000L).as("l_orderkey") +:
+        Tables.lineitem(spark, sfDir).columns.filter(_ != "l_orderkey")
+          .map(col).toSeq: _*)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/nation.parquet"),
+        java.nio.file.Paths.get(s"$out/nation.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       marker.createNewFile()
     }
     out
   }
 
-  /** One bench pass at the synthesized sf1 scale for the families whose
-    * 100 TB behavior the judge flagged as unrehearsed: dedup/ANN + the
-    * streaming state-store gate + two scan-bound text queries. Single
-    * trial each (the medians come from the main sf0.1 loop); the point is
-    * no-OOM/no-pathology completion and the timing curve vs sf0.1. */
+  /** One bench pass of the FULL query suite at the synthesized sf1
+    * scale — every operator family (parse/template/stream/dedup/ANN/
+    * text) gets a recorded data point one decade above verification
+    * scale, so a scale cliff in any family surfaces here instead of in
+    * production. Single trial each (the medians come from the main
+    * sf0.1 loop); the point is no-OOM/no-pathology completion and the
+    * timing curve vs sf0.1. */
   private def sf1Section(spark: SparkSession, sfDir: String): String = {
-    val names = Seq(
-      "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-      "dedup_clusters", "emb_neardup", "ann_cosine", "ann_lsh", "ann_ivf",
-      "langid", "text_quality", "stream_dynstats", "stream_ratelimit",
-      "llm_prep", "sample_stratified", "session_window",
-      "dedup_canonical", "text_repetition", "stream_perctile",
-      "decontaminate", "emb_stats", "stream_llm_prep")
+    val names = SparkEntry.queries.keys.toSeq.sorted
     val sf1Dir = synthesizeSf1(spark, sfDir)
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
@@ -254,7 +267,10 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench:sf1] section failed: ${e.getMessage}"); ""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,$ratioJson$sf1Json}""")
+    val trialStats = "{\"median\":" + f"$trialMed%.0f" + ",\"mad\":" +
+      f"$trialMad%.0f" + ",\"trials\":" +
+      trialRates.map(r => f"$r%.0f").mkString("[", ",", "]") + "}"
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$ratioJson$sf1Json}""")
     spark.stop()
   }
 }

@@ -141,6 +141,44 @@ object Queries {
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
     }),
 
+    // §2.1 timezone() objects: configured offsets resolve the symbolic
+    // zone ids parse_time_localtz receives (runtime/timezones.c,
+    // grammar/rainerscript.h:52) — script text + config objects only
+    "timezone_localtz" -> ((s, dir) => {
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        """timezone(id="CET" offset="+01:00")
+          |timezone(id="EST" offset="-05:00")
+          |set $.cet = parse_time_localtz($t3339, "CET");
+          |set $.est = parse_time_localtz($t3339, "EST");
+          |""".stripMargin)
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+        .withColumn("t3339", date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+      val res = cfg.run(ev)
+      res.output.select(col("event_id"),
+        get_json_object(col("vars_local"), "$.cet").cast("long").as("cet"),
+        get_json_object(col("vars_local"), "$.est").cast("long").as("est"))
+    }),
+
+    // §2.1 foreach body action(): the action fires once PER ELEMENT with
+    // that element's variable state (runtime/ruleset.c:310-401 executes
+    // the body's statements per iteration) — the exploded capture via
+    // CompiledAction.frameOverride is the batch face of that
+    "foreach_action" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+        .select(col("event_id"), col("hostname"), col("event_type"))
+      val script =
+        """foreach ($.w in split($event_type, "u")) do {
+          |  if $.w != "" then {
+          |    set $.line = $hostname & ":" & $.w;
+          |    action(type="omfile" file="/fragments.log")
+          |  }
+          |}
+          |""".stripMargin
+      val res = graft.rainerscript.RainerCompiler.run(script, ev)
+      res.actionFrame(0).select(col("event_id"),
+        get_json_object(col("vars_local"), "$.line").as("line"))
+    }),
+
     // §2.6 lookup table (string type) — broadcast-map enrichment
     "lookup_string" -> ((s, dir) => {
       val tbl = StringLookup(
@@ -314,22 +352,31 @@ object Queries {
         col("__rendered").as("line"))
     }),
 
-    // stock-config front-end e2e: an unmodified distro-style rsyslog.conf
-    // (module/input/global/main_queue objects, legacy $-directives,
-    // selector lines with file/fwd/usrmsg targets, '&' continuation)
-    // parses and drives the pipeline; output = routed count per action,
-    // computed in ONE aggregation over the compiled frame's frozen
-    // per-action condition columns (no per-action re-scan)
+    // stock-config front-end e2e, ACTIVATED: an unmodified distro-style
+    // rsyslog.conf (module/input/global/main_queue objects, legacy
+    // $-directives, selector lines with file/fwd/usrmsg targets, '&'
+    // continuation) parses and BINDS — the synthesized syslog stream is
+    // first materialized as real text files, then the config's own
+    // input(type="imfile") reads it back through activate() (reference
+    // activation pass, tools/rsyslogd.c:885-929): config text → bound
+    // file input → ruleset → action counts, no hand-built frame. Output
+    // = routed count per action, ONE aggregation over the compiled
+    // frame's frozen per-action condition columns (no per-action re-scan)
     "config_e2e" -> ((s, dir) => {
+      val spool = s"/tmp/graft_config_e2e_${math.abs(dir.hashCode)}"
+      synthSyslog(s, dir).select(col("rawmsg"))
+        .coalesce(1).write.mode("overwrite").text(spool)
       val conf =
-        """module(load="imuxsock")
+        s"""module(load="imuxsock")
           |module(load="imklog" permitnonkernelfacility="on")
-          |$ModLoad immark
+          |module(load="imfile")
+          |$$ModLoad immark
+          |input(type="imfile" file="$spool/part-*" tag="e2e:" needparse="on")
           |global(workDirectory="/var/spool/rsyslog")
           |main_queue(queue.size="100000")
-          |$ActionFileDefaultTemplate RSYSLOG_TraditionalFileFormat
-          |$RepeatedMsgReduction on
-          |$FileOwner root
+          |$$ActionFileDefaultTemplate RSYSLOG_TraditionalFileFormat
+          |$$RepeatedMsgReduction on
+          |$$FileOwner root
           |auth,authpriv.*    /var/log/auth.log
           |*.*;auth,authpriv.none    -/var/log/syslog
           |cron.*    /var/log/cron.log
@@ -342,13 +389,11 @@ object Queries {
       val cfg = graft.rainerscript.RsyslogConfig.parse(conf)
       require(cfg.hasModule("imuxsock") && cfg.hasModule("immark") &&
         cfg.globals("fileowner") == "root", "stock config surface missing")
-      val ev = synthSyslog(s, dir).select(
-        col("event_id"), col("facility"), col("severity"), col("ts"),
-        col("hostname"),
-        concat(col("event_type"), lit("["), col("event_id"), lit("]")).as("syslogtag"),
-        concat(lit("msgnum:"), lpad(col("event_id"), 8, "0"),
-          lit(": v100="), col("v100")).as("msg"))
-      val res = cfg.run(ev)
+      require(cfg.inputs.exists(_.get("type").contains("imfile")),
+        "input() object missing")
+      // "" = the default/main ruleset the file input is bound to
+      val res = cfg.activate(s,
+        now = to_timestamp(lit("2024-01-01 00:00:00")))("")
       val names = Seq("n_auth", "n_syslog", "n_cron", "n_kern", "n_mailerr",
         "n_emerg", "n_mailfwd")
       require(res.actions.length == names.length, "action count drifted")
@@ -919,9 +964,13 @@ object Queries {
         (0x60000000L, 0x9FFFFFFFL, "arin"),
         (0xA0000000L, 0xBFFFFFFFL, "lacnic"),
         (0xD0000000L, 0xFFFFFFFFL, "afrinic")).toDF("lo", "hi", "geo")
+      // ids mask to 16 bits BEFORE the multiply: big-id corpora (the sf1
+      // shard remap pushes event_id past 10^9) would overflow the long
+      // multiply under ANSI mode; the masked mix stays < 2^48
       val ev = Tables.events(s, dir)
         .withColumn("ipn",
-          (col("user_id") * 7777777L + col("event_id") * 2654435761L) % 4294967296L)
+          ((col("user_id") % 65536L) * 7777777L +
+            (col("event_id") % 65536L) * 2654435761L) % 4294967296L)
       ev.join(broadcast(ranges),
           col("ipn") >= col("lo") && col("ipn") <= col("hi"), "left")
         .withColumn("geo", coalesce(col("geo"), lit("unknown")))
@@ -1674,6 +1723,19 @@ object Queries {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
         |) WHERE word <> '' GROUP BY 1""".stripMargin,
 
+    "timezone_localtz" ->
+      """SELECT event_id,
+        |  epoch_ns(ts) // 1000000000 - 3600 AS cet,
+        |  epoch_ns(ts) // 1000000000 + 18000 AS est
+        |FROM events""".stripMargin,
+
+    "foreach_action" -> (Queries.synthSql +
+      """ SELECT event_id, hostname || ':' || w AS line
+        | FROM (SELECT event_id, hostname,
+        |         unnest(string_split(event_type, 'u')) AS w
+        |       FROM ev)
+        | WHERE w <> ''""".stripMargin),
+
     "lookup_string" ->
       """SELECT CASE event_type
         |    WHEN 'error' THEN 'E' WHEN 'signup' THEN 'S'
@@ -2278,7 +2340,8 @@ object Queries {
 
     "geo_enrich" ->
       """WITH e AS (
-        |  SELECT (user_id * 7777777 + event_id * 2654435761) % 4294967296 AS ipn
+        |  SELECT ((user_id % 65536) * 7777777
+        |          + (event_id % 65536) * 2654435761) % 4294967296 AS ipn
         |  FROM events)
         |SELECT CASE
         |    WHEN ipn <= 536870911 THEN 'apnic'

@@ -29,8 +29,16 @@ import graft.templates.TemplateCompiler
   */
 object RainerCompiler {
 
+  /** `frameOverride`: an action whose sequence point sits inside a
+    * foreach body fires once PER ELEMENT (runtime/ruleset.c:310-401
+    * executes arbitrary statements per iteration), so it captures the
+    * exploded frame as of its sequence point — the post-loop collapse
+    * keeps one row per pre-loop record and cannot represent per-element
+    * firings. actionFrame() reads the override; aggregating such an
+    * action's condCol over the FINAL frame would count element 0 only. */
   case class CompiledAction(index: Int, params: Map[String, String],
-                            condCol: String, renderCol: Option[String])
+                            condCol: String, renderCol: Option[String],
+                            frameOverride: Option[DataFrame] = None)
 
   /** A dyn_inc / percentile_observe call site captured at compile time:
     * the key/value expressions plus the frozen path condition under which
@@ -92,7 +100,7 @@ object RainerCompiler {
       * leak in). */
     def actionFrame(i: Int): DataFrame = {
       val a = actions(i)
-      val base = frame.filter(col(a.condCol))
+      val base = a.frameOverride.getOrElse(frame).filter(col(a.condCol))
       val rendered = a.renderCol match {
         case Some(rc) => base.withColumn("__rendered", col(rc))
         case None => base
@@ -123,7 +131,8 @@ object RainerCompiler {
 
   def compileExpr(e: RExpr, tables: Map[String, LookupTable],
                   templates: Map[String, String] = Map.empty,
-                  rec: CounterRecorder = null): Column = {
+                  rec: CounterRecorder = null,
+                  timezones: Map[String, String] = Map.empty): Column = {
     def go(e: RExpr): Column = e match {
       case RStr(s) => lit(s)
       case RNum(n) => lit(n)
@@ -161,7 +170,8 @@ object RainerCompiler {
         lower(go(l).cast("string")).startsWith(lower(go(r).cast("string")))
       case RBinop("endswith", l, r) => go(l).cast("string").endsWith(go(r).cast("string"))
       case RBinop(op, _, _) => throw new IllegalArgumentException(s"op $op")
-      case RFunc(name, args) => compileFunc(name, args, tables, templates, go, rec)
+      case RFunc(name, args) =>
+        compileFunc(name, args, tables, templates, go, rec, timezones)
     }
     def toBool(e: RExpr): Column = e match {
       case RBinop("and" | "or" | "==" | "!=" | "<>" | "<" | "<=" | ">" | ">=" |
@@ -179,7 +189,8 @@ object RainerCompiler {
                           tables: Map[String, LookupTable],
                           templates: Map[String, String],
                           go: RExpr => Column,
-                          rec: CounterRecorder = null): Column = {
+                          rec: CounterRecorder = null,
+                          timezones: Map[String, String] = Map.empty): Column = {
     def a(i: Int): Column = go(args(i))
     def s(i: Int): String = args(i) match {
       case RStr(x) => x
@@ -245,7 +256,11 @@ object RainerCompiler {
       case "tocef" =>
         rainer.tocef(a(0), a(1), a(2), a(3), a(4), a(5), a(6))
       case "parse_time_localtz" =>
-        if (args.length > 1) rainer.parse_time_localtz(a(0), s(1))
+        // configured timezone(id= offset=) objects resolve symbolic ids
+        // to their offsets (runtime/timezones.c glblFindTimezone —
+        // config table first, else the literal zone string)
+        if (args.length > 1)
+          rainer.parse_time_localtz(a(0), timezones.getOrElse(s(1), s(1)))
         else rainer.parse_time(a(0)) // session TZ is UTC
       // append_json(src, dst): expression form returns the merged tree
       // (the reference mutates dst in place, grammar/rainerscript.c:3614)
@@ -319,13 +334,15 @@ object RainerCompiler {
   /** Compile and apply a script to a DataFrame. */
   def run(src: String, input: DataFrame,
           tables: Map[String, LookupTable] = Map.empty,
-          templates: Map[String, String] = Map.empty): ScriptResult =
-    runStmts(RainerParser.parseScript(src), input, tables, templates)
+          templates: Map[String, String] = Map.empty,
+          timezones: Map[String, String] = Map.empty): ScriptResult =
+    runStmts(RainerParser.parseScript(src), input, tables, templates, timezones)
 
   /** Compile and apply an already-parsed statement list. */
   def runStmts(stmts: Seq[RStmt], input: DataFrame,
                tables: Map[String, LookupTable] = Map.empty,
-               templates: Map[String, String] = Map.empty): ScriptResult = {
+               templates: Map[String, String] = Map.empty,
+               timezones: Map[String, String] = Map.empty): ScriptResult = {
     var df = input
     if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
     if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))
@@ -348,7 +365,7 @@ object RainerCompiler {
     def compileWithSites(e: RExpr, guard: Column): Column = {
       rec.guard = guard
       val before = rec.sites.length
-      val c = compileExpr(e, tables, templates, rec)
+      val c = compileExpr(e, tables, templates, rec, timezones)
       def freeze(x: Column): Column = {
         val cn = freshCond(); df = df.withColumn(cn, x); col(cn)
       }
@@ -478,17 +495,20 @@ object RainerCompiler {
         exec(body, col(cn))
       case RForeach(RVar(loopRaw), source, body) =>
         // explode → body-per-element → last-element-wins collapse.
-        // Restrictions (documented): no action/stop inside the body, and
-        // each element sees the PRE-loop variable state (cross-iteration
-        // accumulators need an aggregation, not a loop, in a set engine).
+        // Restrictions (documented): no stop/nested-foreach inside the
+        // body, and each element sees the PRE-loop variable state
+        // (cross-iteration accumulators need an aggregation, not a loop,
+        // in a set engine). action() in the body IS supported: it
+        // captures the exploded frame at its sequence point and fires
+        // once per element (see CompiledAction.frameOverride).
         def hasUnsupported(ss: Seq[RStmt]): Boolean = ss.exists {
-          case RStop | _: RAction => true
+          case RStop => true
           case RIf(_, t, e) => hasUnsupported(t) || hasUnsupported(e)
           case _: RForeach => true
           case _ => false
         }
         require(!hasUnsupported(body),
-          "foreach body: action/stop/nested-foreach not supported in batch lowering")
+          "foreach body: stop/nested-foreach not supported in batch lowering")
         condId += 1
         val tag = condId
         val (lvCol, lvPath) = varCol(loopRaw)
@@ -501,6 +521,11 @@ object RainerCompiler {
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.StringType))
         }
+        // row identity for the collapse. The id is assigned at EXECUTION
+        // time (partition index + row position): stable within one plan
+        // execution, NOT across executions — never checkpoint/persist it
+        // or compare it across runs; it exists only so THIS plan's
+        // explode can be undone a few operators later.
         df = df
           .withColumn(s"__fe_id_$tag", monotonically_increasing_id())
           .withColumn(s"__fe_arr_$tag", arrCol)
@@ -516,7 +541,18 @@ object RainerCompiler {
               col(s"__fe_item_$tag")))
           .otherwise(col(lvCol)))
         val sitesBeforeBody = rec.sites.length
+        val actionsBeforeBody = actions.length
         exec(body, col(iterCond))
+        // freeze body actions against the exploded frame: one firing per
+        // element, with that element's variable state (the collapse
+        // below would fold them to one row per pre-loop record)
+        if (actions.length > actionsBeforeBody) {
+          val snapshot = df
+          (actionsBeforeBody until actions.length).foreach { i =>
+            if (actions(i).frameOverride.isEmpty) // nested loops keep theirs
+              actions(i) = actions(i).copy(frameOverride = Some(snapshot))
+          }
+        }
         // counter sites live as frozen per-row columns, but the collapse
         // below keeps first() per pre-loop record — a dyn_inc in the body
         // would silently count only element 0 of each array. Part of the

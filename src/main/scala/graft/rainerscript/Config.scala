@@ -41,6 +41,13 @@ case class RsyslogConfig(
   def obj(kind: String, name: String): Option[Map[String, String]] =
     objects.get((kind, name))
 
+  /** timezone(id= offset=) objects as an id → ±HH:MM offset map
+    * (runtime/timezones.c:40-41 params; consumed by
+    * parse_time_localtz's symbolic-zone resolution). */
+  def timezones: Map[String, String] = objects.collect {
+    case (("timezone", id), p) if p.contains("offset") => id -> p("offset")
+  }
+
   /** Run a ruleset (or the main/default script) against a LogEvent frame.
     * `call` statements expand inline (runtime/ruleset.c:277-294 direct
     * call path; queued rulesets = separate pipelines at the caller's
@@ -50,7 +57,7 @@ case class RsyslogConfig(
                 else rulesets.getOrElse(ruleset,
                   throw new IllegalArgumentException(s"unknown ruleset $ruleset"))
     RainerCompiler.runStmts(inlineCalls(stmts, Set.empty), input, lookupTables,
-      templates)
+      templates, timezones)
   }
 
   private def inlineCalls(stmts: Seq[RStmt], seen: Set[String]): Seq[RStmt] =
@@ -71,6 +78,26 @@ case class RsyslogConfig(
       case RPropFilt(p, o, n, v, b) => Seq(RPropFilt(p, o, n, v, inlineCalls(b, seen)))
       case other => Seq(other)
     }
+
+  /** Activate the config: bind every declared input() to a live source
+    * (imfile → filesystem; socket/broker types → the caller-supplied
+    * `feeds` frames) and run each input's frame through its bound
+    * ruleset — config text in, running pipeline out, the reference's
+    * activation pass (tools/rsyslogd.c:885-929) as one call. Inputs
+    * sharing a ruleset union before the ruleset runs (they share the
+    * reference's queue); the result map is keyed by ruleset name, "" =
+    * the default/main ruleset. `now` supplies reception time (inject a
+    * literal for deterministic replays). */
+  def activate(spark: org.apache.spark.sql.SparkSession,
+               feeds: Map[String, DataFrame] = Map.empty,
+               now: Column = current_timestamp(),
+               defaultYear: Int = 2024): Map[String, RainerCompiler.ScriptResult] =
+    InputBinding.bindBatch(this, spark, feeds, now, defaultYear)
+      .groupBy(_._1)
+      .map { case (rs, bound) =>
+        rs -> run(bound.map(_._2)
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true)), rs)
+      }
 
   /** Render a named template over a frame (exec_template / action
     * template= resolution, rsconf.c:1570-1604 registration). */

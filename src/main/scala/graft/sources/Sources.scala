@@ -45,19 +45,27 @@ object Sources {
     * characters < 32 escape as '#'+octal (`escapeControlCharacters`,
     * reference default ON per glbl.c:1186 — tab included, DEL and
     * 8-bit chars untouched). */
+  /** Reception sanitize as a column transform (parser.c SanitizeMsg):
+    * optional trailing-CR drop, then control-char '#'+octal escaping
+    * (reference default on). Reused by decodeSyslog and by input
+    * bindings whose messages skip the parser chain (imfile default). */
+  def sanitize(c: org.apache.spark.sql.Column,
+               dropTrailingCr: Boolean = false,
+               escapeControlCharacters: Boolean = true): org.apache.spark.sql.Column = {
+    val trimmed =
+      if (dropTrailingCr) regexp_replace(c, "\r$", "") else c
+    if (escapeControlCharacters)
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.ControlCharExpr(
+          org.apache.spark.sql.GraftBridge.expression(trimmed), 4))
+    else trimmed
+  }
+
   def decodeSyslog(lines: DataFrame, valueCol: String = "value",
                    defaultYear: Int = 2024,
                    dropTrailingCr: Boolean = false,
                    escapeControlCharacters: Boolean = true): DataFrame = {
-    val trimmed =
-      if (dropTrailingCr) regexp_replace(col(valueCol), "\r$", "")
-      else col(valueCol)
-    val sanitized =
-      if (escapeControlCharacters)
-        org.apache.spark.sql.GraftBridge.column(
-          graft.functions.ControlCharExpr(
-            org.apache.spark.sql.GraftBridge.expression(trimmed), 4))
-      else trimmed
+    val sanitized = sanitize(col(valueCol), dropTrailingCr, escapeControlCharacters)
     lines
       .withColumn("rawmsg", sanitized)
       .withColumn("p", rainer.parse_syslog(col("rawmsg"), defaultYear))

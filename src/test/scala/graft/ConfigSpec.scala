@@ -265,6 +265,107 @@ class ConfigSpec extends SparkSpec {
     assert(res.actionFrame(syslogAct.index).count() == 3)
   }
 
+  test("timezone() objects thread into parse_time_localtz") {
+    val cfg = RsyslogConfig.parse(
+      """timezone(id="MYZ" offset="+02:00")
+        |set $.a = parse_time_localtz("2024-03-01T12:00:00", "MYZ");
+        |set $.b = parse_time_localtz("2024-03-01T12:00:00", "UTC");
+        |""".stripMargin)
+    assert(cfg.timezones == Map("MYZ" -> "+02:00"))
+    val r = cfg.run(fixture).output.limit(1).select(
+      get_json_object(col("vars_local"), "$.a").cast("long"),
+      get_json_object(col("vars_local"), "$.b").cast("long")).collect()(0)
+    // the configured +02:00 offset shifts the parsed instant two hours
+    // earlier than the UTC interpretation of the same wall-clock text
+    assert(r.getLong(1) - r.getLong(0) == 7200L)
+  }
+
+  test("activate(): imfile input binds to real files with ruleset routing") {
+    // write two real log files, bind them through input() objects with
+    // DIFFERENT rulesets, and check routing + imfile message shaping
+    // (msg = the file line, tag/PRI from params, hostname = receiver —
+    // plugins/imfile defaults iSeverity=5 iFacility=128=local0<<3)
+    val dirA = java.nio.file.Files.createTempDirectory("graft_imfile_a_")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_imfile_b_")
+    java.nio.file.Files.writeString(dirA.resolve("app.log"),
+      "line one\nline two\nERROR line three\n")
+    java.nio.file.Files.writeString(dirB.resolve("other.log"),
+      "<13>Mar  1 01:02:03 hostX su[7]: parsed body\n")
+    val conf =
+      s"""module(load="imfile")
+        |input(type="imfile" file="${dirA.toString}/*.log" tag="appfile:"
+        |      severity="err" facility="local3" ruleset="ra")
+        |input(type="imfile" file="${dirB.toString}/*.log" tag="x:"
+        |      needparse="on" ruleset="rb")
+        |ruleset(name="ra") { if $$msg contains "ERROR" then { action(type="omfile" file="/err.log") } }
+        |ruleset(name="rb") { action(type="omfile" file="/all.log") }
+        |""".stripMargin
+    val cfg = RsyslogConfig.parse(conf)
+    val res = cfg.activate(spark,
+      now = to_timestamp(lit("2024-06-01 12:00:00")))
+    assert(res.keySet == Set("ra", "rb"))
+    // ruleset ra: imfile default shaping — 3 lines, tag/PRI from params
+    val ra = res("ra").frame.select("facility", "severity", "syslogtag",
+      "msg", "inputname").collect()
+    assert(ra.length == 3)
+    assert(ra.forall(r => r.getInt(0) == 19 && r.getInt(1) == 3 &&
+      r.getString(2) == "appfile:" && r.getString(4) == "imfile"))
+    assert(res("ra").actionFrame(0).count() == 1) // only the ERROR line
+    // ruleset rb: needparse="on" runs the parser chain on the line
+    val rb = res("rb").frame
+      .select("facility", "severity", "hostname", "syslogtag", "msg").collect()
+    assert(rb.length == 1)
+    assert(rb(0).getInt(0) == 1 && rb(0).getInt(1) == 5)
+    assert(rb(0).getString(2) == "hostX")
+    assert(rb(0).getString(3) == "su[7]:")
+    assert(rb(0).getString(4) == " parsed body")
+  }
+
+  test("activate(): feed-bound network input ($UDPServerRun fold) decodes and routes") {
+    // the legacy directive folds into inputs as type=imudp port=514; a
+    // transport feed keyed "imudp:514" binds it; messages run the full
+    // decode chain and the main ruleset
+    val conf =
+      """$ModLoad imudp
+        |$UDPServerRun 514
+        |mail.err    /var/log/mail.err
+        |""".stripMargin
+    val cfg = RsyslogConfig.parse(conf)
+    val feed = Seq(
+      "<19>Mar  1 01:02:03 h1 mailer: bounce",   // mail.err (fac 2 sev 3)
+      "<22>Mar  1 01:02:04 h2 mailer: ok",       // mail.info — filtered
+      "163 <19>Mar  1 01:02:05 h3 mailer: dead"  // octet-counted? (imudp: no deframe)
+    ).toDF("value")
+    val res = cfg.activate(spark, feeds = Map("imudp:514" -> feed),
+      now = to_timestamp(lit("2024-06-01 12:00:00")))
+    val main = res("")
+    assert(main.frame.count() == 3)
+    // the mail.err action matches only the severity<=3 mail row; the
+    // "163 <19>..." line does NOT deframe on imudp (framing is imtcp's),
+    // so its PRI never parses and it lands in the user.notice default
+    assert(main.actionFrame(0).select("hostname").collect()
+      .map(_.getString(0)).toSeq == Seq("h1"))
+    // an input with no feed stays an idle listener (activate still runs)
+    val cfg2 = RsyslogConfig.parse(
+      "$ModLoad imudp\n$UDPServerRun 515\nmail.* /var/log/m\n")
+    assert(cfg2.activate(spark).isEmpty)
+  }
+
+  test("bindStreamImfile threads multiline params through the state machine") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_imfile_ml_")
+    java.nio.file.Files.writeString(dir.resolve("t.log"),
+      "START a\n cont 1\n cont 2\nSTART b\n tail\n")
+    val out = graft.rainerscript.InputBinding.bindStreamImfile(spark,
+      Map("file" -> s"${dir.toString}/*.log",
+        "startmsg.regex" -> "^START"))
+    val got = graft.streaming.StreamGate.run(out)
+      .select("record").collect().map(_.getString(0)).toSet
+    // the state machine assembles on startmsg.regex; the final pending
+    // record drains via the shutdown flush (readtimeout=0 → watermark
+    // timeout at end-of-available-data in the bounded gate)
+    assert(got == Set("START a\\n cont 1\\n cont 2", "START b\\n tail"))
+  }
+
   test("builtin TraditionalFileFormat renders") {
     val cfg = RsyslogConfig.parse("")
     val line = fixture.limit(1)

@@ -285,10 +285,35 @@ class RainerScriptSpec extends SparkSpec {
     assert(counts == Map("k0" -> 2L, "k1" -> 2L, "k2" -> 2L, "_overflow" -> 4L))
   }
 
+  test("action() inside a foreach body fires once per element") {
+    // runtime/ruleset.c:310-401: the body's statements execute per
+    // iteration, so an action() there emits one row per element with
+    // that element's variable state — captured from the exploded frame
+    val res = RainerCompiler.run(
+      """foreach ($.w in split($msg, " ")) do {
+        |  if $.w startswith "e" then {
+        |    set $.hit = toupper($.w);
+        |    action(type="omfile" file="/frag.log")
+        |  }
+        |}
+        |set $!done = "y";
+        |""".stripMargin,
+      Seq((1L, "each epoch ends"), (2L, "no match here")).toDF("id", "msg"))
+    val rows = res.actionFrame(0)
+      .select(col("id"), get_json_object(col("vars_local"), "$.hit").as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "EACH"), (1L, "EPOCH"), (1L, "ENDS")))
+    // the main frame still collapses to one row per record, and
+    // statements after the loop run on the collapsed rows
+    assert(res.output.count() == 2)
+    assert(res.output.select(get_json_object(col("vars_msg"), "$.done"))
+      .collect().forall(_.getString(0) == "y"))
+  }
+
   test("dyn_inc inside a foreach body is rejected (documented restriction)") {
     // the loop collapse keeps one row per pre-loop record, so a counter
     // in the body would silently count only element 0 — hard error, like
-    // the other foreach body restrictions (action/stop/nested-foreach)
+    // the remaining foreach body restrictions (stop/nested-foreach)
     val ev = Seq((1L, """["a","b"]""")).toDF("event_id", "arr")
     val e = intercept[IllegalArgumentException] {
       RainerCompiler.run(
