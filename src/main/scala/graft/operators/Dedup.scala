@@ -414,6 +414,10 @@ object Dedup {
                         minJaccard: Double = 0.8,
                         maxBucket: Int = 1024,
                         preDedup: Boolean = true): DataFrame = {
+    // preDedup's groupBy exchange already spreads the rows across the
+    // cluster, so only the raw path needs the explicit repartition (a
+    // small parquet input otherwise arrives as 1-2 partitions and the
+    // CPU-bound shingle stage would serialize)
     val src =
       if (preDedup)
         textGroups(df, idCol, textCol, blockCol)
@@ -421,11 +425,11 @@ object Dedup {
       else
         df.select(col(idCol).as("doc"), col(blockCol).as("blk"),
           col(textCol).as("t"))
+          .repartition(df.sparkSession.sparkContext.defaultParallelism)
     // each shingle row carries the owner's set size, so |A∪B| is known the
     // moment an intersection count exists — no sizes join, no cache, and
     // two shuffles past the dedup: the shingle groupBy and the pair groupBy
     val sh = src
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc"), col("blk"), shingles(col("t"), n).as("sharr"))
       .select(col("doc"), col("blk"), size(col("sharr")).as("sz"),
         explode(col("sharr")).as("s"))
