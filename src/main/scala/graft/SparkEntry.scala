@@ -141,6 +141,44 @@ object Queries {
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
     }),
 
+    // §2.10 omelasticsearch bulk shaping: action-metadata line + doc
+    // line per record (omelasticsearch.c META_STRT/META_ID), dynamic
+    // index from a per-record column (dynSearchIndex)
+    "es_bulk" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val docs = ev.select(col("event_id"),
+        concat(lit("logs-"), col("event_type")).as("idx"),
+        to_json(struct(col("event_id"), col("event_type"))).as("doc"))
+      graft.sources.Sources.esBulkFrame(docs, "idx", "doc",
+        idCol = Some("event_id"))
+    }),
+
+    // §2.5 imjournal: journal export-format entries → decoded pipeline
+    // rows (plugins/imjournal/imjournal.c readjournal field mapping:
+    // PRIORITY/SYSLOG_FACILITY bounds-checked with defaults, identifier/
+    // pid tag assembly, $! tree from data fields). Entries synthesized
+    // deterministically from events — PRIORITY%9 and FACILITY%25 hit the
+    // out-of-bounds→default path on real rows
+    "imjournal_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val entries = ev.select(col("event_id"), concat(
+        lit("__REALTIME_TIMESTAMP="), col("event_id") * 1000000L + 123456L,
+        lit("\n__CURSOR=s=deadbeef;i="), col("event_id"),
+        lit("\nMESSAGE=msgnum:"), lpad(col("event_id"), 8, "0"),
+        lit("\nPRIORITY="), col("event_id") % 9,
+        lit("\nSYSLOG_FACILITY="), col("user_id") % 25,
+        lit("\nSYSLOG_IDENTIFIER="), col("event_type"),
+        lit("\n_PID="), col("user_id"),
+        lit("\n_HOSTNAME=host"), col("user_id"),
+        lit("\n_TRANSPORT=journal")).as("value"))
+      graft.sources.Sources.imjournalDecode(entries)
+        .select(col("event_id"), col("facility"), col("severity"),
+          col("syslogtag"), col("msg"),
+          unix_timestamp(col("ts")).as("ts_secs"),
+          get_json_object(col("vars_msg"), "$._HOSTNAME").as("jhost"),
+          get_json_object(col("vars_msg"), "$._TRANSPORT").as("jtrans"))
+    }),
+
     // §2.1 timezone() objects: configured offsets resolve the symbolic
     // zone ids parse_time_localtz receives (runtime/timezones.c,
     // grammar/rainerscript.h:52) — script text + config objects only
@@ -1722,6 +1760,26 @@ object Queries {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
         |) WHERE word <> '' GROUP BY 1""".stripMargin,
+
+    "es_bulk" ->
+      """SELECT '{"index":{"_index":"logs-' || event_type || '","_id":'
+        |  || event_id || '}}' || chr(10) ||
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type
+        |  || '"}' AS bulk
+        |FROM events""".stripMargin,
+
+    "imjournal_decode" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN user_id % 25 <= 23 THEN user_id % 25 ELSE 1 END
+        |    AS INT) AS facility,
+        |  CAST(CASE WHEN event_id % 9 <= 7 THEN event_id % 9 ELSE 5 END
+        |    AS INT) AS severity,
+        |  event_type || '[' || user_id || ']:' AS syslogtag,
+        |  'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS msg,
+        |  event_id AS ts_secs,
+        |  'host' || user_id AS jhost,
+        |  'journal' AS jtrans
+        |FROM events""".stripMargin,
 
     "timezone_localtz" ->
       """SELECT event_id,

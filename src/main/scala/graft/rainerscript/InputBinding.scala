@@ -110,6 +110,10 @@ object InputBinding {
     if (typ == "imkafka" || df.columns.contains("topic"))
       Sources.imkafkaDecode(df, defaultYear)
         .withColumn("ts", coalesce(col("ts"), now))
+    else if (typ == "imjournal")
+      // feed rows carry one journal EXPORT-format entry per row
+      Sources.imjournalDecode(df)
+        .withColumn("ts", coalesce(col("ts"), now))
     else {
       val withProv0 =
         if (df.columns.contains("inputname")) df

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
@@ -111,6 +111,35 @@ object Sources {
       .writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
 
+  /** omelasticsearch bulk shaping — the broker-free half of the ES sink
+    * (the `kafkaSinkFrame` pattern): each record becomes its bulk-API
+    * pair, an action metadata line (`{"index":{"_index":"...","_id":
+    * "..."}}`, plugins/omelasticsearch/omelasticsearch.c:88-94
+    * META_STRT/META_ID; writeoperation="create" swaps the verb) plus the
+    * rendered document line. `dynSearchIndex` ≡ the index coming from a
+    * per-record column. The transport (HTTP POST /_bulk, retry,
+    * per-item status check → dead-letter) is ReliableSink's pattern,
+    * exercised by `dead_letter`.
+    */
+  def esBulkFrame(ds: DataFrame, indexCol: String, docCol: String,
+                  idCol: Option[String] = None,
+                  create: Boolean = false): DataFrame = {
+    val verb = if (create) "create" else "index"
+    // JSON-escape the index/id values by routing them through to_json of
+    // a one-field struct, then strip the wrapper — no hand escaping
+    def jsonStr(c: Column): Column = {
+      val j = to_json(struct(c.as("v")))
+      // {"v":"..."} → "..."
+      j.substr(lit(6), length(j) - 6)
+    }
+    val action = concat(
+      lit(s"""{"$verb":{"_index":"""), jsonStr(col(indexCol)),
+      idCol.map(ic => concat(lit(""","_id":"""), jsonStr(col(ic))))
+        .getOrElse(lit("")),
+      lit("}}"))
+    ds.select(concat(action, lit("\n"), col(docCol)).as("bulk"))
+  }
+
   /** imkafka decode: a Kafka-SOURCE-shaped frame (the Spark kafka source
     * contract: key/value binary + topic/partition/offset/timestamp) to
     * decoded pipeline rows with imkafka's provenance (inputname=imkafka,
@@ -127,6 +156,94 @@ object Sources {
       col("partition").cast("int").as("partition"),
       col("offset").cast("long").as("offset"))
     decodeSyslog(lines, defaultYear = defaultYear)
+  }
+
+  /** imjournal decode: systemd journal EXPORT-format entries — one entry
+    * per row (e.g. `spark.read.option("lineSep", "\n\n").text(...)`) —
+    * to decoded pipeline rows. Field mapping per
+    * plugins/imjournal/imjournal.c readjournal():
+    *
+    *  - MESSAGE → msg (missing MESSAGE submits an empty message);
+    *  - PRIORITY: leading-digits parse, 0-7 accepted, else the default
+    *    severity (notice, imjournal.c:156);
+    *  - SYSLOG_FACILITY: 1-2 digit value 0-23 accepted, else the
+    *    default facility (user);
+    *  - TAG = (SYSLOG_IDENTIFIER | _COMM | "journal") + "[pid]"? + ":"
+    *    with pid from SYSLOG_PID, falling back to _PID
+    *    (imjournal.c:681-717);
+    *  - __REALTIME_TIMESTAMP (µs) → ts;
+    *  - EVERY data field lands in the $! tree (vars_msg) verbatim,
+    *    duplicate names last-wins (fjson object_add replace semantics);
+    *    "__"-prefixed address fields are journal metadata, not data
+    *    fields, and stay out of the tree.
+    *
+    * Binary-valued fields (size-prefixed in the wire format) are not
+    * representable in a text frame; their lines carry no '=' and are
+    * skipped — same effect as the reference's malformed-field skip
+    * (imjournal.c:452-458). hostname = the receiver, as with enqMsg
+    * (_HOSTNAME stays available at $!_HOSTNAME).
+    */
+  def imjournalDecode(entries: DataFrame, valueCol: String = "value",
+                      dfltTag: String = "journal",
+                      dfltFacility: Int = 1,
+                      dfltSeverity: Int = 5): DataFrame = {
+    val v = col(valueCol)
+    def fld(name: String): Column = {
+      val m = regexp_extract(v,
+        "(?m)^" + java.util.regex.Pattern.quote(name) + "=(.*)$", 1)
+      when(m === "", lit(null)).otherwise(m)
+    }
+    val sevNum = regexp_extract(coalesce(fld("PRIORITY"), lit("")), "^(-?[0-9]+)", 1)
+    val severity = when(sevNum =!= "" && sevNum.cast("int").between(0, 7),
+      sevNum.cast("int")).otherwise(lit(dfltSeverity))
+    val facStr = coalesce(fld("SYSLOG_FACILITY"), lit(""))
+    val facility = when(facStr.rlike("^[0-9]{1,2}$") && facStr.cast("int") <= 23,
+      facStr.cast("int")).otherwise(lit(dfltFacility))
+    val iden = coalesce(fld("SYSLOG_IDENTIFIER"), fld("_COMM"), lit(dfltTag))
+    val pid = coalesce(fld("SYSLOG_PID"), fld("_PID"))
+    val tag = concat(iden,
+      when(pid.isNotNull, concat(lit("["), pid, lit("]"))).otherwise(lit("")),
+      lit(":"))
+    // data fields → $! tree: split lines, keep k=v non-meta lines, dedup
+    // by key keeping the LAST occurrence (reverse + first-seen filter —
+    // field counts are small, so the per-row quadratic scan is bounded)
+    val kvLines = filter(split(v, "\n"),
+      l => instr(l, "=") > 0 && !l.startsWith("__"))
+    val rev = reverse(transform(kvLines, l => struct(
+      substring_index(l, "=", 1).as("k"),
+      l.substr(instr(l, "=") + lit(1), length(l)).as("v"))))
+    val indexed = transform(rev, (s, i) => struct(
+      s.getField("k").as("k"), s.getField("v").as("v"), i.as("i")))
+    val deduped = filter(indexed, x =>
+      !exists(slice(rev, lit(1), x.getField("i")),
+        q => q.getField("k") === x.getField("k")))
+    val varsJson = to_json(map_from_entries(transform(reverse(deduped),
+      s => struct(s.getField("k").as("key"), s.getField("v").as("value")))))
+    val withProv0 =
+      if (entries.columns.contains("inputname")) entries
+      else entries.withColumn("inputname", lit("imjournal"))
+    val withProv =
+      if (withProv0.columns.contains("fromhost")) withProv0
+      else withProv0.withColumn("fromhost",
+        lit(java.net.InetAddress.getLocalHost.getHostName))
+    withProv
+      .select(withProv.columns.filter(_ != valueCol).map(col) ++ Seq(
+        v.as("rawmsg"),
+        lit(0).as("protocol_version"),
+        (facility * 8 + severity).as("pri"),
+        facility.as("facility"), severity.as("severity"),
+        timestamp_micros(fld("__REALTIME_TIMESTAMP").cast("long")).as("ts"),
+        col("fromhost").as("hostname"),
+        iden.as("app_name"),
+        pid.as("procid"),
+        lit(null).cast("string").as("msgid"),
+        lit(null).cast("string").as("structured_data"),
+        tag.as("syslogtag"),
+        iden.as("programname"),
+        coalesce(fld("MESSAGE"), lit("")).as("msg"),
+        lit(true).as("parsesuccess"),
+        varsJson.as("vars_msg"),
+        lit("{}").as("vars_local")): _*)
   }
 
   /** immark heartbeat with action-side mark suppression (plugins/immark

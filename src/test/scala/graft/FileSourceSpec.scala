@@ -8,6 +8,59 @@ import graft.sources.Sources
   * analogue of the reference's startup→inject→assert testbench pattern.
   */
 class FileSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("imjournal decode: field mapping, fallbacks, dup-key last-wins") {
+    val full = "__REALTIME_TIMESTAMP=1700000000000000\nMESSAGE=hello world\n" +
+      "PRIORITY=3\nSYSLOG_FACILITY=10\nSYSLOG_IDENTIFIER=sshd\n" +
+      "SYSLOG_PID=42\n_PID=999\n_HOSTNAME=web1\nFOO=first\nFOO=second"
+    val fallback = "MESSAGE=from comm\n_COMM=kworker\n_PID=7\nPRIORITY=99\n" +
+      "SYSLOG_FACILITY=24"
+    val bare = "_TRANSPORT=kernel" // no MESSAGE/iden/pid at all
+    val out = Sources.imjournalDecode(Seq(full, fallback, bare).toDF("value"))
+      .select("severity", "facility", "syslogtag", "msg", "procid",
+        "vars_msg", "ts").collect()
+    // full: every explicit field honored, SYSLOG_PID wins over _PID
+    assert(out(0).getInt(0) == 3 && out(0).getInt(1) == 10)
+    assert(out(0).getString(2) == "sshd[42]:")
+    assert(out(0).getString(3) == "hello world")
+    assert(out(0).getString(4) == "42")
+    assert(out(0).getAs[java.sql.Timestamp]("ts").toInstant.toString
+      == "2023-11-14T22:13:20Z")
+    // dup key: LAST occurrence wins (fjson object_add replace)
+    assert(get_json(out(0).getString(5), "$.FOO") == "second")
+    // meta fields stay out of the $! tree; data fields are all in
+    assert(get_json(out(0).getString(5), "$.__REALTIME_TIMESTAMP") == null)
+    assert(get_json(out(0).getString(5), "$.MESSAGE") == "hello world")
+    // fallback: _COMM identifier, _PID pid, out-of-bounds PRIORITY (99)
+    // and SYSLOG_FACILITY (24) reset to the notice/user defaults
+    assert(out(1).getInt(0) == 5 && out(1).getInt(1) == 1)
+    assert(out(1).getString(2) == "kworker[7]:")
+    // bare: default "journal" tag without pid, empty message, null ts
+    assert(out(2).getString(2) == "journal:")
+    assert(out(2).getString(3) == "")
+    assert(out(2).get(6) == null)
+  }
+
+  test("esBulkFrame: action+doc NDJSON pairs, escaping, create verb") {
+    val df = Seq(("idx\"odd", "k1", """{"a":1}"""), ("plain", "k2", """{"b":2}"""))
+      .toDF("idx", "id", "doc")
+    val bulk = Sources.esBulkFrame(df, "idx", "doc", idCol = Some("id"))
+      .collect().map(_.getString(0))
+    // index value with a quote is JSON-escaped, not mangled
+    assert(bulk(0) == "{\"index\":{\"_index\":\"idx\\\"odd\",\"_id\":\"k1\"}}\n{\"a\":1}")
+    assert(bulk(1) == "{\"index\":{\"_index\":\"plain\",\"_id\":\"k2\"}}\n{\"b\":2}")
+    val create = Sources.esBulkFrame(df.limit(1), "idx", "doc", create = true)
+      .collect()(0).getString(0)
+    assert(create.startsWith("{\"create\":{\"_index\":"))
+    assert(!create.contains("_id")) // no id column → ES assigns
+  }
+
+  private def get_json(j: String, path: String): String = {
+    val r = Seq(j).toDF("j")
+      .select(get_json_object(col("j"), path)).collect()(0)
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
 
   test("file source → decode → template → file sink round trip") {
     val inDir = Files.createTempDirectory("graft_in").toFile
