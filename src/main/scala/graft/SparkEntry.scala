@@ -141,6 +141,24 @@ object Queries {
         .groupBy(col("word")).agg(count(lit(1)).as("n"))
     }),
 
+    // §2.5 imrelp: RELP-framed stream → payload extraction → decode
+    // chain. Frames synthesized from the deterministic syslog stream;
+    // interleaved session-control frames (open/rsp/close) must drop
+    "relp_decode" -> ((s, dir) => {
+      val raw = synthSyslog(s, dir)
+      val frames = raw.select(col("event_id"), concat(
+        col("event_id") % 1000, lit(" syslog "),
+        length(col("rawmsg")), lit(" "), col("rawmsg")).as("value"))
+        .unionByName(s.range(1).select(lit(-1L).as("event_id"),
+          lit("0 open 31 relp_version=0\nrelp_software=x").as("value")))
+        .unionByName(s.range(1).select(lit(-2L).as("event_id"),
+          lit("1 rsp 6 200 OK").as("value")))
+      graft.sources.Sources.decodeSyslog(
+          graft.sources.Sources.deframeRelp(frames))
+        .select(col("event_id"), col("facility"), col("severity"),
+          col("hostname"), col("syslogtag"), col("msg"))
+    }),
+
     // §2.10 omelasticsearch bulk shaping: action-metadata line + doc
     // line per record (omelasticsearch.c META_STRT/META_ID), dynamic
     // index from a per-record column (dynSearchIndex)
@@ -1760,6 +1778,13 @@ object Queries {
       """SELECT word, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
         |) WHERE word <> '' GROUP BY 1""".stripMargin,
+
+    "relp_decode" -> (Queries.synthSql +
+      """ SELECT event_id, facility, severity, hostname,
+        |  syslogtag || ':' AS syslogtag,
+        |  ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+        |    || ': v100=' || v100 AS msg
+        | FROM ev""".stripMargin),
 
     "es_bulk" ->
       """SELECT '{"index":{"_index":"logs-' || event_type || '","_id":'

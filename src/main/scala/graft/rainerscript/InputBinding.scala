@@ -123,10 +123,13 @@ object InputBinding {
         else withProv0.withColumn("fromhost", lit(localHost))
       // imtcp accepts octet-counted framing per connection (RFC6587,
       // runtime/tcpsrv.c); deframe is per-row conditional so LF-framed
-      // lines pass through untouched
-      val framed =
-        if (typ == "imtcp") Sources.deframeOctetCounted(withProv)
-        else withProv
+      // lines pass through untouched. imrelp feeds carry RELP frames —
+      // syslog-command payloads extracted, control frames dropped.
+      val framed = typ match {
+        case "imtcp" => Sources.deframeOctetCounted(withProv)
+        case "imrelp" => Sources.deframeRelp(withProv)
+        case _ => withProv
+      }
       Sources.decodeSyslog(framed, defaultYear = defaultYear)
         .withColumn("ts", coalesce(col("ts"), now))
     }

@@ -35,6 +35,18 @@ object Sources {
         expr(s"substring($valueCol, instr($valueCol, ' ') + 1)"))
       .otherwise(col(valueCol)))
 
+  /** RELP framing decode — the RELP wire format (`TXNR SP COMMAND SP
+    * DATALEN [SP DATA]` per frame; the published RELP spec — imrelp's
+    * transport itself lives in librelp, outside the reference tree):
+    * keeps `syslog` command frames' DATA as the message line and drops
+    * session-control frames (open/close/rsp/serverclose), which carry
+    * no log payload. Reliability (txnr acking) is the platform's
+    * offset/ack tracking, as with Kafka. */
+  def deframeRelp(lines: DataFrame, valueCol: String = "value"): DataFrame =
+    lines.filter(col(valueCol).rlike("^[0-9]+ syslog [0-9]+ "))
+      .withColumn(valueCol,
+        regexp_replace(col(valueCol), "^[0-9]+ syslog [0-9]+ ", ""))
+
   /** The standard decode pipeline: framed lines -> parsed LogEvent columns
     * (parser chain ~= one expression, SURVEY S2.9). Reception sanitize
     * mirrors runtime/parser.c SanitizeMsg in the reference's default
