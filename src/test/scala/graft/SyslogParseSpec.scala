@@ -175,6 +175,36 @@ class SyslogParseSpec extends SparkSpec {
     assert(r.getAs[String]("hostname") == "2024")
   }
 
+  test("fuzz: parse() never throws and always yields a full row") {
+    // the calendar-invalid-timestamp bug class: an exception escaping a
+    // sub-parser silently degrades rows. Hammer the kernel with 10k
+    // adversarial inputs (control chars, unicode, header fragments,
+    // near-miss timestamps) across all option combinations.
+    val rnd = new scala.util.Random(20260813L)
+    val fragments = "<>0123456789 :[].-TZ+" + "JanFebMarAprMayJunJulAugSepOctNovDec"
+    def randStr(): String = {
+      val len = rnd.nextInt(80)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        sb.append(rnd.nextInt(4) match {
+          case 0 => (rnd.nextInt(95) + 32).toChar
+          case 1 => rnd.nextInt(32).toChar
+          case 2 => (rnd.nextInt(0x2000) + 0x80).toChar
+          case _ => fragments.charAt(rnd.nextInt(fragments.length))
+        })
+      }
+      sb.toString
+    }
+    val headers = Seq("", "<13>", "<191>", "<999>", "<13>1 ",
+      "<13>Feb 30 25:61:99 ", "<13>Mar  7 2008 19:06:53: ")
+    (0 until 10000).foreach { i =>
+      val raw = headers(i % headers.length) + randStr()
+      val row = graft.functions.SyslogParseExpr.parse(
+        raw, 2024, i % 2 == 0, i % 3 == 0)
+      assert(row != null && row.numFields == 14, s"input: [$raw]")
+    }
+  }
+
   test("structured data to JSON") {
     val sd = "[tcpflood@32473 MSGNUM=\"00000001\" X=\"a\\\"b\"][other k=\"v\"]"
     val j = Seq(sd).toDF("sd")
