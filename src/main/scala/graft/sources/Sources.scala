@@ -35,6 +35,13 @@ object Sources {
         expr(s"substring($valueCol, instr($valueCol, ' ') + 1)"))
       .otherwise(col(valueCol)))
 
+  /** omfwd TCP octet-counted SEND framing (runtime/tcpclt.c:196-210
+    * sprintf("%d ", len)): "<len> <msg>" with len the message's BYTE
+    * length — the send-side inverse of deframeOctetCounted. LF
+    * (octet-stuffing) framing is just the text sink's newline. */
+  def frameOctetCounted(msg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(octet_length(msg).cast("string"), lit(" "), msg)
+
   /** RELP framing decode — the RELP wire format (`TXNR SP COMMAND SP
     * DATALEN [SP DATA]` per frame; the published RELP spec — imrelp's
     * transport itself lives in librelp, outside the reference tree):

@@ -42,6 +42,18 @@ class FileSourceSpec extends SparkSpec {
     assert(out(2).get(6) == null)
   }
 
+  test("octet-counted framing round-trips, byte-length for unicode") {
+    val msgs = Seq("<13>Mar  1 01:00:00 h t: hi", "plain", "ünïcödé msg")
+    val df = msgs.toDF("m")
+    val framed = df.select(Sources.frameOctetCounted(col("m")).as("value"))
+    val back = Sources.deframeOctetCounted(framed)
+      .collect().map(_.getString(0))
+    assert(back.toSeq == msgs)
+    // the length prefix counts BYTES (RFC6587), not chars
+    val uf = framed.collect().map(_.getString(0)).find(_.contains("ünïcödé")).get
+    assert(uf.startsWith("ünïcödé msg".getBytes("UTF-8").length + " "))
+  }
+
   test("esBulkFrame: action+doc NDJSON pairs, escaping, create verb") {
     val df = Seq(("idx\"odd", "k1", """{"a":1}"""), ("plain", "k2", """{"b":2}"""))
       .toDF("idx", "id", "doc")
