@@ -171,6 +171,18 @@ object Queries {
         idCol = Some("event_id"))
     }),
 
+    // §2.10 omfwd octet-counted send framing (runtime/tcpclt.c:196-210):
+    // "<len> <msg>" with len the BYTE length of the rendered line — the
+    // 'µ' in the prefix makes byte-vs-char length observable
+    "omfwd_frame" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val line = ev.select(col("event_id"),
+        concat(lit("<13>host µfwd "), col("event_type"),
+          lit(" msgnum:"), lpad(col("event_id"), 8, "0")).as("m"))
+      line.select(col("event_id"),
+        graft.sources.Sources.frameOctetCounted(col("m")).as("framed"))
+    }),
+
     // §2.5 imjournal: journal export-format entries → decoded pipeline
     // rows (plugins/imjournal/imjournal.c readjournal field mapping:
     // PRIORITY/SYSLOG_FACILITY bounds-checked with defaults, identifier/
@@ -1792,6 +1804,14 @@ object Queries {
         |  '{"event_id":' || event_id || ',"event_type":"' || event_type
         |  || '"}' AS bulk
         |FROM events""".stripMargin,
+
+    "omfwd_frame" ->
+      """SELECT event_id,
+        |  CAST(strlen(m) AS VARCHAR) || ' ' || m AS framed
+        |FROM (SELECT event_id,
+        |  '<13>host µfwd ' || event_type || ' msgnum:' ||
+        |    lpad(CAST(event_id AS VARCHAR), 8, '0') AS m
+        |  FROM events)""".stripMargin,
 
     "imjournal_decode" ->
       """SELECT event_id,
