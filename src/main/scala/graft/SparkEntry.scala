@@ -183,6 +183,48 @@ object Queries {
         graft.sources.Sources.frameOctetCounted(col("m")).as("framed"))
     }),
 
+    // §2.10 ommysql/ompgsql: the stock " StdDBFmt" / " StdPgSQLFmt"
+    // INSERT renders (rsconf.c:223-233) through the registry with their
+    // template-level SQL / STDSQL escapes — msg carries a quote and a
+    // backslash so both escape dialects are load-bearing
+    "omdb_insert" -> ((s, dir) => {
+      val cfg = graft.rainerscript.RsyslogConfig.parse("")
+      val ev = synthSyslog(s, dir)
+        .withColumn("syslogtag",
+          concat(col("event_type"), lit("["), col("event_id"), lit("]")))
+        .withColumn("msg", concat(lit("it's a b\\s "), col("event_type")))
+      ev.select(col("event_id"),
+        cfg.renderTemplate(" StdDBFmt", n => col(n)).as("mysql_stmt"),
+        cfg.renderTemplate(" StdPgSQLFmt", n => col(n)).as("pgsql_stmt"))
+    }),
+
+    // §2.10 omhttp kafkarest batch shaping (omhttp.c:1627-1688): one
+    // output row per batch, unparseable messages dropped by the JSON
+    // formats (fjson_tokener_parse NULL → continue; every 97th message
+    // here is malformed)
+    "omhttp_batch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val msgs = ev.select(col("event_id"),
+        floor(col("event_id") / 1000).cast("long").as("batch_id"),
+        when(col("event_id") % 97 === 0, lit("{oops"))
+          .otherwise(concat(lit("{\"id\":"), col("event_id"),
+            lit(",\"t\":\""), col("event_type"), lit("\"}"))).as("m"))
+      graft.sources.Sources.omhttpBatch(msgs, "m", "batch_id", "event_id",
+        "kafkarest")
+    }),
+
+    // §2.10 omjournal non-template field shaping (omjournal.c:290-302):
+    // MESSAGE / PRIORITY=(fac*8|sev) / SYSLOG_FACILITY /
+    // SYSLOG_IDENTIFIER as an export-format entry
+    "omjournal_frame" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+        .withColumn("syslogtag",
+          concat(col("event_type"), lit("["), col("event_id"), lit("]")))
+        .withColumn("msg", concat(lit("msgnum:"), lpad(col("event_id"), 8, "0")))
+      graft.sources.Sources.omjournalFrame(ev)
+        .select(col("event_id"), col("journal_entry"))
+    }),
+
     // §2.5 imjournal: journal export-format entries → decoded pipeline
     // rows (plugins/imjournal/imjournal.c readjournal field mapping:
     // PRIORITY/SYSLOG_FACILITY bounds-checked with defaults, identifier/
@@ -1812,6 +1854,45 @@ object Queries {
         |  '<13>host µfwd ' || event_type || ' msgnum:' ||
         |    lpad(CAST(event_id AS VARCHAR), 8, '0') AS m
         |  FROM events)""".stripMargin,
+
+    "omdb_insert" -> (Queries.synthSql +
+      """ SELECT event_id,
+        |  'insert into SystemEvents (Message, Facility, FromHost, ' ||
+        |  'Priority, DeviceReportedTime, ReceivedAt, InfoUnitID, ' ||
+        |  'SysLogTag) values (''' ||
+        |  replace(replace(msg, '\', '\\'), '''', '\''') || ''', ' ||
+        |  facility || ', ''' || hostname || ''', ' || severity ||
+        |  ', ''' || strftime(ts, '%Y%m%d%H%M%S') || ''', ''' ||
+        |  strftime(ts, '%Y%m%d%H%M%S') || ''', 1, ''' || syslogtag ||
+        |  ''')' AS mysql_stmt,
+        |  'insert into SystemEvents (Message, Facility, FromHost, ' ||
+        |  'Priority, DeviceReportedTime, ReceivedAt, InfoUnitID, ' ||
+        |  'SysLogTag) values (''' ||
+        |  replace(msg, '''', '''''') || ''', ' ||
+        |  facility || ', ''' || hostname || ''', ' || severity ||
+        |  ', ''' || strftime(ts, '%Y-%m-%d %H:%M:%S') || ''', ''' ||
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') || ''', 1, ''' || syslogtag ||
+        |  ''')' AS pgsql_stmt
+        | FROM (SELECT *, 'it''s a b\s ' || event_type AS msg FROM ev)""".stripMargin),
+
+    "omhttp_batch" ->
+      """SELECT event_id // 1000 AS batch_id,
+        |  '{"records":[' ||
+        |  coalesce(string_agg('{"value":' || m || '}', ',' ORDER BY event_id)
+        |    FILTER (WHERE json_valid(m)), '') || ']}' AS batch
+        |FROM (SELECT event_id,
+        |  CASE WHEN event_id % 97 = 0 THEN '{oops'
+        |       ELSE '{"id":' || event_id || ',"t":"' || event_type || '"}'
+        |  END AS m FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "omjournal_frame" -> (Queries.synthSql +
+      """ SELECT event_id,
+        |  'MESSAGE=msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') ||
+        |  chr(10) || 'PRIORITY=' || (facility * 8 + severity) ||
+        |  chr(10) || 'SYSLOG_FACILITY=' || facility ||
+        |  chr(10) || 'SYSLOG_IDENTIFIER=' || syslogtag AS journal_entry
+        | FROM ev""".stripMargin),
 
     "imjournal_decode" ->
       """SELECT event_id,

@@ -132,7 +132,8 @@ object RainerCompiler {
   def compileExpr(e: RExpr, tables: Map[String, LookupTable],
                   templates: Map[String, String] = Map.empty,
                   rec: CounterRecorder = null,
-                  timezones: Map[String, String] = Map.empty): Column = {
+                  timezones: Map[String, String] = Map.empty,
+                  templateEscapes: Map[String, String] = Map.empty): Column = {
     def go(e: RExpr): Column = e match {
       case RStr(s) => lit(s)
       case RNum(n) => lit(n)
@@ -171,7 +172,8 @@ object RainerCompiler {
       case RBinop("endswith", l, r) => go(l).cast("string").endsWith(go(r).cast("string"))
       case RBinop(op, _, _) => throw new IllegalArgumentException(s"op $op")
       case RFunc(name, args) =>
-        compileFunc(name, args, tables, templates, go, rec, timezones)
+        compileFunc(name, args, tables, templates, go, rec, timezones,
+          templateEscapes)
     }
     def toBool(e: RExpr): Column = e match {
       case RBinop("and" | "or" | "==" | "!=" | "<>" | "<" | "<=" | ">" | ">=" |
@@ -190,7 +192,8 @@ object RainerCompiler {
                           templates: Map[String, String],
                           go: RExpr => Column,
                           rec: CounterRecorder = null,
-                          timezones: Map[String, String] = Map.empty): Column = {
+                          timezones: Map[String, String] = Map.empty,
+                          templateEscapes: Map[String, String] = Map.empty): Column = {
     def a(i: Int): Column = go(args(i))
     def s(i: Int): String = args(i) match {
       case RStr(x) => x
@@ -297,7 +300,8 @@ object RainerCompiler {
       case "exec_template" =>
         TemplateCompiler.compile(
           templates.getOrElse(s(0), throw new IllegalArgumentException(
-            s"exec_template: unknown template ${s(0)}")), resolveProp)
+            s"exec_template: unknown template ${s(0)}")), resolveProp,
+          templateEscapes.get(s(0)))
       // ffaup URL component extractors (contrib/ffaup/ffaup.c:307-318)
       case "faup" => // full decomposition as a JSON object
         to_json(struct(
@@ -335,14 +339,17 @@ object RainerCompiler {
   def run(src: String, input: DataFrame,
           tables: Map[String, LookupTable] = Map.empty,
           templates: Map[String, String] = Map.empty,
-          timezones: Map[String, String] = Map.empty): ScriptResult =
-    runStmts(RainerParser.parseScript(src), input, tables, templates, timezones)
+          timezones: Map[String, String] = Map.empty,
+          templateEscapes: Map[String, String] = Map.empty): ScriptResult =
+    runStmts(RainerParser.parseScript(src), input, tables, templates, timezones,
+      templateEscapes)
 
   /** Compile and apply an already-parsed statement list. */
   def runStmts(stmts: Seq[RStmt], input: DataFrame,
                tables: Map[String, LookupTable] = Map.empty,
                templates: Map[String, String] = Map.empty,
-               timezones: Map[String, String] = Map.empty): ScriptResult = {
+               timezones: Map[String, String] = Map.empty,
+               templateEscapes: Map[String, String] = Map.empty): ScriptResult = {
     var df = input
     if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
     if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))
@@ -365,7 +372,8 @@ object RainerCompiler {
     def compileWithSites(e: RExpr, guard: Column): Column = {
       rec.guard = guard
       val before = rec.sites.length
-      val c = compileExpr(e, tables, templates, rec, timezones)
+      val c = compileExpr(e, tables, templates, rec, timezones,
+        templateEscapes)
       def freeze(x: Column): Column = {
         val cn = freshCond(); df = df.withColumn(cn, x); col(cn)
       }
@@ -597,7 +605,8 @@ object RainerCompiler {
                       else templates.getOrElse(t, t)
             val rc = s"__render_${actions.size}"
             df = df.withColumn(rc,
-              when(col(cn), TemplateCompiler.compile(tpl, resolveProp)))
+              when(col(cn), TemplateCompiler.compile(tpl, resolveProp,
+                templateEscapes.get(t))))
             rc
           }
         actions += CompiledAction(actions.size, params, cn, renderCol)

@@ -31,7 +31,11 @@ case class RsyslogConfig(
     // global()/main_queue() params (key-prefixed) plus legacy
     // $-directives the engine records but does not act on (ownership /
     // privilege / queue plumbing that Spark owns) — the warn-skip ledger
-    globals: Map[String, String] = Map.empty) {
+    globals: Map[String, String] = Map.empty,
+    // template-level escape option per template name (template.c
+    // optFormatEscape: "sql" | "stdsql" | "json"), applied to every
+    // property of the named template at render time
+    templateEscapes: Map[String, String] = Map.empty) {
 
   /** Is a module loaded (module(load=) or $ModLoad)? */
   def hasModule(name: String): Boolean = modules.exists(_.get("load").contains(name))
@@ -57,7 +61,7 @@ case class RsyslogConfig(
                 else rulesets.getOrElse(ruleset,
                   throw new IllegalArgumentException(s"unknown ruleset $ruleset"))
     RainerCompiler.runStmts(inlineCalls(stmts, Set.empty), input, lookupTables,
-      templates, timezones)
+      templates, timezones, templateEscapes)
   }
 
   private def inlineCalls(stmts: Seq[RStmt], seen: Set[String]): Seq[RStmt] =
@@ -102,7 +106,8 @@ case class RsyslogConfig(
   /** Render a named template over a frame (exec_template / action
     * template= resolution, rsconf.c:1570-1604 registration). */
   def renderTemplate(name: String, props: String => Column): Column =
-    templates.get(name).map(t => TemplateCompiler.compile(t, props))
+    templates.get(name).map(t =>
+        TemplateCompiler.compile(t, props, templateEscapes.get(name)))
       .orElse(jsonfTemplates.get(name).map(fs => TemplateCompiler.compileJsonf(fs, props)))
       .getOrElse(throw new IllegalArgumentException(s"unknown template $name"))
 
@@ -111,7 +116,14 @@ case class RsyslogConfig(
 
 object RsyslogConfig {
 
-  /** Built-in templates (runtime/rsconf.c:215-260). */
+  /** Built-in templates (runtime/rsconf.c:202-260, registered
+    * rsconf.c:1570-1604; leading-space names are the reference's
+    * collision-proof module defaults, e.g. ommysql's " StdDBFmt").
+    * Texts are stored post-unescape (the C literals' \" already
+    * resolved). `sp-if-no-1st-sp` here is our prepend-space-if-missing
+    * re-expression, so the reference's two-property
+    * `%msg:::sp-if-no-1st-sp%%msg%` idiom collapses to ONE property —
+    * same rendered bytes. */
   val builtinTemplates: Map[String, String] = Map(
     "RSYSLOG_TraditionalFileFormat" ->
       "%timereported:::date-rfc3164% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp,drop-last-lf%\n",
@@ -120,7 +132,58 @@ object RsyslogConfig {
     "RSYSLOG_ForwardFormat" ->
       "<%pri%>%timereported:::date-rfc3339% %hostname% %syslogtag%%msg%",
     "RSYSLOG_TraditionalForwardFormat" ->
-      "<%pri%>%timereported:::date-rfc3164% %hostname% %syslogtag%%msg%")
+      "<%pri%>%timereported:::date-rfc3164% %hostname% %syslogtag%%msg%",
+    "RSYSLOG_SyslogProtocol23Format" ->
+      "<%PRI%>1 %TIMESTAMP:::date-rfc3339% %HOSTNAME% %APP-NAME% %PROCID% %MSGID% %STRUCTURED-DATA% %msg%\n",
+    "RSYSLOG_SyslogRFC5424Format" ->
+      "<%PRI%>1 %TIMESTAMP:::date-rfc3339% %HOSTNAME% %APP-NAME% %PROCID% %MSGID% %STRUCTURED-DATA% %msg%",
+    "RSYSLOG_SysklogdFileFormat" ->
+      "%TIMESTAMP% %HOSTNAME% %syslogtag%%msg:::sp-if-no-1st-sp%\n",
+    "RSYSLOG_DebugFormat" ->
+      ("Debug line with all properties:\nFROMHOST: '%FROMHOST%', fromhost-ip: '%fromhost-ip%', " +
+       "HOSTNAME: '%HOSTNAME%', PRI: %PRI%,\nsyslogtag '%syslogtag%', programname: '%programname%', " +
+       "APP-NAME: '%APP-NAME%', PROCID: '%PROCID%', MSGID: '%MSGID%',\nTIMESTAMP: '%TIMESTAMP%', " +
+       "STRUCTURED-DATA: '%STRUCTURED-DATA%',\nmsg: '%msg%'\nescaped msg: '%msg:::drop-cc%'\n" +
+       "inputname: %inputname% rawmsg: '%rawmsg%'\n$!:%$!%\n$.:%$.%\n$/:%$/%\n\n"),
+    " WallFmt" ->
+      "\r\n\u0007Message from syslogd@%HOSTNAME% at %timegenerated% ...\r\n %syslogtag%%msg%\n\r",
+    " StdUsrMsgFmt" -> " %syslogtag%%msg%\n\r",
+    " StdDBFmt" ->
+      ("insert into SystemEvents (Message, Facility, FromHost, Priority, DeviceReportedTime, " +
+       "ReceivedAt, InfoUnitID, SysLogTag) values ('%msg%', %syslogfacility%, '%HOSTNAME%', " +
+       "%syslogpriority%, '%timereported:::date-mysql%', '%timegenerated:::date-mysql%', %iut%, " +
+       "'%syslogtag%')"),
+    " StdPgSQLFmt" ->
+      ("insert into SystemEvents (Message, Facility, FromHost, Priority, DeviceReportedTime, " +
+       "ReceivedAt, InfoUnitID, SysLogTag) values ('%msg%', %syslogfacility%, '%HOSTNAME%', " +
+       "%syslogpriority%, '%timereported:::date-pgsql%', '%timegenerated:::date-pgsql%', %iut%, " +
+       "'%syslogtag%')"),
+    " StdJSONFmt" ->
+      ("{\"message\":\"%msg:::json%\",\"fromhost\":\"%HOSTNAME:::json%\"," +
+       "\"facility\":\"%syslogfacility-text%\",\"priority\":\"%syslogpriority-text%\"," +
+       "\"timereported\":\"%timereported:::date-rfc3339%\"," +
+       "\"timegenerated\":\"%timegenerated:::date-rfc3339%\"}"),
+    " FullJSONFmt" ->
+      ("{\"message\":\"%msg:::json%\",\"fromhost\":\"%HOSTNAME:::json%\"," +
+       "\"programname\":\"%programname%\",\"procid\":\"%PROCID%\",\"msgid\":\"%MSGID%\"," +
+       "\"facility\":\"%syslogfacility-text%\",\"priority\":\"%syslogpriority-text%\"," +
+       "\"timereported\":\"%timereported:::date-rfc3339%\"," +
+       "\"timegenerated\":\"%timegenerated:::date-rfc3339%\"}"),
+    " StdClickHouseFmt" ->
+      ("INSERT INTO rsyslog.SystemEvents (severity, facility, timestamp, hostname, tag, message) " +
+       "VALUES (%syslogseverity%, %syslogfacility%, '%timereported:::date-unixtimestamp%', " +
+       "'%hostname%', '%syslogtag%', '%msg%')"),
+    " StdOmSenderTrack-senderid" -> "%fromhost-ip%",
+    "RSYSLOG_PerSourceKey" -> "%hostname%",
+    "RSYSLOG_omudpspoofDfltSourceTpl" -> "%fromhost-ip%")
+
+  /** Template-level escape modes of the built-ins (rsconf.c:224-253:
+    * StdDBFmt carries the SQL option, StdPgSQLFmt / StdClickHouseFmt
+    * STDSQL). */
+  val builtinTemplateEscapes: Map[String, String] = Map(
+    " StdDBFmt" -> "sql",
+    " StdPgSQLFmt" -> "stdsql",
+    " StdClickHouseFmt" -> "stdsql")
 
   private object P extends RainerParserBase {
     def cfgIdent: Parser[String] = """[A-Za-z_][A-Za-z0-9_\-.]*""".r
@@ -321,6 +384,7 @@ object RsyslogConfig {
       case (acc, i) => acc :+ i
     }
     var templates = builtinTemplates
+    var templateEscapes = builtinTemplateEscapes
     var jsonf = Map.empty[String, Seq[TemplateCompiler.JsonfField]]
     var lookups = Map.empty[String, LookupTable]
     var rulesets = Map.empty[String, Seq[RStmt]]
@@ -329,11 +393,19 @@ object RsyslogConfig {
     val inputs = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     var globals = Map.empty[String, String]
     val main = scala.collection.mutable.ArrayBuffer.empty[RStmt]
-    // legacy $template NAME,"format"(,options)
-    val legacyTemplate = """([A-Za-z0-9_\-]+)\s*,\s*"((?:[^"\\]|\\.)*)".*""".r
+    // legacy $template NAME,"format"(,options) — the option suffix is
+    // the template-level escape (template.c:1944-1970: sql/stdsql/json,
+    // case-insensitive)
+    val legacyTemplate = """([A-Za-z0-9_\-]+)\s*,\s*"((?:[^"\\]|\\.)*)"\s*(?:,\s*([A-Za-z]+))?.*""".r
     items.foreach {
       case P.TemplateObj(p, fields) =>
         val name = p("name")
+        // template-level escape (template.c:1955-1970 O_SQL/O_STDSQL/
+        // O_JSON options; mutually exclusive, last wins like the
+        // reference's sequential ifs)
+        Seq("sql", "stdsql", "json").foreach { m =>
+          if (p.get(s"option.$m").contains("on")) templateEscapes += name -> m
+        }
         p.getOrElse("type", "string") match {
           case "string" => templates += name -> p("string")
           case "list" =>
@@ -370,7 +442,11 @@ object RsyslogConfig {
           case "template" => rawArg.trim match {
             // $template NAME,"format" — template string may contain '#',
             // so match on the raw arg, not the comment-stripped one
-            case legacyTemplate(n, fmt) => templates += n -> fmt
+            case legacyTemplate(n, fmt, opt) =>
+              templates += n -> fmt
+              Option(opt).map(_.toLowerCase).filter(
+                Set("sql", "stdsql", "json")).foreach(m =>
+                templateEscapes += n -> m)
             case other =>
               throw new IllegalArgumentException(s"bad \\$$template: $other")
           }
@@ -408,6 +484,6 @@ object RsyslogConfig {
     RsyslogConfig(templates, jsonf, lookups,
       rulesets.map { case (k, v) => k -> injectDefault(v) },
       injectDefault(main.toSeq), objects,
-      modules.toSeq, inputs.toSeq, globals)
+      modules.toSeq, inputs.toSeq, globals, templateEscapes)
   }
 }

@@ -159,6 +159,72 @@ object Sources {
     ds.select(concat(action, lit("\n"), col(docCol)).as("bulk"))
   }
 
+  /** omhttp batch serialization — the transport-free half of the HTTP
+    * sink (contrib/omhttp/omhttp.c): rendered messages grouped into
+    * batches, one output row per batch:
+    *
+    *   - "newline":   join with '\n' (serializeBatchNewline, :1777)
+    *   - "jsonarray": `[m1,m2,...]` (serializeBatchJsonArray, :1745)
+    *   - "kafkarest": `{"records":[{"value":m1},...]}` (:1627-1688)
+    *   - "lokirest":  `{"streams":[m1,...]}` (:1688-1740)
+    *
+    * The three JSON formats parse each message and DROP unparseable
+    * ones (fjson_tokener_parse NULL → continue). Messages here are
+    * compact JSON (our template render) and the reference re-serializes
+    * with FJSON_TO_STRING_PLAIN (also compact, key order preserved), so
+    * textual splicing is byte-equal and the drop check is
+    * try_parse_json. The reference batches per worker up to
+    * maxbatchsize (omhttp.c:2267); here the batch key is an explicit
+    * column (derive it from any bounded grouping, e.g. id div N), so
+    * batches are deterministic and assembly is ONE map-side-combinable
+    * shuffle on batchIdCol. Within-batch order follows orderCol (the
+    * reference preserves arrival order). */
+  def omhttpBatch(ds: DataFrame, msgCol: String, batchIdCol: String,
+                  orderCol: String, format: String = "newline"): DataFrame = {
+    require(Set("newline", "jsonarray", "kafkarest", "lokirest")(format),
+      s"omhttp batch.format $format")  // VALID_BATCH_FORMATS, omhttp.c:126
+    // collect_list skips nulls, so the parse-drop rides the same agg
+    val kept = if (format == "newline") col(msgCol)
+               else when(try_parse_json(col(msgCol)).isNotNull, col(msgCol))
+    val batched = ds.groupBy(col(batchIdCol))
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        kept.as("m")))).as("s"))
+      .withColumn("msgs", transform(col("s"), _.getField("m"))).drop("s")
+    val body = format match {
+      case "newline" => array_join(col("msgs"), "\n")
+      case "jsonarray" =>
+        concat(lit("["), array_join(col("msgs"), ","), lit("]"))
+      case "kafkarest" => concat(lit("{\"records\":["),
+        array_join(transform(col("msgs"),
+          m => concat(lit("{\"value\":"), m, lit("}"))), ","),
+        lit("]}"))
+      case "lokirest" => concat(lit("{\"streams\":["),
+        array_join(col("msgs"), ","), lit("]}"))
+    }
+    batched.select(col(batchIdCol), body.as("batch"))
+  }
+
+  /** omjournal send shaping — journal fields as an export-format entry
+    * (the transport-free half of plugins/omjournal/omjournal.c). The
+    * non-template field set (send_non_template_message, :290-302):
+    * MESSAGE, PRIORITY = facility*8|severity (the reference passes the
+    * full PRI value here, not the bare severity journald expects — a
+    * faithfully-reproduced quirk), SYSLOG_FACILITY, SYSLOG_IDENTIFIER =
+    * the syslogtag. Template mode (send_template_message/build_iovec,
+    * :186-230) turns each key of the rendered JSON object into its own
+    * FIELD=value line instead. An entry round-trips through
+    * imjournalDecode (modulo the PRIORITY quirk, whose 0-7 bounds check
+    * then applies its default). */
+  def omjournalFrame(ds: DataFrame, msgCol: String = "msg",
+                     facilityCol: String = "facility",
+                     severityCol: String = "severity",
+                     tagCol: String = "syslogtag"): DataFrame =
+    ds.withColumn("journal_entry", concat(
+      lit("MESSAGE="), coalesce(col(msgCol), lit("")),
+      lit("\nPRIORITY="), col(facilityCol) * 8 + col(severityCol),
+      lit("\nSYSLOG_FACILITY="), col(facilityCol),
+      lit("\nSYSLOG_IDENTIFIER="), coalesce(col(tagCol), lit(""))))
+
   /** imkafka decode: a Kafka-SOURCE-shaped frame (the Spark kafka source
     * contract: key/value binary + topic/partition/offset/timestamp) to
     * decoded pipeline rows with imkafka's provenance (inputname=imkafka,

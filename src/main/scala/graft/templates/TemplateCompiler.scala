@@ -71,29 +71,53 @@ object TemplateCompiler {
 
   private val sevNames = Seq("emerg", "alert", "crit", "err", "warning",
     "notice", "info", "debug")
+  // RFC5424 facility table (runtime/msg.c:212-218, non-AIX build);
+  // out-of-range values render "invld" (getFacilityStr, msg.c:2033+)
   private val facNames = Seq("kern", "user", "mail", "daemon", "auth",
     "syslog", "lpr", "news", "uucp", "cron", "authpriv", "ftp", "ntp",
-    "security", "console", "solaris-cron", "local0", "local1", "local2",
+    "audit", "alert", "clock", "local0", "local1", "local2",
     "local3", "local4", "local5", "local6", "local7")
 
   /** Resolve a property name to its base Column. `props` maps schema
     * fields; derived text properties (severity/facility names, $!path)
-    * are synthesized here (runtime/msg.c:3727-3990 property switch). */
-  def resolve(name: String, props: String => Column): Column = name match {
-    case "pri" => props("facility") * 8 + props("severity")
-    case "syslogseverity" => props("severity")
-    case "syslogseverity-text" =>
-      element_at(array(sevNames.map(lit): _*), props("severity").cast("int") + 1)
-    case "syslogfacility" => props("facility")
-    case "syslogfacility-text" =>
-      element_at(array(facNames.map(lit): _*), props("facility").cast("int") + 1)
-    case "timereported" | "timestamp" => props("ts")
-    case "timegenerated" => props("ts")
-    case n if n.startsWith("$!") =>
-      get_json_object(props("vars_msg"), "$." + n.drop(2).replace('!', '.'))
-    case n if n.startsWith("$.") =>
-      get_json_object(props("vars_local"), "$." + n.drop(2).replace('!', '.'))
-    case other => props(other)
+    * are synthesized here (runtime/msg.c:3727-3990 property switch).
+    * Names are case-insensitive like the reference's propNameToID
+    * (%TIMESTAMP% ≡ %timestamp%); hyphenated wire names map onto the
+    * frame's underscore columns. Unknown names fall through to `props`
+    * verbatim — ad-hoc frame columns keep working. */
+  def resolve(name: String, props: String => Column): Column = {
+    def sevText = when(props("severity").cast("int").between(0, 7),
+      element_at(array(sevNames.map(lit): _*),
+        props("severity").cast("int") + 1)).otherwise(lit("invld"))
+    def facText = when(props("facility").cast("int").between(0, 23),
+      element_at(array(facNames.map(lit): _*),
+        props("facility").cast("int") + 1)).otherwise(lit("invld"))
+    if (name.startsWith("$!"))
+      get_json_object(props("vars_msg"), "$." + name.drop(2).replace('!', '.'))
+    else if (name.startsWith("$."))
+      get_json_object(props("vars_local"), "$." + name.drop(2).replace('!', '.'))
+    else name.toLowerCase match {
+      case "pri" => props("facility") * 8 + props("severity")
+      // textpri "facility.severity" (msg.c:2889-2900)
+      case "pri-text" => concat(facText, lit("."), sevText)
+      // syslogpriority is the reference's historical alias for SEVERITY
+      case "syslogseverity" | "syslogpriority" => props("severity")
+      case "syslogseverity-text" | "syslogpriority-text" => sevText
+      case "syslogfacility" => props("facility")
+      case "syslogfacility-text" => facText
+      case "timereported" | "timestamp" => props("ts")
+      case "timegenerated" => props("ts")
+      case "source" => props("hostname")
+      case "app-name" => props("app_name")
+      case "structured-data" => props("structured_data")
+      case "protocol-version" => props("protocol_version")
+      // no per-connection IP in a replayed frame — the recorded
+      // fromhost provenance is the closest stable value
+      case "fromhost-ip" => props("fromhost")
+      // InfoUnitID: constant 1 for syslog messages (msg.c getInfoUnit)
+      case "iut" => lit(1)
+      case _ => props(name)
+    }
   }
 
   /** Apply the property-replacer stages to a base column. */
@@ -201,11 +225,35 @@ object TemplateCompiler {
     coalesce(c, lit(""))
   }
 
+  /** Template-level escape option (template.c:946-951: applied to every
+    * PROPERTY value after evaluation, never to constants): "sql" =
+    * MySQL dialect (' → \' and \ → \\), "stdsql" = '' doubling, "json"
+    * (doEscape SQL_ESCAPE/STDSQL_ESCAPE/JSON_ESCAPE, template.c:
+    * 1140-1190). Set by the SQL/STDSQL/json suffix of legacy
+    * $template lines, option.sql/stdsql/json on template() objects,
+    * and the built-in DB templates. */
+  def applyFormatEscape(c0: Column, mode: String): Column = {
+    val c = c0.cast("string")
+    mode match {
+      case "sql" =>
+        regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "\\\\'")
+      case "stdsql" => regexp_replace(c, "'", "''")
+      case "json" =>
+        regexp_replace(regexp_replace(regexp_replace(c,
+          "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+      case other =>
+        throw new IllegalArgumentException(s"template escape mode $other")
+    }
+  }
+
   /** Compile a full template string into one Column. */
-  def compile(tpl: String, props: String => Column): Column = {
+  def compile(tpl: String, props: String => Column,
+              formatEscape: Option[String] = None): Column = {
     val cols = parse(tpl).map {
       case Constant(t) => lit(t)
-      case p: Property => compileProperty(p, props)
+      case p: Property =>
+        val v = compileProperty(p, props)
+        formatEscape.map(applyFormatEscape(v, _)).getOrElse(v)
     }
     if (cols.isEmpty) lit("") else concat(cols: _*)
   }

@@ -140,4 +140,42 @@ class FileSourceSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.filter(col("msg") === " first").count() == 1)
   }
+
+  test("omhttp batch shaping: all four formats, parse-drop, order") {
+    // three valid messages + one malformed in a single batch, arriving
+    // out of id order — the serializers must drop the malformed one for
+    // the JSON formats, keep it for newline, and sort by the order col
+    val rows = Seq(
+      (0L, 3L, """{"n":3}"""),
+      (0L, 1L, """{"n":1}"""),
+      (0L, 2L, "not json"),
+      (0L, 4L, """{"n":4}""")).toDF("b", "id", "m")
+    def run(fmt: String): String =
+      Sources.omhttpBatch(rows, "m", "b", "id", fmt).collect()(0).getString(1)
+    assert(run("newline") == "{\"n\":1}\nnot json\n{\"n\":3}\n{\"n\":4}")
+    assert(run("jsonarray") == """[{"n":1},{"n":3},{"n":4}]""")
+    assert(run("kafkarest") ==
+      """{"records":[{"value":{"n":1}},{"value":{"n":3}},{"value":{"n":4}}]}""")
+    assert(run("lokirest") == """{"streams":[{"n":1},{"n":3},{"n":4}]}""")
+  }
+
+  test("omjournal frame: field set + decode round trip (PRIORITY quirk)") {
+    // kern (facility 0) survives the PRIORITY=(fac*8|sev) quirk intact;
+    // a nonzero facility pushes PRIORITY out of 0-7 and imjournal's
+    // bounds check then applies its default severity (notice) — exactly
+    // what the reference pair does to itself
+    val src = Seq((0, 3, "ker: boom", "ktag"), (10, 3, "sec msg", "stag"))
+      .toDF("facility", "severity", "msg", "syslogtag")
+    val entries = Sources.omjournalFrame(src)
+      .select(col("journal_entry").as("value"))
+    assert(entries.collect()(0).getString(0) ==
+      "MESSAGE=ker: boom\nPRIORITY=3\nSYSLOG_FACILITY=0\nSYSLOG_IDENTIFIER=ktag")
+    val rt = Sources.imjournalDecode(entries)
+      .select("facility", "severity", "msg", "syslogtag").collect()
+    assert(rt(0).getInt(0) == 0 && rt(0).getInt(1) == 3)
+    assert(rt(0).getString(2) == "ker: boom")
+    assert(rt(0).getString(3) == "ktag:")
+    // facility 10 round-trips; PRIORITY=83 is out of bounds → notice
+    assert(rt(1).getInt(0) == 10 && rt(1).getInt(1) == 5)
+  }
 }

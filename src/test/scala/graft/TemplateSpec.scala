@@ -111,4 +111,64 @@ class TemplateSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(j == """{"host":"host1","sev":3}""")
   }
+
+  test("template-level SQL/STDSQL escape hits properties, not constants") {
+    // template.c:946-951: optFormatEscape applies to every evaluated
+    // property; constants (including the surrounding quotes) pass as-is
+    val df = Seq(Tuple1("it's a b\\s")).toDF("msg")
+    def esc(mode: String): String =
+      df.select(TemplateCompiler.compile("v='%msg%'", col,
+        Some(mode)).as("r")).collect()(0).getString(0)
+    assert(esc("sql") == "v='it\\'s a b\\\\s'")
+    assert(esc("stdsql") == "v='it''s a b\\s'")
+    assert(esc("json") == "v='it's a b\\\\s'")
+  }
+
+  test("case-insensitive + aliased property names (propNameToID)") {
+    assert(render("%HOSTNAME% %PRI% %TIMESTAMP:::date-mysql%")
+      == "host1 19 20240301010203")
+    assert(render("%syslogpriority%/%syslogpriority-text%") == "3/err")
+    assert(render("%pri-text%") == "mail.err")
+    assert(render("%iut%") == "1")
+  }
+
+  test("reference facility table: audit/alert/clock at 13-15 (msg.c:212)") {
+    val r = Seq((13, 0), (15, 7), (24, 0)).toDF("facility", "severity")
+      .select(TemplateCompiler.compile(
+        "%syslogfacility-text%.%syslogseverity-text%", col).as("r"))
+      .collect().map(_.getString(0))
+    assert(r.toSeq == Seq("audit.emerg", "clock.debug", "invld.emerg"))
+  }
+
+  test("builtin StdDBFmt renders a valid escaped MySQL INSERT") {
+    val cfg = graft.rainerscript.RsyslogConfig.parse("")
+    val row = fixture.withColumn("msg", lit("it's fine"))
+      .select(cfg.renderTemplate(" StdDBFmt", col).as("r"))
+      .collect()(0).getString(0)
+    assert(row == "insert into SystemEvents (Message, Facility, FromHost, " +
+      "Priority, DeviceReportedTime, ReceivedAt, InfoUnitID, SysLogTag) " +
+      "values ('it\\'s fine', 2, 'host1', 3, '20240301010203', " +
+      "'20240301010203', 1, 'app[7]:')")
+  }
+
+  test("legacy $template SQL suffix sets the template escape") {
+    val cfg = graft.rainerscript.RsyslogConfig.parse(
+      "$template dbq,\"ins '%msg%'\",SQL\n" +
+      "$template plain,\"p %msg%\"\n")
+    assert(cfg.templateEscapes.get("dbq").contains("sql"))
+    assert(!cfg.templateEscapes.contains("plain"))
+    val df = Seq(Tuple1("o'clock")).toDF("msg")
+    assert(df.select(cfg.renderTemplate("dbq", col).as("r"))
+      .collect()(0).getString(0) == "ins 'o\\'clock'")
+  }
+
+  test("template() object option.stdsql escapes exec_template output") {
+    val cfg = graft.rainerscript.RsyslogConfig.parse(
+      """template(name="t" type="string" string="q='%msg%'" option.stdsql="on")
+        |set $.out = exec_template("t");
+        |""".stripMargin)
+    val out = cfg.run(Seq(Tuple1("don't")).toDF("msg")).output
+      .select(get_json_object(col("vars_local"), "$.out")).collect()(0).getString(0)
+    assert(out == "q='don''t'")
+  }
 }
