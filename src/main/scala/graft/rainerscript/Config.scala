@@ -187,9 +187,12 @@ object RsyslogConfig {
 
   private object P extends RainerParserBase {
     def cfgIdent: Parser[String] = """[A-Za-z_][A-Za-z0-9_\-.]*""".r
+    // full lexer-level unescape (\xHH, \OOO, control escapes) shared
+    // with script strings — grammar/rainerscript.c unescapeStr runs on
+    // object parameter strings too (lexer.l:325-489 string contexts)
     def cfgString: Parser[String] =
       ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s =>
-        s.substring(1, s.length - 1).replace("\\\"", "\"")
+        unescape(s.substring(1, s.length - 1))
       }
     def param: Parser[(String, String)] =
       cfgIdent ~ ("=" ~> cfgString) ^^ { case k ~ v => (k.toLowerCase, v) }

@@ -17,20 +17,39 @@ class RainerParserBase extends RegexParsers {
   private def number: Parser[Long] = """-?\d+""".r ^^ (_.toLong)
   /** Single left-to-right escape scan: chained String.replace is wrong
     * (input `\\n` — escaped backslash then n — must decode to `\n` the
-    * two chars, not a newline). */
-  private def unescape(body: String): String = {
+    * two chars, not a newline). Table per the reference lexer's
+    * doUnescape (grammar/rainerscript.c:6472-6548): \a \b \f \n \r \t
+    * \' \" \? \$ \\ plus \xHH (exactly two hex digits) and \OOO
+    * (exactly three octal digits). Divergence kept deliberately: an
+    * unknown or incomplete escape passes through literally (`\%` must
+    * survive for the template compiler's own escape layer), where the
+    * reference emits '?' / reads garbage past the escape. */
+  protected def unescape(body: String): String = {
     val sb = new StringBuilder(body.length)
     var i = 0
+    def isOct(c: Char) = c >= '0' && c <= '7'
+    def isHex(c: Char) = c.isDigit || ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F')
     while (i < body.length) {
       val c = body.charAt(i)
       if (c == '\\' && i + 1 < body.length) {
         body.charAt(i + 1) match {
-          case 'n' => sb.append('\n')
-          case 't' => sb.append('\t')
-          case 'r' => sb.append('\r')
-          case other => sb.append(other) // \" \' \\ and unknown → literal
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'a' => sb.append('\u0007'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\u000C'); i += 2
+          case 'x' if i + 3 < body.length && isHex(body.charAt(i + 2)) &&
+              isHex(body.charAt(i + 3)) =>
+            sb.append(Integer.parseInt(body.substring(i + 2, i + 4), 16).toChar)
+            i += 4
+          case d if isOct(d) && i + 3 < body.length &&
+              isOct(body.charAt(i + 2)) && isOct(body.charAt(i + 3)) =>
+            sb.append((((d - '0') << 6) + ((body.charAt(i + 2) - '0') << 3) +
+              (body.charAt(i + 3) - '0')).toChar)
+            i += 4
+          case other => sb.append(other); i += 2 // \" \' \\ \$ \? + unknown → literal
         }
-        i += 2
       } else { sb.append(c); i += 1 }
     }
     sb.toString

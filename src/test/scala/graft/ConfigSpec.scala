@@ -373,4 +373,66 @@ class ConfigSpec extends SparkSpec {
       .select("l").collect()(0).getString(0)
     assert(line == "Mar  1 01:02:03 host1 app: disk failing\n")
   }
+
+  test("rscript-object-string-escapes replay: \\xHH and \\OOO decode") {
+    // tests/rscript-object-string-escapes.sh: hex/octal byte escapes in
+    // expression strings and template constants reach the rendered
+    // output as the intended bytes; an escaped backslash stays literal
+    val conf =
+      """set $.expr_hex_upper = "\x5A";
+        |set $.expr_hex_upper_digits = "\x4A";
+        |template(name="outfmt" type="list") {
+        |  constant(value="hex_lower=\x41\n")
+        |  constant(value="hex_upper=\x5a\n")
+        |  constant(value="hex_upper_digits=\x5A\n")
+        |  constant(value="expr_hex_upper=")
+        |  property(name="$.expr_hex_upper")
+        |  constant(value="\n")
+        |  constant(value="expr_hex_upper_digits=")
+        |  property(name="$.expr_hex_upper_digits")
+        |  constant(value="\n")
+        |  constant(value="octal=\101\n")
+        |  constant(value="literal=\\\\x41\n")
+        |}
+        |:msg, contains, "msgnum:" action(type="omfile" template="outfmt" file="/out.log")
+        |""".stripMargin
+    val cfg = RsyslogConfig.parse(conf)
+    val res = cfg.run(Seq(Tuple1(" msgnum:00000000:")).toDF("msg"))
+    val out = res.actionFrame(0).select("__rendered").collect()(0).getString(0)
+    assert(out == "hex_lower=A\nhex_upper=Z\nhex_upper_digits=Z\n" +
+      "expr_hex_upper=Z\nexpr_hex_upper_digits=J\noctal=A\nliteral=\\x41\n")
+  }
+
+  test("proprepltest-rfctag/-nolimittag replay: tag substring cap vs full tag") {
+    // tests/proprepltest-rfctag.sh + -nolimittag.sh end to end: imtcp
+    // input → ":pri, contains, 167" legacy filter → outfmt template →
+    // action render. Same four tcpflood messages, the rfctag variant
+    // caps the tag via the :1:32 substring, nolimittag renders it whole.
+    val msgs = Seq(
+      "<167>Mar  6 16:57:54 172.20.245.8 TAG: Rest of message...",
+      "<167>Mar  6 16:57:54 172.20.245.8 0 Rest of message...",
+      "<167>Mar  6 16:57:54 172.20.245.8 01234567890123456789012345678901 Rest of message...",
+      "<167>Mar  6 16:57:54 172.20.245.8 01234567890123456789012345678901-toolong Rest of message...")
+    def replay(outfmt: String): Seq[String] = {
+      val conf =
+        s"""module(load="imtcp")
+          |input(type="imtcp" address="127.0.0.1" port="514")
+          |template(name="outfmt" type="string" string="$outfmt")
+          |:pri, contains, "167" action(type="omfile" file="/out.log" template="outfmt")
+          |""".stripMargin
+      val cfg = RsyslogConfig.parse(conf)
+      val res = cfg.activate(spark, feeds = Map("imtcp:514" -> msgs.toDF("value")),
+        now = to_timestamp(lit("2024-06-01 12:00:00")))
+      res("").actionFrame(0).select("__rendered")
+        .collect().map(_.getString(0)).toSeq
+    }
+    assert(replay("+%syslogtag:1:32%+\\n") == Seq(
+      "+TAG:+\n", "+0+\n",
+      "+01234567890123456789012345678901+\n",
+      "+01234567890123456789012345678901+\n"))
+    assert(replay("+%syslogtag%+\\n") == Seq(
+      "+TAG:+\n", "+0+\n",
+      "+01234567890123456789012345678901+\n",
+      "+01234567890123456789012345678901-toolong+\n"))
+  }
 }
