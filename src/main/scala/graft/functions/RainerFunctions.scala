@@ -107,8 +107,10 @@ object rainer {
 
   // ---------- numeric / misc ----------
 
-  /** getenv(name) — config-time env read (rainerscript.c:2161); driver-side. */
-  def rs_getenv(name: String): Column = lit(sys.env.getOrElse(name, ""))
+  /** getenv(name) — config-time env read (rainerscript.c:2161);
+    * driver-side, through the EnvSource test seam. */
+  def rs_getenv(name: String): Column =
+    lit(graft.rainerscript.EnvSource.get(name).getOrElse(""))
 
   /** random(max) — rainerscript.c:2059 */
   def rs_random(max: Column): Column = floor(rand() * max).cast(LongType)

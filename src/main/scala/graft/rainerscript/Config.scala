@@ -189,11 +189,12 @@ object RsyslogConfig {
     def cfgIdent: Parser[String] = """[A-Za-z_][A-Za-z0-9_\-.]*""".r
     // full lexer-level unescape (\xHH, \OOO, control escapes) shared
     // with script strings — grammar/rainerscript.c unescapeStr runs on
-    // object parameter strings too (lexer.l:325-489 string contexts)
+    // object parameter strings too (lexer.l:325-489 string contexts);
+    // backtick `echo ...`/`cat ...` params expand like lexer.l:487
     def cfgString: Parser[String] =
       ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s =>
         unescape(s.substring(1, s.length - 1))
-      }
+      } | btstring
     def param: Parser[(String, String)] =
       cfgIdent ~ ("=" ~> cfgString) ^^ { case k ~ v => (k.toLowerCase, v) }
     def params: Parser[Map[String, String]] = rep(param) ^^ (_.toMap)

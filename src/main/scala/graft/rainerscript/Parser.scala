@@ -8,6 +8,16 @@ import scala.util.parsing.combinator.RegexParsers
   * and expression surface; config *objects* handled: action(...).
   * Comments: `#` to end of line and C-style block comments.
   */
+/** Environment lookup with a test seam: a JVM cannot mutate its own
+  * environment, so replay tests (the reference pattern `export VAR=…`
+  * then startup) inject overrides here instead. Used by backtick
+  * `echo $VAR` expansion and the getenv() script function. */
+object EnvSource {
+  @volatile var overrides: Map[String, String] = Map.empty
+  def get(name: String): Option[String] =
+    overrides.get(name).orElse(sys.env.get(name))
+}
+
 class RainerParserBase extends RegexParsers {
   override protected val whiteSpace =
     """(\s|#.*|/\*(?s:.*?)\*/)+""".r
@@ -54,9 +64,54 @@ class RainerParserBase extends RegexParsers {
     }
     sb.toString
   }
+  /** Backtick parameter expansion (lexer.l:211-235), run at parse time
+    * like the reference's lexer: `echo TEXT` expands $VAR / ${VAR} from
+    * the environment (missing vars splice as empty,
+    * expand_backticks_echo lexer.l:145-207); `cat FILE` splices the
+    * file's bytes verbatim (read_file lexer.l:92-141, error → a
+    * comment placeholder); any other command is invalid and yields "". */
+  protected def expandBackticks(body: String): String =
+    if (body.startsWith("echo ")) expandEnvRefs(body.drop(5))
+    else if (body.startsWith("cat ")) {
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(body.drop(4))),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Exception =>
+        "/* file could not be accessed - see error messages */" }
+    } else ""
+
+  private def expandEnvRefs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '$') {
+        if (i + 1 < s.length && s.charAt(i + 1) == '{') {
+          // ${NAME}; an unterminated brace consumes to end-of-string and
+          // still expands (the reference's end-of-loop in_env flush)
+          val end = s.indexOf('}', i + 2)
+          val stop = if (end >= 0) end else s.length
+          sb.append(EnvSource.get(s.substring(i + 2, stop)).getOrElse(""))
+          i = stop + 1
+        } else {
+          var j = i + 1
+          while (j < s.length &&
+            (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+          sb.append(EnvSource.get(s.substring(i + 1, j)).getOrElse(""))
+          i = j
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  protected def btstring: Parser[String] =
+    ("`" + """([^`\\]|\\.)*""" + "`").r ^^ { s =>
+      expandBackticks(unescape(s.substring(1, s.length - 1))) }
+
   private def qstring: Parser[String] =
     ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s => unescape(s.substring(1, s.length - 1)) } |
-    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s => unescape(s.substring(1, s.length - 1)) }
+    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s => unescape(s.substring(1, s.length - 1)) } |
+    btstring
   private def variable: Parser[RVar] =
     """\$[!./]?[A-Za-z0-9_\-]+(![A-Za-z0-9_\-]+)*""".r ^^ RVar.apply
 

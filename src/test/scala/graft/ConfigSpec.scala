@@ -374,6 +374,48 @@ class ConfigSpec extends SparkSpec {
     assert(line == "Mar  1 01:02:03 host1 app: disk failing\n")
   }
 
+  test("backtick params: echo env expansion, cat splice, invalid → empty") {
+    // tests/rscript_backticks_braces_envvar.sh / _empty_envvar.sh /
+    // _static_text.sh: `echo foo${MYVAR}bar` in an expression, missing
+    // vars splice empty, `cat FILE` splices bytes, non-echo/cat → ""
+    graft.rainerscript.EnvSource.overrides = Map("MYVAR" -> "42")
+    try {
+      val cfg = RsyslogConfig.parse(
+        """if `echo foo${MYVAR}bar` == "foo42bar" and $msg contains "msgnum" then
+          |    action(type="omfile" file=`echo /log/${MYVAR}/x` template="RSYSLOG_ForwardFormat")
+          |""".stripMargin)
+      // the action's file param expanded at parse time
+      val act = cfg.mainStmts.collectFirst {
+        case graft.rainerscript.RIf(_, Seq(graft.rainerscript.RAction(p)), _) => p }
+      assert(act.get("file") == "/log/42/x")
+      val df = Seq((" msgnum:00", 3, 2, "h", "t:", new java.sql.Timestamp(0)))
+        .toDF("msg", "severity", "facility", "hostname", "syslogtag", "ts")
+      assert(cfg.run(df).actionFrame(0).count() == 1)
+      // missing var → empty; static text passes through
+      assert(RsyslogConfig.parse(
+        """set $.v = `echo a${NOPE_UNSET_VAR}b`;""").mainStmts.nonEmpty)
+      val f = java.nio.file.Files.createTempFile("graft_bt", ".txt")
+      java.nio.file.Files.writeString(f, "from-file")
+      val cfg2 = RsyslogConfig.parse(
+        s"""if `cat ${f.toString}` == "from-file" then action(type="omfile" file=`pwd`)
+           |""".stripMargin)
+      val act2 = cfg2.mainStmts.collectFirst {
+        case graft.rainerscript.RIf(_, Seq(graft.rainerscript.RAction(p)), _) => p }
+      assert(act2.get("file") == "") // invalid backtick command → ""
+      assert(cfg2.run(df).actionFrame(0).count() == 1)
+    } finally graft.rainerscript.EnvSource.overrides = Map.empty
+  }
+
+  test("getenv() reads the config-time environment (rainerscript.c:2161)") {
+    graft.rainerscript.EnvSource.overrides = Map("GRAFT_T" -> "hit")
+    try {
+      val out = RsyslogConfig.parse("""set $.e = getenv("GRAFT_T") & getenv("GRAFT_MISSING");""")
+        .run(Seq(Tuple1("m")).toDF("msg")).output
+        .select(get_json_object(col("vars_local"), "$.e")).collect()(0).getString(0)
+      assert(out == "hit")
+    } finally graft.rainerscript.EnvSource.overrides = Map.empty
+  }
+
   test("rscript-object-string-escapes replay: \\xHH and \\OOO decode") {
     // tests/rscript-object-string-escapes.sh: hex/octal byte escapes in
     // expression strings and template constants reach the rendered
