@@ -351,6 +351,7 @@ object RsyslogConfig {
   private def expandIncludes(items: Seq[P.Item], depth: Int): Seq[P.Item] = {
     require(depth < 16, "include nesting too deep (cycle?)")
     items.flatMap {
+      case P.IncludeObj(p) if objDisabled(p) => Nil
       case P.IncludeObj(p) =>
         val texts: Seq[String] = p.get("text").map(Seq(_)).getOrElse {
           val files = p.get("file").map(globFiles).getOrElse(Nil)
@@ -374,10 +375,24 @@ object RsyslogConfig {
     (if (i >= 0) arg.substring(0, i) else arg).trim
   }
 
+  /** config.enabled != "on" disables the carrying object at load
+    * (nvlstChkDisabled, grammar/rainerscript.c:759-772); statement-level
+    * action()/include() handling lives in the parser. */
+  private def objDisabled(p: Map[String, String]): Boolean =
+    p.get("config.enabled").exists(_ != "on")
+
   def parse(src: String): RsyslogConfig = {
     // 1) parse, 2) expand includes, 3) fold `&` continuations into the
     // preceding filter's block (legacy continuation lines)
-    val expanded = expandIncludes(parseRaw(src), 0)
+    val expanded = expandIncludes(parseRaw(src), 0).filterNot {
+      case P.TemplateObj(p, _) => objDisabled(p)
+      case P.LookupObj(p) => objDisabled(p)
+      case P.ModuleObj(p) => objDisabled(p)
+      case P.InputObj(p) => objDisabled(p)
+      case P.SettingsObj(_, p) => objDisabled(p)
+      case P.GenericObj(_, p) => objDisabled(p)
+      case _ => false
+    }
     val items = expanded.foldLeft(Vector.empty[P.Item]) {
       case (acc :+ P.StmtItem(RPriFilt(sel, b)), P.AmpCont(s)) =>
         acc :+ P.StmtItem(RPriFilt(sel, b ++ s))

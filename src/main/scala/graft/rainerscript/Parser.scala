@@ -173,12 +173,49 @@ class RainerParserBase extends RegexParsers {
     setStmt | unsetStmt | ifStmt | foreachStmt | stopStmt | callIndirectStmt |
     callStmt | reloadLookupStmt | actionStmt | priFiltStmt | propFiltStmt
 
+  /** config.enabled="off" (any value but "on") disables the carrying
+    * object/statement at load (nvlstChkDisabled,
+    * grammar/rainerscript.c:759-772; exact-match like es_strbufcmp). */
+  protected def paramsDisabled(p: Map[String, String]): Boolean =
+    p.get("config.enabled").exists(_ != "on")
+
+  private val inclDepth = new ThreadLocal[Integer] { override def initialValue = 0 }
+
+  /** Statement-position include(): the reference's config preprocessor
+    * splices included text anywhere a statement can stand (the
+    * rscript-config_enable tests put `include(text="stop")` inside an
+    * if-block). text= splices inline; file= reads one file (the
+    * top-level include keeps glob/optional handling); a disabled or
+    * unreadable include splices nothing. */
+  private def includeStmt: Parser[Seq[RStmt]] =
+    "include" ~> "(" ~> rep(actionParam) <~ ")" ^^ { ps =>
+      val p = ps.toMap
+      val text: Option[String] =
+        if (paramsDisabled(p)) None
+        else p.get("text").orElse(p.get("file").flatMap { f =>
+          try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(f)))
+          catch { case _: Exception => None }
+        })
+      text.map { t =>
+        require(inclDepth.get < 16, "include nesting too deep (cycle?)")
+        inclDepth.set(inclDepth.get + 1)
+        try parseScript(t) finally inclDepth.set(inclDepth.get - 1)
+      }.getOrElse(Seq.empty)
+    }
+
+  protected def stmtMulti: Parser[Seq[RStmt]] =
+    includeStmt |
+    stmt ^^ {
+      case RAction(p) if paramsDisabled(p) => Seq.empty
+      case other => Seq(other)
+    }
+
   private def setStmt: Parser[RStmt] =
     "set" ~> variable ~ ("=" ~> expr) <~ ";" ^^ { case v ~ e => RSet(v, e) }
   private def unsetStmt: Parser[RStmt] =
     "unset" ~> variable <~ ";" ^^ RUnset.apply
   private def block: Parser[Seq[RStmt]] =
-    "{" ~> rep(stmt) <~ "}" | stmt ^^ (s => Seq(s))
+    "{" ~> rep(stmtMulti) <~ "}" ^^ (_.flatten) | stmtMulti
   private def ifStmt: Parser[RStmt] =
     ("if" ~> expr) ~ ("then" ~> block) ~ opt("else" ~> block) ^^ {
       case c ~ t ~ e => RIf(c, t, e.getOrElse(Seq.empty))
@@ -213,7 +250,7 @@ class RainerParserBase extends RegexParsers {
       case prop ~ neg ~ op ~ v ~ b => RPropFilt(prop, op, neg.isDefined, v, b)
     }
 
-  def script: Parser[Seq[RStmt]] = rep(stmt)
+  def script: Parser[Seq[RStmt]] = rep(stmtMulti) ^^ (_.flatten)
 
   def parseScript(src: String): Seq[RStmt] = parseAll(script, src) match {
     case Success(r, _) => r

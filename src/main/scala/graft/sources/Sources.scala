@@ -273,37 +273,14 @@ object Sources {
                       dfltFacility: Int = 1,
                       dfltSeverity: Int = 5): DataFrame = {
     val v = col(valueCol)
-    def fld(name: String): Column = {
-      val m = regexp_extract(v,
-        "(?m)^" + java.util.regex.Pattern.quote(name) + "=(.*)$", 1)
-      when(m === "", lit(null)).otherwise(m)
-    }
-    val sevNum = regexp_extract(coalesce(fld("PRIORITY"), lit("")), "^(-?[0-9]+)", 1)
-    val severity = when(sevNum =!= "" && sevNum.cast("int").between(0, 7),
-      sevNum.cast("int")).otherwise(lit(dfltSeverity))
-    val facStr = coalesce(fld("SYSLOG_FACILITY"), lit(""))
-    val facility = when(facStr.rlike("^[0-9]{1,2}$") && facStr.cast("int") <= 23,
-      facStr.cast("int")).otherwise(lit(dfltFacility))
-    val iden = coalesce(fld("SYSLOG_IDENTIFIER"), fld("_COMM"), lit(dfltTag))
-    val pid = coalesce(fld("SYSLOG_PID"), fld("_PID"))
-    val tag = concat(iden,
-      when(pid.isNotNull, concat(lit("["), pid, lit("]"))).otherwise(lit("")),
-      lit(":"))
-    // data fields → $! tree: split lines, keep k=v non-meta lines, dedup
-    // by key keeping the LAST occurrence (reverse + first-seen filter —
-    // field counts are small, so the per-row quadratic scan is bounded)
-    val kvLines = filter(split(v, "\n"),
-      l => instr(l, "=") > 0 && !l.startsWith("__"))
-    val rev = reverse(transform(kvLines, l => struct(
-      substring_index(l, "=", 1).as("k"),
-      l.substr(instr(l, "=") + lit(1), length(l)).as("v"))))
-    val indexed = transform(rev, (s, i) => struct(
-      s.getField("k").as("k"), s.getField("v").as("v"), i.as("i")))
-    val deduped = filter(indexed, x =>
-      !exists(slice(rev, lit(1), x.getField("i")),
-        q => q.getField("k") === x.getField("k")))
-    val varsJson = to_json(map_from_entries(transform(reverse(deduped),
-      s => struct(s.getField("k").as("key"), s.getField("v").as("value")))))
+    // one single-pass kernel scan per entry (JournalEntryExpr) — the
+    // staged select shares the struct across output columns without
+    // re-evaluating it (CollapseProject keeps the multi-referenced
+    // non-cheap alias at a projection boundary)
+    val dec = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.JournalEntryExpr(
+        org.apache.spark.sql.GraftBridge.expression(v),
+        dfltTag, dfltFacility, dfltSeverity))
     val withProv0 =
       if (entries.columns.contains("inputname")) entries
       else entries.withColumn("inputname", lit("imjournal"))
@@ -311,23 +288,24 @@ object Sources {
       if (withProv0.columns.contains("fromhost")) withProv0
       else withProv0.withColumn("fromhost",
         lit(java.net.InetAddress.getLocalHost.getHostName))
-    withProv
-      .select(withProv.columns.filter(_ != valueCol).map(col) ++ Seq(
+    val j = withProv.withColumn("__j", dec)
+    j.select(withProv.columns.filter(_ != valueCol).map(col) ++ Seq(
         v.as("rawmsg"),
         lit(0).as("protocol_version"),
-        (facility * 8 + severity).as("pri"),
-        facility.as("facility"), severity.as("severity"),
-        timestamp_micros(fld("__REALTIME_TIMESTAMP").cast("long")).as("ts"),
+        (col("__j.facility") * 8 + col("__j.severity")).as("pri"),
+        col("__j.facility").as("facility"),
+        col("__j.severity").as("severity"),
+        col("__j.ts").as("ts"),
         col("fromhost").as("hostname"),
-        iden.as("app_name"),
-        pid.as("procid"),
+        col("__j.app_name").as("app_name"),
+        col("__j.procid").as("procid"),
         lit(null).cast("string").as("msgid"),
         lit(null).cast("string").as("structured_data"),
-        tag.as("syslogtag"),
-        iden.as("programname"),
-        coalesce(fld("MESSAGE"), lit("")).as("msg"),
+        col("__j.syslogtag").as("syslogtag"),
+        col("__j.app_name").as("programname"),
+        col("__j.msg").as("msg"),
         lit(true).as("parsesuccess"),
-        varsJson.as("vars_msg"),
+        col("__j.vars_msg").as("vars_msg"),
         lit("{}").as("vars_local")): _*)
   }
 

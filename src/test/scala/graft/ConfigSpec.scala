@@ -406,6 +406,34 @@ class ConfigSpec extends SparkSpec {
     } finally graft.rainerscript.EnvSource.overrides = Map.empty
   }
 
+  test("rscript-config_enable replay: include(text=\"stop\") gated by config.enabled") {
+    // tests/rscript-config_enable-on.sh / -off-vg.sh: a statement-level
+    // include splices `stop` into the inner if only when
+    // config.enabled (backtick-expanded) is "on"
+    val conf =
+      """template(name="outfmt" type="string" string="%msg:F,58:2%\n")
+        |if $msg contains "msgnum:" then {
+        |  if $msg contains "msgnum:00000000" then {
+        |    include(text="stop" config.enabled=`echo $DO_STOP`)
+        |  }
+        |  action(type="omfile" template="outfmt" file="/out.log")
+        |}
+        |""".stripMargin
+    val msgs = (0 until 10).map(i => f" msgnum:$i%08d:").map(Tuple1(_)).toDF("msg")
+    def run(doStop: String): Seq[String] = {
+      graft.rainerscript.EnvSource.overrides = Map("DO_STOP" -> doStop)
+      try RsyslogConfig.parse(conf).run(msgs).actionFrame(0)
+        .select("__rendered").collect().map(_.getString(0)).toSeq.sorted
+      finally graft.rainerscript.EnvSource.overrides = Map.empty
+    }
+    assert(run("on") == (1 until 10).map(i => f"$i%08d\n")) // seq_check 1 9
+    assert(run("off") == (0 until 10).map(i => f"$i%08d\n"))
+    // object-level: a disabled template never registers
+    val cfg = RsyslogConfig.parse(
+      """template(name="dead" type="string" string="x" config.enabled="off")""")
+    intercept[IllegalArgumentException](cfg.renderTemplate("dead", col))
+  }
+
   test("getenv() reads the config-time environment (rainerscript.c:2161)") {
     graft.rainerscript.EnvSource.overrides = Map("GRAFT_T" -> "hit")
     try {
