@@ -123,10 +123,12 @@ object RainerCompiler {
     case n if n.startsWith("$/") =>
       get_json_object(col("vars_global"), "$." + n.drop(2).replace('!', '.'))
     case n if n.startsWith("$") => resolveProp(n.drop(1))
-    case "syslogseverity" | "severity" => col("severity")
-    case "syslogfacility" | "facility" => col("facility")
-    case "pri" => col("facility") * 8 + col("severity")
-    case other => col(other)
+    case "severity" => col("severity")
+    case "facility" => col("facility")
+    // derived/aliased names (pri-text, syslogpriority, *-text tables,
+    // timereported, app-name, iut, …) share the template compiler's
+    // resolver — one property space for scripts and templates
+    case other => TemplateCompiler.resolve(other, col)
   }
 
   def compileExpr(e: RExpr, tables: Map[String, LookupTable],
