@@ -112,6 +112,11 @@ object RainerCompiler {
 
   /** Property name → Column for the fixed schema + JSON var trees. */
   def resolveProp(name: String): Column = name match {
+    // bare tree roots: the whole namespace column (compact JSON — the
+    // reference pretty-prints with fjson spacing; content is identical)
+    case "$!" => col("vars_msg")
+    case "$." => col("vars_local")
+    case "$/" => col("vars_global")
     case n if n.startsWith("$!") || n.startsWith("!") =>
       val p = n.dropWhile(c => c == '$' || c == '!')
       get_json_object(col("vars_msg"), "$." + p.replace('!', '.'))
@@ -414,9 +419,10 @@ object RainerCompiler {
       var idx = 0
       while (idx < stmts.length) {
         stmts(idx) match {
-          case RSet(RVar(raw0), _) =>
+          case RSet(RVar(raw0), _) if varCol(raw0)._2.nonEmpty =>
             // peephole: batch the run of consecutive sets to the same
-            // namespace column (one JSON parse+serialize for the run)
+            // namespace column (one JSON parse+serialize for the run);
+            // bare-root sets (`set $! = …`) take the execStmt path
             val (vc0, _) = varCol(raw0)
             val run = scala.collection.mutable.ArrayBuffer.empty[(String, RExpr)]
             var j = idx
@@ -424,7 +430,7 @@ object RainerCompiler {
             while (ok && j < stmts.length) {
               stmts(j) match {
                 case RSet(RVar(raw), value)
-                    if varCol(raw)._1 == vc0 &&
+                    if varCol(raw)._1 == vc0 && varCol(raw)._2.nonEmpty &&
                        (j == idx || !readsNs(value, vc0)) =>
                   run += ((varCol(raw)._2.replace('.', '!'), value))
                   j += 1
@@ -455,6 +461,16 @@ object RainerCompiler {
     }
 
     def execStmt(stmt: RStmt, path: Column): Unit = stmt match {
+      // bare-root assignment `set $! = $.` (rscript_bare_var_root.sh):
+      // the whole tree column is replaced; a non-object RHS degrades to
+      // "{}" the way the reference rejects non-object assignment
+      case RSet(RVar(raw), value) if varCol(raw)._2.isEmpty =>
+        val (vc, _) = varCol(raw)
+        val v = compileWithSites(value, path && !col("__stopped")).cast("string")
+        df = df.withColumn(vc,
+          when(path && !col("__stopped"),
+            when(v.startsWith("{"), v).otherwise(lit("{}")))
+          .otherwise(col(vc)))
       case RSet(RVar(raw), value) =>
         val (vc, p) = varCol(raw)
         val v = compileWithSites(value, path && !col("__stopped"))

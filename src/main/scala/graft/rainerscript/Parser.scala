@@ -113,7 +113,10 @@ class RainerParserBase extends RegexParsers {
     ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s => unescape(s.substring(1, s.length - 1)) } |
     btstring
   private def variable: Parser[RVar] =
-    """\$[!./]?[A-Za-z0-9_\-]+(![A-Za-z0-9_\-]+)*""".r ^^ RVar.apply
+    """\$[!./]?[A-Za-z0-9_\-]+(![A-Za-z0-9_\-]+)*""".r ^^ RVar.apply |
+    // bare tree roots `$!` `$.` `$/` (rscript_bare_var_root.sh: whole
+    // JSON-tree read/assign)
+    """\$[!./](?![A-Za-z0-9_\-])""".r ^^ RVar.apply
 
   // ---- expressions (precedence: or < and < not < cmp < concat < add < mul < unary) ----
   def expr: Parser[RExpr] = orExpr

@@ -92,7 +92,10 @@ object TemplateCompiler {
     def facText = when(props("facility").cast("int").between(0, 23),
       element_at(array(facNames.map(lit): _*),
         props("facility").cast("int") + 1)).otherwise(lit("invld"))
-    if (name.startsWith("$!"))
+    if (name == "$!") props("vars_msg")          // bare tree roots render
+    else if (name == "$.") props("vars_local")   // the whole namespace
+    else if (name == "$/") props("vars_global")
+    else if (name.startsWith("$!"))
       get_json_object(props("vars_msg"), "$." + name.drop(2).replace('!', '.'))
     else if (name.startsWith("$."))
       get_json_object(props("vars_local"), "$." + name.drop(2).replace('!', '.'))

@@ -352,4 +352,26 @@ class RainerScriptSpec extends SparkSpec {
     assert(r.getString(1) == "msg-ns")  // $! untouched by $/ writes
     assert(r.getString(2) == "y")
   }
+
+  test("bare $! root: whole-tree read and assignment (rscript_bare_var_root.sh)") {
+    // set $! = $. replaces the message tree with the local tree; the
+    // prior $!a is gone. Our rendering is compact JSON (the reference
+    // pretty-prints via fjson; content identical). A non-object RHS
+    // resets to {} (the reference rejects non-object assignment).
+    val res = graft.rainerscript.RainerCompiler.run(
+      """set $!a = "TEST1";
+        |set $.a = "TEST-overwritten";
+        |set $! = $.;
+        |set $.copy = $!;
+        |""".stripMargin, Seq("m").toDF("msg"))
+    val r = res.output.select(col("vars_msg"),
+      get_json_object(col("vars_local"), "$.copy")).collect()(0)
+    assert(r.getString(0) == """{"a":"TEST-overwritten"}""")
+    assert(r.getString(1) == """{"a":"TEST-overwritten"}""")
+    val bad = graft.rainerscript.RainerCompiler.run(
+      """set $!x = "keep";
+        |set $! = "not an object";
+        |""".stripMargin, Seq("m").toDF("msg"))
+    assert(bad.output.select("vars_msg").collect()(0).getString(0) == "{}")
+  }
 }
