@@ -812,6 +812,14 @@ object Queries {
         n = 3, bands = 16, rows = 4, minEstJaccard = 0.5)
     }),
 
+    // exact duplicated-span detection: every 120-char window, thinned
+    // by content-defined md5-ends-in-'0' selection (1/16 kept; both
+    // copies of any ≥135-char duplicate keep identical windows, so
+    // alignment never matters) → map-side-combinable groupBy
+    "dedup_substring" -> ((s, dir) => {
+      Dedup.substringDupSpans(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     // SimHash near-dup pairs (custom simhash64 expr + banded blocking)
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
@@ -2360,6 +2368,18 @@ object Queries {
     // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)
     "dedup_minhash" -> Dedup.minhashOracleSql(n = 3, bands = 16, rows = 4,
       minEstJaccard = 0.5),
+    "dedup_substring" ->
+      """WITH w AS (
+        |  SELECT doc_id AS doc, substr(text, CAST(gs.i AS INT), 120) AS w
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(text) - 119, 0))) AS i) gs
+        |)
+        |SELECT w, count(*) AS n, count(DISTINCT doc) AS ndocs,
+        |  min(doc) AS first_doc
+        |FROM w WHERE substr(md5(w), 32, 1) = '0'
+        |GROUP BY w HAVING count(DISTINCT doc) >= 2
+        |ORDER BY n DESC, w LIMIT 100""".stripMargin,
+
     "dedup_simhash" -> Dedup.simhashOracleSql(maxHamming = 3),
 
     "ann_cosine" ->

@@ -444,4 +444,33 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Exact duplicated-span detection (the "dedup training data at the
+    * substring level" pass of C4/RefinedWeb-style pipelines): every
+    * W-char window of every document, thinned by CONTENT-DEFINED
+    * selection — keep a window iff its md5 ends in '0' (1/16 of
+    * windows). Because selection depends only on the bytes, both copies
+    * of any duplicated span ≥ W+15 chars keep the same windows, so the
+    * span is detected regardless of alignment (the winnowing/robust-
+    * selection argument), while the shuffle carries ~1/16 of the
+    * corpus. One explode + one map-side-combinable groupBy; output
+    * capped deterministically (count desc, window asc).
+    */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+                        window: Int = 120, cap: Int = 100): DataFrame = {
+    // sequence(1, 0) DESCENDS in Spark, so short docs need the guard
+    val wcol = explode(expr(
+      s"CASE WHEN length($textCol) < $window THEN array() " +
+      s"ELSE transform(sequence(1, length($textCol) - ${window - 1}), " +
+      s"i -> substring($textCol, i, $window)) END"))
+    df.select(col(idCol).as("doc"), wcol.as("w"))
+      .filter(substring(md5(col("w")), 32, 1) === "0")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc")).as("ndocs"),
+        min(col("doc")).as("first_doc"))
+      .filter(col("ndocs") >= 2)
+      .orderBy(col("n").desc, col("w"))
+      .limit(cap)
+  }
 }

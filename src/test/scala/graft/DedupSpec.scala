@@ -115,4 +115,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("substring dup spans: content-defined selection is alignment-independent") {
+    // the same 400-char span embedded at DIFFERENT offsets in two docs
+    // must be detected: md5-based window selection depends only on the
+    // window bytes, so both copies keep identical windows
+    val rng = new scala.util.Random(7)
+    def blob(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val span = blob(400)
+    val docs = Seq(
+      (1L, blob(37) + span + blob(50)),   // span at offset 37
+      (2L, blob(211) + span + blob(13)),  // span at offset 211
+      (3L, blob(500))                     // unrelated
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDupSpans(docs, "doc_id", "text")
+      .select("ndocs", "first_doc").as[(Long, Long)].collect()
+    assert(out.nonEmpty) // ≥1 shared window survives the 1/16 selection
+    assert(out.forall { case (ndocs, first) => ndocs == 2 && first == 1L })
+    // a short doc (< window) produces no windows and no crash
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+    assert(Dedup.substringDupSpans(short, "doc_id", "text").count() == 0)
+  }
 }
