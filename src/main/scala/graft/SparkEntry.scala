@@ -812,6 +812,14 @@ object Queries {
         n = 3, bands = 16, rows = 4, minEstJaccard = 0.5)
     }),
 
+    // sequence packing (concat-and-chunk): per-shard running token
+    // offsets → fixed 2048-token chunk assignment; window partitioned
+    // by shard, never a global order-by
+    "seq_pack" -> ((s, dir) => {
+      graft.operators.Sampling.sequencePack(
+        Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     // exact duplicated-span detection: every 120-char window, thinned
     // by content-defined md5-ends-in-'0' selection (1/16 kept; both
     // copies of any ≥135-char duplicate keep identical windows, so
@@ -2368,6 +2376,21 @@ object Queries {
     // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)
     "dedup_minhash" -> Dedup.minhashOracleSql(n = 3, bands = 16, rows = 4,
       minEstJaccard = 0.5),
+    "seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 64 AS shard,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tok,
+        |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |    AS BIGINT) AS start_off,
+        |  CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        |    / 2048) AS BIGINT) AS chunk
+        |FROM t""".stripMargin,
+
     "dedup_substring" ->
       """WITH w AS (
         |  SELECT doc_id AS doc, substr(text, CAST(gs.i AS INT), 120) AS w

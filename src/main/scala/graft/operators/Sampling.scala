@@ -54,4 +54,28 @@ object Sampling {
   def hashBucketSql(keyExpr: String, numerator: Int, digits: Int = 2,
                     salt: String = ""): String =
     s"('0x' || substr(md5('$salt' || $keyExpr), 1, $digits))::BIGINT < $numerator"
+
+  /** Sequence packing for LLM training prep, concat-and-chunk style:
+    * documents are laid end-to-end in deterministic (shard, id) order
+    * and cut into fixed-size token chunks; each document reports the
+    * chunk its FIRST token lands in plus its token span. The running
+    * offset is a window sum PARTITIONED BY SHARD — never a global
+    * order-by (a single-partition window is a scale killer); packing
+    * per shard is exactly what distributed training prep wants, since
+    * shards map to data-parallel workers. One shuffle on the shard key.
+    */
+  def sequencePack(df: DataFrame, idCol: String, textCol: String,
+                   seqLen: Int = 2048, shards: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    // shard = id mod shards (portable across engines; ids are dense —
+    // a content hash would also work but is engine-specific)
+    df.select(col(idCol), pmod(col(idCol), lit(shards)).as("shard"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .withColumn("chunk", (col("start_off") / seqLen).cast("long"))
+      .select(col(idCol), col("shard"), col("n_tok"),
+        col("start_off"), col("chunk"))
+  }
 }
