@@ -251,6 +251,25 @@ object Queries {
           get_json_object(col("vars_msg"), "$._TRANSPORT").as("jtrans"))
     }),
 
+    // §2.9 mmjsonparse mode="find-json" through the config action path:
+    // a decoy "{bad}" makes the scan-advance load-bearing; every 10th
+    // message has no valid object and takes the FAIL branch
+    "mmjsonparse_findjson" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val msgs = ev.select(col("event_id"),
+        when(col("event_id") % 10 === 0,
+          concat(lit("pfx {broken "), col("event_type")))
+        .otherwise(concat(lit("pfx {bad} ev "), col("event_type"),
+          lit(" {\"id\":"), col("event_id"), lit("}"))).as("msg"))
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        """action(type="mmjsonparse" mode="find-json")
+          |set $.id = $!id;
+          |""".stripMargin)
+      cfg.run(msgs).output.select(col("event_id"),
+        col("parsesuccess"),
+        get_json_object(col("vars_msg"), "$.id").cast("long").as("jid"))
+    }),
+
     // §2.1 timezone() objects: configured offsets resolve the symbolic
     // zone ids parse_time_localtz receives (runtime/timezones.c,
     // grammar/rainerscript.h:52) — script text + config objects only
@@ -1921,6 +1940,14 @@ object Queries {
         |  event_id AS ts_secs,
         |  'host' || user_id AS jhost,
         |  'journal' AS jtrans
+        |FROM events""".stripMargin,
+
+    "mmjsonparse_findjson" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 10 = 0 THEN 'FAIL' ELSE 'OK' END
+        |    AS parsesuccess,
+        |  CASE WHEN event_id % 10 = 0 THEN CAST(NULL AS BIGINT)
+        |       ELSE event_id END AS jid
         |FROM events""".stripMargin,
 
     "timezone_localtz" ->

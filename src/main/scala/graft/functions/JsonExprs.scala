@@ -140,6 +140,53 @@ object JsonPathUtil {
     cur != null
   }
 
+  /** find-json scan kernel (mmjsonparse.c find_first_json_object):
+    * candidate end via a string/escape-aware brace balance, validity via
+    * a real parse; a failed candidate advances the scan one char past
+    * its '{'. Returns the object substring or null. */
+  def findJsonKernel(msg: String, maxScan: Int, allowTrailing: Boolean): String = {
+    val scanEnd = math.min(maxScan.toLong, msg.length.toLong).toInt
+    var i = msg.indexOf('{')
+    while (i >= 0 && i < scanEnd) {
+      // balance scan bounded by the scan window
+      var j = i
+      var depth = 0
+      var inStr = false
+      var esc = false
+      var end = -1
+      while (j < scanEnd && end < 0) {
+        val ch = msg.charAt(j)
+        if (inStr) {
+          if (esc) esc = false
+          else if (ch == '\\') esc = true
+          else if (ch == '"') inStr = false
+        } else ch match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) end = j
+          case _ => ()
+        }
+        j += 1
+      }
+      if (end >= 0) {
+        val cand = msg.substring(i, end + 1)
+        val ok =
+          try mapper.readTree(cand).isObject
+          catch { case _: Exception => false }
+        if (ok) {
+          if (!allowTrailing) {
+            var k = end + 1
+            while (k < msg.length && Character.isWhitespace(msg.charAt(k))) k += 1
+            if (k < msg.length) return null // result 3: trailing rejected
+          }
+          return cand
+        }
+      }
+      i = msg.indexOf('{', i + 1)
+    }
+    null
+  }
+
   /** Write an evaluated Spark value into `parent` at `leaf`, preserving
     * its type (JSON-object strings embed as subtrees — rsyslog 'J' svar). */
   def putTyped(parent: ObjectNode, leaf: String, v: Any,
@@ -405,4 +452,45 @@ case class JsonExistsExpr(json: Expression, path: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(json = l, path = r)
+}
+
+/** mmjsonparse mode="find-json": scan the message for the first parseable
+  * JSON OBJECT within `maxScan` chars and return it as a substring, or
+  * null (plugins/mmjsonparse/mmjsonparse.c find_first_json_object,
+  * :224-291): try each '{'; a candidate that fails to parse advances the
+  * scan by one char; with allowTrailing=false, anything but whitespace
+  * after the object rejects the match (result 3 = give up, not
+  * keep-scanning — mirrored here). Candidate bounds come from a
+  * string/escape-aware balance scan, validated by a real JSON parse.
+  */
+case class FindJsonExpr(child: Expression, maxScan: Int = 65536,
+                        allowTrailing: Boolean = true)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "find_json"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = JsonPathUtil.findJsonKernel(input.toString, maxScan, allowTrailing)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val found = ctx.freshName("foundJson")
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.unsafe.types.UTF8String ${ev.value} = null;
+      boolean ${ev.isNull} = true;
+      if (!${c.isNull}) {
+        String $found = graft.functions.JsonPathUtil$$.MODULE$$.findJsonKernel(
+          ${c.value}.toString(), $maxScan, $allowTrailing);
+        if ($found != null) {
+          ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($found);
+          ${ev.isNull} = false;
+        }
+      }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

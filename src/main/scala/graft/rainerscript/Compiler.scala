@@ -613,6 +613,59 @@ object RainerCompiler {
             !(c.startsWith(tempPrefix) && c.endsWith(s"_$tag"))).map(col): _*)
       case RStop =>
         df = df.withColumn("__stopped", col("__stopped") || path)
+      // mmjsonparse as an inline message modifier (the reference's mm*
+      // modules mutate the message for SUBSEQUENT statements;
+      // plugins/mmjsonparse/mmjsonparse.c doAction :353-445): cookie
+      // mode skips leading whitespace then requires the cookie and an
+      // immediately-following JSON object (trailing data tolerated —
+      // json_tokener stops at the object's end); find-json mode scans
+      // up to max_scan_bytes. Success replaces the container with the
+      // parsed object; failure stores {"msg": <text>}; the
+      // parsesuccess property renders OK/FAIL.
+      case RAction(params) if params.get("type").contains("mmjsonparse") =>
+        val guard = path && !col("__stopped")
+        val mode = params.getOrElse("mode", "cookie")
+        val cookie = params.getOrElse("cookie", "@cee:")
+        val allowTrailing = params.get("allow_trailing").forall(_ != "off")
+        val maxScan = params.getOrElse("max_scan_bytes", "65536").toInt
+        val m = coalesce(col("msg").cast("string"), lit(""))
+        val stripped = ltrim(m)
+        def findJson(c: Column): Column =
+          org.apache.spark.sql.GraftBridge.column(
+            graft.functions.FindJsonExpr(
+              org.apache.spark.sql.GraftBridge.expression(c),
+              maxScan, allowTrailing))
+        val (candidate, failText) = mode match {
+          case "find-json" => (findJson(m), m)
+          case _ =>
+            val rest = when(stripped.startsWith(cookie),
+              ltrim(stripped.substr(lit(cookie.length + 1), length(stripped))))
+            // the object must be the first non-ws content after the
+            // cookie (json_tokener starts parsing right there)
+            val fj = findJson(rest)
+            (when(fj.isNotNull && rest.startsWith(fj), fj), stripped)
+        }
+        val candCol = freshCond()
+        df = df.withColumn(candCol, candidate)
+        val valid = col(candCol).isNotNull
+        val failObj = to_json(struct(failText.as("msg")))
+        val container = params.getOrElse("container", "$!")
+        val (vc, sub) =
+          if (container.startsWith("$.")) ("vars_local", container.drop(2))
+          else ("vars_msg", container.dropWhile(c => c == '$' || c == '!'))
+        val newTree = when(valid, col(candCol)).otherwise(failObj)
+        val updated =
+          if (sub.isEmpty) newTree
+          else graft.functions.rainer.json_set(col(vc),
+            sub.replace('.', '!'), newTree)
+        df = df.withColumn(vc, when(guard, updated).otherwise(col(vc)))
+        val prevPs =
+          if (df.columns.contains("parsesuccess"))
+            col("parsesuccess").cast("string")
+          else lit(null).cast("string")
+        df = df.withColumn("parsesuccess",
+          when(guard, when(valid, lit("OK")).otherwise(lit("FAIL")))
+            .otherwise(prevPs))
       case RAction(params) =>
         val cn = freshCond()
         df = df.withColumn(cn, path && !col("__stopped"))

@@ -434,6 +434,62 @@ class ConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException](cfg.renderTemplate("dead", col))
   }
 
+  test("mmjsonparse-find-json-basic replay: cookie vs find-json action modes") {
+    // tests/mmjsonparse-find-json-basic.sh: the default cookie mode must
+    // NOT parse embedded JSON without the @cee: cookie (failure stores
+    // {"msg": <stripped text>}), find-json mode must. Our tree renders
+    // compact JSON (the reference pretty-prints via fjson; same content).
+    val conf =
+      """template(name="outfmt" type="string" string="%msg% parsesuccess=%parsesuccess% json=%$!%\n")
+        |if $msg contains "LEGACY" then {
+        |  action(type="mmjsonparse")
+        |  action(type="omfile" file="/o.log" template="outfmt")
+        |  stop
+        |}
+        |if $msg contains "FINDJSON" then {
+        |  action(type="mmjsonparse" mode="find-json")
+        |  action(type="omfile" file="/o.log" template="outfmt")
+        |  stop
+        |}""".stripMargin
+    val msgs = Seq(
+      """ LEGACY prefix {"field":"value"}""",
+      """ FINDJSON prefix {"field":"value"}""").map(Tuple1(_)).toDF("msg")
+    val res = RsyslogConfig.parse(conf).run(msgs)
+    val legacy = res.actionFrame(0).select("__rendered").collect()(0).getString(0)
+    assert(legacy ==
+      """ LEGACY prefix {"field":"value"} parsesuccess=FAIL json={"msg":"LEGACY prefix {\"field\":\"value\"}"}""" + "\n")
+    val fj = res.actionFrame(1).select("__rendered").collect()(0).getString(0)
+    assert(fj ==
+      """ FINDJSON prefix {"field":"value"} parsesuccess=OK json={"field":"value"}""" + "\n")
+  }
+
+  test("mmjsonparse cookie success, trailing tolerance, and find-json decoys") {
+    val msgs = Seq(
+      """@cee: {"a":1} extra""",          // cookie + trailing → OK
+      """   @cee:{"b":2}""",              // multi-space + no space after cookie
+      """pfx {not json} {"id":7} tail""", // decoy brace → second object wins
+      "no braces at all").map(Tuple1(_)).toDF("msg")
+    val cfg = RsyslogConfig.parse(
+      """action(type="mmjsonparse")
+        |set $.cookie_ps = $parsesuccess;
+        |set $.cookie_tree = $!;
+        |action(type="mmjsonparse" mode="find-json")
+        |set $.fj_ps = $parsesuccess;
+        |set $.fj_tree = $!;
+        |""".stripMargin)
+    val out = cfg.run(msgs).output.select(
+      get_json_object(col("vars_local"), "$.cookie_ps").as("cps"),
+      get_json_object(col("vars_local"), "$.cookie_tree").as("ct"),
+      get_json_object(col("vars_local"), "$.fj_ps").as("fps"),
+      get_json_object(col("vars_local"), "$.fj_tree").as("ft")).collect()
+    assert(out(0).getString(0) == "OK" && out(0).getString(1) == """{"a":1}""")
+    assert(out(1).getString(0) == "OK" && out(1).getString(1) == """{"b":2}""")
+    assert(out(2).getString(0) == "FAIL") // no cookie
+    assert(out(2).getString(2) == "OK" &&
+      out(2).getString(3) == """{"id":7}""") // decoy skipped
+    assert(out(3).getString(0) == "FAIL" && out(3).getString(2) == "FAIL")
+  }
+
   test("getenv() reads the config-time environment (rainerscript.c:2161)") {
     graft.rainerscript.EnvSource.overrides = Map("GRAFT_T" -> "hit")
     try {
