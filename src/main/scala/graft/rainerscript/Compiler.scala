@@ -666,6 +666,43 @@ object RainerCompiler {
         df = df.withColumn("parsesuccess",
           when(guard, when(valid, lit("OK")).otherwise(lit("FAIL")))
             .otherwise(prevPs))
+      // further stateless message-modifier actions, inline like
+      // mmjsonparse above — each re-uses its oracled operator kernel
+      case RAction(params) if params.get("type").contains("mmrm1stspace") =>
+        // drop exactly one leading blank (plugins/mmrm1stspace)
+        val guard = path && !col("__stopped")
+        df = df.withColumn("msg",
+          when(guard && col("msg").startsWith(" "),
+            expr("substring(msg, 2)")).otherwise(col("msg")))
+      case RAction(params) if params.get("type").contains("mmutf8fix") =>
+        // repair invalid UTF-8 byte sequences (plugins/mmutf8fix)
+        val guard = path && !col("__stopped")
+        df = df.withColumn("msg",
+          when(guard, graft.functions.device.utf8fix(
+            encode(col("msg"), "UTF-8"))).otherwise(col("msg")))
+      case RAction(params) if params.get("type").contains("mmfields") =>
+        // split msg on the separator into $!f_1..$!f_N
+        // (plugins/mmfields/mmfields.c, default separator ',')
+        val guard = path && !col("__stopped")
+        val sepRaw = params.getOrElse("separator", ",")
+        val sep = if (sepRaw.forall(_.isDigit)) sepRaw.toInt.toChar.toString
+                  else sepRaw.take(1)
+        val f = split(coalesce(col("msg").cast("string"), lit("")),
+          java.util.regex.Pattern.quote(sep))
+        val fieldsObj = to_json(map_from_arrays(
+          transform(sequence(lit(1), size(f)),
+            i => concat(lit("f_"), i)), f))
+        df = df.withColumn("vars_msg",
+          when(guard, graft.functions.rainer.json_merge(
+            col("vars_msg"), fieldsObj)).otherwise(col("vars_msg")))
+      case RAction(params) if params.get("type").contains("mmpstrucdata") =>
+        // RFC5424 SD string → $!rfc5424-sd tree (plugins/mmpstrucdata)
+        val guard = path && !col("__stopped")
+        val sd = graft.functions.rainer.parse_structured_data(
+          col("structured_data"))
+        df = df.withColumn("vars_msg",
+          when(guard && sd.isNotNull, graft.functions.rainer.json_set(
+            col("vars_msg"), "rfc5424-sd", sd)).otherwise(col("vars_msg")))
       case RAction(params) =>
         val cn = freshCond()
         df = df.withColumn(cn, path && !col("__stopped"))

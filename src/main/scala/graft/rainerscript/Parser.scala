@@ -113,7 +113,9 @@ class RainerParserBase extends RegexParsers {
     ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s => unescape(s.substring(1, s.length - 1)) } |
     btstring
   private def variable: Parser[RVar] =
-    """\$[!./]?[A-Za-z0-9_\-]+(![A-Za-z0-9_\-]+)*""".r ^^ RVar.apply |
+    // '@' is a legal name char (lexer.l:373 VAR charset — SD ids like
+    // $!rfc5424-sd!id@32473!k depend on it)
+    """\$[!./]?[A-Za-z0-9_@\-]+(![A-Za-z0-9_@\-]+)*""".r ^^ RVar.apply |
     // bare tree roots `$!` `$.` `$/` (rscript_bare_var_root.sh: whole
     // JSON-tree read/assign)
     """\$[!./](?![A-Za-z0-9_\-])""".r ^^ RVar.apply

@@ -490,6 +490,31 @@ class ConfigSpec extends SparkSpec {
     assert(out(3).getString(0) == "FAIL" && out(3).getString(2) == "FAIL")
   }
 
+  test("inline mm* modifier actions: rm1stspace, utf8fix, mmfields, mmpstrucdata") {
+    val cfg = RsyslogConfig.parse(
+      """action(type="mmrm1stspace")
+        |action(type="mmfields" separator="|")
+        |action(type="mmpstrucdata")
+        |set $.f2 = $!f_2;
+        |set $.sd = $!rfc5424-sd!ex@1!k;
+        |""".stripMargin)
+    val df = Seq((" a|b|c", "[ex@1 k=\"v\"]"))
+      .toDF("msg", "structured_data")
+    val out = cfg.run(df).output.select(col("msg"),
+      get_json_object(col("vars_local"), "$.f2"),
+      get_json_object(col("vars_local"), "$.sd")).collect()(0)
+    assert(out.getString(0) == "a|b|c") // exactly one leading blank dropped
+    assert(out.getString(1) == "b")     // fields split AFTER the space drop
+    assert(out.getString(2) == "v")
+    // utf8fix action: valid text passes through unchanged (invalid-byte
+    // repair itself is covered by the utf8fix oracle query -- a Scala
+    // string cannot even carry invalid UTF-8 into encode())
+    val fix = RsyslogConfig.parse("""action(type="mmutf8fix")""")
+      .run(Seq(Tuple1("ok hello")).toDF("msg"))
+      .output.select("msg").collect()(0).getString(0)
+    assert(fix == "ok hello")
+  }
+
   test("getenv() reads the config-time environment (rainerscript.c:2161)") {
     graft.rainerscript.EnvSource.overrides = Map("GRAFT_T" -> "hit")
     try {
