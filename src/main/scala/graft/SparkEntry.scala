@@ -645,6 +645,20 @@ object Queries {
     }),
 
     // §2.9 mmanon — IPv4 anonymization (zero low bits, CIDR-aware)
+    // §2.9 mmanon as an inline config action: zero-mode masking of IPs
+    // embedded in free message text (the reference default mode/bits)
+    "mmanon_msg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("ipn",
+          (col("user_id") * 7777777L + col("event_id")) % 4294967296L)
+        .withColumn("msg", concat(lit("login from "),
+          rainer.num2ipv4(col("ipn")), lit(" port "), col("event_id") % 65536))
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        """action(type="mmanon" ipv4.bits="16")""")
+      cfg.run(ev.select(col("event_id"), col("msg"))).output
+        .select(col("event_id"), col("msg"))
+    }),
+
     "mmanon" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("ipn", (col("user_id") * 7777777L + col("event_id")) % 4294967296L)
@@ -2161,6 +2175,16 @@ object Queries {
         |    PARTITION BY user_id ORDER BY event_id) AS s
         |  FROM events)
         |SELECT user_id, max(s) AS max_seq, count(*) AS n FROM seq GROUP BY 1""".stripMargin,
+
+    "mmanon_msg" ->
+      """WITH e AS (
+        |  SELECT event_id, (user_id * 7777777 + event_id) % 4294967296 AS ipn
+        |  FROM events)
+        |SELECT event_id,
+        |  'login from ' || CAST(ipn // 16777216 AS VARCHAR) || '.' ||
+        |  CAST((ipn // 65536) % 256 AS VARCHAR) || '.0.0 port ' ||
+        |  CAST(event_id % 65536 AS VARCHAR) AS msg
+        |FROM e""".stripMargin,
 
     "mmanon" ->
       """WITH e AS (

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
@@ -118,5 +118,87 @@ object IsInSubnetExpr {
       }
       true
     } catch { case _: Exception => false }
+  }
+}
+
+/** mmanon zero-mode over MESSAGE TEXT: scan for embedded IPv4 addresses
+  * and zero the low `bits` bits, re-rendering canonically
+  * (plugins/mmanon/mmanon.c: recognizer syntax_ipv4/isPosByte :578-672 —
+  * four dot-separated runs of 1-3 digits each ≤ 255, tried at EVERY
+  * position so a longer digit run's tail can still match, exactly like
+  * the reference's per-char scan; masking code_ipv4_int :892-915 ZERO
+  * arm; canonical re-render num2ipv4 :1024-1040). The stateful
+  * random/random-consistent modes need cross-row coordination and stay
+  * query-level; zero is the reference default. */
+case class AnonIpv4MsgExpr(child: Expression, bits: Int = 16)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "anon_ipv4_msg"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(AnonIpv4MsgExpr.anon(input.toString, bits))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+      s"graft.functions.AnonIpv4MsgExpr$$.MODULE$$.anon($c.toString(), $bits));")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AnonIpv4MsgExpr {
+  /** 1-3 digit octet ≤255 at `i`; returns chars consumed, or -1. A run
+    * of 4+ digits disqualifies (isPosByte counts the WHOLE run). */
+  private def octet(s: String, i: Int): Int = {
+    var j = i
+    var v = 0
+    while (j < s.length && s.charAt(j).isDigit) {
+      if (j - i < 4) v = v * 10 + (s.charAt(j) - '0')
+      j += 1
+    }
+    val len = j - i
+    if (len >= 1 && len <= 3 && v <= 255) len else -1
+  }
+
+  /** chars consumed by an IPv4 at `i`, or -1. */
+  private def matchIp(s: String, i: Int): Int = {
+    var p = i
+    var k = 0
+    while (k < 4) {
+      val l = octet(s, p)
+      if (l < 0) return -1
+      p += l
+      if (k < 3) {
+        if (p >= s.length || s.charAt(p) != '.') return -1
+        p += 1
+      }
+      k += 1
+    }
+    p - i
+  }
+
+  def anon(msg: String, bits: Int): String = {
+    val sb = new java.lang.StringBuilder(msg.length)
+    var i = 0
+    while (i < msg.length) {
+      val len = if (msg.charAt(i).isDigit) matchIp(msg, i) else -1
+      if (len > 0) {
+        val parts = msg.substring(i, i + len).split('.')
+        val num = parts.foldLeft(0L)((a, o) => a * 256 + o.toInt)
+        val masked = if (bits >= 32) 0L else (num >>> bits) << bits
+        sb.append((masked >> 24) & 0xFF).append('.')
+          .append((masked >> 16) & 0xFF).append('.')
+          .append((masked >> 8) & 0xFF).append('.')
+          .append(masked & 0xFF)
+        i += len
+      } else { sb.append(msg.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 }

@@ -229,6 +229,11 @@ object rainer {
 
   /** mmanon-style IPv4 anonymization: zero the low `bits` bits
     * (plugins/mmanon/mmanon.c, simple mode). */
+  /** mmanon zero-mode over free message text: every embedded IPv4 gets
+    * its low `bits` bits zeroed (AnonIpv4MsgExpr kernel). */
+  def anon_ipv4_msg(msg: Column, bits: Int = 16): Column =
+    col2(AnonIpv4MsgExpr(msg.expr, bits))
+
   def anon_ipv4(ip: Column, bits: Int): Column = {
     val n = ipv42num(ip)
     val mask = ~((1L << bits) - 1) & 0xFFFFFFFFL

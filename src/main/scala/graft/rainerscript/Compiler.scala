@@ -695,6 +695,21 @@ object RainerCompiler {
         df = df.withColumn("vars_msg",
           when(guard, graft.functions.rainer.json_merge(
             col("vars_msg"), fieldsObj)).otherwise(col("vars_msg")))
+      case RAction(params) if params.get("type").contains("mmanon") =>
+        // zero-mode IPv4 anonymization over the message text
+        // (plugins/mmanon; zero is the reference default; the stateful
+        // random-consistent modes stay query-level)
+        val guard = path && !col("__stopped")
+        val mode = params.get("ipv4.mode").orElse(params.get("mode"))
+          .getOrElse("zero")
+        require(mode == "zero",
+          s"action(type=mmanon) supports ipv4.mode=zero here, got $mode")
+        val bits = params.get("ipv4.bits").orElse(params.get("bits"))
+          .map(_.toInt).getOrElse(16)
+        df = df.withColumn("msg",
+          when(guard, graft.functions.rainer.anon_ipv4_msg(
+            coalesce(col("msg").cast("string"), lit("")), bits))
+          .otherwise(col("msg")))
       case RAction(params) if params.get("type").contains("mmpstrucdata") =>
         // RFC5424 SD string → $!rfc5424-sd tree (plugins/mmpstrucdata)
         val guard = path && !col("__stopped")

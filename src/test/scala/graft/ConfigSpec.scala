@@ -515,6 +515,30 @@ class ConfigSpec extends SparkSpec {
     assert(fix == "ok hello")
   }
 
+  test("mmanon action: zero-mode scan quirks (mmanon.c syntax_ipv4)") {
+    val msgs = Seq(
+      "from 10.1.12.13 ok",        // plain → 10.1.0.0
+      "id 9123.4.5.6 x",           // 4-digit run: its 3-digit tail matches
+      "bad 300.1.2.3 here",        // 300 rejected; its "00." tail matches
+      "v 1.2.3.4.5 t",             // first 4 octets match, ".5" remains
+      "port 123456 none").map(Tuple1(_)).toDF("msg")
+    val out = RsyslogConfig.parse("""action(type="mmanon")""")
+      .run(msgs).output.select("msg").collect().map(_.getString(0))
+    assert(out(0) == "from 10.1.0.0 ok")
+    assert(out(1) == "id 9123.4.0.0 x") // scan restarts mid-run like the reference
+    // "300" fails (>255) but the scan restarts at the next char, where
+    // "00.1.2.3" is a well-formed address (leading-zero octets pass
+    // isPosByte) — canonical re-render collapses "00" to "0"
+    assert(out(2) == "bad 30.1.0.0 here")
+    assert(out(3) == "v 1.2.0.0.5 t")
+    assert(out(4) == "port 123456 none")
+    // bits=32 zeroes everything
+    val all = RsyslogConfig.parse("""action(type="mmanon" ipv4.bits="32")""")
+      .run(Seq(Tuple1("ip 255.255.255.255")).toDF("msg"))
+      .output.select("msg").collect()(0).getString(0)
+    assert(all == "ip 0.0.0.0")
+  }
+
   test("getenv() reads the config-time environment (rainerscript.c:2161)") {
     graft.rainerscript.EnvSource.overrides = Map("GRAFT_T" -> "hit")
     try {
