@@ -695,6 +695,43 @@ object RainerCompiler {
         df = df.withColumn("vars_msg",
           when(guard, graft.functions.rainer.json_merge(
             col("vars_msg"), fieldsObj)).otherwise(col("vars_msg")))
+      case RAction(params) if params.get("type").contains("mmtaghostname") =>
+        // tag applied only when the message has none; forcelocalhostname
+        // rewrites HOSTNAME to the receiver (contrib/mmtaghostname)
+        val guard = path && !col("__stopped")
+        params.get("tag").foreach { t =>
+          df = df.withColumn("syslogtag",
+            when(guard, coalesce(nullif(col("syslogtag"), lit("")), lit(t)))
+            .otherwise(col("syslogtag")))
+        }
+        if (params.get("forcelocalhostname").contains("on"))
+          df = df.withColumn("hostname",
+            when(guard, lit(java.net.InetAddress.getLocalHost.getHostName))
+            .otherwise(col("hostname")))
+      case RAction(params) if params.get("type").contains("mmnormalize") =>
+        // rulebase file (v2 `rule=[tags]:text` lines) or inline rule=
+        // param → field extraction into $!; a no-match stores liblognorm's
+        // originalmsg/unparsed-data pair (plugins/mmnormalize)
+        val guard = path && !col("__stopped")
+        val rules: Seq[String] =
+          params.get("rulebase").orElse(params.get("ruleBase")).map { f =>
+            java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+              .toArray(Array.empty[String]).toSeq
+              .filter(_.startsWith("rule="))
+              .map(l => l.substring(l.indexOf(':', 5) + 1))
+          }.getOrElse(params.get("rule").map(Seq(_)).getOrElse(Seq.empty))
+        require(rules.nonEmpty,
+          "action(type=mmnormalize) needs rulebase= or rule=")
+        val m = coalesce(col("msg").cast("string"), lit(""))
+        val nc = freshCond()
+        df = df.withColumn(nc,
+          graft.operators.Normalize.normalize(m, rules))
+        val failObj = to_json(struct(m.as("originalmsg"),
+          m.as("unparsed-data")))
+        df = df.withColumn("vars_msg",
+          when(guard, graft.functions.rainer.json_merge(col("vars_msg"),
+            when(col(nc) === "{}", failObj).otherwise(col(nc))))
+          .otherwise(col("vars_msg")))
       case RAction(params) if params.get("type").contains("mmanon") =>
         // zero-mode IPv4 anonymization over the message text
         // (plugins/mmanon; zero is the reference default; the stateful

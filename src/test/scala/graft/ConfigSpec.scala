@@ -539,6 +539,31 @@ class ConfigSpec extends SparkSpec {
     assert(all == "ip 0.0.0.0")
   }
 
+  test("mmnormalize + mmtaghostname inline actions") {
+    val rb = java.nio.file.Files.createTempFile("graft_rb", ".rulebase")
+    java.nio.file.Files.writeString(rb,
+      "version=2\n# comment\nrule=auth:login user %u:word% from %ip:ipv4%\n")
+    val cfg = RsyslogConfig.parse(
+      s"""action(type="mmtaghostname" tag="relay:" forcelocalhostname="on")
+         |action(type="mmnormalize" rulebase="${rb.toString}")
+         |""".stripMargin)
+    val df = Seq(
+      ("", "h1", "login user bob from 10.0.0.9"),
+      ("app:", "h2", "something else entirely"))
+      .toDF("syslogtag", "hostname", "msg")
+    val out = cfg.run(df).output.select(col("syslogtag"), col("hostname"),
+      get_json_object(col("vars_msg"), "$.u"),
+      get_json_object(col("vars_msg"), "$.ip"),
+      get_json_object(col("vars_msg"), "$['unparsed-data']")).collect()
+    val local = java.net.InetAddress.getLocalHost.getHostName
+    // empty tag → param tag; existing tag kept; hostname forced
+    assert(out(0).getString(0) == "relay:" && out(0).getString(1) == local)
+    assert(out(1).getString(0) == "app:" && out(1).getString(1) == local)
+    // rulebase match extracts fields; no-match stores the liblognorm pair
+    assert(out(0).getString(2) == "bob" && out(0).getString(3) == "10.0.0.9")
+    assert(out(1).getString(4) == "something else entirely")
+  }
+
   test("getenv() reads the config-time environment (rainerscript.c:2161)") {
     graft.rainerscript.EnvSource.overrides = Map("GRAFT_T" -> "hit")
     try {
