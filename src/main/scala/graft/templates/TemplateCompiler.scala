@@ -48,19 +48,49 @@ object TemplateCompiler {
           }
           i += 2
         case '%' =>
-          val end = tpl.indexOf('%', i + 1)
+          var end = tpl.indexOf('%', i + 1)
           require(end > i, s"unterminated property at offset $i in: $tpl")
+          // official regex form `%prop:R…:regex--end%`: the regex runs
+          // to the literal "--end" and may contain ':' or '%'
+          // (template.c:1774-1826 scans for "--end" before the closing
+          // '%'), so the property body extends to the '%' after it
+          val c1 = tpl.indexOf(':', i + 1)
+          if (c1 >= 0 && c1 < end && c1 + 1 < n && tpl(c1 + 1) == 'R' &&
+              c1 + 2 < n && (tpl(c1 + 2) == ',' || tpl(c1 + 2) == ':')) {
+            val eMark = tpl.indexOf("--end", c1)
+            if (eMark > 0) {
+              val realEnd = tpl.indexOf('%', eMark)
+              require(realEnd > 0,
+                s"unterminated regex property at offset $i in: $tpl")
+              end = realEnd
+            }
+          }
           flush()
           val body = tpl.substring(i + 1, end)
-          // split into name:from:to:options — but F,<ch> / R,<re> segments
-          // may contain ':' only in regexes; handle common case
-          val segs = body.split(":", 4)
-          val name = segs(0)
-          val from = if (segs.length > 1) segs(1) else ""
-          val to = if (segs.length > 2) segs(2) else ""
-          val opts = if (segs.length > 3 && segs(3).nonEmpty)
-            segs(3).split(",").map(_.trim.toLowerCase).toSeq else Seq.empty
-          parts += Property(name, from, to, opts)
+          val eMark = body.indexOf("--end")
+          val firstColon = body.indexOf(':')
+          if (eMark > 0 && firstColon > 0 && firstColon + 1 < body.length &&
+              body(firstColon + 1) == 'R') {
+            // official regex form: name : R[,type][,submatch][,nomatch]
+            // [,match] : regex--end — the R-spec holds no ':', the regex
+            // may hold anything up to "--end"
+            val specEnd = body.indexOf(':', firstColon + 1)
+            require(specEnd > 0 && specEnd < eMark,
+              s"malformed regex property: $body")
+            parts += Property(body.substring(0, firstColon),
+              body.substring(firstColon + 1, specEnd),
+              body.substring(specEnd + 1, eMark), Seq.empty)
+          } else {
+            // split into name:from:to:options — but F,<ch> / R,<re>
+            // segments may contain ':' only in regexes; common case
+            val segs = body.split(":", 4)
+            val name = segs(0)
+            val from = if (segs.length > 1) segs(1) else ""
+            val to = if (segs.length > 2) segs(2) else ""
+            val opts = if (segs.length > 3 && segs(3).nonEmpty)
+              segs(3).split(",").map(_.trim.toLowerCase).toSeq else Seq.empty
+            parts += Property(name, from, to, opts)
+          }
           i = end + 1
         case c => sb.append(c); i += 1
       }
@@ -176,8 +206,32 @@ object TemplateCompiler {
       c = coalesce(
         element_at(split(c, java.util.regex.Pattern.quote(delim.toChar.toString)), fieldNo),
         lit("***FIELD NOT FOUND***"))
+    } else if (p.from.startsWith("R") && p.to.nonEmpty) {
+      // official regex form — from = R[,type][,submatch][,nomatch][,match],
+      // to = the POSIX regex (template.c:1581-1680; evaluation
+      // msg.c:4150-4240): take capture <submatch> of the <match>-th
+      // successive occurrence; on no match DFLT → "**NO MATCH**",
+      // BLANK → "", ZERO → "0", FIELD → the whole property value
+      val spec = p.from.split(",").toSeq
+      val typ = spec.lift(1).filter(_.nonEmpty).getOrElse("ERE")
+      require(typ == "ERE",
+        s"regex type $typ unsupported here (POSIX ERE only; BRE is the " +
+        "reference default when omitted and is not translated)")
+      val sub = spec.lift(2).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+      val nomatch = spec.lift(3).filter(_.nonEmpty).getOrElse("DFLT")
+      val matchNo = spec.lift(4).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
+      val re = graft.functions.PosixRegex.translate(p.to)
+      val all = regexp_extract_all(c, lit(re), lit(sub))
+      val hit = size(all) > matchNo
+      val v = element_at(all, lit(matchNo + 1))
+      c = nomatch match {
+        case "FIELD" => when(hit, v).otherwise(c)
+        case "BLANK" => when(hit, v).otherwise(lit(""))
+        case "ZERO" => when(hit, v).otherwise(lit("0"))
+        case _ => when(hit, v).otherwise(lit("**NO MATCH**"))
+      }
     } else if (p.from.startsWith("R")) {
-      // from = R,<regex>[,<submatch>]
+      // simplified legacy form — from = R,<regex>[,<submatch>]
       val bits = p.from.split(",", 3)
       val re = bits.lift(1).getOrElse("")
       val sub = bits.lift(2).map(_.toInt).getOrElse(0)

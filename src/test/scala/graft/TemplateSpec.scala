@@ -112,6 +112,24 @@ class TemplateSpec extends SparkSpec {
     assert(j == """{"host":"host1","sev":3}""")
   }
 
+  test("official regex property form: R,ERE,sub,nomatch,match:re--end") {
+    // msg " body msg\n": capture 1 of the 0th match; nomatch modes;
+    // match-number selects the Nth successive occurrence; regex may
+    // contain ':' and '%'
+    assert(render("%msg:R,ERE,1,DFLT,0:b(o)dy--end%") == "o")
+    assert(render("%msg:R,ERE,0,DFLT,0:nope--end%") == "**NO MATCH**")
+    assert(render("%msg:R,ERE,0,BLANK,0:nope--end%") == "")
+    assert(render("%msg:R,ERE,0,ZERO,0:nope--end%") == "0")
+    assert(render("%msg:R,ERE,0,FIELD,0:nope--end%") == " body msg\n")
+    val multi = Seq(Tuple1("a=1 b=2 c=3")).toDF("msg")
+    def r(t: String): String =
+      multi.select(TemplateCompiler.compile(t, col).as("r"))
+        .collect()(0).getString(0)
+    assert(r("%msg:R,ERE,1,DFLT,1:([a-z])=--end%") == "b")
+    assert(r("%msg:R,ERE,1,DFLT,2:([a-z])=--end%") == "c")
+    assert(r("%msg:R,ERE,1,DFLT,0:(\\w+):?--end%") == "a") // ':' in regex
+  }
+
   test("template-level SQL/STDSQL escape hits properties, not constants") {
     // template.c:946-951: optFormatEscape applies to every evaluated
     // property; constants (including the surrounding quotes) pass as-is
