@@ -35,9 +35,13 @@ case class JournalEntryExpr(child: Expression, dfltTag: String = "journal",
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // dfltTag goes through a reference object — a quote/backslash in a
+    // caller-supplied tag spliced verbatim would break the generated Java
+    val tagRef = ctx.addReferenceObj("dfltTag", dfltTag, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.JournalEntryExpr$$.MODULE$$.decode($c.toString(), "$dfltTag", $dfltFacility, $dfltSeverity);""")
+      s"""${ev.value} = graft.functions.JournalEntryExpr$$.MODULE$$.decode($c.toString(), $tagRef, $dfltFacility, $dfltSeverity);""")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

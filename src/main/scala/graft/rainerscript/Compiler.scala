@@ -654,8 +654,12 @@ object RainerCompiler {
           if (container.startsWith("$.")) ("vars_local", container.drop(2))
           else ("vars_msg", container.dropWhile(c => c == '$' || c == '!'))
         val newTree = when(valid, col(candCol)).otherwise(failObj)
+        // bare-root container merges into the existing tree on both the
+        // success and {"msg":...} failure paths (runtime/msg.c:5078,
+        // name[1]=='\0' → jsonMerge), preserving earlier $! fields
         val updated =
-          if (sub.isEmpty) newTree
+          if (sub.isEmpty)
+            graft.functions.rainer.json_merge(col(vc), newTree)
           else graft.functions.rainer.json_set(col(vc),
             sub.replace('.', '!'), newTree)
         df = df.withColumn(vc, when(guard, updated).otherwise(col(vc)))
@@ -685,7 +689,11 @@ object RainerCompiler {
         // (plugins/mmfields/mmfields.c, default separator ',')
         val guard = path && !col("__stopped")
         val sepRaw = params.getOrElse("separator", ",")
-        val sep = if (sepRaw.forall(_.isDigit)) sepRaw.toInt.toChar.toString
+        // numeric form is a decimal char code; an empty separator=""
+        // falls back to the ',' default (vacuous forall would otherwise
+        // hit "".toInt)
+        val sep = if (sepRaw.isEmpty) ","
+                  else if (sepRaw.forall(_.isDigit)) sepRaw.toInt.toChar.toString
                   else sepRaw.take(1)
         val f = split(coalesce(col("msg").cast("string"), lit("")),
           java.util.regex.Pattern.quote(sep))

@@ -146,14 +146,19 @@ object Sources {
     val verb = if (create) "create" else "index"
     // JSON-escape the index/id values by routing them through to_json of
     // a one-field struct, then strip the wrapper — no hand escaping
-    def jsonStr(c: Column): Column = {
+    // (numeric ids stay unquoted). Null values must not reach to_json
+    // (null struct fields are dropped, yielding "{}" and a malformed
+    // action line): null index falls back to the ES default index name,
+    // null id to "".
+    def jsonStr(c: Column, dflt: String): Column = {
       val j = to_json(struct(c.as("v")))
-      // {"v":"..."} → "..."
-      j.substr(lit(6), length(j) - 6)
+      // {"v":...} → ...
+      when(c.isNull, lit("\"" + dflt + "\""))
+        .otherwise(j.substr(lit(6), length(j) - 6))
     }
     val action = concat(
-      lit(s"""{"$verb":{"_index":"""), jsonStr(col(indexCol)),
-      idCol.map(ic => concat(lit(""","_id":"""), jsonStr(col(ic))))
+      lit(s"""{"$verb":{"_index":"""), jsonStr(col(indexCol), "system"),
+      idCol.map(ic => concat(lit(""","_id":"""), jsonStr(col(ic), "")))
         .getOrElse(lit("")),
       lit("}}"))
     ds.select(concat(action, lit("\n"), col(docCol)).as("bulk"))

@@ -213,7 +213,9 @@ object TemplateCompiler {
       // successive occurrence; on no match DFLT → "**NO MATCH**",
       // BLANK → "", ZERO → "0", FIELD → the whole property value
       val spec = p.from.split(",").toSeq
-      val typ = spec.lift(1).filter(_.nonEmpty).getOrElse("ERE")
+      // an omitted type means BRE in the reference (template.c:1592-1604)
+      // — reject it like explicit BRE rather than silently running ERE
+      val typ = spec.lift(1).filter(_.nonEmpty).getOrElse("BRE")
       require(typ == "ERE",
         s"regex type $typ unsupported here (POSIX ERE only; BRE is the " +
         "reference default when omitted and is not translated)")

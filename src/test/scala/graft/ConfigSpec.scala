@@ -485,8 +485,12 @@ class ConfigSpec extends SparkSpec {
     assert(out(0).getString(0) == "OK" && out(0).getString(1) == """{"a":1}""")
     assert(out(1).getString(0) == "OK" && out(1).getString(1) == """{"b":2}""")
     assert(out(2).getString(0) == "FAIL") // no cookie
+    // bare-root container MERGES into the existing tree (msg.c:5078
+    // jsonMerge): the cookie-mode failure's {"msg":...} survives the
+    // second action, which adds the find-json fields beside it
     assert(out(2).getString(2) == "OK" &&
-      out(2).getString(3) == """{"id":7}""") // decoy skipped
+      out(2).getString(3) ==
+        """{"msg":"pfx {not json} {\"id\":7} tail","id":7}""") // decoy skipped
     assert(out(3).getString(0) == "FAIL" && out(3).getString(2) == "FAIL")
   }
 
@@ -513,6 +517,27 @@ class ConfigSpec extends SparkSpec {
       .run(Seq(Tuple1("ok hello")).toDF("msg"))
       .output.select("msg").collect()(0).getString(0)
     assert(fix == "ok hello")
+    // separator="" falls back to the ',' default instead of "".toInt
+    val emptySep = RsyslogConfig.parse(
+      """action(type="mmfields" separator="")
+        |set $.f2 = $!f_2;
+        |""".stripMargin)
+      .run(Seq(Tuple1("x,y,z")).toDF("msg")).output
+      .select(get_json_object(col("vars_local"), "$.f2"))
+      .collect()(0).getString(0)
+    assert(emptySep == "y")
+  }
+
+  test("mmjsonparse bare-root success merges, preserving earlier $! fields") {
+    // msg.c:5078 jsonMerge: fields set before the action (mmfields,
+    // imjournal decode, `set $!x=`) survive a bare-root mmjsonparse
+    val out = RsyslogConfig.parse(
+      """set $!early = "kept";
+        |action(type="mmjsonparse")
+        |""".stripMargin)
+      .run(Seq(Tuple1("""@cee: {"late":1}""")).toDF("msg")).output
+      .select(col("vars_msg")).collect()(0).getString(0)
+    assert(out == """{"early":"kept","late":1}""")
   }
 
   test("mmanon action: zero-mode scan quirks (mmanon.c syntax_ipv4)") {

@@ -66,6 +66,24 @@ class FileSourceSpec extends SparkSpec {
       .collect()(0).getString(0)
     assert(create.startsWith("{\"create\":{\"_index\":"))
     assert(!create.contains("_id")) // no id column → ES assigns
+    // null index/id must not collapse to_json's struct to "{}" (which
+    // would splice an empty value into the action line): null index
+    // falls back to the ES default index name, null id to ""
+    val nulls = Seq((null: String, null: String, """{"c":3}"""))
+      .toDF("idx", "id", "doc")
+    val nb = Sources.esBulkFrame(nulls, "idx", "doc", idCol = Some("id"))
+      .collect()(0).getString(0)
+    assert(nb == "{\"index\":{\"_index\":\"system\",\"_id\":\"\"}}\n{\"c\":3}")
+  }
+
+  test("imjournal dfltTag with quote/backslash survives codegen") {
+    // JournalEntryExpr routes dfltTag through a codegen reference object
+    // — a verbatim splice of this tag would produce uncompilable Java
+    val out = Sources.imjournalDecode(
+      Seq("MESSAGE=hi").toDF("value"), dfltTag = "we\"ird\\tag")
+      .select("syslogtag", "msg").collect()(0)
+    assert(out.getString(0) == "we\"ird\\tag:")
+    assert(out.getString(1) == "hi")
   }
 
   private def get_json(j: String, path: String): String = {

@@ -128,6 +128,12 @@ class TemplateSpec extends SparkSpec {
     assert(r("%msg:R,ERE,1,DFLT,1:([a-z])=--end%") == "b")
     assert(r("%msg:R,ERE,1,DFLT,2:([a-z])=--end%") == "c")
     assert(r("%msg:R,ERE,1,DFLT,0:(\\w+):?--end%") == "a") // ':' in regex
+    // an omitted type segment means BRE in the reference
+    // (template.c:1592-1604) — rejected like explicit BRE, never
+    // silently run with ERE semantics
+    intercept[IllegalArgumentException](render("%msg:R:b(o)dy--end%"))
+    intercept[IllegalArgumentException](render("%msg:R,,1,DFLT,0:b(o)dy--end%"))
+    intercept[IllegalArgumentException](render("%msg:R,BRE,1,DFLT,0:b(o)dy--end%"))
   }
 
   test("template-level SQL/STDSQL escape hits properties, not constants") {
