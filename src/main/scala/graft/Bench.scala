@@ -47,8 +47,11 @@ object Bench {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft_sf1"
     // versioned marker: bumping it invalidates caches synthesized with an
-    // older corpus shape (v2 = exact-copy shards + lineitem/nation)
-    val marker = new java.io.File(out, "_SYNTH_DONE_v2")
+    // older corpus shape (v2 = exact-copy shards + lineitem/nation;
+    // v3 = splittable outputs — multi-file dirs and small parquet row
+    // groups, so scans parallelize instead of serializing a whole table
+    // onto one core behind a single unsplittable row group)
+    val marker = new java.io.File(out, "_SYNTH_DONE_v3")
     if (!marker.exists()) {
       val sh = spark.range(shards).select(col("id").as("shard"))
       Tables.documents(spark, sfDir).crossJoin(sh).select(
@@ -56,12 +59,14 @@ object Bench {
         when(col("shard") <= 3, col("text"))
           .otherwise(concat(col("text"), lit(" shard"), col("shard"))).as("text"),
         col("lang"), col("source"), col("n_chars"))
+        .repartition(shards)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       Tables.embeddings(spark, sfDir).crossJoin(sh).select(
         (col("vec_id") + col("shard") * 100000000L).as("vec_id"),
         transform(col("embedding"),
           v => v + col("shard").cast("float") * lit(0.001f)).as("embedding"),
         col("label"))
+        .repartition(shards)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       // events must land as ONE real parquet FILE (not a Spark output
       // dir): the stream gate's single-micro-batch ordering contract and
@@ -72,7 +77,13 @@ object Bench {
         col("ts_ns").as("ts"), // keep the driver's LONG-nanos convention
         (col("user_id") + col("shard") * 1000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
-        .coalesce(1).write.mode("overwrite").parquet(evTmp)
+        // one file (the stream gate's layout contract) but SMALL row
+        // groups: parquet only splits at row-group boundaries, so a
+        // single 500MB-buffer group would serialize every events scan
+        // onto one task no matter what maxPartitionBytes says
+        .coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .parquet(evTmp)
       val part = new java.io.File(evTmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath,
@@ -87,6 +98,7 @@ object Bench {
         (col("l_orderkey") + col("shard") * 1000000000L).as("l_orderkey") +:
         Tables.lineitem(spark, sfDir).columns.filter(_ != "l_orderkey")
           .map(col).toSeq: _*)
+        .repartition(shards)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/nation.parquet"),
@@ -104,9 +116,14 @@ object Bench {
     * production. Single trial each (the medians come from the main
     * sf0.1 loop); the point is no-OOM/no-pathology completion and the
     * timing curve vs sf0.1. */
-  private def sf1Section(spark: SparkSession, sfDir: String): String = {
+  private def sf1Section(spark: SparkSession, sfDir: String): (String, String) = {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val sf1Dir = synthesizeSf1(spark, sfDir)
+    // the section runs after ~700 query executions in this JVM — shed
+    // cached blocks and give the old gen a chance to compact so the
+    // 10x-scale timings measure the plans, not accumulated heap state
+    spark.sqlContext.clearCache()
+    System.gc()
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
         val t0 = System.nanoTime()
@@ -128,7 +145,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = timed.filter(_._3).map(_._2).sum
     val failed = timed.count(!_._3)
-    f""""sf1":{"dir":"$sf1Dir","shards":10,"rows":{"documents":$nDocs,"embeddings":$nEmb,"events":$nEv},"queries":$qj,"total":$total%.3f,"failed":$failed}"""
+    val worst = timed.filter(_._3).sortBy(-_._2).take(5)
+      .map { case (n, t, _) => "\"" + n + f"""\":$t%.3f""" }.mkString("{", ",", "}")
+    (f""""sf1":{"dir":"$sf1Dir","shards":10,"rows":{"documents":$nDocs,"embeddings":$nEmb,"events":$nEv},"queries":$qj,"total":$total%.3f,"failed":$failed}""",
+     f""""sf1_total":$total%.3f,"sf1_failed":$failed,"sf1_worst":$worst""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -261,16 +281,22 @@ object Bench {
     }
     // sf1 scale rehearsal (skipped during single-query local iteration or
     // with SPARK_GRAFT_SF1=off)
-    val sf1Json =
-      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("off")) ""
-      else try "," + sf1Section(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench:sf1] section failed: ${e.getMessage}"); ""
+    val (sf1Json, sf1Summary) =
+      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("off")) ("", "")
+      else try {
+        val (full, short) = sf1Section(spark, sfDir)
+        ("," + full, "," + short)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench:sf1] section failed: ${e.getMessage}"); ("", "")
       }
     val trialStats = "{\"median\":" + f"$trialMed%.0f" + ",\"mad\":" +
       f"$trialMad%.0f" + ",\"trials\":" +
       trialRates.map(r => f"$r%.0f").mkString("[", ",", "]") + "}"
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$ratioJson$sf1Json}""")
+    // compact recap AFTER the full line: the driver keeps only the last
+    // few KB of stdout, and the full line's headline fields sit at its
+    // FRONT — this short line guarantees they survive the tail window
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$ratioJson$sf1Summary}""")
     spark.stop()
   }
 }
