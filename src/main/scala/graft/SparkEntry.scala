@@ -133,6 +133,26 @@ object Queries {
         .select(col("event_id"), round(col("vdouble"), 2).as("vdouble"), col("k_gone"))
     }),
 
+    // §2.2/§2.4 fjson SPACED render — the reference's default tree→string
+    // conversion (jsonToString → JSON_C_TO_STRING_SPACED, msg.c:1067):
+    // every %$!…% template render and script string coercion emits
+    // `{ "a": 1 }`-spaced JSON; strings render bare, missing paths null,
+    // $!all-json falls back to "{}" on a null tree
+    "json_spaced" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val tree = rainer.json_set(
+        rainer.json_set(col("props"), "enrich!tag", col("event_type")),
+        "enrich!arr",
+        concat(lit("["), col("user_id"), lit(","), col("user_id") + 1, lit("]")))
+      ev.withColumn("t", tree).select(
+        col("event_id"),
+        rainer.json_render(col("t"), "").as("whole"),
+        rainer.json_render(col("t"), "enrich").as("sub"),
+        rainer.json_render(col("t"), "enrich!tag").as("tag_raw"),
+        coalesce(rainer.json_render(col("t"), "nope"), lit("<null>")).as("missing"),
+        coalesce(rainer.json_render(lit(null).cast("string"), ""), lit("{}")).as("allj_null"))
+    }),
+
     // §2.1 S_FOREACH — foreach over array → explode
     "foreach_explode" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1876,6 +1896,18 @@ object Queries {
         |  round(value * 2, 2) AS vdouble,
         |  true AS k_gone
         |FROM events""".stripMargin,
+
+    "json_spaced" ->
+      """SELECT event_id,
+        |  '{ "k": ' || k || ', "enrich": { "tag": "' || event_type ||
+        |    '", "arr": [ ' || user_id || ', ' || (user_id + 1) || ' ] } }' AS whole,
+        |  '{ "tag": "' || event_type || '", "arr": [ ' || user_id || ', '
+        |    || (user_id + 1) || ' ] }' AS sub,
+        |  event_type AS tag_raw,
+        |  '<null>' AS missing,
+        |  '{}' AS allj_null
+        |FROM (SELECT event_id, event_type, user_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)""".stripMargin,
 
     "foreach_explode" ->
       """SELECT word, count(*) AS n FROM (

@@ -187,6 +187,90 @@ object JsonPathUtil {
     null
   }
 
+  /** json-c SPACED-format serializer (the reference's default render for
+    * JSON trees: jsonToString at runtime/msg.c:1050-1068 uses
+    * glblJsonFormatOpt = JSON_C_TO_STRING_SPACED, runtime/glbl.c:104).
+    * Spacing per json-c json_object_to_json_string_ext: a space after
+    * every `{`/`[`/`,`, after each key's colon, and before the closing
+    * brace of a non-empty container — `{ "a": 1, "b": [ 2, 3 ] }`;
+    * empty containers stay `{}`/`[]`. String escaping mirrors
+    * json-c json_escape_str: short forms for \b\t\n\f\r, `\"`, `\\`,
+    * other control chars as lowercase \u00xx, `/` NOT escaped, non-ASCII
+    * passed through as UTF-8. */
+  private def escJsonC(s: String, sb: java.lang.StringBuilder): Unit = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\f' => sb.append("\\f")
+        case _ =>
+          if (c < 0x20) sb.append(f"\\u${c.toInt}%04x") else sb.append(c)
+      }
+      i += 1
+    }
+  }
+
+  private def renderSpaced(n: JsonNode, sb: java.lang.StringBuilder): Unit = {
+    if (n.isObject) {
+      sb.append('{')
+      val it = n.fields()
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        if (!first) sb.append(',')
+        first = false
+        sb.append(" \"")
+        escJsonC(e.getKey, sb)
+        sb.append("\": ")
+        renderSpaced(e.getValue, sb)
+      }
+      if (!first) sb.append(' ')
+      sb.append('}')
+    } else if (n.isArray) {
+      sb.append('[')
+      var i = 0
+      while (i < n.size()) {
+        if (i > 0) sb.append(',')
+        sb.append(' ')
+        renderSpaced(n.get(i), sb)
+        i += 1
+      }
+      if (n.size() > 0) sb.append(' ')
+      sb.append(']')
+    } else if (n.isTextual) {
+      sb.append('"'); escJsonC(n.textValue(), sb); sb.append('"')
+    } else sb.append(n.asText()) // numbers keep their literal, bool, null
+  }
+
+  /** Render the value at `path` ("" = whole tree) the way the reference's
+    * property fetch does (getJSONPropVal → jsonToString, msg.c:3950+):
+    * strings bare (no quotes), scalars by literal, objects/arrays in
+    * json-c SPACED form. Missing path, JSON null, or an unparsable tree
+    * → SQL null. Path segments split on `!` and `.` like the template
+    * resolver's get_json_object form did. */
+  def renderKernel(j: UTF8String, path: String): UTF8String = {
+    if (j == null) return null
+    var cur: JsonNode =
+      try mapper.readTree(j.toString) catch { case _: Exception => null }
+    if (path.nonEmpty) {
+      val segs = path.split(Array('!', '.')).filter(_.nonEmpty)
+      var i = 0
+      while (i < segs.length && cur != null) { cur = cur.get(segs(i)); i += 1 }
+    }
+    if (cur == null || cur.isNull || cur.isMissingNode) return null
+    if (cur.isTextual) return UTF8String.fromString(cur.textValue())
+    if (cur.isValueNode) return UTF8String.fromString(cur.asText())
+    val sb = new java.lang.StringBuilder(64)
+    renderSpaced(cur, sb)
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Write an evaluated Spark value into `parent` at `leaf`, preserving
     * its type (JSON-object strings embed as subtrees — rsyslog 'J' svar). */
   def putTyped(parent: ObjectNode, leaf: String, v: Any,
@@ -209,6 +293,33 @@ object JsonPathUtil {
         else parent.put(leaf, s)
     }
   }
+}
+
+/** json_render(json, path): the value at path rendered the way the
+  * reference's property fetch renders it — strings bare, scalars by
+  * literal, objects/arrays in json-c SPACED form (`{ "a": 1 }`), the
+  * glblJsonFormatOpt default every `%$!…%` template render and script
+  * string coercion goes through (runtime/msg.c:1067, glbl.c:104).
+  * path "" renders the whole tree.
+  */
+case class JsonRenderExpr(child: Expression, path: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_render"
+
+  override protected def nullSafeEval(j: Any): Any =
+    JsonPathUtil.renderKernel(j.asInstanceOf[UTF8String], path)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pathRef = ctx.addReferenceObj("renderPath", path, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, j => s"""
+      ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.renderKernel($j, $pathRef);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** json_set(json, path, value): returns json with value written at path.

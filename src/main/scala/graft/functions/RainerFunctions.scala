@@ -198,6 +198,10 @@ object rainer {
     col2(JsonMergeExpr(dst.expr, src.expr))
   def json_exists(json: Column, path: String): Column =
     col2(JsonExistsExpr(json.expr, lit(path).expr))
+  /** Reference-default tree render: objects/arrays in json-c SPACED form
+    * (`{ "a": 1 }`), strings bare, scalars by literal (msg.c:1067). */
+  def json_render(json: Column, path: String): Column =
+    col2(JsonRenderExpr(json.expr, path))
   def unflatten(json: Column, sep: String): Column =
     col2(JsonUnflattenExpr(json.expr, lit(sep).expr))
 

@@ -136,6 +136,28 @@ object RainerCompiler {
     case other => TemplateCompiler.resolve(other, col)
   }
 
+  /** String coercion of an expression: JSON-namespace variable reads go
+    * through the reference's jsonToString render (json_object_get_string
+    * on a non-string → json-c SPACED serialization, runtime/msg.c:1067;
+    * scalars come back raw) — everything else is a plain string cast. */
+  private def strCoerce(e: RExpr, go: RExpr => Column): Column = {
+    def r(vc: String, p: String): Column =
+      org.apache.spark.sql.GraftBridge.column(graft.functions.JsonRenderExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(vc)), p))
+    e match {
+      case RVar(raw) =>
+        val n = if (raw.startsWith("$")) raw else "$" + raw
+        if (n == "$!") r("vars_msg", "")
+        else if (n == "$.") r("vars_local", "")
+        else if (n == "$/") r("vars_global", "")
+        else if (n.startsWith("$!")) r("vars_msg", n.drop(2))
+        else if (n.startsWith("$.")) r("vars_local", n.drop(2))
+        else if (n.startsWith("$/")) r("vars_global", n.drop(2))
+        else go(e).cast("string")
+      case _ => go(e).cast("string")
+    }
+  }
+
   def compileExpr(e: RExpr, tables: Map[String, LookupTable],
                   templates: Map[String, String] = Map.empty,
                   rec: CounterRecorder = null,
@@ -150,7 +172,10 @@ object RainerCompiler {
       case RNeg(x) => -rainer.cnum(go(x))
       case RBinop("and", l, r) => toBool(l) && toBool(r)
       case RBinop("or", l, r) => toBool(l) || toBool(r)
-      case RBinop("&", l, r) => concat(go(l).cast("string"), go(r).cast("string"))
+      // String concat coerces JSON-tree reads through the reference's
+      // jsonToString (json_object_get_string, grammar/rainerscript.c:1519,
+      // 2024): objects/arrays render in json-c SPACED form, scalars raw.
+      case RBinop("&", l, r) => concat(strCoerce(l, go), strCoerce(r, go))
       case RBinop(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
         val (a, b) = (rainer.cnum(go(l)), rainer.cnum(go(r)))
         op match {
@@ -220,7 +245,7 @@ object RainerCompiler {
         if (args.length > 2) rainer.wrap(a(0), s(1), s(2)) else rainer.wrap(a(0), s(1))
       case "field" => rainer.field(a(0), fieldDelim(s(1)), s(2).toInt)
       case "split" => split(a(0), java.util.regex.Pattern.quote(s(1)))
-      case "cstr" => a(0).cast("string")
+      case "cstr" => strCoerce(args(0), go)
       case "cnum" => rainer.cnum(a(0))
       case "cbool" => a(0).cast("boolean")
       case "re_match" => rainer.re_match(a(0), s(1))

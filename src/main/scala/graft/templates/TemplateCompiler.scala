@@ -122,13 +122,25 @@ object TemplateCompiler {
     def facText = when(props("facility").cast("int").between(0, 23),
       element_at(array(facNames.map(lit): _*),
         props("facility").cast("int") + 1)).otherwise(lit("invld"))
-    if (name == "$!") props("vars_msg")          // bare tree roots render
-    else if (name == "$.") props("vars_local")   // the whole namespace
-    else if (name == "$/") props("vars_global")
-    else if (name.startsWith("$!"))
-      get_json_object(props("vars_msg"), "$." + name.drop(2).replace('!', '.'))
-    else if (name.startsWith("$."))
-      get_json_object(props("vars_local"), "$." + name.drop(2).replace('!', '.'))
+    // Tree renders go through the reference's jsonToString: objects and
+    // arrays in json-c SPACED form, bare strings/scalars raw
+    // (runtime/msg.c:3950-4010; JsonRenderExpr has the format cite).
+    // $!all-json is SPACED with a "{}" fallback for a missing tree;
+    // $!all-json-plain is JSON_C_TO_STRING_PLAIN = the stored compact
+    // form (msg.c:3991-4010).
+    def render(vc: String, path: String): Column =
+      org.apache.spark.sql.GraftBridge.column(graft.functions.JsonRenderExpr(
+        org.apache.spark.sql.GraftBridge.expression(props(vc)), path))
+    if (name == "$!") render("vars_msg", "")     // bare tree roots render
+    else if (name == "$.") render("vars_local", "") // the whole namespace
+    else if (name == "$/") render("vars_global", "")
+    else if (name.equalsIgnoreCase("$!all-json"))
+      coalesce(render("vars_msg", ""), lit("{}"))
+    else if (name.equalsIgnoreCase("$!all-json-plain"))
+      coalesce(props("vars_msg"), lit("{}"))
+    else if (name.startsWith("$!")) render("vars_msg", name.drop(2))
+    else if (name.startsWith("$.")) render("vars_local", name.drop(2))
+    else if (name.startsWith("$/")) render("vars_global", name.drop(2))
     else name.toLowerCase match {
       case "pri" => props("facility") * 8 + props("severity")
       // textpri "facility.severity" (msg.c:2889-2900)

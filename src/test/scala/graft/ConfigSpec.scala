@@ -437,8 +437,9 @@ class ConfigSpec extends SparkSpec {
   test("mmjsonparse-find-json-basic replay: cookie vs find-json action modes") {
     // tests/mmjsonparse-find-json-basic.sh: the default cookie mode must
     // NOT parse embedded JSON without the @cee: cookie (failure stores
-    // {"msg": <stripped text>}), find-json mode must. Our tree renders
-    // compact JSON (the reference pretty-prints via fjson; same content).
+    // {"msg": <stripped text>}), find-json mode must. %$!% renders in
+    // the reference's fjson SPACED form — expectations below are the
+    // EXPECTED lines of mmjsonparse-find-json-basic.sh verbatim.
     val conf =
       """template(name="outfmt" type="string" string="%msg% parsesuccess=%parsesuccess% json=%$!%\n")
         |if $msg contains "LEGACY" then {
@@ -457,10 +458,10 @@ class ConfigSpec extends SparkSpec {
     val res = RsyslogConfig.parse(conf).run(msgs)
     val legacy = res.actionFrame(0).select("__rendered").collect()(0).getString(0)
     assert(legacy ==
-      """ LEGACY prefix {"field":"value"} parsesuccess=FAIL json={"msg":"LEGACY prefix {\"field\":\"value\"}"}""" + "\n")
+      """ LEGACY prefix {"field":"value"} parsesuccess=FAIL json={ "msg": "LEGACY prefix {\"field\":\"value\"}" }""" + "\n")
     val fj = res.actionFrame(1).select("__rendered").collect()(0).getString(0)
     assert(fj ==
-      """ FINDJSON prefix {"field":"value"} parsesuccess=OK json={"field":"value"}""" + "\n")
+      """ FINDJSON prefix {"field":"value"} parsesuccess=OK json={ "field": "value" }""" + "\n")
   }
 
   test("mmjsonparse cookie success, trailing tolerance, and find-json decoys") {

@@ -51,6 +51,22 @@ class FunctionsSpec extends SparkSpec {
       == """{"j":{"k":1}}""")
   }
 
+  test("json_render: json-c SPACED form, scalars raw, nulls") {
+    val t = """{"a":1,"s":"x\"y","o":{"b":[1,{"c":2}],"e":{},"ar":[]},"n":null,"f":1.5,"t":true}"""
+    assert(one[String](rainer.json_render(lit(t), "")) ==
+      """{ "a": 1, "s": "x\"y", "o": { "b": [ 1, { "c": 2 } ], "e": {}, "ar": [] }, "n": null, "f": 1.5, "t": true }""")
+    assert(one[String](rainer.json_render(lit(t), "o!b")) == """[ 1, { "c": 2 } ]""")
+    assert(one[String](rainer.json_render(lit(t), "s")) == "x\"y")   // string: bare
+    assert(one[String](rainer.json_render(lit(t), "a")) == "1")
+    assert(one[String](rainer.json_render(lit(t), "t")) == "true")
+    assert(one[String](rainer.json_render(lit(t), "n")) == null)     // JSON null → SQL null
+    assert(one[String](rainer.json_render(lit(t), "zz")) == null)    // missing → SQL null
+    assert(one[String](rainer.json_render(lit("{}"), "")) == "{}")
+    // control chars: json-c short forms + lowercase \u00xx
+    assert(one[String](rainer.json_render(lit("{\"c\":\"a\\u0001\\nb\"}"), "")) ==
+      "{ \"c\": \"a\\u0001\\nb\" }")
+  }
+
   test("prifilt mask compilation") {
     val m = PriFilt.compile("mail.info")
     assert(m(2) == 0x7F) // info and more severe = sev 0..6
