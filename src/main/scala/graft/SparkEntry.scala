@@ -679,6 +679,33 @@ object Queries {
         .select(col("event_id"), col("msg"))
     }),
 
+    // §2.9 mmanon IPv6 + random-consistent: the full family surface via
+    // the inline config action (defaults: v6 zero/96) plus the
+    // random-consistent mode's contract — deterministic per-address
+    // replacement (seeded keyed hash; the reference's per-process table
+    // can't be shared across 1000 executors) with the prefix preserved
+    "mmanon_v6" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("xg", lower(hex(col("user_id") % 65536)))
+        .withColumn("yg", lower(hex(col("event_id") % 65536)))
+        .withColumn("adr", concat(lit("2001:db8:"), col("xg"), lit("::"), col("yg")))
+        .withColumn("msg", concat(lit("conn from "), col("adr"),
+          lit(" port "), col("event_id") % 9999))
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        """action(type="mmanon")""")
+      val zeroed = cfg.run(ev.select(col("event_id"), col("adr"), col("msg")))
+        .output.select(col("event_id"), col("adr"), col("msg"))
+      val rc = graft.functions.AnonIpCfg(v4On = false, embOn = false,
+        v6Mode = graft.functions.AnonIpMsgExpr.RAND_CONSIS, seed = 1L)
+      val t1 = element_at(split(rainer.anon_ip_msg(
+        concat(lit("from "), col("adr"), lit(" end")), rc), " "), 2)
+      val t2 = element_at(split(rainer.anon_ip_msg(
+        concat(lit("to "), col("adr")), rc), " "), 2)
+      zeroed.select(col("event_id"), col("msg"),
+        (t1 === t2).as("rc_consistent"),
+        t1.startsWith("2001:db8:").as("rc_prefix_kept"))
+    }),
+
     "mmanon" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .withColumn("ipn", (col("user_id") * 7777777L + col("event_id")) % 4294967296L)
@@ -2207,6 +2234,13 @@ object Queries {
         |    PARTITION BY user_id ORDER BY event_id) AS s
         |  FROM events)
         |SELECT user_id, max(s) AS max_seq, count(*) AS n FROM seq GROUP BY 1""".stripMargin,
+
+    "mmanon_v6" ->
+      """SELECT event_id,
+        |  'conn from 2001:db8:0:0:0:0:0:0 port ' || (event_id % 9999) AS msg,
+        |  true AS rc_consistent,
+        |  true AS rc_prefix_kept
+        |FROM events""".stripMargin,
 
     "mmanon_msg" ->
       """WITH e AS (

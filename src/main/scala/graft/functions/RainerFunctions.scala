@@ -238,6 +238,12 @@ object rainer {
   def anon_ipv4_msg(msg: Column, bits: Int = 16): Column =
     col2(AnonIpv4MsgExpr(msg.expr, bits))
 
+  /** Full mmanon over free message text: IPv4 + IPv6 + embedded-IPv4,
+    * zero/random/random-consistent/simple modes (AnonIpMsgExpr kernel,
+    * plugins/mmanon/mmanon.c doAction scan). */
+  def anon_ip_msg(msg: Column, cfg: AnonIpCfg): Column =
+    col2(AnonIpMsgExpr(msg.expr, cfg))
+
   def anon_ipv4(ip: Column, bits: Int): Column = {
     val n = ipv42num(ip)
     val mask = ~((1L << bits) - 1) & 0xFFFFFFFFL

@@ -766,19 +766,60 @@ object RainerCompiler {
             when(col(nc) === "{}", failObj).otherwise(col(nc))))
           .otherwise(col("vars_msg")))
       case RAction(params) if params.get("type").contains("mmanon") =>
-        // zero-mode IPv4 anonymization over the message text
-        // (plugins/mmanon; zero is the reference default; the stateful
-        // random-consistent modes stay query-level)
+        // mmanon over the message text: IPv4 + IPv6 + embedded-IPv4, all
+        // on by default like the reference (plugins/mmanon/mmanon.c
+        // setInstParamDefaults: v4 zero/16, v6 zero/96, embedded zero/96).
+        // The random modes draw from a seeded keyed hash (see
+        // AnonIpMsgExpr's divergence note); `seed` is our extension.
         val guard = path && !col("__stopped")
-        val mode = params.get("ipv4.mode").orElse(params.get("mode"))
-          .getOrElse("zero")
-        require(mode == "zero",
-          s"action(type=mmanon) supports ipv4.mode=zero here, got $mode")
-        val bits = params.get("ipv4.bits").orElse(params.get("bits"))
+        def anonMode(s: String): Int = s match {
+          case "zero" => graft.functions.AnonIpMsgExpr.ZERO
+          case "random" => graft.functions.AnonIpMsgExpr.RANDOM
+          case "random-consistent" | "random-consistent-unique" =>
+            graft.functions.AnonIpMsgExpr.RAND_CONSIS
+          case "simple" | "rewrite" => graft.functions.AnonIpMsgExpr.SIMPLE
+          case other => throw new IllegalArgumentException(
+            s"mmanon: unknown anonymization mode $other")
+        }
+        def flag(k: String, dflt: Boolean): Boolean =
+          params.get(k).map(v => v == "on" || v == "1" || v == "true")
+            .getOrElse(dflt)
+        val v6Mode = anonMode(params.getOrElse("ipv6.anonmode", "zero"))
+        val embMode = anonMode(params.getOrElse("embeddedipv4.anonmode", "zero"))
+        require(v6Mode != graft.functions.AnonIpMsgExpr.SIMPLE &&
+          embMode != graft.functions.AnonIpMsgExpr.SIMPLE,
+          "mmanon: simple mode is IPv4-only (mmanon.c anonmode parse)")
+        val v4Mode = anonMode(params.get("ipv4.mode").orElse(params.get("mode"))
+          .getOrElse("zero"))
+        val v4BitsRaw = params.get("ipv4.bits").orElse(params.get("bits"))
           .map(_.toInt).getOrElse(16)
+        // simple mode rounds bits UP to a whole octet (mmanon.c:510-531:
+        // <8→8, 9-15→16, 17-23→24, else→32, with an LogError the engine
+        // surfaces as silent correction)
+        val v4Bits =
+          if (v4Mode != graft.functions.AnonIpMsgExpr.SIMPLE) v4BitsRaw
+          else if (v4BitsRaw < 0) 32
+          else if (v4BitsRaw <= 8) 8
+          else if (v4BitsRaw <= 16) 16
+          else if (v4BitsRaw <= 24) 24
+          else 32
+        val cfg = graft.functions.AnonIpCfg(
+          v4On = flag("ipv4.enable", dflt = true),
+          v4Bits = v4Bits,
+          v4Mode = v4Mode,
+          v4Char = params.get("ipv4.replacechar")
+            .orElse(params.get("replacementchar"))
+            .filter(_.nonEmpty).map(_.charAt(0)).getOrElse('x'),
+          v6On = flag("ipv6.enable", dflt = true),
+          v6Bits = params.get("ipv6.bits").map(_.toInt).getOrElse(96),
+          v6Mode = v6Mode,
+          embOn = flag("embeddedipv4.enable", dflt = true),
+          embBits = params.get("embeddedipv4.bits").map(_.toInt).getOrElse(96),
+          embMode = embMode,
+          seed = params.get("seed").map(_.toLong).getOrElse(0L))
         df = df.withColumn("msg",
-          when(guard, graft.functions.rainer.anon_ipv4_msg(
-            coalesce(col("msg").cast("string"), lit("")), bits))
+          when(guard, graft.functions.rainer.anon_ip_msg(
+            coalesce(col("msg").cast("string"), lit("")), cfg))
           .otherwise(col("msg")))
       case RAction(params) if params.get("type").contains("mmpstrucdata") =>
         // RFC5424 SD string → $!rfc5424-sd tree (plugins/mmpstrucdata)
