@@ -502,6 +502,42 @@ object Queries {
     }),
 
     // stock-config front-end e2e, ACTIVATED: an unmodified distro-style
+    // §2.9 parser() objects + ruleset(parser=[...]) chains: pmnormalize
+    // populates properties from its rulebase (pri/hostname/syslogtag/
+    // fromhost-ip/msg), a no-match row falls through to the whole-frame
+    // msg with the auto-parsed-or-default PRI (runtime/parser.c:613-686
+    // chain dispatch; tests/pmnormalize-basic.sh semantics), and the
+    // rendered action template locks the whole property surface
+    "parser_chain" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val feed = ev.select(
+        col("event_id"),
+        concat(lit("src"), col("user_id") % 10).as("fromhost"),
+        when(col("event_id") % 3 =!= 0,
+          concat(lit("<"), col("event_id") % 192, lit("> host"),
+            col("user_id") % 50, lit(" app"), col("event_id") % 7,
+            lit(": service listening on 10.0."), col("user_id") % 256,
+            lit("."), col("event_id") % 256, lit(" port "),
+            col("event_id") % 9999))
+        .otherwise(concat(lit("freeform line "), col("event_id")))
+        .as("value"))
+      val conf =
+        """module(load="imtcp")
+          |module(load="pmnormalize")
+          |parser(name="p.norm" type="pmnormalize" rule=["rule=:<%pri:number%> %hostname:word% %syslogtag:char-to:\x3a%: service listening on %fromhost-ip:ipv4% port %msg:rest%"])
+          |template(name="line" type="string" string="%hostname%|%fromhost-ip%|%syslogtag%|%pri%|%syslogseverity%|%msg%")
+          |ruleset(name="chain" parser="p.norm") {
+          |  action(type="omfile" file="/out.log" template="line")
+          |}
+          |input(type="imtcp" port="601" ruleset="chain")
+          |""".stripMargin
+      val cfg = graft.rainerscript.RsyslogConfig.parse(conf)
+      val res = cfg.activate(s, feeds = Map("imtcp:601" -> feed),
+        now = to_timestamp(lit("2024-01-01 00:00:00")))("chain")
+      res.actionFrame(0).select(col("event_id"),
+        col("__rendered").as("line"), col("parsesuccess"))
+    }),
+
     // rsyslog.conf (module/input/global/main_queue objects, legacy
     // $-directives, selector lines with file/fwd/usrmsg targets, '&'
     // continuation) parses and BINDS — the synthesized syslog stream is
@@ -2177,6 +2213,20 @@ object Queries {
     // selector semantics: auth=4, authpriv=10, cron=9, kern=0, mail=2;
     // '& stop' only affects statements after the mail fwd (none), so it
     // changes no counts — it's there to prove the continuation parses
+    "parser_chain" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 <> 0 THEN
+        |    'host' || (user_id % 50) || '|10.0.' || (user_id % 256) || '.' ||
+        |    (event_id % 256) || '|app' || (event_id % 7) || '|' ||
+        |    (event_id % 192) || '|' || ((event_id % 192) % 8) || '|' ||
+        |    (event_id % 9999)
+        |  ELSE
+        |    'src' || (user_id % 10) || '|src' || (user_id % 10) ||
+        |    '||13|5|freeform line ' || event_id
+        |  END AS line,
+        |  event_id % 3 <> 0 AS parsesuccess
+        |FROM events""".stripMargin,
+
     "config_e2e" -> (synthSql +
       """ SELECT
         |  count(CASE WHEN facility IN (4,10) THEN 1 END) AS n_auth,

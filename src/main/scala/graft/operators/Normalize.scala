@@ -20,6 +20,13 @@ object Normalize {
   case class Field(name: String, typ: String)
   case class CompiledRule(regex: String, fields: Seq[Field])
 
+  /** Strip a rulebase line's `rule=[tags]:` prefix when present —
+    * pmnormalize/mmnormalize rule= params carry full rulebase LINES
+    * (doc/source/configuration/modules/pmnormalize.rst examples), while
+    * programmatic callers pass bare patterns; accept both. */
+  def stripRulePrefix(l: String): String =
+    if (l.startsWith("rule=")) l.substring(l.indexOf(':', 5) + 1) else l
+
   /** Parse a rule string like "sshd[%pid:number%]: Accepted %method:word% for %user:word% from %ip:ipv4%" */
   def compileRule(rule: String): CompiledRule = {
     val sb = new StringBuilder("^")
@@ -40,7 +47,15 @@ object Normalize {
           case "quoted-string" => "\"([^\"]*)\""
           case "rest" => "(.*)"
           case t if t.startsWith("char-to:") =>
-            val c = java.util.regex.Pattern.quote(t.substring(8))
+            // the terminator may arrive as a liblognorm \xHH escape when
+            // the rule comes from a rulebase FILE (config strings already
+            // unescaped it at the lexer): rule=:%tag:char-to:\x3a%
+            val raw = t.substring(8)
+            val dec =
+              if (raw.length == 4 && raw.startsWith("\\x"))
+                Integer.parseInt(raw.substring(2), 16).toChar.toString
+              else raw
+            val c = java.util.regex.Pattern.quote(dec)
             s"([^$c]*)"
           case other => throw new IllegalArgumentException(s"field type $other")
         })

@@ -752,7 +752,8 @@ object RainerCompiler {
               .toArray(Array.empty[String]).toSeq
               .filter(_.startsWith("rule="))
               .map(l => l.substring(l.indexOf(':', 5) + 1))
-          }.getOrElse(params.get("rule").map(Seq(_)).getOrElse(Seq.empty))
+          }.getOrElse(params.get("rule").map(RsyslogConfig.splitArray).getOrElse(Seq.empty))
+            .map(graft.operators.Normalize.stripRulePrefix)
         require(rules.nonEmpty,
           "action(type=mmnormalize) needs rulebase= or rule=")
         val m = coalesce(col("msg").cast("string"), lit(""))

@@ -35,7 +35,16 @@ case class RsyslogConfig(
     // template-level escape option per template name (template.c
     // optFormatEscape: "sql" | "stdsql" | "json"), applied to every
     // property of the named template at render time
-    templateEscapes: Map[String, String] = Map.empty) {
+    templateEscapes: Map[String, String] = Map.empty,
+    // parser(name= type= ...) objects (CNFOBJ_PARSER,
+    // grammar/rainerscript.h:45; registered runtime/parser.c:120-180) —
+    // params by parser name. Array-valued params (rule=[...]) are
+    // NUL-joined (see P.param).
+    parsers: Map[String, Map[String, String]] = Map.empty,
+    // ruleset(parser=[...]) bindings: ruleset name → parser-name chain
+    // (runtime/ruleset.c rulesetSetParserList; replaces the default
+    // rfc5424→rfc3164 list for messages routed to that ruleset)
+    rulesetParsers: Map[String, Seq[String]] = Map.empty) {
 
   /** Is a module loaded (module(load=) or $ModLoad)? */
   def hasModule(name: String): Boolean = modules.exists(_.get("load").contains(name))
@@ -195,15 +204,23 @@ object RsyslogConfig {
       ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s =>
         unescape(s.substring(1, s.length - 1))
       } | btstring
+    /** Param value: scalar string or `["a","b",...]` array
+      * (grammar/rainerscript.y nvlst array values, used by
+      * ruleset(parser=[...]) and parser(rule=[...])). Arrays fold to one
+      * NUL-joined string — NUL can't appear in config text (the lexer is
+      * line-oriented C strings), so the join is collision-free; consumers
+      * split with [[RsyslogConfig.splitArray]]. */
     def param: Parser[(String, String)] =
-      cfgIdent ~ ("=" ~> cfgString) ^^ { case k ~ v => (k.toLowerCase, v) }
+      cfgIdent ~ ("=" ~> ("[" ~> repsep(cfgString, ",") <~ "]" ^^ (_.mkString("\u0000"))
+        | cfgString)) ^^ { case k ~ v => (k.toLowerCase, v) }
     def params: Parser[Map[String, String]] = rep(param) ^^ (_.toMap)
 
     sealed trait Item
     case class TemplateObj(p: Map[String, String],
                            fields: Seq[Map[String, String]]) extends Item
     case class LookupObj(p: Map[String, String]) extends Item
-    case class RulesetObj(name: String, body: Seq[RStmt]) extends Item
+    case class RulesetObj(name: String, p: Map[String, String],
+                          body: Seq[RStmt]) extends Item
     case class StmtItem(s: RStmt) extends Item
 
     /** template(name="t" type="string" string="...") or
@@ -237,8 +254,15 @@ object RsyslogConfig {
     def rulesetObj: Parser[Item] =
       "ruleset" ~> "(" ~> params ~ (")" ~> "{" ~> rep(stmt) <~ "}") ^^ {
         case p ~ body => RulesetObj(p.getOrElse("name",
-          throw new IllegalArgumentException("ruleset needs name=")), body)
+          throw new IllegalArgumentException("ruleset needs name=")), p, body)
       }
+
+    /** parser(name="x" type="pmnull"|"pmnormalize" ...) — a named parser
+      * instance for ruleset(parser=[...]) chains (CNFOBJ_PARSER;
+      * instances created via newParserInst, e.g.
+      * plugins/pmnull/pmnull.c:96-138). */
+    case class ParserObj(p: Map[String, String]) extends Item
+    def parserObj: Parser[Item] = "parser" ~> "(" ~> params <~ ")" ^^ ParserObj.apply
 
     // ---- stock-config object surface (grammar/rainerscript.h:36-53
     // CNFOBJ_MODULE/INPUT/GLOBAL/MAINQ; include at lexer.l:379-382) ----
@@ -311,7 +335,7 @@ object RsyslogConfig {
       "&" ~> ("stop" ^^^ Seq(RStop) | legacyTarget) ^^ AmpCont.apply
 
     def item: Parser[Item] =
-      templateObj | lookupObj | genericObj | rulesetObj |
+      templateObj | lookupObj | genericObj | rulesetObj | parserObj |
       moduleObj | inputObj | settingsObj | includeObj |
       legacyDirective | ampCont | selectorLine | propLine |
       stmt ^^ StmtItem.apply
@@ -320,6 +344,12 @@ object RsyslogConfig {
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Split a possibly-array-valued config param back into its elements
+    * (P.param NUL-joins array values). A scalar value has no NUL and
+    * yields a one-element chain. */
+  def splitArray(v: String): Seq[String] =
+    v.split("\u0000").toSeq.map(_.trim).filter(_.nonEmpty)
 
   private def parseRaw(src: String): Seq[P.Item] =
     P.parseAll(P.config, src) match {
@@ -391,6 +421,7 @@ object RsyslogConfig {
       case P.InputObj(p) => objDisabled(p)
       case P.SettingsObj(_, p) => objDisabled(p)
       case P.GenericObj(_, p) => objDisabled(p)
+      case P.ParserObj(p) => objDisabled(p)
       case _ => false
     }
     val items = expanded.foldLeft(Vector.empty[P.Item]) {
@@ -407,6 +438,8 @@ object RsyslogConfig {
     var jsonf = Map.empty[String, Seq[TemplateCompiler.JsonfField]]
     var lookups = Map.empty[String, LookupTable]
     var rulesets = Map.empty[String, Seq[RStmt]]
+    var rulesetParsers = Map.empty[String, Seq[String]]
+    var parserObjs = Map.empty[String, Map[String, String]]
     var objects = Map.empty[(String, String), Map[String, String]]
     val modules = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
     val inputs = scala.collection.mutable.ArrayBuffer.empty[Map[String, String]]
@@ -444,7 +477,14 @@ object RsyslogConfig {
         }
       case P.LookupObj(p) =>
         lookups += p("name") -> LookupTable.load(p("file"))
-      case P.RulesetObj(name, body) => rulesets += name -> body
+      case P.RulesetObj(name, p, body) =>
+        rulesets += name -> body
+        // ruleset(parser=...): scalar or ["a","b"] array, tried in order
+        // (runtime/ruleset.c rulesetSetParserList)
+        p.get("parser").foreach(v => rulesetParsers += name -> splitArray(v))
+      case P.ParserObj(p) =>
+        parserObjs += p.getOrElse("name",
+          throw new IllegalArgumentException("parser needs name=")) -> p
       case P.GenericObj(kind, p) =>
         // timezone objects are identified by id=, the rest by name=
         objects += (kind, p.getOrElse("name", p.getOrElse("id", ""))) -> p
@@ -503,6 +543,7 @@ object RsyslogConfig {
     RsyslogConfig(templates, jsonf, lookups,
       rulesets.map { case (k, v) => k -> injectDefault(v) },
       injectDefault(main.toSeq), objects,
-      modules.toSeq, inputs.toSeq, globals, templateEscapes)
+      modules.toSeq, inputs.toSeq, globals, templateEscapes,
+      parserObjs, rulesetParsers)
   }
 }

@@ -103,10 +103,148 @@ object InputBinding {
     }
   }
 
+  /** Resolve a ruleset's parser-name chain to (name, params) instances:
+    * custom parser() objects by name, plus the reference's built-in
+    * parser names (PARSER_NAME registrations: "rsyslog.rfc5424"
+    * pmrfc5424.c, "rsyslog.rfc3164" pmrfc3164.c, "rsyslog.pmnull"
+    * pmnull.c's module-global instance). */
+  private def resolveChain(cfg: RsyslogConfig,
+                           names: Seq[String]): Seq[(String, Map[String, String])] =
+    names.map { n =>
+      cfg.parsers.get(n).map(n -> _).getOrElse(n match {
+        case "rsyslog.rfc5424" => n -> Map("type" -> "rfc5424")
+        case "rsyslog.rfc3164" => n -> Map("type" -> "rfc3164")
+        case "rsyslog.pmnull" => n -> Map("type" -> "pmnull")
+        case other => throw new IllegalArgumentException(
+          s"ruleset parser=\"$other\": no parser(name=\"$other\") object " +
+          "and not a built-in parser name")
+      })
+    }
+
+  /** Decode a sanitized line frame through a configured parser chain
+    * (runtime/parser.c:613-686 ParseMsg: sanitize once, auto-PRI-parse,
+    * then first parser that doesn't return COULD_NOT_PARSE wins). All
+    * supported parser types are total (pmnull/pmnormalize by contract —
+    * pmnormalize's no-match still accepts the message, see
+    * tests/pmnormalize-rule_invld-data.sh — and the builtin pair via
+    * rfc3164's catch-all), so the no-parser-accepted discard path is
+    * unreachable here. Builtin names map to the autodetect expression:
+    * listing either of rsyslog.rfc5424/rfc3164 runs the same
+    * 5424-first-then-legacy parse the default list runs.
+    *
+    * Chain output columns match [[graft.sources.Sources.decodeSyslog]];
+    * `ts` is null (reception time is coalesced in by the caller).
+    */
+  private[rainerscript] def decodeChain(lines: DataFrame,
+      chain: Seq[(String, Map[String, String])], defaultYear: Int): DataFrame = {
+    import graft.sources.Sources
+    require(chain.nonEmpty, "empty parser chain")
+    // the head parser wins whenever it accepts; supported types are all
+    // total, so lowering keeps only the head (parse2 cascade collapses)
+    val (name, p) = chain.head
+    val sanitized = Sources.sanitize(col("value"))
+    p.getOrElse("type", name) match {
+      case "pmnull" =>
+        // plugins/pmnull/pmnull.c parse2: MSG offset 0 (msg = the whole
+        // sanitized frame INCLUDING any <PRI>), PRI forced to the
+        // configured facility*8+severity (defaults 1/5 → 13,
+        // pmnull.c:99-100) even though auto-PRI-parsing ran, TAG = tag=
+        // param or empty (tests/pmnull-basic.sh locks all three)
+        val fac = p.get("syslogfacility").map(facilityNum).getOrElse(1)
+        val sev = p.get("syslogseverity").map(severityNum).getOrElse(5)
+        val tag = p.getOrElse("tag", "")
+        val prog = graft.functions.SyslogParseExpr.programName(tag)
+        val passthrough = lines.columns.filter(_ != "value").map(col)
+        lines.select(passthrough ++ Seq[Column](
+          sanitized.as("rawmsg"),
+          lit(0).as("protocol_version"),
+          lit(fac * 8 + sev).as("pri"),
+          lit(fac).as("facility"), lit(sev).as("severity"),
+          lit(null).cast("timestamp").as("ts"),
+          col("fromhost").as("hostname"),
+          (if (prog == null || prog.isEmpty) lit(null) else lit(prog))
+            .cast("string").as("app_name"),
+          lit(null).cast("string").as("procid"),
+          lit(null).cast("string").as("msgid"),
+          lit(null).cast("string").as("structured_data"),
+          lit(tag).as("syslogtag"),
+          lit(prog).cast("string").as("programname"),
+          sanitized.as("msg"),
+          lit(true).as("parsesuccess"),
+          lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
+      case "pmnormalize" =>
+        // pmnormalize (doc/source/configuration/modules/pmnormalize.rst;
+        // no C source ships — semantics locked by tests/pmnormalize-*):
+        // normalize the FULL raw frame (incl. <PRI>) against the
+        // rulebase; well-known fields populate the properties (pri →
+        // facility/severity, hostname, syslogtag, fromhost-ip, msg); a
+        // no-match still accepts the message with msg = the whole frame
+        // (tests/pmnormalize-rule_invld-data.sh). Fields outside the
+        // well-known set are dropped (nothing else is observable in the
+        // reference's tests).
+        val rules: Seq[String] =
+          p.get("rulebase").map { f =>
+            java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+              .toArray(Array.empty[String]).toSeq
+              .filter(_.startsWith("rule="))
+              .map(l => l.substring(l.indexOf(':', 5) + 1))
+          }.getOrElse(p.get("rule").map(RsyslogConfig.splitArray).getOrElse(Nil))
+            .map(graft.operators.Normalize.stripRulePrefix)
+        require(rules.nonEmpty,
+          s"parser(name=\"$name\" type=\"pmnormalize\") needs rulebase= or rule=")
+        // stage the normalize result once (CollapseProject won't inline
+        // a multiply-referenced non-cheap alias — shared via one select)
+        val staged = lines
+          .withColumn("__raw", sanitized)
+          .withColumn("__nz",
+            graft.operators.Normalize.normalize(col("__raw"), rules))
+        def g(field: String): Column =
+          get_json_object(col("__nz"), s"$$['$field']")
+        // auto-PRI fallback for missing/no-match pri (parserParsePRI ran
+        // before the parser; DEFUPRI=13 when absent/invalid)
+        val autoPri =
+          when(col("__raw").rlike("^<\\d{1,3}>"),
+            regexp_extract(col("__raw"), "^<(\\d{1,3})>", 1).cast("int"))
+          .otherwise(lit(13))
+        val priC = coalesce(g("pri").cast("int"), autoPri)
+        val tagC = coalesce(g("syslogtag"), lit(""))
+        val progC = regexp_extract(tagC, "^([^:\\[/\\x00-\\x1f]*)", 1)
+        val passthrough = staged.columns
+          .filterNot(c => c == "value" || c == "fromhost" || c.startsWith("__"))
+          .map(col)
+        staged.select(passthrough ++ Seq[Column](
+          coalesce(g("fromhost-ip"), col("fromhost")).as("fromhost"),
+          col("__raw").as("rawmsg"),
+          lit(0).as("protocol_version"),
+          priC.as("pri"),
+          (priC / 8).cast("int").as("facility"),
+          (priC % 8).cast("int").as("severity"),
+          lit(null).cast("timestamp").as("ts"),
+          coalesce(g("hostname"), col("fromhost")).as("hostname"),
+          when(progC =!= "", progC).as("app_name"),
+          lit(null).cast("string").as("procid"),
+          lit(null).cast("string").as("msgid"),
+          lit(null).cast("string").as("structured_data"),
+          tagC.as("syslogtag"),
+          progC.as("programname"),
+          coalesce(g("msg"), col("__raw")).as("msg"),
+          (col("__nz") =!= "{}").as("parsesuccess"),
+          lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
+      case "rfc5424" | "rfc3164" =>
+        Sources.decodeSyslog(lines, defaultYear = defaultYear)
+      case other => throw new IllegalArgumentException(
+        s"parser type \"$other\" is not supported in a config parser chain " +
+        "(supported: pmnull, pmnormalize, rsyslog.rfc5424/rfc3164)")
+    }
+  }
+
   /** Network/broker bind: feed frame (a `value` line column, or the Spark
-    * Kafka source contract) → framing → decode chain. */
+    * Kafka source contract) → framing → decode chain. `chain` = the
+    * ruleset's configured parser list; None = the default
+    * rfc5424→rfc3164 list. */
   private def bindFeed(typ: String, df: DataFrame, now: Column,
-                       defaultYear: Int): DataFrame = {
+                       defaultYear: Int,
+                       chain: Option[Seq[(String, Map[String, String])]] = None): DataFrame = {
     if (typ == "imkafka" || df.columns.contains("topic"))
       Sources.imkafkaDecode(df, defaultYear)
         .withColumn("ts", coalesce(col("ts"), now))
@@ -130,7 +268,8 @@ object InputBinding {
         case "imrelp" => Sources.deframeRelp(withProv)
         case _ => withProv
       }
-      Sources.decodeSyslog(framed, defaultYear = defaultYear)
+      chain.map(c => decodeChain(framed, c, defaultYear))
+        .getOrElse(Sources.decodeSyslog(framed, defaultYear = defaultYear))
         .withColumn("ts", coalesce(col("ts"), now))
     }
   }
@@ -144,6 +283,11 @@ object InputBinding {
     cfg.inputs.flatMap { p =>
       val typ = p.getOrElse("type", "")
       val ruleset = p.getOrElse("ruleset", "")
+      // ruleset(parser=[...]) replaces the default parser list for
+      // messages bound to that ruleset (ruleset.GetParserList in
+      // runtime/parser.c:638-640)
+      val chain = cfg.rulesetParsers.get(ruleset)
+        .map(names => resolveChain(cfg, names))
       if (typ.nonEmpty && !cfg.hasModule(typ))
         log.warn(s"input(type=\"$typ\") without module(load=\"$typ\") — binding anyway")
       val frame: Option[DataFrame] = typ match {
@@ -153,7 +297,7 @@ object InputBinding {
           Some(bindImfile(spark, p, now, defaultYear))
         case t =>
           feed(feeds, p, t) match {
-            case Some(df) => Some(bindFeed(t, df, now, defaultYear))
+            case Some(df) => Some(bindFeed(t, df, now, defaultYear, chain))
             case None =>
               log.warn(s"input(type=\"$t\"${p.get("port").map(po => s" port=$po").getOrElse("")}) " +
                 "has no bound feed in this run; listener idle")
