@@ -233,6 +233,38 @@ object Queries {
         "kafkarest")
     }),
 
+    // §2.10 omotel OTLP/HTTP JSON export shaping (plugins/omotel/
+    // otlp_json.c omotel_json_build_export): per-batch payloads with the
+    // syslog→OTLP severity lookup (omotel.c:498-500), proto3-JSON string
+    // timestamps, hex-validated trace/span correlation
+    // (omotel.c:1347-1380), the ordered log.syslog.* attribute block,
+    // and host.name lifted to resource level only when the whole payload
+    // is single-host (otlp_json.c:341-368)
+    "omotel_export" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val src = ev.select(
+        col("event_id"),
+        (col("user_id") % 7).cast("int").as("batch_id"),
+        concat(lit("host"), col("user_id") % 5).as("host"),
+        col("event_type").as("app"),
+        (col("event_id") % 100).cast("string").as("procid"),
+        when(col("event_id") % 4 === 0,
+          concat(lit("m"), col("event_id") % 10)).as("msgid"),
+        (col("user_id") % 24).cast("int").as("facility"),
+        (col("event_id") % 8).cast("int").as("severity"),
+        col("ts"),
+        concat(lit("msgnum:"), col("event_id")).as("body"),
+        when(col("event_id") % 5 === 0, md5(col("event_id").cast("string")))
+          .when(col("event_id") % 5 === 1, lit("zznotvalid")).as("trace_id"),
+        when(col("event_id") % 3 === 0,
+          substring(md5(concat(lit("s"), col("event_id"))), 1, 16))
+          .as("span_id"))
+      graft.sources.Sources.omotelExport(src, "body", "host", "app",
+        "procid", "msgid", "facility", "severity", "ts", None,
+        "batch_id", "event_id", maxItems = 50,
+        traceIdCol = Some("trace_id"), spanIdCol = Some("span_id"))
+    }),
+
     // §2.10 omjournal non-template field shaping (omjournal.c:290-302):
     // MESSAGE / PRIORITY=(fac*8|sev) / SYSLOG_FACILITY /
     // SYSLOG_IDENTIFIER as an export-format entry
@@ -2029,6 +2061,62 @@ object Queries {
         |       ELSE '{"id":' || event_id || ',"t":"' || event_type || '"}'
         |  END AS m FROM events)
         |GROUP BY 1""".stripMargin,
+
+    "omotel_export" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |    CAST(user_id % 7 AS INT) AS batch_id,
+        |    'host' || (user_id % 5) AS host,
+        |    event_type AS app,
+        |    CAST(event_id % 100 AS VARCHAR) AS procid,
+        |    CASE WHEN event_id % 4 = 0 THEN 'm' || (event_id % 10) END AS msgid,
+        |    CAST(user_id % 24 AS INT) AS facility,
+        |    CAST(event_id % 8 AS INT) AS severity,
+        |    ts, 'msgnum:' || event_id AS body,
+        |    row_number() OVER (PARTITION BY user_id % 7 ORDER BY event_id) AS rn
+        |  FROM events),
+        |recs AS (
+        |  SELECT *, (rn - 1) // 50 AS chunk,
+        |    '{ "timeUnixNano": "' || CAST((epoch_ns(ts) // 1000) * 1000 AS VARCHAR) ||
+        |    '", "severityNumber": ' || ([24,23,22,17,13,11,9,5][severity + 1]) ||
+        |    ', "severityText": "' ||
+        |    (['EMERGENCY','ALERT','CRITICAL','ERROR','WARNING','NOTICE','INFO','DEBUG'][severity + 1]) ||
+        |    '", "body": { "stringValue": "' || body || '" }' ||
+        |    CASE WHEN event_id % 5 = 0
+        |         THEN ', "traceId": "' || md5(CAST(event_id AS VARCHAR)) || '"'
+        |         ELSE '' END ||
+        |    CASE WHEN event_id % 3 = 0
+        |         THEN ', "spanId": "' || substr(md5('s' || event_id), 1, 16) || '"'
+        |         ELSE '' END ||
+        |    ', "attributes": [ ' ||
+        |    '{ "key": "log.syslog.appname", "value": { "stringValue": "' || app || '" } }, ' ||
+        |    '{ "key": "log.syslog.procid", "value": { "stringValue": "' || procid || '" } }, ' ||
+        |    CASE WHEN msgid IS NOT NULL
+        |         THEN '{ "key": "log.syslog.msgid", "value": { "stringValue": "' || msgid || '" } }, '
+        |         ELSE '' END ||
+        |    '{ "key": "log.syslog.facility", "value": { "intValue": ' || facility || ' } }, ' ||
+        |    '{ "key": "log.syslog.hostname", "value": { "stringValue": "' || host || '" } }' ||
+        |    ' ] }' AS rec
+        |  FROM src),
+        |b AS (
+        |  SELECT batch_id, chunk,
+        |    string_agg(rec, ', ' ORDER BY event_id) AS recs,
+        |    min(host) = max(host) AS same_host,
+        |    min(host) AS h0, count(*) AS n_records
+        |  FROM recs GROUP BY 1, 2)
+        |SELECT batch_id, chunk,
+        |  '{ "resourceLogs": [ { "resource": { "attributes": [ ' ||
+        |  '{ "key": "service.name", "value": { "stringValue": "rsyslog" } }, ' ||
+        |  '{ "key": "telemetry.sdk.name", "value": { "stringValue": "rsyslog-omotel" } }, ' ||
+        |  '{ "key": "telemetry.sdk.language", "value": { "stringValue": "C" } }, ' ||
+        |  '{ "key": "telemetry.sdk.version", "value": { "stringValue": "8.2608.0.daily" } }' ||
+        |  CASE WHEN same_host
+        |       THEN ', { "key": "host.name", "value": { "stringValue": "' || h0 || '" } }'
+        |       ELSE '' END ||
+        |  ' ] }, "scopeLogs": [ { "scope": { "name": "rsyslog.omotel", "version": "8.2608.0.daily" }, "logRecords": [ ' ||
+        |  recs || ' ] } ] } ] }' AS payload,
+        |  n_records
+        |FROM b""".stripMargin,
 
     "omjournal_frame" -> (Queries.synthSql +
       """ SELECT event_id,

@@ -230,6 +230,135 @@ object Sources {
       lit("\nSYSLOG_FACILITY="), col(facilityCol),
       lit("\nSYSLOG_IDENTIFIER="), coalesce(col(tagCol), lit(""))))
 
+  /** json-c string escape in Column form (json_escape_str: short forms
+    * for the common control escapes, backslash, quote; our upstream
+    * sanitize has already escaped other control bytes). */
+  private def jsonCEscape(c: Column): Column = {
+    val noNull = coalesce(c.cast("string"), lit(""))
+    val esc = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+      "\r" -> "\\r", "\t" -> "\\t")
+    esc.foldLeft(noNull) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to)) }
+  }
+
+  /** omotel OTLP/HTTP JSON export shaping — the transport-free half of
+    * plugins/omotel (otlp_json.c omotel_json_build_export; HTTP POST to
+    * endpoint+path, gzip, retry/backoff are ReliableSink's pattern).
+    * Each output row is one export payload: records are batched per
+    * `batchIdCol` in `orderCol` order, capped at `maxItems` per payload
+    * (batch.max_items, default 512, omotel.c:502; batch.max_bytes /
+    * batch.timeout.ms are queue-time concerns Spark's trigger owns).
+    *
+    * Payload shape per the builder: one resourceLogs entry whose
+    * resource carries the fixed sdk attributes (+ custom resource
+    * attributes, + host.name ONLY when every record in the payload
+    * shares the same non-empty hostname, otlp_json.c:341-368), one
+    * scope ("rsyslog.omotel"/version), then logRecords each with
+    * proto3-JSON string timestamps (timeUnixNano from timereported,
+    * observedTimeUnixNano from timegenerated when present), the
+    * severity mapping {emerg→24 EMERGENCY … debug→5 DEBUG}
+    * (severity_lookup, omotel.c:498-500), body.stringValue = the
+    * rendered body template (default RSYSLOG_FileFormat, omotel.c:2747),
+    * optional validated traceId/spanId (32/16 hex, omotel.c:1347-1380),
+    * and the log.syslog.* attributes in builder order — appname, procid,
+    * msgid (skipped when empty), facility (always), hostname (when
+    * non-empty). Rendered in json-c SPACED form like the reference's
+    * fjson_object_to_json_string.
+    *
+    * Scale: one shuffle for the per-batch row_number + one for the
+    * groupBy; payloads are bounded by maxItems so no group can exceed
+    * ~maxItems×msgsize bytes.
+    */
+  def omotelExport(ds: DataFrame,
+                   bodyCol: String, hostCol: String, appCol: String,
+                   procidCol: String, msgidCol: String,
+                   facilityCol: String, severityCol: String,
+                   tsCol: String, observedTsCol: Option[String],
+                   batchIdCol: String, orderCol: String,
+                   maxItems: Int = 512,
+                   sdkVersion: String = "8.2608.0.daily",
+                   resourceAttrs: Seq[(String, String)] = Nil,
+                   traceIdCol: Option[String] = None,
+                   spanIdCol: Option[String] = None): DataFrame = {
+    require(maxItems > 0, "batch.max_items must be positive")
+    def strAttr(key: String, v: Column): Column =
+      when(v.isNotNull && v.cast("string") =!= "",
+        concat(lit("{ \"key\": \"" + key + "\", \"value\": { \"stringValue\": \""),
+          jsonCEscape(v), lit("\" } }")))
+    def intAttr(key: String, v: Column): Column =
+      concat(lit("{ \"key\": \"" + key + "\", \"value\": { \"intValue\": "),
+        v.cast("long"), lit(" } }"))
+    val sevNum = element_at(
+      array(Seq(24, 23, 22, 17, 13, 11, 9, 5).map(lit): _*),
+      col(severityCol).cast("int") + 1)
+    val sevText = element_at(
+      array(Seq("EMERGENCY", "ALERT", "CRITICAL", "ERROR", "WARNING",
+        "NOTICE", "INFO", "DEBUG").map(lit): _*),
+      col(severityCol).cast("int") + 1)
+    val tUnixNano = (unix_micros(col(tsCol)) * 1000L).cast("string")
+    val obsSeg = observedTsCol.map(o =>
+      coalesce(concat(lit(", \"observedTimeUnixNano\": \""),
+        (unix_micros(col(o)) * 1000L).cast("string"), lit("\"")), lit("")))
+      .getOrElse(lit(""))
+    val traceSeg = traceIdCol.map(t =>
+      coalesce(when(col(t).rlike("^[0-9a-fA-F]{32}$"),
+        concat(lit(", \"traceId\": \""), col(t), lit("\""))), lit("")))
+      .getOrElse(lit(""))
+    val spanSeg = spanIdCol.map(t =>
+      coalesce(when(col(t).rlike("^[0-9a-fA-F]{16}$"),
+        concat(lit(", \"spanId\": \""), col(t), lit("\""))), lit("")))
+      .getOrElse(lit(""))
+    val attrs = array_join(filter(array(
+      strAttr("log.syslog.appname", col(appCol)),
+      strAttr("log.syslog.procid", col(procidCol)),
+      strAttr("log.syslog.msgid", col(msgidCol)),
+      intAttr("log.syslog.facility", col(facilityCol)),
+      strAttr("log.syslog.hostname", col(hostCol))), _.isNotNull), ", ")
+    val rec = concat(
+      lit("{ \"timeUnixNano\": \""), tUnixNano, lit("\""), obsSeg,
+      lit(", \"severityNumber\": "), sevNum,
+      lit(", \"severityText\": \""), sevText, lit("\""),
+      lit(", \"body\": { \"stringValue\": \""), jsonCEscape(col(bodyCol)),
+      lit("\" }"), traceSeg, spanSeg,
+      lit(", \"attributes\": [ "), attrs, lit(" ] }"))
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(batchIdCol)).orderBy(col(orderCol))
+    val fixedRes =
+      "{ \"key\": \"service.name\", \"value\": { \"stringValue\": \"rsyslog\" } }, " +
+      "{ \"key\": \"telemetry.sdk.name\", \"value\": { \"stringValue\": \"rsyslog-omotel\" } }, " +
+      "{ \"key\": \"telemetry.sdk.language\", \"value\": { \"stringValue\": \"C\" } }, " +
+      "{ \"key\": \"telemetry.sdk.version\", \"value\": { \"stringValue\": \"" +
+      sdkVersion + "\" } }" +
+      resourceAttrs.map { case (k, v) =>
+        ", { \"key\": \"" + k + "\", \"value\": { \"stringValue\": \"" + v + "\" } }"
+      }.mkString
+    val batched = ds
+      .withColumn("__chunk",
+        ((row_number().over(wnd) - 1) / maxItems).cast("long"))
+      .groupBy(col(batchIdCol), col("__chunk").as("chunk"))
+      .agg(
+        array_sort(collect_list(struct(col(orderCol).as("o"), rec.as("r"))))
+          .as("s"),
+        (min(col(hostCol)) === max(col(hostCol)) &&
+          sum(when(col(hostCol).isNull || col(hostCol).cast("string") === "",
+            1).otherwise(0)) === 0).as("__same_host"),
+        min(col(hostCol)).cast("string").as("__host0"),
+        count(lit(1)).as("n_records"))
+    val resAttrs = concat(lit(fixedRes),
+      when(col("__same_host"),
+        concat(lit(", { \"key\": \"host.name\", \"value\": { \"stringValue\": \""),
+          jsonCEscape(col("__host0")), lit("\" } }"))).otherwise(lit("")))
+    batched.select(col(batchIdCol), col("chunk"),
+      concat(
+        lit("{ \"resourceLogs\": [ { \"resource\": { \"attributes\": [ "),
+        resAttrs,
+        lit(" ] }, \"scopeLogs\": [ { \"scope\": { \"name\": \"rsyslog.omotel\", \"version\": \"" +
+          sdkVersion + "\" }, \"logRecords\": [ "),
+        array_join(transform(col("s"), _.getField("r")), ", "),
+        lit(" ] } ] } ] }")).as("payload"),
+      col("n_records"))
+  }
+
   /** imkafka decode: a Kafka-SOURCE-shaped frame (the Spark kafka source
     * contract: key/value binary + topic/partition/offset/timestamp) to
     * decoded pipeline rows with imkafka's provenance (inputname=imkafka,
