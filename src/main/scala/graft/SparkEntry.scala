@@ -265,6 +265,40 @@ object Queries {
         traceIdCol = Some("trace_id"), spanIdCol = Some("span_id"))
     }),
 
+    // §2.10 ommongodb default lumberjack document (getDefaultBSON,
+    // ommongodb.c:280-362) incl. the procid/pid swap quirk and the
+    // lumberjack level table; BSON datetimes = epoch millis
+    "ommongodb_doc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("hostname", concat(lit("host"), col("user_id") % 50))
+        .withColumn("msg", concat(lit("ev "), col("event_type")))
+        .withColumn("facility", (col("user_id") % 24).cast("int"))
+        .withColumn("severity", (col("event_id") % 8).cast("int"))
+        .withColumn("syslogtag",
+          concat(col("event_type"), lit("["), col("event_id") % 1000, lit("]")))
+        .withColumn("programname", col("event_type"))
+        .withColumn("procid", (col("event_id") % 1000).cast("string"))
+      graft.sources.Sources.ommongodbDoc(ev)
+        .select(col("event_id"), col("mongo_doc"))
+    }),
+
+    // §2.10 ommail RFC822 DATA shaping (writeMailMessage,
+    // ommail.c:639-664): SMTP-format Date, From/To/Subject headers with
+    // the CR/LF header-injection guard, X-Mailer, SMTP dot-stuffing in
+    // the body (start-of-line reopens only after a strict CRLF)
+    "ommail_message" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("subject",
+          concat(lit("alert "), col("event_type"), lit(" line1\nline2")))
+        .withColumn("body",
+          concat(lit(".lead "), col("event_type"), lit("\r\n.dot "),
+            col("event_id"), lit("\nmid .x\r\ntail")))
+      graft.sources.Sources.ommailMessage(ev, "body", "subject",
+        "rsyslog@example.net", Seq("ops@example.net", "oncall@example.net"),
+        now = to_timestamp(lit("2024-06-01 12:00:00")))
+        .select(col("event_id"), col("mail_message"))
+    }),
+
     // §2.10 omjournal non-template field shaping (omjournal.c:290-302):
     // MESSAGE / PRIORITY=(fac*8|sev) / SYSLOG_FACILITY /
     // SYSLOG_IDENTIFIER as an export-format entry
@@ -2117,6 +2151,35 @@ object Queries {
         |  recs || ' ] } ] } ] }' AS payload,
         |  n_records
         |FROM b""".stripMargin,
+
+    "ommongodb_doc" ->
+      """SELECT event_id,
+        |  '{"sys":"host' || (user_id % 50) ||
+        |  '","time":' || (epoch_ns(ts) // 1000000) ||
+        |  ',"time_rcvd":' || (epoch_ns(ts) // 1000000) ||
+        |  ',"msg":"ev ' || event_type ||
+        |  '","syslog_fac":' || (user_id % 24) ||
+        |  ',"syslog_sever":' || (event_id % 8) ||
+        |  ',"syslog_tag":"' || event_type || '[' || (event_id % 1000) ||
+        |  ']","procid":"' || event_type ||
+        |  '","pid":"' || (event_id % 1000) ||
+        |  '","level":"' ||
+        |  (['FATAL','ERROR','ERROR','ERROR','WARN','INFO','INFO','DEBUG'][CAST(event_id % 8 AS INT) + 1]) ||
+        |  '"}' AS mongo_doc
+        |FROM events""".stripMargin,
+
+    "ommail_message" ->
+      """SELECT event_id,
+        |  'Date: Sat,  1 Jun 2024 12:00:00 +0000' || chr(13) || chr(10) ||
+        |  'From: <rsyslog@example.net>' || chr(13) || chr(10) ||
+        |  'To: <ops@example.net>, <oncall@example.net>' || chr(13) || chr(10) ||
+        |  'Subject: alert ' || event_type || ' line1 line2' || chr(13) || chr(10) ||
+        |  'X-Mailer: rsyslog-ommail' || chr(13) || chr(10) || chr(13) || chr(10) ||
+        |  '..lead ' || event_type || chr(13) || chr(10) ||
+        |  '..dot ' || event_id || chr(10) ||
+        |  'mid .x' || chr(13) || chr(10) ||
+        |  'tail' AS mail_message
+        |FROM events""".stripMargin,
 
     "omjournal_frame" -> (Queries.synthSql +
       """ SELECT event_id,

@@ -359,6 +359,95 @@ object Sources {
       col("n_records"))
   }
 
+  /** ommongodb default document shaping — the lumberjack/cee-aligned
+    * standard document built when no template is configured
+    * (plugins/ommongodb/ommongodb.c getDefaultBSON:280-362), as a JSON
+    * column in BSON field order: sys (hostname), time / time_rcvd
+    * (BSON datetimes = epoch MILLIS, ms-truncated like the secfrac
+    * rescale at :317-334), msg, syslog_fac, syslog_sever, syslog_tag,
+    * then the reference's swapped pair — `procid` carries PROGRAMNAME
+    * and `pid` carries PROCID (getDefaultBSON:302-306, a
+    * backward-compat quirk the module keeps deliberately) — and the
+    * lumberjack `level` from severity (getLumberjackLevel:243-261).
+    * The client-generated `_id` ObjectId is the transport's concern
+    * (template mode = any rendered JSON template via OMSR_TPL_AS_JSON,
+    * already covered by the template compiler). */
+  def ommongodbDoc(ds: DataFrame, hostCol: String = "hostname",
+                   tsCol: String = "ts", rcvdCol: String = "ts",
+                   msgCol: String = "msg", facilityCol: String = "facility",
+                   severityCol: String = "severity",
+                   tagCol: String = "syslogtag",
+                   programCol: String = "programname",
+                   procidCol: String = "procid"): DataFrame = {
+    val level = element_at(array(Seq("FATAL", "ERROR", "ERROR", "ERROR",
+      "WARN", "INFO", "INFO", "DEBUG").map(lit): _*),
+      col(severityCol).cast("int") + 1)
+    ds.withColumn("mongo_doc", to_json(struct(
+      col(hostCol).cast("string").as("sys"),
+      (unix_micros(col(tsCol)) / 1000L).cast("long").as("time"),
+      (unix_micros(col(rcvdCol)) / 1000L).cast("long").as("time_rcvd"),
+      col(msgCol).cast("string").as("msg"),
+      col(facilityCol).cast("int").as("syslog_fac"),
+      col(severityCol).cast("int").as("syslog_sever"),
+      col(tagCol).cast("string").as("syslog_tag"),
+      col(programCol).cast("string").as("procid"),
+      col(procidCol).cast("string").as("pid"),
+      coalesce(level, lit("INVLD")).as("level"))))
+  }
+
+  /** ommail message shaping — the RFC822 DATA payload the SMTP/sendmail
+    * transports write (plugins/ommail/ommail.c writeMailMessage:639-664):
+    * `Date:` in the module's own SMTP timestamp format (space-padded
+    * day, always +0000, mkSMTPTimestamp:488-500) from the caller's
+    * `now`, `From: <f>`, one `To:` header with every recipient
+    * (writeTos:544-560), `Subject:` with raw CR/LF normalized to spaces
+    * (write_header_value:563-594 header-injection guard),
+    * `X-Mailer: rsyslog-ommail`, blank line, then the body with SMTP
+    * dot-stuffing: a leading '.' is doubled only at message start or
+    * after a strict CRLF (bodyWrite:598-636 tracks CR-then-LF;
+    * a bare LF does NOT reopen start-of-line). body.enable="off" sends
+    * headers only (SMS-gateway mode); the envelope (HELO/MAIL FROM/RCPT
+    * TO/QUIT, sendSMTP:670-709) is the transport's concern. `now` must
+    * be a UTC timestamp. */
+  def ommailMessage(ds: DataFrame, bodyCol: String, subjectCol: String,
+                    from: String, to: Seq[String],
+                    now: Column,
+                    bodyEnable: Boolean = true,
+                    escapeDot: Boolean = true): DataFrame = {
+    require(to.nonEmpty, "ommail needs at least one mailto")
+    val days = array(Seq("Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat")
+      .map(lit): _*)
+    val months = array(Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec").map(lit): _*)
+    val dateHdr = concat(lit("Date: "),
+      element_at(days, dayofweek(now)), lit(", "),
+      lpad(dayofmonth(now).cast("string"), 2, " "), lit(" "),
+      element_at(months, month(now)), lit(" "),
+      lpad(year(now).cast("string"), 4, " "), lit(" "),
+      date_format(now, "HH:mm:ss"), lit(" +0000\r\n"))
+    val subject = regexp_replace(
+      coalesce(col(subjectCol).cast("string"), lit("")), "[\r\n]", " ")
+    val body0 = coalesce(col(bodyCol).cast("string"), lit(""))
+    val body =
+      if (!escapeDot) body0
+      else regexp_replace(body0, "(\\A|\r\n)\\.", "$1..")
+    val headers = concat(dateHdr,
+      lit("From: <" + from + ">\r\n"),
+      lit("To: " + to.map(t => s"<$t>").mkString(", ") + "\r\n"),
+      lit("Subject: "), subject, lit("\r\n"),
+      lit("X-Mailer: rsyslog-ommail\r\n\r\n"))
+    ds.withColumn("mail_message",
+      if (bodyEnable) concat(headers, body) else headers)
+  }
+
+  /** omstdout line shaping (plugins/omstdout/omstdout.c:79: template
+    * render + ensureLFEnding appending a missing trailing LF) — the
+    * console sink is the driver/collector's concern. */
+  def omstdoutLine(rendered: Column, ensureLfEnding: Boolean = true): Column =
+    if (!ensureLfEnding) rendered
+    else when(rendered.endsWith("\n"), rendered)
+      .otherwise(concat(rendered, lit("\n")))
+
   /** imkafka decode: a Kafka-SOURCE-shaped frame (the Spark kafka source
     * contract: key/value binary + topic/partition/offset/timestamp) to
     * decoded pipeline rows with imkafka's provenance (inputname=imkafka,
