@@ -265,6 +265,35 @@ object Queries {
         traceIdCol = Some("trace_id"), spanIdCol = Some("span_id"))
     }),
 
+    // §2.5 imbeats Lumberjack v2 session decode (plugins/imbeats
+    // lj_parser.c frame grammar + seqnum.h sequential-seq rule +
+    // imbeats.c:660-731 event mapping): per-session binary streams built
+    // IN the plan (2W window + two 2J JSON frames), decoded by the
+    // LumberjackBatchExpr kernel, payload merged into $! with the
+    // $!metadata!imbeats subtree
+    "imbeats_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+      val p1 = concat(lit("{\"message\":\"m"), col("event_id"),
+        lit("\",\"beat\":\"filebeat\",\"n\":"), col("event_id") % 7, lit("}"))
+      val p2 = concat(lit("{\"message\":\"x"), col("event_id"), lit("\"}"))
+      val stream = concat(
+        lit(Array[Byte]('2', 'W', 0, 0, 0, 4)),
+        lit(Array[Byte]('2', 'J')), be32(lit(1)),
+        be32(length(p1)), p1.cast("binary"),
+        lit(Array[Byte]('2', 'J')), be32(lit(2)),
+        be32(length(p2)), p2.cast("binary"))
+      val sessions = ev.select(col("event_id"), stream.as("value"),
+        concat(lit("peer"), col("user_id") % 9).as("fromhost"))
+      graft.sources.Sources.imbeatsDecode(sessions)
+        .select(col("event_id"), col("seq"), col("msg"),
+          get_json_object(col("vars_msg"), "$.n").as("n"),
+          get_json_object(col("vars_msg"),
+            "$.metadata.imbeats.sequence").as("meta_seq"),
+          get_json_object(col("vars_msg"),
+            "$.metadata.imbeats.peer_hostname").as("peer"))
+    }),
+
     // §2.10 ommongodb default lumberjack document (getDefaultBSON,
     // ommongodb.c:280-362) incl. the procid/pid swap quirk and the
     // lumberjack level table; BSON datetimes = epoch millis
@@ -2151,6 +2180,17 @@ object Queries {
         |  recs || ' ] } ] } ] }' AS payload,
         |  n_records
         |FROM b""".stripMargin,
+
+    "imbeats_decode" ->
+      """SELECT e.event_id,
+        |  s.seq,
+        |  CASE WHEN s.seq = 1
+        |       THEN '{"message":"m' || e.event_id || '","beat":"filebeat","n":' || (e.event_id % 7) || '}'
+        |       ELSE '{"message":"x' || e.event_id || '"}' END AS msg,
+        |  CASE WHEN s.seq = 1 THEN CAST(e.event_id % 7 AS VARCHAR) END AS n,
+        |  CAST(s.seq AS VARCHAR) AS meta_seq,
+        |  'peer' || (e.user_id % 9) AS peer
+        |FROM events e CROSS JOIN (SELECT 1 AS seq UNION ALL SELECT 2) s""".stripMargin,
 
     "ommongodb_doc" ->
       """SELECT event_id,

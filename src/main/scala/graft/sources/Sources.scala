@@ -359,6 +359,66 @@ object Sources {
       col("n_records"))
   }
 
+  /** imbeats (Lumberjack v2 / Beats transport) session decode — the
+    * transport-free half of plugins/imbeats: each input row carries one
+    * session's received bytes (`valueCol`, binary) plus provenance;
+    * output is one row per JSON data event. Framing and guards live in
+    * [[graft.functions.LumberjackBatchExpr]]; a malformed or
+    * guard-tripping stream, or any payload that is not valid JSON,
+    * rejects the WHOLE session row (sessionValidateBatch's
+    * validate-complete-batch-first rule, imbeats.c:786-815; rejected
+    * sessions surface on `beats_valid` = false with no events).
+    *
+    * Event mapping (imbeats.c:660-731): rawmsg = msg = the JSON payload
+    * (MsgSetRawMsg + MSGoffs 0), the payload object merged into `$!`
+    * root, and `$!metadata!imbeats` = {protocol: "lumberjack-v2",
+    * sequence, tls_enabled, peer_hostname/peer_ip/peer_port when known};
+    * PRI stays the default 13 (imbeats never calls msgSetPRI),
+    * hostname = the session peer. ACK emission (`2A` + seq,
+    * imbeats.c:824) is the transport's reply channel. */
+  def imbeatsDecode(sessions: DataFrame, valueCol: String = "value",
+                    tlsEnabled: Boolean = false,
+                    maxWindowSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val evs = column(graft.functions.LumberjackBatchExpr(
+      expression(col(valueCol)), maxWindowSize = maxWindowSize))
+    val withProv0 =
+      if (sessions.columns.contains("inputname")) sessions
+      else sessions.withColumn("inputname", lit("imbeats"))
+    val withProv =
+      if (withProv0.columns.contains("fromhost")) withProv0
+      else withProv0.withColumn("fromhost",
+        lit(java.net.InetAddress.getLocalHost.getHostName))
+    val staged = withProv
+      .withColumn("__evs", evs)
+      .withColumn("beats_valid", col("__evs").isNotNull &&
+        forall(col("__evs"),
+          e => try_parse_json(e.getField("payload")).isNotNull))
+    val passthrough = staged.columns
+      .filterNot(c => c == valueCol || c.startsWith("__")).map(col)
+    val meta = to_json(struct(
+      lit("lumberjack-v2").as("protocol"),
+      col("__e.seq").as("sequence"),
+      lit(tlsEnabled).as("tls_enabled"),
+      col("fromhost").as("peer_hostname")))
+    // explode_outer: a rejected (or event-less) session keeps one row
+    // with null seq/payload so the drop is observable via beats_valid
+    staged
+      .withColumn("__e",
+        explode_outer(when(col("beats_valid"), col("__evs"))))
+      .select(passthrough ++ Seq[Column](
+        col("__e.seq").as("seq"),
+        col("__e.payload").as("rawmsg"),
+        lit(13).as("pri"), lit(1).as("facility"), lit(5).as("severity"),
+        col("fromhost").as("hostname"),
+        col("__e.payload").as("msg"),
+        lit(true).as("parsesuccess"),
+        graft.functions.rainer.json_merge(col("__e.payload"),
+          concat(lit("{\"metadata\":{\"imbeats\":"), meta, lit("}}")))
+          .as("vars_msg"),
+        lit("{}").as("vars_local")): _*)
+  }
+
   /** ommongodb default document shaping — the lumberjack/cee-aligned
     * standard document built when no template is configured
     * (plugins/ommongodb/ommongodb.c getDefaultBSON:280-362), as a JSON
