@@ -294,6 +294,46 @@ object Queries {
             "$.metadata.imbeats.peer_hostname").as("peer"))
     }),
 
+    // §2.9 mmdarwin call shaping (contrib/mmdarwin doAction): dynamic
+    // !-fields from the $! tree + literal fields into the raw
+    // quote-wrapped [[...]] body, partial field sets suppressed with
+    // send_partial=off, daemon certitude (External scorer seam) stored
+    // at $!certitude only for rows that sent a body
+    "mmdarwin_call" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("vars_msg",
+          when(col("event_id") % 13 === 0,
+            concat(lit("{\"srcip\":\"10.0.0."), col("event_id") % 250,
+              lit("\"}")))
+          .otherwise(concat(lit("{\"srcip\":\"10.0.0."),
+            col("event_id") % 250, lit("\",\"port\":"),
+            col("event_id") % 65536, lit("}"))))
+      graft.sources.Sources.mmdarwinCall(ev,
+        Seq("!srcip", "smtp", "!port"), scoreCol = col("event_id") % 101)
+        .select(col("event_id"), col("darwin_body"),
+          get_json_object(col("vars_msg"), "$.certitude").as("certitude"))
+    }),
+
+    // §2.10 omsnmp trap shaping (omsnmp_sendsnmp, omsnmp.c:270-380):
+    // v1 PDU with the agent_addr ntohl-index byte-reversal quirk and v2c
+    // sysUpTime/snmpTrapOID varbinds, message as the syslogMessageOID
+    // string varbind
+    "omsnmp_trap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("msg", concat(lit("trap "), col("event_type"),
+          lit(" #"), col("event_id")))
+        .withColumn("src",
+          when(col("event_id") % 11 === 0, lit("not.an.ip.addr"))
+          .otherwise(concat(lit("10.0."), col("user_id") % 256, lit("."),
+            col("event_id") % 256)))
+      val v1 = graft.sources.Sources.omsnmpTrapFrame(ev, "msg", "src",
+        version = 1).withColumnRenamed("snmp_trap", "trap_v1")
+      graft.sources.Sources.omsnmpTrapFrame(v1, "msg", "src", version = 2,
+        uptime = col("event_id") % 100000)
+        .select(col("event_id"), col("trap_v1"),
+          col("snmp_trap").as("trap_v2c"))
+    }),
+
     // §2.10 ommongodb default lumberjack document (getDefaultBSON,
     // ommongodb.c:280-362) incl. the procid/pid swap quirk and the
     // lumberjack level table; BSON datetimes = epoch millis
@@ -2191,6 +2231,30 @@ object Queries {
         |  CAST(s.seq AS VARCHAR) AS meta_seq,
         |  'peer' || (e.user_id % 9) AS peer
         |FROM events e CROSS JOIN (SELECT 1 AS seq UNION ALL SELECT 2) s""".stripMargin,
+
+    "mmdarwin_call" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE '[["10.0.0.' || (event_id % 250) || '","smtp","' ||
+        |            (event_id % 65536) || '"]]' END AS darwin_body,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL
+        |       ELSE CAST(event_id % 101 AS VARCHAR) END AS certitude
+        |FROM events""".stripMargin,
+
+    "omsnmp_trap" ->
+      """SELECT event_id,
+        |  '{"version":1,"enterprise":"1.3.6.1.4.1.3.1.1","trap_type":6,' ||
+        |  '"specific_type":0,"uptime":0,"agent_addr":[' ||
+        |  CASE WHEN event_id % 11 = 0 THEN '0,0,0,0'
+        |       ELSE (event_id % 256) || ',' || (user_id % 256) || ',0,10' END ||
+        |  '],"varbinds":[{"oid":"1.3.6.1.4.1.19406.1.1.2.1","type":"s",' ||
+        |  '"value":"trap ' || event_type || ' #' || event_id || '"}]}' AS trap_v1,
+        |  '{"version":2,"varbinds":[' ||
+        |  '{"oid":"1.3.6.1.2.1.1.3.0","type":"t","value":"' || (event_id % 100000) || '"},' ||
+        |  '{"oid":"1.3.6.1.6.3.1.1.4.1.0","type":"o","value":"1.3.6.1.4.1.19406.1.2.1"},' ||
+        |  '{"oid":"1.3.6.1.4.1.19406.1.1.2.1","type":"s","value":"trap ' ||
+        |  event_type || ' #' || event_id || '"}]}' AS trap_v2c
+        |FROM events""".stripMargin,
 
     "ommongodb_doc" ->
       """SELECT event_id,

@@ -508,6 +508,93 @@ object Sources {
     else when(rendered.endsWith("\n"), rendered)
       .otherwise(concat(rendered, lit("\n")))
 
+  /** mmdarwin call shaping — the field-extraction half of
+    * contrib/mmdarwin (doAction, mmdarwin.c:~700-800): each configured
+    * field that starts with `!` or `.` is read from the message's JSON
+    * tree (rendered like the reference's property fetch: strings bare,
+    * scalars by literal), anything else is forwarded as a literal;
+    * missing dynamic fields are skipped. The call body is
+    * `[["v1","v2",...]]` with raw unescaped quote-wrapping — faithfully
+    * reproducing add_field_to_body (mmdarwin.c:343-371), which does NOT
+    * escape embedded quotes. No fields retrieved, or a partial set with
+    * send_partial=off (the default), suppresses the call (null body,
+    * vars untouched). The Darwin daemon itself is an external scorer
+    * behind a UNIX socket (the mmexternal-style boundary): `scoreCol`
+    * injects its uint32 certitude response, stored under
+    * `$!<certitudeKey>` only for rows that sent a body. */
+  def mmdarwinCall(ds: DataFrame, fields: Seq[String], scoreCol: Column,
+                   varsCol: String = "vars_msg",
+                   certitudeKey: String = "certitude",
+                   sendPartial: Boolean = false): DataFrame = {
+    require(fields.nonEmpty, "mmdarwin needs fields=[...]")
+    val vals: Seq[Column] = fields.map { f =>
+      if (f.startsWith("!") || f.startsWith("."))
+        graft.functions.rainer.json_render(col(varsCol),
+          f.drop(1).replace('!', '.'))
+      else lit(f)
+    }
+    val arr = filter(array(vals.map(v =>
+      when(v.isNotNull, concat(lit("\""), v, lit("\"")))): _*), _.isNotNull)
+    val nRetrieved = size(arr)
+    val complete = nRetrieved === fields.length
+    val body = when(nRetrieved > 0 && (if (sendPartial) lit(true) else complete),
+      concat(lit("[["), array_join(arr, ","), lit("]]")))
+    ds.withColumn("darwin_body", body)
+      .withColumn(varsCol,
+        when(col("darwin_body").isNotNull,
+          graft.functions.rainer.json_set(col(varsCol), certitudeKey,
+            scoreCol.cast("long")))
+        .otherwise(col(varsCol)))
+  }
+
+  /** omsnmp trap shaping — the PDU content the net-snmp transport
+    * serializes (plugins/omsnmp/omsnmp.c omsnmp_sendsnmp:270-380), as a
+    * JSON `snmp_trap` column. v1 (SNMP_MSG_TRAP): enterprise OID
+    * (default 1.3.6.1.4.1.3.1.1), trap_type (default 6 =
+    * enterprise-specific), specific_type (default 0), uptime, and
+    * agent_addr from the source IPv4 — byte order faithfully reproduces
+    * the reference's ntohl-then-index quirk (omsnmp.c:317-321:
+    * agent_addr[0] gets the LAST octet, so "1.2.3.4" → [4,3,2,1]); an
+    * unparsable source leaves [0,0,0,0] (LogError-and-continue path).
+    * v2c (SNMP_MSG_TRAP2): sysUpTime.0 ('t'), snmpTrapOID.0 ('o',
+    * default 1.3.6.1.4.1.19406.1.2.1). Both end with the
+    * syslogMessageOID ('s', default 1.3.6.1.4.1.19406.1.1.2.1) varbind
+    * carrying the rendered message. Uptime is process state → injected
+    * (`uptime`), default 0. */
+  def omsnmpTrapFrame(ds: DataFrame, msgCol: String, sourceCol: String,
+                      version: Int = 1,
+                      enterpriseOid: String = "1.3.6.1.4.1.3.1.1",
+                      trapOid: String = "1.3.6.1.4.1.19406.1.2.1",
+                      syslogMessageOid: String = "1.3.6.1.4.1.19406.1.1.2.1",
+                      trapType: Int = 6, specificType: Int = 0,
+                      uptime: Column = lit(0L)): DataFrame = {
+    require(version == 1 || version == 2, "omsnmp: version 1 or 2c only")
+    val msgVb = struct(lit(syslogMessageOid).as("oid"), lit("s").as("type"),
+      coalesce(col(msgCol).cast("string"), lit("")).as("value"))
+    val doc = if (version == 1) {
+      val octets = split(col(sourceCol), "\\.")
+      val addr = when(col(sourceCol)
+          .rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$"),
+        array(element_at(octets, 4).cast("int"),
+          element_at(octets, 3).cast("int"),
+          element_at(octets, 2).cast("int"),
+          element_at(octets, 1).cast("int")))
+        .otherwise(array(lit(0), lit(0), lit(0), lit(0)))
+      struct(lit(1).as("version"), lit(enterpriseOid).as("enterprise"),
+        lit(trapType).as("trap_type"), lit(specificType).as("specific_type"),
+        uptime.cast("long").as("uptime"), addr.as("agent_addr"),
+        array(msgVb).as("varbinds"))
+    } else {
+      struct(lit(2).as("version"), array(
+        struct(lit("1.3.6.1.2.1.1.3.0").as("oid"), lit("t").as("type"),
+          uptime.cast("string").as("value")),
+        struct(lit("1.3.6.1.6.3.1.1.4.1.0").as("oid"), lit("o").as("type"),
+          lit(trapOid).as("value")),
+        msgVb).as("varbinds"))
+    }
+    ds.withColumn("snmp_trap", to_json(doc))
+  }
+
   /** imkafka decode: a Kafka-SOURCE-shaped frame (the Spark kafka source
     * contract: key/value binary + topic/partition/offset/timestamp) to
     * decoded pipeline rows with imkafka's provenance (inputname=imkafka,
