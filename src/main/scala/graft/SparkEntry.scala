@@ -673,6 +673,48 @@ object Queries {
         col("__rendered").as("line"), col("parsesuccess"))
     }),
 
+    // §2.9 parser chain with the full behavior matrix (runtime/parser.c
+    // ParseMsg): a TRANSFORMER (pmaixforwardedfrom unmangling) ahead of
+    // three ACCEPTORS — pmciscoios (IOS seq/ts/%TAG frames), pmlastmsg
+    // (repeated-message shortcut) and the rfc3164 catch-all
+    "parser_chain_cisco" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val feed = ev.select(
+        col("event_id"),
+        concat(lit("src"), col("user_id") % 10).as("fromhost"),
+        when(col("event_id") % 4 === 0,
+          concat(lit("<189>"), col("event_id") % 1000,
+            lit(": May 28 16:09:56.185: %SYS-5-CONFIG_I: c "), col("event_id")))
+        .when(col("event_id") % 4 === 1,
+          concat(lit("<13>last message repeated "), col("event_id") % 9,
+            lit(" times")))
+        .when(col("event_id") % 4 === 2,
+          concat(lit("<13>Oct 11 22:14:15 Message forwarded from ax"),
+            col("user_id") % 10, lit(": app"), col("event_id") % 7,
+            lit(": t "), col("event_id")))
+        .otherwise(
+          concat(lit("<13>Oct 11 22:14:15 h"), col("user_id") % 10,
+            lit(" app"), col("event_id") % 7, lit(": t "), col("event_id")))
+        .as("value"))
+      val conf =
+        """module(load="imtcp")
+          |module(load="pmciscoios")
+          |module(load="pmlastmsg")
+          |module(load="pmaixforwardedfrom")
+          |parser(name="custom.ios" type="pmciscoios")
+          |template(name="line" type="string" string="%hostname%|%syslogtag%|%pri%|%msg%")
+          |ruleset(name="mix" parser=["rsyslog.aixforwardedfrom","custom.ios","rsyslog.lastline","rsyslog.rfc3164"]) {
+          |  action(type="omfile" file="/out.log" template="line")
+          |}
+          |input(type="imtcp" port="601" ruleset="mix")
+          |""".stripMargin
+      val cfg = graft.rainerscript.RsyslogConfig.parse(conf)
+      val res = cfg.activate(s, feeds = Map("imtcp:601" -> feed),
+        now = to_timestamp(lit("2024-01-01 00:00:00")))("mix")
+      res.actionFrame(0).select(col("event_id"),
+        col("__rendered").as("line"))
+    }),
+
     // rsyslog.conf (module/input/global/main_queue objects, legacy
     // $-directives, selector lines with file/fwd/usrmsg targets, '&'
     // continuation) parses and BINDS — the synthesized syslog stream is
@@ -2468,6 +2510,23 @@ object Queries {
     // selector semantics: auth=4, authpriv=10, cron=9, kern=0, mail=2;
     // '& stop' only affects statements after the mail fwd (none), so it
     // changes no counts — it's there to prove the continuation parses
+    "parser_chain_cisco" ->
+      """SELECT event_id,
+        |  CASE
+        |    WHEN event_id % 4 = 0 THEN
+        |      'src' || (user_id % 10) || '|%SYS-5-CONFIG_I:|189| c ' || event_id
+        |    WHEN event_id % 4 = 1 THEN
+        |      'src' || (user_id % 10) || '||13|last message repeated ' ||
+        |      (event_id % 9) || ' times'
+        |    WHEN event_id % 4 = 2 THEN
+        |      'ax' || (user_id % 10) || '|app' || (event_id % 7) ||
+        |      ':|13| t ' || event_id
+        |    ELSE
+        |      'h' || (user_id % 10) || '|app' || (event_id % 7) ||
+        |      ':|13| t ' || event_id
+        |  END AS line
+        |FROM events""".stripMargin,
+
     "parser_chain" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 3 <> 0 THEN

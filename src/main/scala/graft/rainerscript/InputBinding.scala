@@ -107,7 +107,9 @@ object InputBinding {
     * custom parser() objects by name, plus the reference's built-in
     * parser names (PARSER_NAME registrations: "rsyslog.rfc5424"
     * pmrfc5424.c, "rsyslog.rfc3164" pmrfc3164.c, "rsyslog.pmnull"
-    * pmnull.c's module-global instance). */
+    * pmnull.c, "rsyslog.ciscoios" pmciscoios.c:44, "rsyslog.lastline"
+    * pmlastmsg.c:51, "rsyslog.aixforwardedfrom"
+    * pmaixforwardedfrom.c:46, "rsyslog.cisconames" pmcisconames.c:47). */
   private def resolveChain(cfg: RsyslogConfig,
                            names: Seq[String]): Seq[(String, Map[String, String])] =
     names.map { n =>
@@ -115,127 +117,304 @@ object InputBinding {
         case "rsyslog.rfc5424" => n -> Map("type" -> "rfc5424")
         case "rsyslog.rfc3164" => n -> Map("type" -> "rfc3164")
         case "rsyslog.pmnull" => n -> Map("type" -> "pmnull")
+        case "rsyslog.ciscoios" => n -> Map("type" -> "pmciscoios")
+        case "rsyslog.lastline" => n -> Map("type" -> "pmlastmsg")
+        case "rsyslog.aixforwardedfrom" => n -> Map("type" -> "pmaixforwardedfrom")
+        case "rsyslog.cisconames" => n -> Map("type" -> "pmcisconames")
         case other => throw new IllegalArgumentException(
           s"ruleset parser=\"$other\": no parser(name=\"$other\") object " +
           "and not a built-in parser name")
       })
     }
 
-  /** Decode a sanitized line frame through a configured parser chain
-    * (runtime/parser.c:613-686 ParseMsg: sanitize once, auto-PRI-parse,
-    * then first parser that doesn't return COULD_NOT_PARSE wins). All
-    * supported parser types are total (pmnull/pmnormalize by contract —
-    * pmnormalize's no-match still accepts the message, see
-    * tests/pmnormalize-rule_invld-data.sh — and the builtin pair via
-    * rfc3164's catch-all), so the no-parser-accepted discard path is
-    * unreachable here. Builtin names map to the autodetect expression:
-    * listing either of rsyslog.rfc5424/rfc3164 runs the same
-    * 5424-first-then-legacy parse the default list runs.
+  /** Decode a sanitized line frame through a configured parser chain —
+    * the set form of runtime/parser.c:613-686 ParseMsg: sanitize once,
+    * auto-PRI-parse once, then walk the list. Two parser behaviors
+    * exist in the reference and both are modeled:
     *
-    * Chain output columns match [[graft.sources.Sources.decodeSyslog]];
-    * `ts` is null (reception time is coalesced in by the caller).
+    *  - ACCEPTORS return a parse result and stop the walk (pmnull,
+    *    pmnormalize, the builtin rfc5424/rfc3164 pair — collapsed to
+    *    the autodetect parse, which is total via rfc3164's catch-all —
+    *    pmciscoios, pmlastmsg). The fold keeps the FIRST non-null
+    *    result struct per row.
+    *  - TRANSFORMERS are the mangling fixers that rewrite the raw
+    *    message and then deliberately return COULD_NOT_PARSE so a later
+    *    parser handles the fixed text (pmaixforwardedfrom,
+    *    pmcisconames — both end in ABORT_FINALIZE(COULD_NOT_PARSE)
+    *    after their memmove). They mutate the working body only while
+    *    no acceptor has fired.
+    *
+    * Rows no acceptor takes are DISCARDED like the reference
+    * (ParseMsg's "message could not be processed by any parser" path).
+    * Output columns match [[graft.sources.Sources.decodeSyslog]];
+    * `ts` is null where the parser left reception time in charge
+    * (the caller coalesces `now`).
     */
   private[rainerscript] def decodeChain(lines: DataFrame,
       chain: Seq[(String, Map[String, String])], defaultYear: Int): DataFrame = {
     import graft.sources.Sources
     require(chain.nonEmpty, "empty parser chain")
-    // the head parser wins whenever it accepts; supported types are all
-    // total, so lowering keeps only the head (parse2 cascade collapses)
-    val (name, p) = chain.head
-    val sanitized = Sources.sanitize(col("value"))
-    p.getOrElse("type", name) match {
-      case "pmnull" =>
-        // plugins/pmnull/pmnull.c parse2: MSG offset 0 (msg = the whole
-        // sanitized frame INCLUDING any <PRI>), PRI forced to the
-        // configured facility*8+severity (defaults 1/5 → 13,
-        // pmnull.c:99-100) even though auto-PRI-parsing ran, TAG = tag=
-        // param or empty (tests/pmnull-basic.sh locks all three)
-        val fac = p.get("syslogfacility").map(facilityNum).getOrElse(1)
-        val sev = p.get("syslogseverity").map(severityNum).getOrElse(5)
-        val tag = p.getOrElse("tag", "")
-        val prog = graft.functions.SyslogParseExpr.programName(tag)
-        val passthrough = lines.columns.filter(_ != "value").map(col)
-        lines.select(passthrough ++ Seq[Column](
-          sanitized.as("rawmsg"),
-          lit(0).as("protocol_version"),
-          lit(fac * 8 + sev).as("pri"),
-          lit(fac).as("facility"), lit(sev).as("severity"),
-          lit(null).cast("timestamp").as("ts"),
-          col("fromhost").as("hostname"),
-          (if (prog == null || prog.isEmpty) lit(null) else lit(prog))
-            .cast("string").as("app_name"),
-          lit(null).cast("string").as("procid"),
-          lit(null).cast("string").as("msgid"),
-          lit(null).cast("string").as("structured_data"),
-          lit(tag).as("syslogtag"),
-          lit(prog).cast("string").as("programname"),
-          sanitized.as("msg"),
-          lit(true).as("parsesuccess"),
-          lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
-      case "pmnormalize" =>
-        // pmnormalize (doc/source/configuration/modules/pmnormalize.rst;
-        // no C source ships — semantics locked by tests/pmnormalize-*):
-        // normalize the FULL raw frame (incl. <PRI>) against the
-        // rulebase; well-known fields populate the properties (pri →
-        // facility/severity, hostname, syslogtag, fromhost-ip, msg); a
-        // no-match still accepts the message with msg = the whole frame
-        // (tests/pmnormalize-rule_invld-data.sh). Fields outside the
-        // well-known set are dropped (nothing else is observable in the
-        // reference's tests).
-        val rules: Seq[String] =
-          p.get("rulebase").map { f =>
-            java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
-              .toArray(Array.empty[String]).toSeq
-              .filter(_.startsWith("rule="))
-              .map(l => l.substring(l.indexOf(':', 5) + 1))
-          }.getOrElse(p.get("rule").map(RsyslogConfig.splitArray).getOrElse(Nil))
-            .map(graft.operators.Normalize.stripRulePrefix)
-        require(rules.nonEmpty,
-          s"parser(name=\"$name\" type=\"pmnormalize\") needs rulebase= or rule=")
-        // stage the normalize result once (CollapseProject won't inline
-        // a multiply-referenced non-cheap alias — shared via one select)
-        val staged = lines
-          .withColumn("__raw", sanitized)
-          .withColumn("__nz",
-            graft.operators.Normalize.normalize(col("__raw"), rules))
-        def g(field: String): Column =
-          get_json_object(col("__nz"), s"$$['$field']")
-        // auto-PRI fallback for missing/no-match pri (parserParsePRI ran
-        // before the parser; DEFUPRI=13 when absent/invalid)
-        val autoPri =
-          when(col("__raw").rlike("^<\\d{1,3}>"),
-            regexp_extract(col("__raw"), "^<(\\d{1,3})>", 1).cast("int"))
-          .otherwise(lit(13))
-        val priC = coalesce(g("pri").cast("int"), autoPri)
-        val tagC = coalesce(g("syslogtag"), lit(""))
-        val progC = regexp_extract(tagC, "^([^:\\[/\\x00-\\x1f]*)", 1)
-        val passthrough = staged.columns
-          .filterNot(c => c == "value" || c == "fromhost" || c.startsWith("__"))
-          .map(col)
-        staged.select(passthrough ++ Seq[Column](
-          coalesce(g("fromhost-ip"), col("fromhost")).as("fromhost"),
-          col("__raw").as("rawmsg"),
-          lit(0).as("protocol_version"),
-          priC.as("pri"),
-          (priC / 8).cast("int").as("facility"),
-          (priC % 8).cast("int").as("severity"),
-          lit(null).cast("timestamp").as("ts"),
-          coalesce(g("hostname"), col("fromhost")).as("hostname"),
-          when(progC =!= "", progC).as("app_name"),
-          lit(null).cast("string").as("procid"),
-          lit(null).cast("string").as("msgid"),
-          lit(null).cast("string").as("structured_data"),
-          tagC.as("syslogtag"),
-          progC.as("programname"),
-          coalesce(g("msg"), col("__raw")).as("msg"),
-          (col("__nz") =!= "{}").as("parsesuccess"),
-          lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
-      case "rfc5424" | "rfc3164" =>
-        Sources.decodeSyslog(lines, defaultYear = defaultYear)
-      case other => throw new IllegalArgumentException(
-        s"parser type \"$other\" is not supported in a config parser chain " +
-        "(supported: pmnull, pmnormalize, rsyslog.rfc5424/rfc3164)")
+
+    var df = lines
+      .withColumn("__raw0", Sources.sanitize(col("value")))
+      .withColumn("__prihdr",
+        regexp_extract(col("__raw0"), "^(<\\d{1,3}>)", 1))
+      // parserParsePRI: valid <N> header else DEFUPRI=13
+      .withColumn("__pri",
+        when(col("__prihdr") =!= "",
+          regexp_extract(col("__prihdr"), "(\\d+)", 1).cast("int"))
+        .otherwise(lit(13)))
+      .withColumn("__body0", expr("substring(__raw0, length(__prihdr) + 1)"))
+
+    /** One fixed result shape for every acceptor. */
+    def res(fromhost: Column, rawmsg: Column, protoVer: Column,
+            pri: Column, facility: Column, severity: Column, ts: Column,
+            hostname: Column, appName: Column, procid: Column,
+            msgid: Column, sd: Column, tag: Column, prog: Column,
+            msg: Column, ok: Column): Column =
+      struct(coalesce(fromhost, lit("")).cast("string").as("fromhost"),
+        rawmsg.cast("string").as("rawmsg"),
+        protoVer.cast("int").as("protocol_version"),
+        pri.cast("int").as("pri"),
+        facility.cast("int").as("facility"),
+        severity.cast("int").as("severity"),
+        ts.cast("timestamp").as("ts"),
+        hostname.cast("string").as("hostname"),
+        appName.cast("string").as("app_name"),
+        procid.cast("string").as("procid"),
+        msgid.cast("string").as("msgid"),
+        sd.cast("string").as("structured_data"),
+        tag.cast("string").as("syslogtag"),
+        prog.cast("string").as("programname"),
+        msg.cast("string").as("msg"),
+        ok.cast("boolean").as("parsesuccess"))
+
+    var bodyC = "__body0"
+    var accC: Option[String] = None
+    var idx = 0
+    def addAcc(c: Column): Unit = {
+      val nm = s"__acc${idx}"
+      df = df.withColumn(nm, accC.map(a => coalesce(col(a), c)).getOrElse(c))
+      accC = Some(nm)
     }
+    def addBody(c: Column): Unit = {
+      val nm = s"__body${idx + 1}"
+      // transformers only act while no acceptor has fired
+      df = df.withColumn(nm,
+        accC.map(a => when(col(a).isNull, c).otherwise(col(bodyC)))
+          .getOrElse(c))
+      bodyC = nm
+    }
+
+    chain.foreach { case (name, p) =>
+      idx += 1
+      val body = col(bodyC)
+      val full = concat(col("__prihdr"), body)
+      p.getOrElse("type", name) match {
+        case "pmnull" =>
+          // plugins/pmnull/pmnull.c parse2: MSG offset 0 (msg = the
+          // whole frame INCLUDING any <PRI>), PRI forced to the
+          // configured facility*8+severity (defaults 1/5 -> 13) even
+          // though auto-PRI-parsing ran, TAG = tag= param or empty
+          // (tests/pmnull-basic.sh locks all three)
+          val fac = p.get("syslogfacility").map(facilityNum).getOrElse(1)
+          val sev = p.get("syslogseverity").map(severityNum).getOrElse(5)
+          val tag = p.getOrElse("tag", "")
+          val prog = graft.functions.SyslogParseExpr.programName(tag)
+          addAcc(res(col("fromhost"), full, lit(0),
+            lit(fac * 8 + sev), lit(fac), lit(sev),
+            lit(null).cast("timestamp"),
+            col("fromhost"),
+            (if (prog == null || prog.isEmpty) lit(null) else lit(prog))
+              .cast("string"),
+            lit(null), lit(null), lit(null), lit(tag), lit(prog), full,
+            lit(true)))
+        case "pmnormalize" =>
+          // doc/source/configuration/modules/pmnormalize.rst (no C
+          // source ships; semantics locked by tests/pmnormalize-*):
+          // normalize the FULL frame (incl. <PRI>); well-known fields
+          // populate the properties; a no-match still accepts with
+          // msg = the whole frame (pmnormalize-rule_invld-data.sh)
+          val rules: Seq[String] =
+            p.get("rulebase").map { f =>
+              java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+                .toArray(Array.empty[String]).toSeq
+                .filter(_.startsWith("rule="))
+                .map(l => l.substring(l.indexOf(':', 5) + 1))
+            }.getOrElse(p.get("rule").map(RsyslogConfig.splitArray).getOrElse(Nil))
+              .map(graft.operators.Normalize.stripRulePrefix)
+          require(rules.nonEmpty,
+            s"parser(name=\"$name\" type=\"pmnormalize\") needs rulebase= or rule=")
+          val nzC = s"__nz${idx}"
+          df = df.withColumn(nzC,
+            graft.operators.Normalize.normalize(full, rules))
+          def g(field: String): Column =
+            get_json_object(col(nzC), s"$$['$field']")
+          val priC = coalesce(g("pri").cast("int"), col("__pri"))
+          val tagC = coalesce(g("syslogtag"), lit(""))
+          val progC = regexp_extract(tagC, "^([^:\\[/\\x00-\\x1f]*)", 1)
+          addAcc(res(coalesce(g("fromhost-ip"), col("fromhost")), full,
+            lit(0), priC, (priC / 8).cast("int"), (priC % 8).cast("int"),
+            lit(null).cast("timestamp"),
+            coalesce(g("hostname"), col("fromhost")),
+            when(progC =!= "", progC),
+            lit(null), lit(null), lit(null), tagC, progC,
+            coalesce(g("msg"), full), col(nzC) =!= "{}"))
+        case "rfc5424" | "rfc3164" =>
+          // builtin pair: one autodetect parse (5424-first, legacy
+          // catch-all) = the default list's behavior; total
+          val pc = s"__sp${idx}"
+          df = df.withColumn(pc,
+            graft.functions.rainer.parse_syslog(full, defaultYear))
+          def f(n: String) = col(s"$pc.$n")
+          addAcc(res(col("fromhost"), full, f("protocol_version"),
+            f("pri"), f("facility"), f("severity"), f("ts"),
+            f("hostname"), f("app_name"), f("procid"), f("msgid"),
+            f("structured_data"), f("syslogtag"), f("programname"),
+            f("msg"), f("parsesuccess")))
+        case "pmciscoios" =>
+          // plugins/pmciscoios/pmciscoios.c parse2: [seqno]': ' +
+          // optional origin (present.origin, scanned to ': ', IPv6-safe)
+          // + optional '*'/'.' + TIMESTAMP3164 (TZSTRING form) + ': ' +
+          // '%'-tag scanned to ':'/' ' with ':' re-appended + ' ' + MSG
+          // (msg keeps the leading space; the parsed-but-unused
+          // msgcounter quirk is preserved by dropping the seqno).
+          // present.xr (IOS XR RSP header skip) is not supported here.
+          require(!p.get("present.xr").contains("on"),
+            s"parser(name=\"$name\"): present.xr is not supported")
+          val origin = p.get("present.origin").contains("on")
+          val tsRe = "([A-Z][a-z]{2}  ?\\d{1,2} \\d{2}:\\d{2}:\\d{2}" +
+            "(?:\\.\\d+)?(?: [A-Za-z]{1,4})?)"
+          val re = if (origin)
+            "^(\\d*): ((?:(?!: ).)+): [*.]?" + tsRe + ": (%[^: ]*):( .*)$"
+          else
+            "^(\\d*): [*.]?" + tsRe + ": (%[^: ]*):( .*)$"
+          val fields =
+            if (origin) Seq(("seqno", 1, 'S'), ("origin", 2, 'S'),
+              ("cts", 3, 'S'), ("tag", 4, 'S'), ("cmsg", 5, 'S'))
+            else Seq(("seqno", 1, 'S'), ("cts", 2, 'S'),
+              ("tag", 3, 'S'), ("cmsg", 4, 'S'))
+          val pc = s"__ios${idx}"
+          df = df.withColumn(pc, org.apache.spark.sql.GraftBridge.column(
+            graft.functions.RegexStructExpr(
+              org.apache.spark.sql.GraftBridge.expression(body), re, fields)))
+          def f(n: String) = col(s"$pc.$n")
+          // TIMESTAMP3164 with an optional trailing TZ word; the zone
+          // word is dropped (rendered naive) like our 3164 default path
+          val cleaned = regexp_replace(
+            regexp_replace(f("cts"), " [A-Za-z]{1,4}$", ""), "  +", " ")
+          val stamped = concat(lit(s"$defaultYear "), cleaned)
+          val ts = coalesce(
+            try_to_timestamp(stamped, lit("yyyy MMM d HH:mm:ss.SSS")),
+            try_to_timestamp(stamped, lit("yyyy MMM d HH:mm:ss")))
+          val tagC = concat(f("tag"), lit(":"))
+          addAcc(when(col(pc).isNotNull,
+            res(col("fromhost"), full, lit(0),
+              col("__pri"), (col("__pri") / 8).cast("int"),
+              (col("__pri") % 8).cast("int"), ts,
+              (if (origin) f("origin") else col("fromhost")),
+              regexp_extract(tagC, "^([^:\\[/]*)", 1),
+              lit(null), lit(null), lit(null), tagC,
+              regexp_extract(tagC, "^([^:\\[/]*)", 1),
+              f("cmsg"), lit(true))))
+        case "pmlastmsg" =>
+          // plugins/pmlastmsg/pmlastmsg.c: SP* + "last message repeated
+          // <n> times" (both texts case-insensitive, nothing after) ->
+          // accept with timestamp = reception time (tRcvdAt copy -> null
+          // here, caller coalesces now), empty TAG, msg = the whole
+          // after-PRI text (MSGoffs = offAfterPRI keeps leading spaces)
+          val hit = body.rlike("(?i)^ *last message repeated \\d+ times$")
+          addAcc(when(hit,
+            res(col("fromhost"), full, lit(0),
+              col("__pri"), (col("__pri") / 8).cast("int"),
+              (col("__pri") % 8).cast("int"),
+              lit(null).cast("timestamp"),
+              col("fromhost"), lit(null), lit(null), lit(null),
+              lit(null), lit(""), lit(""), body, lit(true))))
+        case "pmaixforwardedfrom" =>
+          // contrib/pmaixforwardedfrom: TRANSFORMER. After SP* and a
+          // fixed 16-char timestamp, strip "Message forwarded from "
+          // (23) or "From " (5); then remove the ':' after the
+          // hostname. The half-mangled quirk is faithful: when the
+          // preamble matched but no ':' terminates the hostname (space
+          // or end first), the preamble stays REMOVED and the parser
+          // still falls through (the memmove already happened before
+          // the colon check, pmaixforwardedfrom.c:~100-130)
+          val leadC = s"__lead$idx"; val trimC = s"__trim$idx"
+          df = df.withColumn(leadC, regexp_extract(body, "^( *)", 1))
+            .withColumn(trimC,
+              body.substr(length(col(leadC)) + 1, length(body)))
+          val sTrim = col(trimC)
+          val ts16 = substring(sTrim, 1, 16)
+          val rest = sTrim.substr(lit(17), length(sTrim))
+          val p23 = lower(substring(rest, 1, 23)) === "message forwarded from "
+          val p5 = lower(substring(rest, 1, 5)) === "from "
+          val afterPreC = s"__afterpre$idx"
+          df = df.withColumn(afterPreC,
+            when(p23, sTrim.substr(lit(17 + 23), length(sTrim)))
+            .otherwise(sTrim.substr(lit(17 + 5), length(sTrim))))
+          val afterPre = col(afterPreC)
+          val hostTok = regexp_extract(afterPre, "^([^ :]*)", 1)
+          val nextCh = substring(afterPre, length(hostTok) + 1, lit(1))
+          val fullMangle = concat(col(leadC), ts16, hostTok,
+            afterPre.substr(length(hostTok) + 2, length(afterPre)))
+          val halfMangle = concat(col(leadC), ts16, afterPre)
+          addBody(
+            when(length(sTrim) >= 24 && (p23 || p5) && length(afterPre) >= 2,
+              when(nextCh === ":", fullMangle).otherwise(halfMangle))
+            .otherwise(body))
+        case "pmcisconames" =>
+          // contrib/pmcisconames: TRANSFORMER. After SP* skip a 16- or
+          // 21-char 'Mmm DD [YYYY ]HH:MM:SS ' stamp (position checks,
+          // not a parse), walk past the hostname to the next space,
+          // then a mangled ': %' tag start loses its ': ' so the
+          // message parses as 'TS host %TAG-...: text'
+          val leadC2 = s"__lead$idx"; val trimC2 = s"__trim$idx"
+          df = df.withColumn(leadC2, regexp_extract(body, "^( *)", 1))
+            .withColumn(trimC2,
+              body.substr(length(col(leadC2)) + 1, length(body)))
+          val sTrim = col(trimC2)
+          def c(pos0: Int) = substring(sTrim, pos0 + 1, 1)
+          val short16 = c(9) === ":" && c(12) === ":" && c(3) === " " &&
+            c(6) === " " && c(15) === " "
+          val long21 = c(14) === ":" && c(17) === ":" && c(3) === " " &&
+            c(6) === " " && c(11) === " " && c(20) === " "
+          val tsPart = when(short16, substring(sTrim, 1, 16))
+            .otherwise(substring(sTrim, 1, 21))
+          val afterTsC = s"__afterts$idx"
+          df = df.withColumn(afterTsC,
+            when(short16, sTrim.substr(lit(17), length(sTrim)))
+            .otherwise(sTrim.substr(lit(22), length(sTrim))))
+          val afterTs = col(afterTsC)
+          val host = regexp_extract(afterTs, "^([^ ]*)", 1)
+          val afterHost = afterTs.substr(length(host) + 2, length(afterTs))
+          addBody(
+            when(length(sTrim) >= 34 && (short16 || long21) &&
+                 substring(afterHost, 1, 3) === ": %",
+              concat(col(leadC2), tsPart, host, lit(" "),
+                afterHost.substr(lit(3), length(afterHost))))
+            .otherwise(body))
+        case other => throw new IllegalArgumentException(
+          s"parser type \"$other\" is not supported in a config parser " +
+          "chain (supported: pmnull, pmnormalize, rfc5424/rfc3164, " +
+          "pmciscoios, pmlastmsg, pmaixforwardedfrom, pmcisconames)")
+      }
+    }
+
+    val accCol = accC.getOrElse(throw new IllegalArgumentException(
+      "parser chain has only transformers - no parser can ever accept " +
+      "(the reference would discard every message)"))
+    val passthrough = df.columns
+      .filterNot(c => c == "value" || c == "fromhost" || c.startsWith("__"))
+      .map(col)
+    val resFields = Seq("fromhost", "rawmsg", "protocol_version", "pri",
+      "facility", "severity", "ts", "hostname", "app_name", "procid",
+      "msgid", "structured_data", "syslogtag", "programname", "msg",
+      "parsesuccess")
+    df.filter(col(accCol).isNotNull)
+      .select(passthrough ++
+        resFields.map(f => col(s"$accCol.$f").as(f)) ++
+        Seq(lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
   }
 
   /** Network/broker bind: feed frame (a `value` line column, or the Spark

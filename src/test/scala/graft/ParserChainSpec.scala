@@ -122,6 +122,120 @@ class ParserChainSpec extends SparkSpec {
     assert(out == Seq("alpha/10.0.0.1: ip first\n", "beta/10.0.0.2: host first\n"))
   }
 
+  test("pmlastmsg chain with rfc5424/rfc3164 fallthrough (pmlastmsg.sh replay)") {
+    val conf =
+      """module(load="pmlastmsg")
+        |module(load="imtcp")
+        |input(type="imtcp" port="514" ruleset="ruleset1")
+        |template(name="outfmt" type="string" string="%msg%\\n")
+        |ruleset(name="ruleset1" parser=["rsyslog.lastline","rsyslog.rfc5424","rsyslog.rfc3164"]) {
+        |  action(type="omfile" file="/out.log" template="outfmt")
+        |}
+        |""".stripMargin
+    val cfg = RsyslogConfig.parse(conf)
+    val res = cfg.activate(spark,
+      feeds = Map("imtcp:514" -> Seq(
+        "<13>last message repeated 5 times",
+        "<13>last message repeated 0090909787348927349875 times",
+        "<13>last message  repeated 5 times",
+        "<13>last message repeated 5 times -- more data",
+        "<13>last message repeated 5.2 times",
+        "<167>Mar  6 16:57:54 172.20.245.8 TAG: Rest of message...",
+        "<34>1 2003-11-11T22:14:15.003Z mymachine.example.com su - ID47 last message repeated 5 times")
+        .toDF("value")),
+      now = to_timestamp(lit("2024-06-01 12:00:00")))
+    val out = res("ruleset1").actionFrame(0).select("__rendered")
+      .collect().map(_.getString(0)).toSeq
+    // reference EXPECTED block (tests/pmlastmsg.sh): rows 1-2 taken by
+    // pmlastmsg verbatim, rows 3-5 fall through to rfc3164 (TAG "last",
+    // msg from "message..."), row 6 is plain 3164, row 7 is 5424 whose
+    // MSG happens to contain the repeated-text (pmlastmsg must NOT take
+    // it: the version header breaks the opening-text match)
+    assert(out == Seq(
+      "last message repeated 5 times\n",
+      "last message repeated 0090909787348927349875 times\n",
+      "  repeated 5 times\n",
+      " repeated 5 times -- more data\n",
+      " repeated 5.2 times\n",
+      " Rest of message...\n",
+      "last message repeated 5 times\n"))
+  }
+
+  test("pmciscoios accepts IOS frames; unaccepted rows are discarded (ParseMsg)") {
+    val conf =
+      """module(load="imtcp")
+        |module(load="pmciscoios")
+        |input(type="imtcp" port="514" ruleset="testing")
+        |parser(name="custom.ciscoios" type="pmciscoios")
+        |template(name="outfmt" type="string" string="%syslogtag%|%msg%")
+        |ruleset(name="testing" parser="custom.ciscoios") {
+        |  action(type="omfile" file="/out.log" template="outfmt")
+        |}
+        |""".stripMargin
+    val cfg = RsyslogConfig.parse(conf)
+    val res = cfg.activate(spark,
+      feeds = Map("imtcp:514" -> Seq(
+        s"<189>16261: May 28 16:09:56.185: %SYS-5-CONFIG_I: Configured from console",
+        "<189>: May 28 16:09:56 UTC: %LINK-3-UPDOWN: Interface up",
+        "<14>1: ", "<14>2: .", "<14>not cisco at all").toDF("value")),
+      now = to_timestamp(lit("2024-06-01 12:00:00")))
+    val out = res("testing").actionFrame(0).select("__rendered")
+      .collect().map(_.getString(0)).toSeq.sorted
+    // the three malformed frames are discarded — no parser accepted them
+    // (runtime/parser.c:665-682 discard path)
+    assert(out == Seq(
+      "%LINK-3-UPDOWN:| Interface up",
+      "%SYS-5-CONFIG_I:| Configured from console"))
+  }
+
+  test("pmaixforwardedfrom transformer unmangles, rfc3164 then parses (chain fallthrough)") {
+    val conf =
+      """module(load="imtcp")
+        |module(load="pmaixforwardedfrom")
+        |input(type="imtcp" port="514" ruleset="r")
+        |template(name="outfmt" type="string" string="%hostname%|%syslogtag%|%msg%")
+        |ruleset(name="r" parser=["rsyslog.aixforwardedfrom","rsyslog.rfc3164"]) {
+        |  action(type="omfile" file="/out.log" template="outfmt")
+        |}
+        |""".stripMargin
+    val cfg = RsyslogConfig.parse(conf)
+    val res = cfg.activate(spark,
+      feeds = Map("imtcp:514" -> Seq(
+        "<13>Oct 11 22:14:15 Message forwarded from hostaix: sshd[123]: accepted",
+        "<13>Oct 11 22:14:15 From hostb: cron[7]: job done",
+        "<13>Oct 11 22:14:15 plainhost app: untouched").toDF("value")),
+      now = to_timestamp(lit("2024-06-01 12:00:00")))
+    val out = res("r").actionFrame(0).select("__rendered")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(out == Seq(
+      "hostaix|sshd[123]:| accepted",
+      "hostb|cron[7]:| job done",
+      "plainhost|app:| untouched"))
+  }
+
+  test("pmcisconames transformer strips the ' : ' name separator (chain fallthrough)") {
+    val conf =
+      """module(load="imtcp")
+        |module(load="pmcisconames")
+        |input(type="imtcp" port="514" ruleset="r")
+        |template(name="outfmt" type="string" string="%hostname%|%syslogtag%|%msg%")
+        |ruleset(name="r" parser=["rsyslog.cisconames","rsyslog.rfc3164"]) {
+        |  action(type="omfile" file="/out.log" template="outfmt")
+        |}
+        |""".stripMargin
+    val cfg = RsyslogConfig.parse(conf)
+    val res = cfg.activate(spark,
+      feeds = Map("imtcp:514" -> Seq(
+        "<13>Oct 11 22:14:15 myswitch : %ASA-6-302013: built conn to the outside",
+        "<13>Oct 11 22:14:15 otherhost tag: no mangling here at all right").toDF("value")),
+      now = to_timestamp(lit("2024-06-01 12:00:00")))
+    val out = res("r").actionFrame(0).select("__rendered")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(out == Seq(
+      "myswitch|%ASA-6-302013:| built conn to the outside",
+      "otherhost|tag:| no mangling here at all right"))
+  }
+
   test("chain falls back to the default list when ruleset has no parser=") {
     val conf =
       """module(load="imtcp")
