@@ -531,9 +531,29 @@ object RsyslogConfig {
     // setLegacyDfltTpl) — inject so action render columns materialize
     val dfltFileTpl = globals.getOrElse("actionfiledefaulttemplate",
       "RSYSLOG_TraditionalFileFormat")
+    // $ActionForwardDefaultTemplate (omfwd.c:2833 setLegacyDfltTpl;
+    // builtin default omfwd.c:324)
+    val dfltFwdTpl = globals.getOrElse("actionforwarddefaulttemplate",
+      "RSYSLOG_TraditionalForwardFormat")
+    // per-module default templates injected the way each module's
+    // newActInst/cfline path does (reference cites at each case)
+    def moduleDflt(p: Map[String, String]): Option[String] =
+      p.get("type").collect {
+        case "omfile" => dfltFileTpl // tools/omfile.c setLegacyDfltTpl
+        case "omfwd" => dfltFwdTpl
+        case "ompipe" => "RSYSLOG_FileFormat" // tools/ompipe.c:107-112
+        case "omusrmsg" => // tools/omusrmsg.c:580 bIsWall split
+          if (p.get("users").orElse(p.get("target")).contains("*")) " WallFmt"
+          else " StdUsrMsgFmt"
+        case "ommysql" => " StdDBFmt" // ommysql.c:466
+        case "omlibdbi" => " StdDBFmt" // omlibdbi.c:120-127
+        case "ompgsql" => " StdPgSQLFmt" // ompgsql.c:461
+        case "omclickhouse" => " StdClickHouseFmt" // rsconf.c registration
+        case "omelasticsearch" => " StdJSONFmt" // omelasticsearch.c:2682
+      }
     def injectDefault(ss: Seq[RStmt]): Seq[RStmt] = ss.map {
-      case RAction(p) if p.get("type").contains("omfile") && !p.contains("template") =>
-        RAction(p + ("template" -> dfltFileTpl))
+      case RAction(p) if !p.contains("template") && moduleDflt(p).isDefined =>
+        RAction(p + ("template" -> moduleDflt(p).get))
       case RIf(c, t, e) => RIf(c, injectDefault(t), injectDefault(e))
       case RPriFilt(s, b) => RPriFilt(s, injectDefault(b))
       case RPropFilt(p, o, n, v, b) => RPropFilt(p, o, n, v, injectDefault(b))

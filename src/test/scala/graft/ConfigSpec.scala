@@ -661,4 +661,27 @@ class ConfigSpec extends SparkSpec {
       "+01234567890123456789012345678901+\n",
       "+01234567890123456789012345678901-toolong+\n"))
   }
+
+  test("per-module default templates inject like each module's cfline path") {
+    val conf =
+      """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
+        |*.* @@central.example.net
+        |*.emerg :omusrmsg:*
+        |mail.* action(type="ommysql" server="db1")
+        |cron.* action(type="omelasticsearch" server="es1")
+        |news.* action(type="omfwd" target="x" template="outfmt")
+        |template(name="outfmt" type="string" string="x")
+        |""".stripMargin
+    val cfg = RsyslogConfig.parse(conf)
+    def tpl(i: Int): String = {
+      val acts = cfg.mainStmts.collect { case graft.rainerscript.RPriFilt(_, b) =>
+        b.collect { case graft.rainerscript.RAction(p) => p } }.flatten
+      acts(i).getOrElse("template", "")
+    }
+    assert(tpl(0) == "RSYSLOG_ForwardFormat")   // $-directive override
+    assert(tpl(1) == " WallFmt")                // omusrmsg wall
+    assert(tpl(2) == " StdDBFmt")               // ommysql
+    assert(tpl(3) == " StdJSONFmt")             // omelasticsearch
+    assert(tpl(4) == "outfmt")                  // explicit wins
+  }
 }
