@@ -294,6 +294,52 @@ object Queries {
             "$.metadata.imbeats.peer_hostname").as("peer"))
     }),
 
+    // §2.9 four inline mm* config actions end-to-end: mmleefparse
+    // (header/fields tree at the $! root), mmaudit (numeric-type audit
+    // grammar → $!audit + parsesuccess), mmgrok (match= → $!g), and
+    // mmrfc5424addhmac (HMAC SD element on RFC5424 frames only)
+    "mm_actions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("msg",
+          when(col("event_id") % 3 === 0,
+            concat(lit("LEEF:1.0|Vnd|Prod|2.0|e"), col("event_id") % 50,
+              lit("|src=10.0.0."), col("user_id") % 250,
+              lit("\tact=blocked")))
+          .when(col("event_id") % 3 === 1,
+            concat(lit("type=1300 audit(1700000000.123:"), col("event_id"),
+              lit("): uid="), col("user_id") % 1000,
+              lit(" cmd=\"ls -la\"")))
+          .otherwise(concat(lit("GET /api/r"), col("event_id") % 17,
+            lit(" 200"))))
+        .withColumn("rawmsg",
+          concat(lit("<165>1 - h app - - - m"), col("event_id")))
+        .withColumn("protocol_version",
+          when(col("event_id") % 3 === 2, 1).otherwise(0))
+        .withColumn("structured_data", lit(null).cast("string"))
+        .withColumn("parsesuccess", lit(true))
+      val conf =
+        """ruleset(name="m") {
+          |  action(type="mmleefparse")
+          |  action(type="mmaudit")
+          |  action(type="mmgrok" match="%{WORD:verb} %{NOTSPACE:path} %{NUMBER:code}" target="!g")
+          |  action(type="mmrfc5424addhmac" key="graftkey" hashfunction="sha256" sd_id="hmac@32473")
+          |}
+          |""".stripMargin
+      val out = graft.rainerscript.RsyslogConfig.parse(conf)
+        .run(ev.select(col("event_id"), col("user_id"), col("msg"),
+          col("rawmsg"), col("protocol_version"), col("structured_data"),
+          col("parsesuccess")), "m").output
+      out.select(col("event_id"),
+        get_json_object(col("vars_msg"), "$.header.vendor").as("leef_vendor"),
+        get_json_object(col("vars_msg"), "$.fields.src").as("leef_src"),
+        get_json_object(col("vars_msg"), "$.audit.hdr.auditid").as("auditid"),
+        get_json_object(col("vars_msg"), "$.audit.uid").as("audit_uid"),
+        get_json_object(col("vars_msg"), "$.g.verb").as("verb"),
+        get_json_object(col("vars_msg"), "$.g.code").as("code"),
+        col("parsesuccess"),
+        col("structured_data").isNotNull.as("hmac_added"))
+    }),
+
     // §2.9 mmdarwin call shaping (contrib/mmdarwin doAction): dynamic
     // !-fields from the $! tree + literal fields into the raw
     // quote-wrapped [[...]] body, partial field sets suppressed with
@@ -2273,6 +2319,18 @@ object Queries {
         |  CAST(s.seq AS VARCHAR) AS meta_seq,
         |  'peer' || (e.user_id % 9) AS peer
         |FROM events e CROSS JOIN (SELECT 1 AS seq UNION ALL SELECT 2) s""".stripMargin,
+
+    "mm_actions" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 'Vnd' END AS leef_vendor,
+        |  CASE WHEN event_id % 3 = 0 THEN '10.0.0.' || (user_id % 250) END AS leef_src,
+        |  CASE WHEN event_id % 3 = 1 THEN '1700000000.123:' || event_id END AS auditid,
+        |  CASE WHEN event_id % 3 = 1 THEN CAST(user_id % 1000 AS VARCHAR) END AS audit_uid,
+        |  CASE WHEN event_id % 3 = 2 THEN 'GET' END AS verb,
+        |  CASE WHEN event_id % 3 = 2 THEN '200' END AS code,
+        |  event_id % 3 = 1 AS parsesuccess,
+        |  event_id % 3 = 2 AS hmac_added
+        |FROM events""".stripMargin,
 
     "mmdarwin_call" ->
       """SELECT event_id,

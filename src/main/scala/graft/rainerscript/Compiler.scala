@@ -830,6 +830,103 @@ object RainerCompiler {
         df = df.withColumn("vars_msg",
           when(guard && sd.isNotNull, graft.functions.rainer.json_set(
             col("vars_msg"), "rfc5424-sd", sd)).otherwise(col("vars_msg")))
+      case RAction(params) if params.get("type").contains("mmleefparse") =>
+        // LEEF 1.0/2.0 event → {header:{protocolVersion,vendor,product,
+        // productVersion,eventID}, fields:{k:v}} under container=
+        // (default "!", plugins/mmleefparse/mmleefparse.c:109,398-408);
+        // cookie default "LEEF:"; userawmsg selects the source
+        val guard = path && !col("__stopped")
+        require(params.getOrElse("cookie", "LEEF:") == "LEEF:",
+          "mmleefparse: only the default LEEF: cookie is supported")
+        val srcCol =
+          if (params.get("userawmsg").contains("on")) col("rawmsg") else col("msg")
+        val delim = params.getOrElse("delimiter", "\t")
+        val lf = graft.functions.device.parseLeef(
+          coalesce(srcCol.cast("string"), lit("")), delim)
+        val tree = to_json(struct(
+          struct(lf.getField("version").as("protocolVersion"),
+            lf.getField("vendor").as("vendor"),
+            lf.getField("product").as("product"),
+            lf.getField("product_version").as("productVersion"),
+            lf.getField("event_id").as("eventID")).as("header"),
+          lf.getField("ext").as("fields")))
+        val container = params.getOrElse("container", "!")
+        require(container.startsWith("!"),
+          s"mmleefparse: container must start with '!', got $container")
+        val merged =
+          if (container == "!") rainer.json_merge(col("vars_msg"), tree)
+          else rainer.json_set(col("vars_msg"), container.drop(1), tree)
+        df = df.withColumn("vars_msg",
+          when(guard && lf.isNotNull, merged).otherwise(col("vars_msg")))
+      case RAction(params) if params.get("type").contains("mmaudit") =>
+        // linux-audit numeric-type records: `type=<N> audit(<id>): k=v…`
+        // → $!audit = {k:v…, hdr:{auditid,type}} + parsesuccess
+        // (plugins/mmaudit/mmaudit.c doAction:192-263; note this
+        // grammar has NO `msg=` — that variant is the pmaudit-style
+        // parse_audit query form)
+        val guard = path && !col("__stopped")
+        val m = org.apache.spark.sql.GraftBridge.column(
+          graft.functions.RegexStructExpr(
+            org.apache.spark.sql.GraftBridge.expression(
+              coalesce(col("msg").cast("string"), lit(""))),
+            "^\\s*type=(\\d+) audit\\(([^)]*)\\): (.*)$",
+            Seq(("atype", 1, 'I'), ("auditid", 2, 'S'), ("kv", 3, 'M'))))
+        val tree = rainer.json_merge(to_json(m.getField("kv")),
+          concat(lit("{\"hdr\":{\"auditid\":\""), m.getField("auditid"),
+            lit("\",\"type\":"), m.getField("atype"), lit("}}")))
+        df = df
+          .withColumn("vars_msg",
+            when(guard && m.isNotNull,
+              rainer.json_set(col("vars_msg"), "audit", tree))
+            .otherwise(col("vars_msg")))
+          .withColumn("parsesuccess",
+            when(guard, m.isNotNull).otherwise(col("parsesuccess")))
+      case RAction(params) if params.get("type").contains("mmgrok") =>
+        // grok match= pattern over source= (default msg) → JSON under
+        // target= (default "!" root; contrib/mmgrok/mmgrok.c:166);
+        // patterndir custom pattern files are not supported here
+        val guard = path && !col("__stopped")
+        require(!params.contains("patterndir"),
+          "mmgrok: patterndir= custom pattern files are not supported")
+        val pattern = params.getOrElse("match",
+          throw new IllegalArgumentException("mmgrok needs match="))
+        val src = params.get("source").map(resolveProp)
+          .getOrElse(col("msg"))
+        val g = graft.operators.Normalize.grok(
+          coalesce(src.cast("string"), lit("")), pattern)
+        val target = params.getOrElse("target", "!")
+        require(target.startsWith("!"),
+          s"mmgrok: target must start with '!', got $target")
+        val merged =
+          if (target == "!") rainer.json_merge(col("vars_msg"), g)
+          else rainer.json_set(col("vars_msg"), target.drop(1), g)
+        df = df.withColumn("vars_msg",
+          when(guard && g.isNotNull && g =!= "{}", merged)
+          .otherwise(col("vars_msg")))
+      case RAction(params) if params.get("type").contains("mmrfc5424addhmac") =>
+        // HMAC of the raw message appended as `[sd_id hash="hex"]` to
+        // STRUCTURED-DATA, only for RFC5424 frames that don't already
+        // carry the SD-ID (contrib/mmrfc5424addhmac/mmrfc5424addhmac.c
+        // doAction:330-345, hashMsg:300-327)
+        val guard = path && !col("__stopped")
+        val key = params.getOrElse("key",
+          throw new IllegalArgumentException("mmrfc5424addhmac needs key="))
+        val algo = params.getOrElse("hashfunction", "sha256")
+        require(algo.equalsIgnoreCase("sha256"),
+          s"mmrfc5424addhmac: hashfunction $algo not supported (sha256 only)")
+        val sdid = params.getOrElse("sd_id",
+          throw new IllegalArgumentException("mmrfc5424addhmac needs sd_id="))
+        val sig = graft.functions.device.hmacSha256(
+          coalesce(col("rawmsg").cast("string"), lit("")), key)
+        val entry = concat(lit("[" + sdid + " hash=\""), sig, lit("\"]"))
+        val present = coalesce(col("structured_data"), lit("-"))
+          .rlike("\\[" + java.util.regex.Pattern.quote(sdid) + "[ =\\]\"]")
+        val newSd = when(
+          col("structured_data").isNull || col("structured_data") === "-",
+          entry).otherwise(concat(col("structured_data"), entry))
+        df = df.withColumn("structured_data",
+          when(guard && col("protocol_version") === 1 && !present, newSd)
+          .otherwise(col("structured_data")))
       case RAction(params) =>
         val cn = freshCond()
         df = df.withColumn(cn, path && !col("__stopped"))
