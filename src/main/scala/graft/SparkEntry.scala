@@ -218,6 +218,79 @@ object Queries {
         cfg.renderTemplate(" StdPgSQLFmt", n => col(n)).as("pgsql_stmt"))
     }),
 
+    // §2.10 omhiredis — per-mode Redis command shaping
+    // (contrib/omhiredis writeHiredis); the hiredis pipeline/AUTH is
+    // the foreachBatch transport half
+    "omhiredis_cmd" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val msg = concat(lit("msgnum:"), lpad(col("event_id"), 8, "0"))
+      ev.select(col("event_id"),
+        graft.sources.Sources.hiredisCommand(msg, "queue",
+          lit("syslog_q")).as("cmd_queue"),
+        graft.sources.Sources.hiredisCommand(msg, "queue",
+          lit("syslog_q"), useRPush = true).as("cmd_rpush"),
+        graft.sources.Sources.hiredisCommand(msg, "publish",
+          col("hostname")).as("cmd_publish"),
+        graft.sources.Sources.hiredisCommand(msg, "set",
+          concat(lit("k"), col("event_id")), expiration = 300).as("cmd_setex"),
+        graft.sources.Sources.hiredisCommand(msg, "stream",
+          lit("st"), streamCapacityLimit = 100000).as("cmd_xadd"))
+    }),
+
+    // §2.10 omrabbitmq — AMQP publish shaping with populated properties
+    // (omrabbitmq.c doAction property mapping); routing key computed
+    // per message like routing_key_template
+    "amqp_publish" -> ((s, dir) => {
+      val facNames = array(Seq("kern", "user", "mail", "daemon", "auth",
+        "syslog", "lpr", "news", "uucp", "cron", "authpriv", "ftp", "ntp",
+        "audit", "alert", "clock", "local0", "local1", "local2",
+        "local3", "local4", "local5", "local6", "local7").map(lit): _*)
+      val sevNames = array(Seq("emerg", "alert", "crit", "err", "warning",
+        "notice", "info", "debug").map(lit): _*)
+      val ev = synthSyslog(s, dir)
+        .withColumn("syslogtag",
+          concat(col("event_type"), lit("["), col("event_id"), lit("]")))
+        .withColumn("msg", concat(lit("msgnum:"), lpad(col("event_id"), 8, "0")))
+      graft.sources.Sources.rabbitPublishFrame(ev,
+        exchange = "syslog",
+        routingKey = concat(element_at(facNames, col("facility") + 1),
+          lit("."), element_at(sevNames, col("severity") + 1)),
+        bodyCol = col("msg"), contentType = "text/plain",
+        populateProperties = true,
+        facilityTextCol = element_at(facNames, col("facility") + 1),
+        severityTextCol = element_at(sevNames, col("severity") + 1),
+        hostnameCol = col("hostname"), fromhostCol = col("hostname"))
+        .select(col("event_id"), col("amqp_publish"))
+    }),
+
+    // §2.10 omczmq — PUB socket topic fan-out: one row per
+    // (message, topic), [topic, msg] frame pair (topicFrame=on)
+    "czmq_pub" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val msg = concat(lit("msgnum:"), lpad(col("event_id"), 8, "0"))
+      graft.sources.Sources.czmqFrames(
+        ev.select(col("event_id"), msg.as("m")), col("m"),
+        Seq(lit("syslog.all"), concat(lit("syslog.sev"), col("event_id") % 8)))
+        .select(col("event_id"),
+          element_at(col("frames"), 1).as("topic"),
+          element_at(col("frames"), 2).as("payload"))
+    }),
+
+    // §2.9 mmaitag — external-AI classification fold: mock-provider
+    // labels (sequential CSV with REGULAR fallback) landing in $.aitag;
+    // the bounded frame mirrors the mock's sequential-counter scope
+    "mmaitag" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"), col("rawmsg"),
+          lit("{}").as("vars_local"))
+      val labels = graft.sources.Sources.mmaitagMockLabels(
+        "NOISE,CRITICAL,IMPORTANT,NOISE,REGULAR,CRITICAL", col("event_id"))
+      graft.sources.Sources.mmaitagFold(ev, labels)
+        .select(col("event_id"),
+          get_json_object(col("vars_local"), "$.aitag").as("aitag"))
+    }),
+
     // §2.10 omhttp kafkarest batch shaping (omhttp.c:1627-1688): one
     // output row per batch, unparseable messages dropped by the JSON
     // formats (fjson_tokener_parse NULL → continue; every 97th message
@@ -1934,6 +2007,68 @@ object Queries {
 
     // §2.7 dynstats through the state store: maxCardinality admission in
     // arrival (event_id) order, overflow folding; final counter snapshot
+    // §2.1 reload_lookup_table on a LIVE stream: foreachBatch re-loads
+    // the table file at each micro-batch boundary — the exact streaming
+    // face of the reference's lookupReload (runtime/lookup.c: reload is
+    // requested async and swapped in between message batches). Two
+    // parquet files arrive as two AvailableNow micro-batches
+    // (maxFilesPerTrigger=1, mtime-ordered); the batch-1 callback
+    // rewrites the table file after probing, so batch 2 sees v2 — the
+    // same (epoch, cls) contract as the batch `lookup_reload` query.
+    "stream_lookup_reload" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val work = Files.createTempDirectory("graft_slr_").toFile
+      work.deleteOnExit()
+      val inDir = new java.io.File(work, "in"); inDir.mkdirs()
+      val outDir = new java.io.File(work, "out").getPath
+      val ckpt = new java.io.File(work, "ckpt").getPath
+      // one single-file parquet per epoch, mtime-ordered (the file
+      // stream source orders by (modTime, path))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      def writeOne(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtime: Long): Unit = {
+        val tmp = new java.io.File(work, s"tmp_$name").getPath
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime)
+      }
+      val t0 = 1700000000000L // fixed epoch base: mtime only orders files
+      writeOne(ev.filter(col("event_id") % 2 === 0), "epoch1", t0)
+      writeOne(ev.filter(col("event_id") % 2 === 1), "epoch2", t0 + 60000)
+      val lookupFile = new java.io.File(work, "table.json")
+      def writeTable(json: String): Unit = {
+        val w = new java.io.PrintWriter(lookupFile)
+        try w.write(json) finally w.close()
+      }
+      writeTable("""{"version":1,"nomatch":"UNK","type":"string","table":[
+        {"index":"error","value":"sev-high"},{"index":"purchase","value":"rev"}]}""")
+      val schema = ev.schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath)
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // reload AT the batch boundary — rsyslog's swap point
+          val tbl = LookupTable.load(lookupFile.getPath)
+          df.withColumn("cls", tbl.probe(col("event_type")))
+            .withColumn("epoch", lit(batchId + 1))
+            .write.mode("append").parquet(outDir)
+          // epoch-1 commit rewrites the file: next reload sees v2
+          writeTable("""{"version":1,"nomatch":"UNK","type":"string","table":[
+            {"index":"error","value":"sev-crit"},{"index":"signup","value":"acq"}]}""")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(col("epoch"), col("cls")).agg(count(lit(1)).as("n"))
+    }),
+
     "stream_dynstats" -> ((s, dir) => {
       import s.implicits._
       val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
@@ -2241,6 +2376,59 @@ object Queries {
         |  strftime(ts, '%Y-%m-%d %H:%M:%S') || ''', 1, ''' || syslogtag ||
         |  ''')' AS pgsql_stmt
         | FROM (SELECT *, 'it''s a b\s ' || event_type AS msg FROM ev)""".stripMargin),
+
+    "omhiredis_cmd" -> (Queries.synthSql +
+      """ SELECT event_id,
+        |  'LPUSH syslog_q ' || m AS cmd_queue,
+        |  'RPUSH syslog_q ' || m AS cmd_rpush,
+        |  'PUBLISH ' || hostname || ' ' || m AS cmd_publish,
+        |  'SETEX k' || event_id || ' 300 ' || m AS cmd_setex,
+        |  'XADD st MAXLEN ~ 100000 * msg ' || m AS cmd_xadd
+        | FROM (SELECT *,
+        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS m
+        |   FROM ev)""".stripMargin),
+
+    "amqp_publish" -> (Queries.synthSql +
+      """, names AS (
+        |  SELECT *,
+        |    ['kern','user','mail','daemon','auth','syslog','lpr','news',
+        |     'uucp','cron','authpriv','ftp','ntp','audit','alert','clock',
+        |     'local0','local1','local2','local3','local4','local5',
+        |     'local6','local7'][facility + 1] AS fac_t,
+        |    ['emerg','alert','crit','err','warning','notice','info',
+        |     'debug'][severity + 1] AS sev_t,
+        |    'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS m
+        |  FROM ev)
+        | SELECT event_id,
+        |  '{"exchange":"syslog","routing_key":"' || fac_t || '.' || sev_t ||
+        |  '","properties":{"content_type":"text/plain","delivery_mode":2,' ||
+        |  '"timestamp":' || epoch_ns(ts) // 1000000000 ||
+        |  ',"app_id":"' || syslogtag ||
+        |  '","headers":{"facility":"' || fac_t ||
+        |  '","severity":"' || sev_t ||
+        |  '","hostname":"' || hostname ||
+        |  '","fromhost":"' || hostname ||
+        |  '"}},"body":"' || m || '"}' AS amqp_publish
+        | FROM names""".stripMargin),
+
+    "czmq_pub" -> (Queries.synthSql +
+      """ SELECT event_id, 'syslog.all' AS topic,
+        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS payload
+        | FROM ev
+        | UNION ALL
+        | SELECT event_id, 'syslog.sev' || (event_id % 8),
+        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+        | FROM ev""".stripMargin),
+
+    "mmaitag" -> (Queries.synthSql +
+      """ SELECT event_id,
+        |  CASE rn WHEN 1 THEN 'NOISE' WHEN 2 THEN 'CRITICAL'
+        |    WHEN 3 THEN 'IMPORTANT' WHEN 4 THEN 'NOISE'
+        |    WHEN 5 THEN 'REGULAR' WHEN 6 THEN 'CRITICAL'
+        |    ELSE 'REGULAR' END AS aitag
+        | FROM (SELECT event_id,
+        |    row_number() OVER (ORDER BY event_id) AS rn
+        |  FROM ev WHERE event_id % 97 = 0)""".stripMargin),
 
     "omhttp_batch" ->
       """SELECT event_id // 1000 AS batch_id,
@@ -3546,6 +3734,23 @@ object Queries {
         |SELECT doc_id, fp, quality, group_size FROM ranked WHERE rn = 1""".stripMargin,
 
     "lookup_reload" ->
+      """WITH e1 AS (
+        |  SELECT CASE event_type WHEN 'error' THEN 'sev-high'
+        |                         WHEN 'purchase' THEN 'rev'
+        |                         ELSE 'UNK' END AS cls
+        |  FROM events WHERE event_id % 2 = 0),
+        |e2 AS (
+        |  SELECT CASE event_type WHEN 'error' THEN 'sev-crit'
+        |                         WHEN 'signup' THEN 'acq'
+        |                         ELSE 'UNK' END AS cls
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT CAST(1 AS BIGINT) AS epoch, cls, count(*) AS n FROM e1 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS epoch, cls, count(*) AS n FROM e2 GROUP BY 1, 2""".stripMargin,
+
+    // identical contract to lookup_reload — the stream face reloads the
+    // SAME table file between the two micro-batches
+    "stream_lookup_reload" ->
       """WITH e1 AS (
         |  SELECT CASE event_type WHEN 'error' THEN 'sev-high'
         |                         WHEN 'purchase' THEN 'rev'

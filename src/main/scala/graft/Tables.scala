@@ -38,13 +38,24 @@ object Tables {
     else df
   }
 
-  /** events with ts normalized: ts_ns LONG, ts TIMESTAMP (µs, UTC). */
+  /** events with ts normalized: ts_ns LONG, ts TIMESTAMP (µs, UTC).
+    * Schema-adaptive: the driver corpus has shipped `ts` both as INT64
+    * TIMESTAMP(NANOS) (read as LONG under nanosAsLong) and as plain
+    * µs TIMESTAMP — both normalize to the same (ts_ns, ts) pair, so
+    * queries and oracles are corpus-revision-independent. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    rebalance(spark, spark.read.parquet(path), path)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = rebalance(spark, spark.read.parquet(path), path)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // µs timestamp (NTZ or LTZ; session tz is UTC everywhere)
+        val tsCol = col("ts").cast("timestamp")
+        raw.withColumn("ts_ns", unix_micros(tsCol) * 1000)
+          .withColumn("ts", tsCol)
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")

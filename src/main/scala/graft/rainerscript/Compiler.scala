@@ -892,8 +892,11 @@ object RainerCompiler {
           throw new IllegalArgumentException("mmgrok needs match="))
         val src = params.get("source").map(resolveProp)
           .getOrElse(col("msg"))
-        val g = graft.operators.Normalize.grok(
-          coalesce(src.cast("string"), lit("")), pattern)
+        // grok() yields a STRUCT (null on no-match); the variable tree
+        // holds JSON text, so convert before merge — to_json(null
+        // struct) is null, which the guard treats as no-match
+        val g = to_json(graft.operators.Normalize.grok(
+          coalesce(src.cast("string"), lit("")), pattern))
         val target = params.getOrElse("target", "!")
         require(target.startsWith("!"),
           s"mmgrok: target must start with '!', got $target")

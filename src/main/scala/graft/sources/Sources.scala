@@ -595,6 +595,151 @@ object Sources {
     ds.withColumn("snmp_trap", to_json(doc))
   }
 
+  /** omhiredis command shaping — the Redis command each mode appends to
+    * the pipeline (contrib/omhiredis/omhiredis.c writeHiredis:366-425),
+    * as the space-joined command text the reference's
+    * `redisAppendCommand(conn, "VERB %s %s", key, message)` format
+    * produces. Modes: "template" (the rendered message IS the command),
+    * "queue" (LPUSH, or RPUSH with useRPush — omhiredis.c:386), "publish"
+    * (PUBLISH), "set" (SET, or SETEX with expiration>0 — :372-377),
+    * "stream" (XADD key [MAXLEN ~ N] * outField msg — :407-413;
+    * outField default "msg", omhiredis.c:700). `key` is a Column so
+    * dynaKey (key=template) is the caller passing a computed column —
+    * same split the reference makes at omhiredis.c:83. The connection,
+    * AUTH and pipeline flush are the hiredis transport (foreachBatch
+    * boundary); the command text is the engine's output contract.
+    */
+  def hiredisCommand(message: Column, mode: String, key: Column = lit(null),
+                     useRPush: Boolean = false, expiration: Int = 0,
+                     streamOutField: String = "msg",
+                     streamCapacityLimit: Int = 0): Column = mode match {
+    case "template" => message
+    case "queue" =>
+      concat_ws(" ", lit(if (useRPush) "RPUSH" else "LPUSH"), key, message)
+    case "publish" => concat_ws(" ", lit("PUBLISH"), key, message)
+    case "set" =>
+      if (expiration > 0)
+        concat_ws(" ", lit("SETEX"), key, lit(expiration), message)
+      else concat_ws(" ", lit("SET"), key, message)
+    case "stream" =>
+      if (streamCapacityLimit != 0)
+        concat_ws(" ", lit("XADD"), key, lit("MAXLEN ~"),
+          lit(streamCapacityLimit), lit("*"), lit(streamOutField), message)
+      else concat_ws(" ", lit("XADD"), key, lit("*"),
+        lit(streamOutField), message)
+    case other =>
+      throw new IllegalArgumentException(
+        s"omhiredis: unsupported mode '$other' (omhiredis.c:623-637)")
+  }
+
+  /** omrabbitmq publish shaping — the AMQP basic.publish content
+    * (contrib/omrabbitmq/omrabbitmq.c doAction:845-933) as a JSON
+    * `amqp_publish` column: exchange, routing_key (fixed or
+    * template-computed — :879-881), body (rendered template, or rawmsg
+    * when no body template — :855-860), and with populateProperties the
+    * reference's property mapping (:866-916): timestamp = message time
+    * (epoch secs), app_id = syslogtag (AMQP standard prop), and custom
+    * headers facility/severity/hostname/fromhost as text — each only
+    * when non-empty (`if (val[i] && *val[i])`, :899). delivery_mode:
+    * 1=transient, 2=persistent (:127). The amqp-c connection/channel
+    * machinery is transport (foreachBatch boundary).
+    */
+  def rabbitPublishFrame(ds: DataFrame, exchange: String, routingKey: Column,
+                         bodyCol: Column, contentType: String = "",
+                         deliveryMode: Int = 2,
+                         populateProperties: Boolean = false,
+                         tsCol: Column = col("ts"),
+                         tagCol: Column = col("syslogtag"),
+                         facilityTextCol: Column = lit(null),
+                         severityTextCol: Column = lit(null),
+                         hostnameCol: Column = lit(null),
+                         fromhostCol: Column = lit(null)): DataFrame = {
+    val nonEmpty = (c: Column) => when(c.isNotNull && length(c) > 0, c)
+    val props =
+      if (populateProperties)
+        struct(
+          lit(contentType).as("content_type"),
+          lit(deliveryMode).as("delivery_mode"),
+          unix_timestamp(tsCol).as("timestamp"),
+          nonEmpty(tagCol).as("app_id"),
+          struct(
+            nonEmpty(facilityTextCol).as("facility"),
+            nonEmpty(severityTextCol).as("severity"),
+            nonEmpty(hostnameCol).as("hostname"),
+            nonEmpty(fromhostCol).as("fromhost")).as("headers"))
+      else
+        struct(lit(contentType).as("content_type"),
+          lit(deliveryMode).as("delivery_mode"))
+    ds.withColumn("amqp_publish", to_json(struct(
+      lit(exchange).as("exchange"),
+      routingKey.as("routing_key"),
+      props.as("properties"),
+      bodyCol.as("body"))))
+  }
+
+  /** omczmq PUB fan-out shaping — one output row per (message, topic)
+    * with the wire payload (contrib/omczmq/omczmq.c outputCZMQ:228-284):
+    * topicFrame=true sends [topic, msg] as two ZMQ frames
+    * (`zstr_sendx`), modeled as a 2-element `frames` array; false
+    * concatenates topic+msg into one frame (`zstr_sendf("%s%s")`),
+    * modeled as a 1-element array. A non-PUB socket (or no topics) sends
+    * just the rendered message — pass topics=Nil. dynaTopic ≡ passing
+    * computed topic columns. The zsock/CURVE machinery is transport.
+    */
+  def czmqFrames(ds: DataFrame, msgCol: Column, topics: Seq[Column],
+                 topicFrame: Boolean = true): DataFrame =
+    if (topics.isEmpty)
+      ds.withColumn("frames", array(msgCol))
+    else {
+      val perTopic = topics.map { t =>
+        if (topicFrame) array(t, msgCol) else array(concat(t, msgCol))
+      }
+      // one send per topic, in the configured topic-list order
+      // (omczmq.c:246-283 walks the zlist per message)
+      ds.withColumn("frames", explode(array(perTopic: _*)))
+    }
+
+  /** mmaitag classification fold — the variable-store half of
+    * plugins/mmaitag (doAction, mmaitag.c:120-148): the configured
+    * input property (default: raw msg) goes to an external provider,
+    * whose label lands as a string under `tag` (default ".aitag" →
+    * `$.aitag`; a leading "$" is stripped at config parse,
+    * mmaitag.c:169). The provider itself is the External boundary (an
+    * HTTP service behind ai_provider.h); `labelCol` injects its
+    * response. A null label (provider error path) leaves the tree
+    * untouched — the reference only calls msgAddJSON when
+    * `tags && tags[0]` (mmaitag.c:137).
+    */
+  def mmaitagFold(ds: DataFrame, labelCol: Column,
+                  tag: String = ".aitag"): DataFrame = {
+    val cleanTag = if (tag.startsWith("$")) tag.drop(1) else tag
+    // path stays '!'-separated (msgAddJSON name syntax; JsonPathUtil
+    // splits on '!')
+    val (varsCol, path) =
+      if (cleanTag.startsWith("!")) ("vars_msg", cleanTag.drop(1))
+      else if (cleanTag.startsWith(".")) ("vars_local", cleanTag.drop(1))
+      else ("vars_local", cleanTag)
+    ds.withColumn(varsCol,
+      when(labelCol.isNotNull,
+        rainer.json_set(col(varsCol), path, labelCol))
+      .otherwise(col(varsCol)))
+  }
+
+  /** The GEMINI_MOCK_RESPONSE provider (ai_provider_gemini_mock.c
+    * gemini_classify_batch:75-118): labels come from a comma-separated
+    * list consumed SEQUENTIALLY across calls, falling back to "REGULAR"
+    * when the list runs dry. The batch face: row N (by `orderCol` rank)
+    * takes list element N. Deterministic like the reference's
+    * static-counter mock — this is the test/verification provider, not
+    * a network call.
+    */
+  def mmaitagMockLabels(mockResponse: String, orderCol: Column): Column = {
+    val labels = mockResponse.split(",").toSeq
+    val arr = array(labels.map(l => lit(l.trim)): _*)
+    val rank = org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+    coalesce(try_element_at(arr, row_number().over(rank)), lit("REGULAR"))
+  }
+
   /** imkafka decode: a Kafka-SOURCE-shaped frame (the Spark kafka source
     * contract: key/value binary + topic/partition/offset/timestamp) to
     * decoded pipeline rows with imkafka's provenance (inputname=imkafka,

@@ -53,8 +53,15 @@ object StreamGate {
       .option("maxFilesPerTrigger", Int.MaxValue.toString)
       .parquet(s"$dir/{$name.parquet}")
     if (name == "events")
-      raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        case _ => // µs timestamp corpus revision (see Tables.events)
+          val tsCol = col("ts").cast("timestamp")
+          raw.withColumn("ts_ns", unix_micros(tsCol) * 1000)
+            .withColumn("ts", tsCol)
+      }
     else raw
   }
 
