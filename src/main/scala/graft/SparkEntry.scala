@@ -367,6 +367,41 @@ object Queries {
             "$.metadata.imbeats.peer_hostname").as("peer"))
     }),
 
+    // §2.5 imdocker — multiplexed attach-stream demux: one message per
+    // frame, stderr→err severity, docker: TAG, container metadata under
+    // $!metadata (contrib/imdocker enqMsg/addDockerMetaData)
+    "imdocker_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+      val p1 = concat(lit("log line "), col("event_id"), lit("\n"))
+      val p2 = concat(lit("err "), col("event_type"), lit("\n"))
+      val stream = concat(
+        lit(Array[Byte](1, 0, 0, 0)), be32(octet_length(p1)), p1.cast("binary"),
+        lit(Array[Byte](2, 0, 0, 0)), be32(octet_length(p2)), p2.cast("binary"))
+      val containers = ev.select(col("event_id"),
+        concat(lit("c"), col("user_id")).as("container_id"),
+        concat(lit("/app"), col("user_id")).as("name"),
+        lit("img:latest").as("image"),
+        concat(lit("sha256:"), col("user_id")).as("image_id"),
+        lit("""{"app":"x"}""").as("labels_json"),
+        stream.as("stream"))
+      graft.sources.Sources.imdockerDecode(containers)
+        .select(col("event_id"), col("stream_type"), col("msg"),
+          col("severity"), col("syslogtag"),
+          get_json_object(col("vars_msg"), "$.metadata.Id").as("cid"),
+          get_json_object(col("vars_msg"), "$.metadata.Names").as("cname"))
+    }),
+
+    // §2.10 omrelp — RELP client send framing (librelp envelope around
+    // relpCltSendSyslog); round-trips with deframeRelp
+    "omrelp_frame" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val msg = concat(lit("msgnum:"), lpad(col("event_id"), 8, "0"))
+      ev.select(col("event_id"),
+        graft.sources.Sources.frameRelp(msg, col("event_id") % 1000 + 1)
+          .as("relp_frame"))
+    }),
+
     // §2.9 four inline mm* config actions end-to-end: mmleefparse
     // (header/fields tree at the $! root), mmaudit (numeric-type audit
     // grammar → $!audit + parsesuccess), mmgrok (match= → $!g), and
@@ -2507,6 +2542,24 @@ object Queries {
         |  CAST(s.seq AS VARCHAR) AS meta_seq,
         |  'peer' || (e.user_id % 9) AS peer
         |FROM events e CROSS JOIN (SELECT 1 AS seq UNION ALL SELECT 2) s""".stripMargin,
+
+    "imdocker_decode" ->
+      """SELECT event_id,
+        |  CASE s.k WHEN 1 THEN 1 ELSE 2 END AS stream_type,
+        |  CASE s.k WHEN 1 THEN 'log line ' || event_id
+        |           ELSE 'err ' || event_type END AS msg,
+        |  CASE s.k WHEN 1 THEN 6 ELSE 3 END AS severity,
+        |  'docker:' AS syslogtag,
+        |  'c' || user_id AS cid,
+        |  '/app' || user_id AS cname
+        |FROM events CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2) s""".stripMargin,
+
+    "omrelp_frame" -> (Queries.synthSql +
+      """ SELECT event_id,
+        |  (event_id % 1000 + 1) || ' syslog ' ||
+        |  length('msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')) ||
+        |  ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS relp_frame
+        | FROM ev""".stripMargin),
 
     "mm_actions" ->
       """SELECT event_id,

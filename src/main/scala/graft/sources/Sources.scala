@@ -54,6 +54,66 @@ object Sources {
       .withColumn(valueCol,
         regexp_replace(col(valueCol), "^[0-9]+ syslog [0-9]+ ", ""))
 
+  /** omrelp SEND framing — the RELP wire frame the client emits per
+    * message (`TXNR SP COMMAND SP DATALEN SP DATA`; the reference's
+    * omrelp hands the bare message to librelp's relpCltSendSyslog,
+    * plugins/omrelp/omrelp.c:733, which adds this envelope). DATALEN is
+    * the message's BYTE length; the frame trailer LF is the line sink's
+    * newline. Round-trips with deframeRelp. txnr assignment is the
+    * session's counter — a caller-supplied column, like offsets in the
+    * Kafka contract. */
+  def frameRelp(msg: org.apache.spark.sql.Column,
+                txnr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(txnr.cast("string"), lit(" syslog "),
+      octet_length(msg).cast("string"), lit(" "), msg)
+
+  /** imdocker decode — container attach streams to pipeline rows
+    * (contrib/imdocker/imdocker.c). The multiplexed stream demuxes via
+    * DockerStreamDecodeExpr (one message per completed frame,
+    * imdocker.c:1531-1534); per message: severity LOG_ERR for stderr
+    * else the default-severity info, facility user (DFLT_FACILITY/
+    * DFLT_SEVERITY, imdocker.c:89-90), TAG is the literal "docker:"
+    * (imdocker.c:70,1493), HOSTNAME the local host, and the container
+    * metadata lands under $!metadata — Id/Names/Image/ImageID/Labels
+    * with null→"" like addDockerMetaData (imdocker.c:1146-1161).
+    * Default sanitize applies (escapelf default on, imdocker.c:87 →
+    * SanitizeMsg control-char escaping) after the trailing-LF drop.
+    *
+    * `containers` carries one row per container capture: a binary
+    * `stream` column plus id/name/image/image_id/labels_json. The
+    * Docker-daemon HTTP attach (curl machinery, container discovery/
+    * restart) is the transport boundary, like the Kafka connector.
+    */
+  def imdockerDecode(containers: DataFrame,
+                     streamCol: String = "stream",
+                     dfltSeverity: Int = 6,
+                     dfltFacility: Int = 1): DataFrame = {
+    val frames = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DockerStreamDecodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(streamCol))))
+    val meta = to_json(struct(struct(
+      coalesce(col("container_id"), lit("")).as("Id"),
+      coalesce(col("name"), lit("")).as("Names"),
+      coalesce(col("image"), lit("")).as("Image"),
+      coalesce(col("image_id"), lit("")).as("ImageID"),
+      coalesce(col("labels_json"), lit("")).as("Labels")).as("metadata")))
+    containers
+      .withColumn("f", explode(frames))
+      .withColumn("msg",
+        sanitize(regexp_replace(col("f.payload"), "\n$", "")))
+      .select(
+        containers.columns.filter(_ != streamCol).map(col) ++ Seq(
+          col("f.stream_type").as("stream_type"),
+          col("msg"),
+          lit("imdocker").as("inputname"),
+          lit("docker:").as("syslogtag"),
+          lit(dfltFacility).as("facility"),
+          when(col("f.stream_type") === 2, 3)
+            .otherwise(dfltSeverity).as("severity"),
+          meta.as("vars_msg"),
+          lit("{}").as("vars_local")): _*)
+  }
+
   /** The standard decode pipeline: framed lines -> parsed LogEvent columns
     * (parser chain ~= one expression, SURVEY S2.9). Reception sanitize
     * mirrors runtime/parser.c SanitizeMsg in the reference's default
