@@ -91,12 +91,21 @@ object Sources {
     val frames = org.apache.spark.sql.GraftBridge.column(
       graft.functions.DockerStreamDecodeExpr(
         org.apache.spark.sql.GraftBridge.expression(col(streamCol))))
+    // Labels is a JSON *object* in the reference (parseLabels walks the
+    // json_object map, imdocker.c:538-560) — parse it to MAP so to_json
+    // re-emits a nested object, never an escaped string. null → {}.
+    val labelsMap = coalesce(
+      from_json(col("labels_json"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType)),
+      map())
     val meta = to_json(struct(struct(
       coalesce(col("container_id"), lit("")).as("Id"),
       coalesce(col("name"), lit("")).as("Names"),
       coalesce(col("image"), lit("")).as("Image"),
       coalesce(col("image_id"), lit("")).as("ImageID"),
-      coalesce(col("labels_json"), lit("")).as("Labels")).as("metadata")))
+      labelsMap.as("Labels")).as("metadata")))
     containers
       .withColumn("f", explode(frames))
       .withColumn("msg",
