@@ -396,6 +396,39 @@ object Queries {
             .as("label_app"))
     }),
 
+    // §2.5 imbatchreport — whole-file batch-report shaping
+    // (contrib/imbatchreport readAndSendFile): three report shapes per
+    // event — plain body (no SD), SD with program/timestamp keys and an
+    // embedded LF (removed per :268-273), and an over-cap body replaced
+    // by the too-large message. Exercises trailing-ws trim, the
+    // backward SD scan, dedupspace collapse, and \n → literal \\n.
+    "imbatchreport_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val sd1 = concat(lit("[report@32473 program=\"job"),
+        col("event_id") % 5,
+        lit("\"\n ts=\""), lit(1700000000L) + col("event_id") % 1000,
+        lit("\"]"))
+      val text =
+        when(col("event_id") % 3 === 0,
+          concat(lit("plain "), col("event_type"), lit("  done\n\n")))
+        .when(col("event_id") % 3 === 1,
+          concat(lit("Run "), col("event_type"), lit("  rc "),
+            col("event_id") % 7, lit("\n tail  \n"), sd1, lit("  \n")))
+        .otherwise(
+          concat(lit("x" * 100), lit("  \n[report@32473 ts=\"17\"]\n")))
+      val reports = ev.select(col("event_id"),
+        concat(lit("/spool/report_"), col("event_id"), lit(".rpt"))
+          .as("path"),
+        text.as("value"))
+      graft.sources.Sources.imbatchreportDecode(reports,
+          tag = "batch:", programKey = "program=\"", timestampKey = "ts=\"",
+          maxMsgSize = 64,
+          now = to_timestamp(lit("2024-01-01 00:00:00")))
+        .select(col("event_id"), col("msg"), col("structured_data"),
+          col("ts_epoch"), col("app_name"), col("too_large"),
+          col("syslogtag"), col("pri"))
+    }),
+
     // §2.10 omrelp — RELP client send framing (librelp envelope around
     // relpCltSendSyslog); round-trips with deframeRelp
     "omrelp_frame" -> ((s, dir) => {
@@ -2582,6 +2615,27 @@ object Queries {
         |  '/app' || user_id AS cname,
         |  'x' AS label_app
         |FROM events CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2) s""".stripMargin,
+
+    "imbatchreport_decode" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN 'plain ' || event_type || ' done'
+        |       WHEN event_id % 3 = 1 THEN 'Run ' || event_type || ' rc ' ||
+        |         (event_id % 7) || '\n tail'
+        |       ELSE 'File too large : /spool/report_' || event_id || '.rpt'
+        |  END AS msg,
+        |  CASE WHEN event_id % 3 = 0 THEN '-'
+        |       WHEN event_id % 3 = 1 THEN '[report@32473 program="job' ||
+        |         (event_id % 5) || '" ts="' || (1700000000 + event_id % 1000) || '"]'
+        |       ELSE '[report@32473 ts="17"]'
+        |  END AS structured_data,
+        |  CASE WHEN event_id % 3 = 1 THEN 1700000000 + event_id % 1000
+        |       WHEN event_id % 3 = 2 THEN 17 END AS ts_epoch,
+        |  CASE WHEN event_id % 3 = 1 THEN 'job' || (event_id % 5)
+        |       ELSE 'batch' END AS app_name,
+        |  event_id % 3 = 2 AS too_large,
+        |  'batch:' AS syslogtag,
+        |  133 AS pri
+        |FROM events""".stripMargin,
 
     "omrelp_frame" -> (Queries.synthSql +
       """ SELECT event_id,

@@ -103,6 +103,35 @@ object InputBinding {
     }
   }
 
+  /** imbatchreport bind (contrib/imbatchreport/imbatchreport.c): one
+    * report FILE = one message. A bound feed supplies (value, path)
+    * rows; otherwise reports= is read as whole files from the
+    * filesystem (the glob poll, :170). tag= is required like the
+    * reference (CNFPARAM_REQUIRED, :171); the rename/delete done-file
+    * action is filesystem transport, out of engine scope. */
+  private def bindImbatchreport(spark: SparkSession, p: Map[String, String],
+                                feeds: Map[String, DataFrame],
+                                now: Column): DataFrame = {
+    val tag = p.getOrElse("tag", throw new IllegalArgumentException(
+      "input(type=\"imbatchreport\") needs tag="))
+    val src0 = feed(feeds, p, "imbatchreport").getOrElse {
+      val glob = p.getOrElse("reports", throw new IllegalArgumentException(
+        "input(type=\"imbatchreport\") needs reports= or a bound feed"))
+      spark.read.option("wholetext", "true").text(glob)
+        .withColumn("path", input_file_name())
+    }
+    val src = if (src0.columns.contains("path")) src0
+              else src0.withColumn("path", lit(""))
+    Sources.imbatchreportDecode(src,
+      tag = tag,
+      programKey = p.getOrElse("programkey", ""),
+      timestampKey = p.getOrElse("timestampkey", ""),
+      severity = severityNum(p.getOrElse("severity", "notice")),
+      facility = facilityNum(p.getOrElse("facility", "local0")),
+      dedupSpace = p.getOrElse("deduplicatespace", "on") != "off",
+      now = now)
+  }
+
   /** Resolve a ruleset's parser-name chain to (name, params) instances:
     * custom parser() objects by name, plus the reference's built-in
     * parser names (PARSER_NAME registrations: "rsyslog.rfc5424"
@@ -474,6 +503,8 @@ object InputBinding {
           log.warn("input() without type=; skipped"); None
         case "imfile" =>
           Some(bindImfile(spark, p, now, defaultYear))
+        case "imbatchreport" =>
+          Some(bindImbatchreport(spark, p, feeds, now))
         case t =>
           feed(feeds, p, t) match {
             case Some(df) => Some(bindFeed(t, df, now, defaultYear, chain))

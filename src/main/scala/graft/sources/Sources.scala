@@ -123,6 +123,64 @@ object Sources {
           lit("{}").as("vars_local")): _*)
   }
 
+  /** imbatchreport decode — one batch-job report FILE becomes one
+    * message (contrib/imbatchreport/imbatchreport.c readAndSendFile:
+    * 240-370 via the BatchReportExpr kernel: trailing-ws trim, 150-byte
+    * backward SD scan, timestampkey/programkey extraction, dedupspace
+    * body rewrite, too-large replacement). Message framing mirrors
+    * enqMsg (imbatchreport.c:191-201): TAG = the required tag param,
+    * PROCID/MSGID "-", HOSTNAME the receiver, PRI from the
+    * severity/facility params (defaults LOG_NOTICE/LOG_LOCAL0,
+    * :504-505); the SD timestamp overrides reception time when the key
+    * matches, and APP-NAME is set only when programkey matched.
+    *
+    * `reports` carries one row per report file: a whole-file text
+    * column plus its path (the rename/delete done-file handshake is
+    * filesystem transport, out of engine scope like imfile rotation).
+    */
+  def imbatchreportDecode(reports: DataFrame, textCol: String = "value",
+                          pathCol: String = "path",
+                          tag: String = "batchreport:",
+                          programKey: String = "", timestampKey: String = "",
+                          severity: Int = 5, facility: Int = 16,
+                          maxMsgSize: Int = 8096, dedupSpace: Boolean = true,
+                          now: Column = current_timestamp()): DataFrame = {
+    val dec = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BatchReportExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+        org.apache.spark.sql.GraftBridge.expression(col(pathCol)),
+        timestampKey, programKey, maxMsgSize, dedupSpace))
+    val prog = graft.functions.SyslogParseExpr.programName(tag)
+    reports
+      .withColumn("br", dec)
+      .select(
+        reports.columns.filter(_ != textCol).map(col) ++ Seq(
+          lit("imbatchreport").as("inputname"),
+          lit(java.net.InetAddress.getLocalHost.getHostName).as("fromhost"),
+          col("br.msg").as("rawmsg"),
+          lit(0).as("protocol_version"),
+          lit(facility * 8 + severity).as("pri"),
+          lit(facility).as("facility"), lit(severity).as("severity"),
+          // SD timestamp (epoch seconds) overrides reception time
+          when(col("br.ts_epoch").isNotNull,
+            timestamp_seconds(col("br.ts_epoch"))).otherwise(now).as("ts"),
+          lit(java.net.InetAddress.getLocalHost.getHostName).as("hostname"),
+          coalesce(col("br.program"),
+            lit(if (prog == null || prog.isEmpty) null else prog)
+              .cast("string")).as("app_name"),
+          lit("-").as("procid"),
+          lit("-").as("msgid"),
+          col("br.structured_data").as("structured_data"),
+          lit(tag).as("syslogtag"),
+          coalesce(col("br.program"), lit(prog).cast("string"))
+            .as("programname"),
+          col("br.msg").as("msg"),
+          col("br.ts_epoch").as("ts_epoch"),
+          col("br.too_large").as("too_large"),
+          lit(true).as("parsesuccess"),
+          lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
+  }
+
   /** The standard decode pipeline: framed lines -> parsed LogEvent columns
     * (parser chain ~= one expression, SURVEY S2.9). Reception sanitize
     * mirrors runtime/parser.c SanitizeMsg in the reference's default
