@@ -226,15 +226,16 @@ object TemplateCompiler {
       // BLANK → "", ZERO → "0", FIELD → the whole property value
       val spec = p.from.split(",").toSeq
       // an omitted type means BRE in the reference (template.c:1592-1604)
-      // — reject it like explicit BRE rather than silently running ERE
       val typ = spec.lift(1).filter(_.nonEmpty).getOrElse("BRE")
-      require(typ == "ERE",
-        s"regex type $typ unsupported here (POSIX ERE only; BRE is the " +
-        "reference default when omitted and is not translated)")
       val sub = spec.lift(2).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
       val nomatch = spec.lift(3).filter(_.nonEmpty).getOrElse("DFLT")
       val matchNo = spec.lift(4).filter(_.nonEmpty).map(_.toInt).getOrElse(0)
-      val re = graft.functions.PosixRegex.translate(p.to)
+      val re = typ match {
+        case "ERE" => graft.functions.PosixRegex.translate(p.to)
+        case "BRE" => graft.functions.PosixRegex.translateBre(p.to)
+        case other => throw new IllegalArgumentException(
+          s"regex type $other unsupported (BRE/ERE)")
+      }
       val all = regexp_extract_all(c, lit(re), lit(sub))
       val hit = size(all) > matchNo
       val v = element_at(all, lit(matchNo + 1))

@@ -128,12 +128,47 @@ class TemplateSpec extends SparkSpec {
     assert(r("%msg:R,ERE,1,DFLT,1:([a-z])=--end%") == "b")
     assert(r("%msg:R,ERE,1,DFLT,2:([a-z])=--end%") == "c")
     assert(r("%msg:R,ERE,1,DFLT,0:(\\w+):?--end%") == "a") // ':' in regex
-    // an omitted type segment means BRE in the reference
-    // (template.c:1592-1604) — rejected like explicit BRE, never
-    // silently run with ERE semantics
-    intercept[IllegalArgumentException](render("%msg:R:b(o)dy--end%"))
-    intercept[IllegalArgumentException](render("%msg:R,,1,DFLT,0:b(o)dy--end%"))
-    intercept[IllegalArgumentException](render("%msg:R,BRE,1,DFLT,0:b(o)dy--end%"))
+  }
+
+  test("BRE regex form: the reference's default dialect translates") {
+    // an omitted type segment means BRE (template.c:1592-1604): groups
+    // are \(..\), intervals \{m,n\}, bare ( ) { } + ? | are literals
+    assert(render("%msg:R,BRE,1,DFLT,0:b\\(o\\)dy--end%") == "o")
+    // omitted type = BRE; no submatch segment = whole match (sub 0)
+    assert(render("%msg:R:b\\(o\\)dy--end%") == "body")
+    assert(render("%msg:R,,1,DFLT,0:b\\(o\\)dy--end%") == "o")
+    val lit = Seq(Tuple1("f(x)=a+b? c|d {2}")).toDF("msg")
+    def r(t: String): String =
+      lit.select(TemplateCompiler.compile(t, col).as("r"))
+        .collect()(0).getString(0)
+    // bare metas match literally in BRE
+    assert(r("%msg:R,BRE,0,DFLT,0:f(x)--end%") == "f(x)")
+    assert(r("%msg:R,BRE,0,DFLT,0:a+b?--end%") == "a+b?")
+    assert(r("%msg:R,BRE,0,DFLT,0:c|d--end%") == "c|d")
+    assert(r("%msg:R,BRE,0,DFLT,0:{2}--end%") == "{2}")
+    // \{m,n\} interval + GNU \+ operator + bracket class
+    val num = Seq(Tuple1("id=40049 rest")).toDF("msg")
+    def rn(t: String): String =
+      num.select(TemplateCompiler.compile(t, col).as("r"))
+        .collect()(0).getString(0)
+    assert(rn("%msg:R,BRE,0,DFLT,0:[0-9]\\{5\\}--end%") == "40049")
+    assert(rn("%msg:R,BRE,1,DFLT,0:id=\\([[:digit:]]\\+\\)--end%") == "40049")
+    // back-reference \1 carries over (BRE supports backrefs)
+    val dup = Seq(Tuple1("go abab end")).toDF("msg")
+    assert(dup.select(TemplateCompiler.compile(
+      "%msg:R,BRE,1,DFLT,0:\\(ab\\)\\1--end%", col).as("r"))
+      .collect()(0).getString(0) == "ab")
+    // a leading * is a literal in BRE; mid-pattern ^ and $ are literal
+    val star = Seq(Tuple1("*note a^b x$y")).toDF("msg")
+    def rs(t: String): String =
+      star.select(TemplateCompiler.compile(t, col).as("r"))
+        .collect()(0).getString(0)
+    assert(rs("%msg:R,BRE,0,DFLT,0:*note--end%") == "*note")
+    assert(rs("%msg:R,BRE,0,DFLT,0:a^b--end%") == "a^b")
+    assert(rs("%msg:R,BRE,0,DFLT,0:x$y--end%") == "x$y")
+    // unknown dialect token still rejected
+    intercept[IllegalArgumentException](
+      render("%msg:R,PCRE,1,DFLT,0:b(o)dy--end%"))
   }
 
   test("template-level SQL/STDSQL escape hits properties, not constants") {
