@@ -2131,22 +2131,32 @@ object Queries {
         .parquet(inDir.getPath)
       val q = stream.writeStream
         .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          // reload AT the batch boundary — rsyslog's swap point
+          // reload AT the batch boundary — rsyslog's swap point.
+          // foreachBatch is at-least-once: output goes to a per-batchId
+          // path (overwrite = idempotent on retry) and the table swap
+          // runs exactly once, keyed to the epoch-1 commit.
           val tbl = LookupTable.load(lookupFile.getPath)
           df.withColumn("cls", tbl.probe(col("event_type")))
             .withColumn("epoch", lit(batchId + 1))
-            .write.mode("append").parquet(outDir)
-          // epoch-1 commit rewrites the file: next reload sees v2
-          writeTable("""{"version":1,"nomatch":"UNK","type":"string","table":[
-            {"index":"error","value":"sev-crit"},{"index":"signup","value":"acq"}]}""")
+            .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+          if (batchId == 0)
+            writeTable("""{"version":1,"nomatch":"UNK","type":"string","table":[
+              {"index":"error","value":"sev-crit"},{"index":"signup","value":"acq"}]}""")
           ()
         }
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outDir)
+      val agg = s.read.parquet(s"$outDir/batch_0", s"$outDir/batch_1")
         .groupBy(col("epoch"), col("cls")).agg(count(lit(1)).as("n"))
+      val rows = agg.collect() // bounded: #epochs × #classes
+      // reap the workdir now — deleteOnExit is a no-op for non-empty dirs
+      try Files.walk(work.toPath)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: java.io.IOException => }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
     }),
 
     "stream_dynstats" -> ((s, dir) => {

@@ -47,7 +47,7 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val raw = rebalance(spark, spark.read.parquet(path), path)
-    raw.schema("ts").dataType match {
+    val norm = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
@@ -56,6 +56,11 @@ object Tables {
         raw.withColumn("ts_ns", unix_micros(tsCol) * 1000)
           .withColumn("ts", tsCol)
     }
+    // fixed column order regardless of corpus revision (the two branches
+    // would otherwise place ts/ts_ns differently — visible to
+    // star-selects if the corpus flips back)
+    val others = raw.columns.filter(_ != "ts")
+    norm.select(others.map(col) :+ col("ts_ns") :+ col("ts"): _*)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")

@@ -859,6 +859,12 @@ object Sources {
     * takes list element N. Deterministic like the reference's
     * static-counter mock — this is the test/verification provider, not
     * a network call.
+    *
+    * SCALE CONSTRAINT: the global rank (Window.orderBy with no
+    * partitionBy) collapses the frame into ONE partition — inherent to
+    * the mock's sequential-counter semantics, fine for the bounded
+    * verification frames it serves, but do NOT reuse on a full-size
+    * frame; a real provider boundary is a per-batch map, not a rank.
     */
   def mmaitagMockLabels(mockResponse: String, orderCol: Column): Column = {
     val labels = mockResponse.split(",").toSeq

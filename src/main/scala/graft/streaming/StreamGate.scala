@@ -67,8 +67,8 @@ object StreamGate {
     val raw = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", Int.MaxValue.toString)
       .parquet(s"$dir/{$name.parquet}")
-    if (name == "events")
-      schema("ts").dataType match {
+    if (name == "events") {
+      val norm = schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumnRenamed("ts", "ts_ns")
             .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
@@ -77,7 +77,10 @@ object StreamGate {
           raw.withColumn("ts_ns", unix_micros(tsCol) * 1000)
             .withColumn("ts", tsCol)
       }
-    else raw
+      // same fixed column order as Tables.events (corpus-revision-proof)
+      val others = raw.columns.filter(_ != "ts")
+      norm.select(others.map(col) :+ col("ts_ns") :+ col("ts"): _*)
+    } else raw
   }
 
   /** Run a bounded streaming frame to completion (checkpointing ON) and
