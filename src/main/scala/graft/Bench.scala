@@ -109,6 +109,107 @@ object Bench {
     out
   }
 
+  /** sf10 corpus: 100 shards of sf0.1 documents/embeddings = 500k docs /
+    * 200k vectors — one decade above the sf1 rehearsal, two above
+    * verification scale. Shape matters as much as count: naively copying
+    * 100 shards of near-identical text would multiply the DUPLICATION
+    * factor (100-wide duplicate groups → quadratic candidate-pair growth
+    * inside each LSH bucket), which is a different — and unrealistic —
+    * workload from a 10× larger crawl. Instead the 100 shards form 10
+    * content BLOCKS: a per-block letter rotation rewrites nearly every
+    * shingle (blocks are mutually dissimilar), while within each block
+    * the sf1 crawl-duplication shape repeats exactly (4 byte-identical
+    * copies + 6 single-trailing-token variants). The corpus grows 10× in
+    * DISTINCT documents at constant duplication factor — how a real
+    * crawl scales. Embeddings likewise: a block-dependent sign-flip
+    * pattern makes cross-block vectors near-orthogonal while the small
+    * within-block shift keeps the 10-wide near-dup groups. */
+  private def synthesizeSf10(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_sf10"
+    val marker = new java.io.File(out, "_SYNTH_DONE_v1")
+    if (!marker.exists()) {
+      val shards = 100
+      val sh = spark.range(shards).select(col("id").as("shard"))
+      val block = (col("shard") / 10).cast("int")
+      val pos = (col("shard") % 10).cast("int")
+      // 10 distinct rotations of a 10-letter alphabet: block b translates
+      // via the alphabet rotated by b, so most characters (and therefore
+      // most shingles) differ between blocks; rotation 0 is the identity
+      val alpha = "aeiounrsth"
+      val rotated = (1 until 10).foldLeft(col("text")) { (acc, b) =>
+        when(block === b,
+          translate(col("text"), alpha, alpha.drop(b) + alpha.take(b)))
+          .otherwise(acc)
+      }
+      Tables.documents(spark, sfDir).crossJoin(sh).select(
+        (col("doc_id") + col("shard") * 100000000L).as("doc_id"),
+        when(pos <= 3, rotated)
+          .otherwise(concat(rotated, lit(" shard"), pos)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+        .repartition(shards)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // cross-block dissimilarity via deterministic per-block sign flips
+      // (random-ish half-dim flips → near-orthogonal across blocks,
+      // norms preserved); within-block near-dup groups via the sf1-style
+      // small additive shift
+      Tables.embeddings(spark, sfDir).crossJoin(sh).select(
+        (col("vec_id") + col("shard") * 100000000L).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, i) => {
+            val flip = when(((i + lit(1)) * (block + lit(2))) % 7 < 3,
+              lit(-1.0f)).otherwise(lit(1.0f))
+            (v * flip + (col("shard") % 10).cast("float") * lit(0.001f))
+              .cast("float")
+          }).as("embedding"),
+        col("label"))
+        .repartition(shards)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      marker.createNewFile()
+    }
+    out
+  }
+
+  /** Single-trial spot-run of the dedup/ANN family at sf10 — the 100 TB
+    * story is argued from bucketed-by-design kernels; this adds one more
+    * decade of measured curve (sf0.1 → sf1 → sf10) as evidence. Only the
+    * families whose scale behavior is non-obvious run here (candidate
+    * generation, iterative CC, ANN); the rest of the suite already has
+    * its sf1 point. */
+  private def sf10Section(spark: SparkSession, sfDir: String): (String, String) = {
+    val names = Seq("dedup_exact", "dedup_canonical", "dedup_minhash",
+      "dedup_simhash", "dedup_ngram", "dedup_substring", "dedup_clusters",
+      "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf")
+    val sf10Dir = synthesizeSf10(spark, sfDir)
+    spark.sqlContext.clearCache()
+    System.gc()
+    val timed = names.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sf10Dir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench:sf10] $n failed: ${e.getMessage}"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench:sf10] $n%-18s $dt%8.2fs${if (ok) "" else "  FAILED"}")
+        (n, dt, ok)
+      }
+    }
+    val nDocs = Tables.documents(spark, sf10Dir).count()
+    val nEmb = Tables.embeddings(spark, sf10Dir).count()
+    val qj = timed.map { case (n, t, ok) =>
+      "\"" + n + "\":" + (if (ok) f"$t%.3f" else "null")
+    }.mkString("{", ",", "}")
+    val total = timed.filter(_._3).map(_._2).sum
+    val failed = timed.count(!_._3)
+    val worst = timed.filter(_._3).sortBy(-_._2).take(3)
+      .map { case (n, t, _) => "\"" + n + f"""\":$t%.3f""" }.mkString("{", ",", "}")
+    (f""""sf10":{"dir":"$sf10Dir","shards":100,"rows":{"documents":$nDocs,"embeddings":$nEmb},"queries":$qj,"total":$total%.3f,"failed":$failed}""",
+     f""""sf10_total":$total%.3f,"sf10_failed":$failed,"sf10_worst":$worst""")
+  }
+
   /** One bench pass of the FULL query suite at the synthesized sf1
     * scale — every operator family (parse/template/stream/dedup/ANN/
     * text) gets a recorded data point one decade above verification
@@ -280,23 +381,36 @@ object Bench {
         """"baseline_ratio":1.0,"baseline_anchor":"assumed""""
     }
     // sf1 scale rehearsal (skipped during single-query local iteration or
-    // with SPARK_GRAFT_SF1=off)
+    // with SPARK_GRAFT_SF1=off; `sf1` as an explicit arg forces it — the
+    // local-iteration aid for the scale sections themselves)
     val (sf1Json, sf1Summary) =
-      if (args.nonEmpty || sys.env.get("SPARK_GRAFT_SF1").contains("off")) ("", "")
+      if ((args.nonEmpty && !args.contains("sf1")) ||
+          sys.env.get("SPARK_GRAFT_SF1").contains("off")) ("", "")
       else try {
         val (full, short) = sf1Section(spark, sfDir)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf1] section failed: ${e.getMessage}"); ("", "")
       }
+    // sf10 dedup/ANN spot-run (skipped in single-query mode or with
+    // SPARK_GRAFT_SF10=off; `sf10` as an explicit arg forces it)
+    val (sf10Json, sf10Summary) =
+      if ((args.nonEmpty && !args.contains("sf10")) ||
+          sys.env.get("SPARK_GRAFT_SF10").contains("off")) ("", "")
+      else try {
+        val (full, short) = sf10Section(spark, sfDir)
+        ("," + full, "," + short)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench:sf10] section failed: ${e.getMessage}"); ("", "")
+      }
     val trialStats = "{\"median\":" + f"$trialMed%.0f" + ",\"mad\":" +
       f"$trialMad%.0f" + ",\"trials\":" +
       trialRates.map(r => f"$r%.0f").mkString("[", ",", "]") + "}"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$ratioJson$sf1Json}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$ratioJson$sf1Json$sf10Json}""")
     // compact recap AFTER the full line: the driver keeps only the last
     // few KB of stdout, and the full line's headline fields sit at its
     // FRONT — this short line guarantees they survive the tail window
-    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$ratioJson$sf1Summary}""")
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$ratioJson$sf1Summary$sf10Summary}""")
     spark.stop()
   }
 }

@@ -273,7 +273,13 @@ object Queries {
         Seq(lit("syslog.all"), concat(lit("syslog.sev"), col("event_id") % 8)))
         .select(col("event_id"),
           element_at(col("frames"), 1).as("topic"),
-          element_at(col("frames"), 2).as("payload"))
+          element_at(col("frames"), 2).as("payload"),
+          // deep probes on the FRAME ARRAY itself: a layout change (e.g.
+          // topic+msg collapsed into one frame) flips n_frames and breaks
+          // the wire image, where the element-1/2 probes alone would
+          // just read nulls that an authored oracle could mirror
+          size(col("frames")).as("n_frames"),
+          concat_ws("", col("frames")).as("frames_wire"))
     }),
 
     // §2.9 mmaitag — external-AI classification fold: mock-provider
@@ -332,10 +338,24 @@ object Queries {
         when(col("event_id") % 3 === 0,
           substring(md5(concat(lit("s"), col("event_id"))), 1, 16))
           .as("span_id"))
-      graft.sources.Sources.omotelExport(src, "body", "host", "app",
+      val out = graft.sources.Sources.omotelExport(src, "body", "host", "app",
         "procid", "msgid", "facility", "severity", "ts", None,
         "batch_id", "event_id", maxItems = 50,
         traceIdCol = Some("trace_id"), spanIdCol = Some("span_id"))
+      // deep probes: JSON-path INTO the rendered payload, so a nested
+      // object accidentally rendered as an escaped string (the imdocker
+      // Labels failure mode) comes back null here instead of hiding
+      // behind a whole-payload hash that was authored to match
+      val rec0 = "$.resourceLogs[0].scopeLogs[0].logRecords[0]"
+      out.withColumn("probe_body",
+          get_json_object(col("payload"), s"$rec0.body.stringValue"))
+        .withColumn("probe_sev",
+          get_json_object(col("payload"), s"$rec0.severityNumber").cast("long"))
+        .withColumn("probe_attr0_key",
+          get_json_object(col("payload"), s"$rec0.attributes[0].key"))
+        .withColumn("probe_res_attr0",
+          get_json_object(col("payload"),
+            "$.resourceLogs[0].resource.attributes[0].value.stringValue"))
     }),
 
     // §2.5 imbeats Lumberjack v2 session decode (plugins/imbeats
@@ -2518,13 +2538,17 @@ object Queries {
         | FROM names""".stripMargin),
 
     "czmq_pub" -> (Queries.synthSql +
-      """ SELECT event_id, 'syslog.all' AS topic,
-        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS payload
-        | FROM ev
-        | UNION ALL
-        | SELECT event_id, 'syslog.sev' || (event_id % 8),
-        |   'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
-        | FROM ev""".stripMargin),
+      """ SELECT event_id, topic, payload,
+        |   2 AS n_frames,
+        |   topic || chr(1) || payload AS frames_wire
+        | FROM (
+        |   SELECT event_id, 'syslog.all' AS topic,
+        |     'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') AS payload
+        |   FROM ev
+        |   UNION ALL
+        |   SELECT event_id, 'syslog.sev' || (event_id % 8),
+        |     'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
+        |   FROM ev)""".stripMargin),
 
     "mmaitag" -> (Queries.synthSql +
       """ SELECT event_id,
@@ -2589,6 +2613,16 @@ object Queries {
         |    min(host) = max(host) AS same_host,
         |    min(host) AS h0, count(*) AS n_records
         |  FROM recs GROUP BY 1, 2)
+        |SELECT batch_id, chunk, payload, n_records,
+        |  json_extract_string(payload,
+        |    '$.resourceLogs[0].scopeLogs[0].logRecords[0].body.stringValue') AS probe_body,
+        |  CAST(json_extract(payload,
+        |    '$.resourceLogs[0].scopeLogs[0].logRecords[0].severityNumber') AS BIGINT) AS probe_sev,
+        |  json_extract_string(payload,
+        |    '$.resourceLogs[0].scopeLogs[0].logRecords[0].attributes[0].key') AS probe_attr0_key,
+        |  json_extract_string(payload,
+        |    '$.resourceLogs[0].resource.attributes[0].value.stringValue') AS probe_res_attr0
+        |FROM (
         |SELECT batch_id, chunk,
         |  '{ "resourceLogs": [ { "resource": { "attributes": [ ' ||
         |  '{ "key": "service.name", "value": { "stringValue": "rsyslog" } }, ' ||
@@ -2601,7 +2635,7 @@ object Queries {
         |  ' ] }, "scopeLogs": [ { "scope": { "name": "rsyslog.omotel", "version": "8.2608.0.daily" }, "logRecords": [ ' ||
         |  recs || ' ] } ] } ] }' AS payload,
         |  n_records
-        |FROM b""".stripMargin,
+        |FROM b)""".stripMargin,
 
     "imbeats_decode" ->
       """SELECT e.event_id,
