@@ -50,23 +50,32 @@ object Dedup {
     * (signatures, set sizes) so downstream needs no joins back to the
     * corpus.
     *
-    * Unlike a join, the m²/2 pairs of one bucket materialize in a single
-    * row before explode, so a degenerate hot bucket (a stop-shingle, a
-    * band bucket full of identical docs) is a task-OOM hazard —
     * `maxBucket` drops buckets above the bound (the standard stop-shingle
     * guard: a key shared by >1024 documents identifies nothing, and EXACT
     * duplicates are the exact-dedup layer's job, which has no such cap).
     * The cap is part of the operator contract: the DuckDB oracles apply
-    * the same bound, so engine and oracle agree on capped corpora too. */
+    * the same bound, so engine and oracle agree on capped corpora too.
+    *
+    * Pair emission is a TWO-step explode — (member, bucket) rows first,
+    * then each member against its tail slice — so per-row memory is
+    * O(m), never O(m²). The first cut built the whole m²/2 pair array of
+    * a bucket inside ONE row before exploding; with payload-carrying
+    * members (near-dup embeddings at ~300 B/struct) a bucket at the
+    * 1024 cap materialized ~300 MB per row × concurrent tasks = task
+    * OOM, found by the sf10 spot-run. The collect_list buffer itself
+    * stays O(maxBucket·payload) for KEPT buckets; a degenerate >cap
+    * bucket still buffers before the size filter — acceptable because
+    * the band-key space is sized so buckets are ≤ ~10⁴ members, and the
+    * buffer is linear, not quadratic, in bucket size. */
   private[operators] def bucketPairs(df: DataFrame, bucketCols: Seq[Column],
                                      member: Column, maxBucket: Int = 1024): DataFrame =
     df.groupBy(bucketCols: _*)
       .agg(sort_array(collect_list(member)).as("ms"))
       .filter(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
-      .select(explode(flatten(transform(col("ms"), (a, i) =>
-        transform(
-          slice(col("ms"), i + 2, greatest(size(col("ms")) - i - 1, lit(0))),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"), explode(
+        slice(col("ms"), col("i") + lit(2), size(col("ms")) - col("i") - 1)).as("b"))
+      .select(struct(col("a").as("a"), col("b").as("b")).as("p"))
 
   /** MinHash-LSH candidate pairs: b bands of r rows (k = b*r). Docs
     * sharing any band bucket become candidates; estimated Jaccard =

@@ -452,13 +452,47 @@ object InputBinding {
     * rfc5424→rfc3164 list. */
   private def bindFeed(typ: String, df: DataFrame, now: Column,
                        defaultYear: Int,
-                       chain: Option[Seq[(String, Map[String, String])]] = None): DataFrame = {
+                       chain: Option[Seq[(String, Map[String, String])]] = None,
+                       p: Map[String, String] = Map.empty): DataFrame = {
+    def on(k: String, dflt: Boolean = false): Boolean =
+      p.get(k).map(_ == "on").getOrElse(dflt)
     if (typ == "imkafka" || df.columns.contains("topic"))
       Sources.imkafkaDecode(df, defaultYear)
         .withColumn("ts", coalesce(col("ts"), now))
     else if (typ == "imjournal")
       // feed rows carry one journal EXPORT-format entry per row
       Sources.imjournalDecode(df)
+        .withColumn("ts", coalesce(col("ts"), now))
+    // per-type preset decodes for the niche transports: the read is the
+    // feed's job, the module's header/PRI/property shaping happens here
+    else if (typ == "imklog")
+      Sources.imklogDecode(df,
+        permitNonKernel = on("permitnonkernelfacility"),
+        keepKernelStamp = on("keepkerneltimestamp"), now = now)
+    else if (typ == "imkmsg")
+      Sources.imkmsgDecode(df, now = now)
+    else if (typ == "improg" || typ == "imfifo")
+      Sources.lineInputDecode(df, typ,
+        tag = p.getOrElse("tag", ""),
+        facility = facilityNum(p.getOrElse("facility", "local0")),
+        severity = severityNum(p.getOrElse("severity", "notice")),
+        now = now)
+    else if (typ == "imhiredis")
+      Sources.imhiredisDecode(df,
+        mode = p.getOrElse("mode", "queue"),
+        streamKey = p.getOrElse("key", ""),
+        group = p.getOrElse("stream.consumergroup", ""),
+        consumer = p.getOrElse("stream.consumername", ""),
+        now = now)
+    else if (typ == "imuxsock")
+      Sources.imuxsockDecode(df,
+        annotate = on("annotate"),
+        parseTrusted = on("parsetrusted"),
+        defaultYear = defaultYear)
+        .withColumn("ts", coalesce(col("ts"), now))
+    else if (typ == "imhttp")
+      Sources.imhttpDecode(df, addMetadata = on("addmetadata"),
+        defaultYear = defaultYear)
         .withColumn("ts", coalesce(col("ts"), now))
     else {
       val withProv0 =
@@ -507,7 +541,7 @@ object InputBinding {
           Some(bindImbatchreport(spark, p, feeds, now))
         case t =>
           feed(feeds, p, t) match {
-            case Some(df) => Some(bindFeed(t, df, now, defaultYear, chain))
+            case Some(df) => Some(bindFeed(t, df, now, defaultYear, chain, p))
             case None =>
               log.warn(s"input(type=\"$t\"${p.get("port").map(po => s" port=$po").getOrElse("")}) " +
                 "has no bound feed in this run; listener idle")

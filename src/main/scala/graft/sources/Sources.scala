@@ -993,4 +993,298 @@ object Sources {
   def withStats(df: DataFrame, name: String): DataFrame =
     df.observe(name, count(lit(1)).as("n_processed"),
       sum(when(col("parsesuccess") === false, 1).otherwise(0)).as("n_parse_fail"))
+
+  // ---- niche input transports: preset decodes ---------------------------
+  // The socket/device read itself is platform transport (the `feeds`
+  // boundary); everything the reference's input module does PAST the read
+  // — header parse, PRI/tag stamping, property trees — is modeled here.
+
+  private def withProvenance(df: DataFrame, inputname: String): DataFrame = {
+    val a = if (df.columns.contains("inputname")) df
+            else df.withColumn("inputname", lit(inputname))
+    if (a.columns.contains("fromhost")) a
+    else a.withColumn("fromhost",
+      lit(java.net.InetAddress.getLocalHost.getHostName))
+  }
+
+  /** imklog decode (plugins/imklog: bsd.c submitSyslog:72-148 strips the
+    * kernel `[secs.usecs]` stamp sitting right after the PRI header;
+    * imklog.c Syslog():245-277 then resolves the PRI — a systemd-style
+    * SECONDARY `<N>` directly (or one space) after a single-digit first
+    * PRI wins when it parses to 8..191, else the leading PRI, else the
+    * klog default kern.info — and drops non-kern facilities unless
+    * permitnonkernel). rawmsg/msg = the after-PRI text (enqMsg receives
+    * the advanced pointer), TAG "kernel:". `ts` is reception time —
+    * parseKernelStamp's boot-relative clock needs the reader host's boot
+    * epoch, which the transport feed would carry; default off as in the
+    * reference. */
+  def imklogDecode(lines: DataFrame, valueCol: String = "value",
+                   permitNonKernel: Boolean = false,
+                   keepKernelStamp: Boolean = false,
+                   now: Column = current_timestamp()): DataFrame = {
+    val src = withProvenance(lines, "imklog")
+    val raw0 = col(valueCol)
+    // strip `[ts]` only when it directly follows a valid <PRI> (endpri
+    // index check, bsd.c:84-86); keepkernelstamp="on" keeps it in place
+    val dekmsg =
+      if (keepKernelStamp) src.withColumn("__b", raw0)
+      else src.withColumn("__b", regexp_replace(raw0,
+        "^(<\\d{1,3}>)\\[ *\\d+\\.\\d+\\]", "$1"))
+    val b = col("__b")
+    // secondary-PRI window: first PRI exactly one digit, then '<' at
+    // offset 3 or ' <' at offset 3-4 (imklog.c:254-257)
+    val sec = regexp_extract(b, "^<\\d> ?<(\\d{1,3})>", 1)
+    val secValid = sec =!= "" && sec.cast("int").between(8, 191)
+    val prim = regexp_extract(b, "^<(\\d{1,3})>", 1)
+    val primValid = prim =!= "" && prim.cast("int") <= 191
+    val stage = dekmsg
+      .withColumn("__pri",
+        when(secValid, sec.cast("int"))
+          .when(primValid, prim.cast("int"))
+          .otherwise(lit(6))) // LOG_INFO from readklog
+      .withColumn("__body",
+        when(secValid, regexp_replace(b, "^<\\d> ?<\\d{1,3}>", ""))
+          .when(primValid, regexp_replace(b, "^<\\d{1,3}>", ""))
+          .otherwise(b))
+    val kept =
+      if (permitNonKernel) stage
+      else stage.filter((col("__pri") / 8).cast("int") === 0)
+    kept.select(
+      col("inputname"), col("fromhost"),
+      col("__body").as("rawmsg"),
+      lit(0).as("protocol_version"),
+      col("__pri").as("pri"),
+      (col("__pri") / 8).cast("int").as("facility"),
+      (col("__pri") % 8).cast("int").as("severity"),
+      now.as("ts"),
+      col("fromhost").as("hostname"),
+      lit("kernel").as("app_name"),
+      lit(null).cast("string").as("procid"),
+      lit(null).cast("string").as("msgid"),
+      lit(null).cast("string").as("structured_data"),
+      lit("kernel:").as("syslogtag"),
+      lit("kernel").as("programname"),
+      col("__body").as("msg"),
+      lit(true).as("parsesuccess"),
+      lit("{}").as("vars_msg"), lit("{}").as("vars_local"))
+  }
+
+  /** imkmsg decode (contrib/imkmsg/kmsg.c submitSyslog:68-190): one
+    * /dev/kmsg record per row — `pri,seq,usec[,flags];msg` with optional
+    * ` KEY=value` continuation lines. A record that fails the
+    * pri/seq/`;` scan is dropped (the reference returns without
+    * submitting). The $! tree carries sequnum (int), msg, then every
+    * continuation property in order (json-c insertion order preserved by
+    * the merge); continuation lines without '=' are skipped — the
+    * reference `break`s there, a binary-field artifact text frames
+    * cannot carry. TAG "kernel:"; ts = reception time (the boot-relative
+    * µs stamp needs the reader host's boot epoch, as with imklog). */
+  def imkmsgDecode(entries: DataFrame, valueCol: String = "value",
+                   now: Column = current_timestamp()): DataFrame = {
+    val src = withProvenance(entries, "imkmsg")
+    val v = col(valueCol)
+    val hdr = regexp_extract(v, "^(\\d+),(\\d+),(\\d+)[^;\\n]*;", 0)
+    val stage = src
+      .withColumn("__hdr", hdr)
+      .filter(col("__hdr") =!= "")
+      .withColumn("__pri", regexp_extract(v, "^(\\d+),", 1).cast("int"))
+      .withColumn("__seq",
+        regexp_extract(v, "^\\d+,(\\d+),", 1).cast("long"))
+      .withColumn("__after", expr(s"substring($valueCol, length(__hdr) + 1)"))
+      .withColumn("__msg", regexp_extract(col("__after"), "^([^\\n]*)", 1))
+      .withColumn("__props",
+        filter(
+          transform(
+            slice(split(col("__after"), "\n"), lit(2), greatest(
+              size(split(col("__after"), "\n")) - 1, lit(0))),
+            l => struct(
+              regexp_extract(l, "^ ?([^= \\n]+)=", 1).as("key"),
+              regexp_extract(l, "^ ?[^= \\n]+=(.*)$", 1).as("value"))),
+          kv => kv.getField("key") =!= ""))
+    val base = to_json(struct(col("__seq").as("sequnum"),
+      col("__msg").as("msg")))
+    val varsMsg = when(size(col("__props")) > 0,
+      graft.functions.rainer.json_merge(base,
+        to_json(map_from_entries(col("__props")))))
+      .otherwise(base)
+    stage.select(
+      col("inputname"), col("fromhost"),
+      v.as("rawmsg"),
+      lit(0).as("protocol_version"),
+      col("__pri").as("pri"),
+      (col("__pri") / 8).cast("int").as("facility"),
+      (col("__pri") % 8).cast("int").as("severity"),
+      now.as("ts"),
+      col("fromhost").as("hostname"),
+      lit("kernel").as("app_name"),
+      lit(null).cast("string").as("procid"),
+      lit(null).cast("string").as("msgid"),
+      lit(null).cast("string").as("structured_data"),
+      lit("kernel:").as("syslogtag"),
+      lit("kernel").as("programname"),
+      col("__msg").as("msg"),
+      lit(true).as("parsesuccess"),
+      varsMsg.as("vars_msg"), lit("{}").as("vars_local"))
+  }
+
+  /** improg / imfifo line decode (contrib/improg/improg.c enqLine:360-384,
+    * plugins/imfifo/imfifo.c:235-253 — byte-identical submit shape):
+    * empty lines dropped, hostname = the receiver, APPNAME = the tag
+    * verbatim (MsgSetAPPNAME gets the raw tag, not the program-name
+    * slice), PRI = facility|severity (defaults local0.notice, 128|5),
+    * msg = the whole line (MSGoffs 0). */
+  def lineInputDecode(lines: DataFrame, inputname: String, tag: String,
+                      facility: Int = 16, severity: Int = 5,
+                      valueCol: String = "value",
+                      now: Column = current_timestamp()): DataFrame = {
+    val src = withProvenance(lines, inputname)
+    val prog = graft.functions.SyslogParseExpr.programName(tag)
+    src.filter(col(valueCol) =!= "").select(
+      col("inputname"), col("fromhost"),
+      col(valueCol).as("rawmsg"),
+      lit(0).as("protocol_version"),
+      lit(facility * 8 + severity).as("pri"),
+      lit(facility).as("facility"), lit(severity).as("severity"),
+      now.as("ts"),
+      col("fromhost").as("hostname"),
+      lit(tag).as("app_name"),
+      lit(null).cast("string").as("procid"),
+      lit(null).cast("string").as("msgid"),
+      lit(null).cast("string").as("structured_data"),
+      lit(tag).as("syslogtag"),
+      lit(prog).cast("string").as("programname"),
+      col(valueCol).as("msg"),
+      lit(true).as("parsesuccess"),
+      lit("{}").as("vars_msg"), lit("{}").as("vars_local"))
+  }
+
+  /** imhiredis decode (contrib/imhiredis/imhiredis.c). Two submit
+    * shapes exist:
+    *
+    *  - queue/subscribe modes (enqMsg:1084-1105): the popped/published
+    *    string IS the message — no header, no PRI stamp, so the
+    *    msgConstruct defaults show through (facility "invld" = 24,
+    *    severity debug = 7, runtime/msg.c:687-688); empty strings are
+    *    dropped.
+    *  - stream mode (enqueueRedisStreamReply:1857-1890 + enqMsgJson):
+    *    the entry's field map lands whole under `$!`, and `$.redis`
+    *    carries {stream, index [, group, consumer]}; the message text
+    *    itself is EMPTY (enqMsgJson never sets rawmsg).
+    *
+    * For stream mode pass the entry JSON in `valueCol` and the entry id
+    * in an `index` column. */
+  def imhiredisDecode(df: DataFrame, mode: String = "queue",
+                      streamKey: String = "", group: String = "",
+                      consumer: String = "",
+                      valueCol: String = "value",
+                      now: Column = current_timestamp()): DataFrame = {
+    val src = withProvenance(df, "imhiredis")
+    val common = Seq(
+      lit(0).as("protocol_version"),
+      lit(24 * 8 + 7).as("pri"),
+      lit(24).as("facility"), lit(7).as("severity"),
+      now.as("ts"),
+      col("fromhost").as("hostname"),
+      lit(null).cast("string").as("app_name"),
+      lit(null).cast("string").as("procid"),
+      lit(null).cast("string").as("msgid"),
+      lit(null).cast("string").as("structured_data"),
+      lit("").as("syslogtag"),
+      lit("").as("programname"))
+    if (mode == "stream") {
+      // group/consumer only when configured, like the reference's
+      // conditional object_add
+      val redisObj =
+        if (group.nonEmpty && consumer.nonEmpty)
+          struct(lit(streamKey).as("stream"), col("index").cast("string").as("index"),
+            lit(group).as("group"), lit(consumer).as("consumer"))
+        else if (group.nonEmpty)
+          struct(lit(streamKey).as("stream"), col("index").cast("string").as("index"),
+            lit(group).as("group"))
+        else
+          struct(lit(streamKey).as("stream"), col("index").cast("string").as("index"))
+      src.select(Seq(col("inputname"), col("fromhost"),
+        lit("").as("rawmsg")) ++ common ++ Seq(
+        lit("").as("msg"),
+        lit(true).as("parsesuccess"),
+        col(valueCol).cast("string").as("vars_msg"),
+        to_json(struct(redisObj.as("redis"))).as("vars_local")): _*)
+    } else {
+      src.filter(col(valueCol).isNotNull && col(valueCol) =!= "")
+        .select(Seq(col("inputname"), col("fromhost"),
+          col(valueCol).as("rawmsg")) ++ common ++ Seq(
+          col(valueCol).as("msg"),
+          lit(true).as("parsesuccess"),
+          lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
+    }
+  }
+
+  /** imuxsock decode (plugins/imuxsock/imuxsock.c SubmitMsg:908-1140):
+    * datagram text runs through the standard syslog parse; with
+    * annotate + parsetrusted the SCM_CREDENTIALS-derived trusted
+    * properties land as a CEE-root object `$!{pid,uid,gid,appname,exe,
+    * cmd}` (:985-1010, lumberjack placement); with annotate alone they
+    * are APPENDED to the raw text as ` @[_PID=.. _UID=.. _GID=..
+    * [_COMM=..][_EXE=..][_CMDLINE=..]]` before parsing (:1013-1091).
+    * The feed carries the credentials as optional pid/uid/gid/comm/exe/
+    * cmdline columns — the socket peer's identity is transport. The
+    * per-pid ratelimiter (:617-680) is the rate-limit operator's job,
+    * keyed on pid (interval default 0 = off, so not applied here). */
+  def imuxsockDecode(datagrams: DataFrame, annotate: Boolean = false,
+                     parseTrusted: Boolean = false,
+                     valueCol: String = "value",
+                     defaultYear: Int = 2024): DataFrame = {
+    val src = withProvenance(datagrams, "imuxsock")
+    def cred(n: String): Column =
+      if (src.columns.contains(n)) col(n) else lit(null).cast("string")
+    if (annotate && parseTrusted) {
+      val trusted = to_json(struct(
+        cred("pid").cast("long").as("pid"),
+        cred("uid").cast("long").as("uid"),
+        cred("gid").cast("long").as("gid"),
+        cred("comm").as("appname"),
+        cred("exe").as("exe"),
+        cred("cmdline").as("cmd")), Map("ignoreNullFields" -> "true"))
+      decodeSyslog(src, valueCol, defaultYear = defaultYear)
+        .withColumn("vars_msg", trusted)
+    } else if (annotate) {
+      val ann = concat(col(valueCol), lit(" @["),
+        concat_ws(" ",
+          concat(lit("_PID="), coalesce(cred("pid").cast("string"), lit("0"))),
+          concat(lit("_UID="), coalesce(cred("uid").cast("string"), lit("0"))),
+          concat(lit("_GID="), coalesce(cred("gid").cast("string"), lit("0"))),
+          when(cred("comm").isNotNull, concat(lit("_COMM="), cred("comm"))),
+          when(cred("exe").isNotNull, concat(lit("_EXE="), cred("exe"))),
+          when(cred("cmdline").isNotNull,
+            concat(lit("_CMDLINE="), cred("cmdline")))),
+        lit("]"))
+      decodeSyslog(src.withColumn(valueCol, ann), valueCol,
+        defaultYear = defaultYear)
+    } else decodeSyslog(src, valueCol, defaultYear = defaultYear)
+  }
+
+  /** imhttp decode (contrib/imhttp/imhttp.c doSubmitMsg:528-566): each
+    * posted body record is submitted NEEDS_PARSING|PARSE_HOSTNAME —
+    * i.e. it runs the standard parser chain like a tcp frame — with the
+    * peer address as fromhost; addmetadata="on" adds
+    * `$!metadata!httpheaders` and `$!metadata!queryparams`
+    * (msgAddMetadataFromHttpHeader / ...QueryParams, :444-520). The
+    * feed carries body rows in `value` with optional `remoteaddr`,
+    * `headers_json`, `query_json` columns. */
+  def imhttpDecode(df: DataFrame, addMetadata: Boolean = false,
+                   defaultYear: Int = 2024): DataFrame = {
+    val src0 = withProvenance(df, "imhttp")
+    val src = if (src0.columns.contains("remoteaddr"))
+      src0.withColumn("fromhost", coalesce(col("remoteaddr"), col("fromhost")))
+    else src0
+    val dec = decodeSyslog(src, defaultYear = defaultYear)
+    if (!addMetadata) dec
+    else {
+      def j(n: String): Column =
+        if (dec.columns.contains(n)) coalesce(col(n), lit("{}")) else lit("{}")
+      dec.withColumn("vars_msg",
+        concat(lit("{\"metadata\":{\"httpheaders\":"), j("headers_json"),
+          lit(",\"queryparams\":"), j("query_json"), lit("}}")))
+    }
+  }
 }
