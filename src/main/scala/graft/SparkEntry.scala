@@ -449,6 +449,135 @@ object Queries {
           col("syslogtag"), col("pri"))
     }),
 
+    // §2.5 imklog kernel-log decode: PRI resolve incl. the systemd
+    // secondary-PRI window, kernel-timestamp strip, klog default
+    // kern.info, and the permitnonkernel facility gate (plugins/imklog:
+    // bsd.c submitSyslog + imklog.c Syslog) — both modes exercised
+    "imklog_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val line =
+        when(col("event_id") % 4 === 0,
+          concat(lit("<6>[  123.456789] usb 1-1: device e"), col("event_id")))
+        .when(col("event_id") % 4 === 1,
+          concat(lit("<4>[ 99.5] <30>systemd[1]: unit u"), col("event_id")))
+        .when(col("event_id") % 4 === 2,
+          concat(lit("no pri line e"), col("event_id")))
+        .otherwise(concat(lit("<35>mail subsystem e"), col("event_id")))
+      val feed = ev.select(col("event_id"), line.as("value"))
+      val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
+      def shape(d: org.apache.spark.sql.DataFrame, mode: String) =
+        d.select(col("event_id"), lit(mode).as("mode"), col("pri"),
+          col("facility"), col("severity"), col("msg"), col("syslogtag"))
+      shape(graft.sources.Sources.imklogDecode(feed,
+        permitNonKernel = true, now = t0), "all")
+        .unionAll(shape(graft.sources.Sources.imklogDecode(feed, now = t0),
+          "kern"))
+    }),
+
+    // §2.5 imkmsg /dev/kmsg structured decode: pri,seq,usec;msg + the
+    // ` KEY=value` continuation properties into $! (contrib/imkmsg/
+    // kmsg.c submitSyslog); malformed records dropped
+    "imkmsg_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rec =
+        when(col("event_id") % 5 === 0,
+          concat(lit("bad record "), col("event_id")))
+        .otherwise(concat(
+          (col("event_id") % 24).cast("string"), lit(","),
+          col("event_id"), lit(","), col("event_id") * 1000,
+          lit(",-;ev "), col("event_type"),
+          when(col("event_id") % 2 === 0,
+            concat(lit("\n DEVICE=+pci:e"), col("event_id") % 100,
+              lit("\n SUBSYSTEM=pci"))).otherwise(lit(""))))
+      val feed = ev.select(col("event_id"), rec.as("value"))
+      graft.sources.Sources.imkmsgDecode(feed,
+          now = to_timestamp(lit("2024-01-01 00:00:00")))
+        .select(col("event_id"), col("pri"), col("facility"),
+          col("severity"), col("msg"), col("syslogtag"), col("vars_msg"),
+          get_json_object(col("vars_msg"), "$.sequnum").cast("long")
+            .as("probe_seq"),
+          get_json_object(col("vars_msg"), "$.DEVICE").as("probe_dev"))
+    }),
+
+    // §2.5 improg/imfifo line submit: empty lines dropped, APPNAME = the
+    // raw tag, PRI from instance params (contrib/improg enqLine /
+    // plugins/imfifo — byte-identical submit shape)
+    "improg_lines" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val line = when(col("event_id") % 7 === 0, lit(""))
+        .otherwise(concat(lit("out "), col("event_type"),
+          lit(" e"), col("event_id")))
+      val feed = ev.select(col("event_id"), line.as("value"))
+      graft.sources.Sources.lineInputDecode(feed, "improg",
+          tag = "prog[7]:", facility = 16, severity = 5,
+          now = to_timestamp(lit("2024-01-01 00:00:00")))
+        .select(col("event_id"), col("pri"), col("facility"),
+          col("severity"), col("app_name"), col("syslogtag"),
+          col("programname"), col("msg"))
+    }),
+
+    // §2.5 imhiredis: queue/subscribe submits the popped string with the
+    // msgConstruct default PRI (facility invld=24, severity debug);
+    // stream mode lands the entry's fields under $! and $.redis metadata
+    // with an EMPTY message text (contrib/imhiredis enqMsg/enqMsgJson)
+    "imhiredis_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val qfeed = ev.select(col("event_id"),
+        when(col("event_id") % 9 === 0, lit(""))
+          .otherwise(concat(lit("redis msg "), col("event_type"))).as("value"))
+      val sfeed = ev.select(col("event_id"),
+        to_json(struct(col("event_type").as("kind"),
+          col("event_id").as("n"))).as("value"),
+        concat(col("event_id").cast("string"), lit("-0")).as("index"))
+      def shape(d: org.apache.spark.sql.DataFrame, mode: String) =
+        d.select(col("event_id"), lit(mode).as("mode"), col("pri"),
+          col("facility"), col("severity"), col("msg"),
+          col("vars_msg"), col("vars_local"))
+      shape(graft.sources.Sources.imhiredisDecode(qfeed), "queue")
+        .unionAll(shape(graft.sources.Sources.imhiredisDecode(sfeed,
+          mode = "stream", streamKey = "logs", group = "grp",
+          consumer = "c1"), "stream"))
+    }),
+
+    // §2.9 imuxsock: standard parse plus the trusted-properties family —
+    // parsetrusted puts the SCM credentials at the CEE root, annotate
+    // alone appends the ` @[_PID=..]` text before parsing
+    // (plugins/imuxsock SubmitMsg:985-1091)
+    "imuxsock_decode" -> ((s, dir) => {
+      val base = synthSyslog(s, dir).select(col("event_id"),
+        col("rawmsg").as("value"),
+        (col("event_id") % 30000).cast("long").as("pid"),
+        lit(1000L).as("uid"), lit(1000L).as("gid"),
+        col("event_type").as("comm"),
+        concat(lit("/usr/bin/"), col("event_type")).as("exe"),
+        concat(col("event_type"), lit(" --flag")).as("cmdline"))
+      def shape(d: org.apache.spark.sql.DataFrame, mode: String) =
+        d.select(col("event_id"), lit(mode).as("mode"), col("hostname"),
+          col("syslogtag"), col("msg"), col("vars_msg"))
+      shape(graft.sources.Sources.imuxsockDecode(base), "plain")
+        .unionAll(shape(graft.sources.Sources.imuxsockDecode(base,
+          annotate = true), "annotate"))
+        .unionAll(shape(graft.sources.Sources.imuxsockDecode(base,
+          annotate = true, parseTrusted = true), "trusted"))
+    }),
+
+    // §2.5 imhttp: posted body rows run the standard parser chain
+    // (NEEDS_PARSING|PARSE_HOSTNAME) with the peer as fromhost;
+    // addmetadata lands httpheaders/queryparams under $!metadata
+    // (contrib/imhttp doSubmitMsg + msgAddMetadataFromHttp*)
+    "imhttp_decode" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val feed = ev.select(col("event_id"), col("rawmsg").as("value"),
+        concat(lit("10.0.0."), col("user_id") % 250).as("remoteaddr"),
+        to_json(struct(lit("curl/8").as("user-agent"))).as("headers_json"),
+        to_json(struct(col("event_type").as("src"))).as("query_json"))
+      graft.sources.Sources.imhttpDecode(feed, addMetadata = true)
+        .select(col("event_id"), col("hostname"), col("syslogtag"),
+          col("msg"), col("vars_msg"),
+          get_json_object(col("vars_msg"), "$.metadata.queryparams.src")
+            .as("probe_src"))
+    }),
+
     // §2.10 omrelp — RELP client send framing (librelp envelope around
     // relpCltSendSyslog); round-trips with deframeRelp
     "omrelp_frame" -> ((s, dir) => {
@@ -2680,6 +2809,90 @@ object Queries {
         |  'batch:' AS syslogtag,
         |  133 AS pri
         |FROM events""".stripMargin,
+
+    "imklog_decode" ->
+      """WITH d AS (
+        |  SELECT event_id,
+        |    CASE event_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 30
+        |         WHEN 2 THEN 6 ELSE 35 END AS pri,
+        |    CASE event_id % 4
+        |      WHEN 0 THEN ' usb 1-1: device e' || event_id
+        |      WHEN 1 THEN 'systemd[1]: unit u' || event_id
+        |      WHEN 2 THEN 'no pri line e' || event_id
+        |      ELSE 'mail subsystem e' || event_id END AS msg
+        |  FROM events)
+        |SELECT event_id, 'all' AS mode, pri,
+        |  CAST(pri // 8 AS INT) AS facility, CAST(pri % 8 AS INT) AS severity,
+        |  msg, 'kernel:' AS syslogtag FROM d
+        |UNION ALL
+        |SELECT event_id, 'kern', pri,
+        |  CAST(pri // 8 AS INT), CAST(pri % 8 AS INT),
+        |  msg, 'kernel:' FROM d WHERE pri // 8 = 0""".stripMargin,
+
+    "imkmsg_decode" ->
+      """SELECT event_id,
+        |  CAST(event_id % 24 AS INT) AS pri,
+        |  CAST((event_id % 24) // 8 AS INT) AS facility,
+        |  CAST((event_id % 24) % 8 AS INT) AS severity,
+        |  'ev ' || event_type AS msg,
+        |  'kernel:' AS syslogtag,
+        |  '{"sequnum":' || event_id || ',"msg":"ev ' || event_type || '"' ||
+        |  CASE WHEN event_id % 2 = 0
+        |       THEN ',"DEVICE":"+pci:e' || (event_id % 100) ||
+        |            '","SUBSYSTEM":"pci"' ELSE '' END || '}' AS vars_msg,
+        |  event_id AS probe_seq,
+        |  CASE WHEN event_id % 2 = 0
+        |       THEN '+pci:e' || (event_id % 100) END AS probe_dev
+        |FROM events WHERE event_id % 5 <> 0""".stripMargin,
+
+    "improg_lines" ->
+      """SELECT event_id, 133 AS pri, 16 AS facility, 5 AS severity,
+        |  'prog[7]:' AS app_name, 'prog[7]:' AS syslogtag,
+        |  'prog' AS programname,
+        |  'out ' || event_type || ' e' || event_id AS msg
+        |FROM events WHERE event_id % 7 <> 0""".stripMargin,
+
+    "imhiredis_decode" ->
+      """SELECT event_id, 'queue' AS mode, 199 AS pri, 24 AS facility,
+        |  7 AS severity, 'redis msg ' || event_type AS msg,
+        |  '{}' AS vars_msg, '{}' AS vars_local
+        |FROM events WHERE event_id % 9 <> 0
+        |UNION ALL
+        |SELECT event_id, 'stream', 199, 24, 7, '',
+        |  '{"kind":"' || event_type || '","n":' || event_id || '}',
+        |  '{"redis":{"stream":"logs","index":"' || event_id ||
+        |  '-0","group":"grp","consumer":"c1"}}'
+        |FROM events""".stripMargin,
+
+    "imuxsock_decode" -> (Queries.synthSql +
+      """ SELECT event_id, m.mode, hostname,
+        |  event_type || '[' || event_id || ']:' AS syslogtag,
+        |  ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') ||
+        |  ': v100=' || v100 ||
+        |  CASE WHEN m.mode = 'annotate'
+        |       THEN ' @[_PID=' || (event_id % 30000) ||
+        |         ' _UID=1000 _GID=1000 _COMM=' || event_type ||
+        |         ' _EXE=/usr/bin/' || event_type ||
+        |         ' _CMDLINE=' || event_type || ' --flag]'
+        |       ELSE '' END AS msg,
+        |  CASE WHEN m.mode = 'trusted'
+        |       THEN '{"pid":' || (event_id % 30000) ||
+        |         ',"uid":1000,"gid":1000,"appname":"' || event_type ||
+        |         '","exe":"/usr/bin/' || event_type ||
+        |         '","cmd":"' || event_type || ' --flag"}'
+        |       ELSE '{}' END AS vars_msg
+        | FROM ev CROSS JOIN (SELECT unnest(['plain','annotate','trusted'])
+        |   AS mode) m""".stripMargin),
+
+    "imhttp_decode" -> (Queries.synthSql +
+      """ SELECT event_id, hostname,
+        |  event_type || '[' || event_id || ']:' AS syslogtag,
+        |  ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') ||
+        |  ': v100=' || v100 AS msg,
+        |  '{"metadata":{"httpheaders":{"user-agent":"curl/8"},' ||
+        |  '"queryparams":{"src":"' || event_type || '"}}}' AS vars_msg,
+        |  event_type AS probe_src
+        | FROM ev""".stripMargin),
 
     "omrelp_frame" -> (Queries.synthSql +
       """ SELECT event_id,

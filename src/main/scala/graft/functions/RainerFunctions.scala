@@ -360,12 +360,18 @@ object rainer {
     */
   def prifilt(selector: String)(facility: Column, severity: Column): Column = {
     val masks = PriFilt.compile(selector)
-    // constant 24×8 boolean table → array literal indexed by PRI; stays
-    // inside whole-stage codegen, no UDF, no per-row shift.
-    val table = array((0 until 24).flatMap { f =>
+    // constant 25×8 boolean table (24 real facilities + the invld slot,
+    // LOG_NFACILITIES — messages that never got a PRI stamp carry
+    // facility 24 and execPRIFILT indexes them like any other,
+    // runtime/ruleset.c:403-407) → array literal indexed by PRI; stays
+    // inside whole-stage codegen, no UDF, no per-row shift. A facility
+    // outside the table (malformed input) matches nothing.
+    val table = array((0 until 25).flatMap { f =>
       (0 until 8).map(sv => lit((masks(f) & (1 << sv)) != 0))
     }: _*)
-    element_at(table, facility.cast(IntegerType) * 8 + severity.cast(IntegerType) + 1)
+    coalesce(try_element_at(table,
+      facility.cast(IntegerType) * 8 + severity.cast(IntegerType) + 1),
+      lit(false))
   }
 }
 
@@ -389,14 +395,16 @@ object PriFilt {
     "debug" -> 7)
 
   def compile(selector: String): Array[Int] = {
-    val pmask = new Array[Int](24)
+    // 25 slots: `*` covers the invld facility too (DecodePRIFilter walks
+    // the full LOG_NFACILITIES table, grammar/rainerscript.c:497-500)
+    val pmask = new Array[Int](25)
     selector.split(';').map(_.trim).filter(_.nonEmpty).foreach { sel =>
       val dot = sel.lastIndexOf('.')
       require(dot > 0, s"bad selector: $sel")
       val facPart = sel.substring(0, dot)
       var sevPart = sel.substring(dot + 1).trim.toLowerCase
       val facs: Seq[Int] =
-        if (facPart.trim == "*") 0 until 24
+        if (facPart.trim == "*") 0 until 25
         else facPart.split(',').map(f => facilities(f.trim.toLowerCase)).toSeq
       var exclude = false
       var exact = false

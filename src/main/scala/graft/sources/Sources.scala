@@ -1007,6 +1007,13 @@ object Sources {
       lit(java.net.InetAddress.getLocalHost.getHostName))
   }
 
+  /** Feed columns to carry through a preset decode unchanged (the
+    * decodeSyslog passthrough convention: everything but the consumed
+    * value and the internals). */
+  private def passCols(src: DataFrame, valueCol: String): Seq[Column] =
+    src.columns.filterNot(c => c == valueCol || c == "inputname" ||
+      c == "fromhost" || c.startsWith("__")).map(col).toSeq
+
   /** imklog decode (plugins/imklog: bsd.c submitSyslog:72-148 strips the
     * kernel `[secs.usecs]` stamp sitting right after the PRI header;
     * imklog.c Syslog():245-277 then resolves the PRI — a systemd-style
@@ -1033,14 +1040,16 @@ object Sources {
     val b = col("__b")
     // secondary-PRI window: first PRI exactly one digit, then '<' at
     // offset 3 or ' <' at offset 3-4 (imklog.c:254-257)
-    val sec = regexp_extract(b, "^<\\d> ?<(\\d{1,3})>", 1)
-    val secValid = sec =!= "" && sec.cast("int").between(8, 191)
-    val prim = regexp_extract(b, "^<(\\d{1,3})>", 1)
-    val primValid = prim =!= "" && prim.cast("int") <= 191
+    val secN = nullif(regexp_extract(b, "^<\\d> ?<(\\d{1,3})>", 1), lit(""))
+      .cast("int")
+    val secValid = secN.isNotNull && secN.between(8, 191)
+    val primN = nullif(regexp_extract(b, "^<(\\d{1,3})>", 1), lit(""))
+      .cast("int")
+    val primValid = primN.isNotNull && primN <= 191
     val stage = dekmsg
       .withColumn("__pri",
-        when(secValid, sec.cast("int"))
-          .when(primValid, prim.cast("int"))
+        when(secValid, secN)
+          .when(primValid, primN)
           .otherwise(lit(6))) // LOG_INFO from readklog
       .withColumn("__body",
         when(secValid, regexp_replace(b, "^<\\d> ?<\\d{1,3}>", ""))
@@ -1049,7 +1058,7 @@ object Sources {
     val kept =
       if (permitNonKernel) stage
       else stage.filter((col("__pri") / 8).cast("int") === 0)
-    kept.select(
+    kept.select(passCols(src, valueCol) ++ Seq(
       col("inputname"), col("fromhost"),
       col("__body").as("rawmsg"),
       lit(0).as("protocol_version"),
@@ -1066,7 +1075,7 @@ object Sources {
       lit("kernel").as("programname"),
       col("__body").as("msg"),
       lit(true).as("parsesuccess"),
-      lit("{}").as("vars_msg"), lit("{}").as("vars_local"))
+      lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
   }
 
   /** imkmsg decode (contrib/imkmsg/kmsg.c submitSyslog:68-190): one
@@ -1107,7 +1116,7 @@ object Sources {
       graft.functions.rainer.json_merge(base,
         to_json(map_from_entries(col("__props")))))
       .otherwise(base)
-    stage.select(
+    stage.select(passCols(src, valueCol) ++ Seq(
       col("inputname"), col("fromhost"),
       v.as("rawmsg"),
       lit(0).as("protocol_version"),
@@ -1124,7 +1133,7 @@ object Sources {
       lit("kernel").as("programname"),
       col("__msg").as("msg"),
       lit(true).as("parsesuccess"),
-      varsMsg.as("vars_msg"), lit("{}").as("vars_local"))
+      varsMsg.as("vars_msg"), lit("{}").as("vars_local")): _*)
   }
 
   /** improg / imfifo line decode (contrib/improg/improg.c enqLine:360-384,
@@ -1139,7 +1148,7 @@ object Sources {
                       now: Column = current_timestamp()): DataFrame = {
     val src = withProvenance(lines, inputname)
     val prog = graft.functions.SyslogParseExpr.programName(tag)
-    src.filter(col(valueCol) =!= "").select(
+    src.filter(col(valueCol) =!= "").select(passCols(src, valueCol) ++ Seq(
       col("inputname"), col("fromhost"),
       col(valueCol).as("rawmsg"),
       lit(0).as("protocol_version"),
@@ -1155,7 +1164,7 @@ object Sources {
       lit(prog).cast("string").as("programname"),
       col(valueCol).as("msg"),
       lit(true).as("parsesuccess"),
-      lit("{}").as("vars_msg"), lit("{}").as("vars_local"))
+      lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
   }
 
   /** imhiredis decode (contrib/imhiredis/imhiredis.c). Two submit
@@ -1203,7 +1212,11 @@ object Sources {
             lit(group).as("group"))
         else
           struct(lit(streamKey).as("stream"), col("index").cast("string").as("index"))
-      src.select(Seq(col("inputname"), col("fromhost"),
+      // `index` is consumed into $.redis, like valueCol into $!
+      src.select(src.columns.filterNot(c => c == valueCol ||
+          c == "index" || c == "inputname" || c == "fromhost" ||
+          c.startsWith("__")).map(col).toSeq ++
+        Seq(col("inputname"), col("fromhost"),
         lit("").as("rawmsg")) ++ common ++ Seq(
         lit("").as("msg"),
         lit(true).as("parsesuccess"),
@@ -1211,7 +1224,8 @@ object Sources {
         to_json(struct(redisObj.as("redis"))).as("vars_local")): _*)
     } else {
       src.filter(col(valueCol).isNotNull && col(valueCol) =!= "")
-        .select(Seq(col("inputname"), col("fromhost"),
+        .select(passCols(src, valueCol) ++
+          Seq(col("inputname"), col("fromhost"),
           col(valueCol).as("rawmsg")) ++ common ++ Seq(
           col(valueCol).as("msg"),
           lit(true).as("parsesuccess"),
