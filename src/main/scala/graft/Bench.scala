@@ -50,9 +50,20 @@ object Bench {
     // older corpus shape (v2 = exact-copy shards + lineitem/nation;
     // v3 = splittable outputs — multi-file dirs and small parquet row
     // groups, so scans parallelize instead of serializing a whole table
-    // onto one core behind a single unsplittable row group)
-    val marker = new java.io.File(out, "_SYNTH_DONE_v3")
+    // onto one core behind a single unsplittable row group;
+    // v4 = row-group sizing actually applied — the v3 writer option
+    // "parquet.block.size" was silently ignored by the DataFrameWriter,
+    // leaving events.parquet ONE row group; it must go through the
+    // hadoop conf; v5 = 512 KiB groups — the whole 1M-row events table
+    // encodes to ~9 MiB, so an 8 MiB target still produced ONE group;
+    // ~20 groups lets Tables.rebalance skip its compensating shuffle
+    // while scans keep >= half the cores busy)
+    val marker = new java.io.File(out, "_SYNTH_DONE_v5")
+    val hconf = spark.sparkContext.hadoopConfiguration
     if (!marker.exists()) {
+      val prevBlock = hconf.get("parquet.block.size")
+      hconf.setInt("parquet.block.size", 512 * 1024)
+      try {
       val sh = spark.range(shards).select(col("id").as("shard"))
       Tables.documents(spark, sfDir).crossJoin(sh).select(
         (col("doc_id") + col("shard") * 100000000L).as("doc_id"),
@@ -78,11 +89,11 @@ object Bench {
         (col("user_id") + col("shard") * 1000000L).as("user_id"),
         col("event_type"), col("value"), col("props"))
         // one file (the stream gate's layout contract) but SMALL row
-        // groups: parquet only splits at row-group boundaries, so a
-        // single 500MB-buffer group would serialize every events scan
-        // onto one task no matter what maxPartitionBytes says
+        // groups (512 KiB via the hadoop conf above): parquet only splits
+        // at row-group boundaries, so a single 500MB-buffer group would
+        // serialize every events scan onto one task no matter what
+        // maxPartitionBytes says
         .coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (8L * 1024 * 1024).toString)
         .parquet(evTmp)
       val part = new java.io.File(evTmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -105,6 +116,10 @@ object Bench {
         java.nio.file.Paths.get(s"$out/nation.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       marker.createNewFile()
+      } finally {
+        if (prevBlock == null) hconf.unset("parquet.block.size")
+        else hconf.set("parquet.block.size", prevBlock)
+      }
     }
     out
   }

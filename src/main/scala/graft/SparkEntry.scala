@@ -561,6 +561,40 @@ object Queries {
           annotate = true, parseTrusted = true), "trusted"))
     }),
 
+    // §2.5 imtuxedoulog: Tuxedo ULOG line parse — time-of-day + file
+    // date, host!prog split, procid truncation, gtrid skip, ECID → SD
+    // (contrib/imtuxedoulog parseMsg, README cases 1-4); Java exception
+    // continuation lines dropped
+    "imtuxedoulog_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hh = lpad((col("event_id") % 24).cast("string"), 2, "0")
+      val mi = lpad((col("event_id") % 60).cast("string"), 2, "0")
+      val ss = lpad((col("event_id") % 43 % 60).cast("string"), 2, "0")
+      val tod = concat(hh, mi, ss)
+      val base = concat(tod, lit("."),
+        when(col("event_id") % 2 === 0, lit("70")).otherwise(lit("705")),
+        lit(".host"), col("user_id") % 50,
+        lit("!"), col("event_type"), lit("."), col("event_id") % 100000,
+        lit(".1.0: "))
+      val line =
+        when(col("event_id") % 5 === 0,
+          lit("\tat java.base/jdk.internal.reflect.invoke(Native Method)"))
+        .when(col("event_id") % 5 === 1,
+          concat(base, lit("ECID <EC"), col("event_id"),
+            lit(">: traced "), col("event_id")))
+        .when(col("event_id") % 5 === 2,
+          concat(base, lit("gtrid x0 x1: ECID <G"), col("event_id"),
+            lit(">: gtraced "), col("event_id")))
+        .otherwise(concat(base, lit("TSAM_CAT:305: plain "), col("event_id")))
+      val feed = ev.select(col("event_id"), line.as("value"),
+        to_date(lit("2024-03-15")).as("filedate"))
+      graft.sources.Sources.imtuxedoulogDecode(feed,
+          now = to_timestamp(lit("2024-01-01 00:00:00")))
+        .select(col("event_id"), col("hostname"), col("procid"),
+          col("structured_data"), col("msg"), col("pri"),
+          unix_micros(col("ts")).as("ts_us"))
+    }),
+
     // §2.5 imhttp: posted body rows run the standard parser chain
     // (NEEDS_PARSING|PARSE_HOSTNAME) with the peer as fromhost;
     // addmetadata lands httpheaders/queryparams under $!metadata
@@ -2883,6 +2917,28 @@ object Queries {
         |       ELSE '{}' END AS vars_msg
         | FROM ev CROSS JOIN (SELECT unnest(['plain','annotate','trusted'])
         |   AS mode) m""".stripMargin),
+
+    "imtuxedoulog_decode" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_type,
+        |    lpad(CAST(event_id % 24 AS VARCHAR), 2, '0') AS hh,
+        |    lpad(CAST(event_id % 60 AS VARCHAR), 2, '0') AS mi,
+        |    lpad(CAST(event_id % 43 % 60 AS VARCHAR), 2, '0') AS ss,
+        |    CASE WHEN event_id % 2 = 0 THEN '700' ELSE '705' END AS fr
+        |  FROM events WHERE event_id % 5 <> 0)
+        |SELECT event_id,
+        |  'host' || (user_id % 50) AS hostname,
+        |  event_type || '.' || (event_id % 100000) || '.1' AS procid,
+        |  CASE WHEN event_id % 5 = 1 THEN '[ECID="EC' || event_id || '"]'
+        |       WHEN event_id % 5 = 2 THEN '[ECID="G' || event_id || '"]'
+        |  END AS structured_data,
+        |  CASE WHEN event_id % 5 = 1 THEN 'traced ' || event_id
+        |       WHEN event_id % 5 = 2 THEN 'gtraced ' || event_id
+        |       ELSE 'TSAM_CAT:305: plain ' || event_id END AS msg,
+        |  199 AS pri,
+        |  epoch_us(CAST('2024-03-15 ' || hh || ':' || mi || ':' || ss ||
+        |    '.' || fr AS TIMESTAMP)) AS ts_us
+        |FROM f""".stripMargin,
 
     "imhttp_decode" -> (Queries.synthSql +
       """ SELECT event_id, hostname,

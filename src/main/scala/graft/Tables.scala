@@ -20,12 +20,40 @@ object Tables {
     * shuffle-free per-row pipeline above it, which is most of this
     * engine's parse/template/enrich surface) runs on ONE core. A real
     * deployment's tables arrive as thousands of splits and must NOT pay
-    * a full-data shuffle here, so the round-robin redistribute is gated
-    * on the input being too small to ever have enough splits: it's a
-    * no-op past 1 GiB. Row order is not part of any oracle contract
-    * (the driver sorts rows before hashing; ordered operators order by
-    * explicit columns).
+    * a full-data shuffle here, so the round-robin redistribute is
+    * DOUBLE-gated: skipped past 1 GiB (a real table), and skipped when
+    * the parquet footers show enough ROW GROUPS for the scan itself to
+    * parallelize (the v4 synth corpora write 8 MiB row groups exactly so
+    * scans split without paying this shuffle — repartitioning those was
+    * a measured ~1s/query waste at sf1). Row order is not part of any
+    * oracle contract (the driver sorts rows before hashing; ordered
+    * operators order by explicit columns).
     */
+  private val rowGroupCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Total parquet row groups under `path` (file or dir), cached by
+    * (path, mtime, size) so a re-synthesized corpus re-counts. Footer
+    * reads are a few ms, driver-side, once per table per corpus. */
+  private def rowGroupCount(spark: SparkSession, path: String): Int = {
+    val p = new java.io.File(path)
+    val key = s"$path:${p.lastModified}:${p.length}"
+    rowGroupCache.getOrElseUpdate(key, {
+      try {
+        val files =
+          if (p.isFile) Seq(p)
+          else p.listFiles().filter(f => f.isFile &&
+            f.getName.endsWith(".parquet")).toSeq
+        val conf = spark.sessionState.newHadoopConf()
+        files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRowGroups.size finally r.close()
+        }.sum
+      } catch { case _: Throwable => Int.MaxValue }
+    })
+  }
+
   private def rebalance(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
     val p = new java.io.File(path)
     val bytes: Long =
@@ -34,7 +62,9 @@ object Tables {
         p.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .map(_.length()).sum
       else Long.MaxValue
-    if (bytes < (1L << 30)) df.repartition(spark.sparkContext.defaultParallelism)
+    val par = spark.sparkContext.defaultParallelism
+    if (bytes < (1L << 30) && rowGroupCount(spark, path) < math.max(4, par / 2))
+      df.repartition(par)
     else df
   }
 

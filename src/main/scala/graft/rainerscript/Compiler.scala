@@ -136,23 +136,57 @@ object RainerCompiler {
     case other => TemplateCompiler.resolve(other, col)
   }
 
+  /** A scalar read-through cache entry for a `set` variable: reads of the
+    * same var can resolve to the materialized value column instead of
+    * re-parsing the JSON tree (json_set costs a Jackson roundtrip; a
+    * script that sets then reads pays it per read without this).
+    * `guard` is the set's path condition — rows where it holds read
+    * `value`, the rest fall back to the tree read, which is also the
+    * always-correct fallback for JSON-shaped strings (putTagged embeds
+    * those as subtrees, so the read-back differs from the raw text).
+    * Guards only ever go true→false over a run (__stopped is monotone,
+    * path conds are frozen), so a later re-evaluation that turns false
+    * just takes the fallback — whose tree already has the set applied. */
+  case class OverlayInfo(guard: Column, value: Column,
+                         dt: org.apache.spark.sql.types.DataType)
+
+  /** Overlay-aware scalar read with `fallback` = the tree read. */
+  private def overlayRead(ov: Option[OverlayInfo], fallback: Column,
+                          allowDouble: Boolean): Column = {
+    import org.apache.spark.sql.types._
+    ov match {
+      case Some(OverlayInfo(g, v, StringType)) =>
+        when(g && !trim(v).rlike("^[\\[{]"), v).otherwise(fallback)
+      case Some(OverlayInfo(g, v, LongType | IntegerType | BooleanType)) =>
+        when(g, v.cast("string")).otherwise(fallback)
+      case Some(OverlayInfo(g, v, DoubleType)) if allowDouble =>
+        when(g, v.cast("string")).otherwise(fallback)
+      case _ => fallback
+    }
+  }
+
   /** String coercion of an expression: JSON-namespace variable reads go
     * through the reference's jsonToString render (json_object_get_string
     * on a non-string → json-c SPACED serialization, runtime/msg.c:1067;
     * scalars come back raw) — everything else is a plain string cast. */
-  private def strCoerce(e: RExpr, go: RExpr => Column): Column = {
+  private def strCoerce(e: RExpr, go: RExpr => Column,
+                        overlays: String => Option[OverlayInfo]): Column = {
     def r(vc: String, p: String): Column =
       org.apache.spark.sql.GraftBridge.column(graft.functions.JsonRenderExpr(
         org.apache.spark.sql.GraftBridge.expression(col(vc)), p))
+    // json-c's double rendering is not guaranteed to match a SQL cast,
+    // so double overlays keep the render path here (allowDouble=false)
+    def ov(n: String, fallback: Column): Column =
+      overlayRead(overlays(n), fallback, allowDouble = false)
     e match {
       case RVar(raw) =>
         val n = if (raw.startsWith("$")) raw else "$" + raw
         if (n == "$!") r("vars_msg", "")
         else if (n == "$.") r("vars_local", "")
         else if (n == "$/") r("vars_global", "")
-        else if (n.startsWith("$!")) r("vars_msg", n.drop(2))
-        else if (n.startsWith("$.")) r("vars_local", n.drop(2))
-        else if (n.startsWith("$/")) r("vars_global", n.drop(2))
+        else if (n.startsWith("$!")) ov(n, r("vars_msg", n.drop(2)))
+        else if (n.startsWith("$.")) ov(n, r("vars_local", n.drop(2)))
+        else if (n.startsWith("$/")) ov(n, r("vars_global", n.drop(2)))
         else go(e).cast("string")
       case _ => go(e).cast("string")
     }
@@ -162,12 +196,18 @@ object RainerCompiler {
                   templates: Map[String, String] = Map.empty,
                   rec: CounterRecorder = null,
                   timezones: Map[String, String] = Map.empty,
-                  templateEscapes: Map[String, String] = Map.empty): Column = {
+                  templateEscapes: Map[String, String] = Map.empty,
+                  overlays: String => Option[OverlayInfo] = _ => None): Column = {
     def go(e: RExpr): Column = e match {
       case RStr(s) => lit(s)
       case RNum(n) => lit(n)
       case RArr(items) => array(items.map(lit): _*)
-      case RVar(raw) => resolveProp(raw)
+      // scalar var reads resolve through the set-overlay cache when one
+      // is live (a get_json_object fallback covers guard-false rows and
+      // JSON-shaped strings); doubles allowed here because the fallback
+      // is get_json_object = Jackson text = Double.toString, same as cast
+      case RVar(raw) => overlayRead(overlays(raw), resolveProp(raw),
+        allowDouble = true)
       case RNot(x) => !toBool(x)
       case RNeg(x) => -rainer.cnum(go(x))
       case RBinop("and", l, r) => toBool(l) && toBool(r)
@@ -175,7 +215,8 @@ object RainerCompiler {
       // String concat coerces JSON-tree reads through the reference's
       // jsonToString (json_object_get_string, grammar/rainerscript.c:1519,
       // 2024): objects/arrays render in json-c SPACED form, scalars raw.
-      case RBinop("&", l, r) => concat(strCoerce(l, go), strCoerce(r, go))
+      case RBinop("&", l, r) =>
+        concat(strCoerce(l, go, overlays), strCoerce(r, go, overlays))
       case RBinop(op @ ("+" | "-" | "*" | "/" | "%"), l, r) =>
         val (a, b) = (rainer.cnum(go(l)), rainer.cnum(go(r)))
         op match {
@@ -205,7 +246,7 @@ object RainerCompiler {
       case RBinop(op, _, _) => throw new IllegalArgumentException(s"op $op")
       case RFunc(name, args) =>
         compileFunc(name, args, tables, templates, go, rec, timezones,
-          templateEscapes)
+          templateEscapes, overlays)
     }
     def toBool(e: RExpr): Column = e match {
       case RBinop("and" | "or" | "==" | "!=" | "<>" | "<" | "<=" | ">" | ">=" |
@@ -225,7 +266,8 @@ object RainerCompiler {
                           go: RExpr => Column,
                           rec: CounterRecorder = null,
                           timezones: Map[String, String] = Map.empty,
-                          templateEscapes: Map[String, String] = Map.empty): Column = {
+                          templateEscapes: Map[String, String] = Map.empty,
+                          overlays: String => Option[OverlayInfo] = _ => None): Column = {
     def a(i: Int): Column = go(args(i))
     def s(i: Int): String = args(i) match {
       case RStr(x) => x
@@ -245,7 +287,7 @@ object RainerCompiler {
         if (args.length > 2) rainer.wrap(a(0), s(1), s(2)) else rainer.wrap(a(0), s(1))
       case "field" => rainer.field(a(0), fieldDelim(s(1)), s(2).toInt)
       case "split" => split(a(0), java.util.regex.Pattern.quote(s(1)))
-      case "cstr" => strCoerce(args(0), go)
+      case "cstr" => strCoerce(args(0), go, overlays)
       case "cnum" => rainer.cnum(a(0))
       case "cbool" => a(0).cast("boolean")
       case "re_match" => rainer.re_match(a(0), s(1))
@@ -396,6 +438,34 @@ object RainerCompiler {
 
     def freshCond(): String = { condId += 1; s"__cond_$condId" }
 
+    def varCol(raw: String): (String, String) =
+      if (raw.startsWith("$.")) ("vars_local", raw.drop(2).replace('!', '.'))
+      else if (raw.startsWith("$/")) ("vars_global", raw.drop(2).replace('!', '.'))
+      else ("vars_msg", raw.dropWhile(c => c == '$' || c == '!'))
+
+    // ---- scalar set-overlay cache (see OverlayInfo) -------------------
+    val overlays = scala.collection.mutable.Map.empty[String, OverlayInfo]
+    def isVarName(raw: String): Boolean =
+      raw.startsWith("$!") || raw.startsWith("$.") || raw.startsWith("$/") ||
+      raw.startsWith("!")
+    def ovLookup(raw: String): Option[OverlayInfo] =
+      if (!isVarName(raw)) None
+      else {
+        val (vc, p) = varCol(raw)
+        if (p.isEmpty) None else overlays.get(s"$vc:$p")
+      }
+    /** Drop overlays whose path is the written path, a descendant of it,
+      * or an ancestor (writing $.a invalidates a cached $.a!b and vice
+      * versa — ensureParent can replace intermediate nodes). */
+    def invalidateOverlaps(vc: String, p: String): Unit = {
+      val me = s"$vc:$p"
+      overlays.keys.toSeq.foreach { k =>
+        if (k == me || k.startsWith(me + ".") ||
+            (k.startsWith(s"$vc:") && me.startsWith(k + ".")))
+          overlays.remove(k)
+      }
+    }
+
     /** Compile an expression under `guard`, then MATERIALIZE any counter
       * sites it produced into fresh columns: the guard must see the
       * __stopped/variable state AT this sequence point — a later `stop` or
@@ -405,7 +475,7 @@ object RainerCompiler {
       rec.guard = guard
       val before = rec.sites.length
       val c = compileExpr(e, tables, templates, rec, timezones,
-        templateEscapes)
+        templateEscapes, ovLookup)
       def freeze(x: Column): Column = {
         val cn = freshCond(); df = df.withColumn(cn, x); col(cn)
       }
@@ -417,10 +487,6 @@ object RainerCompiler {
       c
     }
 
-    def varCol(raw: String): (String, String) =
-      if (raw.startsWith("$.")) ("vars_local", raw.drop(2).replace('!', '.'))
-      else if (raw.startsWith("$/")) ("vars_global", raw.drop(2).replace('!', '.'))
-      else ("vars_msg", raw.dropWhile(c => c == '$' || c == '!'))
 
     /** Does this expression read variables from namespace column `vc`?
       * Guards the consecutive-set batching: a later set whose value reads
@@ -463,22 +529,52 @@ object RainerCompiler {
               }
             }
             val guard = path && !col("__stopped")
+            // materialize each value once: json_set consumes it AND later
+            // reads of the same var resolve to it via the overlay cache
+            // (values bind to the PRE-set frame state — snapshot
+            // semantics — because the withColumn lands before the tree
+            // update)
+            val vs = run.map(r => compileWithSites(r._2, guard)).toSeq
+            val ovCols = vs.map { v =>
+              condId += 1; val n = s"__ov_$condId"
+              df = df.withColumn(n, v); n
+            }
             if (run.length == 1) {
-              val v = compileWithSites(run(0)._2, guard)
               df = df.withColumn(vc0,
                 when(guard, graft.functions.rainer.json_set(col(vc0),
-                  run(0)._1, v))
+                  run(0)._1, col(ovCols(0))))
                 .otherwise(col(vc0)))
             } else {
-              val vs = run.map(r => compileWithSites(r._2, guard)).toSeq
               val expr = graft.functions.JsonSetMultiExpr(
                 run.map(_._1).toSeq,
-                (col(vc0) +: coalesce(guard, lit(false)) +: vs)
+                (col(vc0) +: coalesce(guard, lit(false)) +: ovCols.map(col))
                   .map(org.apache.spark.sql.GraftBridge.expression))
               df = df.withColumn(vc0, org.apache.spark.sql.GraftBridge.column(expr))
             }
+            val schema = df.schema
+            run.toSeq.zip(ovCols).foreach { case ((bangPath, _), ovn) =>
+              val dotPath = bangPath.replace('!', '.')
+              invalidateOverlaps(vc0, dotPath)
+              overlays(s"$vc0:$dotPath") =
+                OverlayInfo(guard, col(ovn), schema(ovn).dataType)
+            }
             idx = j
           case other =>
+            // conservative overlay invalidation: any statement that can
+            // mutate a vars column outside the set path clears the cache
+            other match {
+              case _: RIf | _: RPriFilt | _: RPropFilt | RStop |
+                   _: RCall | _: RCallIndirect | _: RReloadLookupTable => ()
+              case RUnset(RVar(raw)) =>
+                val (vc, p) = varCol(raw); invalidateOverlaps(vc, p)
+              case RSet(RVar(raw), _) if varCol(raw)._2.isEmpty =>
+                val (vc, _) = varCol(raw)
+                overlays.keys.toSeq.filter(_.startsWith(s"$vc:"))
+                  .foreach(overlays.remove)
+              case RAction(params)
+                  if !params.get("type").exists(_.startsWith("mm")) => ()
+              case _ => overlays.clear()
+            }
             execStmt(other, path)
             idx += 1
         }
@@ -591,6 +687,11 @@ object RainerCompiler {
             graft.functions.rainer.json_set(col(lvCol), lvPath.replace('.', '!'),
               col(s"__fe_item_$tag")))
           .otherwise(col(lvCol)))
+        // loop-var reads in the body resolve straight to the exploded
+        // item column (the main JSON-roundtrip saver for foreach bodies)
+        invalidateOverlaps(lvCol, lvPath)
+        overlays(s"$lvCol:$lvPath") = OverlayInfo(col(iterCond),
+          col(s"__fe_item_$tag"), org.apache.spark.sql.types.StringType)
         val sitesBeforeBody = rec.sites.length
         val actionsBeforeBody = actions.length
         exec(body, col(iterCond))
@@ -636,6 +737,9 @@ object RainerCompiler {
           .drop(s"__fe_id_$tag")
           .select(orderedCols.filter(c =>
             !(c.startsWith(tempPrefix) && c.endsWith(s"_$tag"))).map(col): _*)
+        // the collapse rebuilds vars columns by merge and keeps first()
+        // of the overlay temp columns — every cached entry is stale
+        overlays.clear()
       case RStop =>
         df = df.withColumn("__stopped", col("__stopped") || path)
       // mmjsonparse as an inline message modifier (the reference's mm*

@@ -484,6 +484,8 @@ object InputBinding {
         group = p.getOrElse("stream.consumergroup", ""),
         consumer = p.getOrElse("stream.consumername", ""),
         now = now)
+    else if (typ == "imtuxedoulog")
+      Sources.imtuxedoulogDecode(df, now = now)
     else if (typ == "imuxsock")
       Sources.imuxsockDecode(df,
         annotate = on("annotate"),

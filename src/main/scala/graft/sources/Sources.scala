@@ -1233,6 +1233,82 @@ object Sources {
     }
   }
 
+  /** imtuxedoulog decode (contrib/imtuxedoulog/imtuxedoulog.c
+    * parseMsg:193-290, README.md cases 1-4): `hhmmss.ff[f].host!prog:
+    * [gtrid ...:] [ECID <id>:] text`. The time-of-day comes from the
+    * line (2- or 3-digit second fraction), the DATE from the ULOG file
+    * name (`ULOG.MMDDYY`) — passed here as an optional `filedate` DATE
+    * column on the feed (reception date otherwise). PROCID = the
+    * prog segment truncated at its last '.' (the context id drops,
+    * `lprog>` in the README sketches); an ECID lands as structured
+    * data `[ECID="..."]`; a leading `gtrid ...: ` run is skipped; the
+    * text after each marker loses exactly colon+1 chars like the
+    * reference's `+2` walks. Lines failing the time scan (Java
+    * exception continuation lines) are dropped, and no PRI/TAG is
+    * stamped — msgConstruct defaults show through as with imhiredis. */
+  def imtuxedoulogDecode(lines: DataFrame, valueCol: String = "value",
+                         now: Column = current_timestamp()): DataFrame = {
+    val src = withProvenance(lines, "imtuxedoulog")
+    val v = col(valueCol)
+    val re = "^(\\d{2})(\\d{2})(\\d{2})\\.(\\d{2,3})\\.([^!]+)!([^:]*):(.*)$"
+    def g(i: Int) = regexp_extract(v, re, i)
+    val stage0 = src
+      .withColumn("__hh", nullif(g(1), lit("")).cast("int"))
+      .withColumn("__mi", nullif(g(2), lit("")).cast("int"))
+      .withColumn("__ss", nullif(g(3), lit("")).cast("int"))
+      .withColumn("__fr", g(4))
+      .withColumn("__host", g(5))
+      .withColumn("__prog", g(6))
+      .withColumn("__rest", g(7))
+      .filter(col("__hh").isNotNull && col("__hh") <= 23 &&
+        col("__mi") <= 59 && col("__ss") <= 59)
+    // strtData+2 skips ':' and one more char; same after the gtrid run
+    val text0 = expr("substring(__rest, 2)")
+    val stage1 = stage0.withColumn("__t1",
+      when(text0.startsWith("gtrid"),
+        expr("substring(substring(__rest, 2), " +
+          "instr(substring(__rest, 2), ':') + 2)"))
+      .otherwise(text0))
+    val t1 = col("__t1")
+    val hasEcid = t1.startsWith("ECID ") && instr(t1, ">") > 6
+    val stage = stage1
+      .withColumn("__sd", when(hasEcid,
+        concat(lit("[ECID=\""), regexp_extract(t1, "^ECID .([^>]*)>", 1),
+          lit("\"]"))).otherwise(lit(null).cast("string")))
+      .withColumn("__msg", when(hasEcid,
+        expr("substring(__t1, instr(__t1, '>') + 3)")).otherwise(t1))
+    val dateCol =
+      if (src.columns.contains("filedate")) col("filedate") else to_date(now)
+    val ts = to_timestamp(concat(
+      date_format(dateCol, "yyyy-MM-dd"), lit(" "),
+      lpad(col("__hh").cast("string"), 2, "0"), lit(":"),
+      lpad(col("__mi").cast("string"), 2, "0"), lit(":"),
+      lpad(col("__ss").cast("string"), 2, "0"), lit("."),
+      rpad(col("__fr"), 3, "0")), "yyyy-MM-dd HH:mm:ss.SSS")
+    // `filedate` is consumed into ts, like valueCol into the parse
+    stage.select(src.columns.filterNot(c => c == valueCol ||
+        c == "filedate" || c == "inputname" || c == "fromhost" ||
+        c.startsWith("__")).map(col).toSeq ++ Seq(
+      col("inputname"), col("fromhost"),
+      col("__msg").as("rawmsg"),
+      lit(0).as("protocol_version"),
+      lit(24 * 8 + 7).as("pri"),
+      lit(24).as("facility"), lit(7).as("severity"),
+      ts.as("ts"),
+      col("__host").as("hostname"),
+      lit(null).cast("string").as("app_name"),
+      when(col("__prog").contains("."),
+        regexp_extract(col("__prog"), "^(.*)\\.[^.]*$", 1))
+        .otherwise(col("__prog")).as("procid"),
+      lit(null).cast("string").as("msgid"),
+      col("__sd").as("structured_data"),
+      lit("").as("syslogtag"),
+      lit("").as("programname"),
+      col("__msg").as("msg"),
+      lit(true).as("parsesuccess"),
+      lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
+  }
+
   /** imuxsock decode (plugins/imuxsock/imuxsock.c SubmitMsg:908-1140):
     * datagram text runs through the standard syslog parse; with
     * annotate + parsetrusted the SCM_CREDENTIALS-derived trusted

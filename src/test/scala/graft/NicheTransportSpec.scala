@@ -115,6 +115,32 @@ class NicheTransportSpec extends SparkSpec {
       """{"pid":42,"uid":0,"gid":0,"appname":"app","exe":"/usr/bin/app","cmd":"app -d"}""")
   }
 
+  test("imtuxedoulog: README cases 1-4 parse; Java exception lines dropped") {
+    val feed = Seq(
+      ("105211.70.sic-in2-tmsl1!IMSproxiCSFI4EC.26607818.1.0: TSAM_CAT:305:4563628752 ; I ;TPSUCCESS service", 1),
+      ("011458.705.sic-tst-tmsl1!LMS.5243392.772.3: TSAM_CAT:305: WARN: (23498) times logon", 2),
+      ("105211.704.sic-in2-tmsl1!IMSproxiCSFI4EC.26607818.1.0: ECID <000003GBORvD4iopwSXBiW01xG2M00001n>: 4563628752", 3),
+      ("164313.151.sic-tst-tmsm1!ARTIMPP_UDB.42722.1.0: gtrid x0 x2 a0f: ECID <000001833^5pVl3iY00f003UF^>: TRACE:at", 4),
+      ("\tat java.base/jdk.internal.misc.Unsafe.park(Native Method)", 5)
+    ).toDF("value", "case_no")
+      .withColumn("filedate", to_date(lit("2024-03-15")))
+    val cfg = RsyslogConfig.parse(
+      "input(type=\"imtuxedoulog\" ulogbase=\"/app/ULOG\")\n*.* /dev/null\n")
+    val rows = cfg.activate(spark, feeds = Map("imtuxedoulog" -> feed), now = t0)("")
+      .frame.select("case_no", "hostname", "procid", "structured_data", "msg")
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toMap
+    assert(rows.size == 4) // the Java line fails the time scan
+    assert(rows(1) == ("sic-in2-tmsl1", "IMSproxiCSFI4EC.26607818.1", null,
+      "TSAM_CAT:305:4563628752 ; I ;TPSUCCESS service"))
+    assert(rows(2) == ("sic-tst-tmsl1", "LMS.5243392.772", null,
+      "TSAM_CAT:305: WARN: (23498) times logon"))
+    assert(rows(3) == ("sic-in2-tmsl1", "IMSproxiCSFI4EC.26607818.1",
+      "[ECID=\"000003GBORvD4iopwSXBiW01xG2M00001n\"]", "4563628752"))
+    assert(rows(4) == ("sic-tst-tmsm1", "ARTIMPP_UDB.42722.1",
+      "[ECID=\"000001833^5pVl3iY00f003UF^\"]", "TRACE:at"))
+  }
+
   test("imhttp: parser chain runs, metadata lands under $!metadata") {
     val feed = Seq(("<13>Jun  1 11:00:00 h9 web: request",
       "10.1.2.3", """{"user-agent":"curl/8"}""", """{"q":"1"}"""))
