@@ -279,8 +279,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // test parquet is a handful of ~10-30MB files; the 128MB default
       // split size would serialize every scan onto one core. At cluster
-      // scale the default is right — this mirrors having many input files.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // scale the default is right — this mirrors having many input
+      // files. 512k matches the synth corpora's row-group size, so
+      // byte-range splits land on group boundaries and a ~10MB table
+      // still spreads across ~20 cores without a rebalance shuffle.
+      .config("spark.sql.files.maxPartitionBytes", "512k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

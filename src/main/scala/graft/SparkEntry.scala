@@ -561,6 +561,49 @@ object Queries {
           annotate = true, parseTrusted = true), "trusted"))
     }),
 
+    // §2.5 impcap: packet header decode (eth/ipv4 → tcp/udp/icmp) into
+    // $!impcap metadata + $!data hex remainder (contrib/impcap
+    // packet_parse + parser chain); packets assembled byte-exact from
+    // event fields via unhex
+    "impcap_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m3 = col("event_id") % 3
+      def h2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def h4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def h8(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val eth = concat(lit("001A2B3C4D5EAABBCCDDEE"),
+        h2(col("user_id") % 256), lit("0800"))
+      val proto = when(m3 === 0, "06").when(m3 === 1, "11").otherwise("01")
+      val ip = concat(lit("4500000000000000"), lit("40"), proto, lit("0000"),
+        lit("0A00"), h2((col("event_id") / 256).cast("long") % 256),
+        h2(col("event_id") % 256), lit("C0A80101"))
+      val l4 =
+        when(m3 === 0, concat(
+          h4(lit(1024) + col("event_id") % 50000), lit("01BB"),
+          h8(col("event_id") % 100000), lit("00000000"), lit("50"),
+          when(col("event_id") % 2 === 0, "18").otherwise("02"),
+          lit("000000000000")))
+        .when(m3 === 1, concat(
+          lit("0035"), h4(lit(1024) + col("event_id") % 60000),
+          lit("0010"), lit("BEEF")))
+        .otherwise(lit("0800123400010002"))
+      val payload = concat(lit("DEAD"), h4(col("event_id") % 65536))
+      val feed = ev.select(col("event_id"),
+        col("event_id").as("id"),
+        unhex(concat(eth, ip, l4, payload)).as("packet"),
+        to_timestamp(lit("2024-06-01 10:00:00")).as("ts"))
+      graft.sources.Sources.impcapDecode(feed, tag = "pcap:")
+        .select(col("event_id"), col("vars_msg"), col("syslogtag"),
+          get_json_object(col("vars_msg"), "$.impcap.net_src_ip")
+            .as("probe_src_ip"),
+          get_json_object(col("vars_msg"), "$.impcap.net_flags")
+            .as("probe_flags"),
+          get_json_object(col("vars_msg"), "$.data.content")
+            .as("probe_data"),
+          get_json_object(col("vars_msg"), "$.impcap.net_bytes_total")
+            .cast("long").as("probe_total"))
+    }),
+
     // §2.5 imtuxedoulog: Tuxedo ULOG line parse — time-of-day + file
     // date, host!prog split, procid truncation, gtrid skip, ECID → SD
     // (contrib/imtuxedoulog parseMsg, README cases 1-4); Java exception
@@ -2917,6 +2960,49 @@ object Queries {
         |       ELSE '{}' END AS vars_msg
         | FROM ev CROSS JOIN (SELECT unnest(['plain','annotate','trusted'])
         |   AS mode) m""".stripMargin),
+
+    "impcap_decode" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_id % 3 AS m3,
+        |    'DEAD' || upper(lpad(to_hex(event_id % 65536), 4, '0')) AS phex
+        |  FROM events),
+        |d AS (
+        |  SELECT event_id,
+        |    CASE m3 WHEN 0 THEN
+        |      '"net_src_port":' || (1024 + event_id % 50000) ||
+        |      ',"net_dst_port":443,"TCP_seq_number":' || (event_id % 100000) ||
+        |      ',"TCP_ack_number":0,"net_flags":"' ||
+        |      CASE WHEN event_id % 2 = 0 THEN 'PA' ELSE 'S' END || '"'
+        |    WHEN 1 THEN
+        |      '"net_src_port":53,"net_dst_port":' || (1024 + event_id % 60000) ||
+        |      ',"UDP_Length":16,"UDP_Checksum":48879'
+        |    ELSE
+        |      '"net_icmp_type":8,"net_icmp_code":0,"icmp_checksum":4660'
+        |    END AS l4,
+        |    CASE m3 WHEN 0 THEN 58 ELSE 46 END AS tot,
+        |    CASE m3 WHEN 0 THEN 6 WHEN 1 THEN 17 ELSE 1 END AS proto,
+        |    '10.0.' || ((event_id // 256) % 256) || '.' || (event_id % 256)
+        |      AS srcip,
+        |    'aa:bb:cc:dd:ee:' || lower(to_hex(user_id % 256)) AS srcmac,
+        |    phex, m3
+        |  FROM f)
+        |SELECT event_id,
+        |  '{"data":{"length":8,"content":"' || phex || '"},"impcap":{"ID":' ||
+        |  event_id ||
+        |  ',"timestamp":"2024-06-01T10:00:00.000000+00:00","net_bytes_total":' ||
+        |  tot || ',"ETH_src":"' || srcmac ||
+        |  '","ETH_dst":"0:1a:2b:3c:4d:5e","ETH_type":2048,"ETH_typestr":"IP"' ||
+        |  ',"net_dst_ip":"192.168.1.1","net_src_ip":"' || srcip ||
+        |  '","IP_ihl":5,"net_ttl":64,"IP_proto":' || proto || ',' || l4 ||
+        |  ',"net_bytes_data":4}}' AS vars_msg,
+        |  'pcap:' AS syslogtag,
+        |  srcip AS probe_src_ip,
+        |  CASE WHEN m3 = 0 THEN
+        |    CASE WHEN event_id % 2 = 0 THEN 'PA' ELSE 'S' END END
+        |    AS probe_flags,
+        |  phex AS probe_data,
+        |  tot AS probe_total
+        |FROM d""".stripMargin,
 
     "imtuxedoulog_decode" ->
       """WITH f AS (

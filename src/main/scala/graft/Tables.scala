@@ -63,7 +63,15 @@ object Tables {
           .map(_.length()).sum
       else Long.MaxValue
     val par = spark.sparkContext.defaultParallelism
-    if (bytes < (1L << 30) && rowGroupCount(spark, path) < math.max(4, par / 2))
+    // the scan's real parallelism is bounded BOTH by row groups (parquet
+    // only splits at group boundaries) and by the byte-range split size
+    // (Spark emits ceil(bytes/maxPartitionBytes) ranges) — gating on row
+    // groups alone put a 104-group 9 MiB file on 3 cores at 4 MiB splits
+    val maxSplit = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val effectiveSplits = math.min(
+      rowGroupCount(spark, path).toLong,
+      (bytes + maxSplit - 1) / maxSplit)
+    if (bytes < (1L << 30) && effectiveSplits < math.max(4, par / 2))
       df.repartition(par)
     else df
   }

@@ -484,6 +484,13 @@ object InputBinding {
         group = p.getOrElse("stream.consumergroup", ""),
         consumer = p.getOrElse("stream.consumername", ""),
         now = now)
+    else if (typ == "impcap")
+      Sources.impcapDecode(df, tag = p.getOrElse("tag", ""),
+        metadataContainer =
+          p.getOrElse("metadata_container", "!impcap").stripPrefix("!"),
+        dataContainer =
+          p.getOrElse("data_container", "!data").stripPrefix("!"),
+        now = now)
     else if (typ == "imtuxedoulog")
       Sources.imtuxedoulogDecode(df, now = now)
     else if (typ == "imuxsock")

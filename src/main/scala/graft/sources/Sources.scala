@@ -1233,6 +1233,63 @@ object Sources {
     }
   }
 
+  /** impcap decode (contrib/impcap/impcap.c packet_parse:514-584): one
+    * captured packet (BINARY `packet` column) per row. The message is
+    * header metadata, not text: `$!data` carries the unparsed remainder
+    * hex-encoded with its strlen (jadd, :570-578 — added to the message
+    * BEFORE the metadata container), `$!impcap` carries {ID (the
+    * capture counter — the feed's `id` column here), timestamp
+    * (RFC3339 of the pcap stamp — the feed's `ts`, else reception
+    * time), net_bytes_total, then every field the parser chain
+    * extracted, net_bytes_data last}. No rawmsg is ever set and no
+    * PRI/TAG is stamped beyond tag= (msgConstruct defaults show
+    * through, as with imhiredis). Parser-chain subset and field tables:
+    * see [[graft.functions.PcapUtil]]. */
+  def impcapDecode(packets: DataFrame, tag: String = "",
+                   metadataContainer: String = "impcap",
+                   dataContainer: String = "data",
+                   packetCol: String = "packet",
+                   now: Column = current_timestamp()): DataFrame = {
+    val src = withProvenance(packets, "impcap")
+    val dec = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PcapPacketExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(packetCol))))
+    val idCol = if (src.columns.contains("id")) col("id").cast("long") else lit(0L)
+    val tsCol = if (src.columns.contains("ts")) col("ts").cast("timestamp") else now
+    val prog = graft.functions.SyslogParseExpr.programName(tag)
+    val stage = src
+      .withColumn("__dec", dec)
+      .withColumn("__frag", expr("split(__dec, ' ', 2)[0]"))
+      .withColumn("__hex", expr("split(__dec, ' ', 2)[1]"))
+    val varsMsg = concat(
+      lit("{\"" + dataContainer + "\":{\"length\":"), length(col("__hex")),
+      lit(",\"content\":\""), col("__hex"),
+      lit("\"},\"" + metadataContainer + "\":{\"ID\":"), idCol,
+      lit(",\"timestamp\":\""),
+      date_format(tsCol, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS+00:00"),
+      lit("\",\"net_bytes_total\":"), length(col(packetCol)),
+      col("__frag"), lit("}}"))
+    stage.select(src.columns.filterNot(c => c == packetCol || c == "id" ||
+        c == "ts" || c == "inputname" || c == "fromhost" ||
+        c.startsWith("__")).map(col).toSeq ++ Seq(
+      col("inputname"), col("fromhost"),
+      lit("").as("rawmsg"),
+      lit(0).as("protocol_version"),
+      lit(24 * 8 + 7).as("pri"),
+      lit(24).as("facility"), lit(7).as("severity"),
+      tsCol.as("ts"),
+      col("fromhost").as("hostname"),
+      lit(null).cast("string").as("app_name"),
+      lit(null).cast("string").as("procid"),
+      lit(null).cast("string").as("msgid"),
+      lit(null).cast("string").as("structured_data"),
+      lit(tag).as("syslogtag"),
+      lit(prog).cast("string").as("programname"),
+      lit("").as("msg"),
+      lit(true).as("parsesuccess"),
+      varsMsg.as("vars_msg"), lit("{}").as("vars_local")): _*)
+  }
+
   /** imtuxedoulog decode (contrib/imtuxedoulog/imtuxedoulog.c
     * parseMsg:193-290, README.md cases 1-4): `hhmmss.ff[f].host!prog:
     * [gtrid ...:] [ECID <id>:] text`. The time-of-day comes from the

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rainerscript.RsyslogConfig
+
+/** impcap packet decode against hand-assembled frames — field names,
+  * insertion order, and renderings from the C parsers
+  * (contrib/impcap: eth_parser.c, ipv4_parser.c, ipv6_parser.c,
+  * tcp_parser.c, udp_parser.c, icmp_parser.c, impcap.c packet_parse).
+  */
+class ImpcapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pkt(hex: String): Array[Byte] =
+    hex.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  private val ethIp4 = "00 1A 2B 3C 4D 5E" + // dst
+    "AA BB CC DD EE 0F" +                     // src
+    "08 00"                                   // IPv4
+
+  test("eth+ipv4+tcp: fields, glibc MAC rendering, flags, payload hex") {
+    val hex = ethIp4 +
+      "45 00 00 30 00 00 00 00 40 06 00 00" + // ihl5, ttl 64, proto tcp
+      "0A 00 01 02" +                          // src 10.0.1.2
+      "C0 A8 01 01" +                          // dst 192.168.1.1
+      "D4 31 01 BB" +                          // ports 54321 -> 443
+      "00 00 00 07 00 00 00 00" +              // seq 7, ack 0
+      "50 12 00 00 00 00 00 00" +              // dor 0x50, flags SYN|ACK
+      "DE AD BE EF"                            // payload
+    val feed = Seq((1L, pkt(hex))).toDF("id", "packet")
+      .withColumn("ts", to_timestamp(lit("2024-06-01 10:00:00")))
+    val cfg = RsyslogConfig.parse(
+      "input(type=\"impcap\" tag=\"pcap:\")\n*.* /dev/null\n")
+    val r = cfg.activate(spark, feeds = Map("impcap" -> feed),
+      now = to_timestamp(lit("2024-01-01 00:00:00")))("")
+      .frame.select("vars_msg", "syslogtag", "msg").collect().head
+    assert(r.getString(0) ==
+      """{"data":{"length":8,"content":"DEADBEEF"},""" +
+      """"impcap":{"ID":1,"timestamp":"2024-06-01T10:00:00.000000+00:00",""" +
+      """"net_bytes_total":58,""" +
+      """"ETH_src":"aa:bb:cc:dd:ee:f","ETH_dst":"0:1a:2b:3c:4d:5e",""" +
+      """"ETH_type":2048,"ETH_typestr":"IP",""" +
+      """"net_dst_ip":"192.168.1.1","net_src_ip":"10.0.1.2",""" +
+      """"IP_ihl":5,"net_ttl":64,"IP_proto":6,""" +
+      """"net_src_port":54321,"net_dst_port":443,""" +
+      """"TCP_seq_number":7,"TCP_ack_number":0,"net_flags":"SA",""" +
+      """"net_bytes_data":4}}""")
+    assert(r.getString(1) == "pcap:")
+    assert(r.getString(2) == "")
+  }
+
+  test("eth+vlan+ipv4+udp") {
+    val hex = "00 1A 2B 3C 4D 5E AA BB CC DD EE 0F" +
+      "81 00 00 64 08 00" + // 802.1Q tag 100, then IPv4
+      "45 00 00 24 00 00 00 00 20 11 00 00" + // ttl 32, proto udp
+      "0A 00 00 01 0A 00 00 02" +
+      "00 35 82 9B 00 0C BE EF" + // 53 -> 33435, len 12, cksum 0xBEEF
+      "61 62"                      // payload "ab"
+    val out = graft.sources.Sources.impcapDecode(
+      Seq((9L, pkt(hex))).toDF("id", "packet")
+        .withColumn("ts", to_timestamp(lit("2024-06-01 10:00:01"))))
+      .select("vars_msg").as[String].collect().head
+    assert(out.contains(""""ETH_tag":100"""))
+    assert(out.contains(""""net_src_port":53,"net_dst_port":33435"""))
+    assert(out.contains(""""UDP_Length":12,"UDP_Checksum":48879"""))
+    assert(out.contains(""""content":"6162""""))
+  }
+
+  test("eth+ipv6+tcp: inet_ntop-compressed addresses") {
+    val hex = "00 1A 2B 3C 4D 5E AA BB CC DD EE 0F 86 DD" +
+      "60 00 00 00 00 14 06 40" + // v6, next=tcp, hop 64
+      "20 01 0D B8 00 00 00 00 00 00 00 00 00 00 00 01" + // 2001:db8::1
+      "FE 80 00 00 00 00 00 00 00 00 00 00 00 00 00 09" + // fe80::9
+      "1F 90 00 50 00 00 00 01 00 00 00 02 50 18 00 00 00 00 00 00"
+    val out = graft.sources.Sources.impcapDecode(
+      Seq((2L, pkt(hex))).toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(out.contains(""""net_dst_ip":"fe80::9","net_src_ip":"2001:db8::1""""))
+    assert(out.contains(""""net_ttl":64"""))
+    assert(out.contains(""""net_src_port":8080,"net_dst_port":80"""))
+    assert(out.contains(""""net_flags":"PA""""))
+  }
+
+  test("icmp echo request and unhandled ethertype") {
+    val icmpHex = ethIp4 +
+      "45 00 00 1C 00 00 00 00 FF 01 00 00 0A 00 00 01 0A 00 00 02" +
+      "08 00 12 34 00 01 00 02" + "41"
+    val icmp = graft.sources.Sources.impcapDecode(
+      Seq((3L, pkt(icmpHex))).toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(icmp.contains(
+      """"net_icmp_type":8,"net_icmp_code":0,"icmp_checksum":4660"""))
+    assert(icmp.contains(""""content":"41""""))
+    // LLDP: eth_proto_parse's default = dont_parse → whole rest is data
+    val lldpHex = "00 1A 2B 3C 4D 5E AA BB CC DD EE 0F 88 CC 02 07"
+    val lldp = graft.sources.Sources.impcapDecode(
+      Seq((4L, pkt(lldpHex))).toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(lldp.contains(""""ETH_typestr":"LLDP""""))
+    assert(lldp.contains(""""content":"0207""""))
+    assert(lldp.contains(""""net_bytes_data":2"""))
+  }
+}
