@@ -171,9 +171,13 @@ object RainerCompiler {
     * scalars come back raw) — everything else is a plain string cast. */
   private def strCoerce(e: RExpr, go: RExpr => Column,
                         overlays: String => Option[OverlayInfo]): Column = {
+    // a missing/unset JSON var coerces to the EMPTY string, not null —
+    // var2String renders a NULL json as "" (grammar/rainerscript.c:
+    // 1514-1517), so `$.unset & "|"` is "|", never null
     def r(vc: String, p: String): Column =
-      org.apache.spark.sql.GraftBridge.column(graft.functions.JsonRenderExpr(
-        org.apache.spark.sql.GraftBridge.expression(col(vc)), p))
+      coalesce(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.JsonRenderExpr(
+          org.apache.spark.sql.GraftBridge.expression(col(vc)), p)), lit(""))
     // json-c's double rendering is not guaranteed to match a SQL cast,
     // so double overlays keep the render path here (allowDouble=false)
     def ov(n: String, fallback: Column): Column =
