@@ -561,6 +561,47 @@ object Queries {
           annotate = true, parseTrusted = true), "trusted"))
     }),
 
+    // §2.5 imkubernetes: pod-log decode — pods/containers path
+    // metadata, CRI / docker-json / raw record formats, stderr
+    // severity promotion (contrib/imkubernetes; CRI partial
+    // accumulation covered by ImkubernetesSpec)
+    "imkubernetes_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m3 = col("event_id") % 3
+      val stream = when(col("event_id") % 2 === 0, "stdout").otherwise("stderr")
+      val path = when(col("user_id") % 2 === 0,
+        concat(lit("/var/log/pods/ns"), col("user_id") % 10,
+          lit("_pod"), col("user_id") % 50,
+          lit("_uid"), col("user_id"),
+          lit("/c"), col("event_id") % 5, lit("/"),
+          col("event_id") % 4, lit(".log")))
+        .otherwise(concat(lit("/var/log/containers/pod"), col("user_id") % 50,
+          lit("_ns"), col("user_id") % 10,
+          lit("_c"), col("event_id") % 5,
+          lit("-cid"), col("event_id"), lit(".log")))
+      val line =
+        when(m3 === 0, concat(lit("2024-03-01T10:00:02Z "), stream,
+          lit(" F ev "), col("event_type"), lit(" "), col("event_id")))
+        .when(m3 === 1, to_json(struct(
+          concat(lit("dock "), col("event_type"), lit("\n")).as("log"),
+          stream.as("stream"),
+          lit("2024-03-01T10:00:03Z").as("time"))))
+        .otherwise(concat(lit("plain "), col("event_type"), lit(" "),
+          col("event_id")))
+      val feed = ev.select(col("event_id"), path.as("path"),
+        col("event_id").as("seq"), line.as("value"))
+      graft.sources.Sources.imkubernetesDecode(feed,
+          now = to_timestamp(lit("2024-01-01 00:00:00")))
+        .select(col("event_id"), col("msg"), col("severity"),
+          col("syslogtag"), col("vars_msg"),
+          get_json_object(col("vars_msg"), "$.kubernetes.namespace_name")
+            .as("probe_ns"),
+          get_json_object(col("vars_msg"), "$.docker.container_id")
+            .as("probe_cid"),
+          get_json_object(col("vars_msg"), "$.kubernetes.restart_count")
+            .cast("long").as("probe_restart"))
+    }),
+
     // §2.5 impcap: packet header decode (eth/ipv4 → tcp/udp/icmp) into
     // $!impcap metadata + $!data hex remainder (contrib/impcap
     // packet_parse + parser chain); packets assembled byte-exact from
@@ -2960,6 +3001,51 @@ object Queries {
         |       ELSE '{}' END AS vars_msg
         | FROM ev CROSS JOIN (SELECT unnest(['plain','annotate','trusted'])
         |   AS mode) m""".stripMargin),
+
+    "imkubernetes_decode" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, event_type, event_id % 3 AS m3,
+        |    CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END
+        |      AS stream0,
+        |    user_id % 2 = 0 AS pods
+        |  FROM events),
+        |d AS (
+        |  SELECT event_id, m3, pods, user_id,
+        |    CASE WHEN pods THEN '/var/log/pods/ns' || (user_id % 10) ||
+        |        '_pod' || (user_id % 50) || '_uid' || user_id ||
+        |        '/c' || (event_id % 5) || '/' || (event_id % 4) || '.log'
+        |      ELSE '/var/log/containers/pod' || (user_id % 50) ||
+        |        '_ns' || (user_id % 10) || '_c' || (event_id % 5) ||
+        |        '-cid' || event_id || '.log' END AS path,
+        |    CASE m3 WHEN 0 THEN 'ev ' || event_type || ' ' || event_id
+        |            WHEN 1 THEN 'dock ' || event_type
+        |            ELSE 'plain ' || event_type || ' ' || event_id
+        |    END AS msg,
+        |    CASE WHEN m3 = 2 THEN 'stdout' ELSE stream0 END AS stream,
+        |    CASE m3 WHEN 0 THEN 'cri' WHEN 1 THEN 'docker_json'
+        |            ELSE 'raw' END AS fmt
+        |  FROM f)
+        |SELECT event_id, msg,
+        |  CASE WHEN stream = 'stderr' THEN 3 ELSE 6 END AS severity,
+        |  'kubernetes:' AS syslogtag,
+        |  '{"kubernetes":{"namespace_name":"ns' || (user_id % 10) ||
+        |  '","pod_name":"pod' || (user_id % 50) || '",' ||
+        |  CASE WHEN pods THEN '"pod_uid":"uid' || user_id || '",'
+        |       ELSE '' END ||
+        |  '"container_name":"c' || (event_id % 5) || '",' ||
+        |  CASE WHEN pods THEN '"restart_count":' || (event_id % 4) || ','
+        |       ELSE '' END ||
+        |  '"log_file":"' || path || '","stream":"' || stream ||
+        |  '","log_format":"' || fmt || '"' ||
+        |  CASE WHEN m3 = 2 THEN ',"parse_error":true' ELSE '' END ||
+        |  '},"docker":' ||
+        |  CASE WHEN pods THEN '{}'
+        |       ELSE '{"container_id":"cid' || event_id || '"}' END ||
+        |  '}' AS vars_msg,
+        |  'ns' || (user_id % 10) AS probe_ns,
+        |  CASE WHEN NOT pods THEN 'cid' || event_id END AS probe_cid,
+        |  CASE WHEN pods THEN event_id % 4 END AS probe_restart
+        |FROM d""".stripMargin,
 
     "impcap_decode" ->
       """WITH f AS (

@@ -484,6 +484,11 @@ object InputBinding {
         group = p.getOrElse("stream.consumergroup", ""),
         consumer = p.getOrElse("stream.consumername", ""),
         now = now)
+    else if (typ == "imkubernetes")
+      Sources.imkubernetesDecode(df,
+        dfltSeverity = severityNum(p.getOrElse("severity", "info")),
+        dfltFacility = facilityNum(p.getOrElse("facility", "user")),
+        now = now)
     else if (typ == "impcap")
       Sources.impcapDecode(df, tag = p.getOrElse("tag", ""),
         metadataContainer =

@@ -1233,6 +1233,182 @@ object Sources {
     }
   }
 
+  /** imkubernetes decode (contrib/imkubernetes/imkubernetes.c): pod log
+    * lines → enriched pipeline rows. The feed carries (path, seq,
+    * value) — one log line per row, `seq` = read order within a file
+    * (the CRI partial-fragment accumulator needs it).
+    *
+    *  - path metadata (populatePathMeta:542-560): a `/containers/` path
+    *    parses `<pod>_<ns>_<container>-<cid>.log` (parseContainersPath
+    *    :490-540); otherwise the pods layout
+    *    `.../pods/<ns>_<pod>_<uid>/<container>/<restart>.log`
+    *    (parsePodsPath:411-489, restart = numeric basename).
+    *  - record formats (processLine:1243-1275, tried in order): CRI
+    *    `<ts> <stdout|stderr> <P|F…> <msg>` (structural checks only —
+    *    a bad timestamp still parses as CRI with reception time);
+    *    docker-json `{"log":…,"stream":…,"time":…}` (trailing newline
+    *    of `log` stripped); anything else emits raw with
+    *    parse_error=true.
+    *  - CRI `P` fragments accumulate until their closing `F` record
+    *    (emitPartialIfComplete:1100-1148) — concatenated in seq order
+    *    with the FIRST fragment's stream/time (partialInitFromRecord
+    *    copies them into the accumulator); an unclosed run at end of
+    *    input stays pending (never emitted), same as the reference
+    *    waiting for more data. The stream-mismatch reset and the
+    *    cross-format partial close (a docker/raw line closing a CRI
+    *    run) are pathological interleavings not modeled here.
+    *  - $!kubernetes carries the path metadata + log_file/stream/
+    *    log_format(+parse_error) (addRuntimeMetadata:976-1046);
+    *    $!docker carries container_id. The pod-metadata API
+    *    (queryPodMetadata) is an External boundary — a `pod_md_json`
+    *    feed column supplies it, and the copyJsonField list
+    *    (:1013-1025) merges in.
+    *  - TAG "kubernetes:", hostname = receiver, severity err for
+    *    stderr else info, facility user (enqMsg:1049-1098 + defaults
+    *    :75-76); msg sanitized (bEscapeLf default on). */
+  def imkubernetesDecode(lines: DataFrame, valueCol: String = "value",
+                         dfltFacility: Int = 1, dfltSeverity: Int = 6,
+                         now: Column = current_timestamp()): DataFrame = {
+    val src = withProvenance(lines, "imkubernetes")
+    val v = col(valueCol)
+    val criRe = "^([^ ]+) (stdout|stderr) ([^ ]+) (.*)$"
+    val dockerLog = get_json_object(v, "$.log")
+    val parsed = src
+      .withColumn("__cri_ts", regexp_extract(v, criRe, 1))
+      .withColumn("__is_cri", col("__cri_ts") =!= "")
+      .withColumn("__fmt",
+        when(col("__is_cri"), "cri")
+          .when(dockerLog.isNotNull, "docker_json")
+          .otherwise("raw"))
+      .withColumn("__stream",
+        when(col("__is_cri"), regexp_extract(v, criRe, 2))
+          .when(col("__fmt") === "docker_json" &&
+            get_json_object(v, "$.stream") === "stderr", "stderr")
+          .otherwise("stdout"))
+      .withColumn("__partial",
+        col("__is_cri") && regexp_extract(v, criRe, 3).startsWith("P"))
+      .withColumn("__msg0",
+        when(col("__is_cri"), regexp_extract(v, criRe, 4))
+          .when(col("__fmt") === "docker_json",
+            regexp_replace(dockerLog, "\n$", ""))
+          .otherwise(v))
+      .withColumn("__ts",
+        when(col("__is_cri"),
+          try_to_timestamp(regexp_replace(col("__cri_ts"), "Z$", "+00:00"),
+            lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][XXX]")))
+        .when(col("__fmt") === "docker_json",
+          try_to_timestamp(
+            regexp_replace(get_json_object(v, "$.time"), "Z$", "+00:00"),
+            lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][XXX]"))))
+    // CRI partial accumulation: record id = count of FINAL markers with
+    // a smaller seq, so each P-run shares its closing F's id; runs with
+    // no closing F (max id) stay pending and are dropped
+    // feed passthrough columns survive the accumulation as the FIRST
+    // fragment's values (one accumulated record spans several lines)
+    val extraCols = src.columns.filterNot(c => c == valueCol ||
+      c == "path" || c == "seq" || c.startsWith("__")).toSeq
+    val cri = parsed.filter(col("__is_cri"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("seq"))
+    val criAcc = cri
+      .withColumn("__rid", sum(when(col("__partial"), 0).otherwise(1))
+        .over(w) - when(col("__partial"), 0).otherwise(1))
+      .withColumn("__closed",
+        max(when(!col("__partial"), col("__rid"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("path"))))
+      .filter(col("__rid") <= col("__closed"))
+      .groupBy(col("path"), col("__rid"))
+      .agg(
+        concat_ws("", array_sort(collect_list(struct(col("seq"), col("__msg0"))))
+          .getField("__msg0")).as("__msg0"),
+        (Seq(
+          max(col("seq")).as("seq"),
+          min_by(col("__stream"), col("seq")).as("__stream"),
+          min_by(col("__ts"), col("seq")).as("__tsx")) ++
+         extraCols.map(c => min_by(col(c), col("seq")).as(c))): _*)
+      .withColumn("__fmt", lit("cri"))
+      .withColumn("__parse_error", lit(false))
+      .withColumn("__ts", col("__tsx"))
+    val nonCri = parsed.filter(!col("__is_cri"))
+      .withColumn("__parse_error", col("__fmt") === "raw")
+    val keepCols = (Seq("path", "seq", "__msg0", "__stream", "__fmt",
+      "__parse_error", "__ts") ++ extraCols).map(col)
+    val assembled = criAcc.select(keepCols: _*)
+      .unionByName(nonCri.select(keepCols: _*))
+    // path metadata: containers layout first, then pods layout
+    val base = regexp_extract(col("path"), "([^/]+)$", 1)
+    val baseNoExt = regexp_replace(base, "\\.[^.]*$", "")
+    val isContainers = col("path").contains("/containers/") &&
+      baseNoExt.rlike("^[^_]+_[^_]+_.*-[^-]+$")
+    val podsRe = "/pods/([^_/]+)_([^_/]+)_([^/]+)/([^/]+)/(\\d+)\\.[^/.]*$"
+    val isPods = col("path").rlike(podsRe)
+    def cg(i: Int) = regexp_extract(baseNoExt, "^([^_]+)_([^_]+)_(.*)-([^-]+)$", i)
+    def pg(i: Int) = regexp_extract(col("path"), podsRe, i)
+    val ns = when(isContainers, cg(2)).when(isPods, pg(1))
+    val pod = when(isContainers, cg(1)).when(isPods, pg(2))
+    val uid = when(isPods, pg(3))
+    val cname = when(isContainers, cg(3)).when(isPods, pg(4))
+    val cid = when(isContainers, cg(4))
+    val restart = when(isPods, pg(5).cast("int"))
+    def kv(k: String, c: Column, quote: Boolean = true): Column =
+      when(c.isNotNull && (c =!= ""),
+        concat(lit(",\"" + k + "\":" + (if (quote) "\"" else "")), c,
+          lit(if (quote) "\"" else ""))).otherwise(lit(""))
+    def mdField(k: String, quote: Boolean = true): Column =
+      if (!assembled.columns.contains("pod_md_json")) lit("")
+      else kv(k, get_json_object(col("pod_md_json"), "$." + k), quote)
+    val k8s = concat(
+      lit("{"),
+      regexp_replace(concat(
+        kv("namespace_name", ns), kv("pod_name", pod), kv("pod_uid", uid),
+        kv("container_name", cname),
+        kv("restart_count", restart.cast("string"), quote = false),
+        kv("log_file", col("path")),
+        kv("stream", col("__stream")),
+        kv("log_format", col("__fmt")),
+        when(col("__parse_error"), lit(",\"parse_error\":true"))
+          .otherwise(lit("")),
+        mdField("pod_id"), mdField("creation_timestamp"),
+        mdField("owner_kind"), mdField("owner_name"),
+        mdField("pod_ip"), mdField("host_ip"), mdField("master_url"),
+        mdField("host")), "^,", ""),
+      lit("}"))
+    val docker = when(cid.isNotNull && (cid =!= ""),
+      concat(lit("{\"container_id\":\""), cid, lit("\"}")))
+      .otherwise(lit("{}"))
+    val varsMsg = concat(lit("{\"kubernetes\":"), k8s,
+      lit(",\"docker\":"), docker, lit("}"))
+    val msg = sanitize(col("__msg0"))
+    assembled.select(assembled.columns.filterNot(c => c == valueCol ||
+        c == "path" || c == "seq" || c == "pod_md_json" ||
+        c == "inputname" || c == "fromhost" || c.startsWith("__"))
+        .map(col).toSeq ++ Seq(
+      (if (assembled.columns.contains("inputname")) col("inputname")
+       else lit("imkubernetes")).as("inputname"),
+      (if (assembled.columns.contains("fromhost")) col("fromhost")
+       else lit(java.net.InetAddress.getLocalHost.getHostName)).as("fromhost"),
+      col("path").as("log_path"), col("seq").as("log_seq"),
+      msg.as("rawmsg"),
+      lit(0).as("protocol_version"),
+      (lit(dfltFacility * 8) +
+        when(col("__stream") === "stderr", 3).otherwise(dfltSeverity))
+        .cast("int").as("pri"),
+      lit(dfltFacility).as("facility"),
+      when(col("__stream") === "stderr", 3).otherwise(dfltSeverity)
+        .cast("int").as("severity"),
+      coalesce(col("__ts"), now).as("ts"),
+      lit(java.net.InetAddress.getLocalHost.getHostName).as("hostname"),
+      lit("kubernetes").as("app_name"),
+      lit(null).cast("string").as("procid"),
+      lit(null).cast("string").as("msgid"),
+      lit(null).cast("string").as("structured_data"),
+      lit("kubernetes:").as("syslogtag"),
+      lit("kubernetes").as("programname"),
+      msg.as("msg"),
+      lit(true).as("parsesuccess"),
+      varsMsg.as("vars_msg"), lit("{}").as("vars_local")): _*)
+  }
+
   /** impcap decode (contrib/impcap/impcap.c packet_parse:514-584): one
     * captured packet (BINARY `packet` column) per row. The message is
     * header metadata, not text: `$!data` carries the unparsed remainder
