@@ -260,7 +260,15 @@ object Queries {
         facilityTextCol = element_at(facNames, col("facility") + 1),
         severityTextCol = element_at(sevNames, col("severity") + 1),
         hostnameCol = col("hostname"), fromhostCol = col("hostname"))
-        .select(col("event_id"), col("amqp_publish"))
+        .select(col("event_id"), col("amqp_publish"),
+          // deep probes INTO the nested properties/headers objects (the
+          // anti-stringification pattern, see omotel_export)
+          get_json_object(col("amqp_publish"), "$.properties.headers.severity")
+            .as("probe_sev"),
+          get_json_object(col("amqp_publish"), "$.properties.delivery_mode")
+            .cast("long").as("probe_dmode"),
+          get_json_object(col("amqp_publish"), "$.routing_key")
+            .as("probe_rk"))
     }),
 
     // §2.10 omczmq — PUB socket topic fan-out: one row per
@@ -806,7 +814,11 @@ object Queries {
         .withColumn("programname", col("event_type"))
         .withColumn("procid", (col("event_id") % 1000).cast("string"))
       graft.sources.Sources.ommongodbDoc(ev)
-        .select(col("event_id"), col("mongo_doc"))
+        .select(col("event_id"), col("mongo_doc"),
+          get_json_object(col("mongo_doc"), "$.sys").as("probe_sys"),
+          get_json_object(col("mongo_doc"), "$.level").as("probe_level"),
+          get_json_object(col("mongo_doc"), "$.time").cast("long")
+            .as("probe_time"))
     }),
 
     // §2.10 ommail RFC822 DATA shaping (writeMailMessage,
@@ -2781,7 +2793,10 @@ object Queries {
         |  '","severity":"' || sev_t ||
         |  '","hostname":"' || hostname ||
         |  '","fromhost":"' || hostname ||
-        |  '"}},"body":"' || m || '"}' AS amqp_publish
+        |  '"}},"body":"' || m || '"}' AS amqp_publish,
+        |  sev_t AS probe_sev,
+        |  2 AS probe_dmode,
+        |  fac_t || '.' || sev_t AS probe_rk
         | FROM names""".stripMargin),
 
     "czmq_pub" -> (Queries.synthSql +
@@ -3178,7 +3193,10 @@ object Queries {
         |  '","pid":"' || (event_id % 1000) ||
         |  '","level":"' ||
         |  (['FATAL','ERROR','ERROR','ERROR','WARN','INFO','INFO','DEBUG'][CAST(event_id % 8 AS INT) + 1]) ||
-        |  '"}' AS mongo_doc
+        |  '"}' AS mongo_doc,
+        |  'host' || (user_id % 50) AS probe_sys,
+        |  (['FATAL','ERROR','ERROR','ERROR','WARN','INFO','INFO','DEBUG'][CAST(event_id % 8 AS INT) + 1]) AS probe_level,
+        |  epoch_ns(ts) // 1000000 AS probe_time
         |FROM events""".stripMargin,
 
     "ommail_message" ->
