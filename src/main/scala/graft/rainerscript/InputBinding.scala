@@ -498,12 +498,27 @@ object InputBinding {
         now = now)
     else if (typ == "imtuxedoulog")
       Sources.imtuxedoulogDecode(df, now = now)
-    else if (typ == "imuxsock")
-      Sources.imuxsockDecode(df,
+    else if (typ == "imuxsock") {
+      val dec = Sources.imuxsockDecode(df,
         annotate = on("annotate"),
         parseTrusted = on("parsetrusted"),
         defaultYear = defaultYear)
         .withColumn("ts", coalesce(col("ts"), now))
+      // per-PID token bucket (findRatelimiter keyed on cred->pid,
+      // imuxsock.c:617-680; applied only to severities >= the threshold,
+      // ratelimit.c:2605 — emergencies exempt by default). Defaults
+      // interval 0 = off, burst 200, severity 1 (imuxsock.c:186-188).
+      val interval = p.get("ratelimit.interval").map(_.toInt).getOrElse(0)
+      if (interval > 0 && dec.columns.contains("pid")) {
+        val burst = p.get("ratelimit.burst").map(_.toInt).getOrElse(200)
+        val sevThresh = p.get("ratelimit.severity").map(severityNum).getOrElse(1)
+        val ord = if (dec.columns.contains("seq")) col("seq") else col("ts")
+        graft.operators.RateLimit(
+            dec.filter(col("severity") >= sevThresh),
+            col("pid"), col("ts"), ord, interval, burst)
+          .unionByName(dec.filter(col("severity") < sevThresh))
+      } else dec
+    }
     else if (typ == "imhttp")
       Sources.imhttpDecode(df, addMetadata = on("addmetadata"),
         defaultYear = defaultYear)

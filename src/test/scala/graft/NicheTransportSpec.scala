@@ -115,6 +115,23 @@ class NicheTransportSpec extends SparkSpec {
       """{"pid":42,"uid":0,"gid":0,"appname":"app","exe":"/usr/bin/app","cmd":"app -d"}""")
   }
 
+  test("imuxsock: per-PID ratelimit, emergencies exempt") {
+    // pid 42 floods 5 notice messages in one window (burst 2) plus one
+    // emerg (severity 0 < threshold 1 -> exempt); pid 7 sends 1
+    val rows = (1 to 5).map(i =>
+      (s"<13>Jun  1 11:00:0$i app[42]: flood $i", 42L, i.toLong)) ++
+      Seq(("<8>Jun  1 11:00:06 app[42]: panic", 42L, 6L),
+          ("<13>Jun  1 11:00:07 other[7]: ok", 7L, 7L))
+    val feed = rows.toDF("value", "pid", "seq")
+    val cfg = RsyslogConfig.parse(
+      """input(type="imuxsock" ratelimit.interval="60" ratelimit.burst="2")
+        |*.* /dev/null
+        |""".stripMargin)
+    val out = cfg.activate(spark, feeds = Map("imuxsock" -> feed), now = t0)("")
+      .frame.select("msg").as[String].collect().toSeq.sorted
+    assert(out == Seq(" flood 1", " flood 2", " ok", " panic"))
+  }
+
   test("imtuxedoulog: README cases 1-4 parse; Java exception lines dropped") {
     val feed = Seq(
       ("105211.70.sic-in2-tmsl1!IMSproxiCSFI4EC.26607818.1.0: TSAM_CAT:305:4563628752 ; I ;TPSUCCESS service", 1),
