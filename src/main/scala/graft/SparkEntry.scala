@@ -473,13 +473,19 @@ object Queries {
         .otherwise(concat(lit("<35>mail subsystem e"), col("event_id")))
       val feed = ev.select(col("event_id"), line.as("value"))
       val t0 = to_timestamp(lit("2024-01-01 00:00:00"))
-      def shape(d: org.apache.spark.sql.DataFrame, mode: String) =
-        d.select(col("event_id"), lit(mode).as("mode"), col("pri"),
-          col("facility"), col("severity"), col("msg"), col("syslogtag"))
-      shape(graft.sources.Sources.imklogDecode(feed,
-        permitNonKernel = true, now = t0), "all")
-        .unionAll(shape(graft.sources.Sources.imklogDecode(feed, now = t0),
-          "kern"))
+      // ONE decode pass serves both modes: the kern-only gate is just a
+      // facility==0 filter over the permissive decode (imklog.c:272), so
+      // the second mode explodes from the same rows instead of
+      // re-scanning and re-decoding the feed
+      graft.sources.Sources.imklogDecode(feed, permitNonKernel = true,
+          now = t0)
+        .select(col("event_id"), col("pri"), col("facility"),
+          col("severity"), col("msg"), col("syslogtag"),
+          explode(array(lit("all"),
+            when(col("facility") === 0, "kern"))).as("mode"))
+        .filter(col("mode").isNotNull)
+        .select(col("event_id"), col("mode"), col("pri"), col("facility"),
+          col("severity"), col("msg"), col("syslogtag"))
     }),
 
     // §2.5 imkmsg /dev/kmsg structured decode: pri,seq,usec;msg + the
