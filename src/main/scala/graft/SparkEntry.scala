@@ -2491,6 +2491,42 @@ object Queries {
     // drains at the final watermark (flushAfterMs ≤ 0). Event time =
     // timestamp_millis(seq) so arrival order is total and mirrors the
     // oracle's island reconstruction exactly.
+    // §2.5 imkubernetes streaming face: CRI P-fragments accumulate in
+    // the state store until their closing F (first fragment's
+    // stream/time win); docker-json and raw lines pass through; the
+    // trailing unclosed P run stays pending and is never emitted
+    "stream_kube_cri" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val m5 = col("event_id") % 5
+      val line =
+        when(m5 === 4, concat(lit("2024-03-01T10:00:00Z stdout P p"),
+          col("event_id"), lit(" ")))
+        .when(m5 === 0, concat(lit("2024-03-01T10:00:01Z stderr F f"),
+          col("event_id")))
+        .when(m5 === 3, concat(lit("2024-03-01T10:00:02.25Z stdout F g"),
+          col("event_id")))
+        .when(m5 === 1, to_json(struct(
+          concat(lit("d"), col("event_id"), lit("\n")).as("log"),
+          when(col("event_id") % 2 === 1, "stderr").otherwise("stdout")
+            .as("stream"),
+          lit("2024-03-01T10:00:03Z").as("time"))))
+        .otherwise(concat(lit("r"), col("event_id"), lit(" "),
+          col("event_type")))
+      val in = ev.select(
+        concat(lit("/var/log/pods/ns1_pod"), col("user_id") % 8,
+          lit("_u/app/0.log")).as("key"),
+        col("event_id").as("seq"), line.as("line"),
+        timestamp_millis(col("event_id") + lit(86400000L)).as("ts"))
+        .as[graft.streaming.Stateful.MlInput]
+      val out = graft.streaming.Stateful.kubeCriAssemble(in)
+      graft.streaming.StreamGate.run(out.toDF(), "append",
+          graft.streaming.StreamGate.tableBytes(dir, "events"))
+        .select(col("path"), col("seq"), col("msg"), col("stream"),
+          col("fmt"), col("parse_error"),
+          unix_millis(col("ts")).as("ts_ms"))
+    }),
+
     "stream_multiline" -> ((s, dir) => {
       import s.implicits._
       val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
@@ -4257,6 +4293,54 @@ object Queries {
         |  'last message repeated ' || (len - 1) || ' times' AS msg,
         |  true AS synthetic
         |FROM marked WHERE len > 1""".stripMargin,
+
+    // CRI island reconstruction: rid groups each P-run with its closing
+    // F (cumsum of finals minus own final); only closed groups emit, the
+    // combined record takes the FIRST fragment's stream/time and the
+    // closing row's seq
+    "stream_kube_cri" ->
+      """WITH o AS (
+        |  SELECT '/var/log/pods/ns1_pod' || (user_id % 8) ||
+        |    '_u/app/0.log' AS path,
+        |    event_id AS seq, event_id % 5 AS m5, event_id, event_type
+        |  FROM events),
+        |cri AS (
+        |  SELECT path, seq,
+        |    CASE WHEN m5 = 4 THEN 0 ELSE 1 END AS is_final,
+        |    CASE WHEN m5 = 4 THEN 'p' || event_id || ' '
+        |         WHEN m5 = 0 THEN 'f' || event_id
+        |         ELSE 'g' || event_id END AS body,
+        |    CASE WHEN m5 = 0 THEN 'stderr' ELSE 'stdout' END AS stream,
+        |    CASE WHEN m5 = 4 THEN epoch_ms(TIMESTAMP '2024-03-01 10:00:00')
+        |         WHEN m5 = 0 THEN epoch_ms(TIMESTAMP '2024-03-01 10:00:01')
+        |         ELSE epoch_ms(TIMESTAMP '2024-03-01 10:00:02.25')
+        |    END AS tsms
+        |  FROM o WHERE m5 IN (0, 3, 4)),
+        |grp AS (
+        |  SELECT *, sum(is_final) OVER (
+        |    PARTITION BY path ORDER BY seq ROWS UNBOUNDED PRECEDING)
+        |    - is_final AS rid
+        |  FROM cri),
+        |agg AS (
+        |  SELECT path, rid, max(seq) AS seq,
+        |    string_agg(body, '' ORDER BY seq) AS msg,
+        |    arg_min(stream, seq) AS stream,
+        |    arg_min(tsms, seq) AS ts_ms,
+        |    max(is_final) AS closed
+        |  FROM grp GROUP BY 1, 2)
+        |SELECT path, seq, msg, stream, 'cri' AS fmt,
+        |  false AS parse_error, ts_ms
+        |FROM agg WHERE closed = 1
+        |UNION ALL
+        |SELECT path, seq, 'd' || event_id,
+        |  CASE WHEN event_id % 2 = 1 THEN 'stderr' ELSE 'stdout' END,
+        |  'docker_json', false,
+        |  epoch_ms(TIMESTAMP '2024-03-01 10:00:03')
+        |FROM o WHERE m5 = 1
+        |UNION ALL
+        |SELECT path, seq, 'r' || event_id || ' ' || event_type,
+        |  'stdout', 'raw', true, event_id + 86400000
+        |FROM o WHERE m5 = 2""".stripMargin,
 
     // islands over the per-key line stream: a record = a START line plus
     // everything until the next START; island 0 = pre-start accumulation;

@@ -487,4 +487,97 @@ object Stateful {
     * with the raw-newline join). */
   def multiline(ds: Dataset[MlInput], startRegex: String): Dataset[MlOutput] =
     imfileMultiline(ds, Some(startRegex), None, escapeLF = false)
+
+  case class KubeOutput(path: String, seq: Long, msg: String, stream: String,
+                        fmt: String, parse_error: Boolean,
+                        ts: java.sql.Timestamp)
+
+  /** Streaming face of the imkubernetes CRI assembler
+    * (contrib/imkubernetes/imkubernetes.c processLine:1243-1275 +
+    * emitPartialIfComplete:1100-1148): per pod-log file (the key), CRI
+    * `P` fragments accumulate in the state store until their closing
+    * `F` record — the combined record carries the FIRST fragment's
+    * stream/time — while docker-json and raw lines pass through as
+    * standalone records (the cross-format close is out of the modeled
+    * subset, as in the batch face). An unclosed run stays pending until
+    * the state times out, mirroring the reference waiting for more
+    * file data; the timeout DISCARDS it (never emitted). `ts` in the
+    * output is the record time where the line carried one, else the
+    * input row's event time. */
+  def kubeCriAssemble(ds: Dataset[MlInput],
+                      watermarkDelay: String = "0 seconds",
+                      flushAfterMs: Long = 30000L): Dataset[KubeOutput] = {
+    import ds.sparkSession.implicits._
+    case class Pending(msg: String, stream: String, ts: Long, hasTime: Boolean)
+    val criRe = java.util.regex.Pattern.compile(
+      "^([^ ]+) (stdout|stderr) ([^ ]+) (.*)$")
+    def parse3339(s: String): Option[Long] =
+      try Some(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli)
+      catch { case _: Exception =>
+        try Some(java.time.Instant.parse(s).toEpochMilli)
+        catch { case _: Exception => None }
+      }
+    ds.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Option[(String, String, Long, Boolean)], KubeOutput](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var pending = state.getOption.flatten
+            var maxTs = Long.MinValue
+            val out = scala.collection.mutable.ArrayBuffer.empty[KubeOutput]
+            rows.toSeq.sortBy(r => (r.ts.getTime, r.seq)).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              val m = criRe.matcher(r.line)
+              if (m.matches()) {
+                val stream = m.group(2)
+                val partial = m.group(3).startsWith("P")
+                val body = m.group(4)
+                val lineTs = parse3339(m.group(1))
+                if (partial) {
+                  pending = pending match {
+                    case Some((acc, s0, t0, h0)) => Some((acc + body, s0, t0, h0))
+                    case None => Some((body, stream,
+                      lineTs.getOrElse(r.ts.getTime), lineTs.isDefined))
+                  }
+                } else pending match {
+                  case Some((acc, s0, t0, _)) =>
+                    out += KubeOutput(key, r.seq, acc + body, s0, "cri",
+                      parse_error = false, new java.sql.Timestamp(t0))
+                    pending = None
+                  case None =>
+                    out += KubeOutput(key, r.seq, body, stream, "cri",
+                      parse_error = false, new java.sql.Timestamp(
+                        lineTs.getOrElse(r.ts.getTime)))
+                }
+              } else {
+                // docker-json else raw (same order as processLine)
+                val (msg, stream, fmt, err, t) =
+                  try {
+                    val node = graft.functions.JsonPathUtil.mapper.readTree(r.line)
+                    if (node != null && node.isObject && node.has("log") &&
+                        node.get("log").isTextual) {
+                      val log0 = node.get("log").asText()
+                      val log = if (log0.endsWith("\n")) log0.dropRight(1) else log0
+                      val st0 = if (node.has("stream") &&
+                        node.get("stream").asText() == "stderr") "stderr" else "stdout"
+                      val t0 = if (node.has("time"))
+                        parse3339(node.get("time").asText()) else None
+                      (log, st0, "docker_json", false, t0)
+                    } else (r.line, "stdout", "raw", true, None)
+                  } catch { case _: Exception =>
+                    (r.line, "stdout", "raw", true, None)
+                  }
+                out += KubeOutput(key, r.seq, msg, stream, fmt, err,
+                  new java.sql.Timestamp(t.getOrElse(r.ts.getTime)))
+              }
+            }
+            state.update(pending)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + flushAfterMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 }
