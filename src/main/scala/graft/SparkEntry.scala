@@ -287,7 +287,7 @@ object Queries {
           // the wire image, where the element-1/2 probes alone would
           // just read nulls that an authored oracle could mirror
           size(col("frames")).as("n_frames"),
-          concat_ws("", col("frames")).as("frames_wire"))
+          concat_ws("\u0001", col("frames")).as("frames_wire"))
     }),
 
     // §2.9 mmaitag — external-AI classification fold: mock-provider

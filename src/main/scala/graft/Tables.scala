@@ -23,7 +23,7 @@ object Tables {
     * a full-data shuffle here, so the round-robin redistribute is
     * DOUBLE-gated: skipped past 1 GiB (a real table), and skipped when
     * the parquet footers show enough ROW GROUPS for the scan itself to
-    * parallelize (the v4 synth corpora write 8 MiB row groups exactly so
+    * parallelize (the v5 synth corpora write 512 KiB row groups exactly so
     * scans split without paying this shuffle — repartitioning those was
     * a measured ~1s/query waste at sf1). Row order is not part of any
     * oracle contract (the driver sorts rows before hashing; ordered

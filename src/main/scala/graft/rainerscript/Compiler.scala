@@ -179,9 +179,13 @@ object RainerCompiler {
         graft.functions.JsonRenderExpr(
           org.apache.spark.sql.GraftBridge.expression(col(vc)), p)), lit(""))
     // json-c's double rendering is not guaranteed to match a SQL cast,
-    // so double overlays keep the render path here (allowDouble=false)
+    // so double overlays keep the render path here (allowDouble=false).
+    // String context coerces a null value to "" (the same var2String
+    // contract the fallback's coalesce enforces) — without it a null
+    // set value (cbool of a missing var, …) would null the whole concat
     def ov(n: String, fallback: Column): Column =
-      overlayRead(overlays(n), fallback, allowDouble = false)
+      coalesce(overlayRead(overlays(n), fallback, allowDouble = false),
+        lit(""))
     e match {
       case RVar(raw) =>
         val n = if (raw.startsWith("$")) raw else "$" + raw
@@ -445,7 +449,11 @@ object RainerCompiler {
     def varCol(raw: String): (String, String) =
       if (raw.startsWith("$.")) ("vars_local", raw.drop(2).replace('!', '.'))
       else if (raw.startsWith("$/")) ("vars_global", raw.drop(2).replace('!', '.'))
-      else ("vars_msg", raw.dropWhile(c => c == '$' || c == '!'))
+      // dot-normalized like the other namespaces — the overlay cache
+      // keys on this form, so "$!a!b" must produce "a.b" here (the
+      // json_set call sites re-bang via .replace('.', '!'))
+      else ("vars_msg",
+        raw.dropWhile(c => c == '$' || c == '!').replace('!', '.'))
 
     // ---- scalar set-overlay cache (see OverlayInfo) -------------------
     val overlays = scala.collection.mutable.Map.empty[String, OverlayInfo]

@@ -151,12 +151,17 @@ object Sources {
         org.apache.spark.sql.GraftBridge.expression(col(pathCol)),
         timestampKey, programKey, maxMsgSize, dedupSpace))
     val prog = graft.functions.SyslogParseExpr.programName(tag)
-    reports
+    // provenance convention shared with the other preset decodes: a feed
+    // already carrying inputname/fromhost keeps its columns (duplicate
+    // output columns otherwise)
+    val src = withProvenance(reports, "imbatchreport")
+    src
       .withColumn("br", dec)
       .select(
-        reports.columns.filter(_ != textCol).map(col) ++ Seq(
-          lit("imbatchreport").as("inputname"),
-          lit(java.net.InetAddress.getLocalHost.getHostName).as("fromhost"),
+        src.columns.filter(c => c != textCol && c != "inputname" &&
+          c != "fromhost").map(col) ++ Seq(
+          col("inputname"),
+          col("fromhost"),
           col("br.msg").as("rawmsg"),
           lit(0).as("protocol_version"),
           lit(facility * 8 + severity).as("pri"),
@@ -164,7 +169,7 @@ object Sources {
           // SD timestamp (epoch seconds) overrides reception time
           when(col("br.ts_epoch").isNotNull,
             timestamp_seconds(col("br.ts_epoch"))).otherwise(now).as("ts"),
-          lit(java.net.InetAddress.getLocalHost.getHostName).as("hostname"),
+          col("fromhost").as("hostname"),
           coalesce(col("br.program"),
             lit(if (prog == null || prog.isEmpty) null else prog)
               .cast("string")).as("app_name"),

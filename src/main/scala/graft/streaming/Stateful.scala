@@ -508,7 +508,8 @@ object Stateful {
                       watermarkDelay: String = "0 seconds",
                       flushAfterMs: Long = 30000L): Dataset[KubeOutput] = {
     import ds.sparkSession.implicits._
-    case class Pending(msg: String, stream: String, ts: Long, hasTime: Boolean)
+    // state = Some((accumulated msg, first fragment's stream, first
+    // fragment's ts millis)) while a P run is open
     val criRe = java.util.regex.Pattern.compile(
       "^([^ ]+) (stdout|stderr) ([^ ]+) (.*)$")
     def parse3339(s: String): Option[Long] =
@@ -519,7 +520,7 @@ object Stateful {
       }
     ds.withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
-      .flatMapGroupsWithState[Option[(String, String, Long, Boolean)], KubeOutput](
+      .flatMapGroupsWithState[Option[(String, String, Long)], KubeOutput](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -537,12 +538,12 @@ object Stateful {
                 val lineTs = parse3339(m.group(1))
                 if (partial) {
                   pending = pending match {
-                    case Some((acc, s0, t0, h0)) => Some((acc + body, s0, t0, h0))
+                    case Some((acc, s0, t0)) => Some((acc + body, s0, t0))
                     case None => Some((body, stream,
-                      lineTs.getOrElse(r.ts.getTime), lineTs.isDefined))
+                      lineTs.getOrElse(r.ts.getTime)))
                   }
                 } else pending match {
-                  case Some((acc, s0, t0, _)) =>
+                  case Some((acc, s0, t0)) =>
                     out += KubeOutput(key, r.seq, acc + body, s0, "cri",
                       parse_error = false, new java.sql.Timestamp(t0))
                     pending = None

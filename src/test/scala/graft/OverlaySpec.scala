@@ -119,6 +119,23 @@ class OverlaySpec extends SparkSpec {
     assert(v == "saw-c") // last element wins in the collapse
   }
 
+  test("nested $! var reads hit the overlay key (dot-normalized)") {
+    val m = run1(
+      """set $!a!b = "leaf";
+        |set $.out = $!a!b & "!";
+        |""".stripMargin, ("vars_local", "$.out"))
+    assert(m("vars_local$.out") == "leaf!")
+  }
+
+  test("null-valued set reads back as empty string in concat") {
+    // cbool of a missing var is null; var2String renders null as ""
+    val m = run1(
+      """set $.f = cbool($!nope);
+        |set $.out = "x" & $.f;
+        |""".stripMargin, ("vars_local", "$.out"))
+    assert(m("vars_local$.out") == "x")
+  }
+
   test("unset invalidates the overlay") {
     val m = run1(
       """set $.x = "gone";
