@@ -104,6 +104,29 @@ object Queries {
           count(lit(1)).as("n"))
     }),
 
+    // baseline relational capability, join shape (TPC-H Q3-ish):
+    // filtered customer dim BROADCAST into orders, the fact-fact join to
+    // lineitem shuffles on the key — the plan a 100 TB run needs (small
+    // side broadcast, one shuffle for the big join, AQE re-plan free)
+    "q3_join" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count_distinct(col("o_orderkey")).as("n_orders"))
+    }),
+
     // §2.1 S_PRIFILT — PRI bitmask filter compiled from a selector string
     "prifilt" -> ((s, dir) => {
       val ev = synthSyslog(s, dir)
@@ -2722,6 +2745,16 @@ object Queries {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q3_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin,
 
     // mask per facility for "*.err;mail.none;local0.=debug": default
     // bits 0-3 (err and more severe), mail(2) cleared, local0(16) adds =debug
