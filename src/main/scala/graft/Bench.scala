@@ -57,8 +57,9 @@ object Bench {
     // hadoop conf; v5 = 512 KiB groups — the whole 1M-row events table
     // encodes to ~9 MiB, so an 8 MiB target still produced ONE group;
     // ~20 groups lets Tables.rebalance skip its compensating shuffle
-    // while scans keep >= half the cores busy)
-    val marker = new java.io.File(out, "_SYNTH_DONE_v5")
+    // while scans keep >= half the cores busy; v6 = orders/customer
+    // shards for the q3_join relational baseline)
+    val marker = new java.io.File(out, "_SYNTH_DONE_v6")
     val hconf = spark.sparkContext.hadoopConfiguration
     if (!marker.exists()) {
       val prevBlock = hconf.get("parquet.block.size")
@@ -111,6 +112,22 @@ object Bench {
           .map(col).toSeq: _*)
         .repartition(shards)
         .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // orders ×shards with order keys remapped to stay joinable to the
+      // lineitem shards above; customer keys remap the same way so the
+      // q3 join fans out realistically (each shard its own key range)
+      Tables.orders(spark, sfDir).crossJoin(sh).select(
+        (col("o_orderkey") + col("shard") * 1000000000L).as("o_orderkey"),
+        (col("o_custkey") + col("shard") * 100000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+        .repartition(shards)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      Tables.customer(spark, sfDir).crossJoin(sh).select(
+        (col("c_custkey") + col("shard") * 100000000L).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+        .repartition(shards)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/nation.parquet"),
         java.nio.file.Paths.get(s"$out/nation.parquet"),

@@ -1300,11 +1300,11 @@ object Sources {
       .withColumn("__ts",
         when(col("__is_cri"),
           try_to_timestamp(regexp_replace(col("__cri_ts"), "Z$", "+00:00"),
-            lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][XXX]")))
+            lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][.SS][.S][XXX]")))
         .when(col("__fmt") === "docker_json",
           try_to_timestamp(
             regexp_replace(get_json_object(v, "$.time"), "Z$", "+00:00"),
-            lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][XXX]"))))
+            lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][.SS][.S][XXX]"))))
     // CRI partial accumulation: record id = count of FINAL markers with
     // a smaller seq, so each P-run shares its closing F's id; runs with
     // no closing F (max id) stay pending and are dropped

@@ -504,75 +504,84 @@ object Stateful {
     * file data; the timeout DISCARDS it (never emitted). `ts` in the
     * output is the record time where the line carried one, else the
     * input row's event time. */
+  /** Pre-parsed line for the CRI assembler: everything per-row
+    * (format detect, CRI fields, docker-json extraction, record-time
+    * parse) is computed COLUMN-side in codegen before the state
+    * function — only the fragment accumulation itself runs in the
+    * typed loop. `outTsMs` = record time where the line carried one,
+    * else event time. */
+  case class KubeLine(key: String, seq: Long, isCri: Boolean,
+                      partial: Boolean, stream: String, body: String,
+                      fmt: String, parseError: Boolean, outTsMs: Long,
+                      ts: java.sql.Timestamp)
+
   def kubeCriAssemble(ds: Dataset[MlInput],
                       watermarkDelay: String = "0 seconds",
                       flushAfterMs: Long = 30000L): Dataset[KubeOutput] = {
     import ds.sparkSession.implicits._
-    // state = Some((accumulated msg, first fragment's stream, first
-    // fragment's ts millis)) while a P run is open
-    val criRe = java.util.regex.Pattern.compile(
-      "^([^ ]+) (stdout|stderr) ([^ ]+) (.*)$")
-    def parse3339(s: String): Option[Long] =
-      try Some(java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli)
-      catch { case _: Exception =>
-        try Some(java.time.Instant.parse(s).toEpochMilli)
-        catch { case _: Exception => None }
-      }
-    ds.withWatermark("ts", watermarkDelay)
+    import org.apache.spark.sql.functions._
+    val criRe = "^([^ ]+) (stdout|stderr) ([^ ]+) (.*)$"
+    val tsPat = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][.SSSSSS][.SSS][.SS][.S][XXX]"
+    def t3339(c: org.apache.spark.sql.Column) =
+      try_to_timestamp(regexp_replace(c, "Z$", "+00:00"), lit(tsPat))
+    val line = col("line")
+    val dockerLog = get_json_object(line, "$.log")
+    val isCri = regexp_extract(line, criRe, 1) =!= ""
+    val isDocker = !isCri && dockerLog.isNotNull
+    val lineTs = when(isCri, t3339(regexp_extract(line, criRe, 1)))
+      .when(isDocker, t3339(get_json_object(line, "$.time")))
+    val parsed = ds.toDF()
+      .withColumn("isCri", isCri)
+      .withColumn("partial",
+        isCri && regexp_extract(line, criRe, 3).startsWith("P"))
+      .withColumn("stream",
+        when(isCri, regexp_extract(line, criRe, 2))
+          .when(isDocker && get_json_object(line, "$.stream") === "stderr",
+            "stderr")
+          .otherwise("stdout"))
+      .withColumn("body",
+        when(isCri, regexp_extract(line, criRe, 4))
+          .when(isDocker, regexp_replace(dockerLog, "\n$", ""))
+          .otherwise(line))
+      .withColumn("fmt", when(isCri, "cri")
+        .when(isDocker, "docker_json").otherwise("raw"))
+      .withColumn("parseError", !isCri && !isDocker)
+      .withColumn("outTsMs",
+        coalesce(unix_millis(lineTs), unix_millis(col("ts"))))
+      .drop("line")
+      .as[KubeLine]
+    parsed.withWatermark("ts", watermarkDelay)
       .groupByKey(_.key)
       .flatMapGroupsWithState[Option[(String, String, Long)], KubeOutput](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // state = Some((accumulated msg, first fragment's stream,
+            // first fragment's ts millis)) while a P run is open
             var pending = state.getOption.flatten
             var maxTs = Long.MinValue
             val out = scala.collection.mutable.ArrayBuffer.empty[KubeOutput]
             rows.toSeq.sortBy(r => (r.ts.getTime, r.seq)).foreach { r =>
               maxTs = math.max(maxTs, r.ts.getTime)
-              val m = criRe.matcher(r.line)
-              if (m.matches()) {
-                val stream = m.group(2)
-                val partial = m.group(3).startsWith("P")
-                val body = m.group(4)
-                val lineTs = parse3339(m.group(1))
-                if (partial) {
+              if (r.isCri) {
+                if (r.partial) {
                   pending = pending match {
-                    case Some((acc, s0, t0)) => Some((acc + body, s0, t0))
-                    case None => Some((body, stream,
-                      lineTs.getOrElse(r.ts.getTime)))
+                    case Some((acc, s0, t0)) => Some((acc + r.body, s0, t0))
+                    case None => Some((r.body, r.stream, r.outTsMs))
                   }
                 } else pending match {
                   case Some((acc, s0, t0)) =>
-                    out += KubeOutput(key, r.seq, acc + body, s0, "cri",
+                    out += KubeOutput(key, r.seq, acc + r.body, s0, "cri",
                       parse_error = false, new java.sql.Timestamp(t0))
                     pending = None
                   case None =>
-                    out += KubeOutput(key, r.seq, body, stream, "cri",
-                      parse_error = false, new java.sql.Timestamp(
-                        lineTs.getOrElse(r.ts.getTime)))
+                    out += KubeOutput(key, r.seq, r.body, r.stream, "cri",
+                      parse_error = false, new java.sql.Timestamp(r.outTsMs))
                 }
-              } else {
-                // docker-json else raw (same order as processLine)
-                val (msg, stream, fmt, err, t) =
-                  try {
-                    val node = graft.functions.JsonPathUtil.mapper.readTree(r.line)
-                    if (node != null && node.isObject && node.has("log") &&
-                        node.get("log").isTextual) {
-                      val log0 = node.get("log").asText()
-                      val log = if (log0.endsWith("\n")) log0.dropRight(1) else log0
-                      val st0 = if (node.has("stream") &&
-                        node.get("stream").asText() == "stderr") "stderr" else "stdout"
-                      val t0 = if (node.has("time"))
-                        parse3339(node.get("time").asText()) else None
-                      (log, st0, "docker_json", false, t0)
-                    } else (r.line, "stdout", "raw", true, None)
-                  } catch { case _: Exception =>
-                    (r.line, "stdout", "raw", true, None)
-                  }
-                out += KubeOutput(key, r.seq, msg, stream, fmt, err,
-                  new java.sql.Timestamp(t.getOrElse(r.ts.getTime)))
-              }
+              } else
+                out += KubeOutput(key, r.seq, r.body, r.stream, r.fmt,
+                  r.parseError, new java.sql.Timestamp(r.outTsMs))
             }
             state.update(pending)
             state.setTimeoutTimestamp(
