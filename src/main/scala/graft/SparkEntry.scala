@@ -598,6 +598,24 @@ object Queries {
           annotate = true, parseTrusted = true), "trusted"))
     }),
 
+    // §2.5 imsolaris: STREAMS log decode — PRI and time come from the
+    // log_ctl header, the body parses only for TAG/msg, in-body dates
+    // are ignored and hostname stays the receiver
+    // (plugins/imsolaris/imsolaris.c readLog:185-215)
+    "imsolaris_decode" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val feed = ev.select(col("event_id"),
+        concat(lit("Oct 11 22:14:15 "), col("event_type"),
+          lit("["), col("event_id") % 1000, lit("]: door msg "),
+          col("event_id")).as("value"),
+        (col("event_id") % 192).cast("int").as("pri"),
+        (lit(1700000000L) + col("event_id") % 86400).as("ctl_sec"))
+      graft.sources.Sources.imsolarisDecode(feed)
+        .select(col("event_id"), col("pri"), col("facility"),
+          col("severity"), col("syslogtag"), col("programname"),
+          col("msg"), unix_timestamp(col("ts")).as("ts_sec"))
+    }),
+
     // §2.5 imkubernetes: pod-log decode — pods/containers path
     // metadata, CRI / docker-json / raw record formats, stderr
     // severity promotion (contrib/imkubernetes; CRI partial
@@ -3091,6 +3109,17 @@ object Queries {
         |       ELSE '{}' END AS vars_msg
         | FROM ev CROSS JOIN (SELECT unnest(['plain','annotate','trusted'])
         |   AS mode) m""".stripMargin),
+
+    "imsolaris_decode" ->
+      """SELECT event_id,
+        |  CAST(event_id % 192 AS INT) AS pri,
+        |  CAST((event_id % 192) // 8 AS INT) AS facility,
+        |  CAST((event_id % 192) % 8 AS INT) AS severity,
+        |  event_type || '[' || (event_id % 1000) || ']:' AS syslogtag,
+        |  event_type AS programname,
+        |  ' door msg ' || event_id AS msg,
+        |  1700000000 + event_id % 86400 AS ts_sec
+        |FROM events""".stripMargin,
 
     "imkubernetes_decode" ->
       """WITH f AS (

@@ -484,6 +484,8 @@ object InputBinding {
         group = p.getOrElse("stream.consumergroup", ""),
         consumer = p.getOrElse("stream.consumername", ""),
         now = now)
+    else if (typ == "imsolaris")
+      Sources.imsolarisDecode(df, defaultYear = defaultYear, now = now)
     else if (typ == "imkubernetes")
       Sources.imkubernetesDecode(df,
         dfltSeverity = severityNum(p.getOrElse("severity", "info")),

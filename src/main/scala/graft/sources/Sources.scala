@@ -1414,6 +1414,36 @@ object Sources {
       varsMsg.as("vars_msg"), lit("{}").as("vars_local")): _*)
   }
 
+  /** imsolaris decode (plugins/imsolaris/imsolaris.c readLog:185-215):
+    * one STREAMS log message per row — the `log_ctl` header carries the
+    * PRI and the kernel timestamp, the body has neither
+    * (`NEEDS_PARSING | NO_PRI_IN_RAW | IGNDATE`, hostname never parsed
+    * from the text). The feed supplies `value` plus `pri` and `ctl_sec`
+    * (epoch seconds) from the header; the body still runs the standard
+    * parse for TAG/msg split, but PRI comes from the header, any
+    * in-body date is discarded in favor of the header time, and
+    * hostname stays the receiver. */
+  def imsolarisDecode(df: DataFrame, valueCol: String = "value",
+                      defaultYear: Int = 2024,
+                      now: Column = current_timestamp()): DataFrame = {
+    val src = withProvenance(df, "imsolaris")
+    val priCol =
+      if (src.columns.contains("pri")) col("pri").cast("int") else lit(13)
+    val tsCol =
+      if (src.columns.contains("ctl_sec"))
+        timestamp_seconds(col("ctl_sec").cast("long"))
+      else now
+    decodeSyslog(src.withColumn("__pri_hdr", priCol)
+        .withColumn("__ts_hdr", tsCol)
+        .drop("pri"), valueCol, defaultYear = defaultYear)
+      .withColumn("pri", col("__pri_hdr"))
+      .withColumn("facility", (col("__pri_hdr") / 8).cast("int"))
+      .withColumn("severity", (col("__pri_hdr") % 8).cast("int"))
+      .withColumn("ts", col("__ts_hdr"))
+      .withColumn("hostname", col("fromhost"))
+      .drop("__pri_hdr", "__ts_hdr")
+  }
+
   /** impcap decode (contrib/impcap/impcap.c packet_parse:514-584): one
     * captured packet (BINARY `packet` column) per row. The message is
     * header metadata, not text: `$!data` carries the unparsed remainder
