@@ -158,6 +158,21 @@ class NicheTransportSpec extends SparkSpec {
       "[ECID=\"000001833^5pVl3iY00f003UF^\"]", "TRACE:at"))
   }
 
+  test("imsolaris: header PRI/time win, in-body date ignored, receiver hostname") {
+    val feed = Seq(("Oct 11 22:14:15 su: 'su root' failed", 10, 1700000123L))
+      .toDF("value", "pri", "ctl_sec")
+    val cfg = RsyslogConfig.parse(
+      "input(type=\"imsolaris\")\n*.* /dev/null\n")
+    val r = cfg.activate(spark, feeds = Map("imsolaris" -> feed), now = t0)("")
+      .frame.select("pri", "facility", "severity", "syslogtag", "msg",
+        "ts", "hostname", "fromhost").collect().head
+    assert(r.getInt(0) == 10 && r.getInt(1) == 1 && r.getInt(2) == 2)
+    assert(r.getString(3) == "su:")
+    assert(r.getString(4) == " 'su root' failed")
+    assert(r.getTimestamp(5).getTime / 1000 == 1700000123L) // not Oct 11
+    assert(r.getString(6) == r.getString(7)) // receiver, never parsed
+  }
+
   test("imhttp: parser chain runs, metadata lands under $!metadata") {
     val feed = Seq(("<13>Jun  1 11:00:00 h9 web: request",
       "10.1.2.3", """{"user-agent":"curl/8"}""", """{"q":"1"}"""))
