@@ -313,6 +313,86 @@ object Queries {
           concat_ws("\u0001", col("frames")).as("frames_wire"))
     }),
 
+    // §2.10 omawslogshlc — CloudWatch Logs HLC event shaping + greedy
+    // request packing (appendEvent's escape table + %.6f time, the
+    // max_batch_size=100 count cap; byte caps exercised in CloudSinkSpec)
+    "awslogs_hlc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val src = ev.select(
+        col("event_id"),
+        concat(lit("stream"), col("user_id") % 3).as("k"),
+        when(col("event_id") % 101 === 0, lit(""))
+          .otherwise(concat(lit("app \"x\"\tline1\nmsg:"), col("event_id"),
+            lit(" t="), col("event_type"))).as("m"),
+        concat(lit("host"), col("user_id") % 5).as("h"),
+        col("ts"))
+      val events = src.withColumn("ev_json",
+        graft.sources.CloudSinks.awsHlcEvent(col("m"), col("ts"), col("h")))
+      graft.sources.CloudSinks.awsHlcBatches(events, "k", "event_id",
+        "ev_json", maxBatchSize = 100)
+    }),
+
+    // §2.10 omazuredce — DCE record validation + json-c PLAIN compaction
+    // (buildRecordJson: object-or-error, trailing garbage rejected) and
+    // the ingestion-URL grammar; array batching shares the oracled
+    // greedy packer (CloudSinkSpec covers its byte-cap face)
+    "azure_dce" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val id = col("event_id")
+      val m = when(id % 97 === 0,
+          concat(lit("{\"id\":"), id, lit("} trailing")))   // trailing garbage
+        .when(id % 89 === 0, concat(lit("["), id, lit(",2]"))) // non-object
+        .when(id % 5 === 0, concat(lit("{ \"id\": "), id,      // spaced form
+          lit(", \"t\": \""), col("event_type"), lit("\" }")))
+        .otherwise(concat(lit("{\"id\":"), id, lit(",\"t\":\""),
+          col("event_type"), lit("\",\"sev\":"), id % 8, lit("}")))
+      ev.select(id,
+        graft.sources.CloudSinks.azureDceRecord(m).as("record"),
+        lit(graft.sources.CloudSinks.azureDceUrl(
+          "https://dce-abc.eastus-1.ingest.monitor.azure.com",
+          "dcr-000111", "Custom-Syslog_CL")).as("url"))
+        // deep probe INTO the compacted record (anti-stringification)
+        .withColumn("probe_t", get_json_object(col("record"), "$.t"))
+    }),
+
+    // §2.10 omazureeventhubs — AMQP 1.0 message shaping: binary body,
+    // per-worker decimal message id, static eventproperties map,
+    // ms-epoch creation time (proton_encode_message)
+    "eventhubs_message" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val worker = (col("user_id") % 4).cast("int")
+      val seq = row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(worker).orderBy(col("event_id"))) - 1
+      val src = ev.select(col("event_id"), col("rawmsg"), col("ts"),
+        worker.as("worker"), seq.as("seq"))
+      graft.sources.CloudSinks.eventHubsMessage(src, col("rawmsg"),
+        col("seq"), col("ts"),
+        "amqps://graft-ns.servicebus.windows.net/hub1",
+        Seq("Table" -> "syslog", "Format" -> "raw"))
+        .select(col("event_id"), col("worker"), col("amqp_message"),
+          get_json_object(col("amqp_message"), "$.message_id").as("probe_id"),
+          get_json_object(col("amqp_message"), "$.properties.Table")
+            .as("probe_table"),
+          get_json_object(col("amqp_message"), "$.creation_time")
+            .cast("long").as("probe_ctime"))
+    }),
+
+    // §2.10 omhttpfs — WebHDFS request shaping: the append/create URL
+    // pair the retry ladder walks, dynafile path per message
+    "omhttpfs_req" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val file = concat(lit("logs/"), col("hostname"), lit("/"),
+        col("event_type"), lit(".log"))
+      graft.sources.CloudSinks.httpfsRequests(
+        ev.select(col("event_id"), col("hostname"), col("event_type"),
+          col("rawmsg"), file.as("file")),
+        col("file"), col("rawmsg"), host = "hdfs1", port = 14000,
+        https = false, user = "rsyslog")
+        .select(col("event_id"), col("url_append"), col("url_create"),
+          col("hdfs_body"))
+    }),
+
     // §2.9 mmaitag — external-AI classification fold: mock-provider
     // labels (sequential CSV with REGULAR fallback) landing in $.aitag;
     // the bounded frame mirrors the mock's sequential-counter scope
@@ -2914,6 +2994,93 @@ object Queries {
         | FROM (SELECT event_id,
         |    row_number() OVER (ORDER BY event_id) AS rn
         |  FROM ev WHERE event_id % 97 = 0)""".stripMargin),
+
+    "awslogs_hlc" ->
+      """WITH src AS (
+        |  SELECT event_id, ts,
+        |    'stream' || (user_id % 3) AS k,
+        |    CASE WHEN event_id % 101 = 0 THEN '(empty)'
+        |         ELSE replace(replace(replace(
+        |           'app "x"' || chr(9) || 'line1' || chr(10) || 'msg:' ||
+        |             event_id || ' t=' || event_type,
+        |           '"', '\"'), chr(9), '\t'), chr(10), '\n')
+        |    END AS esc,
+        |    'host' || (user_id % 5) AS h
+        |  FROM events),
+        |e AS (
+        |  SELECT event_id, k,
+        |    '{"event":"' || esc || '","time":' ||
+        |    CAST(epoch_ns(ts)//1000000000 AS VARCHAR) || '.' ||
+        |    lpad(CAST((epoch_ns(ts)//1000) % 1000000 AS VARCHAR), 6, '0') ||
+        |    ',"host":"' || h || '","source":"rsyslog"}' AS ev_json
+        |  FROM src),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY k ORDER BY event_id) - 1 AS rn
+        |  FROM e)
+        |SELECT k, rn // 100 AS batch_idx,
+        |  string_agg(ev_json, '' ORDER BY event_id) AS payload,
+        |  count(*) AS n_events,
+        |  CAST(strlen(string_agg(ev_json, '' ORDER BY event_id))
+        |    AS BIGINT) AS payload_bytes,
+        |  CAST(0 AS BIGINT) AS n_dropped,
+        |  min(event_id) AS first_ord, max(event_id) AS last_ord
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "azure_dce" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 97 = 0 THEN NULL
+        |       WHEN event_id % 89 = 0 THEN NULL
+        |       WHEN event_id % 5 = 0
+        |         THEN '{"id":' || event_id || ',"t":"' || event_type || '"}'
+        |       ELSE '{"id":' || event_id || ',"t":"' || event_type ||
+        |            '","sev":' || (event_id % 8) || '}'
+        |  END AS record,
+        |  'https://dce-abc.eastus-1.ingest.monitor.azure.com/dataCollectionRules/dcr-000111/streams/Custom-Syslog_CL?api-version=2023-01-01' AS url,
+        |  CASE WHEN event_id % 97 = 0 OR event_id % 89 = 0 THEN NULL
+        |       ELSE event_type END AS probe_t
+        |FROM events""".stripMargin,
+
+    "eventhubs_message" -> (synthSql +
+      """, r AS (
+        |  SELECT event_id, CAST(user_id % 4 AS INT) AS worker, ts,
+        |    '<' || (facility * 8 + severity) || '>' ||
+        |    strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
+        |    lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+        |    strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
+        |    hostname || ' ' || syslogtag || ': ' ||
+        |    'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') ||
+        |    ': v100=' || v100 AS rawmsg,
+        |    row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id)
+        |      - 1 AS seq
+        |  FROM ev)
+        |SELECT event_id, worker,
+        |  '{"address":"amqps://graft-ns.servicebus.windows.net/hub1","message_id":"'
+        |    || seq ||
+        |    '","content_type":"application/octet-stream","inferred":true,"creation_time":'
+        |    || (epoch_ns(ts)//1000000) ||
+        |    ',"properties":{"Table":"syslog","Format":"raw"},"body":"' ||
+        |    rawmsg || '"}' AS amqp_message,
+        |  CAST(seq AS VARCHAR) AS probe_id,
+        |  'syslog' AS probe_table,
+        |  epoch_ns(ts)//1000000 AS probe_ctime
+        |FROM r""".stripMargin),
+
+    "omhttpfs_req" -> (synthSql +
+      """ SELECT event_id,
+        |  'http://hdfs1:14000/webhdfs/v1/logs/' || hostname || '/' ||
+        |    event_type || '.log?user.name=rsyslog&op=append&data=true'
+        |    AS url_append,
+        |  'http://hdfs1:14000/webhdfs/v1/logs/' || hostname || '/' ||
+        |    event_type || '.log?user.name=rsyslog&op=create&overwrite=false&data=true'
+        |    AS url_create,
+        |  '<' || (facility * 8 + severity) || '>' ||
+        |  strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
+        |  lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+        |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
+        |  hostname || ' ' || syslogtag || ': ' ||
+        |  'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') ||
+        |  ': v100=' || v100 AS hdfs_body
+        | FROM ev""".stripMargin),
 
     "omhttp_batch" ->
       """SELECT event_id // 1000 AS batch_id,

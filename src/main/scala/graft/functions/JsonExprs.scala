@@ -271,6 +271,70 @@ object JsonPathUtil {
     UTF8String.fromString(sb.toString)
   }
 
+  /** JSON string-escape kernel (the json-c json_escape_str table, shared
+    * verbatim by omawslogshlc.c appendEvent:152-196: two-char escapes for
+    * quote/backslash/\b\f\n\r\t, lowercase `\u%04x` for remaining C0
+    * controls, `/` and non-ASCII passed through). */
+  def escapeKernel(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length + 8)
+    escJsonC(str, sb)
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** json-c PLAIN (compact) renderer: no spacing at all —
+    * `{"a":1,"b":[2,3]}` (json_object_to_json_string_ext with
+    * JSON_C_TO_STRING_PLAIN). Key order preserved like json-c's
+    * insertion-ordered object table. */
+  private def renderPlain(n: JsonNode, sb: java.lang.StringBuilder): Unit = {
+    if (n.isObject) {
+      sb.append('{')
+      val it = n.fields()
+      var first = true
+      while (it.hasNext) {
+        val e = it.next()
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"'); escJsonC(e.getKey, sb); sb.append("\":")
+        renderPlain(e.getValue, sb)
+      }
+      sb.append('}')
+    } else if (n.isArray) {
+      sb.append('[')
+      var i = 0
+      while (i < n.size()) {
+        if (i > 0) sb.append(',')
+        renderPlain(n.get(i), sb)
+        i += 1
+      }
+      sb.append(']')
+    } else if (n.isTextual) {
+      sb.append('"'); escJsonC(n.textValue(), sb); sb.append('"')
+    } else sb.append(n.asText()) // numbers by literal, bool, null
+  }
+
+  /** Validate-and-compact kernel (omazuredce.c buildRecordJson:668-727):
+    * the input must parse as ONE JSON object — leading/trailing
+    * whitespace tolerated, any trailing non-whitespace token or a
+    * non-object top level rejects (→ null) — and is re-serialized in
+    * json-c PLAIN form so template formatting can't bloat the payload. */
+  def compactKernel(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    try {
+      val p = mapper.createParser(str)
+      val tree: JsonNode = p.readValueAsTree[JsonNode]()
+      // trailing-garbage check ≡ `parseEnd != msgLen` after isspace skip
+      val trailing = try { p.nextToken() != null } catch { case _: Exception => true }
+      p.close()
+      if (tree == null || !tree.isObject || trailing) return null
+      val sb = new java.lang.StringBuilder(str.length)
+      renderPlain(tree, sb)
+      UTF8String.fromString(sb.toString)
+    } catch { case _: Exception => null }
+  }
+
   /** Write an evaluated Spark value into `parent` at `leaf`, preserving
     * its type (JSON-object strings embed as subtrees — rsyslog 'J' svar). */
   def putTyped(parent: ObjectNode, leaf: String, v: Any,
@@ -604,4 +668,59 @@ case class FindJsonExpr(child: Expression, maxScan: Int = 65536,
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** json_escape(s): the json-c/omawslogshlc JSON string-escape table applied
+  * to a raw string (no surrounding quotes) — the per-event escaping HLC
+  * event bodies go through (omawslogshlc.c appendEvent:152-196).
+  */
+case class JsonEscapeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_escape"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonPathUtil.escapeKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.escapeKernel($s);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object JsonEscapeExpr {
+  def escape(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      JsonEscapeExpr(org.apache.spark.sql.GraftBridge.expression(c)))
+}
+
+/** json_compact(s): strict single-JSON-object validation + json-c PLAIN
+  * re-serialization (omazuredce.c buildRecordJson:668-727). Non-object,
+  * unparsable, or trailing-garbage input → null (the reference's
+  * LogError + RS_RET_ERR drop path).
+  */
+case class JsonCompactExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_compact"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonPathUtil.compactKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.compactKernel($s);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object JsonCompactExpr {
+  def compact(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      JsonCompactExpr(org.apache.spark.sql.GraftBridge.expression(c)))
 }
