@@ -313,6 +313,83 @@ object Queries {
           concat_ws("\u0001", col("frames")).as("frames_wire"))
     }),
 
+    // §2.7 impstats format family (format= legacy/json/json-es/cee/
+    // prometheus, statsobj.c getStatsLine/getStatsLineCEE/
+    // emitPrometheusForObject): every render of the same counter set,
+    // incl. json-c SPACED JSON, the ES dot→bang counter rename, and the
+    // U__ Prometheus metric-name encoding for dotted object names
+    "impstats_formats" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val t = ev.groupBy(concat(lit("events."), col("event_type")).as("name"))
+        .agg(count(lit(1)).as("submitted"),
+          count(when(col("event_id") % 7 === 0, 1)).as("discarded"))
+      val ctrs = Seq("submitted" -> col("submitted"),
+        "ratelimit.discarded" -> col("discarded"))
+      import graft.sources.Impstats
+      t.select(col("name"),
+        Impstats.legacyLine(col("name"), "imfile", ctrs).as("legacy"),
+        Impstats.jsonLine(col("name"), "imfile", ctrs).as("json"),
+        Impstats.jsonLine(col("name"), "imfile", ctrs,
+          esNames = true).as("json_es"),
+        Impstats.ceeLine(col("name"), "imfile", ctrs).as("cee"),
+        Impstats.prometheusBlock(col("name"), "imfile", "submitted",
+          col("submitted")).as("prom_submitted"),
+        Impstats.prometheusBlock(col("name"), "imfile",
+          "ratelimit.discarded", col("discarded")).as("prom_discarded"))
+    }),
+
+    // §2.7 impstats format="zabbix" (impstats.c generateZabbixStats +
+    // collectStats_zbx): ONE grouped JSON line per interval — stat lines
+    // grouped by sanitized origin, the dual-origin global/local split,
+    // and the core.action→stats_omkafka_local remap. The walk order is
+    // the explicit ord column (registration order in the reference); the
+    // frame is #stats-objects rows, so the single-row assembly is bounded
+    "impstats_zabbix" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val a = ev.agg(count(lit(1)).as("n"), max(col("ts")).as("mts"))
+      val perType = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"), max(col("ts")).as("mts_t"))
+        .withColumn("name", concat(lit("events."), col("event_type")))
+        // bounded window: rows = distinct event types (stats objects)
+        .withColumn("ord", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("name")))
+          .cast("long"))
+      import graft.sources.Impstats
+      val imfileLines = perType.join(a).select(
+        col("name"), lit("imfile").as("origin"),
+        Impstats.jsonLine(col("name"), "imfile",
+          Seq("submitted" -> col("n_t"))).as("line"),
+        col("ord"), col("mts"))
+      def synth(name: String, origin: String, ord: Long, line: Column) =
+        a.select(lit(name).as("name"), lit(origin).as("origin"),
+          line.as("line"), lit(ord).as("ord"), col("mts"))
+      val lines = imfileLines
+        .unionByName(synth("omkafka", "omkafka", 1000L,
+          Impstats.jsonLine(lit("omkafka"), "omkafka",
+            Seq("submitted" -> col("n")))))
+        .unionByName(synth("topic-events", "omkafka", 1001L,
+          Impstats.jsonLine(lit("topic-events"), "omkafka",
+            Seq("submitted" -> col("n")))))
+        .unionByName(synth("action-omkafka", "core.action", 1002L,
+          Impstats.jsonLine(lit("action-omkafka"), "core.action",
+            Seq("processed" -> col("n")))))
+        .unionByName(synth("resource-usage", "impstats", 1003L,
+          Impstats.jsonLine(lit("resource-usage"), "impstats",
+            Seq("utime" -> col("n"), "openfiles" -> lit(32)))))
+      Impstats.zabbixSnapshot(lines, col("line"), col("origin"),
+        col("name"), col("ord"), col("mts"))
+        .select(col("snapshot"),
+          get_json_object(col("snapshot"), "$.stats_imfile[0].name")
+            .as("probe_first_name"),
+          get_json_object(col("snapshot"),
+            "$.stats_omkafka_global[0].submitted").cast("long")
+            .as("probe_global_sub"),
+          get_json_object(col("snapshot"),
+            "$.stats_omkafka_local[1].processed").cast("long")
+            .as("probe_remap"),
+          get_json_object(col("snapshot"), "$.timedate").as("probe_td"))
+    }),
+
     // §2.10 omawslogshlc — CloudWatch Logs HLC event shaping + greedy
     // request packing (appendEvent's escape table + %.6f time, the
     // max_batch_size=100 count cap; byte caps exercised in CloudSinkSpec)
@@ -2995,6 +3072,68 @@ object Queries {
         |    row_number() OVER (ORDER BY event_id) AS rn
         |  FROM ev WHERE event_id % 97 = 0)""".stripMargin),
 
+    "impstats_formats" ->
+      """WITH t AS (
+        |  SELECT 'events.' || event_type AS name,
+        |    count(*) AS submitted,
+        |    count(*) FILTER (WHERE event_id % 7 = 0) AS discarded
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT *,
+        |    'U__' || replace(replace(name || '_submitted_total',
+        |      '_', '__'), '.', '_2E_') AS m_sub,
+        |    'U__' || replace(replace(name || '_ratelimit.discarded_total',
+        |      '_', '__'), '.', '_2E_') AS m_dis
+        |  FROM t)
+        |SELECT name,
+        |  name || ': origin=imfile submitted=' || submitted ||
+        |    ' ratelimit.discarded=' || discarded || ' ' AS legacy,
+        |  '{ "name": "' || name || '", "origin": "imfile", "submitted": ' ||
+        |    submitted || ', "ratelimit.discarded": ' || discarded || ' }'
+        |    AS json,
+        |  '{ "name": "' || name || '", "origin": "imfile", "submitted": ' ||
+        |    submitted || ', "ratelimit!discarded": ' || discarded || ' }'
+        |    AS json_es,
+        |  '@cee: { "name": "' || name || '", "origin": "imfile", "submitted": '
+        |    || submitted || ', "ratelimit.discarded": ' || discarded || ' }'
+        |    AS cee,
+        |  '# HELP ' || m_sub || ' rsyslog stats: origin="imfile" object="' ||
+        |    name || '", counter="submitted"' || chr(10) ||
+        |    '# TYPE ' || m_sub || ' counter' || chr(10) ||
+        |    m_sub || ' ' || submitted || chr(10) AS prom_submitted,
+        |  '# HELP ' || m_dis || ' rsyslog stats: origin="imfile" object="' ||
+        |    name || '", counter="ratelimit.discarded"' || chr(10) ||
+        |    '# TYPE ' || m_dis || ' counter' || chr(10) ||
+        |    m_dis || ' ' || discarded || chr(10) AS prom_discarded
+        |FROM m""".stripMargin,
+
+    "impstats_zabbix" ->
+      """WITH t AS (
+        |  SELECT 'events.' || event_type AS name, count(*) AS n_t
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n,
+        |  max(CAST(ts AS TIMESTAMP)) AS mts FROM events),
+        |arr AS (
+        |  SELECT string_agg('{ "name": "' || name ||
+        |    '", "origin": "imfile", "submitted": ' || n_t || ' }',
+        |    ',' ORDER BY name) AS imfile_arr FROM t)
+        |SELECT snapshot,
+        |  json_extract_string(snapshot, '$.stats_imfile[0].name')
+        |    AS probe_first_name,
+        |  CAST(json_extract(snapshot, '$.stats_omkafka_global[0].submitted')
+        |    AS BIGINT) AS probe_global_sub,
+        |  CAST(json_extract(snapshot, '$.stats_omkafka_local[1].processed')
+        |    AS BIGINT) AS probe_remap,
+        |  json_extract_string(snapshot, '$.timedate') AS probe_td
+        |FROM (
+        |  SELECT '{ "timedate": "' || strftime(mts, '%a %b %d %H:%M:%S %Y') ||
+        |    '", "stats_imfile": [' || (SELECT imfile_arr FROM arr) || ']' ||
+        |    ', "stats_omkafka_global": [{ "name": "omkafka", "origin": "omkafka", "submitted": ' || n || ' }]' ||
+        |    ', "stats_omkafka_local": [{ "name": "topic-events", "origin": "omkafka", "submitted": ' || n || ' },{ "name": "action-omkafka", "origin": "core.action", "processed": ' || n || ' }]' ||
+        |    ', "stats_impstats": [{ "name": "resource-usage", "origin": "impstats", "utime": ' || n || ', "openfiles": 32 }]' ||
+        |    '}' AS snapshot
+        |  FROM a)""".stripMargin,
+
     "awslogs_hlc" ->
       """WITH src AS (
         |  SELECT event_id, ts,
@@ -4486,8 +4625,8 @@ object Queries {
         |  FROM emit
         |  UNION ALL
         |  SELECT reported_at, name, 'cee',
-        |         '@cee: {"name":"' || name || '","origin":"imfile","submitted":'
-        |           || submitted || '}'
+        |         '@cee: { "name": "' || name || '", "origin": "imfile", "submitted": '
+        |           || submitted || ' }'
         |  FROM emit)""".stripMargin,
 
     // RrOutput semantics: every run start passes; a broken run's repeat-mark
