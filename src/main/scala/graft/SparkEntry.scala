@@ -313,6 +313,21 @@ object Queries {
           concat_ws("\u0001", col("frames")).as("frames_wire"))
     }),
 
+    // §2.5 imdiag — the test-instrumentation input: injectmsg's
+    // numeric-suffix frames (doInjectNumericSuffixMsg) through the NORMAL
+    // submit path (generator + standard decode chain; the TCP command
+    // listener is driver transport, waitmainqueueempty ≡ awaiting the
+    // batch/stream completion the engine already exposes)
+    "imdiag_inject" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val frames = ev.select(col("event_id"),
+        graft.sources.Sources.imdiagFrame(col("event_id")).as("value"))
+      graft.sources.Sources.decodeSyslog(frames)
+        .select(col("event_id"), col("rawmsg"), col("facility"),
+          col("severity"), col("hostname"), col("syslogtag"), col("msg"),
+          col("parsesuccess"))
+    }),
+
     // §2.7 impstats format family (format= legacy/json/json-es/cee/
     // prometheus, statsobj.c getStatsLine/getStatsLineCEE/
     // emitPrometheusForObject): every render of the same counter set,
@@ -3071,6 +3086,17 @@ object Queries {
         | FROM (SELECT event_id,
         |    row_number() OVER (ORDER BY event_id) AS rn
         |  FROM ev WHERE event_id % 97 = 0)""".stripMargin),
+
+    "imdiag_inject" ->
+      """SELECT event_id,
+        |  '<167>Mar  1 01:00:00 192.0.2.8 tag msgnum:' ||
+        |    lpad(CAST(event_id AS VARCHAR), 8, '0') || ':' AS rawmsg,
+        |  CAST(20 AS INT) AS facility, CAST(7 AS INT) AS severity,
+        |  '192.0.2.8' AS hostname, 'tag' AS syslogtag,
+        |  ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') || ':'
+        |    AS msg,
+        |  true AS parsesuccess
+        |FROM events""".stripMargin,
 
     "impstats_formats" ->
       """WITH t AS (

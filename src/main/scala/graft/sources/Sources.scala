@@ -228,6 +228,18 @@ object Sources {
       .withColumn("vars_local", lit("{}"))
   }
 
+  /** imdiag injectmsg numeric-suffix frame (plugins/imdiag/imdiag.c
+    * doInjectNumericSuffixMsg:298-305): `<167>Mar  1 01:00:00 192.0.2.8
+    * tag msgnum:%8.8d:` — PRI 167 = local4.debug, the RFC 5737 TEST-NET-1
+    * documentation address as hostname. These frames feed the NORMAL
+    * submit path (doInjectMsg → submitMsg), so the Spark face is this
+    * generator + the standard `decodeSyslog` chain; the TCP command
+    * listener (injectmsg/waitmainqueueempty) is the test driver's
+    * transport. `injectmsg literal <text>` ≡ passing any frame column. */
+  def imdiagFrame(num: Column): Column =
+    concat(lit("<167>Mar  1 01:00:00 192.0.2.8 tag msgnum:"),
+      lpad(num.cast("string"), 8, "0"), lit(":"))
+
   /** omfile with dynafile semantics: the dynafile path template becomes
     * partition columns -- rsyslog's template-computed file path + LRU fd
     * cache (tools/omfile.c:276-319) IS partitioned-write in Spark. */
