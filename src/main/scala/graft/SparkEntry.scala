@@ -375,22 +375,28 @@ object Queries {
         Impstats.jsonLine(col("name"), "imfile",
           Seq("submitted" -> col("n_t"))).as("line"),
         col("ord"), col("mts"))
-      def synth(name: String, origin: String, ord: Long, line: Column) =
-        a.select(lit(name).as("name"), lit(origin).as("origin"),
-          line.as("line"), lit(ord).as("ord"), col("mts"))
-      val lines = imfileLines
-        .unionByName(synth("omkafka", "omkafka", 1000L,
-          Impstats.jsonLine(lit("omkafka"), "omkafka",
-            Seq("submitted" -> col("n")))))
-        .unionByName(synth("topic-events", "omkafka", 1001L,
-          Impstats.jsonLine(lit("topic-events"), "omkafka",
-            Seq("submitted" -> col("n")))))
-        .unionByName(synth("action-omkafka", "core.action", 1002L,
-          Impstats.jsonLine(lit("action-omkafka"), "core.action",
-            Seq("processed" -> col("n")))))
-        .unionByName(synth("resource-usage", "impstats", 1003L,
-          Impstats.jsonLine(lit("resource-usage"), "impstats",
-            Seq("utime" -> col("n"), "openfiles" -> lit(32)))))
+      // all four synthetic stats objects from ONE pass over the 1-row
+      // aggregate (a union of per-branch selects would re-scan the
+      // corpus once per branch)
+      def entry(name: String, origin: String, ord: Long, line: Column) =
+        struct(lit(name).as("name"), lit(origin).as("origin"),
+          line.as("line"), lit(ord).as("ord"))
+      val synthLines = a.select(col("mts"), explode(array(
+          entry("omkafka", "omkafka", 1000L,
+            Impstats.jsonLine(lit("omkafka"), "omkafka",
+              Seq("submitted" -> col("n")))),
+          entry("topic-events", "omkafka", 1001L,
+            Impstats.jsonLine(lit("topic-events"), "omkafka",
+              Seq("submitted" -> col("n")))),
+          entry("action-omkafka", "core.action", 1002L,
+            Impstats.jsonLine(lit("action-omkafka"), "core.action",
+              Seq("processed" -> col("n")))),
+          entry("resource-usage", "impstats", 1003L,
+            Impstats.jsonLine(lit("resource-usage"), "impstats",
+              Seq("utime" -> col("n"), "openfiles" -> lit(32)))))).as("r"))
+        .select(col("r.name").as("name"), col("r.origin").as("origin"),
+          col("r.line").as("line"), col("r.ord").as("ord"), col("mts"))
+      val lines = imfileLines.unionByName(synthLines)
       Impstats.zabbixSnapshot(lines, col("line"), col("origin"),
         col("name"), col("ord"), col("mts"))
         .select(col("snapshot"),
