@@ -458,7 +458,10 @@ object Queries {
     // ms-epoch creation time (proton_encode_message)
     "eventhubs_message" -> ((s, dir) => {
       val ev = synthSyslog(s, dir)
-      val worker = (col("user_id") % 4).cast("int")
+      // 32 workers: the per-worker sequence window is the scale knob —
+      // its partition count IS the sort parallelism (4 workers funneled
+      // 10M sf1 rows into 4 sort partitions, 22 s; 32 matches the pool)
+      val worker = (col("user_id") % 32).cast("int")
       val seq = row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(worker).orderBy(col("event_id"))) - 1
@@ -1787,6 +1790,27 @@ object Queries {
           round(sum(col("value")), 2).as("sum_v"))
     }),
 
+    // §2.10 omsendertrack state-file image: the exact JSON array
+    // writeSenderStats persists (entry format, ,\n separators, atomic
+    // snapshot); entries sorted by sender for determinism (the
+    // reference's hashtable order is non-semantic)
+    "sender_snapshot" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val st = ev.groupBy(col("hostname").as("sender"))
+        .agg(count(lit(1)).as("messages"),
+          expr("min(ts_ns div 1000000000)").as("firstseen"),
+          expr("max(ts_ns div 1000000000)").as("lastseen"))
+      val entries = st.select(col("sender"),
+        graft.sources.Sources.senderTrackEntry(col("sender"),
+          col("messages"), col("firstseen"), col("lastseen")).as("entry"))
+      graft.sources.Sources.senderTrackFile(entries, col("entry"),
+        col("sender"))
+        .select(col("statefile"),
+          get_json_object(col("statefile"), "$[0].sender").as("probe_sender"),
+          get_json_object(col("statefile"), "$[0].messages").cast("long")
+            .as("probe_messages"))
+    }),
+
     // ------------------------- training-data pipeline operators -------------
 
     // exact dedup: hash-groupBy on normalized-content fingerprint
@@ -3093,6 +3117,25 @@ object Queries {
         |    row_number() OVER (ORDER BY event_id) AS rn
         |  FROM ev WHERE event_id % 97 = 0)""".stripMargin),
 
+    "sender_snapshot" -> (synthSql +
+      """, st AS (
+        |  SELECT hostname AS sender, count(*) AS messages,
+        |    min(epoch_ns(ts) // 1000000000) AS firstseen,
+        |    max(epoch_ns(ts) // 1000000000) AS lastseen
+        |  FROM ev GROUP BY 1),
+        |f AS (
+        |  SELECT '[' || chr(10) ||
+        |    string_agg('{"sender":"' || sender || '","messages":' ||
+        |      messages || ',"firstseen":' || firstseen || ',"lastseen":' ||
+        |      lastseen || '}', ',' || chr(10) ORDER BY sender) ||
+        |    chr(10) || ']' || chr(10) AS statefile
+        |  FROM st)
+        |SELECT statefile,
+        |  json_extract_string(statefile, '$[0].sender') AS probe_sender,
+        |  CAST(json_extract(statefile, '$[0].messages') AS BIGINT)
+        |    AS probe_messages
+        |FROM f""".stripMargin),
+
     "imdiag_inject" ->
       """SELECT event_id,
         |  '<167>Mar  1 01:00:00 192.0.2.8 tag msgnum:' ||
@@ -3213,7 +3256,7 @@ object Queries {
 
     "eventhubs_message" -> (synthSql +
       """, r AS (
-        |  SELECT event_id, CAST(user_id % 4 AS INT) AS worker, ts,
+        |  SELECT event_id, CAST(user_id % 32 AS INT) AS worker, ts,
         |    '<' || (facility * 8 + severity) || '>' ||
         |    strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
         |    lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
@@ -3221,7 +3264,7 @@ object Queries {
         |    hostname || ' ' || syslogtag || ': ' ||
         |    'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') ||
         |    ': v100=' || v100 AS rawmsg,
-        |    row_number() OVER (PARTITION BY user_id % 4 ORDER BY event_id)
+        |    row_number() OVER (PARTITION BY user_id % 32 ORDER BY event_id)
         |      - 1 AS seq
         |  FROM ev)
         |SELECT event_id, worker,

@@ -228,6 +228,34 @@ object Sources {
       .withColumn("vars_local", lit("{}"))
   }
 
+  /** omsendertrack state-file entry (plugins/omsendertrack/
+    * omsendertrack.c writeSenderStats:438-443): the exact per-sender
+    * object `{"sender":"x","messages":N,"firstseen":T,"lastseen":T}`
+    * with epoch-second times. */
+  def senderTrackEntry(sender: Column, messages: Column,
+                       firstseen: Column, lastseen: Column): Column =
+    concat(lit("{\"sender\":\""), sender,
+      lit("\",\"messages\":"), messages.cast("string"),
+      lit(",\"firstseen\":"), firstseen.cast("string"),
+      lit(",\"lastseen\":"), lastseen.cast("string"), lit("}"))
+
+  /** omsendertrack state-file image (writeSenderStats:420-453 +
+    * the atomic tmp-rename persist): `[\n` + entries joined by `,\n` +
+    * `\n]\n`; the empty table renders `[\n]\n`. The reference walks its
+    * hashtable (non-semantic order); entries here sort by `orderCol` so
+    * the image is deterministic. The collect is bounded by the sender
+    * cardinality — the same bound the in-memory hashtable carries. */
+  def senderTrackFile(entries: DataFrame, entryCol: Column,
+                      orderCol: Column): DataFrame =
+    entries
+      .agg(concat_ws(",\n", transform(
+        array_sort(collect_list(struct(orderCol.as("o"),
+          entryCol.as("e")))),
+        x => x.getField("e"))).as("body"))
+      .select(when(length(col("body")) === 0, lit("[\n]\n"))
+        .otherwise(concat(lit("[\n"), col("body"), lit("\n]\n")))
+        .as("statefile"))
+
   /** imdiag injectmsg numeric-suffix frame (plugins/imdiag/imdiag.c
     * doInjectNumericSuffixMsg:298-305): `<167>Mar  1 01:00:00 192.0.2.8
     * tag msgnum:%8.8d:` — PRI 167 = local4.debug, the RFC 5737 TEST-NET-1

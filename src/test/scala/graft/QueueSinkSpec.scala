@@ -126,4 +126,23 @@ class QueueSinkSpec extends SparkSpec {
       .select("vars_local").as[String].head()
     assert(out == "{}")
   }
+
+  test("omsendertrack: state-file image format and empty-table render") {
+    val st = Seq(("h2", 3L, 10L, 20L), ("h1", 5L, 1L, 9L))
+      .toDF("sender", "messages", "firstseen", "lastseen")
+    val entries = st.select(col("sender"),
+      Sources.senderTrackEntry(col("sender"), col("messages"),
+        col("firstseen"), col("lastseen")).as("entry"))
+    val file = Sources.senderTrackFile(entries, col("entry"), col("sender"))
+      .as[String].head()
+    // writeSenderStats: "[\n" + entries ",\n"-joined + "\n]\n",
+    // entries sorted by sender here (hashtable order is non-semantic)
+    assert(file ==
+      "[\n{\"sender\":\"h1\",\"messages\":5,\"firstseen\":1,\"lastseen\":9},\n" +
+      "{\"sender\":\"h2\",\"messages\":3,\"firstseen\":10,\"lastseen\":20}\n]\n")
+    val empty = Sources.senderTrackFile(
+      entries.filter(col("sender") === "none"), col("entry"), col("sender"))
+      .as[String].head()
+    assert(empty == "[\n]\n")
+  }
 }
