@@ -59,21 +59,35 @@ object CloudSinks {
                  overheadBytes: Long = 0L): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val fixed = prefix.getBytes("UTF-8").length.toLong +
-      suffix.getBytes("UTF-8").length.toLong + overheadBytes
-    val sepLen = sep.getBytes("UTF-8").length.toLong
     val in = ds.select(col(keyCol).cast("string").as("k"),
         col(ordCol).cast("long").as("o"), col(eventCol).as("e"))
       .as[(String, Long, String)]
     val packed = in
       .repartition(col("k"))
       .sortWithinPartitions(col("k"), col("o"))
-      .mapPartitions { rows =>
-        // Streaming pack: memory = one batch buffer (≤ maxPayloadBytes)
-        // plus ≤2 queued emissions — the C worker's own bound. The input
-        // iterator is consumed lazily; batches of one partition are never
-        // all materialized at once.
-        new Iterator[Packed] {
+      .mapPartitions(rows => packIterator(rows, maxEvents, maxPayloadBytes,
+        perEventMaxBytes, sep, prefix, suffix, overheadBytes))
+    packed.toDF().withColumnRenamed("key", keyCol)
+  }
+
+  /** The pure packing state machine `greedyPack` runs per partition —
+    * factored out so the flush rules are property-testable without a
+    * Spark session. Input must arrive sorted by (key, ord).
+    *
+    * Streaming pack: memory = one batch buffer (≤ maxPayloadBytes)
+    * plus ≤2 queued emissions — the C worker's own bound. The input
+    * iterator is consumed lazily; batches of one partition are never
+    * all materialized at once.
+    */
+  private[graft] def packIterator(rows: Iterator[(String, Long, String)],
+                                  maxEvents: Int, maxPayloadBytes: Long,
+                                  perEventMaxBytes: Long, sep: String,
+                                  prefix: String, suffix: String,
+                                  overheadBytes: Long): Iterator[Packed] = {
+    val fixed = prefix.getBytes("UTF-8").length.toLong +
+      suffix.getBytes("UTF-8").length.toLong + overheadBytes
+    val sepLen = sep.getBytes("UTF-8").length.toLong
+    new Iterator[Packed] {
           private val out = scala.collection.mutable.Queue.empty[Packed]
           private var curKey: String = null
           private var batchIdx = 0L
@@ -126,9 +140,7 @@ object CloudSinks {
             if (!hasNext) throw new NoSuchElementException
             out.dequeue()
           }
-        }
-      }
-    packed.toDF().withColumnRenamed("key", keyCol)
+    }
   }
 
   // ---------------------------------------------------------------------
