@@ -313,6 +313,24 @@ object Queries {
           concat_ws("\u0001", col("frames")).as("frames_wire"))
     }),
 
+    // §2.8 queue.discardMark/discardSeverity load shedding
+    // (qqueueChkDiscardMsg): in saturated arrival windows, messages at or
+    // above the discard severity drop before enqueue; critical ones pass
+    "queue_shed" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      val shed = graft.operators.RateLimit.discardShed(ev, col("ts"),
+        col("severity"), discardMark = 50L, discardSeverity = 4,
+        windowDur = "1 day")
+      shed.groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("shed"), 1)).as("n_shed"),
+          count(when(!col("shed"), 1)).as("n_kept"),
+          sum(when(!col("shed"), col("severity")).otherwise(0))
+            .as("sev_kept"))
+        .select(col("window.start").as("ws"), col("n_total"),
+          col("n_shed"), col("n_kept"), col("sev_kept"))
+    }),
+
     // §2.5 imdiag — the test-instrumentation input: injectmsg's
     // numeric-suffix frames (doInjectNumericSuffixMsg) through the NORMAL
     // submit path (generator + standard decode chain; the TCP command
@@ -3135,6 +3153,20 @@ object Queries {
         |  CAST(json_extract(statefile, '$[0].messages') AS BIGINT)
         |    AS probe_messages
         |FROM f""".stripMargin),
+
+    "queue_shed" -> (synthSql +
+      """, w AS (
+        |  SELECT severity,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS ws FROM ev),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY ws) AS depth FROM w),
+        |f AS (SELECT ws, severity,
+        |  (depth >= 50 AND severity >= 4) AS shed FROM c)
+        |SELECT ws, count(*) AS n_total,
+        |  count(*) FILTER (WHERE shed) AS n_shed,
+        |  count(*) FILTER (WHERE NOT shed) AS n_kept,
+        |  CAST(sum(CASE WHEN NOT shed THEN severity ELSE 0 END) AS BIGINT)
+        |    AS sev_kept
+        |FROM f GROUP BY 1""".stripMargin),
 
     "imdiag_inject" ->
       """SELECT event_id,

@@ -80,4 +80,30 @@ object RateLimit {
         min(orderCol).as("first_seen"), count(lit(1)).as("n_repeats"))
       .drop("run_id")
   }
+  /** queue.discardMark / queue.discardSeverity load shedding
+    * (runtime/queue.c qqueueChkDiscardMsg:2761-2787 + the Stage-3
+    * load-shedding design note :126-129): when the queue holds at least
+    * `discardMark` entries, an arriving message with severity >=
+    * `discardSeverity` (numerically less important) is discarded before
+    * enqueue; lower-severity (critical) messages always pass. 8 = off,
+    * like the reference default (:2696).
+    *
+    * Spark face: the instantaneous queue depth is the platform's
+    * backpressure signal, so the engine expresses the POLICY over an
+    * overload indicator — here the event-time arrival window whose
+    * message count reaches discardMark (the same saturation the C queue
+    * sees at its enqueue mutex, made deterministic and replayable).
+    * One shuffle on the window key; no global state.
+    *
+    * Returns the frame with a `shed` flag; callers drop `shed` rows and
+    * count them (ctrNFDscrd). */
+  def discardShed(df: DataFrame, tsCol: Column, severityCol: Column,
+                  discardMark: Long, discardSeverity: Int,
+                  windowDur: String = "1 minute"): DataFrame = {
+    val win = window(tsCol, windowDur)
+    val depth = count(lit(1)).over(Window.partitionBy(win))
+    df.withColumn("shed",
+      lit(discardSeverity < 8) && depth >= discardMark &&
+        severityCol >= discardSeverity)
+  }
 }
