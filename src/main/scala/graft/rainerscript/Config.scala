@@ -114,6 +114,31 @@ case class RsyslogConfig(
 
   /** Render a named template over a frame (exec_template / action
     * template= resolution, rsconf.c:1570-1604 registration). */
+  /** Main-queue discard policy from config: `main_queue(queue.discardmark=
+    * queue.discardseverity=)` or the legacy `$MainMsgQueueDiscard*`
+    * directives, applied as the Stage-3 shedding policy
+    * (`RateLimit.discardShed`). Reference defaults: severity 8 = off
+    * (rsconf.c:384), mark -1 → 98% of queue.size at construct
+    * (queue.c:4901; main queue default size 100000 → 98000). Severity
+    * accepts the syslog name words like the legacy handler. */
+  def mainQueueShed(df: DataFrame, tsCol: Column, severityCol: Column,
+                    windowDur: String = "1 minute"): DataFrame = {
+    def g(k: String, legacy: String): Option[String] =
+      globals.get("main_queue." + k).orElse(globals.get(legacy))
+    val size = g("queue.size", "mainmsgqueuesize").map(_.toLong)
+      .getOrElse(100000L)
+    val mark = g("queue.discardmark", "mainmsgqueuediscardmark")
+      .map(_.toLong).filter(_ >= 0).getOrElse(size / 100 * 98)
+    val sevNames = Map("emerg" -> 0, "alert" -> 1, "crit" -> 2, "err" -> 3,
+      "error" -> 3, "warning" -> 4, "warn" -> 4, "notice" -> 5, "info" -> 6,
+      "debug" -> 7)
+    val sev = g("queue.discardseverity", "mainmsgqueuediscardseverity")
+      .map(v => sevNames.getOrElse(v.toLowerCase,
+        v.toInt)).getOrElse(8)
+    graft.operators.RateLimit.discardShed(df, tsCol, severityCol, mark,
+      sev, windowDur)
+  }
+
   def renderTemplate(name: String, props: String => Column): Column =
     templates.get(name).map(t =>
         TemplateCompiler.compile(t, props, templateEscapes.get(name)))

@@ -684,4 +684,33 @@ class ConfigSpec extends SparkSpec {
     assert(tpl(3) == " StdJSONFmt")             // omelasticsearch
     assert(tpl(4) == "outfmt")                  // explicit wins
   }
+
+  test("main_queue discard policy wires to the shed operator") {
+    import org.apache.spark.sql.functions._
+    val cfg = RsyslogConfig.parse(
+      """main_queue(queue.size="100" queue.discardmark="3"
+        |           queue.discardseverity="warning")
+        |""".stripMargin)
+    // 5 messages in one window, severities 0..4: mark 3 reached, so
+    // severity >= 4 (warning) sheds; criticals pass
+    val df = (0 until 5).map(i => (i, "2024-03-01 10:00:0" + i))
+      .toDF("severity", "t")
+      .withColumn("ts", to_timestamp(col("t")))
+    val out = cfg.mainQueueShed(df, col("ts"), col("severity"))
+      .orderBy("severity").select("shed").collect().map(_.getBoolean(0))
+    assert(out.toSeq == Seq(false, false, false, false, true))
+
+    // defaults: severity 8 = off, nothing sheds even above the mark
+    val off = RsyslogConfig.parse("main_queue(queue.size=\"1\")")
+    val out2 = off.mainQueueShed(df, col("ts"), col("severity"))
+      .select("shed").collect().map(_.getBoolean(0))
+    assert(out2.forall(_ == false))
+
+    // legacy directives fold in
+    val legacy = RsyslogConfig.parse(
+      "$MainMsgQueueDiscardMark 3\n$MainMsgQueueDiscardSeverity 2\n")
+    val out3 = legacy.mainQueueShed(df, col("ts"), col("severity"))
+      .orderBy("severity").select("shed").collect().map(_.getBoolean(0))
+    assert(out3.toSeq == Seq(false, false, true, true, true))
+  }
 }
