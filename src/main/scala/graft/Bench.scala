@@ -205,14 +205,18 @@ object Bench {
 
   /** Single-trial spot-run of the dedup/ANN family at sf10 — the 100 TB
     * story is argued from bucketed-by-design kernels; this adds one more
-    * decade of measured curve (sf0.1 → sf1 → sf10) as evidence. Only the
+    * decade of measured curve (sf0.1 → sf1 → sf10) as evidence. The
     * families whose scale behavior is non-obvious run here (candidate
-    * generation, iterative CC, ANN); the rest of the suite already has
-    * its sf1 point. */
+    * generation, iterative CC, ANN) plus the flagship training-data
+    * compositions over the same 100-shard document corpus (llm_prep's
+    * dedup shuffle, decontaminate's broadcast-gram join, seq_pack's
+    * per-shard windows); the rest of the suite has its sf1 point. */
   private def sf10Section(spark: SparkSession, sfDir: String): (String, String) = {
     val names = Seq("dedup_exact", "dedup_canonical", "dedup_minhash",
       "dedup_simhash", "dedup_ngram", "dedup_substring", "dedup_clusters",
-      "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf")
+      "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
+      "llm_prep", "text_quality", "text_repetition", "text_fingerprint",
+      "decontaminate", "sample_stratified", "seq_pack")
     val sf10Dir = synthesizeSf10(spark, sfDir)
     spark.sqlContext.clearCache()
     System.gc()

@@ -89,6 +89,23 @@ class CloudSinkSpec extends SparkSpec {
         ",\"host\":\"h2\",\"source\":\"rsyslog\"}")
   }
 
+  test("replay omawslogshlc-batch.sh: 50 injectmsg frames, max_batch_size=10") {
+    // tests/omawslogshlc-batch.sh: NUMMESSAGES=50 through max_batch_size
+    // "10" must produce complete coverage across multiple batches with no
+    // local rejection (seq_check 0 49)
+    val frames = (0L until 50L).map(i =>
+      ("g", i, s"""{"event":"msgnum:$i","time":1.0,"host":"h","source":"rsyslog"}"""))
+    val out = pack(frames, maxEvents = 10,
+      maxBytes = 1024L * 1024L, perEventMax = 256L * 1024L)
+    assert(out.length == 5)
+    assert(out.forall(_._4 == 10L))
+    assert(out.map(_._6).sum == 0L)       // nothing dropped
+    // seq_check: every msgnum appears exactly once across the payloads
+    val all = out.map(_._3).mkString
+    (0L until 50L).foreach(i =>
+      assert(all.contains(s""""msgnum:$i"""")))
+  }
+
   test("awsHlcUrl encodes group/stream into the query string") {
     assert(CloudSinks.awsHlcUrl("us-east-1", "/my group", "app/stream") ==
       "https://logs.us-east-1.amazonaws.com/services/collector/event" +
