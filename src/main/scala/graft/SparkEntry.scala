@@ -331,6 +331,34 @@ object Queries {
           col("n_shed"), col("n_kept"), col("sev_kept"))
     }),
 
+    // §2.8 discard shedding on the REAL streaming path: the saturation
+    // window aggregates INSIDE the streaming query (watermark-closed
+    // event-time windows ≙ the queue's enqueue-time saturation signal),
+    // the shed policy applies to the closed snapshot — memory sink holds
+    // #windows rows, never the corpus
+    "stream_queue_shed" -> ((s, dir) => {
+      val synth = synthFrom(graft.streaming.StreamGate.readTable(s, dir, "events"))
+      val agg = synth
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("severity") >= 4, 1)).as("n_hi"),
+          sum(col("severity")).as("sev_all"),
+          sum(when(col("severity") >= 4, col("severity")).otherwise(0))
+            .as("sev_hi"))
+        .select(col("window.start").as("ws"), col("n_total"),
+          col("n_hi"), col("sev_all"), col("sev_hi"))
+      val overloaded = col("n_total") >= 50
+      graft.streaming.StreamGate.run(agg, "append",
+          graft.streaming.StreamGate.tableBytes(dir, "events"))
+        .select(col("ws"), col("n_total"),
+          when(overloaded, col("n_hi")).otherwise(0L).as("n_shed"),
+          when(overloaded, col("n_total") - col("n_hi"))
+            .otherwise(col("n_total")).as("n_kept"),
+          when(overloaded, col("sev_all") - col("sev_hi"))
+            .otherwise(col("sev_all")).as("sev_kept"))
+    }),
+
     // §2.5 imdiag — the test-instrumentation input: injectmsg's
     // numeric-suffix frames (doInjectNumericSuffixMsg) through the NORMAL
     // submit path (generator + standard decode chain; the TCP command
@@ -3167,6 +3195,29 @@ object Queries {
         |  CAST(sum(CASE WHEN NOT shed THEN severity ELSE 0 END) AS BIGINT)
         |    AS sev_kept
         |FROM f GROUP BY 1""".stripMargin),
+
+    // same shed policy as queue_shed, restricted to watermark-closed
+    // windows (append mode: a window emits once the watermark passes it)
+    "stream_queue_shed" -> (synthSql +
+      """, w AS (
+        |  SELECT severity,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS ws FROM ev),
+        |g AS (
+        |  SELECT ws, count(*) AS n_total,
+        |    count(*) FILTER (WHERE severity >= 4) AS n_hi,
+        |    CAST(sum(severity) AS BIGINT) AS sev_all,
+        |    CAST(sum(CASE WHEN severity >= 4 THEN severity ELSE 0 END)
+        |      AS BIGINT) AS sev_hi
+        |  FROM w GROUP BY 1)
+        |SELECT ws, n_total,
+        |  CASE WHEN n_total >= 50 THEN n_hi ELSE 0 END AS n_shed,
+        |  CASE WHEN n_total >= 50 THEN n_total - n_hi ELSE n_total END
+        |    AS n_kept,
+        |  CASE WHEN n_total >= 50 THEN sev_all - sev_hi ELSE sev_all END
+        |    AS sev_kept
+        |FROM g
+        |WHERE ws + INTERVAL 1 DAY <=
+        |  (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""".stripMargin),
 
     "imdiag_inject" ->
       """SELECT event_id,
