@@ -313,6 +313,41 @@ object Queries {
           concat_ws("\u0001", col("frames")).as("frames_wire"))
     }),
 
+    // §2.8 named ratelimit() object + YAML policy file: per-source
+    // limits with an override key, the keyTemplate rendered through the
+    // template registry, and the severity exemption that spends no
+    // bucket budget (runtime/ratelimit.c; the imptcp-persource-
+    // ratelimit-policy.sh shape, policy file written at query time)
+    "ratelimit_policy" -> ((s, dir) => {
+      val f = java.io.File.createTempFile("graft_rlpolicy", ".yaml")
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath,
+        """severity: 6
+          |perSource:
+          |  enabled: true
+          |  keyTemplate: "RlKey"
+          |  default:
+          |    max: 3
+          |    window: 720h
+          |  overrides:
+          |    - key: "host1"
+          |      max: 10
+          |""".stripMargin.getBytes("UTF-8"))
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        s"""template(name="RlKey" type="string" string="%hostname%")
+           |ratelimit(name="ps" policy="${f.getPath}")
+           |""".stripMargin)
+      val policy = cfg.ratelimitPolicy("ps").get
+      val ev = synthSyslog(s, dir)
+      val out = graft.operators.RateLimit.applyPolicy(ev, policy,
+        cfg.ratelimitKey(policy, n => col(n)), col("ts"), col("event_id"),
+        col("severity"))
+      out.groupBy(col("hostname"))
+        .agg(count(lit(1)).as("n_in"),
+          count(when(col("rl_limited"), 1)).as("n_limited"),
+          count(when(!col("rl_limited"), 1)).as("n_pass"))
+    }),
+
     // §2.8 queue.discardMark/discardSeverity load shedding
     // (qqueueChkDiscardMsg): in saturated arrival windows, messages at or
     // above the discard severity drop before enqueue; critical ones pass
@@ -3181,6 +3216,26 @@ object Queries {
         |  CAST(json_extract(statefile, '$[0].messages') AS BIGINT)
         |    AS probe_messages
         |FROM f""".stripMargin),
+
+    "ratelimit_policy" -> (synthSql +
+      """, r AS (
+        |  SELECT hostname, event_id, severity,
+        |    epoch_ns(ts)//1000000000//2592000 AS win,
+        |    CASE WHEN severity < 6 THEN 0 ELSE 1 END AS subject
+        |  FROM ev),
+        |c AS (
+        |  SELECT *, sum(subject) OVER (
+        |    PARTITION BY hostname, win ORDER BY event_id) AS seq
+        |  FROM r),
+        |f AS (
+        |  SELECT hostname,
+        |    (subject = 1 AND seq >
+        |      (CASE WHEN hostname = 'host1' THEN 10 ELSE 3 END)) AS limited
+        |  FROM c)
+        |SELECT hostname, count(*) AS n_in,
+        |  count(*) FILTER (WHERE limited) AS n_limited,
+        |  count(*) FILTER (WHERE NOT limited) AS n_pass
+        |FROM f GROUP BY 1""".stripMargin),
 
     "queue_shed" -> (synthSql +
       """, w AS (

@@ -80,6 +80,82 @@ object RateLimit {
         min(orderCol).as("first_seen"), count(lit(1)).as("n_repeats"))
       .drop("run_id")
   }
+  /** Named-ratelimit policy application (runtime/ratelimit.c: the
+    * object face behind `action.ratelimit.name` / input `ratelimit.name`).
+    * Semantics per the reference, on the engine's event-time mapping
+    * (wall-clock buckets ≙ aligned event-time windows, as documented on
+    * this object):
+    *
+    *  - severity exemption: severity numerically BELOW the threshold
+    *    (more urgent) bypasses limiting (ratelimit.c severity gate;
+    *    -1 = all messages subject);
+    *  - per-source limits: keyed buckets with per-key (max, window)
+    *    resolved through the override table, exact-key match
+    *    (ratelimit.c hashtable lookup); the key column is the rendered
+    *    keyTemplate (default: fromhost);
+    *  - global interval/burst applies to survivors as one logical bucket
+    *    — its parallelism is the window count, which is the honest shape
+    *    of a single shared counter (the reference pays a mutex there);
+    *  - mode: "drop" removes excess rows; "pace" keeps them, marked —
+    *    the delivery delay is transport-side (foreachBatch trigger
+    *    pacing), so the engine's job is the classification.
+    *
+    * Returns the frame with an `rl_limited` boolean; `enforce` applies
+    * the mode. */
+  def applyPolicy(df: DataFrame, policy: graft.rainerscript.RatelimitPolicy.Policy,
+                  keyCol: Column, tsCol: Column, ordCol: Column,
+                  severityCol: Column = lit(7)): DataFrame = {
+    val exempt =
+      if (policy.severity >= 0) severityCol < policy.severity else lit(false)
+    val afterPs = policy.perSource.filter(_.enabled) match {
+      case Some(ps) =>
+        // per-key (max, window) via the override table as literal
+        // when-chains (bounded: override count is config-sized)
+        val maxC = ps.overrides.foldRight(lit(ps.defaultMax)) { (o, acc) =>
+          when(keyCol === o.key, lit(o.max.getOrElse(ps.defaultMax)))
+            .otherwise(acc)
+        }
+        val winC = ps.overrides.foldRight(lit(ps.defaultWindowSec)) { (o, acc) =>
+          when(keyCol === o.key,
+            lit(o.windowSec.getOrElse(ps.defaultWindowSec))).otherwise(acc)
+        }
+        val win = floor(unix_timestamp(tsCol) / winC).cast("long")
+        // severity-exempt rows bypass WITHOUT consuming bucket budget
+        // (the reference's severity gate skips the counter entirely), so
+        // the sequence is a conditional running count of subject rows
+        val w = Window.partitionBy(keyCol, win).orderBy(ordCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        df.withColumn("rl_ps_seq",
+            sum(when(!exempt, 1L).otherwise(0L)).over(w))
+          .withColumn("rl_limited",
+            !exempt && col("rl_ps_seq") > maxC)
+          .drop("rl_ps_seq")
+      case None => df.withColumn("rl_limited", lit(false))
+    }
+    if (policy.intervalSec > 0) {
+      val gwin = floor(unix_timestamp(tsCol) / policy.intervalSec)
+        .cast("long")
+      // the global bucket counts only rows still in flight — a
+      // conditional running count, NOT row_number (which would let
+      // exempt/already-limited rows consume budget)
+      val qualify = !col("rl_limited") && !exempt
+      val w = Window.partitionBy(gwin).orderBy(ordCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ranked = afterPs.withColumn("rl_g_seq",
+        when(qualify, sum(when(qualify, 1L).otherwise(0L)).over(w)))
+      ranked.withColumn("rl_limited",
+          col("rl_limited") ||
+            (col("rl_g_seq").isNotNull && col("rl_g_seq") > policy.burst))
+        .drop("rl_g_seq")
+    } else afterPs
+  }
+
+  /** Apply the policy's mode: drop removes limited rows; pace keeps the
+    * full frame (rl_limited marks what the transport must pace). */
+  def enforce(df: DataFrame, policy: graft.rainerscript.RatelimitPolicy.Policy): DataFrame =
+    if (policy.mode == "pace") df
+    else df.filter(!col("rl_limited")).drop("rl_limited")
+
   /** queue.discardMark / queue.discardSeverity load shedding
     * (runtime/queue.c qqueueChkDiscardMsg:2761-2787 + the Stage-3
     * load-shedding design note :126-129): when the queue holds at least

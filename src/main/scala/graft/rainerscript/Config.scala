@@ -114,6 +114,26 @@ case class RsyslogConfig(
 
   /** Render a named template over a frame (exec_template / action
     * template= resolution, rsconf.c:1570-1604 registration). */
+  /** Resolve a named `ratelimit()` object to its effective policy
+    * (rsconf.c initFunc_ratelimit:625-700 param surface merged with the
+    * YAML policy file when `policy=` is set). Callers re-invoke per
+    * epoch for the policyWatch/HUP hot-reload face — the file is
+    * re-read on every call, like lookup-table reload. Resolution target
+    * of `action(... action.ratelimit.name=)` and
+    * `input(... ratelimit.name=)`. */
+  def ratelimitPolicy(name: String): Option[RatelimitPolicy.Policy] =
+    obj("ratelimit", name).map(RatelimitPolicy.fromParams)
+
+  /** The rendered per-source key for a policy: its keyTemplate through
+    * the template registry, defaulting to fromhost like the reference's
+    * default key mode (ratelimit.c perSourceKeyModeFromTemplate). */
+  def ratelimitKey(policy: RatelimitPolicy.Policy,
+                   props: String => Column): Column =
+    policy.perSource.flatMap(_.keyTemplate) match {
+      case Some(t) => renderTemplate(t, props)
+      case None => props("fromhost")
+    }
+
   /** Main-queue discard policy from config: `main_queue(queue.discardmark=
     * queue.discardseverity=)` or the legacy `$MainMsgQueueDiscard*`
     * directives, applied as the Stage-3 shedding policy
