@@ -313,6 +313,50 @@ object Queries {
           concat_ws("\u0001", col("frames")).as("frames_wire"))
     }),
 
+    // §2.1 the YAML config front-end (runtime/yamlconf.c): schema →
+    // object model translation with all three ruleset forms — a
+    // statements: block (set / if+action / then+else+stop), a prifilt
+    // guard, and script-visible variable state — run end-to-end on the
+    // synth corpus
+    "config_yaml" -> ((s, dir) => {
+      val yaml =
+        """version: 2
+          |rulesets:
+          |  - name: main
+          |    statements:
+          |      - set:
+          |          var: "$.sevsq"
+          |          expr: "$syslogseverity * $syslogseverity"
+          |      - if: 'prifilt("mail.*")'
+          |        action:
+          |          type: omfile
+          |          file: "/logs/mail"
+          |      - if: '$msg contains "msgnum:"'
+          |        then:
+          |          - type: omfwd
+          |            target: "loghost"
+          |        else:
+          |          - stop: true
+          |""".stripMargin
+      val cfg = graft.rainerscript.RsyslogConfig.parseYaml(yaml)
+      val ev = synthSyslog(s, dir)
+        .withColumn("msg",
+          when(col("event_id") % 7 === 0, lit("heartbeat"))
+            .otherwise(concat(lit("msgnum:"),
+              lpad(col("event_id"), 8, "0"))))
+        .withColumn("syslogtag", concat(col("event_type"), lit(":")))
+        .withColumn("vars_msg", lit("{}"))
+        .withColumn("vars_local", lit("{}"))
+      val res = cfg.run(ev, "main")
+      val mail = res.actionFrame(0)
+        .agg(count(lit(1)).as("n_mail")).withColumn("k", lit(1))
+      val fwd = res.actionFrame(1)
+        .agg(count(lit(1)).as("n_fwd"),
+          sum(get_json_object(col("vars_local"), "$.sevsq").cast("long"))
+            .as("sevsq_sum")).withColumn("k", lit(1))
+      mail.join(fwd, "k").drop("k")
+    }),
+
     // §2.8 named ratelimit() object + YAML policy file: per-source
     // limits with an override key, the keyTemplate rendered through the
     // template registry, and the severity exemption that spends no
@@ -3216,6 +3260,14 @@ object Queries {
         |  CAST(json_extract(statefile, '$[0].messages') AS BIGINT)
         |    AS probe_messages
         |FROM f""".stripMargin),
+
+    "config_yaml" -> (synthSql +
+      """ SELECT
+        |  count(CASE WHEN facility = 2 THEN 1 END) AS n_mail,
+        |  count(CASE WHEN event_id % 7 <> 0 THEN 1 END) AS n_fwd,
+        |  CAST(sum(CASE WHEN event_id % 7 <> 0
+        |    THEN severity * severity END) AS BIGINT) AS sevsq_sum
+        | FROM ev""".stripMargin),
 
     "ratelimit_policy" -> (synthSql +
       """, r AS (

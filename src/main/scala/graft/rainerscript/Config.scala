@@ -456,6 +456,206 @@ object RsyslogConfig {
   private def objDisabled(p: Map[String, String]): Boolean =
     p.get("config.enabled").exists(_ != "on")
 
+  /** The YAML config front-end (runtime/yamlconf.c): parse a
+    * .yaml/.yml rsyslog config by translating the documented schema to
+    * the equivalent RainerScript text and running the normal parse —
+    * the same design as the reference, which synthesises RainerScript
+    * for script:/statements: blocks and builds the identical object
+    * model for the rest (yamlconf.c:4-28). Top-level sections: version
+    * (informational), global, mainqueue/main_queue, modules/
+    * testbench_modules, inputs, templates (string or list-with-
+    * elements), rulesets (script: | statements: | filter:+actions:),
+    * parsers, lookup_tables, dyn_stats, perctile_stats, ratelimits,
+    * timezones, include. Unknown top-level keys are ignored with a
+    * diagnostic, like process_top_level:1910. */
+  def parseYaml(src: String): RsyslogConfig = parse(yamlToRainer(src))
+
+  /** The YAML→RainerScript translation itself (exposed for tests). */
+  def yamlToRainer(src: String): String = {
+    import YamlLite._
+    val root = YamlLite.parse(src) match {
+      case m: YMap => m
+      case _ => throw new IllegalArgumentException(
+        "yaml config: top level must be a mapping")
+    }
+    val sb = new StringBuilder
+    def esc(v: String): String = v.replace("\\", "\\\\").replace("\"", "\\\"")
+    def params(m: YMap, skip: Set[String] = Set.empty): String =
+      m.entries.collect {
+        case (k, YScalar(v)) if !skip(k) => s"""$k="${esc(v)}""""
+        case (k, YList(items)) if !skip(k) =>
+          // array-valued param (e.g. ruleset parser chains)
+          items.collect { case YScalar(s) => "\"" + esc(s) + "\"" }
+            .mkString(s"$k=[", ",", "]")
+      }.mkString(" ")
+    def objLine(kind: String, m: YMap): Unit =
+      sb.append(kind).append("(").append(params(m)).append(")\n")
+    def asList(n: YNode): Seq[YNode] = n match {
+      case YList(xs) => xs
+      case m: YMap => Seq(m)
+      case _ => Nil
+    }
+
+    def actionStmt(m: YMap): String = s"action(${params(m)})"
+
+    def exprOfVar(v: String): String = if (v.startsWith("$")) v else "$" + v
+
+    /** Legacy filter string → guard expression: "*.info" (PRI) or
+      * ":prop, op, val" (property filter; op of contains/isequal/
+      * startswith/regex/ereregex, '!' negation) — the two forms
+      * yamlconf.c's Phase-2 shortcut accepts. */
+    def filterExpr(f: String): String = {
+      val t = f.trim
+      if (t.startsWith(":")) {
+        val body = t.drop(1)
+        val c1 = body.indexOf(',')
+        val c2 = body.indexOf(',', c1 + 1)
+        require(c1 > 0 && c2 > c1, s"yaml config: bad property filter '$f'")
+        val prop = body.take(c1).trim
+        var op = body.substring(c1 + 1, c2).trim
+        val neg = op.startsWith("!")
+        if (neg) op = op.drop(1).trim
+        var v = body.drop(c2 + 1).trim
+        if (v.length >= 2 && v.head == '"' && v.last == '"')
+          v = v.substring(1, v.length - 1)
+        val e = op.toLowerCase match {
+          case "contains" => s"""$$$prop contains "${esc(v)}""""
+          case "isequal" => s"""$$$prop == "${esc(v)}""""
+          case "startswith" => s"""$$$prop startswith "${esc(v)}""""
+          case "regex" | "ereregex" => s"""re_match($$$prop, "${esc(v)}")"""
+          case o => throw new IllegalArgumentException(
+            s"yaml config: unsupported property-filter op '$o'")
+        }
+        if (neg) s"not ($e)" else e
+      } else s"""prifilt("${esc(t)}")"""
+    }
+
+    def stmts(items: Seq[YNode], indent: String): String =
+      items.map(stmt(_, indent)).mkString("")
+
+    def stmt(n: YNode, indent: String): String = n match {
+      case m: YMap if m.get("if").isDefined =>
+        val cond = m.scalar("if").get
+        val thenBody = m.get("then").map(asList)
+          .orElse(m.get("action").map(a => Seq(a)))
+          .getOrElse(Nil)
+        val elseBody = m.get("else").map(asList).getOrElse(Nil)
+        val e = if (elseBody.isEmpty) ""
+          else s" else {\n${stmts(elseBody, indent + "  ")}$indent}"
+        s"$indent" + s"if $cond then {\n" +
+          stmts(thenBody, indent + "  ") + s"$indent}$e\n"
+      case m: YMap if m.get("type").isDefined =>
+        s"$indent${actionStmt(m)}\n"
+      case m: YMap if m.get("stop").isDefined => s"${indent}stop\n"
+      case m: YMap if m.get("continue").isDefined => s"${indent}continue\n"
+      case m: YMap if m.get("call").isDefined =>
+        s"${indent}call ${m.scalar("call").get}\n"
+      case m: YMap if m.get("call_indirect").isDefined =>
+        val v = m.scalar("call_indirect").get
+        if (v.startsWith("$")) s"${indent}call_indirect $v;\n"
+        else s"""${indent}call_indirect "${esc(v)}";\n"""
+      case m: YMap if m.get("set").isDefined =>
+        val s0 = m.get("set").get.asInstanceOf[YMap]
+        s"${indent}set ${exprOfVar(s0.scalar("var").get)} = ${s0.scalar("expr").get};\n"
+      case m: YMap if m.get("unset").isDefined =>
+        s"${indent}unset ${exprOfVar(m.scalar("unset").get)};\n"
+      case m: YMap if m.get("foreach").isDefined =>
+        val f = m.get("foreach").get.asInstanceOf[YMap]
+        val body = f.get("do").map(asList).getOrElse(Nil)
+        s"${indent}foreach (${exprOfVar(f.scalar("var").get)} in " +
+          s"${f.scalar("in").get}) do {\n" +
+          stmts(body, indent + "  ") + s"$indent}\n"
+      case m: YMap if m.get("reload_lookup_table").isDefined =>
+        val r = m.get("reload_lookup_table").get.asInstanceOf[YMap]
+        val stub = r.scalar("stub_value")
+          .map(s => s""", "${esc(s)}"""").getOrElse("")
+        s"""${indent}reload_lookup_table("${r.scalar("table").get}"$stub)\n"""
+      case other => throw new IllegalArgumentException(
+        s"yaml config: unrecognised statement item $other")
+    }
+
+    def ruleset(m: YMap): Unit = {
+      val special = Set("script", "statements", "filter", "actions")
+      val body =
+        m.scalar("script").getOrElse {
+          val fromStmts = m.get("statements").map(s => stmts(asList(s), "  "))
+          fromStmts.getOrElse {
+            val acts = m.get("actions").map(asList).getOrElse(Nil)
+            m.scalar("filter") match {
+              case Some(f) =>
+                s"  if ${filterExpr(f)} then {\n" +
+                  acts.map(a => "    " + actionStmt(a.asInstanceOf[YMap]) +
+                    "\n").mkString + "  }\n"
+              case None =>
+                acts.map(a => "  " + actionStmt(a.asInstanceOf[YMap]) +
+                  "\n").mkString
+            }
+          }
+        }
+      sb.append("ruleset(").append(params(m, special)).append(") {\n")
+        .append(if (body.endsWith("\n")) body else body + "\n")
+        .append("}\n")
+    }
+
+    def template(m: YMap): Unit = m.get("elements") match {
+      case Some(el) =>
+        sb.append("template(").append(params(m, Set("elements")))
+          .append(") {\n")
+        asList(el).foreach {
+          case e: YMap =>
+            e.get("constant").foreach { case c: YMap =>
+              sb.append("  constant(").append(params(c)).append(")\n")
+              case _ => () }
+            e.get("property").foreach { case p: YMap =>
+              sb.append("  property(").append(params(p)).append(")\n")
+              case _ => () }
+          case _ => ()
+        }
+        sb.append("}\n")
+      case None => objLine("template", m)
+    }
+
+    root.entries.foreach {
+      case ("version", _) => ()
+      case ("global", m: YMap) => objLine("global", m)
+      case ("mainqueue" | "main_queue", m: YMap) => objLine("main_queue", m)
+      case ("modules" | "testbench_modules", v) =>
+        asList(v).foreach { case m: YMap => objLine("module", m); case _ => () }
+      case ("inputs", v) =>
+        asList(v).foreach { case m: YMap => objLine("input", m); case _ => () }
+      case ("templates", v) =>
+        asList(v).foreach { case m: YMap => template(m); case _ => () }
+      case ("rulesets", v) =>
+        asList(v).foreach { case m: YMap => ruleset(m); case _ => () }
+      case ("parsers", v) =>
+        asList(v).foreach { case m: YMap => objLine("parser", m); case _ => () }
+      case ("lookup_tables", v) =>
+        asList(v).foreach { case m: YMap => objLine("lookup_table", m); case _ => () }
+      case ("dyn_stats", v) =>
+        asList(v).foreach { case m: YMap => objLine("dyn_stats", m); case _ => () }
+      case ("perctile_stats", v) =>
+        asList(v).foreach { case m: YMap => objLine("perctile_stats", m); case _ => () }
+      case ("ratelimits", v) =>
+        asList(v).foreach { case m: YMap => objLine("ratelimit", m); case _ => () }
+      case ("timezones", v) =>
+        asList(v).foreach { case m: YMap => objLine("timezone", m); case _ => () }
+      case ("include", v) =>
+        asList(v).foreach {
+          case m: YMap =>
+            val mode = if (m.scalar("optional").exists(o =>
+              Seq("on", "true", "yes", "1").contains(o.toLowerCase)))
+              " mode=\"optional\"" else ""
+            sb.append("include(file=\"")
+              .append(esc(m.scalar("path").getOrElse(""))).append("\"")
+              .append(mode).append(")\n")
+          case _ => ()
+        }
+      case (other, _) =>
+        log.debug(s"yaml config: unknown top-level key '$other' — ignored")
+    }
+    sb.toString
+  }
+
   def parse(src: String): RsyslogConfig = {
     // 1) parse, 2) expand includes, 3) fold `&` continuations into the
     // preceding filter's block (legacy continuation lines)
