@@ -1658,6 +1658,38 @@ object Queries {
         rainer.faup_query(col("url")).as("q"))
     }),
 
+    // §2.3 fmhttp http_request (plugins/fmhttp/fmhttp.c:89-136) through
+    // the pre-fetched-response boundary: the script renders a URL per
+    // message, probes the bound URL → body map (a plan literal — no
+    // shuffle), and a miss IS curl failure → number 0. The 0-vs-body
+    // branch exercises the reference's svar coercion ("0" == 0 numeric,
+    // JSON body vs 0 string compare), then get_property reads into the
+    // fetched JSON. Two of the five event types deliberately have no
+    // response bound.
+    "fmhttp_enrich" -> ((s, dir) => {
+      val responses = Map(
+        "http://svc.example/class?t=error" ->
+          """{"sev":"high","team":"oncall"}""",
+        "http://svc.example/class?t=purchase" ->
+          """{"sev":"low","team":"billing"}""",
+        "http://svc.example/class?t=signup" ->
+          """{"sev":"low","team":"growth"}""")
+      val ev = Tables.events(s, dir).select("event_id", "event_type")
+      val script =
+        """set $.url = "http://svc.example/class?t=" & $event_type;
+          |set $.resp = http_request($.url);
+          |if $.resp == 0 then
+          |  set $!team = "unresolved";
+          |else
+          |  set $!team = get_property($.resp, "team");
+          |""".stripMargin
+      graft.rainerscript.RainerCompiler
+        .run(script, ev, http = responses).output
+        .groupBy(get_json_object(col("vars_msg"), "$.team").as("team"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("event_type")).as("n_types"))
+    }),
+
     // BASELINE workload shape: full ingest→deframe→parse→filter→enrich→
     // template→count pipeline in one query (the 524,288-msg trial analogue)
     "pipeline_e2e" -> ((s, dir) => {
@@ -4144,6 +4176,23 @@ object Queries {
         |FROM events""".stripMargin,
 
     "pipeline_e2e" -> pipelineOracle,
+
+    "fmhttp_enrich" ->
+      """WITH resp(u, body) AS (VALUES
+        |  ('http://svc.example/class?t=error',
+        |   '{"sev":"high","team":"oncall"}'),
+        |  ('http://svc.example/class?t=purchase',
+        |   '{"sev":"low","team":"billing"}'),
+        |  ('http://svc.example/class?t=signup',
+        |   '{"sev":"low","team":"growth"}')),
+        |j AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN r.body IS NULL THEN 'unresolved'
+        |         ELSE json_extract_string(r.body, '$.team') END AS team
+        |  FROM events e LEFT JOIN resp r
+        |    ON 'http://svc.example/class?t=' || e.event_type = r.u)
+        |SELECT team, count(*) AS n, count(DISTINCT event_type) AS n_types
+        |FROM j GROUP BY 1""".stripMargin,
 
     "mmcount" ->
       """WITH seq AS (

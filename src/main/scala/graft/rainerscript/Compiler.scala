@@ -205,7 +205,8 @@ object RainerCompiler {
                   rec: CounterRecorder = null,
                   timezones: Map[String, String] = Map.empty,
                   templateEscapes: Map[String, String] = Map.empty,
-                  overlays: String => Option[OverlayInfo] = _ => None): Column = {
+                  overlays: String => Option[OverlayInfo] = _ => None,
+                  http: Map[String, String] = Map.empty): Column = {
     def go(e: RExpr): Column = e match {
       case RStr(s) => lit(s)
       case RNum(n) => lit(n)
@@ -254,7 +255,7 @@ object RainerCompiler {
       case RBinop(op, _, _) => throw new IllegalArgumentException(s"op $op")
       case RFunc(name, args) =>
         compileFunc(name, args, tables, templates, go, rec, timezones,
-          templateEscapes, overlays)
+          templateEscapes, overlays, http)
     }
     def toBool(e: RExpr): Column = e match {
       case RBinop("and" | "or" | "==" | "!=" | "<>" | "<" | "<=" | ">" | ">=" |
@@ -275,7 +276,8 @@ object RainerCompiler {
                           rec: CounterRecorder = null,
                           timezones: Map[String, String] = Map.empty,
                           templateEscapes: Map[String, String] = Map.empty,
-                          overlays: String => Option[OverlayInfo] = _ => None): Column = {
+                          overlays: String => Option[OverlayInfo] = _ => None,
+                          http: Map[String, String] = Map.empty): Column = {
     def a(i: Int): Column = go(args(i))
     def s(i: Int): String = args(i) match {
       case RStr(x) => x
@@ -384,6 +386,25 @@ object RainerCompiler {
           templates.getOrElse(s(0), throw new IllegalArgumentException(
             s"exec_template: unknown template ${s(0)}")), resolveProp,
           templateEscapes.get(s(0)))
+      // fmhttp http_request(url) (plugins/fmhttp/fmhttp.c:89-136): GET
+      // the evaluated URL, return the body as a string; ANY failure
+      // (curl error) returns number 0 instead. A live per-message HTTP
+      // round-trip from inside an executor is the documented Spark
+      // anti-pattern (SURVEY §2.3), so the engine's face is the
+      // pre-joined-reference-data boundary: the caller supplies the
+      // URL → body response map at compile time (http=), and a URL
+      // absent from the map IS the failure path (→ 0, which renders
+      // "0" in string context exactly like var2String on svar 'N' 0).
+      // The map compiles to a plan literal — broadcast with the plan,
+      // no shuffle; a provider too big for that belongs in a
+      // lookup_table + broadcast join instead.
+      case "http_request" =>
+        if (http.isEmpty)
+          throw new IllegalArgumentException(
+            "http_request: no response map bound — supply http= " +
+            "(pre-fetched URL → body pairs; live per-row HTTP is not " +
+            "a distributed-plan operation)")
+        coalesce(element_at(typedLit(http), a(0).cast("string")), lit("0"))
       // ffaup URL component extractors (contrib/ffaup/ffaup.c:307-318)
       case "faup" => // full decomposition as a JSON object
         to_json(struct(
@@ -422,16 +443,18 @@ object RainerCompiler {
           tables: Map[String, LookupTable] = Map.empty,
           templates: Map[String, String] = Map.empty,
           timezones: Map[String, String] = Map.empty,
-          templateEscapes: Map[String, String] = Map.empty): ScriptResult =
+          templateEscapes: Map[String, String] = Map.empty,
+          http: Map[String, String] = Map.empty): ScriptResult =
     runStmts(RainerParser.parseScript(src), input, tables, templates, timezones,
-      templateEscapes)
+      templateEscapes, http)
 
   /** Compile and apply an already-parsed statement list. */
   def runStmts(stmts: Seq[RStmt], input: DataFrame,
                tables: Map[String, LookupTable] = Map.empty,
                templates: Map[String, String] = Map.empty,
                timezones: Map[String, String] = Map.empty,
-               templateEscapes: Map[String, String] = Map.empty): ScriptResult = {
+               templateEscapes: Map[String, String] = Map.empty,
+               http: Map[String, String] = Map.empty): ScriptResult = {
     var df = input
     if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
     if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))
@@ -487,7 +510,7 @@ object RainerCompiler {
       rec.guard = guard
       val before = rec.sites.length
       val c = compileExpr(e, tables, templates, rec, timezones,
-        templateEscapes, ovLookup)
+        templateEscapes, ovLookup, http)
       def freeze(x: Column): Column = {
         val cn = freshCond(); df = df.withColumn(cn, x); col(cn)
       }

@@ -64,13 +64,15 @@ case class RsyslogConfig(
   /** Run a ruleset (or the main/default script) against a LogEvent frame.
     * `call` statements expand inline (runtime/ruleset.c:277-294 direct
     * call path; queued rulesets = separate pipelines at the caller's
-    * discretion). */
-  def run(input: DataFrame, ruleset: String = ""): RainerCompiler.ScriptResult = {
+    * discretion). `http` binds the fmhttp http_request() response map
+    * (pre-fetched URL → body; see Compiler's http_request case). */
+  def run(input: DataFrame, ruleset: String = "",
+          http: Map[String, String] = Map.empty): RainerCompiler.ScriptResult = {
     val stmts = if (ruleset.isEmpty) mainStmts
                 else rulesets.getOrElse(ruleset,
                   throw new IllegalArgumentException(s"unknown ruleset $ruleset"))
     RainerCompiler.runStmts(inlineCalls(stmts, Set.empty), input, lookupTables,
-      templates, timezones, templateEscapes)
+      templates, timezones, templateEscapes, http)
   }
 
   private def inlineCalls(stmts: Seq[RStmt], seen: Set[String]): Seq[RStmt] =

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression net: the 100 TB contracts that `.explain`
+  * audits found by hand (BENCH notes) are pinned here so a refactor
+  * can't silently lose them. Assertions are on the FORMATTED plan
+  * string — coarse on purpose: operator presence/absence, not shapes
+  * Catalyst is free to vary (AQE, partition counts).
+  *
+  * Only lazily-constructed batch queries are sweepable: `stream_*`
+  * queries execute their StreamGate on construction, and a few batch
+  * entries run side-effecting setup (reload, external pipes) — those
+  * are covered by their own specs/oracles instead.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q1_agg: column pruning reaches the lineitem scan; agg is two-phase") {
+    val p = plan("q1_agg")
+    // only the 5 needed columns in ReadSchema — a scan reading all of
+    // lineitem for a 5-column agg would be wrong at any scale
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_returnflag") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_comment"),
+      s"unpruned scan: $read")
+    // map-side combine: partial aggregate before the exchange
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("Exchange"))
+  }
+
+  test("q3_join: small dim broadcasts, no cartesian, one shuffle join tier") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "filtered customer dim must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("prifilt: predicate stays inside WholeStageCodegen (no UDF barrier)") {
+    val p = plan("prifilt")
+    assert(p.contains("WholeStageCodegen"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "PRI mask filter must be a codegen'd boolean expr")
+  }
+
+  test("propfilt: pushable predicate reaches the documents parquet scan") {
+    val p = plan("propfilt")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    // rs_contains compiles to Contains — pushable; re_match is not,
+    // and must NOT block the pushable part from reaching the scan
+    assert(pushed.contains("IsNotNull") || pushed.contains("StringContains"),
+      s"no pushed filters on the scan: $pushed")
+  }
+
+  test("lookup_string: broadcast-free map-literal probe (no join, no shuffle before agg)") {
+    val p = plan("lookup_string")
+    assert(!p.contains("Join"), "a 4-entry lookup table must not plan a join")
+    // exactly the one agg exchange
+    assert("Exchange".r.findAllIn(p).size <= 2, s"too many shuffles:\n$p")
+  }
+
+  test("geo_enrich: range table broadcasts (never a shuffled theta-join)") {
+    val p = plan("geo_enrich")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "5-row range dim must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_exact: fingerprint groupBy is partial-aggregated before its shuffle") {
+    val p = plan("dedup_exact")
+    assert(p.contains("HashAggregate") && p.contains("Exchange"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("no-cartesian / no-Python sweep over the lazily-built batch suite") {
+    // every query that constructs lazily: the physical plan must never
+    // contain a cartesian product or a Python eval barrier. Eagerly-
+    // executing entries (streams, reload/external side effects) are
+    // excluded — their kernels are covered by their own specs.
+    val eager = Set("lookup_reload", "stream_lookup_reload", "mmexternal_pipe",
+      "dead_letter", "multimodal_features", "multimodal_frames")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("stream_")).filterNot(eager)
+    val offenders = names.flatMap { n =>
+      try {
+        val p = plan(n)
+        if (p.contains("CartesianProduct") || p.contains("BatchEvalPython"))
+          Some(n -> "cartesian/python")
+        else None
+      } catch { case e: Throwable => Some(n -> s"plan failed: ${e.getMessage}") }
+    }
+    assert(offenders.isEmpty, s"plan offenders: $offenders")
+  }
+}

@@ -374,4 +374,31 @@ class RainerScriptSpec extends SparkSpec {
         |""".stripMargin, Seq("m").toDF("msg"))
     assert(bad.output.select("vars_msg").collect()(0).getString(0) == "{}")
   }
+
+  test("http_request resolves from the bound response map; miss is number 0") {
+    // plugins/fmhttp/fmhttp.c:89-136 — body string on success, svar
+    // number 0 on any failure. The engine's failure path is a URL with
+    // no bound response.
+    val ev = Seq(("a", "error"), ("b", "click")).toDF("id", "t")
+    val res = RainerCompiler.run(
+      """set $.u = "http://x/" & $t;
+        |set $.r = http_request($.u);
+        |if $.r == 0 then set $!got = "miss";
+        |else set $!got = get_property($.r, "team");
+        |""".stripMargin, ev,
+      http = Map("http://x/error" -> """{"team":"oncall"}"""))
+    val rows = res.output.select(col("id"),
+      get_json_object(col("vars_msg"), "$.got")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("a") == "oncall")
+    assert(rows("b") == "miss")
+  }
+
+  test("http_request without a bound map is a compile-time error") {
+    val e = intercept[IllegalArgumentException] {
+      RainerCompiler.run("""set $.r = http_request("http://x/");""",
+        Seq("m").toDF("msg"))
+    }
+    assert(e.getMessage.contains("http_request"))
+  }
 }
