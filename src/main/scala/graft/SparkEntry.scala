@@ -2394,6 +2394,27 @@ object Queries {
         get_json_object(col("vars_msg"), "$.cls").as("cls"))
     }),
 
+    // §2.1 bounded ruleset recursion (rscript_ruleset_call-recursion-
+    // limit.sh family): a guarded self-calling ruleset walks $.c up to
+    // a data-dependent target — every inlined level carries its own
+    // frozen guard, so the recursion is exact as long as the data's
+    // depth stays under callNestingLimit (severity ≤ 7 < 16 here)
+    "ruleset_recursion" -> ((s, dir) => {
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        """ruleset(name="bump") {
+          |  set $.c = $.c + 1;
+          |  if $.c < $.target then call bump
+          |}
+          |set $.c = 0;
+          |set $.target = $severity;
+          |call bump
+          |""".stripMargin)
+      val ev = synthSyslog(s, dir).select("event_id", "severity")
+      cfg.run(ev).output
+        .groupBy(get_json_object(col("vars_local"), "$.c").cast("long").as("c"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // §2.5 imfile-lite batch READ path oracle-checked end-to-end: frame
     // the synth stream octet-counted (RFC6587), write real text files,
     // read them back through fileLines (provenance cols) → deframe →
@@ -4753,6 +4774,12 @@ object Queries {
         |  CASE WHEN event_type IN ('view', 'signup') THEN 'funnel'
         |    ELSE 'other' END AS cls
         |FROM events""".stripMargin,
+
+    // trace: c=0; bump sets c=1; guard c < target recurses until c =
+    // target — so final c = greatest(severity, 1)
+    "ruleset_recursion" -> (synthSql +
+      """ SELECT greatest(severity, 1) AS c, count(*) AS n
+        | FROM ev GROUP BY 1""".stripMargin),
 
     "imfile_read" -> (synthSql +
       """ SELECT event_id, 'imfile' AS inputname, facility, severity,

@@ -65,32 +65,62 @@ case class RsyslogConfig(
     * `call` statements expand inline (runtime/ruleset.c:277-294 direct
     * call path; queued rulesets = separate pipelines at the caller's
     * discretion). `http` binds the fmhttp http_request() response map
-    * (pre-fetched URL → body; see Compiler's http_request case). */
+    * (pre-fetched URL → body; see Compiler's http_request case).
+    * `callNestingLimit` bounds recursive `call` inlining: guarded
+    * self-recursion (a real config pattern — `if $.c < n then call x`)
+    * is exact up to this depth because every inlined level carries its
+    * own frozen path condition; an unconditionally-recursive config
+    * truncates here with the reference's diagnostic (the reference
+    * recurses to 1024 at runtime and stops with "ruleset call nesting
+    * limit reached", rscript_ruleset_call-recursion-limit.sh — a static
+    * plan must pick a depth before execution, and 1024 inlined copies
+    * of a body is a compile-time explosion, so the default is modest
+    * and the truncation is loud). */
   def run(input: DataFrame, ruleset: String = "",
-          http: Map[String, String] = Map.empty): RainerCompiler.ScriptResult = {
+          http: Map[String, String] = Map.empty,
+          callNestingLimit: Int = 16): RainerCompiler.ScriptResult = {
     val stmts = if (ruleset.isEmpty) mainStmts
                 else rulesets.getOrElse(ruleset,
                   throw new IllegalArgumentException(s"unknown ruleset $ruleset"))
-    RainerCompiler.runStmts(inlineCalls(stmts, Set.empty), input, lookupTables,
-      templates, timezones, templateEscapes, http)
+    RainerCompiler.runStmts(inlineCalls(stmts, Set.empty, 0, callNestingLimit),
+      input, lookupTables, templates, timezones, templateEscapes, http)
   }
 
-  private def inlineCalls(stmts: Seq[RStmt], seen: Set[String]): Seq[RStmt] =
+  private def inlineCalls(stmts: Seq[RStmt], seen: Set[String], depth: Int,
+                          limit: Int): Seq[RStmt] =
     stmts.flatMap {
-      case RCall(name) if rulesets.contains(name) && !seen(name) =>
-        inlineCalls(rulesets(name), seen + name)
+      case RCall(name) if rulesets.contains(name) =>
+        if (depth >= limit) {
+          // the reference's runtime recursion guard (its limit is 1024);
+          // deeper levels are unreachable in the static plan, so the
+          // call truncates to nothing — loudly
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ruleset call nesting limit of $limit reached calling " +
+            s"'$name'; deeper call levels are not in the plan (reference " +
+            "runtime guard: 1024, runtime/ruleset.c). A guard-bounded " +
+            "recursion that converges within the limit is unaffected; " +
+            "raise callNestingLimit if yours is genuinely deeper")
+          Nil
+        } else inlineCalls(rulesets(name), seen, depth + 1, limit)
       // call_indirect: evaluate-at-runtime dispatch lowers to one
       // name-equality guard per known ruleset (a message's computed name
       // selects at most one branch; unknown names fall through = NOP,
-      // runtime/ruleset.c:250-255). Cycle guard via `seen` as for call.
+      // runtime/ruleset.c:250-255). Unlike direct call, indirect dispatch
+      // keeps the `seen` cycle guard instead of the depth budget: the
+      // static lowering expands EVERY known ruleset per level, so a depth
+      // budget would blow up as #rulesets^depth.
       case RCallIndirect(e) =>
         rulesets.toSeq.sortBy(_._1).collect {
           case (name, body) if !seen(name) =>
-            RIf(RBinop("==", e, RStr(name)), inlineCalls(body, seen + name), Nil)
+            RIf(RBinop("==", e, RStr(name)),
+              inlineCalls(body, seen + name, depth, limit), Nil)
         }
-      case RIf(c, t, e) => Seq(RIf(c, inlineCalls(t, seen), inlineCalls(e, seen)))
-      case RPriFilt(s, b) => Seq(RPriFilt(s, inlineCalls(b, seen)))
-      case RPropFilt(p, o, n, v, b) => Seq(RPropFilt(p, o, n, v, inlineCalls(b, seen)))
+      case RIf(c, t, e) =>
+        Seq(RIf(c, inlineCalls(t, seen, depth, limit),
+          inlineCalls(e, seen, depth, limit)))
+      case RPriFilt(s, b) => Seq(RPriFilt(s, inlineCalls(b, seen, depth, limit)))
+      case RPropFilt(p, o, n, v, b) =>
+        Seq(RPropFilt(p, o, n, v, inlineCalls(b, seen, depth, limit)))
       case other => Seq(other)
     }
 

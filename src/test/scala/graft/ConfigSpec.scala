@@ -713,4 +713,51 @@ class ConfigSpec extends SparkSpec {
       .orderBy("severity").select("shed").collect().map(_.getBoolean(0))
     assert(out3.toSeq == Seq(false, false, true, true, true))
   }
+
+  test("bounded ruleset recursion: guarded self-call exact, runaway truncates") {
+    // rscript_ruleset_call-recursion-limit.sh: the reference recurses a
+    // self-calling ruleset to its 1024 nesting guard at runtime. The
+    // static plan inlines to callNestingLimit levels; a guarded
+    // recursion whose data-dependent depth stays under the limit is
+    // EXACT (each level carries its own frozen condition).
+    val guarded = RsyslogConfig.parse(
+      """ruleset(name="bump") {
+        |  set $.c = $.c + 1;
+        |  if $.c < $.target then call bump
+        |}
+        |set $.c = 0;
+        |set $.target = $t;
+        |call bump
+        |""".stripMargin)
+    val df = Seq(0L, 1L, 3L, 7L).toDF("t")
+    val got = guarded.run(df).output
+      .select(col("t"), get_json_object(col("vars_local"), "$.c").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // c walks to the target (min 1: the first bump runs unconditionally)
+    assert(got == Map(0L -> 1L, 1L -> 1L, 3L -> 3L, 7L -> 7L))
+
+    // unconditional self-recursion: one +1 per inlined level, then the
+    // loud truncation — final c = the nesting limit
+    val runaway = RsyslogConfig.parse(
+      """ruleset(name="recurse") { set $.c = $.c + 1; call recurse }
+        |set $.c = 0;
+        |call recurse
+        |""".stripMargin)
+    val c = runaway.run(Seq("m").toDF("msg"), callNestingLimit = 8).output
+      .select(get_json_object(col("vars_local"), "$.c").cast("long"))
+      .collect()(0).getLong(0)
+    assert(c == 8L)
+
+    // mutual recursion shares the same budget (a->b->a-> ... bounded)
+    val mutual = RsyslogConfig.parse(
+      """ruleset(name="a") { set $.c = $.c + 1; call b }
+        |ruleset(name="b") { set $.c = $.c + 10; call a }
+        |set $.c = 0;
+        |call a
+        |""".stripMargin)
+    val cm = mutual.run(Seq("m").toDF("msg"), callNestingLimit = 4).output
+      .select(get_json_object(col("vars_local"), "$.c").cast("long"))
+      .collect()(0).getLong(0)
+    assert(cm == 22L) // a,b,a,b = 1+10+1+10
+  }
 }
