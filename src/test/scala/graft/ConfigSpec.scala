@@ -760,4 +760,32 @@ class ConfigSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(cm == 22L) // a,b,a,b = 1+10+1+10
   }
+
+  test("cfgtest golden configs parse gracefully (cfg1-4, DevNull shapes)") {
+    // tests/cfg*.cfgtest: config VALIDATION must survive hostile input —
+    // unknown legacy directives, missing $IncludeConfig globs, inactive
+    // module loads — without throwing; the reference emits diagnostics
+    // and continues (or activates the emergency config).
+    // cfg1.testin: selector line + invalid directive
+    val c1 = RsyslogConfig.parse("*.* *\n$invaliddirective test\n")
+    assert(c1.mainStmts.nonEmpty) // the *.* wall selector compiled
+    // cfg2/cfg3.testin: include of a bad path warns and skips
+    val c3 = RsyslogConfig.parse("$IncludeConfig /nonexistent/file-does-not-exist\n")
+    assert(c3.mainStmts.isEmpty)
+    // cfg4.testin active lines: modloads, UDP listener, missing globs
+    val c4 = RsyslogConfig.parse(
+      """$ModLoad imudp.so
+        |$ModLoad omoracle.so
+        |$UDPServerRun 514
+        |$IncludeConfig /nonexistent/logging/rsyslog/20*conf
+        |$IncludeConfig /nonexistent/logging/rsyslog/30*conf
+        |""".stripMargin)
+    assert(c4.hasModule("imudp.so") || c4.hasModule("imudp"))
+    assert(c4.inputs.exists(i => i.get("port").contains("514") ||
+      i.get("type").exists(_.contains("imudp"))))
+    // DevNull shape: config with inputs but no actions is valid (the
+    // reference warns "no active actions" and still runs)
+    val dn = RsyslogConfig.parse("$ModLoad imudp.so\n$UDPServerRun 514\n")
+    assert(dn.mainStmts.forall(!_.isInstanceOf[graft.rainerscript.RAction]))
+  }
 }
