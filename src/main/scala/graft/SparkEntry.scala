@@ -1690,6 +1690,25 @@ object Queries {
           count_distinct(col("event_type")).as("n_types"))
     }),
 
+    // §2.10 omudpspoof wire accounting: spoofed source from the default
+    // source template (%fromhost-ip%), cycling source ports, and the
+    // exact IPv4 fragmentation ladder for messages above the MTU
+    // (plugins/omudpspoof/omudpspoof.c UDPSend) — severity 5/7 rows are
+    // padded past one and past two fragments to walk the whole ladder
+    "omudpspoof_frames" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+        .withColumn("pad", when(col("severity") === 7, 3000)
+          .when(col("severity") === 5, 1600).otherwise(0))
+        .withColumn("wire", concat(col("rawmsg"), expr("repeat('x', pad)")))
+        .withColumn("fromhost_ip",
+          rainer.num2ipv4(pmod(col("user_id"), lit(4294967296L))))
+      graft.sources.Sources.udpspoofPackets(ev,
+          col("wire"), col("fromhost_ip"), col("event_id"))
+        .select(col("event_id"), col("frag_idx"), col("src_ip"),
+          col("src_port"), col("dst_port"), col("mf"), col("frag_offset"),
+          col("payload_len"), col("ip_len"), col("udp_len"))
+    }),
+
     // BASELINE workload shape: full ingest→deframe→parse→filter→enrich→
     // template→count pipeline in one query (the 524,288-msg trial analogue)
     "pipeline_e2e" -> ((s, dir) => {
@@ -4197,6 +4216,42 @@ object Queries {
         |FROM events""".stripMargin,
 
     "pipeline_e2e" -> pipelineOracle,
+
+    // mirrors udpspoofPackets: maxPkt=(1500-20)&~7=1480, fragment-0
+    // payload 1472 (UDP header), continuation offsets (msgOffs+8)
+    "omudpspoof_frames" -> (synthSql + """
+      |, m AS (
+      |  SELECT event_id,
+      |    length('<' || (facility*8 + severity) || '>' ||
+      |      strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
+      |      lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+      |      strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
+      |      hostname || ' ' || syslogtag || ': msgnum:' ||
+      |      lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100)
+      |    + CASE WHEN severity = 7 THEN 3000
+      |           WHEN severity = 5 THEN 1600 ELSE 0 END AS len,
+      |    ((user_id % 4294967296) // 16777216) % 256 || '.' ||
+      |      ((user_id % 4294967296) // 65536) % 256 || '.' ||
+      |      ((user_id % 4294967296) // 256) % 256 || '.' ||
+      |      (user_id % 4294967296) % 256 AS src_ip,
+      |    CAST(32000 + event_id % 10001 AS INT) AS src_port
+      |  FROM ev),
+      |f AS (
+      |  SELECT event_id, len, src_ip, src_port,
+      |    unnest(range(CASE WHEN len <= 1472 THEN 1
+      |                      ELSE 2 + (len - 1473) // 1480 END)) AS frag_idx
+      |  FROM m)
+      |SELECT event_id, frag_idx, src_ip, src_port, CAST(514 AS INT) AS dst_port,
+      |  CASE WHEN frag_idx = 0 THEN len > 1472
+      |       ELSE len - (1472 + (frag_idx-1)*1480) > 1480 END AS mf,
+      |  CASE WHEN frag_idx = 0 THEN 0
+      |       ELSE 1472 + (frag_idx-1)*1480 + 8 END AS frag_offset,
+      |  CASE WHEN frag_idx = 0 THEN least(len, 1472)
+      |       ELSE least(len - (1472 + (frag_idx-1)*1480), 1480) END AS payload_len,
+      |  CASE WHEN frag_idx = 0 THEN least(len, 1472) + 28
+      |       ELSE least(len - (1472 + (frag_idx-1)*1480), 1480) + 20 END AS ip_len,
+      |  CASE WHEN frag_idx = 0 THEN len + 8 END AS udp_len
+      |FROM f""").stripMargin,
 
     "fmhttp_enrich" ->
       """WITH resp(u, body) AS (VALUES

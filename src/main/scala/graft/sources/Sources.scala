@@ -42,6 +42,64 @@ object Sources {
   def frameOctetCounted(msg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(octet_length(msg).cast("string"), lit(" "), msg)
 
+  /** omudpspoof wire accounting (plugins/omudpspoof/omudpspoof.c
+    * UDPSend:339-498): one row per IPv4 fragment the module would put
+    * on the wire. Per message: the spoofed source address renders from
+    * the source template (default RSYSLOG_omudpspoofDfltSourceTpl =
+    * "%fromhost-ip%", runtime/rsconf.c:233 — caller passes the rendered
+    * column), the source port cycles sourceport.start..end
+    * (32000..42000 defaults, :365-367 post-increment wrap), payload
+    * truncates at 65528 bytes (:361-364), and the message fragments
+    * when it exceeds the MTU (1500 default): maxPkt = (mtu-20) & ~7;
+    * fragment 0 carries maxPkt-8 payload bytes under the UDP header
+    * (UDP length field = full len+8), continuation fragments maxPkt
+    * each at byte offsets (msgOffs+8), MF set on all but the last
+    * (:378-470). `seq` supplies the worker's send ordinal for the port
+    * cycle (a caller column, like txnr in the RELP contract). The
+    * libnet raw-socket write and source-MAC forgery are transport.
+    *
+    * Output columns: frag_idx, src_ip, src_port, dst_port, mf,
+    * frag_offset (bytes), payload_len, ip_len, udp_len (frag 0 only).
+    * Fragment payload bytes are msg[frag_offset-8 .. +payload_len] at
+    * the transport boundary — not materialized here because byte
+    * slicing multi-byte text belongs to the writer, not the plan. */
+  def udpspoofPackets(df: DataFrame, msg: org.apache.spark.sql.Column,
+                      srcIp: org.apache.spark.sql.Column,
+                      seq: org.apache.spark.sql.Column,
+                      dstPort: Int = 514, mtu: Int = 1500,
+                      portStart: Int = 32000, portEnd: Int = 42000): DataFrame = {
+    val maxPkt = (mtu - 20) & ~7 // IP payload per fragment, 8-aligned
+    val first = maxPkt - 8 // UDP header shares fragment 0
+    val len = least(octet_length(msg), lit(65528)).cast("long")
+    val nFrags = when(len <= first, lit(1L))
+      .otherwise(lit(2L) + floor((len - first - 1) / maxPkt))
+    val out = df
+      .withColumn("__len", len)
+      .withColumn("__src_ip", srcIp)
+      .withColumn("src_port",
+        (lit(portStart) + pmod(seq.cast("long"), lit(portEnd - portStart + 1)))
+          .cast("int"))
+      .withColumn("frag_idx", explode(sequence(lit(0L), nFrags - 1)))
+    val msgOffs = lit(first) + (col("frag_idx") - 1) * maxPkt // frags > 0
+    val remaining = col("__len") - msgOffs
+    out.select(
+      col("*"),
+      col("__src_ip").as("src_ip"),
+      lit(dstPort).as("dst_port"),
+      when(col("frag_idx") === 0,
+          when(col("__len") <= first, lit(false)).otherwise(lit(true)))
+        .otherwise(remaining > maxPkt).as("mf"),
+      when(col("frag_idx") === 0, lit(0L))
+        .otherwise(msgOffs + 8).as("frag_offset"),
+      when(col("frag_idx") === 0, least(col("__len"), lit(first.toLong)))
+        .otherwise(least(remaining, lit(maxPkt.toLong))).as("payload_len"),
+      when(col("frag_idx") === 0, col("__len") + 8).as("udp_len"))
+      .withColumn("ip_len",
+        when(col("frag_idx") === 0, col("payload_len") + 28)
+          .otherwise(col("payload_len") + 20))
+      .drop("__len", "__src_ip")
+  }
+
   /** RELP framing decode — the RELP wire format (`TXNR SP COMMAND SP
     * DATALEN [SP DATA]` per frame; the published RELP spec — imrelp's
     * transport itself lives in librelp, outside the reference tree):
