@@ -2549,6 +2549,24 @@ object Queries {
           col("n"), col("sum_v"))
     }),
 
+    // event-time SESSION windows on the real streaming path (the
+    // extension face of session_window): state-store session merge with
+    // a zero-delay watermark; append mode emits exactly the sessions
+    // whose end (last event + gap) the final watermark passed — the
+    // trailing per-user session stays pending, mirrored in the oracle's
+    // end <= max(ts) filter like impstats_stream
+    "stream_session" -> ((s, dir) => {
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val sessions = ev.withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start"),
+          col("n"), col("sum_v"))
+      graft.streaming.StreamGate.run(sessions, "append",
+        graft.streaming.StreamGate.tableBytes(dir, "events"))
+    }),
+
     // Gopher-style repetition signals: duplicate word-bigram/trigram
     // fractions per doc — scan-side zip-shift n-grams, no explode, no
     // shuffle; the boilerplate/generation-loop filter of a corpus pass
@@ -4993,6 +5011,26 @@ object Queries {
         |SELECT user_id, min(us) // 1000000 AS session_start,
         |  count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM sgrp GROUP BY user_id, sid""".stripMargin,
+
+    // batch session logic + the append-mode emission rule: a session
+    // reports iff its end (last event + 30 min) is <= the final
+    // watermark (global max ts, zero delay)
+    "stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                 OR us - lag(us) OVER w >= 1800000000
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |sgrp AS (
+        |  SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, min(us) // 1000000 AS session_start,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM sgrp GROUP BY user_id, sid
+        |HAVING max(us) + 1800000000 <= (SELECT max(epoch_ns(ts) // 1000) FROM events)""".stripMargin,
 
     // ------------------------- streaming-gate oracles -----------------------
     // the batch twin's oracle, verbatim — one truth for both execution paths
