@@ -2549,6 +2549,21 @@ object Queries {
           col("n"), col("sum_v"))
     }),
 
+    // event-time SLIDING windows on the streaming path: every event
+    // lands in 4 overlapping (1 h, 15 min-slide) windows; append mode
+    // emits windows whose end the final watermark passed
+    "stream_sliding" -> ((s, dir) => {
+      val ev = graft.streaming.StreamGate.readTable(s, dir, "events")
+      val wins = ev.withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+        .select(unix_timestamp(col("w.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_v"))
+      graft.streaming.StreamGate.run(wins, "append",
+        graft.streaming.StreamGate.tableBytes(dir, "events"))
+    }),
+
     // event-time SESSION windows on the real streaming path (the
     // extension face of session_window): state-store session merge with
     // a zero-delay watermark; append mode emits exactly the sessions
@@ -5011,6 +5026,21 @@ object Queries {
         |SELECT user_id, min(us) // 1000000 AS session_start,
         |  count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM sgrp GROUP BY user_id, sid""".stripMargin,
+
+    // each event belongs to exactly 4 sliding windows: starts at the
+    // 15-min floor minus k*15min, k=0..3; append emission = window end
+    // (start + 1 h) <= global max ts
+    "stream_sliding" ->
+      """WITH o AS (
+        |  SELECT event_type, value, epoch_ns(ts) // 1000 AS us FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    ((us // 900000000) - k) * 900000000 AS win_us
+        |  FROM o, unnest(range(4)) AS t(k))
+        |SELECT win_us // 1000000 AS win_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM w GROUP BY win_us, event_type
+        |HAVING win_us + 3600000000 <= (SELECT max(epoch_ns(ts) // 1000) FROM events)""".stripMargin,
 
     // batch session logic + the append-mode emission rule: a session
     // reports iff its end (last event + 30 min) is <= the final
