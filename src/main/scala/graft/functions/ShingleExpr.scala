@@ -37,7 +37,7 @@ case class ShinglesExpr(child: Expression, n: Int)
 }
 
 object ShinglesExpr {
-  private def isWs(c: Char): Boolean =
+  private[functions] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
   def kernel(text: UTF8String, n: Int): ArrayData = {
@@ -73,5 +73,107 @@ object ShinglesExpr {
     val it = seen.iterator()
     while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** Fused text → MinHash signature: the ShinglesExpr + MinHashSignatureExpr
+  * composition collapsed into ONE kernel. Value-identical to
+  * `MinHashSignatureExpr(ShinglesExpr(text, n), k)` (KernelParitySpec), by
+  * construction:
+  *
+  *  - each shingle's FNV-1a 64 folds directly over the token char ranges of
+  *    the lowered text (token chars + one ' ' separator between tokens) —
+  *    the exact byte sequence of the joined shingle string, with no
+  *    StringBuilder copy, no String hashCode pass, no UTF8 encode/decode
+  *    round-trip between the two expressions;
+  *  - the first-occurrence dedupe drops out: MinHash takes a min over the
+  *    shingle-hash set, and duplicate shingles cannot change a min.
+  *
+  * Returns NULL when the text has fewer than n tokens (the composition's
+  * `size(sh) > 0` pre-filter becomes an isNotNull filter on the signature:
+  * such a doc has no content to near-match and its all-MaxValue signature
+  * would collide with every other short doc in every band).
+  */
+case class MinHashTextExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(n >= 1 && k >= 1, "shingle size and signature length must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = s"minhash_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashTextExpr.kernel(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.MinHashTextExpr$$.MODULE$$.kernel($c, $n, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinHashTextExpr {
+  private val FnvPrime = 0x100000001b3L
+
+  def kernel(text: UTF8String, n: Int, k: Int): GenericArrayData = {
+    val s = text.toLowerCase.toString
+    val len = s.length
+    // token boundaries (two int arrays, grown geometrically)
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var ntoks = 0
+    var i = 0
+    while (i < len) {
+      while (i < len && ShinglesExpr.isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !ShinglesExpr.isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        if (ntoks == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, ntoks * 2)
+          ends = java.util.Arrays.copyOf(ends, ntoks * 2)
+        }
+        starts(ntoks) = start; ends(ntoks) = i; ntoks += 1
+      }
+    }
+    val m = ntoks - n + 1
+    if (m <= 0) return null
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var p = 0
+    while (p < m) {
+      // FNV-1a 64 of "tok_p tok_{p+1} … tok_{p+n-1}" without building it
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= 0x20L; h *= FnvPrime } // the ' ' separator
+        var q = starts(p + j)
+        val e = ends(p + j)
+        while (q < e) {
+          val c = s.charAt(q)
+          h ^= (c & 0xFF); h *= FnvPrime
+          if (c > 0xFF) { h ^= (c >> 8); h *= FnvPrime }
+          q += 1
+        }
+        j += 1
+      }
+      // k permutations: splitmix64 finalizer over (h ^ seed_j)
+      var t = 0
+      while (t < k) {
+        var z = h ^ (0x9E3779B97F4A7C15L * (t + 1))
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if (z < mins(t)) mins(t) = z
+        t += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(mins)
   }
 }

@@ -42,6 +42,15 @@ object Dedup {
       graft.functions.MinHashSignatureExpr(
         org.apache.spark.sql.GraftBridge.expression(sh), k))
 
+  /** Fused text → k-MinHash signature (NULL when the text has < n tokens):
+    * value-identical to `minhashSignature(shingles(text, n), k)` but one
+    * kernel — no shingle strings, no dedupe set, no array hand-off between
+    * expressions (see MinHashTextExpr). */
+  def minhashTextSignature(text: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinHashTextExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), n, k))
+
   /** Ordered within-bucket pair emission: group members by bucket, sort,
     * and emit every (a, b) with a < b via a nested transform. ONE shuffle
     * (the groupBy) where a bucket self-join costs two exchanges plus the
@@ -92,18 +101,16 @@ object Dedup {
     // a small input often arrives as 1-2 parquet partitions, which would
     // serialize the whole stage — spread it across the cluster first
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // materialize shingles ONCE (Catalyst does not CSE the kernel across
-    // the Filter/Project boundary — naming the column halves the cost of
-    // the CPU-bound stage)
+    // fused signature kernel: shingle hashing folds straight over the
+    // lowered text's token ranges (MinHashTextExpr) — no shingle strings,
+    // no Filter/Project hand-off of the shingle array. NULL signature =
+    // fewer than n tokens: such a doc has no content to near-match (its
+    // all-MaxValue signature would collide with every short doc) — drop it
     val withSig = df
       .select(col(idCol).as("doc"), col(textCol).as("t"))
       .repartition(par)
-      .withColumn("sh", shingles(col("t"), n))
-      // a doc with < n tokens has an empty shingle set; its signature
-      // would be all-Long.MaxValue and collide with every other such doc
-      // in every band — exclude it (it has no content to near-match)
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("sig", minhashTextSignature(col("t"), n, k))
+      .filter(col("sig").isNotNull)
       .select(col("doc"), col("sig"))
     val banded = withSig.select(
       col("doc"), col("sig"),

@@ -94,6 +94,25 @@ class KernelParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("MinHashTextExpr == ShinglesExpr∘MinHashSignatureExpr on random text") {
+    import graft.operators.Dedup
+    val texts = (0 until 300).map(_ => randText()) ++ Seq(
+      "", " ", "\t\n", "a", "a b", "a b c", "a b c d",
+      "one two three one two three", // duplicate shingles — min-invariant
+      "中文 字符 宽字 节中 文字", "Wide 中 mix ß chars é here",
+      "  leading   and \t trailing  ws  ", "UPPER Case MIX lower")
+    val df = texts.toDF("t")
+    for ((n, k) <- Seq((3, 64), (2, 8), (1, 4))) {
+      val fused = df.select(Dedup.minhashTextSignature(col("t"), n, k).as("x"))
+        .as[Option[Seq[Long]]].collect().toSeq
+      val composed = df.select(
+          when(size(Dedup.shingles(col("t"), n)) > 0,
+            Dedup.minhashSignature(Dedup.shingles(col("t"), n), k)).as("x"))
+        .as[Option[Seq[Long]]].collect().toSeq
+      assert(fused == composed, s"n=$n k=$k")
+    }
+  }
+
   test("NormalizeExpr == per-rule extract() coalesce chain on random lines") {
     import graft.operators.Normalize
     val rules = Seq(
