@@ -130,7 +130,12 @@ object Queries {
     // §2.1 S_PRIFILT — PRI bitmask filter compiled from a selector string
     "prifilt" -> ((s, dir) => {
       val ev = synthSyslog(s, dir)
-      ev.filter(rainer.prifilt("*.err;mail.none;local0.=debug")(col("facility"), col("severity")))
+      // local4.!=debug is STANDALONE for its facility (nothing before the
+      // ';' touches local4): the negated selector pre-fills local4 to
+      // ALLPRI before clearing debug (issue #1030,
+      // tests/rscript_prifilt_negated_exact.sh); uucp.err is the plain
+      // range form, local0.=debug the exact form, mail.none the reset
+      ev.filter(rainer.prifilt("uucp.err;mail.none;local0.=debug;local4.!=debug")(col("facility"), col("severity")))
         .groupBy(col("facility"), col("severity"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -3206,14 +3211,18 @@ object Queries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY 1""".stripMargin,
 
-    // mask per facility for "*.err;mail.none;local0.=debug": default
-    // bits 0-3 (err and more severe), mail(2) cleared, local0(16) adds =debug
+    // mask per facility for "uucp.err;mail.none;local0.=debug;
+    // local4.!=debug": uucp(8) bits 0-3 (err and more severe), mail(2)
+    // cleared, local0(16) exact debug = 0x80, local4(20) = ALLPRI minus
+    // debug (standalone negated selector pre-fills, issue #1030) = 0x7F,
+    // every other facility untouched = 0
     "prifilt" -> (synthSql +
       """ SELECT facility, severity, count(*) AS n FROM ev
         | WHERE ((CASE
-        |   WHEN facility = 2 THEN 0
-        |   WHEN facility = 16 THEN 143
-        |   ELSE 15 END) & (1 << severity)) <> 0
+        |   WHEN facility = 8 THEN 15
+        |   WHEN facility = 16 THEN 128
+        |   WHEN facility = 20 THEN 127
+        |   ELSE 0 END) & (1 << severity)) <> 0
         | GROUP BY 1, 2""".stripMargin),
 
     "propfilt" ->

@@ -420,9 +420,19 @@ object PriFilt {
           else (0 to sev).map(1 << _).sum // sev and more severe
         }
       facs.foreach { f =>
-        if (sevPart == "none") pmask(f) = 0
-        else if (exclude) pmask(f) &= ~bits
-        else pmask(f) |= bits
+        // DecodePRIFilter (runtime/conf.c:339-470): `none` RESETS the
+        // facility (ALLPRI when negated); `*` likewise; a negated
+        // severity first fills a still-empty facility mask with ALLPRI
+        // before clearing — so a STANDALONE `local4.!=debug` means
+        // "everything local4 except debug", while after previous
+        // selectors it only clears (issue #1030,
+        // tests/rscript_prifilt_negated_exact.sh).
+        if (sevPart == "none") pmask(f) = if (exclude) 0xFF else 0
+        else if (sevPart == "*") pmask(f) = if (exclude) 0 else 0xFF
+        else if (exclude) {
+          if (pmask(f) == 0) pmask(f) = 0xFF
+          pmask(f) &= ~bits
+        } else pmask(f) |= bits
       }
     }
     pmask

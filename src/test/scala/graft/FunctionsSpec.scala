@@ -77,6 +77,24 @@ class FunctionsSpec extends SparkSpec {
     assert(PriFilt.compile("mail,news.=warning")(7) == 16)
   }
 
+  test("prifilt standalone negated selector starts from ALLPRI (issue #1030)") {
+    // tests/rscript_prifilt_negated_exact.sh: a STANDALONE local4.!=debug
+    // means "all local4 except debug" (DecodePRIFilter pre-fills an empty
+    // facility mask before clearing, runtime/conf.c:430-470)…
+    val standalone = PriFilt.compile("local4.!=debug")
+    assert(standalone(20) == (0xFF & ~(1 << 7)))
+    assert(standalone(2) == 0) // other facilities untouched
+    // …but in a compound line the second exclusion must NOT reset what the
+    // first built: local4.!=info;local4.!=debug blocks info AND debug.
+    val compound = PriFilt.compile("local4.!=info;local4.!=debug")
+    assert(compound(20) == (0xFF & ~(1 << 6) & ~(1 << 7)))
+    // negated RANGE likewise pre-fills: !err clears err-and-more-severe
+    assert(PriFilt.compile("local4.!err")(20) == (0xFF & ~0x0F))
+    // !none = ALLPRI reset; none = NOPRI reset (DecodePRIFilter INTERNAL_NOPRI arm)
+    assert(PriFilt.compile("mail.!none")(2) == 0xFF)
+    assert(PriFilt.compile("mail.err;mail.none")(2) == 0)
+  }
+
   test("rs comparison coercion") {
     assert(one[Boolean](rainer.rs_eq(lit("010"), lit(10L))))  // numeric
     assert(!one[Boolean](rainer.rs_eq(lit("abc"), lit("10"))))
