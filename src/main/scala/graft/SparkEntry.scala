@@ -1438,6 +1438,25 @@ object Queries {
         rainer.parse_json_ok(regexp_replace(col("cee"), "^@cee: ", "")).as("valid"))
     }),
 
+    // §2.3 parse_json(text, container) side-effect form: rc 0/1 with the
+    // STRICT whole-input check (a valid prefix with trailing garbage is
+    // rc 1 and stores nothing — doFunc_parse_json char_offset scan,
+    // grammar/rainerscript.c:1887-1905, tests/rscript_parse_json_issue.sh)
+    "parse_json_script" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("msg",
+          when(col("event_id") % 5 === 0, concat(col("props"), lit(" trailing")))
+          .when(col("event_id") % 5 === 1, lit("22 08 23 this is a test message"))
+          .otherwise(col("props")))
+        .select("event_id", "msg")
+      val res = graft.rainerscript.RainerCompiler.run(
+        """set $.rc = parse_json($msg, "$!parsed");""", ev)
+      res.output.select(
+        col("event_id"),
+        get_json_object(col("vars_local"), "$.rc").cast("long").as("rc"),
+        get_json_object(col("vars_msg"), "$.parsed.k").cast("long").as("k"))
+    }),
+
     // §3.1/§7 flagship: RainerScript config text → parsed AST → compiled
     // DataFrame pipeline → action output (the reference's whole compile+
     // execute path, oracle-verified)
@@ -4171,6 +4190,19 @@ object Queries {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  true AS valid
         |FROM events""".stripMargin,
+
+    "parse_json_script" ->
+      """WITH src AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN props || ' trailing'
+        |         WHEN event_id % 5 = 1 THEN '22 08 23 this is a test message'
+        |         ELSE props END AS msg
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN json_valid(msg) THEN 0 ELSE 1 END AS rc,
+        |  CASE WHEN json_valid(msg)
+        |       THEN CAST(json_extract_string(msg, '$.k') AS BIGINT) END AS k
+        |FROM src""".stripMargin,
 
     "mmfields" -> (synthSql +
       """ SELECT event_id,

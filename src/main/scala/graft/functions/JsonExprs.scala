@@ -724,3 +724,50 @@ object JsonCompactExpr {
     org.apache.spark.sql.GraftBridge.column(
       JsonCompactExpr(org.apache.spark.sql.GraftBridge.expression(c)))
 }
+
+/** Strict whole-input JSON validity — the reference's parse_json gate
+  * (doFunc_parse_json, grammar/rainerscript.c:1887-1905): one JSON value,
+  * then only whitespace to end-of-input. Spark's try_parse_json (and a
+  * plain Jackson readTree) accept a valid PREFIX — "22 08 23 x" would
+  * half-parse to 22, the exact bug tests/rscript_parse_json_issue.sh
+  * pins — so validity needs its own kernel with FAIL_ON_TRAILING_TOKENS.
+  */
+case class JsonValidExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "json_valid_strict"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) false
+    else JsonValidExpr.kernel(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.value} = !${c.isNull} &&
+        graft.functions.JsonValidExpr$$.MODULE$$.kernel(${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object JsonValidExpr {
+  private val strictMapper = {
+    val m = new ObjectMapper()
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+
+  def kernel(s: UTF8String): Boolean =
+    try {
+      val n = strictMapper.readTree(s.toString)
+      n != null && !n.isMissingNode
+    } catch { case _: Exception => false }
+}

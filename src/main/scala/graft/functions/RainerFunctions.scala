@@ -205,8 +205,13 @@ object rainer {
   def unflatten(json: Column, sep: String): Column =
     col2(JsonUnflattenExpr(json.expr, lit(sep).expr))
 
-  /** parse_json(s) → normalized JSON or null (rainerscript.c:1868 rc). */
-  def parse_json_ok(s: Column): Column = try_parse_json(s).isNotNull
+  /** parse_json validity (rainerscript.c:1868 rc): STRICT whole-input —
+    * one JSON value then only whitespace; a valid prefix with trailing
+    * garbage fails, unlike Spark's try_parse_json (JsonValidExpr,
+    * tests/rscript_parse_json_issue.sh). */
+  def parse_json_ok(s: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      JsonValidExpr(org.apache.spark.sql.GraftBridge.expression(s)))
 
   /** get_property(obj, name) — dynamic read (rainerscript.c:1930). */
   def get_property(obj: Column, name: String): Column =

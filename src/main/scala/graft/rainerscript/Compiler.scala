@@ -314,7 +314,13 @@ object RainerCompiler {
       case "format_time" => rainer.format_time(a(0), s(1))
       case "parse_time" => rainer.parse_time(a(0))
       case "is_time" => rainer.is_time(a(0))
-      case "parse_json" => a(0) // validity via parse_json_ok; tree = the string
+      // rc-only in pure expression position (0 = parses, 1 = not —
+      // strict whole-input check); the mutating 2-arg form is rewritten
+      // at the set-statement level in runStmts (it writes the container
+      // column too, which an expression cannot)
+      case "parse_json" =>
+        when(coalesce(rainer.parse_json_ok(a(0)), lit(false)), lit(0L))
+          .otherwise(lit(1L))
       case "get_property" => get_json_object(a(0), "$." + s(1))
       case "lookup" =>
         val tbl = tables.getOrElse(s(0),
@@ -545,6 +551,49 @@ object RainerCompiler {
       var idx = 0
       while (idx < stmts.length) {
         stmts(idx) match {
+          // set $.rc = parse_json(text, "$!container") — the side-effect
+          // form (doFunc_parse_json, grammar/rainerscript.c:1868-1928):
+          // parse with a TRAILING-GARBAGE check (whitespace tolerated),
+          // on success store the tree under the container variable and
+          // return 0; on failure leave the container untouched and
+          // return 1 (tests/rscript_parse_json_issue.sh: "22 08 23 …"
+          // must NOT half-parse to 22). The container must be a literal
+          // (it names a compile-time column path, like the reference's
+          // config-time name resolution).
+          case RSet(RVar(tgtRaw), RFunc("parse_json", Seq(textE, RStr(contRaw))))
+              if varCol(tgtRaw)._2.nonEmpty && isVarName(contRaw) &&
+                 varCol(contRaw)._2.nonEmpty =>
+            val guard = path && !col("__stopped")
+            val txt = compileWithSites(textE, guard).cast("string")
+            val txtN = { condId += 1; val n = s"__ov_$condId"
+              df = df.withColumn(n, txt); n }
+            // strict whole-input validity: try_parse_json rejects
+            // trailing garbage, mirroring the char_offset check
+            val okN = { condId += 1; val n = s"__ov_$condId"
+              df = df.withColumn(n,
+                coalesce(rainer.parse_json_ok(col(txtN)), lit(false))); n }
+            val (cvc, cp) = varCol(contRaw)
+            // store the trimmed text: json_set embeds JSON-shaped strings
+            // as subtrees, and the validity gate just proved the whole
+            // (whitespace-stripped) input is one JSON value
+            df = df.withColumn(cvc,
+              when(guard && col(okN),
+                rainer.json_set(col(cvc), cp.replace('.', '!'),
+                  trim(col(txtN))))
+              .otherwise(col(cvc)))
+            invalidateOverlaps(cvc, cp)
+            val (tvc, tp) = varCol(tgtRaw)
+            val rcN = { condId += 1; val n = s"__ov_$condId"
+              df = df.withColumn(n,
+                when(col(okN), lit(0L)).otherwise(lit(1L))); n }
+            df = df.withColumn(tvc,
+              when(guard, rainer.json_set(col(tvc), tp.replace('.', '!'),
+                col(rcN)))
+              .otherwise(col(tvc)))
+            invalidateOverlaps(tvc, tp)
+            overlays(s"$tvc:$tp") =
+              OverlayInfo(guard, col(rcN), org.apache.spark.sql.types.LongType)
+            idx += 1
           case RSet(RVar(raw0), _) if varCol(raw0)._2.nonEmpty =>
             // peephole: batch the run of consecutive sets to the same
             // namespace column (one JSON parse+serialize for the run);
@@ -555,6 +604,12 @@ object RainerCompiler {
             var ok = true
             while (ok && j < stmts.length) {
               stmts(j) match {
+                // the parse_json side-effect form has its own exec case —
+                // it mutates a second (container) column, so it can't
+                // join a single-column batch
+                case RSet(_, RFunc("parse_json", Seq(_, RStr(c))))
+                    if isVarName(c) && varCol(c)._2.nonEmpty =>
+                  ok = false
                 case RSet(RVar(raw), value)
                     if varCol(raw)._1 == vc0 && varCol(raw)._2.nonEmpty &&
                        (j == idx || !readsNs(value, vc0)) =>

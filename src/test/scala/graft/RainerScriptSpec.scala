@@ -87,6 +87,33 @@ class RainerScriptSpec extends SparkSpec {
     assert(r.getString(1) == "x")
   }
 
+  test("parse_json: trailing garbage fails whole, success stores the tree") {
+    // tests/rscript_parse_json_issue.sh: "22 08 23 this is a test message"
+    // must yield rc 1 with NOTHING stored (not a half-parse of "22")
+    val res = RainerCompiler.run(
+      """set $.ret = parse_json("22 08 23 this is a test message", "$!parsed");
+        |set $.ok = parse_json("{\"a\":1,\"b\":[2,3]}", "$!tree");
+        |set $.oknum = parse_json(" 42 ", "$!num");
+        |set $.after = $!tree!b;
+        |""".stripMargin,
+      Seq(("m")).toDF("msg"))
+    val r = res.output.select(
+      get_json_object(col("vars_local"), "$.ret"),
+      get_json_object(col("vars_msg"), "$.parsed"),
+      get_json_object(col("vars_local"), "$.ok"),
+      get_json_object(col("vars_msg"), "$.tree.a"),
+      get_json_object(col("vars_local"), "$.oknum"),
+      get_json_object(col("vars_msg"), "$.num"),
+      get_json_object(col("vars_local"), "$.after")).collect()(0)
+    assert(r.getString(0) == "1")    // rc: failure
+    assert(r.getString(1) == null)   // container untouched
+    assert(r.getString(2) == "0")    // rc: success
+    assert(r.getString(3) == "1")    // nested tree landed
+    assert(r.getString(4) == "0")    // leading/trailing ws tolerated
+    assert(r.getString(5) == "42")   // scalar JSON value stored
+    assert(r.getString(6) == "[2,3]") // later reads see the tree
+  }
+
   test("comparison coercion matrix (rscript_compare_* semantics)") {
     // numeric iff both sides numeric, else strcmp
     val df = fixture
