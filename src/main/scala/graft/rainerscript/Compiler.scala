@@ -547,10 +547,27 @@ object RainerCompiler {
 
     def execOne(s: RStmt, path: Column): Unit = exec(Seq(s), path)
 
+    // set/unset may only target the three variable namespaces —
+    // cnfstmtNewSet/NewUnset require PROP_CEE / PROP_LOCAL_VAR /
+    // PROP_GLOBAL_VAR (grammar/rainerscript.c:5167-5183) and DISABLE the
+    // statement with "invalid variable '%s'" otherwise
+    // (tests/rscript_set_unset_invalid_var.sh: $@timestamp must be
+    // diagnosed, the rest of the config keeps running)
+    def validVarTarget(raw: String): Boolean =
+      raw.startsWith("$!") || raw.startsWith("$.") || raw.startsWith("$/")
+
     def exec(stmts: Seq[RStmt], path: Column): Unit = {
       var idx = 0
       while (idx < stmts.length) {
         stmts(idx) match {
+          case RSet(RVar(raw), _) if !validVarTarget(raw) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"invalid variable '$raw' in set statement - disabled")
+            idx += 1
+          case RUnset(RVar(raw)) if !validVarTarget(raw) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"invalid variable '$raw' in unset statement - disabled")
+            idx += 1
           // set $.rc = parse_json(text, "$!container") — the side-effect
           // form (doFunc_parse_json, grammar/rainerscript.c:1868-1928):
           // parse with a TRAILING-GARBAGE check (whitespace tolerated),

@@ -131,9 +131,19 @@ object TemplateCompiler {
     def render(vc: String, path: String): Column =
       org.apache.spark.sql.GraftBridge.column(graft.functions.JsonRenderExpr(
         org.apache.spark.sql.GraftBridge.expression(props(vc)), path))
-    if (name == "$!") render("vars_msg", "")     // bare tree roots render
-    else if (name == "$.") render("vars_local", "") // the whole namespace
-    else if (name == "$/") render("vars_global", "")
+    // Bare tree roots: a never-written tree is a NULL root in the
+    // reference and getJSONPropVal renders it EMPTY (runtime/msg.c:
+    // 3155-3178 "*jroot == NULL → FINALIZE → ''"); our columns hold "{}"
+    // for that state, so map it to "" here (tests/
+    // rscript_bare_var_root-empty.sh pins "empty--"). $!all-json keeps
+    // its explicit "{}" fallback — that property renders the missing
+    // tree as "{}" by design (msg.c:3991-4010).
+    def renderRoot(vc: String): Column =
+      when(props(vc).isNull || props(vc) === "{}", lit(""))
+        .otherwise(render(vc, ""))
+    if (name == "$!") renderRoot("vars_msg")
+    else if (name == "$.") renderRoot("vars_local")
+    else if (name == "$/") renderRoot("vars_global")
     else if (name.equalsIgnoreCase("$!all-json"))
       coalesce(render("vars_msg", ""), lit("{}"))
     else if (name.equalsIgnoreCase("$!all-json-plain"))

@@ -114,6 +114,51 @@ class RainerScriptSpec extends SparkSpec {
     assert(r.getString(6) == "[2,3]") // later reads see the tree
   }
 
+  test("set/unset to invalid variable names are disabled, config keeps running") {
+    // tests/rscript_set_unset_invalid_var.sh: $@timestamp is not a
+    // msg/local/global variable → the statement is diagnosed and
+    // disabled (cnfstmtNewSet, grammar/rainerscript.c:5167-5183); the
+    // rest of the script still executes
+    val res = RainerCompiler.run(
+      """set $@timestamp = "test";
+        |unset $@timestamp2;
+        |set $msg = "clobbered";
+        |set $!ok = "yes";
+        |""".stripMargin,
+      Seq(("orig")).toDF("msg"))
+    val r = res.output.select(
+      col("msg"),
+      col("vars_msg"),
+      get_json_object(col("vars_msg"), "$.ok")).collect()(0)
+    assert(r.getString(0) == "orig")                     // $msg untouched
+    assert(!r.getString(1).contains("timestamp"))        // nothing stored
+    assert(!r.getString(1).contains("clobbered"))
+    assert(r.getString(2) == "yes")                      // later stmt ran
+  }
+
+  test("bare root renders empty when the tree was never written") {
+    // tests/rscript_bare_var_root-empty.sh: template "empty-%$!%-" over a
+    // message whose trees were only copied empty must print "empty--"
+    // (getJSONPropVal: NULL root → '', runtime/msg.c:3155-3178)
+    val res = RainerCompiler.run(
+      """set $. = $!;
+        |set $! = $.;
+        |action(type="omfile" template="empty-%$!%-")
+        |""".stripMargin,
+      Seq(("m")).toDF("msg"))
+    assert(res.actionFrame(0).select(col("__rendered"))
+      .collect()(0).getString(0) == "empty--")
+    // …and a written tree still renders its JSON
+    val res2 = RainerCompiler.run(
+      """set $!a = "1";
+        |action(type="omfile" template="got-%$!%-")
+        |""".stripMargin,
+      Seq(("m")).toDF("msg"))
+    val got = res2.actionFrame(0).select(col("__rendered"))
+      .collect()(0).getString(0)
+    assert(got.startsWith("got-{") && got.contains("\"a\""))
+  }
+
   test("comparison coercion matrix (rscript_compare_* semantics)") {
     // numeric iff both sides numeric, else strcmp
     val df = fixture
