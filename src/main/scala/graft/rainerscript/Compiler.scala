@@ -263,8 +263,21 @@ object RainerCompiler {
                   "endswith", _, _) | RNot(_) => go(e).cast("boolean")
       case RFunc("prifilt" | "re_match" | "re_match_i" | "is_in_subnet" |
                  "exists" | "is_time", _) => go(e).cast("boolean")
-      // numeric truthiness: non-zero = true (var2Number semantics)
-      case other => coalesce(rainer.cnum(go(other)) =!= 0, lit(false))
+      // numeric truthiness: non-zero = true (var2Number semantics).
+      // A bare string LITERAL in boolean position is almost always a
+      // missing repeated comparison (`contains "a" or "b"`) — warn like
+      // the reference's config check, but keep the historical truthiness
+      // (tests/rscript_bool_constant_warning.sh; constants that merely
+      // fold to a literal, e.g. a folded comparison, stay silent because
+      // only as-written RStr operands reach this case)
+      case other =>
+        other match {
+          case RStr(s) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"""string constant "$s" in boolean position - did you mean to repeat the comparison?""")
+          case _ => ()
+        }
+        coalesce(rainer.cnum(go(other)) =!= 0, lit(false))
     }
     go(e)
   }

@@ -165,13 +165,29 @@ class RainerParserBase extends RegexParsers {
       case n ~ args => RFunc(n.toLowerCase, args)
     }
 
+  /** Expression-position strings: a bare `$` inside DOUBLE quotes is
+    * reserved by the lexer and diagnosed (`lexer.l:389-392`, tests/
+    * rscript_re_match-dbl_quotes.sh — the right spelling is `\$`);
+    * single-quoted and backtick strings allow it. We warn and keep the
+    * literal (graceful-parse policy) where the reference rejects. */
+  private def exprQstring: Parser[String] =
+    ("\"" + """([^"\\]|\\.)*""" + "\"").r ^^ { s =>
+      val raw = s.substring(1, s.length - 1)
+      if (raw.replaceAll("\\\\.", "").contains("$"))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$$-sign in double quotes must be escaped, problem string is: $s")
+      unescape(raw)
+    } |
+    ("'" + """([^'\\]|\\.)*""" + "'").r ^^ { s => unescape(s.substring(1, s.length - 1)) } |
+    btstring
+
   private def primary: Parser[RExpr] =
     "(" ~> expr <~ ")" |
     arrayLit |
     funcCall |
     variable |
     number ^^ RNum.apply |
-    qstring ^^ RStr.apply
+    exprQstring ^^ RStr.apply
 
   // ---- statements ----
   def stmt: Parser[RStmt] =

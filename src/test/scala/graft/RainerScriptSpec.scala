@@ -114,6 +114,28 @@ class RainerScriptSpec extends SparkSpec {
     assert(r.getString(6) == "[2,3]") // later reads see the tree
   }
 
+  test("$ in double quotes is diagnosed but kept; bool string-constant truthiness") {
+    // tests/rscript_re_match-dbl_quotes.sh: "test$" draws the lexer
+    // diagnostic (we warn + keep the literal where the reference
+    // rejects); '\$' and single quotes are the accepted spellings
+    assert(RainerParser.parseExpr("\"test$\"") == RStr("test$"))
+    assert(RainerParser.parseExpr("\"test\\$\"") == RStr("test$"))
+    assert(RainerParser.parseExpr("'test$'") == RStr("test$"))
+    // tests/rscript_bool_constant_warning.sh: `contains "a" or "b"` keeps
+    // historical truthiness — the bare literal converts to number 0 =
+    // false, so only the contains decides
+    val res = RainerCompiler.run(
+      """if $msg contains "alpha" or "beta" then set $!hit = "y";
+        |if $msg contains "zzz" or "1" then set $!num = "y";
+        |""".stripMargin,
+      Seq(("has alpha here")).toDF("msg"))
+    val r = res.output.select(
+      get_json_object(col("vars_msg"), "$.hit"),
+      get_json_object(col("vars_msg"), "$.num")).collect()(0)
+    assert(r.getString(0) == "y")   // contains matched; "beta" → 0 is moot
+    assert(r.getString(1) == "y")   // "1" → 1 → true (historical semantics)
+  }
+
   test("set/unset to invalid variable names are disabled, config keeps running") {
     // tests/rscript_set_unset_invalid_var.sh: $@timestamp is not a
     // msg/local/global variable → the statement is diagnosed and
