@@ -112,8 +112,15 @@ object rainer {
   def rs_getenv(name: String): Column =
     lit(graft.rainerscript.EnvSource.get(name).getOrElse(""))
 
-  /** random(max) — rainerscript.c:2059 */
-  def rs_random(max: Column): Column = floor(rand() * max).cast(LongType)
+  /** random(max) — doFunct_RandomGen (grammar/rainerscript.c:2059-2101):
+    * non-numeric or zero max → 0, negative max → |max| (LLONG_MIN maps
+    * to LLONG_MAX), otherwise uniform in [0, max). */
+  def rs_random(max: Column): Column = {
+    val m = coalesce(
+      when(cnum(max) === Long.MinValue, lit(Long.MaxValue))
+        .otherwise(abs(cnum(max))), lit(0L))
+    when(m === 0L, lit(0L)).otherwise(floor(rand() * m)).cast(LongType)
+  }
 
   /** int2hex(n) — rainerscript.c:2458 */
   def int2hex(n: Column): Column = lower(hex(n))
@@ -308,9 +315,10 @@ object rainer {
 
   def parse_syslog(raw: Column, defaultYear: Int = 2024,
                    detectYearAfterTimestamp: Boolean = false,
-                   permitSlashInProgramname: Boolean = false): Column =
+                   permitSlashInProgramname: Boolean = false,
+                   parseHostnameAndTag: Boolean = true): Column =
     col2(SyslogParseExpr(raw.expr, defaultYear,
-      detectYearAfterTimestamp, permitSlashInProgramname))
+      detectYearAfterTimestamp, permitSlashInProgramname, parseHostnameAndTag))
   def parse_structured_data(sd: Column): Column =
     col2(ParseStructuredDataExpr(sd.expr))
 

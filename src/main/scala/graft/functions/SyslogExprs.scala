@@ -21,7 +21,8 @@ import java.time.OffsetDateTime
   */
 case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024,
                            detectYearAfterTimestamp: Boolean = false,
-                           permitSlashInProgramname: Boolean = false)
+                           permitSlashInProgramname: Boolean = false,
+                           parseHostnameAndTag: Boolean = true)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -32,7 +33,7 @@ case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024,
 
   override protected def nullSafeEval(input: Any): Any =
     SyslogParseExpr.parse(input.toString, defaultYear,
-      detectYearAfterTimestamp, permitSlashInProgramname)
+      detectYearAfterTimestamp, permitSlashInProgramname, parseHostnameAndTag)
 
   // real codegen (not CodegenFallback): children stay codegen'd and the
   // kernel is one static call — keeps the scan→parse→filter pipeline
@@ -42,7 +43,7 @@ case class SyslogParseExpr(child: Expression, defaultYear: Int = 2024,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SyslogParseExpr$$.MODULE$$.parse($c.toString(), $defaultYear, $detectYearAfterTimestamp, $permitSlashInProgramname);")
+      s"${ev.value} = graft.functions.SyslogParseExpr$$.MODULE$$.parse($c.toString(), $defaultYear, $detectYearAfterTimestamp, $permitSlashInProgramname, $parseHostnameAndTag);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -87,8 +88,10 @@ object SyslogParseExpr {
 
   def parse(raw: String, defaultYear: Int,
             detectYearAfterTime: Boolean = false,
-            permitSlashProg: Boolean = false): InternalRow = {
-    try parseImpl(raw, defaultYear, detectYearAfterTime, permitSlashProg)
+            permitSlashProg: Boolean = false,
+            parseHostnameAndTag: Boolean = true): InternalRow = {
+    try parseImpl(raw, defaultYear, detectYearAfterTime, permitSlashProg,
+      parseHostnameAndTag)
     catch { case _: Exception => fallback(raw) }
   }
 
@@ -98,7 +101,8 @@ object SyslogParseExpr {
 
   private def parseImpl(raw: String, defaultYear: Int,
                         detectYearAfterTime: Boolean,
-                        permitSlashProg: Boolean): InternalRow = {
+                        permitSlashProg: Boolean,
+                        parseHostnameAndTag: Boolean): InternalRow = {
     var i = 0
     val n = raw.length
     // ---- PRI ----
@@ -122,7 +126,7 @@ object SyslogParseExpr {
       parse5424(raw, i + 2, pri, facility, severity, permitSlashProg)
     } else {
       parse3164(raw, i, pri, facility, severity, defaultYear,
-        detectYearAfterTime, permitSlashProg)
+        detectYearAfterTime, permitSlashProg, parseHostnameAndTag)
     }
   }
 
@@ -309,7 +313,8 @@ object SyslogParseExpr {
     */
   private def parse3164(raw: String, start: Int, pri: Int, fac: Int, sev: Int,
                         defaultYear: Int, detectYearAfterTime: Boolean,
-                        permitSlashProg: Boolean): InternalRow = {
+                        permitSlashProg: Boolean,
+                        parseHostnameAndTag: Boolean = true): InternalRow = {
     var i = start
     val n = raw.length
     // completely headerless: spaces/tabs then '{' or '[' (pmrfc3164.c
@@ -346,6 +351,17 @@ object SyslogParseExpr {
     }
     // no timestamp is NOT a failure: hostname/TAG parsing continues and
     // the timestamp falls back to reception time (null here)
+
+    // global(parser.parseHostnameAndTag="off"): treat everything after
+    // the timestamp as MSG — TAG empty, hostname = the receiver (null
+    // here) (pmrfc3164.c:375-384,
+    // tests/rscript_parsehostnameandtag_off.sh)
+    if (!parseHostnameAndTag) {
+      return InternalRow(0, pri, fac, sev,
+        if (tsMicros == null) null else tsMicros.longValue(),
+        null, null, null, null, null,
+        null, null, utf8(if (i < n) raw.substring(i) else ""), true)
+    }
 
     // HOSTNAME: [alnum._-]+, valid only if it ends the message or is
     // followed by SP with an alnum last char; otherwise NOT consumed

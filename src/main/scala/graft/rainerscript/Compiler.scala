@@ -320,7 +320,17 @@ object RainerCompiler {
       case "re_extract_i" =>
         rainer.re_extract_i(a(0), s(1), s(2).toInt, s(3).toInt, s(4))
       case "getenv" => rainer.rs_getenv(s(0))
-      case "random" => rainer.rs_random(a(0))
+      case "random" =>
+        // config-time range warning (doFunct_RandomGen's
+        // MAX_RANDOM_NUMBER check, tests/rscript_random_warning.sh)
+        args(0) match {
+          case RNum(n) if n > Int.MaxValue =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"rainerscript: desired random-number range [0 - $n] is wider " +
+              s"than supported limit of [0 - ${Int.MaxValue})")
+          case _ => ()
+        }
+        rainer.rs_random(a(0))
       case "num2ipv4" => rainer.num2ipv4(a(0))
       case "ipv42num" | "ip42num" => rainer.ipv42num(a(0))
       case "int2hex" => rainer.int2hex(a(0))

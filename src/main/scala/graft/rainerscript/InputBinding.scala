@@ -64,7 +64,8 @@ object InputBinding {
     * PRI from the facility/severity params); needparse="on" opts into
     * the full decode like the reference's flag. */
   private def bindImfile(spark: SparkSession, p: Map[String, String],
-                         now: Column, defaultYear: Int): DataFrame = {
+                         now: Column, defaultYear: Int,
+                         parseHostnameAndTag: Boolean = true): DataFrame = {
     val path = p.getOrElse("file",
       throw new IllegalArgumentException("input(type=\"imfile\") needs file="))
     val tag = p.getOrElse("tag",
@@ -76,7 +77,8 @@ object InputBinding {
       case _ => lines0
     }
     if (p.get("needparse").contains("on"))
-      Sources.decodeSyslog(lines, defaultYear = defaultYear)
+      Sources.decodeSyslog(lines, defaultYear = defaultYear,
+        parseHostnameAndTag = parseHostnameAndTag)
         .withColumn("ts", coalesce(col("ts"), now))
     else {
       val fac = facilityNum(p.getOrElse("facility", "local0"))
@@ -180,7 +182,8 @@ object InputBinding {
     * (the caller coalesces `now`).
     */
   private[rainerscript] def decodeChain(lines: DataFrame,
-      chain: Seq[(String, Map[String, String])], defaultYear: Int): DataFrame = {
+      chain: Seq[(String, Map[String, String])], defaultYear: Int,
+      parseHostnameAndTag: Boolean = true): DataFrame = {
     import graft.sources.Sources
     require(chain.nonEmpty, "empty parser chain")
 
@@ -294,7 +297,8 @@ object InputBinding {
           // catch-all) = the default list's behavior; total
           val pc = s"__sp${idx}"
           df = df.withColumn(pc,
-            graft.functions.rainer.parse_syslog(full, defaultYear))
+            graft.functions.rainer.parse_syslog(full, defaultYear,
+              parseHostnameAndTag = parseHostnameAndTag))
           def f(n: String) = col(s"$pc.$n")
           addAcc(res(col("fromhost"), full, f("protocol_version"),
             f("pri"), f("facility"), f("severity"), f("ts"),
@@ -451,7 +455,7 @@ object InputBinding {
     * ruleset's configured parser list; None = the default
     * rfc5424→rfc3164 list. */
   private def bindFeed(typ: String, df: DataFrame, now: Column,
-                       defaultYear: Int,
+                       defaultYear: Int, parseHostnameAndTag: Boolean,
                        chain: Option[Seq[(String, Map[String, String])]] = None,
                        p: Map[String, String] = Map.empty): DataFrame = {
     def on(k: String, dflt: Boolean = false): Boolean =
@@ -541,8 +545,9 @@ object InputBinding {
         case "imrelp" => Sources.deframeRelp(withProv)
         case _ => withProv
       }
-      chain.map(c => decodeChain(framed, c, defaultYear))
-        .getOrElse(Sources.decodeSyslog(framed, defaultYear = defaultYear))
+      chain.map(c => decodeChain(framed, c, defaultYear, parseHostnameAndTag))
+        .getOrElse(Sources.decodeSyslog(framed, defaultYear = defaultYear,
+          parseHostnameAndTag = parseHostnameAndTag))
         .withColumn("ts", coalesce(col("ts"), now))
     }
   }
@@ -552,7 +557,11 @@ object InputBinding {
     * RSYSLOG_DefaultRuleset binding for inputs without ruleset=. */
   def bindBatch(cfg: RsyslogConfig, spark: SparkSession,
                 feeds: Map[String, DataFrame],
-                now: Column, defaultYear: Int): Seq[(String, DataFrame)] =
+                now: Column, defaultYear: Int): Seq[(String, DataFrame)] = {
+    // global(parser.parseHostnameAndTag="off"): the RFC3164 parser keeps
+    // hostname/TAG text in MSG (glbl.GetParseHOSTNAMEandTAG →
+    // pmrfc3164.c:383, tests/rscript_parsehostnameandtag_off.sh)
+    val phat = !cfg.globals.get("parser.parsehostnameandtag").contains("off")
     cfg.inputs.flatMap { p =>
       val typ = p.getOrElse("type", "")
       val ruleset = p.getOrElse("ruleset", "")
@@ -567,12 +576,12 @@ object InputBinding {
         case "" =>
           log.warn("input() without type=; skipped"); None
         case "imfile" =>
-          Some(bindImfile(spark, p, now, defaultYear))
+          Some(bindImfile(spark, p, now, defaultYear, phat))
         case "imbatchreport" =>
           Some(bindImbatchreport(spark, p, feeds, now))
         case t =>
           feed(feeds, p, t) match {
-            case Some(df) => Some(bindFeed(t, df, now, defaultYear, chain, p))
+            case Some(df) => Some(bindFeed(t, df, now, defaultYear, phat, chain, p))
             case None =>
               log.warn(s"input(type=\"$t\"${p.get("port").map(po => s" port=$po").getOrElse("")}) " +
                 "has no bound feed in this run; listener idle")
@@ -581,6 +590,7 @@ object InputBinding {
       }
       frame.map(ruleset -> _)
     }
+  }
 
   /** imfile streaming bind: fileTail through the multiline/readMode
     * state machines with the input's params threaded (startmsg.regex /

@@ -273,11 +273,13 @@ object Sources {
   def decodeSyslog(lines: DataFrame, valueCol: String = "value",
                    defaultYear: Int = 2024,
                    dropTrailingCr: Boolean = false,
-                   escapeControlCharacters: Boolean = true): DataFrame = {
+                   escapeControlCharacters: Boolean = true,
+                   parseHostnameAndTag: Boolean = true): DataFrame = {
     val sanitized = sanitize(col(valueCol), dropTrailingCr, escapeControlCharacters)
     lines
       .withColumn("rawmsg", sanitized)
-      .withColumn("p", rainer.parse_syslog(col("rawmsg"), defaultYear))
+      .withColumn("p", rainer.parse_syslog(col("rawmsg"), defaultYear,
+        parseHostnameAndTag = parseHostnameAndTag))
       .select((lines.columns.filter(_ != valueCol).map(col) :+ col("rawmsg")) ++
         Seq("protocol_version", "pri", "facility", "severity", "ts", "hostname",
           "app_name", "procid", "msgid", "structured_data", "syslogtag",

@@ -662,6 +662,30 @@ class ConfigSpec extends SparkSpec {
       "+01234567890123456789012345678901-toolong+\n"))
   }
 
+  test("global(parser.parseHostnameAndTag=off) keeps hostname/tag text in MSG") {
+    // tests/rscript_parsehostnameandtag_off.sh: tag empty, the would-be
+    // hostname+tag text stays in %msg% (pmrfc3164.c:383 skip branch)
+    val raw = Seq("<167>Mar 27 19:06:53 source_server sshd[123]: payload")
+    def replay(globalLine: String): String = {
+      val conf =
+        s"""$globalLine
+          |module(load="imtcp")
+          |input(type="imtcp" address="127.0.0.1" port="514")
+          |template(name="outfmt" type="string" string="tag=[%syslogtag%] msg=[%msg%]")
+          |action(type="omfile" file="/out.log" template="outfmt")
+          |""".stripMargin
+      val cfg = RsyslogConfig.parse(conf)
+      val res = cfg.activate(spark, feeds = Map("imtcp:514" -> raw.toDF("value")),
+        now = to_timestamp(lit("2024-06-01 12:00:00")))
+      res("").actionFrame(0).select("__rendered")
+        .collect().map(_.getString(0)).head
+    }
+    assert(replay("""global(parser.parseHostnameAndTag="off")""") ==
+      "tag=[] msg=[source_server sshd[123]: payload]")
+    assert(replay("") ==
+      "tag=[sshd[123]:] msg=[ payload]")
+  }
+
   test("per-module default templates inject like each module's cfline path") {
     val conf =
       """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
