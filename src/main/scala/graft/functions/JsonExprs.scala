@@ -45,6 +45,27 @@ object JsonPathUtil {
     cur
   }
 
+  /** One path segment with optional array subscripts — "foo", "foo[3]",
+    * "foo[3][0]" (lexer VAR charset includes [], lexer.l:373;
+    * tests/json_array_subscripting.sh). 0-based like the reference;
+    * subscript on a non-array or out of bounds → null. */
+  def navSeg(node: JsonNode, seg: String): JsonNode = {
+    val bracket = seg.indexOf('[')
+    if (bracket < 0) return node.get(seg)
+    var cur: JsonNode =
+      if (bracket == 0) node else node.get(seg.substring(0, bracket))
+    var k = bracket
+    while (cur != null && k < seg.length && seg.charAt(k) == '[') {
+      val close = seg.indexOf(']', k)
+      if (close < 0) return null
+      val idxStr = seg.substring(k + 1, close)
+      if (idxStr.isEmpty || !idxStr.forall(_.isDigit)) return null
+      cur = if (cur.isArray) cur.get(idxStr.toInt) else null
+      k = close + 1
+    }
+    cur
+  }
+
   def parseOrEmpty(s: String): ObjectNode =
     try {
       mapper.readTree(s) match {
@@ -261,7 +282,9 @@ object JsonPathUtil {
     if (path.nonEmpty) {
       val segs = path.split(Array('!', '.')).filter(_.nonEmpty)
       var i = 0
-      while (i < segs.length && cur != null) { cur = cur.get(segs(i)); i += 1 }
+      while (i < segs.length && cur != null) {
+        cur = JsonPathUtil.navSeg(cur, segs(i)); i += 1
+      }
     }
     if (cur == null || cur.isNull || cur.isMissingNode) return null
     if (cur.isTextual) return UTF8String.fromString(cur.textValue())

@@ -576,8 +576,13 @@ object RainerCompiler {
     // statement with "invalid variable '%s'" otherwise
     // (tests/rscript_set_unset_invalid_var.sh: $@timestamp must be
     // diagnosed, the rest of the config keeps running)
+    // Subscripted paths ($!arr[1]) are READ surface (resolveProp /
+    // renderKernel navigate them); as a WRITE target they would need
+    // array-cell mutation json_set doesn't model — disable with a
+    // diagnostic like the invalid-name case.
     def validVarTarget(raw: String): Boolean =
-      raw.startsWith("$!") || raw.startsWith("$.") || raw.startsWith("$/")
+      (raw.startsWith("$!") || raw.startsWith("$.") || raw.startsWith("$/")) &&
+      !raw.contains('[')
 
     def exec(stmts: Seq[RStmt], path: Column): Unit = {
       var idx = 0

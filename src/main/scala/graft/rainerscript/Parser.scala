@@ -114,8 +114,9 @@ class RainerParserBase extends RegexParsers {
     btstring
   private def variable: Parser[RVar] =
     // '@' is a legal name char (lexer.l:373 VAR charset — SD ids like
-    // $!rfc5424-sd!id@32473!k depend on it)
-    """\$[!./]?[A-Za-z0-9_@\-]+(![A-Za-z0-9_@\-]+)*""".r ^^ RVar.apply |
+    // $!rfc5424-sd!id@32473!k depend on it); [N] array subscripts after
+    // any segment (same charset, tests/json_array_subscripting.sh)
+    """\$[!./]?[A-Za-z0-9_@\-]+(\[\d+\])*(![A-Za-z0-9_@\-]+(\[\d+\])*)*""".r ^^ RVar.apply |
     // bare tree roots `$!` `$.` `$/` (rscript_bare_var_root.sh: whole
     // JSON-tree read/assign)
     """\$[!./](?![A-Za-z0-9_\-])""".r ^^ RVar.apply

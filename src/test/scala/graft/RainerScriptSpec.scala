@@ -181,6 +181,32 @@ class RainerScriptSpec extends SparkSpec {
     assert(got.startsWith("got-{") && got.contains("\"a\""))
   }
 
+  test("JSON array subscripting: reads navigate [N] segments (0-based)") {
+    // tests/json_array_subscripting.sh over its exact input tree
+    val tree =
+      """{"foo": ["abc0", "def1", "ghi2", {"bar": [{"baz": "important_msg"}, {"baz": "other_msg"}]}]}"""
+    val res = RainerCompiler.run(
+      """set $.quux = $!foo[2];
+        |set $.corge = $!foo[3]!bar[0]!baz;
+        |set $.grault = $!foo[3]!bar[1];
+        |action(type="omfile" template="msg: %$!foo[1]% | %$.quux% | %$.corge% | %$.grault% | %$!foo[3]!bar[1]!baz%")
+        |""".stripMargin,
+      Seq(("m")).toDF("msg").withColumn("vars_msg", lit(tree)))
+    assert(res.actionFrame(0).select(col("__rendered")).collect()(0).getString(0)
+      == """msg: def1 | ghi2 | important_msg | { "baz": "other_msg" } | other_msg""")
+    // subscripted WRITE target: diagnosed and disabled, not silently wrong
+    val res2 = RainerCompiler.run(
+      """set $!foo[1] = "x";
+        |set $!ok = "y";
+        |""".stripMargin,
+      Seq(("m")).toDF("msg").withColumn("vars_msg", lit(tree)))
+    val r2 = res2.output.select(
+      get_json_object(col("vars_msg"), "$.foo[1]"),
+      get_json_object(col("vars_msg"), "$.ok")).collect()(0)
+    assert(r2.getString(0) == "def1")
+    assert(r2.getString(1) == "y")
+  }
+
   test("comparison coercion matrix (rscript_compare_* semantics)") {
     // numeric iff both sides numeric, else strcmp
     val df = fixture
