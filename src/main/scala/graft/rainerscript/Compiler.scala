@@ -473,9 +473,10 @@ object RainerCompiler {
           templates: Map[String, String] = Map.empty,
           timezones: Map[String, String] = Map.empty,
           templateEscapes: Map[String, String] = Map.empty,
-          http: Map[String, String] = Map.empty): ScriptResult =
+          http: Map[String, String] = Map.empty,
+          jsonf: Map[String, Seq[TemplateCompiler.JsonfField]] = Map.empty): ScriptResult =
     runStmts(RainerParser.parseScript(src), input, tables, templates, timezones,
-      templateEscapes, http)
+      templateEscapes, http, jsonf)
 
   /** Compile and apply an already-parsed statement list. */
   def runStmts(stmts: Seq[RStmt], input: DataFrame,
@@ -483,7 +484,8 @@ object RainerCompiler {
                templates: Map[String, String] = Map.empty,
                timezones: Map[String, String] = Map.empty,
                templateEscapes: Map[String, String] = Map.empty,
-               http: Map[String, String] = Map.empty): ScriptResult = {
+               http: Map[String, String] = Map.empty,
+               jsonf: Map[String, Seq[TemplateCompiler.JsonfField]] = Map.empty): ScriptResult = {
     var df = input
     if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
     if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))
@@ -1175,12 +1177,16 @@ object RainerCompiler {
         // render the template NOW: action-time variable state, frozen
         // against later mutations (runtime/action.c renders at doAction)
         val renderCol = params.get("template").map { t =>
-            val tpl = if (t.contains("%")) t
-                      else templates.getOrElse(t, t)
             val rc = s"__render_${actions.size}"
-            df = df.withColumn(rc,
-              when(col(cn), TemplateCompiler.compile(tpl, resolveProp,
-                templateEscapes.get(t))))
+            // jsonf templates render through compileJsonf; everything
+            // else through the string-template compiler
+            val rendered = jsonf.get(t) match {
+              case Some(fs) => TemplateCompiler.compileJsonf(fs, resolveProp)
+              case None =>
+                val tpl = if (t.contains("%")) t else templates.getOrElse(t, t)
+                TemplateCompiler.compile(tpl, resolveProp, templateEscapes.get(t))
+            }
+            df = df.withColumn(rc, when(col(cn), rendered))
             rc
           }
         actions += CompiledAction(actions.size, params, cn, renderCol)

@@ -83,7 +83,8 @@ case class RsyslogConfig(
                 else rulesets.getOrElse(ruleset,
                   throw new IllegalArgumentException(s"unknown ruleset $ruleset"))
     RainerCompiler.runStmts(inlineCalls(stmts, Set.empty, 0, callNestingLimit),
-      input, lookupTables, templates, timezones, templateEscapes, http)
+      input, lookupTables, templates, timezones, templateEscapes, http,
+      jsonfTemplates)
   }
 
   private def inlineCalls(stmts: Seq[RStmt], seen: Set[String], depth: Int,
@@ -309,11 +310,12 @@ object RsyslogConfig {
     def listEntry: Parser[Map[String, String]] =
       "constant" ~> "(" ~> params <~ ")" ^^ (p =>
         Map("outname" -> "__const", "name" -> p.getOrElse("value", ""))) |
+      // pass ALL params through (keys arrive lowercased from `param`),
+      // so field options like omitifzero/onempty/datatype reach the
+      // jsonf compiler without a whitelist going stale
       "property" ~> "(" ~> params <~ ")" ^^ { p =>
-        Map("outname" -> p.getOrElse("outname", p.getOrElse("name", "")),
-          "name" -> p.getOrElse("name", ""),
-          "datatype" -> p.getOrElse("datatype", p.getOrElse("dataType", "string")),
-          "onEmpty" -> p.getOrElse("onEmpty", p.getOrElse("onempty", "keep")))
+        p + ("outname" -> p.getOrElse("outname", p.getOrElse("name", "")),
+             "name" -> p.getOrElse("name", ""))
       }
     def listBody: Parser[Seq[Map[String, String]]] = "{" ~> rep(listEntry) <~ "}"
 
@@ -741,9 +743,14 @@ object RsyslogConfig {
             // list templates with only properties compile to jsonf when
             // option.jsonf="on", else to a concatenated string template
             if (p.get("option.jsonf").contains("on"))
-              jsonf += name -> fields.filter(_("outname") != "__const").map(f =>
+              jsonf += name -> fields.filter(_("outname") != "__const").map(f0 => {
+                // nvlst param names compare case-insensitively in the
+                // reference (dataType ≡ datatype ≡ DATATYPE)
+                val f = f0.map { case (k, v) => (k.toLowerCase, v) }
                 TemplateCompiler.JsonfField(f("outname"), f("name"),
-                  f.getOrElse("datatype", "string"), f.getOrElse("onEmpty", "keep")))
+                  f.getOrElse("datatype", "string"),
+                  f.getOrElse("onempty", "keep"),
+                  f.get("omitifzero").contains("on"))})
             else templates += name -> fields.map { f =>
               if (f("outname") == "__const") f("name").replace("%", "\\%")
               else s"%${f("name")}%"

@@ -347,7 +347,8 @@ object TemplateCompiler {
     * string|number|bool|auto, onEmpty keep|skip|null
     * (runtime/template.h:170-178, runtime/msg.c:3485-3540). */
   case class JsonfField(outname: String, prop: String,
-                        dataType: String = "string", onEmpty: String = "keep")
+                        dataType: String = "string", onEmpty: String = "keep",
+                        omitIfZero: Boolean = false)
 
   private def jsonQuote(c: Column): Column = concat(lit("\""),
     regexp_replace(regexp_replace(regexp_replace(c,
@@ -369,11 +370,14 @@ object TemplateCompiler {
       // fetch always yields a string), so keep/skip/null see one case
       val base = coalesce(resolve(f.prop, props).cast("string"), lit(""))
       val isEmpty = base === ""
+      // number dataType trims surrounding whitespace for its numeric
+      // checks and emits the trimmed digits (msg.c:3541-3546)
+      val numTrim = regexp_replace(base, "^\\s+|\\s+$", "")
       val typed: Column = f.dataType match {
         case "number" =>
           coalesce(
             try_parse_json(when(isEmpty, "0")
-              .when(base.rlike("^-?\\d+(\\.\\d+)?$"), base)),
+              .when(numTrim.rlike("^-?\\d+(\\.\\d+)?$"), numTrim)),
             try_parse_json(jsonQuote(base)))
         case "bool" =>
           // msg.c:3589: only the single char '0' is false
@@ -396,6 +400,14 @@ object TemplateCompiler {
             })
         case _ => typed // keep
       }
-      withEmpty.as(f.outname)
+      // omitIfZero: a NUMBER field whose (trimmed) value is exactly "0"
+      // is dropped entirely (msg.c:3548-3551; checked only for non-empty
+      // values — the empty case is onEmpty's business). A null struct
+      // field is omitted by to_json, same mechanism as onEmpty=skip.
+      val withZero =
+        if (f.omitIfZero && f.dataType == "number")
+          when(!isEmpty && numTrim === "0", lit(null)).otherwise(withEmpty)
+        else withEmpty
+      withZero.as(f.outname)
     }: _*))
 }

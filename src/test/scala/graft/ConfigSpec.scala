@@ -686,6 +686,27 @@ class ConfigSpec extends SparkSpec {
       "tag=[sshd[123]:] msg=[ payload]")
   }
 
+  test("jsonf omitIfZero + onEmpty through the config template path") {
+    // tests/json-omitifzero.sh, exact expected line: zero number omitted,
+    // nonzero kept, zero STRING kept as "0", empty+skip omitted
+    val cfg = RsyslogConfig.parse(
+      """template(name="outfmt" type="list" option.jsonf="on") {
+        |    property(name="$!zero" outname="zero_default" format="jsonf" dataType="number")
+        |    property(name="$!zero" outname="zero_omit" format="jsonf" dataType="number" omitIfZero="on")
+        |    property(name="$!nonzero" outname="nonzero_omit" format="jsonf" dataType="number" omitIfZero="on")
+        |    property(name="$!zero" outname="zero_string_omit" format="jsonf" dataType="string" omitIfZero="on")
+        |    property(name="$!empty" outname="empty_omit" format="jsonf" dataType="number" omitIfZero="on" onEmpty="skip")
+        |}
+        |set $!zero = 0;
+        |set $!nonzero = 42;
+        |set $!empty = "";
+        |action(type="omfile" template="outfmt")
+        |""".stripMargin)
+    val out = cfg.run(Seq(("m")).toDF("msg")).actionFrame(0)
+      .select("__rendered").collect()(0).getString(0)
+    assert(out == """{"zero_default":0,"nonzero_omit":42,"zero_string_omit":"0"}""")
+  }
+
   test("per-module default templates inject like each module's cfline path") {
     val conf =
       """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
