@@ -474,9 +474,10 @@ object RainerCompiler {
           timezones: Map[String, String] = Map.empty,
           templateEscapes: Map[String, String] = Map.empty,
           http: Map[String, String] = Map.empty,
-          jsonf: Map[String, Seq[TemplateCompiler.JsonfField]] = Map.empty): ScriptResult =
+          jsonf: Map[String, Seq[TemplateCompiler.JsonfField]] = Map.empty,
+          jsonfTree: Set[String] = Set.empty): ScriptResult =
     runStmts(RainerParser.parseScript(src), input, tables, templates, timezones,
-      templateEscapes, http, jsonf)
+      templateEscapes, http, jsonf, jsonfTree)
 
   /** Compile and apply an already-parsed statement list. */
   def runStmts(stmts: Seq[RStmt], input: DataFrame,
@@ -485,7 +486,8 @@ object RainerCompiler {
                timezones: Map[String, String] = Map.empty,
                templateEscapes: Map[String, String] = Map.empty,
                http: Map[String, String] = Map.empty,
-               jsonf: Map[String, Seq[TemplateCompiler.JsonfField]] = Map.empty): ScriptResult = {
+               jsonf: Map[String, Seq[TemplateCompiler.JsonfField]] = Map.empty,
+               jsonfTree: Set[String] = Set.empty): ScriptResult = {
     var df = input
     if (!df.columns.contains("vars_msg")) df = df.withColumn("vars_msg", lit("{}"))
     if (!df.columns.contains("vars_local")) df = df.withColumn("vars_local", lit("{}"))
@@ -1181,7 +1183,9 @@ object RainerCompiler {
             // jsonf templates render through compileJsonf; everything
             // else through the string-template compiler
             val rendered = jsonf.get(t) match {
-              case Some(fs) => TemplateCompiler.compileJsonf(fs, resolveProp)
+              case Some(fs) =>
+                TemplateCompiler.compileJsonf(fs, resolveProp,
+                  tree = jsonfTree(t))
               case None =>
                 val tpl = if (t.contains("%")) t else templates.getOrElse(t, t)
                 TemplateCompiler.compile(tpl, resolveProp, templateEscapes.get(t))

@@ -44,7 +44,9 @@ case class RsyslogConfig(
     // ruleset(parser=[...]) bindings: ruleset name → parser-name chain
     // (runtime/ruleset.c rulesetSetParserList; replaces the default
     // rfc5424→rfc3164 list for messages routed to that ruleset)
-    rulesetParsers: Map[String, Seq[String]] = Map.empty) {
+    rulesetParsers: Map[String, Seq[String]] = Map.empty,
+    // templates rendered in option.jsonftree mode (nested dot outnames)
+    jsonfTree: Set[String] = Set.empty) {
 
   /** Is a module loaded (module(load=) or $ModLoad)? */
   def hasModule(name: String): Boolean = modules.exists(_.get("load").contains(name))
@@ -84,7 +86,7 @@ case class RsyslogConfig(
                   throw new IllegalArgumentException(s"unknown ruleset $ruleset"))
     RainerCompiler.runStmts(inlineCalls(stmts, Set.empty, 0, callNestingLimit),
       input, lookupTables, templates, timezones, templateEscapes, http,
-      jsonfTemplates)
+      jsonfTemplates, jsonfTree)
   }
 
   private def inlineCalls(stmts: Seq[RStmt], seen: Set[String], depth: Int,
@@ -195,7 +197,8 @@ case class RsyslogConfig(
   def renderTemplate(name: String, props: String => Column): Column =
     templates.get(name).map(t =>
         TemplateCompiler.compile(t, props, templateEscapes.get(name)))
-      .orElse(jsonfTemplates.get(name).map(fs => TemplateCompiler.compileJsonf(fs, props)))
+      .orElse(jsonfTemplates.get(name).map(fs =>
+        TemplateCompiler.compileJsonf(fs, props, tree = jsonfTree(name))))
       .getOrElse(throw new IllegalArgumentException(s"unknown template $name"))
 
   private def run0(): Unit = ()
@@ -309,7 +312,12 @@ object RsyslogConfig {
       }
     def listEntry: Parser[Map[String, String]] =
       "constant" ~> "(" ~> params <~ ")" ^^ (p =>
-        Map("outname" -> "__const", "name" -> p.getOrElse("value", ""))) |
+        // constants keep their params too: constant(outname= value=
+        // format="jsonf") is a fixed-value jsonf field
+        // (tests/template-const-jsonf.sh)
+        p + ("outname" -> p.getOrElse("outname", "__const"),
+             "name" -> p.getOrElse("value", ""),
+             "__isconst" -> "1")) |
       // pass ALL params through (keys arrive lowercased from `param`),
       // so field options like omitifzero/onempty/datatype reach the
       // jsonf compiler without a whitelist going stale
@@ -715,6 +723,7 @@ object RsyslogConfig {
     var templates = builtinTemplates
     var templateEscapes = builtinTemplateEscapes
     var jsonf = Map.empty[String, Seq[TemplateCompiler.JsonfField]]
+    val jsonfTreeNames = scala.collection.mutable.Set.empty[String]
     var lookups = Map.empty[String, LookupTable]
     var rulesets = Map.empty[String, Seq[RStmt]]
     var rulesetParsers = Map.empty[String, Seq[String]]
@@ -742,18 +751,32 @@ object RsyslogConfig {
           case "list" =>
             // list templates with only properties compile to jsonf when
             // option.jsonf="on", else to a concatenated string template
-            if (p.get("option.jsonf").contains("on"))
+            if (p.get("option.jsonf").contains("on") ||
+                p.get("option.jsonftree").contains("on")) {
+              // plain constants (no outname) are ignored in json modes;
+              // outname'd constants become fixed-value fields
               jsonf += name -> fields.filter(_("outname") != "__const").map(f0 => {
                 // nvlst param names compare case-insensitively in the
                 // reference (dataType ≡ datatype ≡ DATATYPE)
                 val f = f0.map { case (k, v) => (k.toLowerCase, v) }
-                TemplateCompiler.JsonfField(f("outname"), f("name"),
+                TemplateCompiler.JsonfField(f("outname"),
+                  if (f.contains("__isconst")) "" else f("name"),
                   f.getOrElse("datatype", "string"),
                   f.getOrElse("onempty", "keep"),
-                  f.get("omitifzero").contains("on"))})
+                  f.get("omitifzero").contains("on"),
+                  if (f.contains("__isconst")) Some(f("name")) else None)})
+              if (p.get("option.jsonftree").contains("on"))
+                jsonfTreeNames += name
+            }
             else templates += name -> fields.map { f =>
-              if (f("outname") == "__const") f("name").replace("%", "\\%")
-              else s"%${f("name")}%"
+              if (f.contains("__isconst")) {
+                // constant(outname= format="jsonf") in a STRING list
+                // template renders the `"name": "value"` fragment
+                // (tests/template-const-jsonf.sh expected bytes)
+                if (f.get("format").contains("jsonf") && f("outname") != "__const")
+                  s"\"${f("outname")}\": \"${f("name")}\"".replace("%", "\\%")
+                else f("name").replace("%", "\\%")
+              } else s"%${f("name")}%"
             }.mkString
           case "subtree" => templates += name -> s"%${p("subtree")}%"
           case other =>
@@ -848,6 +871,6 @@ object RsyslogConfig {
       rulesets.map { case (k, v) => k -> injectDefault(v) },
       injectDefault(main.toSeq), objects,
       modules.toSeq, inputs.toSeq, globals, templateEscapes,
-      parserObjs, rulesetParsers)
+      parserObjs, rulesetParsers, jsonfTreeNames.toSet)
   }
 }

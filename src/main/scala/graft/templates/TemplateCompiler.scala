@@ -348,7 +348,8 @@ object TemplateCompiler {
     * (runtime/template.h:170-178, runtime/msg.c:3485-3540). */
   case class JsonfField(outname: String, prop: String,
                         dataType: String = "string", onEmpty: String = "keep",
-                        omitIfZero: Boolean = false)
+                        omitIfZero: Boolean = false,
+                        constValue: Option[String] = None)
 
   private def jsonQuote(c: Column): Column = concat(lit("\""),
     regexp_replace(regexp_replace(regexp_replace(c,
@@ -364,11 +365,57 @@ object TemplateCompiler {
     * else a quoted string. Values whose rendering varies per row ride a
     * VARIANT — a variant null renders as `null` while a null struct field
     * is omitted, which is exactly the null/skip distinction. */
-  def compileJsonf(fields: Seq[JsonfField], props: String => Column): Column =
-    to_json(struct(fields.map { f =>
+  def compileJsonf(fields: Seq[JsonfField], props: String => Column,
+                   tree: Boolean = false): Column =
+    if (tree) compileJsonfTree(fields, props)
+    else to_json(struct(fields.map(f => fieldCol(f, props).as(f.outname)): _*))
+
+  /** option.jsonftree (template.c:2106; tests/template-jsonf-nested.sh):
+    * dot-segmented outnames build a nested object tree; an object whose
+    * fields all omitted is itself omitted (tplJsonRenderObject "skips
+    * empty objects"); conflicting keys ('a' and 'a.b') are a config
+    * error like template.c:404. */
+  private def compileJsonfTree(fields: Seq[JsonfField],
+                               props: String => Column): Column = {
+    // (value, present): present = the field/object would emit output
+    def build(fs: Seq[(List[String], JsonfField)]): Seq[(String, Column, Column)] = {
+      val order = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(List[String], JsonfField)]]
+      fs.foreach { case (path, f) =>
+        order.getOrElseUpdate(path.head,
+          scala.collection.mutable.ArrayBuffer.empty) += ((path.tail, f))
+      }
+      order.toSeq.map { case (key, members) =>
+        val (leaves, nested) = members.partition(_._1.isEmpty)
+        require(leaves.isEmpty || nested.isEmpty,
+          s"template with option jsonftree has conflicting keys at '$key'")
+        if (nested.isEmpty) {
+          require(leaves.size == 1,
+            s"template with option jsonftree has duplicate key '$key'")
+          val c = fieldCol(leaves.head._2, props)
+          (key, c, c.isNotNull)
+        } else {
+          val children = build(nested.toSeq)
+          val present = children.map(_._3).reduce(_ || _)
+          val obj = when(present,
+            struct(children.map { case (n, v, _) => v.as(n) }: _*))
+          (key, obj, present)
+        }
+      }
+    }
+    val roots = build(fields.map(f => (f.outname.split('.').toList, f)))
+    to_json(struct(roots.map { case (n, v, _) => v.as(n) }: _*))
+  }
+
+  /** One jsonf field's VARIANT/string value with the full
+    * dataType/onEmpty/omitIfZero pipeline; SQL NULL = field omitted. */
+  private def fieldCol(f: JsonfField, props: String => Column): Column = {
       // null property reads normalize to "" (the reference's property
-      // fetch always yields a string), so keep/skip/null see one case
-      val base = coalesce(resolve(f.prop, props).cast("string"), lit(""))
+      // fetch always yields a string), so keep/skip/null see one case;
+      // constants (constant(outname= format="jsonf")) ride the same
+      // pipeline with a literal base (template.c constant jsonf path)
+      val base = f.constValue.map(lit).getOrElse(
+        coalesce(resolve(f.prop, props).cast("string"), lit("")))
       val isEmpty = base === ""
       // number dataType trims surrounding whitespace for its numeric
       // checks and emits the trimmed digits (msg.c:3541-3546)
@@ -404,10 +451,8 @@ object TemplateCompiler {
       // is dropped entirely (msg.c:3548-3551; checked only for non-empty
       // values — the empty case is onEmpty's business). A null struct
       // field is omitted by to_json, same mechanism as onEmpty=skip.
-      val withZero =
-        if (f.omitIfZero && f.dataType == "number")
-          when(!isEmpty && numTrim === "0", lit(null)).otherwise(withEmpty)
-        else withEmpty
-      withZero.as(f.outname)
-    }: _*))
+      if (f.omitIfZero && f.dataType == "number")
+        when(!isEmpty && numTrim === "0", lit(null)).otherwise(withEmpty)
+      else withEmpty
+  }
 }

@@ -707,6 +707,36 @@ class ConfigSpec extends SparkSpec {
     assert(out == """{"zero_default":0,"nonzero_omit":42,"zero_string_omit":"0"}""")
   }
 
+  test("option.jsonftree nests dot outnames; const jsonf fields render") {
+    // tests/template-jsonf-nested.sh: dot-segmented outnames become a
+    // nested object tree; constants with outname are fixed-value fields
+    val cfg = RsyslogConfig.parse(
+      """template(name="nested" type="list" option.jsonftree="on") {
+        |         constant(outname="host.hostname" value="testhost" format="jsonf")
+        |         constant(outname="host.ip" value="127.0.0.1" format="jsonf")
+        |         constant(outname="event.dataset.name" value="syslog" format="jsonf")
+        |         property(outname="event.original" name="msg" format="jsonf")
+        |}
+        |action(type="omfile" template="nested")
+        |""".stripMargin)
+    val out = cfg.run(Seq((" msgnum:00000000:")).toDF("msg")).actionFrame(0)
+      .select("__rendered").collect()(0).getString(0)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(mapper.readTree(out) == mapper.readTree(
+      """{"host": {"hostname": "testhost", "ip": "127.0.0.1"},
+        | "event": {"dataset": {"name": "syslog"}, "original":" msgnum:00000000:"}}""".stripMargin))
+    // tests/template-const-jsonf.sh: const jsonf fragment in a STRING
+    // list template renders the exact `"@version": "1"` bytes
+    val cfg2 = RsyslogConfig.parse(
+      """template(name="outfmt" type="list") {
+        |	 constant(outname="@version" value="1" format="jsonf")
+        |}
+        |action(type="omfile" template="outfmt")
+        |""".stripMargin)
+    assert(cfg2.run(Seq(("m")).toDF("msg")).actionFrame(0)
+      .select("__rendered").collect()(0).getString(0) == "\"@version\": \"1\"")
+  }
+
   test("per-module default templates inject like each module's cfline path") {
     val conf =
       """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
