@@ -698,6 +698,52 @@ object RsyslogConfig {
     sb.toString
   }
 
+  /** Object-form property params → the equivalent %name:from:to:options%
+    * spec (template.c:2320-2540 pblkProperty): position.from/to,
+    * field.number/delimiter, caseconversion, dateformat, date.inutc,
+    * format, controlcharacters, securepath, droplastlf, spifno1stsp,
+    * compressspace. Params without a string-form equivalent
+    * (position.relativetoend, regex.*) warn and are skipped. */
+  private def propertySpec(f: Map[String, String]): String = {
+    val name = f("name")
+    var from = f.getOrElse("position.from", "")
+    var to = f.getOrElse("position.to", "")
+    if (f.contains("field.delimiter") || f.contains("field.number")) {
+      from = "F," + f.getOrElse("field.delimiter", "9")
+      to = f.getOrElse("field.number", "1")
+    }
+    Seq("position.relativetoend", "regex.expression").foreach { k =>
+      if (f.get(k).exists(v => v.nonEmpty && v != "off"))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"template property param $k has no compiled equivalent - skipped")
+    }
+    val opts = scala.collection.mutable.ArrayBuffer.empty[String]
+    f.get("caseconversion").foreach {
+      case "lower" => opts += "lowercase"
+      case "upper" => opts += "uppercase"
+      case _ => ()
+    }
+    f.get("dateformat").foreach(v => opts += s"date-$v")
+    if (f.get("date.inutc").contains("on")) opts += "date-utc"
+    f.get("format").foreach(v => opts += v) // csv/json/jsonf/jsonr/jsonfr
+    f.get("controlcharacters").foreach {
+      case "drop" => opts += "drop-cc"
+      case "space" => opts += "space-cc"
+      case "escape" => opts += "escape-cc"
+      case _ => ()
+    }
+    f.get("securepath").foreach {
+      case "drop" => opts += "secpath-drop"
+      case "replace" => opts += "secpath-replace"
+      case _ => ()
+    }
+    if (f.get("droplastlf").contains("on")) opts += "drop-last-lf"
+    if (f.get("spifno1stsp").contains("on")) opts += "sp-if-no-1st-sp"
+    if (f.get("compressspace").contains("on")) opts += "compressed-sp"
+    if (from.isEmpty && to.isEmpty && opts.isEmpty) s"%$name%"
+    else s"%$name:$from:$to:${opts.mkString(",")}%"
+  }
+
   def parse(src: String): RsyslogConfig = {
     // 1) parse, 2) expand includes, 3) fold `&` continuations into the
     // preceding filter's block (legacy continuation lines)
@@ -776,7 +822,7 @@ object RsyslogConfig {
                 if (f.get("format").contains("jsonf") && f("outname") != "__const")
                   s"\"${f("outname")}\": \"${f("name")}\"".replace("%", "\\%")
                 else f("name").replace("%", "\\%")
-              } else s"%${f("name")}%"
+              } else propertySpec(f)
             }.mkString
           case "subtree" => templates += name -> s"%${p("subtree")}%"
           case other =>

@@ -261,11 +261,22 @@ object TemplateCompiler {
       val re = bits.lift(1).getOrElse("")
       val sub = bits.lift(2).map(_.toInt).getOrElse(0)
       c = when(c.rlike(re), regexp_extract(c, re, sub)).otherwise(lit(""))
-    } else if (p.from.nonEmpty && p.from.forall(_.isDigit) && p.to.nonEmpty) {
+    } else if (p.from.nonEmpty && p.from.forall(_.isDigit) && p.to.nonEmpty &&
+               (p.to.forall(_.isDigit) ||
+                (p.to.startsWith("-") && p.to.drop(1).forall(_.isDigit)))) {
       // substring, 1-based from..to inclusive (template.h:122-123)
       val fromPos = p.from.toInt
       val toPos = p.to.toInt
-      c = substring(c, fromPos, toPos - fromPos + 1)
+      if (toPos >= 0) c = substring(c, fromPos, toPos - fromPos + 1)
+      else {
+        // negative to is end-relative: 0-based iTo = len - 1 + to →
+        // 1-based inclusive end = len + to (msg.c:4292-4297); a from
+        // beyond the value yields "" (msg.c:4301-4306)
+        val endPos = length(c) + toPos
+        c = when(lit(fromPos) > length(c), lit(""))
+          .otherwise(substring(c, lit(fromPos),
+            greatest(endPos - lit(fromPos) + 1, lit(0))))
+      }
     }
 
     // stage: case conversion

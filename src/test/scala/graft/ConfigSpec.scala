@@ -737,6 +737,29 @@ class ConfigSpec extends SparkSpec {
       .select("__rendered").collect()(0).getString(0) == "\"@version\": \"1\"")
   }
 
+  test("object-form property params: position.from/to incl. negative to") {
+    // tests/template-topos-neg.sh: STRUCTURED-DATA with position.from=2
+    // position.to=-1 strips the [ ] wrapper
+    val cfg = RsyslogConfig.parse(
+      """template(name="out" type="list") {
+        |	property(name="structured_data" position.from="2" position.to="-1")
+        |}
+        |action(type="omfile" template="out")
+        |""".stripMargin)
+    val in = Seq(("""[tcpflood@32473 MSGNUM="0"]""")).toDF("structured_data")
+    assert(cfg.run(in).actionFrame(0).select("__rendered")
+      .collect()(0).getString(0) == """tcpflood@32473 MSGNUM="0"""")
+    // field extraction via the object form (field.delimiter/field.number)
+    val cfg2 = RsyslogConfig.parse(
+      """template(name="f2" type="list") {
+        |	property(name="msg" field.delimiter="58" field.number="2")
+        |}
+        |action(type="omfile" template="f2")
+        |""".stripMargin)
+    assert(cfg2.run(Seq(("msgnum:00000007:x")).toDF("msg")).actionFrame(0)
+      .select("__rendered").collect()(0).getString(0) == "00000007")
+  }
+
   test("per-module default templates inject like each module's cfline path") {
     val conf =
       """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
