@@ -457,7 +457,8 @@ object InputBinding {
   private def bindFeed(typ: String, df: DataFrame, now: Column,
                        defaultYear: Int, parseHostnameAndTag: Boolean,
                        chain: Option[Seq[(String, Map[String, String])]] = None,
-                       p: Map[String, String] = Map.empty): DataFrame = {
+                       p: Map[String, String] = Map.empty,
+                       oversize: Option[(Int, String, Boolean)] = None): DataFrame = {
     def on(k: String, dflt: Boolean = false): Boolean =
       p.get(k).map(_ == "on").getOrElse(dflt)
     if (typ == "imkafka" || df.columns.contains("topic"))
@@ -540,10 +541,16 @@ object InputBinding {
       // runtime/tcpsrv.c); deframe is per-row conditional so LF-framed
       // lines pass through untouched. imrelp feeds carry RELP frames —
       // syslog-command payloads extracted, control frames dropped.
-      val framed = typ match {
+      val framed0 = typ match {
         case "imtcp" => Sources.deframeOctetCounted(withProv)
         case "imrelp" => Sources.deframeRelp(withProv)
         case _ => withProv
+      }
+      // global(maxMessageSize=) reception gate, AFTER deframing — the
+      // reference checks getRawMsgLen at submitMsg2 (rsyslogd.c:1254)
+      val framed = oversize match {
+        case Some((n, mode, rep)) => Sources.oversizeGate(framed0, n, mode, rep)
+        case None => framed0
       }
       chain.map(c => decodeChain(framed, c, defaultYear, parseHostnameAndTag))
         .getOrElse(Sources.decodeSyslog(framed, defaultYear = defaultYear,
@@ -562,6 +569,16 @@ object InputBinding {
     // hostname/TAG text in MSG (glbl.GetParseHOSTNAMEandTAG →
     // pmrfc3164.c:383, tests/rscript_parsehostnameandtag_off.sh)
     val phat = !cfg.globals.get("parser.parsehostnameandtag").contains("off")
+    // explicit global(maxMessageSize=) only — no inherent default cap
+    val oversize = cfg.globals.get("maxmessagesize").map { v =>
+      val n = v.trim.toLowerCase match {
+        case x if x.endsWith("k") => x.dropRight(1).trim.toInt * 1024
+        case x if x.endsWith("m") => x.dropRight(1).trim.toInt * 1024 * 1024
+        case x => x.toInt
+      }
+      (n, cfg.globals.getOrElse("oversizemsg.input.mode", "truncate"),
+        !cfg.globals.get("oversizemsg.report").contains("off"))
+    }
     cfg.inputs.flatMap { p =>
       val typ = p.getOrElse("type", "")
       val ruleset = p.getOrElse("ruleset", "")
@@ -581,7 +598,8 @@ object InputBinding {
           Some(bindImbatchreport(spark, p, feeds, now))
         case t =>
           feed(feeds, p, t) match {
-            case Some(df) => Some(bindFeed(t, df, now, defaultYear, phat, chain, p))
+            case Some(df) =>
+              Some(bindFeed(t, df, now, defaultYear, phat, chain, p, oversize))
             case None =>
               log.warn(s"input(type=\"$t\"${p.get("port").map(po => s" port=$po").getOrElse("")}) " +
                 "has no bound feed in this run; listener idle")

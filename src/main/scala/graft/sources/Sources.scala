@@ -270,6 +270,40 @@ object Sources {
     else trimmed
   }
 
+  /** global(maxMessageSize=) reception gate (submitMsg2,
+    * tools/rsyslogd.c:1254-1280): an over-long raw message is reported
+    * ("message too long (N) with configured size M, begin of message
+    * is: <first 80 chars>" — an internal warning that flows through the
+    * pipeline like any message, oversizemsg.report default on), then
+    * TRUNCATED to the limit (default mode), SPLIT into limit-sized
+    * segments each re-submitted, or ACCEPTED as-is
+    * (oversizemsg.input.mode; tests/glbl-oversizeMsg-*.sh). Applied only
+    * when the config sets maxMessageSize explicitly — the engine has no
+    * inherent line cap to enforce. Character-based where the reference
+    * counts bytes (identical on ASCII wire data). */
+  def oversizeGate(df: DataFrame, maxLine: Int, mode: String = "truncate",
+                   report: Boolean = true,
+                   valueCol: String = "value"): DataFrame = {
+    val len = length(col(valueCol))
+    val reportRows =
+      if (report)
+        Some(df.filter(len > maxLine).withColumn(valueCol,
+          concat(lit("message too long ("), len.cast("string"),
+            lit(s") with configured size $maxLine, begin of message is: "),
+            substring(col(valueCol), 1, 80))))
+      else None
+    val processed = mode match {
+      case "split" =>
+        df.withColumn(valueCol, explode(expr(
+          s"transform(sequence(0, int(ceil(length($valueCol) / ${maxLine}.0)) - 1), " +
+          s"i -> substring($valueCol, i * $maxLine + 1, $maxLine))")))
+      case "accept" => df
+      case _ => df.withColumn(valueCol,
+        substring(col(valueCol), 1, maxLine))
+    }
+    reportRows.map(processed.unionByName(_)).getOrElse(processed)
+  }
+
   def decodeSyslog(lines: DataFrame, valueCol: String = "value",
                    defaultYear: Int = 2024,
                    dropTrailingCr: Boolean = false,

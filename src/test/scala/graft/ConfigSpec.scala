@@ -760,6 +760,40 @@ class ConfigSpec extends SparkSpec {
       .select("__rendered").collect()(0).getString(0) == "00000007")
   }
 
+  test("global(maxMessageSize) reception gate: truncate, split, report") {
+    // tests/glbl-oversizeMsg-truncate.sh / -split.sh shapes: a 250-char
+    // raw message against maxMessageSize=230
+    val long = "<167>Mar  1 01:00:00 172.20.245.8 tag msgnum:00000000:240:" +
+      "X" * 192 // total 250 chars
+    assert(long.length == 250)
+    def replay(globalLine: String): Seq[String] = {
+      val conf =
+        s"""$globalLine
+          |module(load="imtcp")
+          |input(type="imtcp" address="127.0.0.1" port="514")
+          |template(name="outfmt" type="string" string="%rawmsg%")
+          |action(type="omfile" template="outfmt")
+          |""".stripMargin
+      RsyslogConfig.parse(conf)
+        .activate(spark, feeds = Map("imtcp:514" -> Seq(long).toDF("value")),
+          now = to_timestamp(lit("2024-06-01 12:00:00")))("")
+        .actionFrame(0).select("__rendered")
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+    val trunc = replay("""global(maxMessageSize="230")""")
+    assert(trunc.exists(_ == long.take(230)))                 // hard cut
+    assert(trunc.exists(l => l.contains("message too long (250) with configured size 230") &&
+      l.contains("begin of message is: " + long.take(21)))) // report msg
+    val split = replay(
+      """global(maxMessageSize="230" oversizemsg.input.mode="split")""")
+    assert(split.exists(_ == long.take(230)))                 // first part
+    assert(split.exists(_.endsWith("X" * 20)) &&
+      split.exists(_ == long.drop(230)))                      // remainder
+    val accept = replay(
+      """global(maxMessageSize="230" oversizemsg.input.mode="accept" oversizemsg.report="off")""")
+    assert(accept == Seq(long))                               // untouched
+  }
+
   test("per-module default templates inject like each module's cfline path") {
     val conf =
       """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
