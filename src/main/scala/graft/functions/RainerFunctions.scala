@@ -401,7 +401,10 @@ object PriFilt {
     "authpriv" -> 10, "ftp" -> 11, "ntp" -> 12, "security" -> 13,
     "console" -> 14, "solaris-cron" -> 15,
     "local0" -> 16, "local1" -> 17, "local2" -> 18, "local3" -> 19,
-    "local4" -> 20, "local5" -> 21, "local6" -> 22, "local7" -> 23)
+    "local4" -> 20, "local5" -> 21, "local6" -> 22, "local7" -> 23,
+    // the LOG_FAC_INVLD slot — selectable like any facility
+    // (tests/fac_invld1.sh `invld.=debug`; msg.c:205 name table)
+    "invld" -> 24)
   val severities = Map(
     "emerg" -> 0, "panic" -> 0, "alert" -> 1, "crit" -> 2, "err" -> 3,
     "error" -> 3, "warning" -> 4, "warn" -> 4, "notice" -> 5, "info" -> 6,

@@ -106,17 +106,18 @@ object SyslogParseExpr {
     var i = 0
     val n = raw.length
     // ---- PRI ----
+    // no '<' at all → DEFUPRI user.notice; a '<' that does NOT start a
+    // valid `<1-3 digits ≤191>` → LOG_PRI_INVLD 199 = facility 24
+    // "invld" + severity debug, with the PRI text left in the message
+    // (compute_off_after_pri + parser.c:586-597, tests/fac_invld*.sh)
     var pri = 13 // user.notice default when no PRI (RFC3164 §4.3.3)
     if (i < n && raw(i) == '<') {
       val close = raw.indexOf('>', i)
-      if (close > i && close <= i + 4) {
-        val p = raw.substring(i + 1, close)
-        if (p.nonEmpty && p.forall(_.isDigit)) {
-          pri = p.toInt
-          if (pri > 191) pri = 13
-          i = close + 1
-        }
-      }
+      val p = if (close > i && close <= i + 4) raw.substring(i + 1, close) else ""
+      if (p.nonEmpty && p.forall(_.isDigit) && p.toInt <= 191) {
+        pri = p.toInt
+        i = close + 1
+      } else pri = 199
     }
     val facility = pri >> 3
     val severity = pri & 7

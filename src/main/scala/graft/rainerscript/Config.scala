@@ -847,6 +847,19 @@ object RsyslogConfig {
         // key-prefix main_queue params so they don't collide with global()
         val prefix = if (kind == "main_queue") "main_queue." else ""
         globals ++= p.map { case (k, v) => (prefix + k) -> v }
+        // global(environment=["K=V", …]): putenv for getenv()/backticks
+        // (glbl.c eCmdHdlrArray environment → do_setenv;
+        // tests/glbl_setenv.sh). Array values arrive NUL-joined.
+        p.get("environment").foreach { v =>
+          v.split(' ').foreach { kv =>
+            val eq = kv.indexOf('=')
+            if (eq > 0)
+              EnvSource.overrides += (kv.substring(0, eq) -> kv.substring(eq + 1))
+            else
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"global(environment=): entry '$kv' is not NAME=VALUE - ignored")
+          }
+        }
       case P.LegacyDirective(name, rawArg) =>
         val arg = stripTrailingComment(rawArg)
         name.toLowerCase match {

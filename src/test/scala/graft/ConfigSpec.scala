@@ -794,6 +794,43 @@ class ConfigSpec extends SparkSpec {
     assert(accept == Seq(long))                               // untouched
   }
 
+  test("invld facility: bad PRI maps to slot 24 and is selectable") {
+    // tests/fac_invld1.sh: PRI 1011 (>191) → LOG_PRI_INVLD = facility
+    // invld(24) severity debug, PRI text NOT consumed; `invld.=debug`
+    // selects it
+    val msgs = Seq(
+      "<1011>Mar  1 01:00:00 h tag msgnum:00000000:",  // >191 → invld
+      "<13>Mar  1 01:00:00 h tag msgnum:00000001:",    // valid → user.notice
+      "<1x>broken pri",                                // malformed → invld
+      "no pri at all")                                 // → user.notice, not selected
+    val conf =
+      """module(load="imtcp")
+        |input(type="imtcp" address="127.0.0.1" port="514")
+        |template(name="outfmt" type="string" string="%syslogfacility%|%syslogseverity%|%rawmsg%")
+        |invld.=debug action(type="omfile" template="outfmt")
+        |""".stripMargin
+    val out = RsyslogConfig.parse(conf)
+      .activate(spark, feeds = Map("imtcp:514" -> msgs.toDF("value")),
+        now = to_timestamp(lit("2024-06-01 12:00:00")))("")
+      .actionFrame(0).select("__rendered").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq(
+      "24|7|<1011>Mar  1 01:00:00 h tag msgnum:00000000:",
+      "24|7|<1x>broken pri"))
+  }
+
+  test("global(environment=) wires getenv()") {
+    // tests/glbl_setenv.sh / _2_vars.sh
+    try {
+      val cfg = RsyslogConfig.parse(
+        """global(environment=["http_proxy=http://127.0.0.1", "second=two"])
+          |set $!prx = getenv("http_proxy") & "-" & getenv("second");
+          |action(type="omfile" template="%$!prx%")
+          |""".stripMargin)
+      assert(cfg.run(Seq(("m")).toDF("msg")).actionFrame(0)
+        .select("__rendered").collect()(0).getString(0) == "http://127.0.0.1-two")
+    } finally graft.rainerscript.EnvSource.overrides = Map.empty
+  }
+
   test("per-module default templates inject like each module's cfline path") {
     val conf =
       """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
