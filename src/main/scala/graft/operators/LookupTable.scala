@@ -91,24 +91,45 @@ object LookupTable {
   /** Load an rsyslog lookup-table JSON file:
     * {"version":1,"nomatch":"x","type":"string","table":[{"index":..,"value":..}]}
     */
-  def load(path: String): LookupTable = {
-    val root = mapper.readTree(new java.io.File(path))
-    fromJson(root)
+  /** A malformed table file (empty, invalid JSON, wrong version/type,
+    * missing table array) STUBS the table — every lookup returns the
+    * nomatch value and the engine keeps running
+    * (lookupReloadOrStub/lookupInitTable failure paths,
+    * runtime/lookup.c:910-1011; tests/lookup_table_bad_configs.sh).
+    * Rows missing index/value are skipped individually. */
+  def load(path: String): LookupTable =
+    try fromJson(mapper.readTree(new java.io.File(path)))
+    catch { case e: Exception => stubbed(path, e) }
+
+  def loadString(json: String): LookupTable =
+    try fromJson(mapper.readTree(json))
+    catch { case e: Exception => stubbed("<inline>", e) }
+
+  private def stubbed(src: String, e: Exception): LookupTable = {
+    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"lookup table could not be loaded from $src - STUBBED " +
+      s"(every lookup returns nomatch): ${e.getMessage}")
+    StringLookup(Map.empty, "")
   }
 
-  def loadString(json: String): LookupTable = fromJson(mapper.readTree(json))
-
   private def fromJson(root: com.fasterxml.jackson.databind.JsonNode): LookupTable = {
+    require(root != null && root.isObject, "lookup table file is not a JSON object")
+    require(!root.has("version") || root.get("version").asInt(1) == 1,
+      "unsupported lookup table version")
     val nomatch = if (root.has("nomatch")) root.get("nomatch").asText else ""
     val typ = if (root.has("type")) root.get("type").asText else "string"
+    require(root.has("table") && root.get("table").isArray,
+      "lookup table has no table array")
     val rows = root.get("table").elements().asScala.toIndexedSeq
+      .filter(r => r.has("index") && r.has("value"))
     typ match {
       case "string" =>
         StringLookup(rows.map(r => r.get("index").asText -> r.get("value").asText).toMap, nomatch)
       case "array" =>
         val pairs = rows.map(r => r.get("index").asLong -> r.get("value").asText)
           .sortBy(_._1)
-        ArrayLookup(pairs.head._1, pairs.map(_._2), nomatch)
+        if (pairs.isEmpty) StringLookup(Map.empty, nomatch)
+        else ArrayLookup(pairs.head._1, pairs.map(_._2), nomatch)
       case "sparseArray" =>
         SparseArrayLookup(
           rows.map(r => r.get("index").asLong -> r.get("value").asText).sortBy(_._1),

@@ -831,6 +831,54 @@ class ConfigSpec extends SparkSpec {
     } finally graft.rainerscript.EnvSource.overrides = Map.empty
   }
 
+  test("bad lookup-table files stub instead of crashing; sparseArray+ipv42num") {
+    // tests/lookup_table_bad_configs.sh: empty / invalid-JSON / wrong
+    // version / missing table → the table stubs (all lookups nomatch)
+    // and the engine keeps running
+    def runWith(tbl: String): String = {
+      val f = java.io.File.createTempFile("lk_bad", ".lkp_tbl")
+      java.nio.file.Files.writeString(f.toPath, tbl)
+      try {
+        val cfg = RsyslogConfig.parse(
+          s"""lookup_table(name="xlate" file="${f.getAbsolutePath}")
+             |set $$.lkp = lookup("xlate", $$msg);
+             |action(type="omfile" template="got[%$$.lkp%]")
+             |""".stripMargin)
+        cfg.run(Seq(("foo")).toDF("msg")).actionFrame(0)
+          .select("__rendered").collect()(0).getString(0)
+      } finally f.delete()
+    }
+    assert(runWith("") == "got[]")                                   // empty file
+    assert(runWith("{ version\": oops") == "got[]")                  // invalid JSON
+    assert(runWith("""{"version":2,"type":"string","table":[]}""") == "got[]")
+    assert(runWith("""{"type":"string"}""") == "got[]")              // no table
+    assert(runWith( // rows missing value are skipped, valid rows stay
+      """{"version":1,"type":"string","table":[
+        |{"index":"foo","value":"F"},{"index":"baz"}]}""".stripMargin) == "got[F]")
+    // tests/lookup_sparse_array_ipv4.sh: floor-match over ipv42num keys
+    val f2 = java.io.File.createTempFile("lk_ip", ".lkp_tbl")
+    java.nio.file.Files.writeString(f2.toPath,
+      """{"type":"sparseArray","table":[
+        |{"index": 167772160, "value":"NetA"},
+        |{"index": 167772416, "value":"Gap"},
+        |{"index": 167772672, "value":"NetB"}]}""".stripMargin)
+    try {
+      val cfg = RsyslogConfig.parse(
+        s"""lookup_table(name="ip_lookup" file="${f2.getAbsolutePath}")
+           |set $$.ip_num = ipv42num($$msg);
+           |set $$.lkp = lookup("ip_lookup", $$.ip_num);
+           |action(type="omfile" template="%msg%: %$$.lkp%")
+           |""".stripMargin)
+      val ips = Seq("10.0.0.0", "10.0.0.5", "10.0.0.255", "10.0.1.0",
+        "10.0.1.5", "10.0.2.0", "10.0.2.100", "9.0.0.0")
+      val out = cfg.run(ips.toDF("msg")).actionFrame(0)
+        .select("__rendered").collect().map(_.getString(0)).toSeq
+      assert(out == Seq("10.0.0.0: NetA", "10.0.0.5: NetA", "10.0.0.255: NetA",
+        "10.0.1.0: Gap", "10.0.1.5: Gap", "10.0.2.0: NetB",
+        "10.0.2.100: NetB", "9.0.0.0: "))
+    } finally f2.delete()
+  }
+
   test("per-module default templates inject like each module's cfline path") {
     val conf =
       """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
