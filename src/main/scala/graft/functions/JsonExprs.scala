@@ -794,3 +794,74 @@ object JsonValidExpr {
       n != null && !n.isMissingNode
     } catch { case _: Exception => false }
 }
+
+/** The property replacer's JSON value escaping — jsonAddVal/
+  * jsonAddVal_escaped (runtime/msg.c:3298-3478), NOT a generic JSON
+  * encoder: `/` escapes to `\/`, C0 controls get RFC4627 short forms or
+  * UPPERCASE `\u00XX`, and in relaxed mode (jsonr/jsonfr, escapeAll
+  * false) a backslash already starting a JSON escape pair is kept as-is
+  * to avoid double encoding. */
+case class JsonPropEscapeExpr(child: Expression, escapeAll: Boolean)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (escapeAll) "json_prop_escape" else "jsonr_prop_escape"
+
+  override protected def nullSafeEval(input: Any): Any =
+    JsonPropEscapeExpr.kernel(input.asInstanceOf[UTF8String], escapeAll)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.JsonPropEscapeExpr$$.MODULE$$.kernel($c, $escapeAll);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object JsonPropEscapeExpr {
+  private val hexdigit = "0123456789ABCDEF"
+
+  @inline private def plain(c: Char): Boolean =
+    (c >= 0x30 && c <= 0x5b) || (c >= 0x23 && c <= 0x2e) || c >= 0x5d ||
+    c == 0x20 || c == 0x21
+
+  def kernel(s0: UTF8String, escapeAll: Boolean): UTF8String = {
+    val s = s0.toString
+    var i = 0
+    val n = s.length
+    while (i < n && plain(s.charAt(i))) i += 1
+    if (i == n) return s0
+    val sb = new java.lang.StringBuilder(n + 8)
+    sb.append(s, 0, i)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (plain(c)) sb.append(c)
+      else if (c == 0) sb.append("\\u0000")
+      else if (c == '"') sb.append("\\\"")
+      else if (c == '/') sb.append("\\/")
+      else if (c == '\\') {
+        val nc = if (i + 1 < n) s.charAt(i + 1) else ' '
+        if (!escapeAll && i + 1 < n &&
+            (nc == '"' || nc == '/' || nc == '\\' || nc == 'b' || nc == 'f' ||
+             nc == 'n' || nc == 'r' || nc == 't' || nc == 'u')) {
+          sb.append(c).append(nc); i += 1
+        } else sb.append("\\\\")
+      }
+      else if (c == '\b') sb.append("\\b")
+      else if (c == '\f') sb.append("\\f")
+      else if (c == '\n') sb.append("\\n")
+      else if (c == '\r') sb.append("\\r")
+      else if (c == '\t') sb.append("\\t")
+      else {
+        sb.append("\\u")
+          .append(hexdigit((c >> 12) & 0xF))
+          .append(hexdigit((c >> 8) & 0xF))
+          .append(hexdigit((c >> 4) & 0xF))
+          .append(hexdigit(c & 0xF))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -112,19 +112,28 @@ object Dedup {
       .withColumn("sig", minhashTextSignature(col("t"), n, k))
       .filter(col("sig").isNotNull)
       .select(col("doc"), col("sig"))
+    // Banding shuffles doc ids ONLY — the 64-long signature (~0.5 KB)
+    // does not ride every one of the 16 band rows (16× shuffle mass at
+    // corpus scale); candidate pairs dedupe across bands first, then the
+    // two signature joins attach sig_a/sig_b once per pair. The
+    // signature stage recomputes on each side of the join instead of
+    // caching — at cluster scale a corpus-sized cache is the riskier
+    // resource, and the stage is a linear scan.
     val banded = withSig.select(
-      col("doc"), col("sig"),
+      col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    // est_jaccard is computed at emission (both sigs in hand); the pair
-    // groupBy then dedupes docs that collide in several bands
-    bucketPairs(banded, Seq(col("band"), col("bucket")),
-        struct(col("doc"), col("sig")), maxBucket)
-      .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"),
-        (size(filter(zip_with(col("p.a.sig"), col("p.b.sig"), (x, y) => x === y),
-          e => e)).cast("double") / k).as("est"))
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("est")).as("est_jaccard"))
+    val cand = bucketPairs(banded, Seq(col("band"), col("bucket")),
+        struct(col("doc")), maxBucket)
+      .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"))
+      .distinct()
+    cand
+      .join(withSig.select(col("doc").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(withSig.select(col("doc").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          e => e)).cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
   }

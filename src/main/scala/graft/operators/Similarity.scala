@@ -246,16 +246,27 @@ object Similarity {
       .select(col("vec_id"), col(blockCol).as("blk"), col("embedding"))
       // all sign bits in one codegen'd projection over the single scan
       .withColumn("bits", lshBucket(col("embedding"), pl))
-    val banded = base.select(col("vec_id"), col("blk"), col("embedding"),
+    // banding shuffles ids only (the ~300 B embedding would otherwise
+    // ride every band row — 8× shuffle mass); pairs dedupe across bands,
+    // then two joins attach the embeddings once per pair (same layout as
+    // minhashLshPairs — the sf10 task-OOM postmortem's successor)
+    val banded = base.select(col("vec_id"), col("blk"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("bits"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    Dedup.bucketPairs(banded, Seq(col("blk"), col("band"), col("bkey")),
-        struct(col("vec_id").as("id"), col("embedding").as("emb")), maxBucket)
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
-        cosine(col("p.a.emb"), col("p.b.emb")).as("sim_raw"))
-      // dedupe multi-band collisions (sim identical across bands)
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("sim_raw")).as("sim_raw"))
+    val cand = Dedup.bucketPairs(banded, Seq(col("blk"), col("band"), col("bkey")),
+        struct(col("vec_id").as("id")), maxBucket)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
+      .distinct()
+    // join sides read the raw corpus — no reason to recompute the sign
+    // bits on them
+    val emb = (if (sampleMod > 1) corpus.filter(col("vec_id") % sampleMod === 0)
+               else corpus).select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("emb_a"), col("emb_b")).as("sim_raw"))
       .filter(col("sim_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
   }

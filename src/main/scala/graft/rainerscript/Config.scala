@@ -210,15 +210,14 @@ object RsyslogConfig {
     * rsconf.c:1570-1604; leading-space names are the reference's
     * collision-proof module defaults, e.g. ommysql's " StdDBFmt").
     * Texts are stored post-unescape (the C literals' \" already
-    * resolved). `sp-if-no-1st-sp` here is our prepend-space-if-missing
-    * re-expression, so the reference's two-property
-    * `%msg:::sp-if-no-1st-sp%%msg%` idiom collapses to ONE property —
-    * same rendered bytes. */
+    * resolved). `sp-if-no-1st-sp` renders only the conditional
+    * separator (msg.c:4353-4360), so the texts keep the reference's
+    * two-property `%msg:::sp-if-no-1st-sp%%msg%` idiom verbatim. */
   val builtinTemplates: Map[String, String] = Map(
     "RSYSLOG_TraditionalFileFormat" ->
-      "%timereported:::date-rfc3164% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp,drop-last-lf%\n",
+      "%timereported:::date-rfc3164% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp%%msg:::drop-last-lf%\n",
     "RSYSLOG_FileFormat" ->
-      "%timereported:::date-rfc3339% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp,drop-last-lf%\n",
+      "%timereported:::date-rfc3339% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp%%msg:::drop-last-lf%\n",
     "RSYSLOG_ForwardFormat" ->
       "<%pri%>%timereported:::date-rfc3339% %hostname% %syslogtag%%msg%",
     "RSYSLOG_TraditionalForwardFormat" ->
@@ -228,7 +227,7 @@ object RsyslogConfig {
     "RSYSLOG_SyslogRFC5424Format" ->
       "<%PRI%>1 %TIMESTAMP:::date-rfc3339% %HOSTNAME% %APP-NAME% %PROCID% %MSGID% %STRUCTURED-DATA% %msg%",
     "RSYSLOG_SysklogdFileFormat" ->
-      "%TIMESTAMP% %HOSTNAME% %syslogtag%%msg:::sp-if-no-1st-sp%\n",
+      "%TIMESTAMP% %HOSTNAME% %syslogtag%%msg:::sp-if-no-1st-sp%%msg%\n",
     "RSYSLOG_DebugFormat" ->
       ("Debug line with all properties:\nFROMHOST: '%FROMHOST%', fromhost-ip: '%fromhost-ip%', " +
        "HOSTNAME: '%HOSTNAME%', PRI: %PRI%,\nsyslogtag '%syslogtag%', programname: '%programname%', " +
@@ -706,18 +705,24 @@ object RsyslogConfig {
     * (position.relativetoend, regex.*) warn and are skipped. */
   private def propertySpec(f: Map[String, String]): String = {
     val name = f("name")
+    // regex.* params map onto the official R-spec string form
+    // (template.c:1581-1680; tests/template-property-transformations.sh)
+    if (f.contains("regex.expression")) {
+      val typ = f.getOrElse("regex.type", "BRE")
+      val sub = f.getOrElse("regex.submatch", "0")
+      val nom = f.getOrElse("regex.nomatchmode", "DFLT").toUpperCase
+      val mat = f.getOrElse("regex.match", "0")
+      return s"%$name:R,$typ,$sub,$nom,$mat:${f("regex.expression").replace("%", "\\%")}--end%"
+    }
     var from = f.getOrElse("position.from", "")
     var to = f.getOrElse("position.to", "")
     if (f.contains("field.delimiter") || f.contains("field.number")) {
       from = "F," + f.getOrElse("field.delimiter", "9")
       to = f.getOrElse("field.number", "1")
     }
-    Seq("position.relativetoend", "regex.expression").foreach { k =>
-      if (f.get(k).exists(v => v.nonEmpty && v != "off"))
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"template property param $k has no compiled equivalent - skipped")
-    }
     val opts = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (f.get("position.relativetoend").contains("on")) opts += "relativetoend"
+    if (f.get("fixedwidth").contains("on")) opts += "fixedwidth"
     f.get("caseconversion").foreach {
       case "lower" => opts += "lowercase"
       case "upper" => opts += "uppercase"
@@ -726,6 +731,15 @@ object RsyslogConfig {
     f.get("dateformat").foreach(v => opts += s"date-$v")
     if (f.get("date.inutc").contains("on")) opts += "date-utc"
     f.get("format").foreach(v => opts += v) // csv/json/jsonf/jsonr/jsonfr
+    // jsonf/jsonfr field machinery rides as option tokens so the string
+    // form can express the object form (outname differing from name,
+    // dataType/onEmpty/omitIfZero — values lowercased like all params)
+    if (f.get("format").exists(v => v == "jsonf" || v == "jsonfr")) {
+      f.get("outname").filter(_ != f("name")).foreach(o => opts += s"outname=$o")
+      f.get("datatype").foreach(d => opts += s"datatype=$d")
+      f.get("onempty").foreach(o => opts += s"onempty=$o")
+      if (f.get("omitifzero").contains("on")) opts += "omitifzero"
+    }
     f.get("controlcharacters").foreach {
       case "drop" => opts += "drop-cc"
       case "space" => opts += "space-cc"

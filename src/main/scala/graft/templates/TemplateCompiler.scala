@@ -226,8 +226,10 @@ object TemplateCompiler {
       val delim = p.from.split(",").lift(1).map(_.trim.toInt).getOrElse(9)
       val fieldNo = if (p.to.nonEmpty) p.to.toInt else 1
       c = coalesce(
-        element_at(split(c, java.util.regex.Pattern.quote(delim.toChar.toString)), fieldNo),
-        lit("***FIELD NOT FOUND***"))
+        try_element_at(split(c, java.util.regex.Pattern.quote(delim.toChar.toString)), lit(fieldNo)),
+        // the TEMPLATE sentinel has two stars (msg.c:4153-4154);
+        // script-level field() uses three (rainerscript.c:2655)
+        lit("**FIELD NOT FOUND**"))
     } else if (p.from.startsWith("R") && p.to.nonEmpty) {
       // official regex form — from = R[,type][,submatch][,nomatch][,match],
       // to = the POSIX regex (template.c:1581-1680; evaluation
@@ -264,15 +266,45 @@ object TemplateCompiler {
     } else if (p.from.nonEmpty && p.from.forall(_.isDigit) && p.to.nonEmpty &&
                (p.to.forall(_.isDigit) ||
                 (p.to.startsWith("-") && p.to.drop(1).forall(_.isDigit)))) {
-      // substring, 1-based from..to inclusive (template.h:122-123)
-      val fromPos = p.from.toInt
-      val toPos = p.to.toInt
-      if (toPos >= 0) c = substring(c, fromPos, toPos - fromPos + 1)
-      else {
-        // negative to is end-relative: 0-based iTo = len - 1 + to →
-        // 1-based inclusive end = len + to (msg.c:4292-4297); a from
-        // beyond the value yields "" (msg.c:4301-4306)
-        val endPos = length(c) + toPos
+      // substring, 1-based from..to inclusive (template.h:122-123);
+      // reversed pairs swap at parse time (template.c:1879-1891): the
+      // normal form swaps when to < from (%$!word:4:2% = chars 2..4),
+      // the end-relative form swaps when to > from (from stays the one
+      // farther from the end); negative to only arrives via the object
+      // form, which has no swap
+      var fromPos = p.from.toInt
+      var toPos = p.to.toInt
+      val relEnd = p.options.contains("relativetoend") ||
+        p.options.contains("pos-end-relative")
+      if (relEnd) {
+        if (toPos > fromPos) { val t = fromPos; fromPos = toPos; toPos = t }
+      } else if (toPos >= 0 && toPos < fromPos) {
+        val t = fromPos; fromPos = toPos; toPos = t
+      }
+      if (relEnd) {
+        // position.relativeToEnd: both positions measured from the END
+        // (msg.c:4284-4289): 0-based iFrom = max(len-from, 0),
+        // iTo = max(len-to, 0), copy [iFrom..iTo]
+        val len = length(c)
+        val iFrom = greatest(len - lit(fromPos), lit(0))
+        val iTo = greatest(len - lit(toPos), lit(0))
+        c = when(iFrom >= len, lit(""))
+          .otherwise(substring(c, iFrom + 1, greatest(iTo - iFrom + 1, lit(0))))
+      } else if (toPos >= 0) {
+        val width = toPos - fromPos + 1
+        c =
+          if (p.options.contains("fixedwidth") || p.options.contains("fixed-width"))
+            // fixedWidth pads the copy window with spaces when the value
+            // is shorter (msg.c:4335-4341); a from past the value still
+            // yields "" (the iFrom >= bufLen check runs first)
+            when(lit(fromPos) > length(c), lit(""))
+              .otherwise(rpad(substring(c, fromPos, width), width, " "))
+          else substring(c, fromPos, width)
+      } else {
+        // negative to is end-relative with an underflow clamp to the
+        // FIRST char: 0-based iTo = len - 1 + to, iTo < 0 → 0
+        // (msg.c:4292-4297); a from beyond the value yields ""
+        val endPos = greatest(length(c) + toPos, lit(1)) // 1-based end
         c = when(lit(fromPos) > length(c), lit(""))
           .otherwise(substring(c, lit(fromPos),
             greatest(endPos - lit(fromPos) + 1, lit(0))))
@@ -294,21 +326,81 @@ object TemplateCompiler {
 
     // stage: secpath — make the value safe as a path component
     // (msg.c bSecPathDrop/bSecPathReplace, used for dynafile names)
-    if (p.options.contains("secpath-drop")) c = regexp_replace(c, "/", "")
-    if (p.options.contains("secpath-replace")) c = regexp_replace(c, "/", "_")
+    if (p.options.contains("secpath-drop") ||
+        p.options.contains("secpath-replace")) {
+      c = if (p.options.contains("secpath-drop")) regexp_replace(c, "/", "")
+          else regexp_replace(c, "/", "_")
+      // post-checks (msg.c:4586-4601): empty → "_", "." → "_", ".." → "_."
+      c = when(c === "", "_").when(c === ".", "_").when(c === "..", "_.")
+        .otherwise(c)
+    }
 
     // stage: misc text ops
     if (p.options.contains("drop-last-lf")) c = regexp_replace(c, "\n$", "")
     if (p.options.contains("compressed-sp")) c = regexp_replace(c, "\\s+", " ")
     if (p.options.contains("sp-if-no-1st-sp"))
-      c = when(c.startsWith(" "), c).otherwise(concat(lit(" "), c))
+      // emits ONLY the conditional separator, never the value: "" when
+      // the value is empty or starts with a space, else one " "
+      // (msg.c:4353-4360 — the idiom is the property PAIR
+      // %msg:::sp-if-no-1st-sp%%msg%)
+      c = when(length(c) === 0 || c.startsWith(" "), lit(""))
+        .otherwise(lit(" "))
 
     // stage: sink-dialect escaping (template.h:50-55)
     if (p.options.contains("csv"))
       c = concat(lit("\""), regexp_replace(c, "\"", "\"\""), lit("\""))
-    if (p.options.contains("json") || p.options.contains("jsonf"))
-      c = regexp_replace(regexp_replace(regexp_replace(c,
-        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+    def jsonEsc(x: Column, all: Boolean): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.JsonPropEscapeExpr(
+          org.apache.spark.sql.GraftBridge.expression(x), all))
+    if (p.options.contains("json")) c = jsonEsc(c, true)
+    if (p.options.contains("jsonr")) c = jsonEsc(c, false)
+    if (p.options.contains("jsonf") || p.options.contains("jsonfr")) {
+      // jsonField (msg.c:3511-3596): the `"name":value` fragment with
+      // the jsonf dataType/onEmpty/omitIfZero machinery; field name =
+      // outname when the object form provided one (threaded as an
+      // option token), else the property name
+      val relaxed = p.options.contains("jsonfr")
+      // default field name strips the "$!"/"$." namespace indicator
+      // (template.c:1904-1910)
+      val fname = p.options.collectFirst {
+        case o if o.startsWith("outname=") => o.drop(8) }.getOrElse(
+        if (p.name.startsWith("$!") || p.name.startsWith("$.")) p.name.drop(2)
+        else p.name)
+      val dt = p.options.collectFirst {
+        case o if o.startsWith("datatype=") => o.drop(9) }.getOrElse("string")
+      val onEmpty = p.options.collectFirst {
+        case o if o.startsWith("onempty=") => o.drop(8) }.getOrElse("keep")
+      val omitZero = p.options.contains("omitifzero")
+      val base = coalesce(c.cast("string"), lit(""))
+      val isEmpty = base === ""
+      val numTrim = regexp_replace(base, "^\\s+|\\s+$", "")
+      val quoted = concat(lit("\"" + fname + "\":\""),
+        jsonEsc(base, !relaxed), lit("\""))
+      val body: Column = dt match {
+        case "number" =>
+          when(isEmpty, lit("\"" + fname + "\":0"))
+            .when(numTrim.rlike("^-?\\d+(\\.\\d+)?$"),
+              concat(lit("\"" + fname + "\":"), numTrim))
+            .otherwise(quoted)
+        case "bool" =>
+          when(base === "0", lit("\"" + fname + "\":false"))
+            .otherwise(lit("\"" + fname + "\":true"))
+        case "auto" =>
+          when(base.rlike("^[0-9]+$"),
+            concat(lit("\"" + fname + "\":"), base)).otherwise(quoted)
+        case _ => quoted
+      }
+      val withEmpty = onEmpty match {
+        case "skip" => when(isEmpty, lit("")).otherwise(body)
+        case "null" => when(isEmpty, lit("\"" + fname + "\":null")).otherwise(body)
+        case _ => body
+      }
+      c =
+        if (omitZero && dt == "number")
+          when(!isEmpty && numTrim === "0", lit("")).otherwise(withEmpty)
+        else withEmpty
+    }
     // sql = MySQL dialect (quote ' and \), stdsql = standard '' doubling
     if (p.options.contains("sql"))
       c = regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "\\\\'")

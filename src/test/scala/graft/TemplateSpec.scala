@@ -16,7 +16,7 @@ class TemplateSpec extends SparkSpec {
       .collect()(0).getString(0)
 
   test("RSYSLOG_TraditionalFileFormat shape") {
-    val tpl = "%timereported:::date-rfc3164% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp,drop-last-lf%\n"
+    val tpl = "%timereported:::date-rfc3164% %hostname% %syslogtag%%msg:::sp-if-no-1st-sp%%msg:::drop-last-lf%\n"
     assert(render(tpl) == "Mar  1 01:02:03 host1 app[7]: body msg\n")
   }
 
