@@ -246,27 +246,23 @@ object Similarity {
       .select(col("vec_id"), col(blockCol).as("blk"), col("embedding"))
       // all sign bits in one codegen'd projection over the single scan
       .withColumn("bits", lshBucket(col("embedding"), pl))
-    // banding shuffles ids only (the ~300 B embedding would otherwise
-    // ride every band row — 8× shuffle mass); pairs dedupe across bands,
-    // then two joins attach the embeddings once per pair (same layout as
-    // minhashLshPairs — the sf10 task-OOM postmortem's successor)
-    val banded = base.select(col("vec_id"), col("blk"),
+    // The embedding payload rides the band rows and pairs verify at
+    // emission — the ids-only + join-back layout that wins 8× for
+    // minhashLshPairs was MEASURED 11× SLOWER here at sf10 (134 s vs
+    // 12 s): the near-dup-dense corpus emits a pair volume large enough
+    // that two extra pair-sized join shuffles dominate, while the
+    // payload-carrying band rows (8 bands × ~300 B) stay cheap next to
+    // minhash's 16 × 520 B signatures. Measure, don't guess.
+    val banded = base.select(col("vec_id"), col("blk"), col("embedding"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("bits"), b * rowsPerBand).bitwiseAND(lit(bandMask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val cand = Dedup.bucketPairs(banded, Seq(col("blk"), col("band"), col("bkey")),
-        struct(col("vec_id").as("id")), maxBucket)
-      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"))
-      .distinct()
-    // join sides read the raw corpus — no reason to recompute the sign
-    // bits on them
-    val emb = (if (sampleMod > 1) corpus.filter(col("vec_id") % sampleMod === 0)
-               else corpus).select(col("vec_id"), col("embedding"))
-    cand
-      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
-      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("sim_raw"))
+    Dedup.bucketPairs(banded, Seq(col("blk"), col("band"), col("bkey")),
+        struct(col("vec_id").as("id"), col("embedding").as("emb")), maxBucket)
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        cosine(col("p.a.emb"), col("p.b.emb")).as("sim_raw"))
+      // dedupe multi-band collisions (sim identical across bands)
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("sim_raw")).as("sim_raw"))
       .filter(col("sim_raw") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
   }

@@ -744,6 +744,7 @@ object RsyslogConfig {
       case "drop" => opts += "drop-cc"
       case "space" => opts += "space-cc"
       case "escape" => opts += "escape-cc"
+      case "escape-octal" => opts += "escape-cc-octal"
       case _ => ()
     }
     f.get("securepath").foreach {

@@ -108,6 +108,8 @@ class PropertyTransformSpec extends SparkSpec {
         |	property(name="$!control" controlcharacters="space")
         |	constant(value="\ncc_escape=")
         |	property(name="$!control" controlcharacters="escape")
+        |	constant(value="\ncc_escape_octal=")
+        |	property(name="$!control" controlcharacters="escape-octal")
         |	constant(value="\nsec_drop=")
         |	property(name="$!path" securepath="drop")
         |	constant(value="\nsec_replace=")
@@ -173,6 +175,7 @@ class PropertyTransformSpec extends SparkSpec {
       "cc_drop=abc",
       "cc_space=a b c",
       "cc_escape=a#010b#009c",
+      "cc_escape_octal=a#012b#011c",
       "sec_drop=abc",
       "sec_replace=a_b_c",
       "sec_replace_msg=trigger_path  a  b",
