@@ -1892,6 +1892,24 @@ object Queries {
         rainer.rs_substring(col("hostname"), 0, 4).as("host4"))
     }),
 
+    // §2.4 property-replacer stages through the COMPILED template path:
+    // negative/end-relative/fixed-width substrings, secure-path, jsonf
+    // fragment (template-property-transformations.sh semantics over the
+    // synth corpus — the matrix spec pins the exact reference bytes,
+    // this query keeps the stages in the DuckDB correctness ledger)
+    "template_stages" -> ((s, dir) => {
+      import graft.templates.TemplateCompiler
+      val ev = synthSyslog(s, dir)
+        .withColumn("pathx", concat(col("hostname"), lit("/"), col("event_type")))
+      ev.select(
+        col("event_id"),
+        TemplateCompiler.compile("%pathx:::secpath-replace%", col).as("secp"),
+        TemplateCompiler.compile("%hostname:2:-2%", col).as("negto"),
+        TemplateCompiler.compile("%hostname:1:12:fixed-width%|", col).as("fixedw"),
+        TemplateCompiler.compile("%hostname:4:1:pos-end-relative%", col).as("relend"),
+        TemplateCompiler.compile("%event_type:::jsonf%", col).as("jsonff"))
+    }),
+
     // §2.9 mmrm1stspace + control-char/space cleanup pipeline
     "msg_cleanup" -> ((s, dir) => {
       val dirty = Tables.documents(s, dir)
@@ -4433,6 +4451,16 @@ object Queries {
     "stop_discard" -> (synthSql +
       """ SELECT event_type, count(*) AS n FROM ev
         | WHERE NOT (severity >= 5) GROUP BY 1""".stripMargin),
+
+    "template_stages" -> (synthSql +
+      """ SELECT event_id,
+        |  replace(hostname || '/' || event_type, '/', '_') AS secp,
+        |  substr(hostname, 2, greatest(length(hostname) - 3, 0)) AS negto,
+        |  rpad(substr(hostname, 1, 12), 12, ' ') || '|' AS fixedw,
+        |  substr(hostname, greatest(length(hostname) - 4, 0) + 1,
+        |    greatest(length(hostname) - 1, 0) - greatest(length(hostname) - 4, 0) + 1) AS relend,
+        |  '"event_type":"' || event_type || '"' AS jsonff
+        | FROM ev""".stripMargin),
 
     "prop_replacer" -> (synthSql +
       """ SELECT event_id,
