@@ -71,20 +71,43 @@ object InputBinding {
     val tag = p.getOrElse("tag",
       throw new IllegalArgumentException("input(type=\"imfile\") needs tag="))
     val lines0 = Sources.fileLines(spark, path)
-    val lines = p.get("trimlineoverbytes").map(_.toInt) match {
+    val lines1 = p.get("trimlineoverbytes").map(_.toInt) match {
       case Some(max) if max > 0 =>
         lines0.withColumn("value", substring(col("value"), 1, max))
       case _ => lines0
     }
+    // addMetadata="on": $!metadata!filename + !line_number
+    // (plugins/imfile/imfile.c addMetadata/msgAddMetadata,
+    // tests/imfile-metadata-line-number.sh). Line numbers come from a
+    // per-file window over the read order — exact for files read as one
+    // split (the verification shape); a splittable multi-GB file needs
+    // a line-indexed source for exact numbering, same contract as the
+    // stream gate's ordering note.
+    val addMeta = p.get("addmetadata").contains("on")
+    val lines = if (addMeta)
+      lines1.withColumn("__file", input_file_name())
+        .withColumn("__lineno",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__file"))
+              .orderBy(monotonically_increasing_id())))
+    else lines1
+    def meta(df: DataFrame): DataFrame =
+      if (!addMeta) df
+      else df.withColumn("vars_msg",
+        graft.functions.rainer.json_set(col("vars_msg"), "metadata",
+          to_json(struct(col("__file").as("filename"),
+            col("__lineno").as("line_number")))))
+        .drop("__file", "__lineno")
     if (p.get("needparse").contains("on"))
-      Sources.decodeSyslog(lines, defaultYear = defaultYear,
+      meta(Sources.decodeSyslog(lines, defaultYear = defaultYear,
         parseHostnameAndTag = parseHostnameAndTag)
-        .withColumn("ts", coalesce(col("ts"), now))
-    else {
+        .withColumn("ts", coalesce(col("ts"), now)))
+    else meta {
       val fac = facilityNum(p.getOrElse("facility", "local0"))
       val sev = severityNum(p.getOrElse("severity", "notice"))
       val prog = graft.functions.SyslogParseExpr.programName(tag)
-      lines.select(
+      val metaCols = if (addMeta) Seq(col("__file"), col("__lineno")) else Nil
+      lines.select(metaCols ++ Seq(
         col("inputname"), col("fromhost"),
         Sources.sanitize(col("value")).as("rawmsg"),
         lit(0).as("protocol_version"),
@@ -101,7 +124,7 @@ object InputBinding {
         lit(prog).cast("string").as("programname"),
         Sources.sanitize(col("value")).as("msg"),
         lit(true).as("parsesuccess"),
-        lit("{}").as("vars_msg"), lit("{}").as("vars_local"))
+        lit("{}").as("vars_msg"), lit("{}").as("vars_local")): _*)
     }
   }
 

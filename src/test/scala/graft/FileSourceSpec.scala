@@ -10,6 +10,33 @@ import graft.sources.Sources
 class FileSourceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("imfile addMetadata: $!metadata!filename and line_number") {
+    // tests/imfile-metadata-line-number.sh: each line carries its file
+    // and 1-based line number under $!metadata
+    val dir = Files.createTempDirectory("graft_imfile_meta")
+    val f = dir.resolve("in.log")
+    Files.writeString(f, "msgnum:00000000:\nmsgnum:00000001:\nmsgnum:00000002:\n")
+    try {
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        s"""module(load="imfile")
+           |input(type="imfile" tag="file:" file="${f.toString}" addMetadata="on")
+           |template(name="outfmt" type="string" string="%msg:F,58:2% line:%$$!metadata!line_number%")
+           |if $$msg contains "msgnum:" then
+           |	action(type="omfile" template="outfmt")
+           |""".stripMargin)
+      val out = cfg.activate(spark)("").actionFrame(0)
+        .select("__rendered").collect().map(_.getString(0)).sorted
+      assert(out.toSeq == Seq("00000000 line:1", "00000001 line:2", "00000002 line:3"))
+      // filename metadata rides too
+      val fn = cfg.activate(spark)("").frame
+        .select(get_json_object(col("vars_msg"), "$.metadata.filename"))
+        .collect().head.getString(0)
+      assert(fn != null && fn.endsWith("in.log"))
+    } finally {
+      Files.deleteIfExists(f); Files.deleteIfExists(dir)
+    }
+  }
+
   test("imjournal decode: field mapping, fallbacks, dup-key last-wins") {
     val full = "__REALTIME_TIMESTAMP=1700000000000000\nMESSAGE=hello world\n" +
       "PRIORITY=3\nSYSLOG_FACILITY=10\nSYSLOG_IDENTIFIER=sshd\n" +
