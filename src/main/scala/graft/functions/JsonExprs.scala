@@ -224,6 +224,7 @@ object JsonPathUtil {
       val c = s.charAt(i)
       c match {
         case '"' => sb.append("\\\"")
+        case '/' => sb.append("\\/") // json-c default escapes '/' (no NOSLASHESCAPE)
         case '\\' => sb.append("\\\\")
         case '\b' => sb.append("\\b")
         case '\n' => sb.append("\\n")

@@ -27,6 +27,36 @@ object Normalize {
   def stripRulePrefix(l: String): String =
     if (l.startsWith("rule=")) l.substring(l.indexOf(':', 5) + 1) else l
 
+  /** liblognorm \xHH escapes inside separators/terminators. */
+  private[operators] def unescSep(s: String): String =
+    "\\\\x([0-9a-fA-F]{2})".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
+  /** Non-capturing token regex for a field type — shared by the scalar
+    * compile path and the tokenized recursion. */
+  private def baseRe(typ: String): String = typ match {
+    case "word" => "\\S+"
+    case "number" => "\\d+"
+    case "ipv4" => "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    case "quoted-string" => "\"[^\"]*\""
+    case "rest" => ".*"
+    case t if t.startsWith("char-to:") || t.startsWith("char-sep:") =>
+      val raw = t.substring(t.indexOf(':') + 1)
+      s"[^${java.util.regex.Pattern.quote(unescSep(raw))}]*"
+    case t if t.startsWith("tokenized:") =>
+      // %f:tokenized:<sep>:<subtype>% — one or more subtype tokens
+      // joined by the literal separator (liblognorm tokenized field,
+      // tests/mmnormalize_tokenized.sh); subtype may itself be
+      // tokenized (the recursive comma/colon/hash corpus case)
+      val parts = t.split(":", 3)
+      require(parts.length == 3, s"malformed tokenized spec: $t")
+      val sep = java.util.regex.Pattern.quote(unescSep(parts(1)))
+      val tok = baseRe(parts(2))
+      s"(?:$tok)(?:$sep(?:$tok))*"
+    case other => throw new IllegalArgumentException(s"field type $other")
+  }
+
   /** Parse a rule string like "sshd[%pid:number%]: Accepted %method:word% for %user:word% from %ip:ipv4%" */
   def compileRule(rule: String): CompiledRule = {
     val sb = new StringBuilder("^")
@@ -41,23 +71,8 @@ object Normalize {
         val (name, typ) = (parts(0), if (parts.length > 1) parts(1) else "word")
         fields += Field(name, typ)
         sb.append(typ match {
-          case "word" => "(\\S+)"
-          case "number" => "(\\d+)"
-          case "ipv4" => "(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})"
-          case "quoted-string" => "\"([^\"]*)\""
-          case "rest" => "(.*)"
-          case t if t.startsWith("char-to:") =>
-            // the terminator may arrive as a liblognorm \xHH escape when
-            // the rule comes from a rulebase FILE (config strings already
-            // unescaped it at the lexer): rule=:%tag:char-to:\x3a%
-            val raw = t.substring(8)
-            val dec =
-              if (raw.length == 4 && raw.startsWith("\\x"))
-                Integer.parseInt(raw.substring(2), 16).toChar.toString
-              else raw
-            val c = java.util.regex.Pattern.quote(dec)
-            s"([^$c]*)"
-          case other => throw new IllegalArgumentException(s"field type $other")
+          case "quoted-string" => "\"([^\"]*)\"" // capture INSIDE the quotes
+          case t => s"(${baseRe(t)})"
         })
         i = end + 1
       } else {
@@ -175,7 +190,10 @@ case class NormalizeExpr(child: Expression,
           if (typ == "number") {
             try node.put(name, java.lang.Long.parseLong(v).toString)
             catch { case _: NumberFormatException => } // cast-null → omitted
-          } else node.put(name, v)
+          } else if (typ.startsWith("tokenized:"))
+            node.set[com.fasterxml.jackson.databind.JsonNode](
+              name, NormalizeExpr.tokNode(v, typ))
+          else node.put(name, v)
           i += 1
         }
         return UTF8String.fromString(node.toString)
@@ -215,4 +233,17 @@ case class NormalizeExpr(child: Expression,
 object NormalizeExpr {
   /** Shared "{}" result for null/ruleless rows (referenced from codegen). */
   val EMPTY: UTF8String = UTF8String.fromString("{}")
+
+  /** Tokenized field value → (nested) JSON array of STRING leaves —
+    * liblognorm renders every tokenized element as a string, even for
+    * number subtypes (tests/mmnormalize_tokenized.sh expected output). */
+  def tokNode(text: String, spec: String): com.fasterxml.jackson.databind.JsonNode =
+    if (spec.startsWith("tokenized:")) {
+      val parts = spec.split(":", 3)
+      val sep = Normalize.unescSep(parts(1))
+      val arr = graft.functions.JsonPathUtil.mapper.createArrayNode()
+      text.split(java.util.regex.Pattern.quote(sep), -1)
+        .foreach(t => arr.add(tokNode(t, parts(2))))
+      arr
+    } else graft.functions.JsonPathUtil.mapper.getNodeFactory.textNode(text)
 }

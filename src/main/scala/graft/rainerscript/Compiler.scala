@@ -999,7 +999,14 @@ object RainerCompiler {
             .map(graft.operators.Normalize.stripRulePrefix)
         require(rules.nonEmpty,
           "action(type=mmnormalize) needs rulebase= or rule=")
-        val m = coalesce(col("msg").cast("string"), lit(""))
+        // variable="$.x" normalizes that variable's value instead of msg
+        // (mmnormalize.c variable param, tests/mmnormalize_variable.sh)
+        val src: Column = params.get("variable") match {
+          case Some(v) => strCoerce(RVar(v), e => compileWithSites(e, guard),
+            ovLookup)
+          case None => col("msg").cast("string")
+        }
+        val m = coalesce(src, lit(""))
         val nc = freshCond()
         df = df.withColumn(nc,
           graft.operators.Normalize.normalize(m, rules))

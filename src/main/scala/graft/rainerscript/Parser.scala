@@ -256,7 +256,11 @@ class RainerParserBase extends RegexParsers {
   private def callStmt: Parser[RStmt] =
     "call" ~> ident <~ opt(";") ^^ RCall.apply
   private def actionParam: Parser[(String, String)] =
-    """[A-Za-z_][A-Za-z0-9_.\-]*""".r ~ ("=" ~> qstring) ^^ { case k ~ v => (k, v) }
+    // array values (rule=["…", "…"]) NUL-join like the object-param
+    // parser, consumed via RsyslogConfig.splitArray
+    """[A-Za-z_][A-Za-z0-9_.\-]*""".r ~ ("=" ~>
+      (("[" ~> repsep(qstring, ",") <~ "]") ^^ (_.mkString(" "))
+        | qstring)) ^^ { case k ~ v => (k, v) }
   private def actionStmt: Parser[RStmt] =
     "action" ~> "(" ~> rep(actionParam) <~ ")" ^^ (ps => RAction(ps.toMap))
 

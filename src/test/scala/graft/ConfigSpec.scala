@@ -879,6 +879,56 @@ class ConfigSpec extends SparkSpec {
     } finally f2.delete()
   }
 
+  test("mmnormalize tokenized fields and variable= source") {
+    // tests/mmnormalize_tokenized.sh over its exact rulebase + inputs:
+    // tokenized fields render as (nested) string arrays in json-c SPACED
+    // form with '/' escaped like the reference's jsonToString
+    val rb = java.io.File.createTempFile("graft_tok", ".rulebase")
+    java.nio.file.Files.writeString(rb.toPath,
+      """rule=only_ips:%only_ips:tokenized:, :ipv4%
+        |rule=local_ips:local ips are %local_ips:tokenized:, :ipv4%
+        |rule=external_ips:%external_ips:tokenized:, :ipv4% are external ips
+        |rule=paths:for %user:char-to:@%@localhost path was %fragments:tokenized:\x3a:char-sep:\x3a%
+        |rule=recur_comma_colon_nos:comma separated list of colon separated numbers: %some_nos:tokenized:, :tokenized: \x3a :tokenized:#:number%
+        |""".stripMargin)
+    try {
+      val cfg = RsyslogConfig.parse(
+        s"""module(load="mmnormalize")
+           |action(type="mmnormalize" rulebase="${rb.getAbsolutePath}")
+           |""".stripMargin)
+      val msgs = Seq(
+        "10.20.30.40, 50.60.70.80, 90.100.110.120, 130.140.150.160",
+        "local ips are 192.168.1.2, 192.168.1.3, 192.168.1.4",
+        "for foo@localhost path was /bin:/usr/local/bin:/usr/bin",
+        "comma separated list of colon separated numbers: 10, 20 : 30#40#50 : 60#70#80, 90 : 100")
+      val out = cfg.run(msgs.toDF("msg")).output
+        .select(col("msg"), col("vars_msg")).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      def render(m: String, path: String): String =
+        spark.range(1).select(graft.functions.rainer.json_render(
+          lit(out(m)), path)).collect()(0).getString(0)
+      assert(render(msgs(0), "only_ips") ==
+        """[ "10.20.30.40", "50.60.70.80", "90.100.110.120", "130.140.150.160" ]""")
+      assert(render(msgs(1), "local_ips") ==
+        """[ "192.168.1.2", "192.168.1.3", "192.168.1.4" ]""")
+      assert(render(msgs(2), "fragments") ==
+        """[ "\/bin", "\/usr\/local\/bin", "\/usr\/bin" ]""")
+      assert(render(msgs(2), "user") == "foo")
+      assert(render(msgs(3), "some_nos") ==
+        """[ [ [ "10" ] ], [ [ "20" ], [ "30", "40", "50" ], [ "60", "70", "80" ] ], [ [ "90" ], [ "100" ] ] ]""")
+      // tests/mmnormalize_variable.sh: normalize a VARIABLE instead of msg
+      val cfg2 = RsyslogConfig.parse(
+        """module(load="mmnormalize")
+          |set $.frag = "13:20:18 GMT";
+          |action(type="mmnormalize" rule=["rule=hms:%hr:number%:%min:number%:%sec:number% %zone:word%"] variable="$.frag")
+          |action(type="omfile" template="h:%$!hr% m:%$!min% s:%$!sec%")
+          |""".stripMargin)
+      assert(cfg2.run(Seq(("date is 2016-01-01 13:20:18 GMT")).toDF("msg"))
+        .actionFrame(0).select("__rendered").collect()(0).getString(0)
+        == "h:13 m:20 s:18")
+    } finally rb.delete()
+  }
+
   test("per-module default templates inject like each module's cfline path") {
     val conf =
       """$ActionForwardDefaultTemplate RSYSLOG_ForwardFormat
