@@ -33,6 +33,29 @@ object Normalize {
       m => java.util.regex.Matcher.quoteReplacement(
         Integer.parseInt(m.group(1), 16).toChar.toString))
 
+  /** Rewrite every capturing group in a user regex to non-capturing so
+    * it can embed inside the rule's positional capture scheme. */
+  private def nonCapturing(re: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inClass = false
+    while (i < re.length) {
+      val c = re.charAt(i)
+      if (c == '\\' && i + 1 < re.length) { sb.append(c).append(re.charAt(i + 1)); i += 2 }
+      else {
+        if (inClass) { if (c == ']') inClass = false; sb.append(c) }
+        else c match {
+          case '[' => inClass = true; sb.append(c)
+          case '(' if i + 1 < re.length && re.charAt(i + 1) == '?' => sb.append(c)
+          case '(' => sb.append("(?:")
+          case _ => sb.append(c)
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Non-capturing token regex for a field type — shared by the scalar
     * compile path and the tokenized recursion. */
   private def baseRe(typ: String): String = typ match {
@@ -44,6 +67,11 @@ object Normalize {
     case t if t.startsWith("char-to:") || t.startsWith("char-sep:") =>
       val raw = t.substring(t.indexOf(':') + 1)
       s"[^${java.util.regex.Pattern.quote(unescSep(raw))}]*"
+    case t if t.startsWith("regex:") =>
+      // %f:regex:<ere>% (liblognorm allowRegex fields,
+      // tests/mmnormalize_regex.sh) — value = the whole match; user
+      // capture groups neutralize so positional extraction stays aligned
+      nonCapturing(graft.functions.PosixRegex.translate(unescSep(t.substring(6))))
     case t if t.startsWith("tokenized:") =>
       // %f:tokenized:<sep>:<subtype>% — one or more subtype tokens
       // joined by the literal separator (liblognorm tokenized field,

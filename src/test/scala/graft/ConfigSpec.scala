@@ -916,6 +916,17 @@ class ConfigSpec extends SparkSpec {
       assert(render(msgs(2), "user") == "foo")
       assert(render(msgs(3), "some_nos") ==
         """[ [ [ "10" ] ], [ [ "20" ], [ "30", "40", "50" ], [ "60", "70", "80" ] ], [ [ "90" ], [ "100" ] ] ]""")
+      // tests/mmnormalize_regex.sh: %f:regex:<ere>% = whole-match value,
+      // user capture groups must not shift later fields
+      val cfg3 = RsyslogConfig.parse(
+        """module(load="mmnormalize" allowRegex="on")
+          |action(type="mmnormalize" rule=["rule=:http host ports are %hps:regex:([0-9.\x3a]+(, )?)+% etc"])
+          |action(type="omfile" template="host and port list: %$!hps%")
+          |""".stripMargin)
+      assert(cfg3.run(Seq(
+        ("http host ports are 192.168.1.2:80, 192.168.1.3, 192.168.1.4:443, 192.168.1.5 etc"))
+        .toDF("msg")).actionFrame(0).select("__rendered").collect()(0).getString(0)
+        == "host and port list: 192.168.1.2:80, 192.168.1.3, 192.168.1.4:443, 192.168.1.5")
       // tests/mmnormalize_variable.sh: normalize a VARIABLE instead of msg
       val cfg2 = RsyslogConfig.parse(
         """module(load="mmnormalize")
