@@ -67,6 +67,11 @@ object Normalize {
     case t if t.startsWith("char-to:") || t.startsWith("char-sep:") =>
       val raw = t.substring(t.indexOf(':') + 1)
       s"[^${java.util.regex.Pattern.quote(unescSep(raw))}]*"
+    // timestamp-shaped fields (liblognorm date-rfc3164/date-rfc5424)
+    case "date-rfc3164" =>
+      "[A-Z][a-z]{2} (?: \\d|\\d{2}) \\d{2}:\\d{2}:\\d{2}"
+    case "date-rfc5424" =>
+      "\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:\\d{2})?"
     case t if t.startsWith("regex:") =>
       // %f:regex:<ere>% (liblognorm allowRegex fields,
       // tests/mmnormalize_regex.sh) — value = the whole match; user

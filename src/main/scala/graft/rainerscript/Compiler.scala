@@ -1016,6 +1016,15 @@ object RainerCompiler {
           when(guard, graft.functions.rainer.json_merge(col("vars_msg"),
             when(col(nc) === "{}", failObj).otherwise(col(nc))))
           .otherwise(col("vars_msg")))
+        // parsesuccess OK/FAIL like mmjsonparse
+        // (tests/mmnormalize_parsesuccess.sh)
+        val prevNps =
+          if (df.columns.contains("parsesuccess"))
+            col("parsesuccess").cast("string")
+          else lit(null).cast("string")
+        df = df.withColumn("parsesuccess",
+          when(guard, when(col(nc) =!= "{}", lit("OK")).otherwise(lit("FAIL")))
+            .otherwise(prevNps))
       case RAction(params) if params.get("type").contains("mmanon") =>
         // mmanon over the message text: IPv4 + IPv6 + embedded-IPv4, all
         // on by default like the reference (plugins/mmanon/mmanon.c

@@ -916,6 +916,19 @@ class ConfigSpec extends SparkSpec {
       assert(render(msgs(2), "user") == "foo")
       assert(render(msgs(3), "some_nos") ==
         """[ [ [ "10" ] ], [ [ "20" ], [ "30", "40", "50" ], [ "60", "70", "80" ] ], [ [ "90" ], [ "100" ] ] ]""")
+      // tests/mmnormalize_parsesuccess.sh + date-rfc3164 field type
+      val cfg4 = RsyslogConfig.parse(
+        """module(load="mmnormalize")
+          |action(type="mmnormalize" rule=["rule=:%date:date-rfc3164% %host:word% up %days:number% days"])
+          |if $parsesuccess == "OK" then
+          |	action(type="omfile" template="%$!host% up %$!days% (%$!date%)")
+          |""".stripMargin)
+      val r4 = cfg4.run(Seq(
+        ("Mar  6 16:57:54 web1 up 12 days"),
+        ("no timestamp here")).toDF("msg"))
+      assert(r4.actionFrame(0).select("__rendered")
+        .collect().map(_.getString(0)).toSeq ==
+        Seq("web1 up 12 (Mar  6 16:57:54)"))
       // tests/mmnormalize_regex.sh: %f:regex:<ere>% = whole-match value,
       // user capture groups must not shift later fields
       val cfg3 = RsyslogConfig.parse(
