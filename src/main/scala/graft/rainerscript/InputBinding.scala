@@ -565,7 +565,13 @@ object InputBinding {
       // lines pass through untouched. imrelp feeds carry RELP frames —
       // syslog-command payloads extracted, control frames dropped.
       val framed0 = typ match {
-        case "imtcp" => Sources.deframeOctetCounted(withProv)
+        // supportOctetCountedFraming="off" leaves digit-led lines
+        // literal (tests/imtcp_no_octet_counted.sh); module-level
+        // maxFrameSize threads in via the __maxframesize key
+        case "imtcp" if !on("supportoctetcountedframing", dflt = true) =>
+          withProv
+        case "imtcp" => Sources.deframeOctetCounted(withProv,
+          maxFrame = p.get("__maxframesize").map(_.toInt).getOrElse(200000))
         case "imrelp" => Sources.deframeRelp(withProv)
         case _ => withProv
       }
@@ -622,7 +628,12 @@ object InputBinding {
         case t =>
           feed(feeds, p, t) match {
             case Some(df) =>
-              Some(bindFeed(t, df, now, defaultYear, phat, chain, p, oversize))
+              // imtcp maxFrameSize is a MODULE param — thread it to the
+              // input binding under a reserved key
+              val p2 = cfg.modules.find(_.get("load").exists(_.startsWith("imtcp")))
+                .flatMap(_.get("maxframesize"))
+                .map(v => p + ("__maxframesize" -> v)).getOrElse(p)
+              Some(bindFeed(t, df, now, defaultYear, phat, chain, p2, oversize))
             case None =>
               log.warn(s"input(type=\"$t\"${p.get("port").map(po => s" port=$po").getOrElse("")}) " +
                 "has no bound feed in this run; listener idle")

@@ -28,10 +28,16 @@ object Sources {
 
   /** imtcp octet-counted framing decode: "NNN <frame>" per RFC6587 --
     * strips the length prefix; LF framing is the line split the text
-    * source already did. (Framing logic from runtime/tcpsrv.c.) */
-  def deframeOctetCounted(lines: DataFrame, valueCol: String = "value"): DataFrame =
+    * source already did. (Framing logic from runtime/tcpsrv.c.) A frame
+    * length above `maxFrame` draws the reference's "Framing Error …
+    * change to octet stuffing" fallback (tcps_sess.c, module param
+    * maxFrameSize default 200000, tests/imtcp-maxFrameSize.sh): the
+    * line stays literal. */
+  def deframeOctetCounted(lines: DataFrame, valueCol: String = "value",
+                          maxFrame: Int = 200000): DataFrame =
     lines.withColumn(valueCol,
-      when(col(valueCol).rlike("^\\d+ "),
+      when(col(valueCol).rlike("^\\d+ ") &&
+           substring_index(col(valueCol), " ", 1).try_cast("long") <= maxFrame,
         expr(s"substring($valueCol, instr($valueCol, ' ') + 1)"))
       .otherwise(col(valueCol)))
 

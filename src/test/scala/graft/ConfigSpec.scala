@@ -760,6 +760,33 @@ class ConfigSpec extends SparkSpec {
       .select("__rendered").collect()(0).getString(0) == "00000007")
   }
 
+  test("imtcp framing toggles: supportOctetCountedFraming=off, maxFrameSize") {
+    def replay(conf: String, msgs: Seq[String]): Seq[String] =
+      RsyslogConfig.parse(conf)
+        .activate(spark, feeds = Map("imtcp:514" -> msgs.toDF("value")),
+          now = to_timestamp(lit("2024-06-01 12:00:00")))("")
+        .actionFrame(0).select("__rendered").collect().map(_.getString(0)).toSeq
+    val base =
+      """module(load="imtcp"%MOD%)
+        |input(type="imtcp" address="127.0.0.1" port="514"%INP%)
+        |template(name="outfmt" type="string" string="%rawmsg%")
+        |action(type="omfile" template="outfmt")
+        |""".stripMargin
+    val framed = Seq("21 <13>Oct 1 host t: m")
+    // default: octet-counted frame strips its length prefix
+    assert(replay(base.replace("%MOD%", "").replace("%INP%", ""), framed)
+      == Seq("<13>Oct 1 host t: m"))
+    // tests/imtcp_no_octet_counted.sh: framing disabled → literal line
+    assert(replay(base.replace("%MOD%", "")
+        .replace("%INP%", " supportOctetCountedFraming=\"off\""), framed)
+      == framed)
+    // tests/imtcp-maxFrameSize.sh: a frame length above the module cap
+    // falls back to octet stuffing (the line stays literal)
+    assert(replay(base.replace("%MOD%", " maxFrameSize=\"10\"")
+        .replace("%INP%", ""), framed)
+      == framed)
+  }
+
   test("global(maxMessageSize) reception gate: truncate, split, report") {
     // tests/glbl-oversizeMsg-truncate.sh / -split.sh shapes: a 250-char
     // raw message against maxMessageSize=230
