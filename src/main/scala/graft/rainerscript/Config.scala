@@ -473,7 +473,14 @@ object RsyslogConfig {
           val files = p.get("file").map(globFiles).getOrElse(Nil)
           if (files.isEmpty && !p.get("mode").contains("optional"))
             log.warn(s"include ${p.get("file").getOrElse("")} matched no files; skipping")
-          files.map(f => java.nio.file.Files.readString(f.toPath))
+          // a .yaml include routes through the YAML front-end first
+          // (runtime/yamlconf.c include handling, tests/yaml-include.sh)
+          files.map { f =>
+            val raw = java.nio.file.Files.readString(f.toPath)
+            if (f.getName.endsWith(".yaml") || f.getName.endsWith(".yml"))
+              yamlToRainer(raw)
+            else raw
+          }
         }
         texts.flatMap(t => expandIncludes(parseRaw(t), depth + 1))
       case P.LegacyDirective(n, arg) if n.equalsIgnoreCase("IncludeConfig") =>

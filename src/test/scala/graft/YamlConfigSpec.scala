@@ -203,6 +203,45 @@ class YamlConfigSpec extends SparkSpec {
     assert(rs.contains("""reload_lookup_table("lk", "unknown")"""))
   }
 
+  test("includes: .conf preamble → YAML main → nested .yaml and .conf") {
+    // tests/yaml-include.sh shape: a RainerScript config includes a
+    // .yaml main config, which itself includes a nested .yaml (module)
+    // and a .conf fragment (template)
+    val dir = java.nio.file.Files.createTempDirectory("graft_yinc")
+    val sub = dir.resolve("sub.yaml")
+    val inc = dir.resolve("inc.conf")
+    val main = dir.resolve("main.yaml")
+    java.nio.file.Files.writeString(sub,
+      "modules:\n  - load: \"imtcp\"\n")
+    java.nio.file.Files.writeString(inc,
+      "template(name=\"confmt\" type=\"string\" string=\"%msg:F,58:2%\")\n")
+    java.nio.file.Files.writeString(main,
+      s"""include:
+         |  - path: "${sub.toString}"
+         |  - path: "${inc.toString}"
+         |templates:
+         |  - name: outfmt
+         |    type: string
+         |    string: "%msg:F,58:2%"
+         |""".stripMargin)
+    try {
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        s"""include(file="${main.toString}")
+           |action(type="omfile" template="outfmt")
+           |""".stripMargin)
+      assert(cfg.hasModule("imtcp"))          // nested .yaml loaded
+      assert(cfg.templates.contains("confmt")) // nested .conf loaded
+      assert(cfg.templates.contains("outfmt")) // YAML template section
+      import spark.implicits._
+      assert(cfg.run(Seq(("msgnum:00000042:")).toDF("msg"))
+        .actionFrame(0).select("__rendered").collect()(0).getString(0)
+        == "00000042")
+    } finally {
+      Seq(sub, inc, main).foreach(java.nio.file.Files.deleteIfExists)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("unknown top-level keys are ignored like process_top_level") {
     val cfg = RsyslogConfig.parseYaml(
       """version: 2
