@@ -1082,13 +1082,23 @@ object RainerCompiler {
             coalesce(col("msg").cast("string"), lit("")), cfg))
           .otherwise(col("msg")))
       case RAction(params) if params.get("type").contains("mmpstrucdata") =>
-        // RFC5424 SD string → $!rfc5424-sd tree (plugins/mmpstrucdata)
+        // RFC5424 SD string → JSON tree under jsonRoot!container
+        // (plugins/mmpstrucdata; defaults "!" + "rfc5424-sd"). A message
+        // WITHOUT structured data stores an explicit JSON null under the
+        // container (tests/yaml-mmpstrucdata-container-null.sh expected
+        // '{ "custom-yaml-sd": null }').
         val guard = path && !col("__stopped")
+        val container = params.get("container").getOrElse("rfc5424-sd")
+          .stripPrefix("$!").stripPrefix("!")
+        val rootPath = params.get("jsonroot").orElse(params.get("jsonRoot"))
+          .getOrElse("!").stripPrefix("$!").stripPrefix("!")
+        val sdPath = if (rootPath.isEmpty) container
+                     else rootPath + "!" + container
         val sd = graft.functions.rainer.parse_structured_data(
           col("structured_data"))
         df = df.withColumn("vars_msg",
-          when(guard && sd.isNotNull, graft.functions.rainer.json_set(
-            col("vars_msg"), "rfc5424-sd", sd)).otherwise(col("vars_msg")))
+          when(guard, graft.functions.rainer.json_set(
+            col("vars_msg"), sdPath, sd)).otherwise(col("vars_msg")))
       case RAction(params) if params.get("type").contains("mmleefparse") =>
         // LEEF 1.0/2.0 event → {header:{protocolVersion,vendor,product,
         // productVersion,eventID}, fields:{k:v}} under container=

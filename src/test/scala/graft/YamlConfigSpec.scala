@@ -242,6 +242,39 @@ class YamlConfigSpec extends SparkSpec {
     }
   }
 
+  test("mmpstrucdata: container/jsonRoot params, null for nil SD") {
+    // tests/yaml-mmpstrucdata-container-null.sh expected bytes
+    val yaml =
+      """modules:
+        |  - load: "mmpstrucdata"
+        |templates:
+        |  - name: outfmt
+        |    type: string
+        |    string: "%$!structured-data%"
+        |rulesets:
+        |  - name: main
+        |    statements:
+        |      - type: mmpstrucdata
+        |        jsonRoot: "$!structured-data"
+        |        container: custom-yaml-sd
+        |      - if: '$msg contains "MMPSTRUCDATA"'
+        |        then:
+        |          - type: omfile
+        |            template: outfmt
+        |""".stripMargin
+    val cfg = graft.rainerscript.RsyslogConfig.parseYaml(yaml)
+    import spark.implicits._
+    val in = Seq(
+      ("MMPSTRUCDATA with sd", """[test@32473 key="value"]"""),
+      ("MMPSTRUCDATA without sd", null))
+      .toDF("msg", "structured_data")
+    val out = cfg.run(in, ruleset = "main").actionFrame(0)
+      .select("__rendered").collect().map(_.getString(0)).toSeq
+    assert(out == Seq(
+      """{ "custom-yaml-sd": { "test@32473": { "key": "value" } } }""",
+      """{ "custom-yaml-sd": null }"""))
+  }
+
   test("unknown top-level keys are ignored like process_top_level") {
     val cfg = RsyslogConfig.parseYaml(
       """version: 2
