@@ -139,8 +139,8 @@ object device {
     * sequence (stray continuation, overlong form, surrogate, >U+10FFFF,
     * truncated tail) is replaced with `repl` (reference:
     * plugins/mmutf8fix/mmutf8fix.c fixUTF8 kernel, default ' '). */
-  def utf8fix(bin: Column, repl: Char = ' '): Column =
-    col2(Utf8FixExpr(bin.expr, repl.toByte))
+  def utf8fix(bin: Column, repl: String = " "): Column =
+    col2(Utf8FixExpr(bin.expr, repl))
 
   // ---------------------------------------------------- mmrfc5424addhmac
   /** RFC 2104 key schedule: hash keys longer than the 64-byte SHA-256
@@ -331,7 +331,11 @@ object ControlCharExpr {
   * overwrites every byte of an invalid sequence with `repl`.
   * Reference: plugins/mmutf8fix/mmutf8fix.c (MODE_UTF8 path).
   */
-case class Utf8FixExpr(child: Expression, repl: Byte)
+/** `repl` is the replacement byte SEQUENCE substituted for each invalid
+  * byte — one char per byte, ISO-8859-1 coded (mmutf8fix
+  * replacementChar/replacementSequence,
+  * tests/yaml-mmutf8fix-replacement-sequence.sh). */
+case class Utf8FixExpr(child: Expression, repl: String)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
@@ -339,21 +343,28 @@ case class Utf8FixExpr(child: Expression, repl: Byte)
   override def nullable: Boolean = true
   override def prettyName: String = "utf8fix"
 
+  @transient private lazy val replBytes =
+    repl.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
   override protected def nullSafeEval(input: Any): Any =
-    Utf8FixExpr.kernel(input.asInstanceOf[Array[Byte]], repl)
+    Utf8FixExpr.kernel(input.asInstanceOf[Array[Byte]], replBytes)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("utf8repl", replBytes, "byte[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.Utf8FixExpr$$.MODULE$$.kernel($c, (byte) $repl);")
+      s"${ev.value} = graft.functions.Utf8FixExpr$$.MODULE$$.kernel($c, $ref);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 object Utf8FixExpr {
-  def kernel(in: Array[Byte], repl: Byte): UTF8String = {
+  def kernel(in: Array[Byte], replSeq: Array[Byte]): UTF8String = {
+    if (replSeq.length != 1) return kernelSeq(in, replSeq)
+    val repl = replSeq(0)
     val out = in.clone()
     val n = out.length
     var i = 0
@@ -382,5 +393,37 @@ object Utf8FixExpr {
       } else { out(i) = repl; i += 1 } // stray continuation / 5-6 byte start
     }
     UTF8String.fromBytes(out)
+  }
+
+  /** Multi-byte replacement sequence: every invalid byte expands to the
+    * whole sequence, so the output is rebuilt. */
+  private def kernelSeq(in: Array[Byte], repl: Array[Byte]): UTF8String = {
+    val bos = new java.io.ByteArrayOutputStream(in.length + 16)
+    val n = in.length
+    var i = 0
+    while (i < n) {
+      val c = in(i) & 0xff
+      if ((c & 0x80) == 0) { bos.write(c); i += 1 }
+      else if (c >= 0xc0 && c <= 0xf7) {
+        val seqLen = if (c < 0xe0) 2 else if (c < 0xf0) 3 else 4
+        var cp = c & (0x3f >> (seqLen - 1))
+        var j = i + 1
+        var ok = true
+        while (ok && j < i + seqLen) {
+          if (j >= n || (in(j) & 0xc0) != 0x80) ok = false
+          else { cp = (cp << 6) | (in(j) & 0x3f); j += 1 }
+        }
+        val overlong = ok && ((seqLen == 2 && cp < 0x80) ||
+          (seqLen == 3 && cp < 0x800) || (seqLen == 4 && cp < 0x10000))
+        val badCp = ok && ((cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF)
+        if (ok && !overlong && !badCp) { bos.write(in, i, seqLen); i += seqLen }
+        else {
+          var k = i
+          while (k < j) { bos.write(repl, 0, repl.length); k += 1 }
+          i = j
+        }
+      } else { bos.write(repl, 0, repl.length); i += 1 }
+    }
+    UTF8String.fromBytes(bos.toByteArray)
   }
 }

@@ -947,11 +947,18 @@ object RainerCompiler {
           when(guard && col("msg").startsWith(" "),
             expr("substring(msg, 2)")).otherwise(col("msg")))
       case RAction(params) if params.get("type").contains("mmutf8fix") =>
-        // repair invalid UTF-8 byte sequences (plugins/mmutf8fix)
+        // repair invalid UTF-8 byte sequences (plugins/mmutf8fix);
+        // replacementChar / replacementSequence set what each invalid
+        // byte becomes (tests/yaml-mmutf8fix-replacement-sequence.sh)
         val guard = path && !col("__stopped")
+        val repl = params.get("replacementsequence")
+          .orElse(params.get("replacementSequence"))
+          .orElse(params.get("replacementchar"))
+          .orElse(params.get("replacementChar"))
+          .getOrElse(" ")
         df = df.withColumn("msg",
           when(guard, graft.functions.device.utf8fix(
-            encode(col("msg"), "UTF-8"))).otherwise(col("msg")))
+            encode(col("msg"), "UTF-8"), repl)).otherwise(col("msg")))
       case RAction(params) if params.get("type").contains("mmfields") =>
         // split msg on the separator into $!f_1..$!f_N
         // (plugins/mmfields/mmfields.c, default separator ',')

@@ -98,7 +98,7 @@ class DeviceParsersSpec extends SparkSpec {
 
   test("mmutf8fix kernel: reference semantics per byte class") {
     def fix(bytes: Array[Byte]): String =
-      Utf8FixExpr.kernel(bytes, ' '.toByte).toString
+      Utf8FixExpr.kernel(bytes, Array(' '.toByte)).toString
     // valid ASCII + valid 2-byte stays
     assert(fix("aé".getBytes("UTF-8")) == "aé")
     // stray continuation byte
@@ -115,6 +115,17 @@ class DeviceParsersSpec extends SparkSpec {
     assert(fix(Array(0xE2.toByte, 0x28.toByte, 0xA1.toByte)) == " ( ")
     // 4-byte valid (U+1F600) passes
     assert(fix(Array(0xF0.toByte, 0x9F.toByte, 0x98.toByte, 0x80.toByte)) == "😀")
+  }
+
+  test("mmutf8fix replacementSequence: each invalid byte expands") {
+    // tests/yaml-mmutf8fix-replacement-sequence.sh: \xc0 becomes the
+    // full U+FFFD byte sequence
+    val fffd = Array(0xEF.toByte, 0xBF.toByte, 0xBD.toByte)
+    val in = " has".getBytes("UTF-8") ++ Array(0xC0.toByte) ++ "invalid".getBytes("UTF-8")
+    assert(Utf8FixExpr.kernel(in, fffd).toString == " has\ufffdinvalid")
+    // two invalid bytes -> two sequences
+    val in2 = Array(0xC0.toByte, 0xAF.toByte)
+    assert(Utf8FixExpr.kernel(in2, fffd).toString == "\ufffd\ufffd")
   }
 
   test("hex-domain hmac is keyed and deterministic") {
