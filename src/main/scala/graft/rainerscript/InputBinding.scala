@@ -564,16 +564,32 @@ object InputBinding {
       // runtime/tcpsrv.c); deframe is per-row conditional so LF-framed
       // lines pass through untouched. imrelp feeds carry RELP frames —
       // syslog-command payloads extracted, control frames dropped.
+      // allowedSender ACL (net.c AddAllowedSender/isAllowedSender;
+      // tests/yaml-allowed-sender-modern.sh): messages from senders
+      // outside the list are dropped at reception. Entries: CIDR,
+      // plain IP (v6 may be bracketed), compared against fromhost.
+      val acled = p.get("allowedsender").map(RsyslogConfig.splitArray) match {
+        case Some(entries) if entries.nonEmpty =>
+          val ip = col("fromhost")
+          val cond = entries.map { e0 =>
+            val e = e0.stripPrefix("[").stripSuffix("]")
+            if (e.contains('/'))
+              graft.functions.rainer.is_in_subnet(ip, lit(e))
+            else ip === lit(e)
+          }.reduce(_ || _)
+          withProv.filter(coalesce(cond, lit(false)))
+        case _ => withProv
+      }
       val framed0 = typ match {
         // supportOctetCountedFraming="off" leaves digit-led lines
         // literal (tests/imtcp_no_octet_counted.sh); module-level
         // maxFrameSize threads in via the __maxframesize key
         case "imtcp" if !on("supportoctetcountedframing", dflt = true) =>
-          withProv
-        case "imtcp" => Sources.deframeOctetCounted(withProv,
+          acled
+        case "imtcp" => Sources.deframeOctetCounted(acled,
           maxFrame = p.get("__maxframesize").map(_.toInt).getOrElse(200000))
-        case "imrelp" => Sources.deframeRelp(withProv)
-        case _ => withProv
+        case "imrelp" => Sources.deframeRelp(acled)
+        case _ => acled
       }
       // global(maxMessageSize=) reception gate, AFTER deframing — the
       // reference checks getRawMsgLen at submitMsg2 (rsyslogd.c:1254)
@@ -633,7 +649,14 @@ object InputBinding {
               val p2 = cfg.modules.find(_.get("load").exists(_.startsWith("imtcp")))
                 .flatMap(_.get("maxframesize"))
                 .map(v => p + ("__maxframesize" -> v)).getOrElse(p)
-              Some(bindFeed(t, df, now, defaultYear, phat, chain, p2, oversize))
+              // module-level allowedSender applies to every input of
+              // that type unless the input sets its own
+              val p3 =
+                if (p2.contains("allowedsender")) p2
+                else cfg.modules.find(_.get("load").exists(_.startsWith(t)))
+                  .flatMap(_.get("allowedsender"))
+                  .map(v => p2 + ("allowedsender" -> v)).getOrElse(p2)
+              Some(bindFeed(t, df, now, defaultYear, phat, chain, p3, oversize))
             case None =>
               log.warn(s"input(type=\"$t\"${p.get("port").map(po => s" port=$po").getOrElse("")}) " +
                 "has no bound feed in this run; listener idle")

@@ -760,6 +760,41 @@ class ConfigSpec extends SparkSpec {
       .select("__rendered").collect()(0).getString(0) == "00000007")
   }
 
+  test("allowedSender ACL drops out-of-list senders at reception") {
+    // tests/yaml-allowed-sender-modern.sh shape: input-level list beats
+    // the module default; CIDR and plain-IP entries
+    def replay(conf: String): Seq[String] = {
+      val feed = Seq(
+        ("128.66.1.1", "<13>Oct 1 h t: from-range"),
+        ("127.0.0.1", "<13>Oct 1 h t: from-local"),
+        ("10.9.9.9", "<13>Oct 1 h t: from-elsewhere"))
+        .toDF("fromhost", "value")
+      RsyslogConfig.parse(conf)
+        .activate(spark, feeds = Map("imtcp:514" -> feed),
+          now = to_timestamp(lit("2024-06-01 12:00:00")))("")
+        .actionFrame(0).select("__rendered").collect().map(_.getString(0)).toSeq.sorted
+    }
+    val tpl =
+      """template(name="outfmt" type="string" string="%msg%")
+        |action(type="omfile" template="outfmt")
+        |""".stripMargin
+    // input-level: CIDR + exact IP
+    assert(replay(
+      """module(load="imtcp")
+        |input(type="imtcp" port="514" allowedSender=["128.66.0.0/16", "127.0.0.1"])
+        |""".stripMargin + tpl) == Seq(" h t: from-local", " h t: from-range"))
+    // module-level default applies when the input has none
+    assert(replay(
+      """module(load="imtcp" allowedSender=["128.66.0.0/16"])
+        |input(type="imtcp" port="514")
+        |""".stripMargin + tpl) == Seq(" h t: from-range"))
+    // no list → everything passes
+    assert(replay(
+      """module(load="imtcp")
+        |input(type="imtcp" port="514")
+        |""".stripMargin + tpl).size == 3)
+  }
+
   test("imtcp framing toggles: supportOctetCountedFraming=off, maxFrameSize") {
     def replay(conf: String, msgs: Seq[String]): Seq[String] =
       RsyslogConfig.parse(conf)
