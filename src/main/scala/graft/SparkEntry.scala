@@ -1450,7 +1450,7 @@ object Queries {
           .otherwise(col("props")))
         .select("event_id", "msg")
       val res = graft.rainerscript.RainerCompiler.run(
-        """set $.rc = parse_json($msg, "$!parsed");""", ev)
+        """set $.rc = parse_json($msg, "\$!parsed");""", ev)
       res.output.select(
         col("event_id"),
         get_json_object(col("vars_local"), "$.rc").cast("long").as("rc"),
