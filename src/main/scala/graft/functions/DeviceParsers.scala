@@ -427,3 +427,92 @@ object Utf8FixExpr {
     UTF8String.fromBytes(bos.toByteArray)
   }
 }
+
+/** Reception sanitize with the full glbl parser.* option family
+  * (SanitizeMsg, runtime/parser.c:330-510): optional LF→space, control
+  * chars (< 32; tab only when escapeTab) escaped as <prefix>+octal or
+  * C-style (\0 \a \b \e \f \n \r \t \v, else \xHH), optional 8-bit
+  * byte escaping. Operates on the UTF-8 BYTES like the reference's
+  * pre-parse pass. */
+case class ReceptionSanitizeExpr(child: Expression, spaceLF: Boolean,
+                                 escapeCC: Boolean, escapeTab: Boolean,
+                                 escape8Bit: Boolean, cStyle: Boolean,
+                                 prefix: Char)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "reception_sanitize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ReceptionSanitizeExpr.kernel(input.asInstanceOf[UTF8String],
+      spaceLF, escapeCC, escapeTab, escape8Bit, cStyle, prefix)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ReceptionSanitizeExpr$$.MODULE$$.kernel(
+         |  $c, $spaceLF, $escapeCC, $escapeTab, $escape8Bit, $cStyle, (char) ${prefix.toInt});
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ReceptionSanitizeExpr {
+  private val hexdigit = "0123456789ABCDEF"
+
+  def kernel(s: UTF8String, spaceLF: Boolean, escapeCC: Boolean,
+             escapeTab: Boolean, escape8Bit: Boolean, cStyle: Boolean,
+             prefix: Char): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    // fast scan: most messages need nothing
+    var need = false
+    var i = 0
+    while (!need && i < n) {
+      val c = in(i) & 0xff
+      if (c < 32 && (c != '\t' || escapeTab) &&
+          (spaceLF && c == '\n' || c == 0 || escapeCC)) need = true
+      else if (c > 127 && escape8Bit) need = true
+      i += 1
+    }
+    if (!need) return s
+    val bos = new java.io.ByteArrayOutputStream(n + 16)
+    i = 0
+    while (i < n) {
+      val c = in(i) & 0xff
+      val isCtl = c < 32 && (c != '\t' || escapeTab)
+      if (isCtl && spaceLF && c == '\n') bos.write(' ')
+      else if ((isCtl && (c == 0 || escapeCC)) || (c > 127 && escape8Bit)) {
+        if (cStyle) {
+          bos.write('\\')
+          c match {
+            case 0 => bos.write('0')
+            case 7 => bos.write('a')
+            case 8 => bos.write('b')
+            case 0x1b => bos.write('e')
+            case 12 => bos.write('f')
+            case 10 => bos.write('n')
+            case 13 => bos.write('r')
+            case 9 => bos.write('t')
+            case 11 => bos.write('v')
+            case other =>
+              bos.write('x')
+              bos.write(hexdigit((other & 0xF0) >> 4))
+              bos.write(hexdigit(other & 0xF))
+          }
+        } else {
+          bos.write(prefix)
+          bos.write('0' + ((c & 0x1C0) >> 6))
+          bos.write('0' + ((c & 0x38) >> 3))
+          bos.write('0' + (c & 7))
+        }
+      } else bos.write(c)
+      i += 1
+    }
+    UTF8String.fromBytes(bos.toByteArray)
+  }
+}

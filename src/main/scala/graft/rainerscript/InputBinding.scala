@@ -206,12 +206,16 @@ object InputBinding {
     */
   private[rainerscript] def decodeChain(lines: DataFrame,
       chain: Seq[(String, Map[String, String])], defaultYear: Int,
-      parseHostnameAndTag: Boolean = true): DataFrame = {
+      parseHostnameAndTag: Boolean = true,
+      sanitizeOpts: Option[Sources.SanitizeOpts] = None): DataFrame = {
     import graft.sources.Sources
     require(chain.nonEmpty, "empty parser chain")
 
     var df = lines
-      .withColumn("__raw0", Sources.sanitize(col("value")))
+      .withColumn("__raw0", sanitizeOpts match {
+        case Some(o) => Sources.sanitize(col("value"), o)
+        case None => Sources.sanitize(col("value"))
+      })
       .withColumn("__prihdr",
         regexp_extract(col("__raw0"), "^(<\\d{1,3}>)", 1))
       // parserParsePRI: valid <N> header else DEFUPRI=13
@@ -481,7 +485,8 @@ object InputBinding {
                        defaultYear: Int, parseHostnameAndTag: Boolean,
                        chain: Option[Seq[(String, Map[String, String])]] = None,
                        p: Map[String, String] = Map.empty,
-                       oversize: Option[(Int, String, Boolean)] = None): DataFrame = {
+                       oversize: Option[(Int, String, Boolean)] = None,
+                       sanitizeOpts: Option[Sources.SanitizeOpts] = None): DataFrame = {
     def on(k: String, dflt: Boolean = false): Boolean =
       p.get(k).map(_ == "on").getOrElse(dflt)
     if (typ == "imkafka" || df.columns.contains("topic"))
@@ -597,9 +602,11 @@ object InputBinding {
         case Some((n, mode, rep)) => Sources.oversizeGate(framed0, n, mode, rep)
         case None => framed0
       }
-      chain.map(c => decodeChain(framed, c, defaultYear, parseHostnameAndTag))
+      chain.map(c => decodeChain(framed, c, defaultYear, parseHostnameAndTag,
+          sanitizeOpts))
         .getOrElse(Sources.decodeSyslog(framed, defaultYear = defaultYear,
-          parseHostnameAndTag = parseHostnameAndTag))
+          parseHostnameAndTag = parseHostnameAndTag,
+          sanitizeOpts = sanitizeOpts))
         .withColumn("ts", coalesce(col("ts"), now))
     }
   }
@@ -614,6 +621,11 @@ object InputBinding {
     // hostname/TAG text in MSG (glbl.GetParseHOSTNAMEandTAG →
     // pmrfc3164.c:383, tests/rscript_parsehostnameandtag_off.sh)
     val phat = !cfg.globals.get("parser.parsehostnameandtag").contains("off")
+    // glbl parser.* sanitize family (SanitizeMsg options); None = stock
+    val sanOpts = {
+      val o = Sources.SanitizeOpts.fromGlobals(cfg.globals)
+      if (o == Sources.SanitizeOpts()) None else Some(o)
+    }
     // explicit global(maxMessageSize=) only — no inherent default cap
     val oversize = cfg.globals.get("maxmessagesize").map { v =>
       val n = v.trim.toLowerCase match {
@@ -656,7 +668,8 @@ object InputBinding {
                 else cfg.modules.find(_.get("load").exists(_.startsWith(t)))
                   .flatMap(_.get("allowedsender"))
                   .map(v => p2 + ("allowedsender" -> v)).getOrElse(p2)
-              Some(bindFeed(t, df, now, defaultYear, phat, chain, p3, oversize))
+              Some(bindFeed(t, df, now, defaultYear, phat, chain, p3, oversize,
+                sanOpts))
             case None =>
               log.warn(s"input(type=\"$t\"${p.get("port").map(po => s" port=$po").getOrElse("")}) " +
                 "has no bound feed in this run; listener idle")

@@ -264,16 +264,55 @@ object Sources {
     * optional trailing-CR drop, then control-char '#'+octal escaping
     * (reference default on). Reused by decodeSyslog and by input
     * bindings whose messages skip the parser chain (imfile default). */
+  /** glbl parser.* sanitize options (rsconf.c:404-411 defaults). */
+  case class SanitizeOpts(dropTrailingCr: Boolean = false,
+                          escapeCC: Boolean = true,
+                          spaceLF: Boolean = false,
+                          escapeTab: Boolean = true,
+                          escape8Bit: Boolean = false,
+                          cStyle: Boolean = false,
+                          prefix: Char = '#')
+
+  object SanitizeOpts {
+    /** Build from the config's globals map (keys already lowercased). */
+    def fromGlobals(g: Map[String, String]): SanitizeOpts = {
+      def on(k: String, dflt: Boolean): Boolean =
+        g.get("parser." + k).map(_ == "on").getOrElse(dflt)
+      SanitizeOpts(
+        dropTrailingCr = on("droptrailingcronreception", dflt = false),
+        escapeCC = on("escapecontrolcharactersonreceive", dflt = true),
+        spaceLF = on("spacelfonreceive", dflt = false),
+        escapeTab = on("escapecontrolcharactertab", dflt = true),
+        escape8Bit = on("escape8bitcharactersonreceive", dflt = false),
+        cStyle = on("escapecontrolcharacterscstyle", dflt = false),
+        prefix = g.get("parser.controlcharacterescapeprefix")
+          .filter(_.nonEmpty).map(_.charAt(0)).getOrElse('#'))
+    }
+  }
+
   def sanitize(c: org.apache.spark.sql.Column,
                dropTrailingCr: Boolean = false,
-               escapeControlCharacters: Boolean = true): org.apache.spark.sql.Column = {
+               escapeControlCharacters: Boolean = true): org.apache.spark.sql.Column =
+    sanitize(c, SanitizeOpts(dropTrailingCr = dropTrailingCr,
+      escapeCC = escapeControlCharacters))
+
+  def sanitize(c: org.apache.spark.sql.Column,
+               opts: SanitizeOpts): org.apache.spark.sql.Column = {
     val trimmed =
-      if (dropTrailingCr) regexp_replace(c, "\r$", "") else c
-    if (escapeControlCharacters)
+      if (opts.dropTrailingCr) regexp_replace(c, "\r$", "") else c
+    if (opts == SanitizeOpts(dropTrailingCr = opts.dropTrailingCr))
+      // the stock path (defaults) keeps the original mode-4 kernel
       org.apache.spark.sql.GraftBridge.column(
         graft.functions.ControlCharExpr(
           org.apache.spark.sql.GraftBridge.expression(trimmed), 4))
-    else trimmed
+    else if (!opts.escapeCC && !opts.spaceLF && !opts.escape8Bit)
+      trimmed
+    else
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.ReceptionSanitizeExpr(
+          org.apache.spark.sql.GraftBridge.expression(trimmed),
+          opts.spaceLF, opts.escapeCC, opts.escapeTab, opts.escape8Bit,
+          opts.cStyle, opts.prefix))
   }
 
   /** global(maxMessageSize=) reception gate (submitMsg2,
@@ -314,8 +353,12 @@ object Sources {
                    defaultYear: Int = 2024,
                    dropTrailingCr: Boolean = false,
                    escapeControlCharacters: Boolean = true,
-                   parseHostnameAndTag: Boolean = true): DataFrame = {
-    val sanitized = sanitize(col(valueCol), dropTrailingCr, escapeControlCharacters)
+                   parseHostnameAndTag: Boolean = true,
+                   sanitizeOpts: Option[SanitizeOpts] = None): DataFrame = {
+    val sanitized = sanitizeOpts match {
+      case Some(o) => sanitize(col(valueCol), o)
+      case None => sanitize(col(valueCol), dropTrailingCr, escapeControlCharacters)
+    }
     lines
       .withColumn("rawmsg", sanitized)
       .withColumn("p", rainer.parse_syslog(col("rawmsg"), defaultYear,

@@ -760,6 +760,42 @@ class ConfigSpec extends SparkSpec {
       .select("__rendered").collect()(0).getString(0) == "00000007")
   }
 
+  test("global parser.* sanitize family: spaceLF, 8-bit, C-style, prefix") {
+    // tests/yaml-imtcp-spacelf-escape.sh option set + the cstyle and
+    // prefix variants (SanitizeMsg, runtime/parser.c:330-510)
+    def replay(globalLine: String, raw: String): String =
+      RsyslogConfig.parse(
+        s"""$globalLine
+           |module(load="imtcp")
+           |input(type="imtcp" port="514")
+           |template(name="outfmt" type="string" string="%rawmsg%")
+           |action(type="omfile" template="outfmt")
+           |""".stripMargin)
+        .activate(spark, feeds = Map("imtcp:514" -> Seq(raw).toDF("value")),
+          now = to_timestamp(lit("2024-06-01 12:00:00")))("")
+        .actionFrame(0).select("__rendered").collect()(0).getString(0)
+    // stock defaults: control chars → #octal, tab included
+    assert(replay("", "a\tbc") == "a#011b#001c")
+    // spaceLFonReceive has no LF to act on post-line-split, but the
+    // combined yaml-test option set must keep the rest working: 8-bit
+    // bytes escape per UTF-8 byte
+    assert(replay(
+      """global(parser.spaceLFOnReceive="on" parser.escapeControlCharactersOnReceive="on" parser.escapeControlCharacterTab="on" parser.escape8BitCharactersOnReceive="on" parser.escapeControlCharactersCStyle="off")""",
+      "a\tb\u00e9") == "a#011b#303#251") // é = C3 A9
+    // C-style escapes
+    assert(replay(
+      """global(parser.escapeControlCharactersCStyle="on")""",
+      "a\tbcd") == "a\\tb\\x01c\\vd")
+    // tab excluded
+    assert(replay(
+      """global(parser.escapeControlCharacterTab="off")""",
+      "a\tbc") == "a\tb#001c")
+    // custom escape prefix
+    assert(replay(
+      """global(parser.controlCharacterEscapePrefix="%" parser.spaceLFOnReceive="on")""",
+      "ab") == "a%001b")
+  }
+
   test("allowedSender ACL drops out-of-list senders at reception") {
     // tests/yaml-allowed-sender-modern.sh shape: input-level list beats
     // the module default; CIDR and plain-IP entries
