@@ -426,6 +426,13 @@ object Bench {
       if ((args.nonEmpty && !args.contains("sf1")) ||
           sys.env.get("SPARK_GRAFT_SF1").contains("off")) ("", "")
       else try {
+        // reclaim main-loop state before the 10x section: the r9 notes
+        // measured sf1 sections reading 1.5-5x above fresh-JVM runs
+        // after ~160 query executions (accumulated heap, cached plans,
+        // codegen classes); clearing the SQL cache + a full GC gets the
+        // section much closer to its standalone numbers
+        spark.catalog.clearCache()
+        System.gc()
         val (full, short) = sf1Section(spark, sfDir)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
@@ -437,6 +444,8 @@ object Bench {
       if ((args.nonEmpty && !args.contains("sf10")) ||
           sys.env.get("SPARK_GRAFT_SF10").contains("off")) ("", "")
       else try {
+        spark.catalog.clearCache()
+        System.gc()
         val (full, short) = sf10Section(spark, sfDir)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
