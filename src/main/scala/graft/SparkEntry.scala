@@ -219,6 +219,21 @@ object Queries {
         idCol = Some("event_id"))
     }),
 
+    // §2.10 omelasticsearch bulkmode maxbytes packing: byte-capped _bulk
+    // request bodies (es-maxbytes-bulk.sh; pairs sized so the 310-byte
+    // cap admits exactly 5 fixed-width pairs — the count mirror the
+    // oracle can express, same device as awslogs_hlc)
+    "es_bulk_batches" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("idx", concat(lit("idx"), col("user_id") % 3))
+        .withColumn("esid", lpad(col("event_id").cast("string"), 8, "0"))
+        .withColumn("doc", concat(lit("{\"n\":\""), col("esid"), lit("\"}")))
+      val pairs = graft.sources.Sources.esBulkFrame(ev, "idx", "doc",
+        idCol = Some("esid"), keep = Seq("idx", "event_id"))
+      graft.sources.Sources.esBulkBatches(pairs, "idx", "event_id",
+        maxBytes = 310)
+    }),
+
     // §2.10 omfwd octet-counted send framing (runtime/tcpclt.c:196-210):
     // "<len> <msg>" with len the BYTE length of the rendered line — the
     // 'µ' in the prefix makes byte-vs-char length observable
@@ -3297,6 +3312,25 @@ object Queries {
         |  ' msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0')
         |    || ': v100=' || v100 AS msg
         | FROM ev""".stripMargin),
+
+    "es_bulk_batches" ->
+      """WITH p AS (
+        |  SELECT event_id, 'idx' || (user_id % 3) AS idx,
+        |    '{"index":{"_index":"idx' || (user_id % 3) || '","_id":"' ||
+        |      lpad(CAST(event_id AS VARCHAR), 8, '0') || '"}}' || chr(10) ||
+        |    '{"n":"' || lpad(CAST(event_id AS VARCHAR), 8, '0') || '"}' AS pair
+        |  FROM events),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY idx ORDER BY event_id) - 1 AS rn
+        |  FROM p)
+        |SELECT idx, rn // 5 AS batch_idx,
+        |  string_agg(pair, chr(10) ORDER BY event_id) || chr(10) AS payload,
+        |  count(*) AS n_events,
+        |  CAST(strlen(string_agg(pair, chr(10) ORDER BY event_id)) + 1
+        |    AS BIGINT) AS payload_bytes,
+        |  CAST(0 AS BIGINT) AS n_dropped,
+        |  min(event_id) AS first_ord, max(event_id) AS last_ord
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "es_bulk" ->
       """SELECT '{"index":{"_index":"logs-' || event_type || '","_id":'

@@ -457,7 +457,8 @@ object Sources {
     */
   def esBulkFrame(ds: DataFrame, indexCol: String, docCol: String,
                   idCol: Option[String] = None,
-                  create: Boolean = false): DataFrame = {
+                  create: Boolean = false,
+                  keep: Seq[String] = Nil): DataFrame = {
     val verb = if (create) "create" else "index"
     // JSON-escape the index/id values by routing them through to_json of
     // a one-field struct, then strip the wrapper — no hand escaping
@@ -476,8 +477,20 @@ object Sources {
       idCol.map(ic => concat(lit(""","_id":"""), jsonStr(col(ic), "")))
         .getOrElse(lit("")),
       lit("}}"))
-    ds.select(concat(action, lit("\n"), col(docCol)).as("bulk"))
+    ds.select(keep.map(col) :+
+      concat(action, lit("\n"), col(docCol)).as("bulk"): _*)
   }
+
+  /** omelasticsearch bulkmode request packing (omelasticsearch.c
+    * checkSubmitToES / maxbytes, tests/es-maxbytes-bulk.sh): greedy
+    * byte-capped batching of action+doc pairs into newline-framed _bulk
+    * request bodies, per index key in record order — the shared
+    * greedyPack flush rules. */
+  def esBulkBatches(pairs: DataFrame, keyCol: String, ordCol: String,
+                    bulkCol: String = "bulk",
+                    maxBytes: Long = 100L * 1024 * 1024): DataFrame =
+    CloudSinks.greedyPack(pairs, keyCol, ordCol, bulkCol,
+      maxPayloadBytes = maxBytes, sep = "\n", suffix = "\n")
 
   /** omhttp batch serialization — the transport-free half of the HTTP
     * sink (contrib/omhttp/omhttp.c): rendered messages grouped into
