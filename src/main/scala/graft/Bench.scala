@@ -203,6 +203,84 @@ object Bench {
     out
   }
 
+  /** sf100 corpus: 1000 shards of sf0.1 documents = 5M docs, one decade
+    * above sf10, built the same shard way — 100 content blocks of 10
+    * shards each. 100 mutually-dissimilar blocks need 100 distinct
+    * character maps, so the translation composes TWO rotations over
+    * disjoint 10-letter alphabets (block%10 rotates the first,
+    * block/10 the second → 10×10 distinct maps); within each block the
+    * sf1 crawl-duplication shape repeats exactly (4 byte-identical
+    * copies + 6 single-trailing-token variants), so the corpus grows
+    * 10× in DISTINCT documents at constant duplication factor. */
+  private def synthesizeSf100(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val out = "/tmp/graft_sf100"
+    val marker = new java.io.File(out, "_SYNTH_DONE_v1")
+    if (!marker.exists()) {
+      val shards = 1000
+      val sh = spark.range(shards).select(col("id").as("shard"))
+      val block = (col("shard") / 10).cast("int")
+      val pos = (col("shard") % 10).cast("int")
+      val alpha1 = "aeiounrsth"
+      val alpha2 = "dlcmfwypbg"
+      // ONE flat 100-branch CaseWhen, each branch a double-translate of
+      // the ORIGINAL text. A nested fold (rot(rot(text,…),…)) would put
+      // the whole inner when-tree in BOTH branches of every outer when —
+      // 2^20 expression nodes, and codegen's common-subexpression walk
+      // never returns (observed: the first sf100 synth attempt hung a
+      // shuffle-exchange thread inside EquivalentExpressions for 5+ min)
+      val rotated = (1 until 100).foldLeft(when(lit(false), col("text"))) {
+        (acc, b) =>
+          val t1 = alpha1.drop(b % 10) + alpha1.take(b % 10)
+          val t2 = alpha2.drop(b / 10) + alpha2.take(b / 10)
+          acc.when(block === b,
+            translate(translate(col("text"), alpha1, t1), alpha2, t2))
+      }.otherwise(col("text"))
+      Tables.documents(spark, sfDir).crossJoin(sh).select(
+        (col("doc_id") + col("shard") * 100000000L).as("doc_id"),
+        when(pos <= 3, rotated)
+          .otherwise(concat(rotated, lit(" shard"), pos)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+        .repartition(shards / 4)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      marker.createNewFile()
+    }
+    out
+  }
+
+  /** One more decade of measured scale curve for the two most expensive
+    * sf10 queries (near-dup verify, substring dedup): single-trial spot
+    * run at sf100 (5M docs). The check is near-linearity — each query
+    * should land within ~10× its sf10 wall-time. */
+  private def sf100Spot(spark: SparkSession, sfDir: String): (String, String) = {
+    val names = Seq("dedup_verified", "dedup_substring")
+    val dir = synthesizeSf100(spark, sfDir)
+    spark.sqlContext.clearCache()
+    System.gc()
+    val timed = names.flatMap { n =>
+      SparkEntry.queries.get(n).map { fn =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench:sf100] $n failed: ${e.getMessage}"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench:sf100] $n%-18s $dt%8.2fs${if (ok) "" else "  FAILED"}")
+        (n, dt, ok)
+      }
+    }
+    val nDocs = Tables.documents(spark, dir).count()
+    val qj = timed.map { case (n, t, ok) =>
+      "\"" + n + "\":" + (if (ok) f"$t%.3f" else "null")
+    }.mkString("{", ",", "}")
+    val total = timed.filter(_._3).map(_._2).sum
+    val failed = timed.count(!_._3)
+    (f""""sf100_spot":{"dir":"$dir","shards":1000,"rows":{"documents":$nDocs},"queries":$qj,"total":$total%.3f,"failed":$failed}""",
+     f""""sf100_total":$total%.3f,"sf100_failed":$failed""")
+  }
+
   /** Single-trial spot-run of the dedup/ANN family at sf10 — the 100 TB
     * story is argued from bucketed-by-design kernels; this adds one more
     * decade of measured curve (sf0.1 → sf1 → sf10) as evidence. The
@@ -213,7 +291,8 @@ object Bench {
     * per-shard windows); the rest of the suite has its sf1 point. */
   private def sf10Section(spark: SparkSession, sfDir: String): (String, String) = {
     val names = Seq("dedup_exact", "dedup_canonical", "dedup_minhash",
-      "dedup_simhash", "dedup_ngram", "dedup_substring", "dedup_clusters",
+      "dedup_simhash", "dedup_ngram", "dedup_verified", "dedup_substring",
+      "dedup_clusters",
       "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
       "llm_prep", "text_quality", "text_repetition", "text_fingerprint",
       "decontaminate", "sample_stratified", "seq_pack")
@@ -451,14 +530,27 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf10] section failed: ${e.getMessage}"); ("", "")
       }
+    // sf100 near-linearity spot (two queries; skipped in single-query
+    // mode or with SPARK_GRAFT_SF100=off; `sf100` as an arg forces it)
+    val (sf100Json, sf100Summary) =
+      if ((args.nonEmpty && !args.contains("sf100")) ||
+          sys.env.get("SPARK_GRAFT_SF100").contains("off")) ("", "")
+      else try {
+        spark.catalog.clearCache()
+        System.gc()
+        val (full, short) = sf100Spot(spark, sfDir)
+        ("," + full, "," + short)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench:sf100] section failed: ${e.getMessage}"); ("", "")
+      }
     val trialStats = "{\"median\":" + f"$trialMed%.0f" + ",\"mad\":" +
       f"$trialMad%.0f" + ",\"trials\":" +
       trialRates.map(r => f"$r%.0f").mkString("[", ",", "]") + "}"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$ratioJson$sf1Json$sf10Json}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$ratioJson$sf1Json$sf10Json$sf100Json}""")
     // compact recap AFTER the full line: the driver keeps only the last
     // few KB of stdout, and the full line's headline fields sit at its
     // FRONT — this short line guarantees they survive the tail window
-    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$ratioJson$sf1Summary$sf10Summary}""")
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$ratioJson$sf1Summary$sf10Summary$sf100Summary}""")
     spark.stop()
   }
 }

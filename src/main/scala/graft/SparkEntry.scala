@@ -573,6 +573,19 @@ object Queries {
         graft.sources.CloudSinks.awsHlcEvent(col("m"), col("ts"), col("h")))
       graft.sources.CloudSinks.awsHlcBatches(events, "k", "event_id",
         "ev_json", maxBatchSize = 100)
+        // deep probe INTO the packed payload (anti-stringification): the
+        // first concatenated event must PARSE as JSON and its unescaped
+        // fields must round-trip — the oracle recomputes both from the
+        // first_ord source row, so a payload whose events were escaped a
+        // second time (or never escaped) hash-mismatches here. The
+        // events carry no '}' in their text, so the first object is the
+        // prefix up to the first '}'.
+        .withColumn("probe_msg", get_json_object(
+          concat(substring_index(col("payload"), "}", 1), lit("}")),
+          "$.event"))
+        .withColumn("probe_host", get_json_object(
+          concat(substring_index(col("payload"), "}", 1), lit("}")),
+          "$.host"))
     }),
 
     // §2.10 omazuredce — DCE record validation + json-c PLAIN compaction
@@ -598,18 +611,43 @@ object Queries {
         .withColumn("probe_t", get_json_object(col("record"), "$.t"))
     }),
 
+    // §2.10 omazuredce array batching: records comma-joined inside ONE
+    // JSON array per request (batchBuf '['…']'), with a deep probe that
+    // element 0 of the packed payload is a live OBJECT — `$[0].id`
+    // extracts a field through the array, which returns null if the
+    // packer had embedded records as escaped strings
+    "azure_dce_pack" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val id = col("event_id")
+      val m = when(id % 97 === 0,
+          concat(lit("{\"id\":"), id, lit("} trailing")))   // dropped: garbage
+        .when(id % 89 === 0, concat(lit("["), id, lit(",2]"))) // dropped
+        .otherwise(concat(lit("{\"id\":"), id, lit(",\"t\":\""),
+          col("event_type"), lit("\"}")))
+      val recs = ev.select(id.as("event_id"),
+        (id % 50).cast("string").as("k"),
+        graft.sources.CloudSinks.azureDceRecord(m).as("rec"))
+      graft.sources.CloudSinks.azureDceBatches(recs, "k", "event_id", "rec")
+        .withColumn("probe_id0",
+          get_json_object(col("payload"), "$[0].id").cast("long"))
+        .withColumn("probe_t0", get_json_object(col("payload"), "$[0].t"))
+    }),
+
     // §2.10 omazureeventhubs — AMQP 1.0 message shaping: binary body,
     // per-worker decimal message id, static eventproperties map,
     // ms-epoch creation time (proton_encode_message)
     "eventhubs_message" -> ((s, dir) => {
       val ev = synthSyslog(s, dir)
-      // 32 workers: the per-worker sequence window is the scale knob —
-      // its partition count IS the sort parallelism (4 workers funneled
-      // 10M sf1 rows into 4 sort partitions, 22 s; 32 matches the pool)
-      val worker = (col("user_id") % 32).cast("int")
-      val seq = row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(worker).orderBy(col("event_id"))) - 1
+      // 32 workers, worker/seq derived ARITHMETICALLY from the event id
+      // (residue class = worker, quotient = that worker's send sequence):
+      // the omazureeventhubs contract needs a per-connection monotone
+      // decimal message_id, not any particular numbering, so the closed
+      // form replaces the former per-worker row_number window — no
+      // window, no sort, no shuffle at any scale (the window's partition
+      // count capped sort parallelism at #workers: 10M sf1 rows through
+      // 32 sort partitions was the round-9 worst-5 entry)
+      val worker = (col("event_id") % 32).cast("int")
+      val seq = expr("event_id div 32")
       val src = ev.select(col("event_id"), col("rawmsg"), col("ts"),
         worker.as("worker"), seq.as("seq"))
       graft.sources.CloudSinks.eventHubsMessage(src, col("rawmsg"),
@@ -1741,11 +1779,33 @@ object Queries {
         .withColumn("wire", concat(col("rawmsg"), expr("repeat('x', pad)")))
         .withColumn("fromhost_ip",
           rainer.num2ipv4(pmod(col("user_id"), lit(4294967296L))))
-      graft.sources.Sources.udpspoofPackets(ev,
-          col("wire"), col("fromhost_ip"), col("event_id"))
+      val frames = graft.sources.Sources.udpspoofPackets(ev,
+        col("wire"), col("fromhost_ip"), col("event_id"))
+      // deep probe: each fragment's ACTUAL byte slice of the original
+      // datagram (start derived from frag_offset, so a wrong offset
+      // ladder shifts the bytes and hash-mismatches against the oracle's
+      // independently-positioned substring), plus real reassembly — the
+      // slices concatenated in frag_idx order must equal the original
+      // wire message byte-for-byte (oracle asserts the same via
+      // arithmetic tiling: offsets contiguous ∧ Σ payload_len = len)
+      val msgStart = when(col("frag_idx") === 0, lit(1L))
+        .otherwise(col("frag_offset") - 8 + 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_id")).orderBy(col("frag_idx"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      frames
+        .withColumn("frag_payload", expr(
+          "substring(wire, CAST(CASE WHEN frag_idx = 0 THEN 1 " +
+          "ELSE frag_offset - 8 + 1 END AS INT), CAST(payload_len AS INT))"))
+        .withColumn("probe_reassembled",
+          concat_ws("", collect_list(col("frag_payload")).over(w))
+            === col("wire"))
+        .withColumn("frag_head", substring(col("frag_payload"), 1, 16))
         .select(col("event_id"), col("frag_idx"), col("src_ip"),
           col("src_port"), col("dst_port"), col("mf"), col("frag_offset"),
-          col("payload_len"), col("ip_len"), col("udp_len"))
+          col("payload_len"), col("ip_len"), col("udp_len"),
+          col("frag_head"), col("probe_reassembled"))
     }),
 
     // BASELINE workload shape: full ingest→deframe→parse→filter→enrich→
@@ -2012,6 +2072,48 @@ object Queries {
           col("v.n").cast("long").as("n"))
     }),
 
+    // §2.9 mmnormalize v1 rulebase with TAGS + annotate + `-` discard
+    // fields — the reference's own WIN/ESX rules verbatim
+    // (tests/testsuites/mmnormalize_processing_tests.rulebase:1-8,
+    // driven by tests/mmnormalize_processing_test1-4.sh): tag-attached
+    // annotate constants land next to parsed fields, discard fields
+    // anchor without capturing, first-matching rule wins
+    "mmnormalize_annotate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val iso = lit("2024-01-05T10:20:30Z")
+      val msg = when(col("event_id") % 2 === 0,
+          concat(lit("<134>1 "), iso, lit(" host"), col("user_id"),
+            lit(" WinTag - - - svc"), col("user_id") % 4,
+            lit(" ret"), col("event_id") % 3, lit(" os"), col("event_id") % 5,
+            lit(" event "), col("event_type"), lit(" happened")))
+        .otherwise(concat(lit("<7>"), iso, lit(" esx"), col("user_id"),
+          lit(" vpx.daemon: event "), col("event_type"), lit(" at "),
+          col("event_id")))
+      val rulebase = Seq(
+        "rule=WIN:<%n1:number%>1 %-:date-rfc5424% %n2:word% %v_tag:word% - - - %v_svc:word% %v_ret:word% %v_os:word% %v_msg:rest%",
+        "annotate=WIN:+v_analytics_prefix=\"EvntSLog: \"",
+        "rule=ESX:<%-:number%>%-:date-rfc5424% %-:word% %v_tag:char-to:\\x3a%: %v_msg:rest%",
+        "annotate=ESX:+v_svc=\"SER2\"",
+        "annotate=ESX:+v_ret=\"Y01\"",
+        "annotate=ESX:+v_file=\"esx\"",
+        "annotate=ESX:+v_os=\"ESX\"")
+      ev.withColumn("msg", msg).select(col("event_id"),
+          from_json(Normalize.normalizeRulebase(col("msg"), rulebase),
+            StructType(Seq("n1", "n2", "v_tag", "v_svc", "v_ret", "v_os",
+              "v_msg", "v_file", "v_analytics_prefix")
+              .map(StructField(_, StringType)))).as("v"))
+        .select(col("event_id"),
+          col("v.n1").cast("long").as("n1"),
+          col("v.n2").as("n2"),
+          col("v.v_tag").as("tag"),
+          col("v.v_svc").as("svc"),
+          col("v.v_ret").as("ret"),
+          col("v.v_os").as("os"),
+          col("v.v_file").as("file"),
+          col("v.v_msg").as("vmsg"),
+          col("v.v_analytics_prefix").as("prefix"))
+    }),
+
     // §2.10 omsendertrack — per-sender first/last-seen + volume state
     "sender_track" -> ((s, dir) => {
       val ev = synthSyslog(s, dir)
@@ -2097,10 +2199,19 @@ object Queries {
         .filter(col("cluster").isNotNull)
     }),
 
-    // exact n-gram Jaccard pairs (inverted-index verify path)
+    // exact n-gram Jaccard pairs (inverted-index verify path — the
+    // exhaustive recall-1 fallback; dedup_verified is the scale default)
     "dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         blockCol = "lang", n = 3, minJaccard = 0.5)
+    }),
+
+    // the default near-dup composition at scale: MinHash-LSH candidate
+    // filter → exact per-pair shingle-set Jaccard verify (no inverted
+    // index; verifier cost scales with candidates, not corpus²)
+    "dedup_verified" -> ((s, dir) => {
+      Dedup.nearDupVerified(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, bands = 16, rows = 4, minEstJaccard = 0.35, minJaccard = 0.5)
     }),
 
     // brute-force cosine top-k ANN baseline
@@ -2165,6 +2276,24 @@ object Queries {
     "multimodal_frames" -> ((s, dir) => {
       val media = Multimodal.synthMedia(Tables.documents(s, dir))
       Multimodal.sampleFrames(media, everyNth = 3)
+    }),
+
+    // multimodal REAL image round-trip: per-doc PNG encoded with
+    // javax.imageio (two id-derived colors, even width) → decoded with
+    // javax.imageio → dimensions + exact per-channel means, which the
+    // oracle derives in closed form from doc_id
+    "multimodal_image_decode" -> ((s, dir) => {
+      Multimodal.decodeImages(
+        Multimodal.synthEncodedMedia(Tables.documents(s, dir), "image"))
+    }),
+
+    // multimodal REAL audio round-trip: per-doc RIFF-WAVE (16-bit mono
+    // PCM, 8 kHz, id-derived length and constant sample) encoded and
+    // decoded with javax.sound.sampled; format/frames/duration/first
+    // sample all closed-form for the oracle
+    "multimodal_audio_decode" -> ((s, dir) => {
+      Multimodal.decodeAudio(
+        Multimodal.synthEncodedMedia(Tables.documents(s, dir), "audio"))
     }),
 
     // §2.9 mmfields — delimiter split into f_1..f_n
@@ -3589,6 +3718,10 @@ object Queries {
         |  SELECT event_id, ts,
         |    'stream' || (user_id % 3) AS k,
         |    CASE WHEN event_id % 101 = 0 THEN '(empty)'
+        |         ELSE 'app "x"' || chr(9) || 'line1' || chr(10) || 'msg:' ||
+        |           event_id || ' t=' || event_type
+        |    END AS raw,
+        |    CASE WHEN event_id % 101 = 0 THEN '(empty)'
         |         ELSE replace(replace(replace(
         |           'app "x"' || chr(9) || 'line1' || chr(10) || 'msg:' ||
         |             event_id || ' t=' || event_type,
@@ -3597,7 +3730,7 @@ object Queries {
         |    'host' || (user_id % 5) AS h
         |  FROM events),
         |e AS (
-        |  SELECT event_id, k,
+        |  SELECT event_id, k, raw, h,
         |    '{"event":"' || esc || '","time":' ||
         |    CAST(epoch_ns(ts)//1000000000 AS VARCHAR) || '.' ||
         |    lpad(CAST((epoch_ns(ts)//1000) % 1000000 AS VARCHAR), 6, '0') ||
@@ -3612,7 +3745,9 @@ object Queries {
         |  CAST(strlen(string_agg(ev_json, '' ORDER BY event_id))
         |    AS BIGINT) AS payload_bytes,
         |  CAST(0 AS BIGINT) AS n_dropped,
-        |  min(event_id) AS first_ord, max(event_id) AS last_ord
+        |  min(event_id) AS first_ord, max(event_id) AS last_ord,
+        |  arg_min(raw, event_id) AS probe_msg,
+        |  arg_min(h, event_id) AS probe_host
         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "azure_dce" ->
@@ -3629,9 +3764,28 @@ object Queries {
         |       ELSE event_type END AS probe_t
         |FROM events""".stripMargin,
 
+    "azure_dce_pack" ->
+      """WITH recs AS (
+        |  SELECT event_id, CAST(event_id % 50 AS VARCHAR) AS k, event_type,
+        |    CASE WHEN event_id % 97 = 0 OR event_id % 89 = 0 THEN NULL
+        |         ELSE '{"id":' || event_id || ',"t":"' || event_type || '"}'
+        |    END AS rec
+        |  FROM events),
+        |nn AS (SELECT * FROM recs WHERE rec IS NOT NULL)
+        |SELECT k, CAST(0 AS BIGINT) AS batch_idx,
+        |  '[' || string_agg(rec, ',' ORDER BY event_id) || ']' AS payload,
+        |  count(*) AS n_events,
+        |  CAST(strlen('[' || string_agg(rec, ',' ORDER BY event_id) || ']')
+        |    AS BIGINT) AS payload_bytes,
+        |  CAST(0 AS BIGINT) AS n_dropped,
+        |  min(event_id) AS first_ord, max(event_id) AS last_ord,
+        |  min(event_id) AS probe_id0,
+        |  arg_min(event_type, event_id) AS probe_t0
+        |FROM nn GROUP BY 1""".stripMargin,
+
     "eventhubs_message" -> (synthSql +
       """, r AS (
-        |  SELECT event_id, CAST(user_id % 32 AS INT) AS worker, ts,
+        |  SELECT event_id, CAST(event_id % 32 AS INT) AS worker, ts,
         |    '<' || (facility * 8 + severity) || '>' ||
         |    strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
         |    lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
@@ -3639,8 +3793,7 @@ object Queries {
         |    hostname || ' ' || syslogtag || ': ' ||
         |    'msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0') ||
         |    ': v100=' || v100 AS rawmsg,
-        |    row_number() OVER (PARTITION BY user_id % 32 ORDER BY event_id)
-        |      - 1 AS seq
+        |    event_id // 32 AS seq
         |  FROM ev)
         |SELECT event_id, worker,
         |  '{"address":"amqps://graft-ns.servicebus.windows.net/hub1","message_id":"'
@@ -4348,14 +4501,14 @@ object Queries {
     "omudpspoof_frames" -> (synthSql + """
       |, m AS (
       |  SELECT event_id,
-      |    length('<' || (facility*8 + severity) || '>' ||
+      |    ('<' || (facility*8 + severity) || '>' ||
       |      strftime(CAST(ts AS TIMESTAMP), '%b') || ' ' ||
       |      lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
       |      strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
       |      hostname || ' ' || syslogtag || ': msgnum:' ||
       |      lpad(CAST(event_id AS VARCHAR), 8, '0') || ': v100=' || v100)
-      |    + CASE WHEN severity = 7 THEN 3000
-      |           WHEN severity = 5 THEN 1600 ELSE 0 END AS len,
+      |    || repeat('x', CASE WHEN severity = 7 THEN 3000
+      |                       WHEN severity = 5 THEN 1600 ELSE 0 END) AS wire,
       |    ((user_id % 4294967296) // 16777216) % 256 || '.' ||
       |      ((user_id % 4294967296) // 65536) % 256 || '.' ||
       |      ((user_id % 4294967296) // 256) % 256 || '.' ||
@@ -4363,21 +4516,33 @@ object Queries {
       |    CAST(32000 + event_id % 10001 AS INT) AS src_port
       |  FROM ev),
       |f AS (
-      |  SELECT event_id, len, src_ip, src_port,
-      |    unnest(range(CASE WHEN len <= 1472 THEN 1
-      |                      ELSE 2 + (len - 1473) // 1480 END)) AS frag_idx
-      |  FROM m)
+      |  SELECT event_id, wire, length(wire) AS len, src_ip, src_port,
+      |    unnest(range(CASE WHEN length(wire) <= 1472 THEN 1
+      |                      ELSE 2 + (length(wire) - 1473) // 1480 END)) AS frag_idx
+      |  FROM m),
+      |g AS (
+      |  SELECT event_id, wire, len, src_ip, src_port, frag_idx,
+      |    CASE WHEN frag_idx = 0 THEN 0
+      |         ELSE 1472 + (frag_idx-1)*1480 END AS mstart,
+      |    CASE WHEN frag_idx = 0 THEN least(len, 1472)
+      |         ELSE least(len - (1472 + (frag_idx-1)*1480), 1480) END AS payload_len
+      |  FROM f)
       |SELECT event_id, frag_idx, src_ip, src_port, CAST(514 AS INT) AS dst_port,
       |  CASE WHEN frag_idx = 0 THEN len > 1472
-      |       ELSE len - (1472 + (frag_idx-1)*1480) > 1480 END AS mf,
-      |  CASE WHEN frag_idx = 0 THEN 0
-      |       ELSE 1472 + (frag_idx-1)*1480 + 8 END AS frag_offset,
-      |  CASE WHEN frag_idx = 0 THEN least(len, 1472)
-      |       ELSE least(len - (1472 + (frag_idx-1)*1480), 1480) END AS payload_len,
-      |  CASE WHEN frag_idx = 0 THEN least(len, 1472) + 28
-      |       ELSE least(len - (1472 + (frag_idx-1)*1480), 1480) + 20 END AS ip_len,
-      |  CASE WHEN frag_idx = 0 THEN len + 8 END AS udp_len
-      |FROM f""").stripMargin,
+      |       ELSE len - mstart > 1480 END AS mf,
+      |  CASE WHEN frag_idx = 0 THEN 0 ELSE mstart + 8 END AS frag_offset,
+      |  payload_len,
+      |  CASE WHEN frag_idx = 0 THEN payload_len + 28
+      |       ELSE payload_len + 20 END AS ip_len,
+      |  CASE WHEN frag_idx = 0 THEN len + 8 END AS udp_len,
+      |  substr(wire, CAST(mstart + 1 AS INT),
+      |    CAST(least(16, payload_len) AS INT)) AS frag_head,
+      |  sum(payload_len) OVER (PARTITION BY event_id) = len
+      |    AND mstart = coalesce(sum(payload_len) OVER (
+      |      PARTITION BY event_id ORDER BY frag_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS probe_reassembled
+      |FROM g""").stripMargin,
 
     "fmhttp_enrich" ->
       """WITH resp(u, body) AS (VALUES
@@ -4581,6 +4746,25 @@ object Queries {
         |    THEN CAST(regexp_extract(msg, '^user (\S+) did (\S+) n=(\d+)$', 3) AS BIGINT) END AS n
         |FROM m""".stripMargin,
 
+    "mmnormalize_annotate" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 2 = 0 THEN 134 END AS n1,
+        |  CASE WHEN event_id % 2 = 0 THEN 'host' || user_id END AS n2,
+        |  CASE WHEN event_id % 2 = 0 THEN 'WinTag'
+        |       ELSE 'vpx.daemon' END AS tag,
+        |  CASE WHEN event_id % 2 = 0 THEN 'svc' || (user_id % 4)
+        |       ELSE 'SER2' END AS svc,
+        |  CASE WHEN event_id % 2 = 0 THEN 'ret' || (event_id % 3)
+        |       ELSE 'Y01' END AS ret,
+        |  CASE WHEN event_id % 2 = 0 THEN 'os' || (event_id % 5)
+        |       ELSE 'ESX' END AS os,
+        |  CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'esx' END AS file,
+        |  CASE WHEN event_id % 2 = 0
+        |       THEN 'event ' || event_type || ' happened'
+        |       ELSE 'event ' || event_type || ' at ' || event_id END AS vmsg,
+        |  CASE WHEN event_id % 2 = 0 THEN 'EvntSLog: ' END AS prefix
+        |FROM events""".stripMargin,
+
     "sender_track" -> (synthSql +
       """ SELECT hostname AS sender,
         |  min(epoch_ns(ts) // 1000000000) AS first_seen,
@@ -4678,6 +4862,8 @@ object Queries {
     // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)
     "dedup_minhash" -> Dedup.minhashOracleSql(n = 3, bands = 16, rows = 4,
       minEstJaccard = 0.5),
+    "dedup_verified" -> Dedup.nearDupVerifiedOracleSql(n = 3, bands = 16,
+      rows = 4, minEstJaccard = 0.35, minJaccard = 0.5),
     "seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 64 AS shard,
@@ -4768,6 +4954,28 @@ object Queries {
         |    WHEN 2 THEN octet_length(encode(text)) // 1024 + 1
         |    WHEN 1 THEN octet_length(encode(text)) // 4096 + 1
         |    ELSE 1 END AS frames_sampled
+        |FROM documents""".stripMargin,
+
+    // real-codec round-trips: the engine encodes AND decodes with the
+    // actual JDK codecs; the oracle knows what the decode must yield
+    // because the fixture's pixel/sample content is closed-form in id
+    "multimodal_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + (doc_id % 8) * 2 AS INT) AS width,
+        |  CAST(8 + (doc_id % 5) * 2 AS INT) AS height,
+        |  ((doc_id % 256) + (doc_id * 3 % 256)) / 2.0 AS mean_r,
+        |  ((doc_id * 7 % 256) + (doc_id * 11 % 256)) / 2.0 AS mean_g,
+        |  ((doc_id * 13 % 256) + (doc_id * 17 % 256)) / 2.0 AS mean_b
+        |FROM documents""".stripMargin,
+
+    "multimodal_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(1 AS INT) AS channels,
+        |  800 + doc_id % 800 AS n_frames,
+        |  (800 + doc_id % 800) / 8.0 AS dur_ms,
+        |  CAST((doc_id % 100) * 64 AS INT) AS first_sample
         |FROM documents""".stripMargin,
 
     "multimodal_frames" ->

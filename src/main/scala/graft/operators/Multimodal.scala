@@ -8,12 +8,17 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
 /** Multimodal-column plumbing: image/audio/video as opaque `BINARY`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode/feature-extraction kernel is STUBBED (no codec libs in this
-  * container — see the deterministic fake in `stubDecode`); everything
-  * Spark-side is real: schema, batch iteration via mapPartitions (the
-  * Scala analogue of mapInPandas' arrow-batch contract), partition sizing,
-  * and the typed output schema. Swapping `stubDecode` for a real JNI/FFI
-  * decoder changes no plan shape.
+  * Image and audio decode are REAL: `decodeImages` runs javax.imageio
+  * (PNG/JPEG/GIF/BMP/TIFF/WBMP — the JDK's own readers, present in this
+  * container) and `decodeAudio` runs javax.sound.sampled (RIFF-WAVE/
+  * PCM), each fed by a fixture that synthesizes genuinely ENCODED bytes
+  * whose content is a closed-form function of the id — so the DuckDB
+  * oracle asserts the decoded dimensions/means/durations analytically
+  * and the correctness gate covers the full encode→decode round-trip.
+  * Only video keeps a stub kernel (`stubDecode` — no video codec in the
+  * container); its Spark-side plumbing (schema, mapPartitions batch
+  * iteration, partition sizing, typed output) is identical to the real
+  * paths, so swapping in a JNI/FFI video decoder changes no plan shape.
   */
 object Multimodal {
 
@@ -81,6 +86,157 @@ object Multimodal {
           Row(id, kind, content.length, sha, feat, frames)
         }
       }(enc)
+  }
+
+  // ------------------------------------------------------------------
+  // REAL codec paths — javax.imageio (PNG/JPEG/GIF/BMP/TIFF/WBMP
+  // readers ship in the JDK; probed present in this container) and
+  // javax.sound.sampled (WAV/PCM). These replace the stub for the
+  // image/audio kinds end-to-end: the fixture synthesizes REAL encoded
+  // bytes (PNG / RIFF-WAVE), the decode kernel runs the REAL codec,
+  // and because the fixture's pixel/sample content is a closed-form
+  // function of the id, the DuckDB oracle can assert the decoded
+  // dimensions, means, and durations analytically — a genuine
+  // encode→decode round-trip under the correctness gate. Video keeps
+  // the documented stub (no container codec for it).
+  // ------------------------------------------------------------------
+
+  /** Deterministic PNG: left half colorA, right half colorB (both
+    * id-derived), even width — so decoded per-channel means are exactly
+    * (a+b)/2, closed-form for the oracle. Lossless PNG ⇒ exact. */
+  private[graft] def pngBytes(id: Long): Array[Byte] = {
+    val w = (8 + (id % 8) * 2).toInt
+    val h = (8 + (id % 5) * 2).toInt
+    def rgb(r: Long, g: Long, b: Long): Int =
+      ((r.toInt & 0xFF) << 16) | ((g.toInt & 0xFF) << 8) | (b.toInt & 0xFF)
+    val a = rgb(id % 256, id * 7 % 256, id * 13 % 256)
+    val b = rgb(id * 3 % 256, id * 11 % 256, id * 17 % 256)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, if (x < w / 2) a else b); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 16-bit mono PCM RIFF-WAVE: 8 kHz, id-derived frame
+    * count and constant sample value (little-endian), so frame length,
+    * duration, and the first decoded sample are closed-form. */
+  private[graft] def wavBytes(id: Long): Array[Byte] = {
+    val n = (800 + id % 800).toInt
+    val v = ((id % 100) * 64).toInt // constant 16-bit sample value
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real-encoded media fixture: one PNG and one WAV payload per doc.
+    * mapPartitions (not a per-row UDF) so a real codec's per-task init
+    * cost amortizes — the same batch contract as extractFeatures. */
+  def synthEncodedMedia(docs: DataFrame, kind: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("content", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Row(id, if (kind == "image") pngBytes(id) else wavBytes(id))
+      }
+    }(enc)
+  }
+
+  /** REAL image decode: javax.imageio sniffs the container format from
+    * the bytes, decodes pixels; output = dimensions + exact per-channel
+    * means. Undecodable payloads yield null fields (the quarantine
+    * column pattern), never a task failure. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Row(id, null, null, null, null, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          Row(id, w, h, sr / n, sg / n, sb / n)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL audio decode: javax.sound parses the RIFF header and PCM
+    * format; output = format fields, frame length, duration, first
+    * decoded sample. */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("dur_ms", DoubleType),
+      StructField("first_sample", IntegerType)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val f = ais.getFormat
+          val frames = ais.getFrameLength
+          // whole-frame read (single-byte read() is illegal at frame
+          // size 2); little-endian 16-bit first sample
+          val fr = new Array[Byte](2)
+          ais.read(fr)
+          val first = ((fr(0) & 0xFF) | (fr(1) << 8)).toShort.toInt
+          Row(id, f.getSampleRate.toInt, f.getSampleSizeInBits,
+            f.getChannels, frames,
+            frames * 1000.0 / f.getSampleRate, first)
+        } catch {
+          case _: Exception => Row(id, null, null, null, null, null, null)
+        }
+      }
+    }(enc)
   }
 
   /** Frame sampling for video payloads: every Nth 1 KiB block becomes a

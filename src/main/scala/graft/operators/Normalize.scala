@@ -18,7 +18,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object Normalize {
 
   case class Field(name: String, typ: String)
-  case class CompiledRule(regex: String, fields: Seq[Field])
+  case class CompiledRule(regex: String, fields: Seq[Field],
+                          tags: Seq[String] = Nil,
+                          annotations: Seq[(String, String)] = Nil)
 
   /** Strip a rulebase line's `rule=[tags]:` prefix when present —
     * pmnormalize/mmnormalize rule= params carry full rulebase LINES
@@ -102,11 +104,21 @@ object Normalize {
         val spec = rule.substring(i + 1, end)
         val parts = spec.split(":", 2)
         val (name, typ) = (parts(0), if (parts.length > 1) parts(1) else "word")
-        fields += Field(name, typ)
-        sb.append(typ match {
-          case "quoted-string" => "\"([^\"]*)\"" // capture INSIDE the quotes
-          case t => s"(${baseRe(t)})"
-        })
+        if (name == "-")
+          // liblognorm's discard name: the field anchors the match but
+          // is never captured or emitted (mmnormalize_processing_tests
+          // rulebase `%-:date-rfc5424%` etc.)
+          sb.append(typ match {
+            case "quoted-string" => "\"(?:[^\"]*)\""
+            case t => s"(?:${baseRe(t)})"
+          })
+        else {
+          fields += Field(name, typ)
+          sb.append(typ match {
+            case "quoted-string" => "\"([^\"]*)\"" // capture INSIDE the quotes
+            case t => s"(${baseRe(t)})"
+          })
+        }
         i = end + 1
       } else {
         sb.append(java.util.regex.Pattern.quote(rule(i).toString))
@@ -133,12 +145,50 @@ object Normalize {
     * (1 rlike + N regexp_extract) per rule. Output values are identical
     * (number fields long-normalized, non-numeric omitted like a null
     * struct field under to_json). */
-  def normalize(msg: Column, rules: Seq[String]): Column = {
-    val compiled = rules.map(compileRule)
+  def normalize(msg: Column, rules: Seq[String]): Column =
+    normalizeCompiled(msg, rules.map(r => compileRule(stripRulePrefix(r))))
+
+  /** Parse a whole v1 rulebase: ordered `rule=TAGS:pattern` lines plus
+    * `annotate=TAG:+name="value"` lines attached to every rule carrying
+    * TAG (liblognorm v1 annotate — exercised by the reference's
+    * tests/mmnormalize_processing_test1-4.sh over
+    * tests/testsuites/mmnormalize_processing_tests.rulebase). `%-:type%`
+    * fields anchor without capturing (the rulebase discard name).
+    *
+    * Subset boundary: liblognorm v2 `%{...}%` alternatives blocks are
+    * NOT implemented — no scenario in the reference test suite
+    * exercises them (grep over every rulebase under tests/testsuites);
+    * the v1 grammar covers every mmnormalize/pmnormalize reference
+    * test. */
+  def compileRulebase(lines: Seq[String]): Seq[CompiledRule] = {
+    val ruleRe = "^rule=([^:]*):(.*)$".r
+    val annRe = "^annotate=([^:]+):\\+([^=]+)=\"(.*)\"\\s*$".r
+    val anns = lines.collect {
+      case annRe(tag, name, v) => (tag.trim, name.trim, v)
+    }
+    lines.flatMap { line =>
+      line.trim match {
+        case ruleRe(tags, pattern) =>
+          val tagSeq = tags.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val ruleAnns =
+            anns.filter(a => tagSeq.contains(a._1)).map(a => (a._2, a._3))
+          Some(compileRule(pattern).copy(tags = tagSeq, annotations = ruleAnns))
+        case t if t.isEmpty || t.startsWith("#") || t.startsWith("annotate=") ||
+          t.startsWith("version=") || t.startsWith("prefix=") => None
+        case bare => Some(compileRule(bare))
+      }
+    }
+  }
+
+  /** normalize() over full rulebase lines — tags/annotate aware. */
+  def normalizeRulebase(msg: Column, lines: Seq[String]): Column =
+    normalizeCompiled(msg, compileRulebase(lines))
+
+  private def normalizeCompiled(msg: Column, compiled: Seq[CompiledRule]): Column =
     org.apache.spark.sql.GraftBridge.column(
       NormalizeExpr(org.apache.spark.sql.GraftBridge.expression(msg),
-        compiled.map(cr => (cr.regex, cr.fields.map(f => (f.name, f.typ))))))
-  }
+        compiled.map(cr => (cr.regex, cr.fields.map(f => (f.name, f.typ)),
+          cr.annotations))))
 
   // ------------------------------------------------------------- mmgrok
   /** Grok base-pattern table (the usual logstash names; reference:
@@ -192,27 +242,30 @@ object Normalize {
 }
 
 /** First-matching-rule field extraction in one pass. `rules` is
-  * (regex, fields(name, type)) per rule; the first rule whose regex
-  * matches yields a JSON object of its captured fields ("number" fields
-  * long-normalized; unparsable numbers omitted), no rule → "{}".
+  * (regex, fields(name, type), annotations(name, value)) per rule; the
+  * first rule whose regex matches yields a JSON object of its captured
+  * fields ("number" fields long-normalized; unparsable numbers omitted)
+  * plus its tag-attached annotation constants, no rule → "{}".
   * Patterns compile once per executor (transient lazy), and generated
   * code is one instance-method call via a reference object.
   */
 case class NormalizeExpr(child: Expression,
-                         rules: Seq[(String, Seq[(String, String)])])
+                         rules: Seq[(String, Seq[(String, String)],
+                           Seq[(String, String)])])
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false // null msg → "{}", never SQL NULL
   override def prettyName: String = "normalize"
 
   @transient private lazy val compiled =
-    rules.map { case (re, fs) => (java.util.regex.Pattern.compile(re), fs) }
+    rules.map { case (re, fs, anns) =>
+      (java.util.regex.Pattern.compile(re), fs, anns) }
 
   def kernel(msg: UTF8String): UTF8String = {
     val s = msg.toString
     val it = compiled.iterator
     while (it.hasNext) {
-      val (p, fields) = it.next()
+      val (p, fields, anns) = it.next()
       val m = p.matcher(s)
       if (m.find()) {
         val node = graft.functions.JsonPathUtil.mapper.createObjectNode()
@@ -229,6 +282,9 @@ case class NormalizeExpr(child: Expression,
           else node.put(name, v)
           i += 1
         }
+        // tag annotations last (liblognorm applies annotate after the
+        // parse fields populate the event)
+        anns.foreach { case (name, value) => node.put(name, value) }
         return UTF8String.fromString(node.toString)
       }
     }

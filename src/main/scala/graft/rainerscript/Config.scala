@@ -873,7 +873,7 @@ object RsyslogConfig {
         // (glbl.c eCmdHdlrArray environment → do_setenv;
         // tests/glbl_setenv.sh). Array values arrive NUL-joined.
         p.get("environment").foreach { v =>
-          v.split(' ').foreach { kv =>
+          v.split('\u0000').foreach { kv =>
             val eq = kv.indexOf('=')
             if (eq > 0)
               EnvSource.overrides += (kv.substring(0, eq) -> kv.substring(eq + 1))

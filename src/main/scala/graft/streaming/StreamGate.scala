@@ -83,10 +83,37 @@ object StreamGate {
     } else raw
   }
 
+  /** Output dirs of completed gate runs, reaped at JVM exit — a lazily
+    * read-back sink dir stays referenced by returned DataFrames for the
+    * rest of the session, so eager deletion is never safe. */
+  private val outDirs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[java.nio.file.Path]())
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      outDirs.forEach { d =>
+        try Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => }
+      }
+    }))
+  }
+
   /** Run a bounded streaming frame to completion (checkpointing ON) and
-    * return the sink table as a batch DataFrame. The checkpoint dir is
-    * reaped once the bounded query stops — the memory sink table owns
-    * the results from then on, so nothing references it afterwards.
+    * return the sink contents as a batch DataFrame.
+    *
+    * Sink choice keeps the DRIVER out of the data path: append-mode
+    * queries (all the row-level assemblers — multiline, readmode, CRI
+    * fragment assembly, repeat-reduce, sliding windows) write a
+    * temp-parquet FILE sink and hand back a lazy executor-side read of
+    * it, so no per-row output ever materializes on the driver no matter
+    * the scale. Complete/update modes aren't supported by the file sink;
+    * they keep the memory sink — acceptable because every such gate
+    * query aggregates INSIDE the stream, so the sink holds group-count
+    * rows (#hostnames, #sender keys), not the row-level feed. The
+    * checkpoint dir is reaped once the bounded query stops; file-sink
+    * output dirs are reaped at JVM exit (they back live DataFrames).
     *
     * State-store sharding is sized to the gate's data: the stateful
     * shuffle partition count is frozen into the checkpoint at first
@@ -131,28 +158,45 @@ object StreamGate {
     // view (the only public cross-session channel)
     val vname = s"${name}_src"
     df.createOrReplaceGlobalTempView(vname)
-    val out =
-      try {
-        val q = gate.table(s"global_temp.$vname")
-          .writeStream.queryName(name).outputMode(outputMode)
-          .format("memory")
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination()
-        finally {
-          import java.nio.file.{Files, Path}
-          import java.util.Comparator
-          try Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => Files.deleteIfExists(p))
-          catch { case _: java.io.IOException => } // best-effort reap
-        }
-        gate.table(name)
-      } finally spark.catalog.dropGlobalTempView(vname)
-    // re-home the sink contents into the caller's session so downstream
-    // batch composition never mixes sessions; the memory sink already
-    // holds all rows on the driver, so this copies no extra data
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    val fileSink = outputMode == "append"
+    val sinkDir =
+      if (!fileSink) null
+      else {
+        val d =
+          if (java.nio.file.Files.isWritable(shm))
+            java.nio.file.Files.createTempDirectory(shm, "graft_sink_")
+          else java.nio.file.Files.createTempDirectory("graft_sink_")
+        outDirs.add(d)
+        d
+      }
+    try {
+      val w = gate.table(s"global_temp.$vname")
+        .writeStream.queryName(name).outputMode(outputMode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+      val q =
+        if (fileSink) w.format("parquet").option("path", sinkDir.toString).start()
+        else w.format("memory").start()
+      try q.awaitTermination()
+      finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        try Files.walk(ckpt).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        catch { case _: java.io.IOException => } // best-effort reap
+      }
+      if (fileSink)
+        // lazy executor-side read-back in the CALLER's session: the
+        // explicit schema keeps a zero-row outcome a valid empty frame
+        // (schema inference over an empty sink dir would throw)
+        spark.read.schema(df.schema).parquet(sinkDir.toString)
+      else {
+        // complete/update: aggregate-only sinks (see scaladoc) — re-home
+        // the bounded group rows into the caller's session
+        val out = gate.table(name)
+        val rows = out.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      }
+    } finally spark.catalog.dropGlobalTempView(vname)
   }
 }

@@ -403,6 +403,7 @@ class ConfigSpec extends SparkSpec {
         case graft.rainerscript.RIf(_, Seq(graft.rainerscript.RAction(p)), _) => p }
       assert(act2.get("file") == "") // invalid backtick command → ""
       assert(cfg2.run(df).actionFrame(0).count() == 1)
+      java.nio.file.Files.deleteIfExists(f)
     } finally graft.rainerscript.EnvSource.overrides = Map.empty
   }
 
@@ -775,7 +776,7 @@ class ConfigSpec extends SparkSpec {
           now = to_timestamp(lit("2024-06-01 12:00:00")))("")
         .actionFrame(0).select("__rendered").collect()(0).getString(0)
     // stock defaults: control chars → #octal, tab included
-    assert(replay("", "a\tbc") == "a#011b#001c")
+    assert(replay("", "a\tb\u0001c") == "a#011b#001c")
     // spaceLFonReceive has no LF to act on post-line-split, but the
     // combined yaml-test option set must keep the rest working: 8-bit
     // bytes escape per UTF-8 byte
@@ -785,15 +786,15 @@ class ConfigSpec extends SparkSpec {
     // C-style escapes
     assert(replay(
       """global(parser.escapeControlCharactersCStyle="on")""",
-      "a\tbcd") == "a\\tb\\x01c\\vd")
+      "a\tb\u0001c\u000bd") == "a\\tb\\x01c\\vd")
     // tab excluded
     assert(replay(
       """global(parser.escapeControlCharacterTab="off")""",
-      "a\tbc") == "a\tb#001c")
+      "a\tb\u0001c") == "a\tb#001c")
     // custom escape prefix
     assert(replay(
       """global(parser.controlCharacterEscapePrefix="%" parser.spaceLFOnReceive="on")""",
-      "ab") == "a%001b")
+      "a\u0001b") == "a%001b")
   }
 
   test("allowedSender ACL drops out-of-list senders at reception") {

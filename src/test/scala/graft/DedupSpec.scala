@@ -24,6 +24,35 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("nearDupVerified: exact jaccard on LSH survivors only") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("five", "cinq")), // genuine near-dup of 1 (one
+      // token differs AFTER lowering, so preDedup can't collapse it)
+      (3L, "completely unrelated text with entirely different tokens here " +
+           "nothing shared at all between documents whatsoever truly")
+    ).toDF("doc_id", "text")
+    val out = Dedup.nearDupVerified(docs, "doc_id", "text",
+      minEstJaccard = 0.35, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    // the 1-2 pair survives filter AND verify; exact jaccard matches the
+    // exhaustive verifier's number for the same pair
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val exhaustive = Dedup.ngramJaccardPairs(
+        docs.withColumn("lang", lit("en")), "doc_id", "text", "lang",
+        minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(p => ((p._1, p._2), p._3)).toMap
+    assert(out.forall(p => exhaustive((p._1, p._2)) == p._3))
+    // a doc pair below the verify threshold is filtered even if LSH
+    // proposed it: verify with an impossible threshold → empty
+    assert(Dedup.nearDupVerified(docs, "doc_id", "text",
+      minEstJaccard = 0.35, minJaccard = 0.999).count() == 0)
+  }
+
   test("exact dedup groups identical normalized content") {
     val docs = Seq(
       (10L, "Hello,  World!"), (11L, "hello world"), (12L, "other text")

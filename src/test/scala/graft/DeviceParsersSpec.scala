@@ -183,6 +183,40 @@ class DeviceParsersSpec extends SparkSpec {
     assert(row(g2).getStruct(0).getAs[String]("n") == "42")
   }
 
+  test("rulebase tags + annotate + discard fields (processing_tests rulebase)") {
+    // the reference's WIN/ESX rules verbatim
+    // (tests/testsuites/mmnormalize_processing_tests.rulebase:1-8)
+    val rb = Seq(
+      "rule=WIN:<%n1:number%>1 %-:date-rfc5424% %n2:word% %v_tag:word% - - - %v_svc:word% %v_ret:word% %v_os:word% %v_msg:rest%",
+      "annotate=WIN:+v_analytics_prefix=\"EvntSLog: \"",
+      "rule=ESX:<%-:number%>%-:date-rfc5424% %-:word% %v_tag:char-to:\\x3a%: %v_msg:rest%",
+      "annotate=ESX:+v_svc=\"SER2\"",
+      "annotate=ESX:+v_os=\"ESX\"")
+    val compiled = Normalize.compileRulebase(rb)
+    assert(compiled.size == 2)
+    assert(compiled(0).tags == Seq("WIN"))
+    assert(compiled(0).annotations == Seq("v_analytics_prefix" -> "EvntSLog: "))
+    assert(compiled(1).annotations ==
+      Seq("v_svc" -> "SER2", "v_os" -> "ESX"))
+    // discard fields anchor but never capture
+    assert(!compiled(1).fields.exists(_.name == "-"))
+    val win = row(Normalize.normalizeRulebase(
+      lit("<134>1 2024-01-05T10:20:30Z h7 WinTag - - - svcA retB osC hello world"),
+      rb)).getString(0)
+    assert(win.contains("\"v_svc\":\"svcA\""))
+    assert(win.contains("\"v_analytics_prefix\":\"EvntSLog: \""))
+    assert(win.contains("\"n1\":\"134\""))
+    val esx = row(Normalize.normalizeRulebase(
+      lit("<7>2024-01-05T10:20:30Z esx1 vpx.daemon: boot done"), rb))
+      .getString(0)
+    assert(esx.contains("\"v_tag\":\"vpx.daemon\""))
+    assert(esx.contains("\"v_msg\":\"boot done\""))
+    assert(esx.contains("\"v_svc\":\"SER2\"") && esx.contains("\"v_os\":\"ESX\""))
+    // no rule → "{}"
+    assert(row(Normalize.normalizeRulebase(lit("garbage"), rb))
+      .getString(0) == "{}")
+  }
+
   test("pmdb2diag and pmpanngfw field extraction") {
     val r = row(device.parseDb2Diag(lit(
       "2024-01-01-12.00.00.123456+000 I12345A678 LEVEL: Error PID : 1234 TID : 5678 PROC : db2sysc"

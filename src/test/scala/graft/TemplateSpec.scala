@@ -75,7 +75,7 @@ class TemplateSpec extends SparkSpec {
   }
 
   test("control-char, secpath, and SQL escaping options") {
-    val dirty = Seq(("a\tbc/d'e\\f", 0)).toDF("msg", "x")
+    val dirty = Seq(("a\tb\u0001c/d'e\\f", 0)).toDF("msg", "x")
     def r(tpl: String): String =
       dirty.select(TemplateCompiler.compile(tpl, col).as("r")).collect()(0).getString(0)
     assert(r("%msg:::drop-cc%") == "abc/d'e\\f")
