@@ -26,8 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g on the 128GiB bench host: the full 110-query suite plus the
-  // 10x-scale rehearsal in one local[32] JVM thrashed old-gen at 8g —
-  // end-of-suite queries measured 20-50x their fresh-JVM times
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g on the 128GiB bench host: the full 166-query suite plus the
+  // 10x/100x/1000x scale sections in one local[32] JVM thrashed old-gen
+  // at 8g (end-of-suite queries measured 20-50x fresh-JVM times) and at
+  // 24g the r10 probe OOM'd inside sf10 dedup_ngram's bucket buffers
+  // once preceding sections' retained heap narrowed the margin
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

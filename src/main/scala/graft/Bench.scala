@@ -260,6 +260,7 @@ object Bench {
     System.gc()
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
+        System.gc() // same retained-heap guard as the sf10 section
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
@@ -301,6 +302,12 @@ object Bench {
     System.gc()
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
+        // full GC between queries: broadcast/checkpoint blocks are only
+        // reclaimed by the ContextCleaner after their driver refs are
+        // GC'd, and the retained mass otherwise inflates every later
+        // query in the section (r10 probe: simhash 24.8 s fresh-JVM vs
+        // 224 s late-section, then an ngram OOM at 24g)
+        System.gc()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sf10Dir).write.format("noop").mode("overwrite").save(); true }
@@ -342,6 +349,7 @@ object Bench {
     System.gc()
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
+        System.gc() // same retained-heap guard as the sf10 section
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sf1Dir).write.format("noop").mode("overwrite").save(); true }

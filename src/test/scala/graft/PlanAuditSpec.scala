@@ -84,6 +84,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_verified: shingle compute is semi-join-bounded to candidates") {
+    // the verifier must never shingle the whole corpus: the corpus scan
+    // is filtered by a semi join against the candidate vertex set before
+    // ShinglesExpr runs (the 100 TB contract of the composition)
+    val p = plan("dedup_verified")
+    assert(p.toLowerCase.contains("leftsemi"),
+      "candidate semi join missing — shingles would be computed corpus-wide")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no-cartesian / no-Python sweep over the lazily-built batch suite") {
     // every query that constructs lazily: the physical plan must never
     // contain a cartesian product or a Python eval barrier. Eagerly-
