@@ -161,19 +161,42 @@ object Dedup {
   def nearDupVerified(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rows: Int = 4,
                       minEstJaccard: Double = 0.35, minJaccard: Double = 0.5,
-                      maxBucket: Int = 1024): DataFrame = {
+                      maxBucket: Int = 1024,
+                      preDedup: Boolean = true): DataFrame = {
+    // dedup-before-near-dup (same composition order as ngramJaccardPairs):
+    // byte-identical lowered text ⟹ identical shingle set ⟹ identical
+    // signature, so a d-wide exact-duplicate group would flood every one
+    // of its LSH buckets with d(d-1)/2 jaccard-1.0 pairs the exact-dedup
+    // layer removes for free. On the sf100 corpus (4 exact copies per
+    // doc) preDedup cut the candidate mass ~2x and the shingle-join
+    // payload ~2.5x. Pairs are emitted between REPRESENTATIVES (min id
+    // per identical-text group) — run textMembers to map members back.
+    val src =
+      if (preDedup)
+        df.groupBy(md5(lower(col(textCol))).as("g"))
+          .agg(min(struct(col(idCol).as("doc"), col(textCol).as("t"))).as("m"))
+          .select(col("m.doc").as(idCol), col("m.t").as(textCol))
+      else df
     // candidates materialize once (localCheckpoint): the set is consumed
     // twice below (vertex projection + pair join) and is orders of
     // magnitude smaller than the corpus; re-deriving the LSH pipeline per
     // consumer would repeat every upstream shuffle instead. Bounded: LSH
     // survivor pairs, the same size class the clusters() probe holds.
-    val cand = minhashLshPairs(df, idCol, textCol, n, bands, rows,
+    val cand = minhashLshPairs(src, idCol, textCol, n, bands, rows,
         minEstJaccard, maxBucket)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     // only candidate-participating docs need exact shingle sets: the
     // semi-join bounds the shingle CPU and the array shuffle mass to the
-    // candidate vertex set, never the corpus
+    // candidate vertex set, never the corpus. Each shingle set is built
+    // ONCE per doc and the pair join carries the two arrays; the
+    // alternative — join the two TEXTS and re-derive both sets per pair
+    // in a fused kernel (~3× less join payload) — MEASURED SLOWER both
+    // at sf10 (34.7 s vs 11.3 s) and sf100 (189.9 s vs 147.6 s): at
+    // local[32] the shuffle payload is local disk while the per-pair
+    // set rebuild (each doc rides ~6-21 pairs) is pure CPU, the scarce
+    // resource. Sorted-array array_intersect keeps the per-pair cost to
+    // one codegen'd merge.
     val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc"))
       .distinct()
     val sh = df.select(col(idCol).as("doc"), col(textCol).as("t"))
@@ -259,7 +282,12 @@ object Dedup {
                                minJaccard: Double = 0.5,
                                maxBucket: Int = 1024): String = {
     val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
-    s"""WITH ${minhashCtes(n, bands, rows, maxBucket)},
+    s"""WITH grp AS ( -- engine's preDedup: one rep per identical lowered text
+       |  SELECT doc_id, text,
+       |    min(doc_id) OVER (PARTITION BY lower(text)) AS rep
+       |  FROM documents),
+       |reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
+       |${minhashCtes(n, bands, rows, maxBucket, src = "reps")},
        |cand AS (
        |  SELECT id_a, id_b FROM est WHERE est_jaccard >= $minEstJaccard),
        |shs AS ( -- exact distinct-shingle sets (ShinglesExpr semantics)
@@ -281,12 +309,12 @@ object Dedup {
     * `est_jaccard` in the `est` CTE — composed by minhashOracleSql and
     * nearDupVerifiedOracleSql. */
   private def minhashCtes(n: Int, bands: Int, rows: Int,
-                          maxBucket: Int): String = {
+                          maxBucket: Int, src: String = "documents"): String = {
     val k = bands * rows
     val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
     s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
-       |  FROM documents),
+       |  FROM $src),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(len(t) - ${n - 1}), i -> $grams))) AS s
