@@ -293,7 +293,7 @@ object Bench {
   private def sf10Section(spark: SparkSession, sfDir: String): (String, String) = {
     val names = Seq("dedup_exact", "dedup_canonical", "dedup_minhash",
       "dedup_simhash", "dedup_ngram", "dedup_verified", "dedup_substring",
-      "dedup_clusters",
+      "dedup_clusters", "dedup_clusters_verified",
       "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
       "llm_prep", "text_quality", "text_repetition", "text_fingerprint",
       "decontaminate", "sample_stratified", "seq_pack")

@@ -2214,6 +2214,22 @@ object Queries {
         n = 3, bands = 16, rows = 4, minEstJaccard = 0.35, minJaccard = 0.5)
     }),
 
+    // the FLAGSHIP 100 TB dedup pipeline, end to end: exact dedup (reps)
+    // → LSH candidate filter → exact per-pair verify → connected
+    // components over verified pairs → expand members back to docs
+    "dedup_clusters_verified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupVerified(docs, "doc_id", "text",
+        minEstJaccard = 0.35, minJaccard = 0.5)
+      val repLabels = Dedup.clusters(pairs)
+      val members = Dedup.textMembersGlobal(docs, "doc_id", "text")
+      members.join(repLabels, members("rep") === repLabels("doc"), "left")
+        .select(members("doc"),
+          coalesce(repLabels("cluster"),
+            when(members("grp_n") >= 2, members("rep"))).as("cluster"))
+        .filter(col("cluster").isNotNull)
+    }),
+
     // brute-force cosine top-k ANN baseline
     "ann_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -4864,6 +4880,8 @@ object Queries {
       minEstJaccard = 0.5),
     "dedup_verified" -> Dedup.nearDupVerifiedOracleSql(n = 3, bands = 16,
       rows = 4, minEstJaccard = 0.35, minJaccard = 0.5),
+    "dedup_clusters_verified" -> Dedup.verifiedClustersOracleSql(n = 3,
+      bands = 16, rows = 4, minEstJaccard = 0.35, minJaccard = 0.5),
     "seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 64 AS shard,

@@ -280,11 +280,25 @@ object Dedup {
   def nearDupVerifiedOracleSql(n: Int = 3, bands: Int = 16, rows: Int = 4,
                                minEstJaccard: Double = 0.35,
                                minJaccard: Double = 0.5,
-                               maxBucket: Int = 1024): String = {
+                               maxBucket: Int = 1024): String =
+    s"""WITH ${nearDupVerifiedCtes(n, bands, rows, minEstJaccard, minJaccard,
+          maxBucket)}
+       |SELECT id_a, id_b, jaccard FROM verified""".stripMargin
+
+  /** The full preDedup→filter→verify chain as CTEs ending in `verified`
+    * (id_a, id_b, jaccard) — composed by nearDupVerifiedOracleSql and
+    * the verified-composition cluster oracle. Also defines `grp`
+    * (doc_id, rep per identical lowered text, grp_n) for member
+    * expansion. */
+  def nearDupVerifiedCtes(n: Int = 3, bands: Int = 16, rows: Int = 4,
+                          minEstJaccard: Double = 0.35,
+                          minJaccard: Double = 0.5,
+                          maxBucket: Int = 1024): String = {
     val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
-    s"""WITH grp AS ( -- engine's preDedup: one rep per identical lowered text
+    s"""grp AS ( -- engine's preDedup: one rep per identical lowered text
        |  SELECT doc_id, text,
-       |    min(doc_id) OVER (PARTITION BY lower(text)) AS rep
+       |    min(doc_id) OVER (PARTITION BY lower(text)) AS rep,
+       |    count(*) OVER (PARTITION BY lower(text)) AS grp_n
        |  FROM documents),
        |reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
        |${minhashCtes(n, bands, rows, maxBucket, src = "reps")},
@@ -299,11 +313,40 @@ object Dedup {
        |    len(a.sh) AS sa, len(b.sh) AS sb
        |  FROM cand c
        |  JOIN shs a ON a.doc_id = c.id_a
-       |  JOIN shs b ON b.doc_id = c.id_b)
-       |SELECT id_a, id_b,
-       |  round(CAST(i AS DOUBLE) / (sa + sb - i), 4) AS jaccard
-       |FROM ex WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= $minJaccard""".stripMargin
+       |  JOIN shs b ON b.doc_id = c.id_b),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(i AS DOUBLE) / (sa + sb - i), 4) AS jaccard
+       |  FROM ex WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= $minJaccard)""".stripMargin
   }
+
+  /** DuckDB oracle for the FLAGSHIP 100 TB dedup composition — exact
+    * dedup → LSH filter → exact verify → connected components → member
+    * expansion (`dedup_clusters_verified`): the verified chain above,
+    * then min-label reachability over the verified pairs, then every
+    * member doc mapped to its representative's cluster (an unclustered
+    * rep with an exact-dup group still forms its own cluster). */
+  def verifiedClustersOracleSql(n: Int = 3, bands: Int = 16, rows: Int = 4,
+                                minEstJaccard: Double = 0.35,
+                                minJaccard: Double = 0.5,
+                                maxBucket: Int = 1024): String =
+    s"""WITH RECURSIVE ${nearDupVerifiedCtes(n, bands, rows, minEstJaccard,
+          minJaccard, maxBucket)},
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM verified
+       |  UNION SELECT id_b, id_a FROM verified),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS doc, least(a, min(b)) AS cluster
+       |  FROM reach GROUP BY a)
+       |SELECT g.doc_id AS doc,
+       |  coalesce(l.cluster, CASE WHEN g.grp_n >= 2 THEN g.rep END) AS cluster
+       |FROM grp g LEFT JOIN labels l ON l.doc = g.rep
+       |WHERE coalesce(l.cluster, CASE WHEN g.grp_n >= 2 THEN g.rep END)
+       |  IS NOT NULL""".stripMargin
 
   /** The shared minhash-LSH CTE chain (toks→…→est), ending with per-pair
     * `est_jaccard` in the `est` CTE — composed by minhashOracleSql and
@@ -518,6 +561,19 @@ object Dedup {
         count(lit(1)).as("grp_n"))
       .select(col("m.doc").as("rep"), col("blk"), col("m.t").as("t"),
         col("grp_n"))
+
+  /** textMembers without a blocking column: rep/grp_n per identical
+    * lowered text across the WHOLE corpus — the member-expansion stage
+    * of the verified composition, whose preDedup groups globally (LSH
+    * banding needs no block key). One window shuffle. */
+  def textMembersGlobal(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("g"))
+    df.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("g"))
+      .withColumn("rep", min(col("doc")).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .select(col("doc"), col("rep"), col("grp_n"))
+  }
 
   /** Member-level companion to textGroups: every doc mapped to its
     * group representative and group size (one window shuffle, no join

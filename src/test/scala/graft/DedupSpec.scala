@@ -53,6 +53,34 @@ class DedupSpec extends SparkSpec {
       minEstJaccard = 0.35, minJaccard = 0.999).count() == 0)
   }
 
+  test("verified composition: exact copies collapse, members expand to clusters") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.toUpperCase),              // exact dup of 1 after lowering
+      (3L, base.replace("five", "cinq")),  // near-dup of 1
+      (4L, "totally different content here with nothing shared at all " +
+           "between documents whatsoever truly unrelated text tokens")
+    ).toDF("doc_id", "text")
+    // preDedup: LSH sees reps {1, 3, 4} only; pair (1,3) verifies
+    val pairs = Dedup.nearDupVerified(docs, "doc_id", "text",
+      minEstJaccard = 0.35, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 3L)))
+    // member expansion: 2 rides its rep 1's cluster; 4 unclustered
+    val members = Dedup.textMembersGlobal(docs, "doc_id", "text")
+    val labels = Dedup.clusters(pairs.toSeq.toDF("id_a", "id_b", "j"))
+    val out = members.join(labels, members("rep") === labels("doc"), "left")
+      .select(members("doc"),
+        coalesce(labels("cluster"),
+          when(members("grp_n") >= 2, members("rep"))).as("cluster"))
+      .filter(col("cluster").isNotNull)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("exact dedup groups identical normalized content") {
     val docs = Seq(
       (10L, "Hello,  World!"), (11L, "hello world"), (12L, "other text")
