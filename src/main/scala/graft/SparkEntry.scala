@@ -1407,6 +1407,17 @@ object Queries {
           lit("v100="), col("v100")).as("line"))
     }),
 
+    // §2.4 $NOW-family system properties (getNOW, msg.c:2922-2977;
+    // property ids msg.c:473-533) — rendered through the real template
+    // compiler from reception time; UTC session makes local ≡ -utc
+    "template_nowfamily" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir)
+      ev.select(col("event_id"),
+        graft.templates.TemplateCompiler.compile(
+          "%$now%T%$hour%:%$minute% h%$hhour% q%$qhour% w%$wday% u%$now-unixtimestamp%",
+          col).as("stamp"))
+    }),
+
     // §2.9 pmrfc3164 — synth rawmsg → custom parse expr → fields roundtrip
     "parse_rfc3164" -> ((s, dir) => {
       val ev = synthSyslog(s, dir)
@@ -4354,6 +4365,15 @@ object Queries {
         |  strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S') || ' ' ||
         |  hostname || ' ' || event_type || '[' || event_id || ']: ' ||
         |  'v100=' || v100 AS line
+        | FROM ev""".stripMargin),
+
+    "template_nowfamily" -> (synthSql +
+      """ SELECT event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M') ||
+        |  ' h' || lpad(CAST(minute(ts) // 30 AS VARCHAR), 2, '0') ||
+        |  ' q' || lpad(CAST(minute(ts) // 15 AS VARCHAR), 2, '0') ||
+        |  ' w' || CAST(dayofweek(ts) AS VARCHAR) ||
+        |  ' u' || CAST(floor(epoch(ts)) AS BIGINT) AS stamp
         | FROM ev""".stripMargin),
 
     "parse_rfc3164" -> (synthSql +

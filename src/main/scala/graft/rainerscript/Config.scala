@@ -869,6 +869,9 @@ object RsyslogConfig {
         // key-prefix main_queue params so they don't collide with global()
         val prefix = if (kind == "main_queue") "main_queue." else ""
         globals ++= p.map { case (k, v) => (prefix + k) -> v }
+        // global(localHostname=): $myhostname override
+        // (glbl.c LocalHostNameOverride, :122/:1409)
+        p.get("localhostname").foreach(h => EnvSource.localHostname = Some(h))
         // global(environment=["K=V", …]): putenv for getenv()/backticks
         // (glbl.c eCmdHdlrArray environment → do_setenv;
         // tests/glbl_setenv.sh). Array values arrive NUL-joined.

@@ -16,6 +16,10 @@ object EnvSource {
   @volatile var overrides: Map[String, String] = Map.empty
   def get(name: String): Option[String] =
     overrides.get(name).orElse(sys.env.get(name))
+  /** global(localHostname=) override (glbl.c LocalHostNameOverride) —
+    * the `$myhostname` system property reads it; unset falls back to
+    * the JVM's hostname. */
+  @volatile var localHostname: Option[String] = None
 }
 
 class RainerParserBase extends RegexParsers {
@@ -116,7 +120,9 @@ class RainerParserBase extends RegexParsers {
     // '@' is a legal name char (lexer.l:373 VAR charset — SD ids like
     // $!rfc5424-sd!id@32473!k depend on it); [N] array subscripts after
     // any segment (same charset, tests/json_array_subscripting.sh)
-    """\$[!./]?[A-Za-z0-9_@\-]+(\[\d+\])*(![A-Za-z0-9_@\-]+(\[\d+\])*)*""".r ^^ RVar.apply |
+    // '$' as second char = system property read ($$now, $$myhostname —
+    // lexer.l:373 `\$[$!./]{0,1}`, msg.c:473-533)
+    """\$[$!./]?[A-Za-z0-9_@\-]+(\[\d+\])*(![A-Za-z0-9_@\-]+(\[\d+\])*)*""".r ^^ RVar.apply |
     // bare tree roots `$!` `$.` `$/` (rscript_bare_var_root.sh: whole
     // JSON-tree read/assign)
     """\$[!./](?![A-Za-z0-9_\-])""".r ^^ RVar.apply
@@ -259,7 +265,7 @@ class RainerParserBase extends RegexParsers {
     // array values (rule=["…", "…"]) NUL-join like the object-param
     // parser, consumed via RsyslogConfig.splitArray
     """[A-Za-z_][A-Za-z0-9_.\-]*""".r ~ ("=" ~>
-      (("[" ~> repsep(qstring, ",") <~ "]") ^^ (_.mkString(" "))
+      (("[" ~> repsep(qstring, ",") <~ "]") ^^ (_.mkString("\u0000"))
         | qstring)) ^^ { case k ~ v => (k, v) }
   private def actionStmt: Parser[RStmt] =
     "action" ~> "(" ~> rep(actionParam) <~ ")" ^^ (ps => RAction(ps.toMap))

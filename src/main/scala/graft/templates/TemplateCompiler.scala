@@ -151,6 +151,7 @@ object TemplateCompiler {
     else if (name.startsWith("$!")) render("vars_msg", name.drop(2))
     else if (name.startsWith("$.")) render("vars_local", name.drop(2))
     else if (name.startsWith("$/")) render("vars_global", name.drop(2))
+    else if (isSystemProp(name)) systemProp(name.toLowerCase.stripPrefix("$"), props)
     else name.toLowerCase match {
       case "pri" => props("facility") * 8 + props("severity")
       // textpri "facility.severity" (msg.c:2889-2900)
@@ -172,6 +173,52 @@ object TemplateCompiler {
       // InfoUnitID: constant 1 for syslog messages (msg.c getInfoUnit)
       case "iut" => lit(1)
       case _ => props(name)
+    }
+  }
+
+  private val sysTimeProps = Set("now", "year", "month", "day", "hour",
+    "hhour", "qhour", "minute", "wday")
+
+  /** `$NOW`-family / `$MYHOSTNAME` / `$BOM` system properties
+    * (msg.c:473-533). Both spellings arrive here: templates keep the
+    * `$` (`%$now%` → "$now"), script reads strip it ($$now →
+    * resolveProp → "now"). */
+  private[graft] def isSystemProp(name: String): Boolean = {
+    val n = name.toLowerCase.stripPrefix("$")
+    sysTimeProps.contains(n.stripSuffix("-utc")) ||
+      n == "now-unixtimestamp" || n == "bom" || n == "myhostname"
+  }
+
+  /** Render one system property (getNOW, msg.c:2922-2977). The clock is
+    * the message's reception time (`timegenerated` ≡ ts): that is the
+    * daemon's render-time wall clock in replay semantics, and exactly
+    * what the reference's own faketime tests pin (tests/now-utc.sh,
+    * now_family_utc.sh, now-unixtimestamp.sh). Local variants render in
+    * the session timezone; `-utc` converts explicitly (identical under
+    * the default UTC session). Zero-padding per getNOW's two_digits
+    * table; `$wday` is one digit, 0 = Sunday. `$uptime` (daemon uptime
+    * seconds) stays unresolved — no replay analogue, no reference test.
+    */
+  private def systemProp(sys: String, props: String => Column): Column = {
+    val local = props("ts")
+    val c =
+      if (sys.endsWith("-utc"))
+        to_utc_timestamp(local, expr("current_timezone()"))
+      else local
+    sys.stripSuffix("-utc") match {
+      case "now" => date_format(c, "yyyy-MM-dd")
+      case "year" => date_format(c, "yyyy")
+      case "month" => date_format(c, "MM")
+      case "day" => date_format(c, "dd")
+      case "hour" => date_format(c, "HH")
+      case "hhour" => lpad((minute(c) / 30).cast("int").cast("string"), 2, "0")
+      case "qhour" => lpad((minute(c) / 15).cast("int").cast("string"), 2, "0")
+      case "minute" => date_format(c, "mm")
+      case "wday" => (dayofweek(c) - 1).cast("string")
+      case "now-unixtimestamp" => unix_timestamp(local)
+      case "bom" => lit("\uFEFF")
+      case "myhostname" => lit(graft.rainerscript.EnvSource.localHostname
+        .getOrElse(java.net.InetAddress.getLocalHost.getHostName))
     }
   }
 

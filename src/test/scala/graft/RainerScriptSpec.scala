@@ -521,4 +521,21 @@ class RainerScriptSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("http_request"))
   }
+
+  test("$$now-family system properties read in script (lexer.l:373, msg.c:473-533)") {
+    val df = fixture.withColumn("ts",
+      to_timestamp(lit("2024-03-01T13:47:03Z")))
+    val res = RainerCompiler.run(
+      """set $.stamp = $$now & "T" & $$hour & ":" & $$minute;
+        |set $.q = $$qhour & "/" & $$hhour & "/" & $$wday;
+        |set $.ux = $$now-unixtimestamp;
+        |""".stripMargin, df)
+    val row = res.output.select(
+      get_json_object(col("vars_local"), "$.stamp"),
+      get_json_object(col("vars_local"), "$.q"),
+      get_json_object(col("vars_local"), "$.ux")).head
+    assert(row.getString(0) == "2024-03-01T13:47")
+    assert(row.getString(1) == "03/01/5")
+    assert(row.getString(2) == "1709300823")
+  }
 }

@@ -230,4 +230,32 @@ class TemplateSpec extends SparkSpec {
       .select(get_json_object(col("vars_local"), "$.out")).collect()(0).getString(0)
     assert(out == "q='don''t'")
   }
+
+  test("$NOW-family system properties render from reception time (getNOW, msg.c:2922)") {
+    // fixture ts = 2024-03-01T01:02:03Z; UTC session → local ≡ utc
+    assert(render("%$now%") == "2024-03-01")
+    assert(render("%$YEAR%-%$MONTH%-%$DAY%") == "2024-03-01")
+    assert(render("%$hour%:%$minute%") == "01:02")
+    assert(render("%$hhour%/%$qhour%") == "00/00")
+    assert(render("%$wday%") == "5") // 2024-03-01 is a Friday; 0=Sunday
+    assert(render("%$now-utc%") == "2024-03-01")
+    assert(render("%$now-unixtimestamp%") == "1709254923")
+    assert(render("%$bom%") == "﻿")
+  }
+
+  test("$hhour/$qhour bucket the minute (two_digits table)") {
+    val df = Seq(Tuple1("2024-03-01T13:47:03Z")).toDF("tss")
+      .withColumn("ts", to_timestamp(col("tss")))
+    def r(tpl: String) =
+      df.select(TemplateCompiler.compile(tpl, col).as("r")).collect()(0).getString(0)
+    assert(r("%$hhour%") == "01")    // 47/30
+    assert(r("%$qhour%") == "03")    // 47/15
+    assert(r("%$hour-utc%") == "13")
+  }
+
+  test("$myhostname honors global(localHostname=) override") {
+    graft.rainerscript.EnvSource.localHostname = Some("graft-host")
+    try assert(render("%$myhostname%") == "graft-host")
+    finally graft.rainerscript.EnvSource.localHostname = None
+  }
 }
