@@ -2750,6 +2750,28 @@ object Queries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
     }),
 
+    // LLM-prep: domain-mixture downsampling — per-source keep rates
+    // (web-crawl thinned, curated kept) as one flat CaseWhen rate table
+    // + the md5 draw; a pushable scan-side filter, zero shuffle
+    "sample_domain_mix" -> ((s, dir) => {
+      Sampling.domainMixSample(Tables.documents(s, dir),
+          domainCol = "source", keyCol = "doc_id",
+          rates = Map("src0" -> 0.25, "src1" -> 0.0, "src2" -> 1.0),
+          defaultRate = 0.6, salt = "graft-mix")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    // LLM-prep: epoch-weighted upsampling — weight w ⇒ floor(w) copies
+    // + one more for a hash-chosen frac(w) share, expected multiplicity
+    // exactly w; deterministic copy index for downstream seeding
+    "sample_upsample" -> ((s, dir) => {
+      Sampling.upsampleByWeight(Tables.documents(s, dir),
+          domainCol = "lang", keyCol = "doc_id",
+          weights = Map("de" -> 2.5, "zh" -> 3.0, "en" -> 0.8),
+          defaultWeight = 1.0, salt = "graft-epoch")
+        .select(col("doc_id"), col("lang"), col("copy"))
+    }),
+
     // event-time SESSION windows (Spark-native extension next to the
     // tumbling window_agg): per-user activity sessions split on 30-min
     // idle gaps — the log-analytics sessionization primitive
@@ -5356,6 +5378,27 @@ object Queries {
         |FROM documents
         |WHERE ${Sampling.hashBucketSql("lang || ':' || doc_id",
              numerator = 64, digits = 2, salt = "graft")}""".stripMargin,
+
+    "sample_domain_mix" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+        |WHERE ${Sampling.hashFractionSql("doc_id", salt = "graft-mix")} <
+        |  CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.0
+        |              WHEN 'src2' THEN 1.0 ELSE 0.6 END""".stripMargin,
+
+    "sample_upsample" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE lang WHEN 'de' THEN 2.5 WHEN 'zh' THEN 3.0
+        |              WHEN 'en' THEN 0.8 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(wt) AS BIGINT) + CASE WHEN
+        |      ${Sampling.hashFractionSql("doc_id", salt = "graft-epoch")}
+        |        < wt - floor(wt) THEN 1 ELSE 0 END AS n
+        |  FROM w)
+        |SELECT doc_id, lang, unnest(range(0, n)) AS copy
+        |FROM c WHERE n > 0""".stripMargin,
 
     // gaps-and-islands on MICROSECOND-truncated event time — exactly the
     // precision Spark's session_window sees after the ns→µs normalization,

@@ -78,4 +78,68 @@ object Sampling {
       .select(col(idCol), col("shard"), col("n_tok"),
         col("start_off"), col("chunk"))
   }
+
+  /** Uniform deterministic fraction of `key` in [0, 1): first 8 hex chars
+    * of md5(salt:key) as a base-16 number over 16^8. The reproducible
+    * "random draw" the mixture operators share — same engine-portable
+    * contract as [[hashBucketFilter]], finer grained (2^-32). */
+  def hashFraction(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** DuckDB mirror of [[hashFraction]] for oracle SQL. */
+  def hashFractionSql(keyExpr: String, salt: String = ""): String =
+    s"(('0x' || substr(md5('$salt' || $keyExpr), 1, 8))::BIGINT / 4294967296.0)"
+
+  private def perDomainLit(domainCol: String, table: Map[String, Double],
+                           default: Double): Column = {
+    // flat when-chain (one CaseWhen node), never a nested otherwise-fold:
+    // mixture tables are small (tens of domains), but a flat chain also
+    // keeps codegen's subexpression walk linear if one isn't
+    val entries = table.toSeq.sortBy(_._1)
+    entries.tail.foldLeft(
+        when(col(domainCol) === entries.head._1, lit(entries.head._2))) {
+      case (acc, (d, v)) => acc.when(col(domainCol) === d, lit(v))
+    }.otherwise(lit(default))
+  }
+
+  /** Domain-mixture DOWN-sampling: each domain (source, language, corpus
+    * shard…) is kept at its own rate in [0, 1] — the "data mixture" step
+    * of training-data prep, where e.g. web crawl is thinned to 30% while
+    * curated corpora pass whole. Pure scan-side filter: the rate table is
+    * one flat CaseWhen literal and the draw is [[hashFraction]], so the
+    * plan is a pushable filter with zero shuffle and zero driver state —
+    * the only shape that survives a 100 TB pass. Deterministic per key:
+    * reruns, engines, and cluster layouts agree on every selection. */
+  def domainMixSample(df: DataFrame, domainCol: String, keyCol: String,
+                      rates: Map[String, Double], defaultRate: Double = 1.0,
+                      salt: String = "mix"): DataFrame = {
+    require(rates.nonEmpty && (rates.values ++ Seq(defaultRate)).forall(
+      r => r >= 0 && r <= 1), "rates in [0,1]")
+    df.filter(hashFraction(col(keyCol), salt) <
+      perDomainLit(domainCol, rates, defaultRate))
+  }
+
+  /** Epoch-weighted UP-sampling for mixture weights ≥ 0: weight w emits
+    * floor(w) copies of every row in the domain plus one extra copy for a
+    * hash-selected frac(w) share of keys, so the expected multiplicity is
+    * exactly w and every copy is deterministic (the `copy` index column
+    * disambiguates repeats for downstream shuffling/seeding). w < 1
+    * degenerates to [[domainMixSample]] semantics. explode(sequence) is a
+    * narrow op — no shuffle; output mass is Σ w_d·N_d by construction. */
+  def upsampleByWeight(df: DataFrame, domainCol: String, keyCol: String,
+                       weights: Map[String, Double],
+                       defaultWeight: Double = 1.0,
+                       salt: String = "epoch"): DataFrame = {
+    require(weights.nonEmpty && (weights.values ++ Seq(defaultWeight))
+      .forall(_ >= 0), "weights >= 0")
+    val w = perDomainLit(domainCol, weights, defaultWeight)
+    val copies = (floor(w) +
+      when(hashFraction(col(keyCol), salt) < w - floor(w), 1)
+        .otherwise(0)).cast("int")
+    df.withColumn("__n_copies", copies)
+      .filter(col("__n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__n_copies") - 1)))
+      .drop("__n_copies")
+  }
 }

@@ -49,4 +49,42 @@ class SamplingSpec extends SparkSpec {
       .executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling should not shuffle:\n$plan")
   }
+
+  test("domain mix: per-domain rates hold, shuffle-free, deterministic") {
+    val mixed = Sampling.domainMixSample(docs, "lang", "id",
+      rates = Map("en" -> 0.5, "de" -> 0.1), salt = "t")
+    val n = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en: 500 docs * 0.5 = 250 ± ; de: 1500 * 0.1 = 150 ±
+    assert(n("en") > 200 && n("en") < 300, n.toString)
+    assert(n("de") > 110 && n("de") < 190, n.toString)
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mix should not shuffle:\n$plan")
+    // deterministic under repartitioning
+    val a = mixed.select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.domainMixSample(docs.repartition(7), "lang", "id",
+      rates = Map("en" -> 0.5, "de" -> 0.1), salt = "t")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("upsample by weight: multiplicity = floor(w) or floor(w)+1, mean ~ w") {
+    val up = Sampling.upsampleByWeight(docs, "lang", "id",
+      weights = Map("en" -> 2.5, "de" -> 0.25), salt = "t")
+    val perDoc = up.groupBy("lang", "id").count()
+      .groupBy("lang").agg(min("count").as("lo"), max("count").as("hi"),
+        sum("count").as("tot"), countDistinct("id").as("ids"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // en weight 2.5: every doc 2 or 3 copies, total ≈ 500*2.5
+    assert(perDoc("en")._2 == 2 && perDoc("en")._3 == 3)
+    assert(perDoc("en")._4 > 1100 && perDoc("en")._4 < 1400, perDoc.toString)
+    // de weight 0.25: surviving docs have exactly 1 copy, ≈ 1500*0.25 survive
+    assert(perDoc("de")._2 == 1 && perDoc("de")._3 == 1)
+    assert(perDoc("de")._4 > 280 && perDoc("de")._4 < 470, perDoc.toString)
+    // copy index is dense 0..n-1 per key
+    val copies = up.filter($"lang" === "en").groupBy("id")
+      .agg(sort_array(collect_list("copy")).as("cs"), count(lit(1)).as("n"))
+      .filter(expr("cs != sequence(0, cast(n - 1 as int))")).count()
+    assert(copies == 0)
+  }
 }
