@@ -246,6 +246,43 @@ object Queries {
         graft.sources.Sources.frameOctetCounted(col("m")).as("framed"))
     }),
 
+    // §2.10 omfwd target POOL load balancing (omfwd.c:1883-1901): a
+    // static 3-target pool with the middle target down — active members
+    // round-robin in pool order per worker (closed form pinned by
+    // PackerPropertySpec against a simulation of the reference's
+    // counter loop); worker = event_id residue, seq = quotient, same
+    // arithmetic fixture as eventhubs_message
+    "omfwd_pool" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = concat(lit("<13>h omfwd msgnum:"), lpad(col("event_id"), 8, "0"))
+      ev.select(col("event_id"),
+        graft.sources.Sources.omfwdPoolTarget(expr("event_id div 4"),
+          Seq(("siteA", 514), ("siteB", 514), ("siteC", 10514)),
+          Seq(true, false, true)).as("target"),
+        graft.sources.Sources.frameOctetCounted(m).as("framed"))
+    }),
+
+    // §2.10/§2.7 omfwd per-target pool stats (omfwd.c:2089-2117): one
+    // statsobj per pool member named "TCP-<host>-<port>" origin=omfwd
+    // with messages.sent / bytes.sent counters — one map-side-combinable
+    // groupBy over the assignment
+    "omfwd_pool_stats" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m = concat(lit("<13>h omfwd msgnum:"), lpad(col("event_id"), 8, "0"))
+      ev.select(
+          graft.sources.Sources.omfwdPoolTarget(expr("event_id div 4"),
+            Seq(("siteA", 514), ("siteB", 514), ("siteC", 10514)),
+            Seq(true, false, true)).as("tgt"),
+          graft.sources.Sources.frameOctetCounted(m).as("framed"))
+        .groupBy(col("tgt"))
+        .agg(count(lit(1)).as("messages_sent"),
+          sum(octet_length(col("framed"))).as("bytes_sent"))
+        .select(
+          concat(lit("TCP-"), regexp_replace(col("tgt"), ":", "-")).as("stat_name"),
+          lit("omfwd").as("origin"),
+          col("messages_sent"), col("bytes_sent"))
+    }),
+
     // §2.10 ommysql/ompgsql: the stock " StdDBFmt" / " StdPgSQLFmt"
     // INSERT renders (rsconf.c:223-233) through the registry with their
     // template-level SQL / STDSQL escapes — msg carries a quote and a
@@ -338,6 +375,24 @@ object Queries {
     // statements: block (set / if+action / then+else+stop), a prifilt
     // guard, and script-visible variable state — run end-to-end on the
     // synth corpus
+    // §2.1 the `rsyslogd -o` config translator (runtime/translate.c;
+    // tests/config-translate-*.sh exact-output goldens): driver-side
+    // translation of two fixtures, both directions, the full output
+    // bytes pinned by the DuckDB oracle literals (ConfigTranslateSpec
+    // carries the whole 10-scenario golden suite)
+    "config_translate" -> ((s, dir) => {
+      import s.implicits._
+      val rsConf =
+        "ruleset(name=\"main\") {\n  mail.info action(type=\"omfile\" file=\"/tmp/fa.log\")\n}\n"
+      val yamlConf =
+        "version: 2\nmainqueue:\n  queue.type: \"Direct\"\nrulesets:\n  - name: \"main\"\n    script: |\n      action(type=\"omstdout\")\n"
+      Seq(
+        (1L, "yaml", graft.rainerscript.ConfigTranslate.toYaml(rsConf)),
+        (2L, "rainerscript",
+          graft.rainerscript.ConfigTranslate.toRainerScript(yamlConf))
+      ).toDF("case_id", "fmt", "out")
+    }),
+
     "config_yaml" -> ((s, dir) => {
       val yaml =
         """version: 2
@@ -3525,6 +3580,29 @@ object Queries {
         |    lpad(CAST(event_id AS VARCHAR), 8, '0') AS m
         |  FROM events)""".stripMargin,
 
+    "omfwd_pool" ->
+      """SELECT event_id,
+        |  CASE (event_id // 4) % 2 WHEN 0 THEN 'siteA:514'
+        |       ELSE 'siteC:10514' END AS target,
+        |  CAST(strlen(m) AS VARCHAR) || ' ' || m AS framed
+        |FROM (SELECT event_id,
+        |  '<13>h omfwd msgnum:' ||
+        |    lpad(CAST(event_id AS VARCHAR), 8, '0') AS m
+        |  FROM events)""".stripMargin,
+
+    "omfwd_pool_stats" ->
+      """WITH a AS (
+        |  SELECT CASE (event_id // 4) % 2 WHEN 0 THEN 'TCP-siteA-514'
+        |           ELSE 'TCP-siteC-10514' END AS stat_name,
+        |    strlen(CAST(strlen(m) AS VARCHAR) || ' ' || m) AS blen
+        |  FROM (SELECT event_id,
+        |    '<13>h omfwd msgnum:' ||
+        |      lpad(CAST(event_id AS VARCHAR), 8, '0') AS m
+        |    FROM events))
+        |SELECT stat_name, 'omfwd' AS origin,
+        |  count(*) AS messages_sent, SUM(blen) AS bytes_sent
+        |FROM a GROUP BY 1""".stripMargin,
+
     "omdb_insert" -> (Queries.synthSql +
       """ SELECT event_id,
         |  'insert into SystemEvents (Message, Facility, FromHost, ' ||
@@ -3623,6 +3701,13 @@ object Queries {
         |  CAST(json_extract(statefile, '$[0].messages') AS BIGINT)
         |    AS probe_messages
         |FROM f""".stripMargin),
+
+    "config_translate" ->
+      """SELECT 1 AS case_id, 'yaml' AS fmt,
+        |  E'version: 2\n\nrulesets:\n  - name: "main"\n    filter: "mail.info"\n    actions:\n      - type: "omfile"\n        file: "/tmp/fa.log"\n' AS out
+        |UNION ALL
+        |SELECT 2, 'rainerscript',
+        |  E'main_queue(queue.type="Direct")\n\nruleset(name="main") {\n  action(type="omstdout")\n}\n\n'""".stripMargin,
 
     "config_yaml" -> (synthSql +
       """ SELECT

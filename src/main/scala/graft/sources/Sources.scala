@@ -48,6 +48,33 @@ object Sources {
   def frameOctetCounted(msg: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(octet_length(msg).cast("string"), lit(" "), msg)
 
+  /** omfwd target-pool load balancing (tools/omfwd.c:1883-1901): each
+    * worker keeps a private try counter and sends to
+    * `target[(counter++) % nTargets]`, skipping unconnected targets by
+    * advancing the counter — so under a STATIC up/down mask the chosen
+    * targets are exactly the ACTIVE pool members round-robined in pool
+    * order: message i of a worker goes to activeTargets[i % nActive]
+    * (the counter parks on the chosen slot + 1 after every send, and the
+    * dead-slot skips cancel out of the modulus). Per-worker counters are
+    * deliberate thread-independence in the reference ("otherwise we have
+    * thread interdependence, which hurts performance", :1884-1888) — the
+    * exact property that makes the assignment embarrassingly parallel
+    * here: `seq` is the worker-local send ordinal (caller column, like
+    * the omudpspoof port cycle), no cross-worker state, no shuffle.
+    * Empty active pool = the action SUSPENDs (:1904-1909) — callers gate
+    * on `activeTargets.nonEmpty`. Connection management, TLS, and the
+    * send buffers are transport. Returns "host:port". */
+  def omfwdPoolTarget(seq: org.apache.spark.sql.Column,
+                      targets: Seq[(String, Int)],
+                      active: Seq[Boolean]): org.apache.spark.sql.Column = {
+    require(targets.nonEmpty && targets.size == active.size,
+      "targets/active must align")
+    val act = targets.zip(active).collect { case (t, true) => t }
+    require(act.nonEmpty, "omfwd: no working target server (pool SUSPENDs)")
+    val names = act.map { case (h, p) => lit(s"$h:$p") }
+    element_at(array(names: _*), (pmod(seq, lit(act.size)) + 1).cast("int"))
+  }
+
   /** omudpspoof wire accounting (plugins/omudpspoof/omudpspoof.c
     * UDPSend:339-498): one row per IPv4 fragment the module would put
     * on the wire. Per message: the spoofed source address renders from

@@ -101,4 +101,35 @@ class PackerPropertySpec extends AnyFunSuite {
       out.forall(p => p.first_ord <= p.last_ord)
     })
   }
+
+  // ---- omfwd target-pool closed form (Sources.omfwdPoolTarget) ----
+
+  /** Direct simulation of omfwd.c:1883-1901: per-worker counter, each
+    * try consumes one increment, unconnected slots are skipped (up to
+    * nTargets tries). Returns the chosen target index per message. */
+  private def simulatePool(active: Seq[Boolean], nMsgs: Int): Seq[Int] = {
+    var counter = 0L
+    (0 until nMsgs).map { _ =>
+      var chosen = -1
+      var tries = 0
+      while (chosen < 0 && tries < active.size) {
+        val slot = (counter % active.size).toInt
+        counter += 1
+        if (active(slot)) chosen = slot
+        tries += 1
+      }
+      assert(chosen >= 0, "pool with an active member always sends")
+      chosen
+    }
+  }
+
+  test("pool closed form: active members round-robin in pool order (omfwd.c:1889)") {
+    val maskGen = Gen.nonEmptyListOf(Gen.oneOf(true, false))
+      .suchThat(_.contains(true)).map(_.take(8))
+    check(Prop.forAll(maskGen, Gen.choose(1, 200)) { (mask, n) =>
+      val activeIdx = mask.zipWithIndex.collect { case (true, i) => i }
+      val closedForm = (0 until n).map(i => activeIdx(i % activeIdx.size))
+      simulatePool(mask, n) == closedForm
+    })
+  }
 }
