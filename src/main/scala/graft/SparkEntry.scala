@@ -762,6 +762,28 @@ object Queries {
         "kafkarest")
     }),
 
+    // §2.10 omhttp retry.ruleset requeue (queueBatchOnRetryRuleset
+    // :1061-1106): records of a failed batch re-enter as fresh messages
+    // (rawmsg = rendered record, TAG omhttp-retry) carrying
+    // $!omhttp!response{code,body,batch_index}; a deterministic
+    // event_id%7 slice plays the 503'd batch, the probe reads the code
+    // back through the JSON tree
+    "omhttp_retry" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val rec = concat(lit("{\"id\":"), col("event_id"),
+        lit(",\"t\":\""), col("event_type"), lit("\"}"))
+      val failed = ev.filter(col("event_id") % 7 === 0)
+      graft.sources.Sources.omhttpRetryMessages(failed, rec,
+          code = lit(503), body = lit("{\"error\":\"service unavailable\"}"),
+          batchIndex = col("event_id") % 4)
+        .select(col("event_id"), col("rawmsg"), col("msg"),
+          col("syslogtag"), col("vars_msg"),
+          get_json_object(col("vars_msg"), "$.omhttp.response.code")
+            .cast("int").as("probe_code"),
+          get_json_object(col("vars_msg"), "$.omhttp.response.batch_index")
+            .cast("int").as("probe_idx"))
+    }),
+
     // §2.10 omotel OTLP/HTTP JSON export shaping (plugins/omotel/
     // otlp_json.c omotel_json_build_export): per-batch payloads with the
     // syslog→OTLP severity lookup (omotel.c:498-500), proto3-JSON string
@@ -1168,6 +1190,38 @@ object Queries {
           col("msg"), col("vars_msg"),
           get_json_object(col("vars_msg"), "$.metadata.queryparams.src")
             .as("probe_src"))
+    }),
+
+    // §2.5 imhttp body framing + gzip (imhttp.c processDataUncompressed
+    // :730-760 LF loop, processOctetCounting :500-560 per-frame
+    // auto-detect, processDataCompressed :820+ inflate): each event
+    // posts a 2-message body in LF and octet-counted shapes; the gzip
+    // leg round-trips compress→inflate through the codegen'd kernels,
+    // and poisoned rows exercise the malformed-gzip reject NULL
+    "imhttp_body" -> ((s, dir) => {
+      import graft.functions.HttpExprs
+      val ev = synthSyslog(s, dir)
+      val m1 = concat(lit("m"), col("event_id"), lit(" alpha"))
+      val m2 = concat(lit("x"), col("v100"))
+      val lfBody = concat(m1, lit("\n"), m2, lit("\n"))
+      val octBody = concat(octet_length(m1).cast("string"), lit(" "), m1,
+        octet_length(m2).cast("string"), lit(" "), m2)
+      val lf = ev.select(col("event_id"), lit("lf").as("mode"),
+        posexplode(HttpExprs.bodyMessages(lfBody, "lf"))).toDF(
+        "event_id", "mode", "idx", "msg")
+      val oct = ev.select(col("event_id"), lit("octet").as("mode"),
+        posexplode(HttpExprs.bodyMessages(octBody, "octet"))).toDF(
+        "event_id", "mode", "idx", "msg")
+      val gz = ev.select(col("event_id"), lit("gzip").as("mode"),
+        posexplode(HttpExprs.bodyMessages(
+          HttpExprs.gzipInflate(HttpExprs.gzipCompress(lfBody.cast("binary")))
+            .cast("string"), "lf"))).toDF("event_id", "mode", "idx", "msg")
+      val bad = ev.filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), lit("bad_gzip").as("mode"),
+          lit(-1).as("idx"),
+          HttpExprs.gzipInflate(lit("not gzip".getBytes("UTF-8")))
+            .cast("string").as("msg"))
+      lf.unionByName(oct).unionByName(gz).unionByName(bad)
     }),
 
     // §2.10 omrelp — RELP client send framing (librelp envelope around
@@ -3969,6 +4023,18 @@ object Queries {
         |  END AS m FROM events)
         |GROUP BY 1""".stripMargin,
 
+    "omhttp_retry" ->
+      """SELECT event_id, rec AS rawmsg, rec AS msg,
+        |  'omhttp-retry' AS syslogtag,
+        |  '{"omhttp":{"response":{"code":503,"body":' ||
+        |  '"{\"error\":\"service unavailable\"}"' ||
+        |  ',"batch_index":' || (event_id % 4) || '}}}' AS vars_msg,
+        |  503 AS probe_code,
+        |  CAST(event_id % 4 AS INT) AS probe_idx
+        |FROM (SELECT event_id,
+        |  '{"id":' || event_id || ',"t":"' || event_type || '"}' AS rec
+        |  FROM events WHERE event_id % 7 = 0)""".stripMargin,
+
     "omotel_export" ->
       """WITH src AS (
         |  SELECT event_id,
@@ -4283,6 +4349,17 @@ object Queries {
         |  '"queryparams":{"src":"' || event_type || '"}}}' AS vars_msg,
         |  event_type AS probe_src
         | FROM ev""".stripMargin),
+
+    "imhttp_body" -> (Queries.synthSql +
+      """, m AS (
+        |  SELECT event_id, 'm' || event_id || ' alpha' AS m1,
+        |         'x' || v100 AS m2
+        |  FROM ev),
+        |u AS (SELECT * FROM (VALUES ('lf'), ('octet'), ('gzip')) AS t(mode))
+        |SELECT event_id, mode, 0 AS idx, m1 AS msg FROM m, u
+        |UNION ALL SELECT event_id, mode, 1, m2 FROM m, u
+        |UNION ALL SELECT event_id, 'bad_gzip', -1, NULL
+        |  FROM m WHERE event_id % 100 = 0""".stripMargin),
 
     "omrelp_frame" -> (Queries.synthSql +
       """ SELECT event_id,

@@ -1,0 +1,196 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ExpectsInputTypes}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** imhttp request-body processing kernels (contrib/imhttp/imhttp.c):
+  * the POST body is a byte stream carrying one or MANY messages —
+  * LF-delimited by default (processDataUncompressed char loop :744-760),
+  * whole-body blocks under disableLFDelim (processDisableLF :701-728,
+  * maxLine-sized chunks), or octet-counted frames with per-frame
+  * auto-detect under supportOctetCountedFraming (processOctetCounting
+  * :500-560 + processOctetMsgLen :578-640: digit at frame start opens a
+  * count, non-digit falls back to LF stuffing for that frame, oversize
+  * counts truncate at maxLine with the remainder skipped). gzip bodies
+  * (Content-Encoding, processDataCompressed :820+) inflate first; a
+  * malformed stream rejects the request — modeled as NULL from
+  * [[GunzipExpr]].
+  */
+object HttpKernels {
+  private final val DIGIT_CAP = 200000000L // imhttp.c:595 overflow guard
+
+  /** One-shot split of a request body into message payloads.
+    * mode 0 = LF stuffing, 1 = disableLFDelim blocks, 2 = octet-counted
+    * with auto-detect. Unlike the reference's connection worker the body
+    * is complete, so a trailing partial message flushes instead of
+    * waiting for the next request. */
+  def bodySplit(body: Array[Byte], mode: Int, maxLine: Int): Array[UTF8String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val n = body.length
+    if (mode == 1) {
+      var i = 0
+      while (i < n) {
+        val count = math.min(maxLine, n - i)
+        out += UTF8String.fromBytes(java.util.Arrays.copyOfRange(body, i, i + count))
+        i += count
+      }
+      return out.toArray
+    }
+    val buf = new java.io.ByteArrayOutputStream(64)
+    def submit(): Unit = {
+      // zero-sized messages are discarded (doSubmitMsg, imhttp.c:536-539)
+      if (buf.size > 0) out += UTF8String.fromBytes(buf.toByteArray)
+      buf.reset()
+    }
+    var state = 0 // 0=frame start, 1=octet count, 2=msg stuffing, 3=msg octet
+    var remain = 0L
+    var i = 0
+    while (i < n) {
+      val ch = body(i)
+      if (state == 0) {
+        if (mode == 2 && ch >= '0' && ch <= '9') { state = 1; remain = 0L }
+        else state = 2
+      }
+      state match {
+        case 1 =>
+          if (ch >= '0' && ch <= '9') {
+            if (remain <= DIGIT_CAP) remain = remain * 10 + (ch - '0')
+            i += 1
+          } else {
+            // delimiter (SP expected; anything else only logs an error
+            // in the reference) is consumed; count<1 submits empty,
+            // count>maxLine truncates in state 3
+            state = 3
+            i += 1
+            if (remain == 0) { submit(); state = 0 }
+          }
+        case 2 =>
+          if (buf.size >= maxLine) { submit(); state = 0 } // ch NOT consumed
+          else if (ch == '\n') { submit(); state = 0; i += 1 }
+          else { buf.write(ch); i += 1 }
+        case 3 =>
+          val frameBytes = math.min(remain, (n - i).toLong).toInt
+          val copy =
+            if (buf.size < maxLine) math.min(frameBytes, maxLine - buf.size)
+            else 0
+          if (copy > 0) buf.write(body, i, copy)
+          i += frameBytes
+          remain -= frameBytes
+          if (remain == 0) { submit(); state = 0 }
+        case _ => // state 0 resolved above; loop re-dispatches
+      }
+    }
+    // one-shot body: flush the trailing partial (stuffing frame without
+    // final LF, or an octet frame the body undershot)
+    if (buf.size > 0 || state == 3) submit()
+    out.toArray
+  }
+
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** null on a malformed stream — the request-reject path. */
+  def gunzip(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val bos = new java.io.ByteArrayOutputStream(bytes.length * 2 + 32)
+      val tmp = new Array[Byte](8192)
+      var r = in.read(tmp)
+      while (r > 0) { bos.write(tmp, 0, r); r = in.read(tmp) }
+      in.close()
+      bos.toByteArray
+    } catch { case _: java.io.IOException => null }
+}
+
+/** Split an imhttp body string into its message payloads. */
+case class HttpBodySplitExpr(child: Expression, mode: Int, maxLine: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "imhttp_body_split"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(HttpKernels.bodySplit(
+      input.asInstanceOf[UTF8String].getBytes, mode, maxLine)
+      .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  (Object[]) graft.functions.HttpKernels$$.MODULE$$.bodySplit(
+         |    ($c).getBytes(), $mode, $maxLine));""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class GzipExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gzip_compress"
+  override protected def nullSafeEval(input: Any): Any =
+    HttpKernels.gzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HttpKernels$$.MODULE$$.gzip($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class GunzipExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gzip_inflate"
+  override protected def nullSafeEval(input: Any): Any =
+    HttpKernels.gunzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.HttpKernels$$.MODULE$$.gunzip($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+    code
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HttpExprs {
+  /** imhttp body → array of message payloads. modeName: "lf" (default
+    * LF delimiting), "block" (disableLFDelim="on"), "octet"
+    * (supportOctetCountedFraming="on"). maxLine = global maxMessageSize. */
+  def bodyMessages(body: Column, modeName: String,
+                   maxLine: Int = 8096): Column = {
+    val mode = modeName match {
+      case "lf" => 0
+      case "block" => 1
+      case "octet" => 2
+      case other => throw new IllegalArgumentException(
+        s"imhttp body mode '$other' (lf|block|octet)")
+    }
+    org.apache.spark.sql.GraftBridge.column(HttpBodySplitExpr(
+      org.apache.spark.sql.GraftBridge.expression(body), mode, maxLine))
+  }
+  def gzipCompress(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(GzipExpr(
+      org.apache.spark.sql.GraftBridge.expression(c)))
+  def gzipInflate(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(GunzipExpr(
+      org.apache.spark.sql.GraftBridge.expression(c)))
+}

@@ -29,6 +29,10 @@ case class RPropFilt(prop: String, op: String, negated: Boolean,
   * the loop var (grammar/grammar.y foreach, runtime/ruleset.c:310-401) */
 case class RForeach(loopVar: RVar, source: RExpr, body: Seq[RStmt]) extends RStmt
 case object RStop extends RStmt
+/** bare `continue` — a user-requested NOP (grammar.y S_NOP; the
+  * reference's optimizer must keep it silent under strict validation,
+  * tests/abort-uncleancfg-continue-nop.sh). */
+case object RContinue extends RStmt
 case class RCall(ruleset: String) extends RStmt
 /** call_indirect expr; — dynamic ruleset dispatch by computed name
   * (runtime/ruleset.c:236-275; unknown name = NOP). */

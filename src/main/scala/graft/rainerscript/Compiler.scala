@@ -881,6 +881,7 @@ object RainerCompiler {
         overlays.clear()
       case RStop =>
         df = df.withColumn("__stopped", col("__stopped") || path)
+      case RContinue => // user-requested NOP (S_NOP "continue")
       // mmjsonparse as an inline message modifier (the reference's mm*
       // modules mutate the message for SUBSEQUENT statements;
       // plugins/mmjsonparse/mmjsonparse.c doAction :353-445): cookie

@@ -70,7 +70,13 @@ object InputBinding {
       throw new IllegalArgumentException("input(type=\"imfile\") needs file="))
     val tag = p.getOrElse("tag",
       throw new IllegalArgumentException("input(type=\"imfile\") needs tag="))
-    val lines0 = Sources.fileLines(spark, path)
+    // ignoreOlderThan=seconds: stale files (mtime older than the window)
+    // are skipped at discovery (imfile.c:770-776,
+    // tests/imfile-ignore-old-file*.sh)
+    val lines0 = p.get("ignoreolderthan").map(_.toLong).filter(_ > 0) match {
+      case Some(sec) => Sources.fileLinesIgnoreOlderThan(spark, path, sec)
+      case None => Sources.fileLines(spark, path)
+    }
     val lines1 = p.get("trimlineoverbytes").map(_.toInt) match {
       case Some(max) if max > 0 =>
         lines0.withColumn("value", substring(col("value"), 1, max))

@@ -198,8 +198,9 @@ class RainerParserBase extends RegexParsers {
 
   // ---- statements ----
   def stmt: Parser[RStmt] =
-    setStmt | unsetStmt | ifStmt | foreachStmt | stopStmt | callIndirectStmt |
-    callStmt | reloadLookupStmt | actionStmt | priFiltStmt | propFiltStmt
+    setStmt | unsetStmt | ifStmt | foreachStmt | stopStmt | continueStmt |
+    callIndirectStmt | callStmt | reloadLookupStmt | actionStmt |
+    priFiltStmt | propFiltStmt
 
   /** config.enabled="off" (any value but "on") disables the carrying
     * object/statement at load (nvlstChkDisabled,
@@ -238,8 +239,14 @@ class RainerParserBase extends RegexParsers {
       case other => Seq(other)
     }
 
+  // `reset` maps onto RSet: our set always replaces the target leaf,
+  // which IS reset's contract (msgSetJSONFromVar force_reset,
+  // msg.c:5134); the set-on-existing-OBJECT merge nuance lives in the
+  // container side-effect form, see Compiler's parse_json handling
   private def setStmt: Parser[RStmt] =
-    "set" ~> variable ~ ("=" ~> expr) <~ ";" ^^ { case v ~ e => RSet(v, e) }
+    ("set" | "reset") ~> variable ~ ("=" ~> expr) <~ ";" ^^ {
+      case v ~ e => RSet(v, e)
+    }
   private def unsetStmt: Parser[RStmt] =
     "unset" ~> variable <~ ";" ^^ RUnset.apply
   private def block: Parser[Seq[RStmt]] =
@@ -253,6 +260,7 @@ class RainerParserBase extends RegexParsers {
       case v ~ src ~ b => RForeach(v, src, b)
     }
   private def stopStmt: Parser[RStmt] = "stop" <~ opt(";") ^^^ RStop
+  private def continueStmt: Parser[RStmt] = "continue" <~ opt(";") ^^^ RContinue
   private def callIndirectStmt: Parser[RStmt] =
     "call_indirect" ~> expr <~ opt(";") ^^ RCallIndirect.apply
   private def reloadLookupStmt: Parser[RStmt] =

@@ -16,10 +16,32 @@ object Sources {
 
   /** imfile-lite batch: read text files, one row per line, with the
     * provenance columns rsyslog attaches (inputname, fromhost). */
-  def fileLines(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
-      .withColumn("inputname", lit("imfile"))
+  def fileLines(spark: SparkSession, path: String*): DataFrame = {
+    val base =
+      if (path.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.StringType))))
+      else spark.read.text(path: _*)
+    base.withColumn("inputname", lit("imfile"))
       .withColumn("fromhost", lit(java.net.InetAddress.getLocalHost.getHostName))
+  }
+
+  /** imfile ignoreOlderThan= (imfile.c:770-776): a discovered file whose
+    * mtime lags now by more than `seconds` is skipped at startup. Glob
+    * resolution + mtime check run through the Hadoop FS layer, so the
+    * kept-file list matches exactly what the text source would read. */
+  def fileLinesIgnoreOlderThan(spark: SparkSession, path: String,
+                               seconds: Long): DataFrame = {
+    val hpath = new org.apache.hadoop.fs.Path(path)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matches = Option(fs.globStatus(hpath)).map(_.toSeq).getOrElse(Seq.empty)
+    val cutoff = System.currentTimeMillis() - seconds * 1000L
+    val keep = matches.filter(_.getModificationTime >= cutoff)
+      .map(_.getPath.toString)
+    fileLines(spark, keep: _*)
+  }
 
   /** imfile-lite streaming: tail a directory of log files. */
   def fileTail(spark: SparkSession, path: String): DataFrame =
@@ -96,6 +118,34 @@ object Sources {
     * Fragment payload bytes are msg[frag_offset-8 .. +payload_len] at
     * the transport boundary — not materialized here because byte
     * slicing multi-byte text belongs to the writer, not the plan. */
+  /** omhttp retry.ruleset requeue (contrib/omhttp/omhttp.c
+    * queueBatchOnRetryRuleset:1061-1106 + msgAddResponseMetadata
+    * :1027-1058): every record of a FAILED batch re-enters the engine as
+    * a fresh message — rawmsg ≡ msg ≡ the rendered record (MsgSetMSGoffs
+    * 0, no header parse), TAG "omhttp-retry", and with
+    * retry.addmetadata="on" a `$!omhttp!response` tree carrying the HTTP
+    * status code, reply body, and the record's index within its batch.
+    * Routing into the named ruleset is the caller's `cfg.rulesets`
+    * application; LIGHT_DELAY flow control and the ratelimiter ride the
+    * standard queue machinery (RateLimit). */
+  def omhttpRetryMessages(failed: DataFrame,
+                          record: org.apache.spark.sql.Column,
+                          code: org.apache.spark.sql.Column,
+                          body: org.apache.spark.sql.Column,
+                          batchIndex: org.apache.spark.sql.Column,
+                          addMetadata: Boolean = true): DataFrame = {
+    val base = failed
+      .withColumn("rawmsg", record)
+      .withColumn("msg", record)
+      .withColumn("syslogtag", lit("omhttp-retry"))
+    if (!addMetadata) base.withColumn("vars_msg", lit("{}"))
+    else base.withColumn("vars_msg", to_json(struct(
+      struct(
+        struct(code.cast("int").as("code"), body.as("body"),
+          batchIndex.cast("int").as("batch_index")).as("response")
+      ).as("omhttp"))))
+  }
+
   def udpspoofPackets(df: DataFrame, msg: org.apache.spark.sql.Column,
                       srcIp: org.apache.spark.sql.Column,
                       seq: org.apache.spark.sql.Column,

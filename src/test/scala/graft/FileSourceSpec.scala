@@ -223,4 +223,34 @@ class FileSourceSpec extends SparkSpec {
     // facility 10 round-trips; PRIORITY=83 is out of bounds → notice
     assert(rt(1).getInt(0) == 10 && rt(1).getInt(1) == 5)
   }
+
+  test("imfile ignoreOlderThan skips stale files (imfile-ignore-old-file.sh)") {
+    val dir = Files.createTempDirectory("graft_imfile_old")
+    val fresh = dir.resolve("fresh.log")
+    val old = dir.resolve("old.log")
+    Files.writeString(fresh, "msgnum:new:\n")
+    Files.writeString(old, "msgnum:old:\n")
+    Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000L))
+    try {
+      val cfg = graft.rainerscript.RsyslogConfig.parse(
+        s"""module(load="imfile")
+           |input(type="imfile" tag="file:" file="${dir.toString}/*.log" ignoreOlderThan="600")
+           |action(type="omfile")
+           |""".stripMargin)
+      val msgs = cfg.activate(spark)("").frame
+        .select("msg").collect().map(_.getString(0)).toSeq
+      assert(msgs == Seq("msgnum:new:"), msgs.toString)
+      // without the param both files read
+      val cfg2 = graft.rainerscript.RsyslogConfig.parse(
+        s"""module(load="imfile")
+           |input(type="imfile" tag="file:" file="${dir.toString}/*.log")
+           |action(type="omfile")
+           |""".stripMargin)
+      assert(cfg2.activate(spark)("").frame.count() == 2)
+    } finally {
+      Files.deleteIfExists(fresh); Files.deleteIfExists(old)
+      Files.deleteIfExists(dir)
+    }
+  }
 }

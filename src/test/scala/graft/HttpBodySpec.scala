@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HttpKernels
+
+/** imhttp body framing kernel vs the reference's connection-worker loops
+  * (contrib/imhttp/imhttp.c processDataUncompressed / processDisableLF /
+  * processOctetCounting / processOctetMsgLen). */
+class HttpBodySpec extends AnyFunSuite {
+
+  private def split(body: String, mode: Int, maxLine: Int = 8096): Seq[String] =
+    HttpKernels.bodySplit(body.getBytes("UTF-8"), mode, maxLine).toSeq
+      .map(_.toString)
+
+  test("LF mode splits on newline; trailing partial flushes (post-payload-multi-lf.sh)") {
+    assert(split("a\nbb\nccc\n", 0) == Seq("a", "bb", "ccc"))
+    assert(split("a\nbb\nccc", 0) == Seq("a", "bb", "ccc"))
+    assert(split("", 0) == Seq.empty)
+    // zero-sized messages are discarded (doSubmitMsg, imhttp.c:536-539)
+    assert(split("\n\n", 0) == Seq.empty)
+  }
+
+  test("LF mode submits early at maxLine without consuming the char (:746-748)") {
+    assert(split("abcdef\n", 0, maxLine = 3) == Seq("abc", "def"))
+  }
+
+  test("block mode chunks at maxLine (processDisableLF)") {
+    assert(split("abcdefghij", 1, maxLine = 4) == Seq("abcd", "efgh", "ij"))
+    assert(split("ab", 1, maxLine = 4) == Seq("ab"))
+    assert(split("", 1, maxLine = 4) == Seq.empty)
+  }
+
+  test("octet mode: counted frames, per-frame stuffing fallback (processOctetMsgLen)") {
+    assert(split("5 hello3 bye", 2) == Seq("hello", "bye"))
+    // frame 2 starts with a non-digit -> LF stuffing for that frame
+    assert(split("5 helloworld\n", 2) == Seq("hello", "world"))
+    // zero count: the empty submit is discarded (iOctetsRemain < 1 path
+    // + doSubmitMsg zero-size guard)
+    assert(split("0 x\n", 2) == Seq("x"))
+  }
+
+  test("octet mode truncates an oversize count at maxLine and skips the rest (:623)") {
+    assert(split("6 abcdef4 wxyz", 2, maxLine = 4) == Seq("abcd", "wxyz"))
+    // body undershoots the count: partial flushes (one-shot body)
+    assert(split("9 abc", 2) == Seq("abc"))
+  }
+
+  test("gzip round-trips; malformed stream rejects as null (processDataCompressed)") {
+    val payload = "m1 alpha\nx42\n".getBytes("UTF-8")
+    val back = HttpKernels.gunzip(HttpKernels.gzip(payload))
+    assert(java.util.Arrays.equals(back, payload))
+    assert(HttpKernels.gunzip("not gzip".getBytes("UTF-8")) == null)
+    // gzip output is deterministic (GZIPOutputStream writes MTIME=0)
+    assert(java.util.Arrays.equals(HttpKernels.gzip(payload),
+      HttpKernels.gzip(payload)))
+  }
+}

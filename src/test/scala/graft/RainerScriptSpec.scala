@@ -522,6 +522,23 @@ class RainerScriptSpec extends SparkSpec {
     assert(e.getMessage.contains("http_request"))
   }
 
+  test("continue is a user-requested NOP; reset assigns like set (abort-uncleancfg-continue-nop.sh)") {
+    val res = RainerCompiler.run(
+      """if $msg contains "error" then {
+        |  continue
+        |} else {
+        |  stop
+        |}
+        |reset $.r = "x" & $severity;
+        |""".stripMargin, fixture)
+    val out = res.output
+      .select(col("msg"), get_json_object(col("vars_local"), "$.r"))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "error on disk0")
+    assert(out(0).getString(1) == "x3")
+  }
+
   test("$$now-family system properties read in script (lexer.l:373, msg.c:473-533)") {
     val df = fixture.withColumn("ts",
       to_timestamp(lit("2024-03-01T13:47:03Z")))
