@@ -2870,6 +2870,14 @@ object Queries {
         .select(col("doc_id"), col("source"), col("n_chars"))
     }),
 
+    // LLM-prep: sliding token-window chunking (chunk 64, overlap 16) —
+    // consecutive chunks share exactly the overlap, every token covered,
+    // narrow explode/slice plan
+    "chunk_tokens" -> ((s, dir) => {
+      Sampling.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+    }),
+
     // LLM-prep: epoch-weighted upsampling — weight w ⇒ floor(w) copies
     // + one more for a hash-chosen frac(w) share, expected multiplicity
     // exactly w; deterministic copy index for downstream seeding
@@ -5546,6 +5554,20 @@ object Queries {
         |WHERE ${Sampling.hashFractionSql("doc_id", salt = "graft-mix")} <
         |  CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.0
         |              WHEN 'src2' THEN 1.0 ELSE 0.6 END""".stripMargin,
+
+    "chunk_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |e AS (SELECT doc_id, toks, n,
+        |  unnest(range(0, greatest(1, (n - 16 + 47) // 48))) AS chunk_idx
+        |  FROM n)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ') AS chunk_text,
+        |  CAST(least(64, n - chunk_idx*48) AS INT) AS n_tokens
+        |FROM e""".stripMargin,
 
     "sample_upsample" ->
       s"""WITH w AS (

@@ -79,6 +79,36 @@ object Sampling {
         col("start_off"), col("chunk"))
   }
 
+  /** Sliding token-window chunking — the RAG/pretraining windowing step:
+    * each document's whitespace-token stream cuts into `chunkTokens`-long
+    * windows advancing by `chunkTokens - overlapTokens`, so consecutive
+    * chunks share exactly `overlapTokens` tokens and every token of the
+    * source lands in at least one chunk (the final window may be short).
+    * Chunk text keeps the original casing (unlike the casefolded
+    * analysis tokens). Narrow plan: split + explode(sequence) + slice,
+    * no shuffle, no UDF — survives any corpus size the scan survives.
+    * Documents with zero tokens emit no chunks. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int = 512,
+                    overlapTokens: Int = 64): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 &&
+      overlapTokens < chunkTokens, "0 <= overlap < chunk")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        greatest(lit(1L),
+          expr(s"(__n - $overlapTokens + ${stride - 1}) div $stride")) - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens.toLong),
+          col("__n") - col("chunk_idx") * stride).cast("int").as("n_tokens"))
+  }
+
   /** Uniform deterministic fraction of `key` in [0, 1): first 8 hex chars
     * of md5(salt:key) as a base-16 number over 16^8. The reproducible
     * "random draw" the mixture operators share — same engine-portable

@@ -67,6 +67,36 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("chunkByTokens: stride/overlap invariants and full coverage") {
+    val docs2 = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "only three tokens"),
+      (3L, "   "),                                      // zero tokens
+      (4L, (1 to 48).map(i => s"u$i").mkString(" "))    // exactly one stride
+    ).toDF("id", "text")
+    val chunks = Sampling.chunkByTokens(docs2, "id", "text",
+      chunkTokens = 64, overlapTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    // doc 1: stride 48 → ceil((100-16)/48) = 2 chunks
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.length == 2)
+    assert(d1(0)._3.startsWith("t1 ") && d1(0)._4 == 64)
+    assert(d1(1)._3.startsWith("t49 ") && d1(1)._4 == 52) // 100 - 48
+    // consecutive chunks share exactly `overlap` tokens
+    val c0 = d1(0)._3.split(" ").toSeq
+    val c1 = d1(1)._3.split(" ").toSeq
+    assert(c0.takeRight(16) == c1.take(16))
+    // every token covered, in order, reconstructing the doc
+    assert((c0 ++ c1.drop(16)) == (1 to 100).map(i => s"t$i"))
+    // short doc: one partial chunk
+    assert(chunks.filter(_._1 == 2L).toSeq ==
+      Seq((2L, 0L, "only three tokens", 3)))
+    // zero tokens: no chunks
+    assert(!chunks.exists(_._1 == 3L))
+    // n == stride: single chunk, no phantom second window
+    assert(chunks.count(_._1 == 4L) == 1)
+  }
+
   test("upsample by weight: multiplicity = floor(w) or floor(w)+1, mean ~ w") {
     val up = Sampling.upsampleByWeight(docs, "lang", "id",
       weights = Map("en" -> 2.5, "de" -> 0.25), salt = "t")
