@@ -46,6 +46,38 @@ object ReliableSink {
     false
   }
 
+  /** omtesting failure injector (plugins/omtesting/omtesting.c:123-185,
+    * the testbench's action-retry driver): `fail F R` suspends every
+    * F-th action call (the call counter starts at 1, :315) and stays
+    * suspended until the R-th resume probe (doFailOnResume), after which
+    * the retried call re-enters the normal counter check; `alwaysSuspend`
+    * never resumes. Wraps a writer so [[writeWithRetry]]'s backoff
+    * ladder is driven by DETERMINISTIC failures — each retry invocation
+    * is one tryResume probe. */
+  final class OmtestingInjector(failFrequency: Int, resumeAfter: Int,
+                                alwaysSuspend: Boolean = false) {
+    private var currCall = 1
+    private var failed = false
+    private var currRetries = 0
+    def calls: Int = synchronized(currCall - 1)
+
+    def wrap(write: DataFrame => Unit): DataFrame => Unit = df => synchronized {
+      if (alwaysSuspend) throw new SuspendedException(null)
+      if (failed) {
+        currRetries += 1 // tryResume probe (doFailOnResume :124-136)
+        if (currRetries == resumeAfter) failed = false
+        else throw new SuspendedException(null)
+      }
+      val n = currCall
+      currCall += 1 // iCurrCallNbr++ evaluates on every non-failed call
+      if (n % failFrequency == 0) {
+        currRetries = 0; failed = true
+        throw new SuspendedException(null)
+      }
+      write(df)
+    }
+  }
+
   /** foreachBatch adapter: exactly the shape writeStream.foreachBatch
     * expects, with per-batch retry + dead-letter. */
   def foreachBatchWithRetry(write: DataFrame => Unit, fallback: DataFrame => Unit,

@@ -34,6 +34,29 @@ class ReliableSinkSpec extends SparkSpec {
     assert(deadLetterRows == 3)
   }
 
+  test("omtesting 'fail F R': every F-th call suspends, R probes resume (omtesting.c:123-155)") {
+    val written = new AtomicInteger(0)
+    val inj = new ReliableSink.OmtestingInjector(failFrequency = 2, resumeAfter = 2)
+    val w = inj.wrap(_ => written.incrementAndGet())
+    def deliver(): Boolean = ReliableSink.writeWithRetry(df, w,
+      fallback = _ => (), RetryPolicy(maxRetries = 4, resumeIntervalMs = 1))
+    // call 1: 1 % 2 != 0 → writes
+    assert(deliver() && written.get() == 1)
+    // call 2: suspends; probe 1 suspends; probe 2 resumes; call 3 writes
+    assert(deliver() && written.get() == 2)
+    // call 4: suspends again (the counter kept moving), same ladder
+    assert(deliver() && written.get() == 3)
+  }
+
+  test("omtesting always_suspend exhausts retries into dead-letter") {
+    val fellBack = new AtomicInteger(0)
+    val inj = new ReliableSink.OmtestingInjector(1, 1, alwaysSuspend = true)
+    val ok = ReliableSink.writeWithRetry(df, inj.wrap(_ => ()),
+      fallback = _ => fellBack.incrementAndGet(),
+      RetryPolicy(maxRetries = 2, resumeIntervalMs = 1))
+    assert(!ok && fellBack.get() == 1)
+  }
+
   test("mmexternal pipe: per-partition worker transforms the JSON tree") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
