@@ -94,6 +94,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sample_domain_mix: the rate-table draw is a scan-side filter below the loader rebalance") {
+    // the ONLY Exchange is Tables.documents' small-file rebalance; the
+    // md5-draw filter sits between it and the scan, so at corpus scale
+    // (no rebalance) the operator is a pure pushable filter
+    val p = plan("sample_domain_mix")
+    val lines = p.linesIterator.toSeq
+    val fl = lines.indexWhere(l => l.contains("Filter") && l.contains("+-"))
+    val ex = lines.indexWhere(l => l.contains("Exchange") && l.contains("+-"))
+    assert(fl >= 0 && ex >= 0 && fl > ex,
+      s"filter must be scan-side (below the rebalance):\n$p")
+    assert("Exchange \\(".r.findAllIn(p).size <= 1,
+      "operator added its own shuffle on top of the loader rebalance")
+  }
+
+  test("chunk_tokens: narrow explode/slice below the loader rebalance, no operator shuffle") {
+    val p = plan("chunk_tokens")
+    assert(p.contains("Generate"), "explode(sequence) missing")
+    assert("Exchange \\(".r.findAllIn(p).size <= 1,
+      "token chunking is per-document — an operator shuffle would be a scale bug")
+  }
+
+  test("omfwd_pool_stats: per-target tally partial-aggregates before its shuffle") {
+    val p = plan("omfwd_pool_stats")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exch = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exch >= 0, "agg/exchange missing")
+  }
+
   test("no-cartesian / no-Python sweep over the lazily-built batch suite") {
     // every query that constructs lazily: the physical plan must never
     // contain a cartesian product or a Python eval barrier. Eagerly-
