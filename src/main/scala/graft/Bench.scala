@@ -17,6 +17,21 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Deterministic cross-query heap reclaim: System.gc() alone leaves
+    * localCheckpoint/persist blocks to the ASYNC ContextCleaner, so a
+    * section query could start while gigabytes from a previous query
+    * (sf1's clusters/verified checkpoints especially) still occupy the
+    * block manager — the r10 clean run measured sf10 simhash at 166 s
+    * mid-section vs 49.6 s fresh-JVM from exactly this. Unpersisting
+    * every persistent RDD with blocking=true frees the blocks before
+    * the next query's first task. */
+  private def reclaim(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
   private def median(xs: Seq[Double]): Double = {
     if (xs.isEmpty) return 0.0
     val s = xs.sorted
@@ -256,11 +271,10 @@ object Bench {
   private def sf100Spot(spark: SparkSession, sfDir: String): (String, String) = {
     val names = Seq("dedup_verified", "dedup_substring")
     val dir = synthesizeSf100(spark, sfDir)
-    spark.sqlContext.clearCache()
-    System.gc()
+    reclaim(spark)
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
-        System.gc() // same retained-heap guard as the sf10 section
+        reclaim(spark) // same retained-heap guard as the sf10 section
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
@@ -298,16 +312,13 @@ object Bench {
       "llm_prep", "text_quality", "text_repetition", "text_fingerprint",
       "decontaminate", "sample_stratified", "seq_pack")
     val sf10Dir = synthesizeSf10(spark, sfDir)
-    spark.sqlContext.clearCache()
-    System.gc()
+    reclaim(spark)
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
-        // full GC between queries: broadcast/checkpoint blocks are only
-        // reclaimed by the ContextCleaner after their driver refs are
-        // GC'd, and the retained mass otherwise inflates every later
-        // query in the section (r10 probe: simhash 24.8 s fresh-JVM vs
-        // 224 s late-section, then an ngram OOM at 24g)
-        System.gc()
+        // deterministic reclaim between queries — see `reclaim`:
+        // async ContextCleaner alone left simhash at 166 s mid-section
+        // vs 49.6 s fresh-JVM in the r10 clean run
+        reclaim(spark)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sf10Dir).write.format("noop").mode("overwrite").save(); true }
@@ -345,11 +356,10 @@ object Bench {
     // the section runs after ~700 query executions in this JVM — shed
     // cached blocks and give the old gen a chance to compact so the
     // 10x-scale timings measure the plans, not accumulated heap state
-    spark.sqlContext.clearCache()
-    System.gc()
+    reclaim(spark)
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
-        System.gc() // same retained-heap guard as the sf10 section
+        reclaim(spark) // same retained-heap guard as the sf10 section
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sf1Dir).write.format("noop").mode("overwrite").save(); true }
@@ -518,8 +528,7 @@ object Bench {
         // after ~160 query executions (accumulated heap, cached plans,
         // codegen classes); clearing the SQL cache + a full GC gets the
         // section much closer to its standalone numbers
-        spark.catalog.clearCache()
-        System.gc()
+        reclaim(spark)
         val (full, short) = sf1Section(spark, sfDir)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
@@ -531,8 +540,7 @@ object Bench {
       if ((args.nonEmpty && !args.contains("sf10")) ||
           sys.env.get("SPARK_GRAFT_SF10").contains("off")) ("", "")
       else try {
-        spark.catalog.clearCache()
-        System.gc()
+        reclaim(spark)
         val (full, short) = sf10Section(spark, sfDir)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
@@ -544,8 +552,7 @@ object Bench {
       if ((args.nonEmpty && !args.contains("sf100")) ||
           sys.env.get("SPARK_GRAFT_SF100").contains("off")) ("", "")
       else try {
-        spark.catalog.clearCache()
-        System.gc()
+        reclaim(spark)
         val (full, short) = sf100Spot(spark, sfDir)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
