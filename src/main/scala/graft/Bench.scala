@@ -307,10 +307,11 @@ object Bench {
   private def sf10Section(spark: SparkSession, sfDir: String): (String, String) = {
     val names = Seq("dedup_exact", "dedup_canonical", "dedup_minhash",
       "dedup_simhash", "dedup_ngram", "dedup_verified", "dedup_substring",
-      "dedup_clusters", "dedup_clusters_verified",
+      "dedup_clusters", "dedup_clusters_verified", "dedup_semantic",
       "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
       "llm_prep", "text_quality", "text_repetition", "text_fingerprint",
-      "decontaminate", "sample_stratified", "seq_pack")
+      "decontaminate", "sample_stratified", "seq_pack", "lm_score",
+      "quality_gopher")
     // the four+ heavyweights re-run and report MIN: r10 measured the
     // SAME query at the SAME section position swinging 2× between
     // otherwise-identical runs (simhash 82 vs 126 s; clusters 90 vs

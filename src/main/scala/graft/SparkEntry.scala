@@ -2369,6 +2369,23 @@ object Queries {
         threshold = 0.3, sampleMod = 1)
     }),
 
+    // SemDeDup-style semantic dedup: coarse cells (deterministic
+    // quantizer, adaptive nlist) -> capped within-cell pairing -> drop
+    // the higher id of every tau-close pair
+    "dedup_semantic" -> ((s, dir) => {
+      Similarity.semDedup(Tables.embeddings(s, dir), tau = 0.3)
+    }),
+
+    // Gopher rule battery: the 7-flag quality gate per document
+    "quality_gopher" -> ((s, dir) => {
+      TextAnalysis.gopherQuality(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    // corpus-trained bigram LM scoring (CCNet-style perplexity signal)
+    "lm_score" -> ((s, dir) => {
+      LanguageModel.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     // language-ID heuristic (marker stopword argmax)
     "langid" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -5139,6 +5156,12 @@ object Queries {
     // banded-LSH pipeline fully oracled: deterministic planes embed as
     // literals, maxBucket guard mirrored (see Similarity.embNearDupOracleSql)
     "emb_neardup" -> Similarity.embNearDupOracleSql(threshold = 0.3),
+
+    "dedup_semantic" -> Similarity.semDedupOracleSql(tau = 0.3),
+
+    "quality_gopher" -> TextAnalysis.gopherOracleSql,
+
+    "lm_score" -> LanguageModel.bigramOracleSql,
 
     "langid" ->
       ("SELECT doc_id, lang, predicted FROM " +

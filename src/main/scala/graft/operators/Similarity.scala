@@ -267,6 +267,87 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim_raw"), 4).as("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse-cluster the embedding space, then inside
+    * each cluster mark as duplicates the vectors that have a LOWER-id
+    * neighbor with cosine ≥ tau — the paper's upper-triangular
+    * max-similarity rule with vec_id order standing in for the
+    * centroid-distance ordering (any deterministic total order yields a
+    * valid one-representative-per-group selection).
+    *
+    * Returns every corpus row as (vec_id, cl, kept) — kept = false iff a
+    * lower-id same-cluster vector is tau-close.
+    *
+    * Scale shape: cell assignment is one codegen'd projection against a
+    * broadcast codebook (as in [[ivfTopK]]); the within-cluster pairing
+    * reuses the shared capped [[Dedup.bucketPairs]] kernel — ONE groupBy
+    * shuffle, clusters above `maxCluster` members are passed through
+    * un-deduped rather than materializing an m²/2 blow-up. At 100 TB:
+    * train the codebook on a sample ([[trainIvfCodebook]]) with
+    * nlist ∝ corpus/targetCellSize so cells stay ~10³ vectors; here the
+    * deterministic default keeps the whole pipeline (adaptive nlist =
+    * max(16, ⌈N/512⌉), first-nlist centroids, argmax-cosine assignment)
+    * oracle-expressible. */
+  def semDedup(corpus: DataFrame, tau: Double,
+               codebook: Option[Array[Array[Float]]] = None,
+               cellTarget: Int = 512, maxCluster: Int = 4096): DataFrame = {
+    val cents: Array[Array[Float]] = codebook.getOrElse {
+      val nlist = math.max(16L, (corpus.count() + cellTarget - 1) / cellTarget).toInt
+      corpus.filter(col("vec_id") < nlist)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+    }
+    def sims(emb: Column): Column =
+      array(cents.map(ce => cosine(emb, array(ce.map(lit): _*))): _*)
+    def cell(emb: Column): Column = {
+      val s = sims(emb)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cl", cell(col("embedding")))
+    // bucketPairs sorts members ascending, so p.a.id < p.b.id always:
+    // the higher id of a tau-close pair is the duplicate
+    val dropped = Dedup.bucketPairs(assigned, Seq(col("cl")),
+        struct(col("vec_id").as("id"), col("embedding").as("emb")), maxCluster)
+      .filter(cosine(col("p.a.emb"), col("p.b.emb")) >= tau)
+      .select(col("p.b.id").as("vec_id")).distinct()
+      .withColumn("dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cl"), col("dup").isNull.as("kept"))
+  }
+
+  /** DuckDB oracle for [[semDedup]] with the deterministic default
+    * quantizer: adaptive nlist, first-nlist codebook, argmax-cosine
+    * assignment (first-max-wins both engines), maxCluster guard mirrored
+    * as a HAVING band. */
+  def semDedupOracleSql(tau: Double, cellTarget: Int = 512,
+                        maxCluster: Int = 4096): String =
+    s"""WITH n AS (
+       |  SELECT greatest(16, CAST(ceil(count(*) / $cellTarget.0) AS INT)) AS nl
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT list(embedding ORDER BY vec_id) AS ce
+       |  FROM embeddings, n WHERE vec_id < n.nl),
+       |assigned AS (
+       |  SELECT vec_id, embedding,
+       |    list_position(sims, list_max(sims)) - 1 AS cl
+       |  FROM (SELECT e.vec_id, e.embedding,
+       |          list_transform(cb.ce, x -> list_cosine_similarity(e.embedding, x)) AS sims
+       |        FROM embeddings e, cb)),
+       |small AS ( -- the engine's maxCluster pass-through guard, mirrored
+       |  SELECT cl FROM assigned GROUP BY cl
+       |  HAVING count(*) BETWEEN 2 AND $maxCluster),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cl = b.cl AND a.vec_id < b.vec_id
+       |  JOIN small s ON s.cl = a.cl
+       |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= $tau)
+       |SELECT a.vec_id, a.cl, d.vec_id IS NULL AS kept
+       |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
+
   /** DuckDB oracle for embeddingNearDupPairs: the seeded plane matrix
     * embeds as literals, band keys are bit-slices of the sign vector, and
     * the maxBucket hot-bucket guard is mirrored (as in

@@ -139,6 +139,108 @@ object TextAnalysis {
         ipv4Re, "<IP>"),
       longDigitsRe, "<NUM>")
 
+  /** Gopher-rule stopword set (Rae et al. 2021, arXiv:2112.11446,
+    * Table A1): a doc must contain ≥ 2 of these to pass rule 7. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021, Appendix A —
+    * the public heuristic battery that became the de-facto pretraining
+    * text gate) as one per-document projection: each rule a boolean
+    * flag plus the measured signals behind it, `pass` = all rules.
+    * Rules: word count ∈ [50, 100000]; mean word length ∈ [3, 10];
+    * symbol-to-word ratio (#, …) ≤ 0.1; < 90% of lines bullet-started;
+    * < 30% of lines ellipsis-ended; ≥ 80% of words contain a letter;
+    * ≥ 2 distinct stopwords present. Pure Column arithmetic over one
+    * shared token array — codegen'd, shuffle-free, scan-bound. Ratios
+    * floor-quantized at 1e-6 (cross-engine bit-stability, as in
+    * [[qualityScoreFrom]]). */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      tokens(col(textCol)).as("toks"),
+      split(col(textCol), "\n").as("lines"))
+    val nWords = size(col("toks"))
+    val q6 = (c: Column) => floor(c * 1e6) / 1e6
+    val meanLen = q6(when(nWords > 0,
+      aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double") / nWords)
+      .otherwise(lit(0.0)))
+    val symbolRatio = q6(when(nWords > 0,
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\.|…"), lit(0)))
+        .cast("double") / nWords).otherwise(lit(0.0)))
+    val nLines = size(col("lines"))
+    val bulletFrac = q6(size(filter(col("lines"),
+      l => ltrim(l).rlike("^[•\\-*]"))).cast("double") / nLines)
+    val ellipsisFrac = q6(size(filter(col("lines"),
+      l => rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+    val alphaFrac = q6(when(nWords > 0,
+      size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("double") / nWords)
+      .otherwise(lit(0.0)))
+    // distinct-membership count, not occurrence count
+    val nStop = gopherStopwords.map(w =>
+      when(array_contains(col("toks"), w), 1).otherwise(0)).reduce(_ + _)
+    staged.select(col("doc_id"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        nStop.as("n_stop"))
+      .withColumn("r_words", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("r_meanlen", col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
+      .withColumn("r_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("r_bullets", col("bullet_frac") < 0.9)
+      .withColumn("r_ellipsis", col("ellipsis_frac") < 0.3)
+      .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("pass", col("r_words") && col("r_meanlen") && col("r_symbols") &&
+        col("r_bullets") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** DuckDB oracle for [[gopherQuality]] over the `documents` table. */
+  def gopherOracleSql: String =
+    """WITH staged AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(toks) AS n_words,
+      |    CASE WHEN len(toks) > 0 THEN floor(
+      |      CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+      |        / len(toks) * 1e6) / 1e6 ELSE 0.0::DOUBLE END AS mean_word_len,
+      |    CASE WHEN len(toks) > 0 THEN floor(
+      |      CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+      |        / len(toks) * 1e6) / 1e6 ELSE 0.0::DOUBLE END AS symbol_ratio,
+      |    floor(CAST(len(list_filter(lines,
+      |      l -> regexp_matches(ltrim(l), '^[•\-*]'))) AS DOUBLE)
+      |        / len(lines) * 1e6) / 1e6 AS bullet_frac,
+      |    floor(CAST(len(list_filter(lines,
+      |      l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+      |        / len(lines) * 1e6) / 1e6 AS ellipsis_frac,
+      |    CASE WHEN len(toks) > 0 THEN floor(
+      |      CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      |        / len(toks) * 1e6) / 1e6 ELSE 0.0::DOUBLE END AS alpha_frac,
+      |    (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+      |     + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END) AS n_stop
+      |  FROM staged)
+      |SELECT *,
+      |  (r_words AND r_meanlen AND r_symbols AND r_bullets AND r_ellipsis
+      |   AND r_alpha AND r_stop) AS pass
+      |FROM (SELECT *,
+      |  n_words >= 50 AND n_words <= 100000 AS r_words,
+      |  mean_word_len >= 3 AND mean_word_len <= 10 AS r_meanlen,
+      |  symbol_ratio <= 0.1 AS r_symbols,
+      |  bullet_frac < 0.9 AS r_bullets,
+      |  ellipsis_frac < 0.3 AS r_ellipsis,
+      |  alpha_frac >= 0.8 AS r_alpha,
+      |  n_stop >= 2 AS r_stop
+      |FROM m)""".stripMargin
+
   /** DuckDB-side mirrors (shared with oracle SQL). */
   def langIdSql(col: String): String = {
     val hitExprs = langMarkers.map { case (l, ms) =>

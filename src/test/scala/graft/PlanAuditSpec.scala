@@ -122,6 +122,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(firstAgg >= 0 && exch >= 0, "agg/exchange missing")
   }
 
+  test("quality_gopher: one pruned scan, pure projections — no join, no agg") {
+    val p = plan("quality_gopher")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"unpruned documents scan: $read")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      "the rule battery must stay a scan-bound projection")
+  }
+
+  test("lm_score: count tables partial-aggregate and broadcast; |V| is a literal") {
+    val p = plan("lm_score")
+    // map-side combine on both count tables before their exchanges
+    assert(p.indexOf("HashAggregate") >= 0 && p.contains("Exchange"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "vocabulary-sized count tables must broadcast at gate scale")
+    // the smoothing denominator is a collected scalar, not a cross join
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_semantic: capped cluster pairing, no all-pairs cross product") {
+    val p = plan("dedup_semantic")
+    // within-cell pairing goes through the collect_list kernel
+    assert(p.contains("ObjectHashAggregate"),
+      "cluster members must group through the capped bucketPairs kernel")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no-cartesian / no-Python sweep over the lazily-built batch suite") {
     // every query that constructs lazily: the physical plan must never
     // contain a cartesian product or a Python eval barrier. Eagerly-

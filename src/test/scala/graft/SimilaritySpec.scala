@@ -98,6 +98,32 @@ class SimilaritySpec extends SparkSpec {
       .count() == 6L) // C(4,2)
   }
 
+  test("semDedup: keeps the lowest id per tau-close group, caps pass through") {
+    // three exact copies of one vector + one distinct vector, plus the
+    // deterministic-corpus tail so the codebook (first-16) exists
+    val v = Array.tabulate(64)(d => (d + 1).toFloat / 64f).toSeq
+    val w = Array.tabulate(64)(d => (if (d % 2 == 0) 1f else -1f)).toSeq
+    val docs = (Seq((100L, v), (101L, v), (102L, v), (103L, w)) ++
+      (0 until 32).map { id =>
+        val u = Array.tabulate(64) { d =>
+          var z = id * 7919L + d * 104729L + 17
+          z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+          (z.toFloat / Long.MaxValue)
+        }
+        (id.toLong, u.toSeq)
+      }).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(docs, tau = 0.99)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out(100L), "lowest id of the duplicate group must survive")
+    assert(!out(101L) && !out(102L), "copies of a lower id must drop")
+    assert(out(103L), "a distinct vector must survive")
+    // a cluster above maxCluster passes through un-deduped
+    val hot = (0 until 40).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val capped = Similarity.semDedup(hot, tau = 0.99, maxCluster = 8)
+    assert(capped.filter(!col("kept")).count() == 0L)
+    assert(capped.count() == 40L)
+  }
+
   test("brute force top-k is deterministic, self-excluded, ordered") {
     val q = corpus.filter(col("vec_id") === 0)
     val rows = Similarity.bruteForceTopK(corpus, q, k = 10)
