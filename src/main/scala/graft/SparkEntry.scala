@@ -2386,6 +2386,11 @@ object Queries {
       LanguageModel.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
     }),
 
+    // per-doc top-k terms by tf-idf (keyword extraction)
+    "tfidf_topk" -> ((s, dir) => {
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
     // language-ID heuristic (marker stopword argmax)
     "langid" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -5162,6 +5167,8 @@ object Queries {
     "quality_gopher" -> TextAnalysis.gopherOracleSql,
 
     "lm_score" -> LanguageModel.bigramOracleSql,
+
+    "tfidf_topk" -> TextAnalysis.tfidfOracleSql(),
 
     "langid" ->
       ("SELECT doc_id, lang, predicted FROM " +

@@ -290,9 +290,17 @@ object Similarity {
     * oracle-expressible. */
   def semDedup(corpus: DataFrame, tau: Double,
                codebook: Option[Array[Array[Float]]] = None,
-               cellTarget: Int = 512, maxCluster: Int = 4096): DataFrame = {
+               cellTarget: Int = 512, maxCluster: Int = 4096,
+               nlistCap: Int = 1024): DataFrame = {
     val cents: Array[Array[Float]] = codebook.getOrElse {
-      val nlist = math.max(16L, (corpus.count() + cellTarget - 1) / cellTarget).toInt
+      // nlistCap bounds the literal-codebook plan size (nlist × dim
+      // literals in one projection — measured fine at 391×64, but an
+      // uncapped corpus/512 would hand Janino a megabyte method at
+      // ~10⁶ vectors). Past the cap, cells grow toward maxCluster and
+      // the right tool is a TRAINED codebook ([[trainIvfCodebook]])
+      // with bucketed assignment, passed in via `codebook`.
+      val nlist = math.min(nlistCap.toLong,
+        math.max(16L, (corpus.count() + cellTarget - 1) / cellTarget)).toInt
       corpus.filter(col("vec_id") < nlist)
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -323,9 +331,10 @@ object Similarity {
     * assignment (first-max-wins both engines), maxCluster guard mirrored
     * as a HAVING band. */
   def semDedupOracleSql(tau: Double, cellTarget: Int = 512,
-                        maxCluster: Int = 4096): String =
+                        maxCluster: Int = 4096, nlistCap: Int = 1024): String =
     s"""WITH n AS (
-       |  SELECT greatest(16, CAST(ceil(count(*) / $cellTarget.0) AS INT)) AS nl
+       |  SELECT least($nlistCap,
+       |    greatest(16, CAST(ceil(count(*) / $cellTarget.0) AS INT))) AS nl
        |  FROM embeddings),
        |cb AS (
        |  SELECT list(embedding ORDER BY vec_id) AS ce

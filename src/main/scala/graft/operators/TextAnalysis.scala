@@ -194,6 +194,56 @@ object TextAnalysis {
         col("r_bullets") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
   }
 
+  /** Per-document top-k terms by TF-IDF — the classic keyword-extraction
+    * / topic-fingerprint step of a corpus pipeline. idf = ln(N/df) with
+    * df = #docs containing the term (tf rows are already distinct
+    * (doc, term), so df is one combinable re-aggregation of tf). Scores
+    * are quantized to integer micro-scores BEFORE ranking so the
+    * (score DESC, term) order is identical across engines — two doubles
+    * a ulp apart could otherwise swap ranks. N is one bounded scalar.
+    *
+    * Scale shape: two map-side-combinable groupBys (doc×term, term) and
+    * one broadcast-sized join (df is vocabulary-sized); the top-k window
+    * partitions by doc_id — per-partition cardinality is a document's
+    * vocabulary, so no skew and no global sort. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val nDocs = toks.count() // bounded collect: one scalar
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("mscore",
+        floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("mscore").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("mscore"))
+  }
+
+  /** DuckDB oracle for [[tfidfTopK]] over the `documents` table. */
+  def tfidfOracleSql(k: Int = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |n AS (SELECT count(*) AS nd FROM toks),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |    CAST(floor(tf.tf * ln(CAST(n.nd AS DOUBLE) / df.df) * 1e6)
+       |      AS BIGINT) AS mscore
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY doc_id ORDER BY mscore DESC, term) AS rk FROM sc)
+       |SELECT doc_id, rk, term, tf, mscore FROM r WHERE rk <= $k""".stripMargin
+
   /** DuckDB oracle for [[gopherQuality]] over the `documents` table. */
   def gopherOracleSql: String =
     """WITH staged AS (

@@ -68,6 +68,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(avg - (2 * mlp(2, 4) + mlp(1, 2)) / 3e6) < 1e-12)
   }
 
+  test("tfidfTopK: hand-checked scores, deterministic tie-break on term") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("mscore"))).toMap
+    def m(tf: Long, df: Long): Long =
+      math.floor(tf * math.log(3.0 / df) * 1e6).toLong
+    assert(out((1L, 1)) == ("apple", m(2, 1)))   // 2·ln3 beats 1·ln1.5
+    assert(out((1L, 2)) == ("banana", m(1, 2)))
+    // doc 2: banana and cherry tie exactly -> term order breaks it
+    assert(out((2L, 1))._1 == "banana" && out((2L, 2))._1 == "cherry")
+    assert(out((2L, 1))._2 == out((2L, 2))._2)
+    assert(out((3L, 1)) == ("cherry", m(3, 2)))  // 3·ln1.5 > 1·ln3
+    assert(out((3L, 2)) == ("durian", m(1, 1)))
+  }
+
   test("dupNgramFrac: repetition raises the fraction, short docs are 0") {
     assert(frac("", 2) == 0.0)
     assert(frac("one", 2) == 0.0)           // no bigram can form
