@@ -246,6 +246,29 @@ object Queries {
         graft.sources.Sources.frameOctetCounted(col("m")).as("framed"))
     }),
 
+    // §2.10 omfwd compression.mode="single" (omfwd.c:1782-1807): zlib
+    // the wire bytes when > CONF_MIN_SIZE_FOR_COMPRESS (60), 'z'
+    // marker, keep only on gain; receive side = imptcp's inflate of the
+    // 'z' extension. The deflate bytes themselves are impl-defined, so
+    // the oracle checks the DECISION + the engine-side round-trip: the
+    // fixture keeps every >60-byte wire clearly compressible (512-byte
+    // pad) and every other wire ≤ 60, so `compressed` is closed-form
+    "omfwd_compress" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val wire = when(col("event_id") % 3 === 0,
+          concat(lit("<13>h fwd msgnum:"), lpad(col("event_id"), 8, "0")))
+        .otherwise(concat(lit("<13>h fwd msgnum:"), lpad(col("event_id"), 8, "0"),
+          lit(" "), repeat(lit("pad"), 171)))
+      val z = graft.functions.HttpExprs.omfwdZip(wire.cast("binary"))
+      ev.select(col("event_id"), wire.as("w"), z.as("z"))
+        .select(col("event_id"),
+          length(col("w")).as("orig_len"),
+          (substring(col("z"), 1, 1) === lit(Array('z'.toByte))).as("compressed"),
+          (length(col("z")) < length(col("w"))).as("gain"),
+          (graft.functions.HttpExprs.omfwdUnzip(col("z")).cast("string")
+            === col("w")).as("roundtrip_ok"))
+    }),
+
     // §2.10 omfwd target POOL load balancing (omfwd.c:1883-1901): a
     // static 3-target pool with the middle target down — active members
     // round-robin in pool order per worker (closed form pinned by
@@ -5169,6 +5192,18 @@ object Queries {
     "lm_score" -> LanguageModel.bigramOracleSql,
 
     "tfidf_topk" -> TextAnalysis.tfidfOracleSql(),
+
+    // the deflate BYTES are impl-defined, so the oracle pins the
+    // closed-form compress decision; roundtrip/gain are engine-verified
+    // booleans (same contract as imhttp_body's gzip rows)
+    "omfwd_compress" ->
+      """SELECT event_id,
+        |  strlen('<13>h fwd msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0'))
+        |    + CASE WHEN event_id % 3 = 0 THEN 0 ELSE 514 END AS orig_len,
+        |  event_id % 3 <> 0 AS compressed,
+        |  event_id % 3 <> 0 AS gain,
+        |  true AS roundtrip_ok
+        |FROM events""".stripMargin,
 
     "langid" ->
       ("SELECT doc_id, lang, predicted FROM " +

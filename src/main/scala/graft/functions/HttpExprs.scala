@@ -96,6 +96,51 @@ object HttpKernels {
     bos.toByteArray
   }
 
+  /** omfwd single-message compression (tools/omfwd.c:1782-1807): zlib
+    * compress2 the rendered wire bytes when longer than
+    * CONF_MIN_SIZE_FOR_COMPRESS (runtime/rsyslog.h:244 — 60), prefix the
+    * 'z' marker, and keep the compressed form only when it actually
+    * gains (destLen + 1 < srcLen); otherwise the raw bytes go out
+    * unchanged. java.util.zip.Deflater IS zlib, so the wire format
+    * (2-byte zlib header + deflate + adler32) matches the reference's
+    * compress2 output shape. */
+  def omfwdZip(bytes: Array[Byte], level: Int): Array[Byte] = {
+    if (bytes.length <= 60) return bytes
+    val defl = new java.util.zip.Deflater(level)
+    defl.setInput(bytes); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 32)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) bos.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val z = bos.toByteArray
+    if (z.length + 1 < bytes.length) {
+      val out = new Array[Byte](z.length + 1)
+      out(0) = 'z'.toByte
+      System.arraycopy(z, 0, out, 1, z.length)
+      out
+    } else bytes
+  }
+
+  /** Receive-side single-message decompression (imptcp.c:1400-1430 /
+    * tcps_sess compression extension): a leading 'z' means the rest is
+    * a zlib stream; anything else passes through. null on a corrupt
+    * stream — the reject path. */
+  def omfwdUnzip(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length == 0 || bytes(0) != 'z'.toByte) bytes
+    else try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(bytes, 1, bytes.length - 1)
+      val bos = new java.io.ByteArrayOutputStream(bytes.length * 2 + 32)
+      val tmp = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val r = inf.inflate(tmp)
+        if (r == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        bos.write(tmp, 0, r)
+      }
+      inf.end()
+      bos.toByteArray
+    } catch { case _: java.util.zip.DataFormatException => null }
+
   /** null on a malformed stream — the request-reject path. */
   def gunzip(bytes: Array[Byte]): Array[Byte] =
     try {
@@ -171,6 +216,40 @@ case class GunzipExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class OmfwdZipExpr(child: Expression, level: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "omfwd_zip"
+  override protected def nullSafeEval(input: Any): Any =
+    HttpKernels.omfwdZip(input.asInstanceOf[Array[Byte]], level)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HttpKernels$$.MODULE$$.omfwdZip($c, $level);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class OmfwdUnzipExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "omfwd_unzip"
+  override protected def nullSafeEval(input: Any): Any =
+    HttpKernels.omfwdUnzip(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.HttpKernels$$.MODULE$$.omfwdUnzip($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HttpExprs {
   /** imhttp body → array of message payloads. modeName: "lf" (default
     * LF delimiting), "block" (disableLFDelim="on"), "octet"
@@ -192,5 +271,14 @@ object HttpExprs {
       org.apache.spark.sql.GraftBridge.expression(c)))
   def gzipInflate(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(GunzipExpr(
+      org.apache.spark.sql.GraftBridge.expression(c)))
+  /** omfwd compression.mode="single" wire bytes (level = zipLevel,
+    * reference default 9 — omfwd.c:2058). */
+  def omfwdZip(c: Column, level: Int = 9): Column =
+    org.apache.spark.sql.GraftBridge.column(OmfwdZipExpr(
+      org.apache.spark.sql.GraftBridge.expression(c), level))
+  /** imptcp/tcps_sess receive-side inflate of the 'z' extension. */
+  def omfwdUnzip(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(OmfwdUnzipExpr(
       org.apache.spark.sql.GraftBridge.expression(c)))
 }

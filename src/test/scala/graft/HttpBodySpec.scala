@@ -45,6 +45,26 @@ class HttpBodySpec extends AnyFunSuite {
     assert(split("9 abc", 2) == Seq("abc"))
   }
 
+  test("omfwd single-msg zlib: 60-byte gate, z marker, gain gate, round-trip") {
+    def b(s: String) = s.getBytes("UTF-8")
+    // <= CONF_MIN_SIZE_FOR_COMPRESS passes through untouched
+    val short = b("x" * 60)
+    assert(HttpKernels.omfwdZip(short, 9) eq short)
+    // compressible long message: 'z' marker + shrink + exact round-trip
+    val long = b("<13>h fwd: " + ("pad" * 200))
+    val z = HttpKernels.omfwdZip(long, 9)
+    assert(z(0) == 'z'.toByte && z.length < long.length)
+    assert(java.util.Arrays.equals(HttpKernels.omfwdUnzip(z), long))
+    // incompressible >60 bytes (full-entropy random): no gain -> raw
+    // goes out (omfwd.c:1800 "only use compression if there is a gain")
+    val rnd = new Array[Byte](100)
+    new java.util.Random(7).nextBytes(rnd)
+    assert(HttpKernels.omfwdZip(rnd, 9) eq rnd)
+    // receive side: non-'z' passes through; corrupt 'z' stream -> null
+    assert(HttpKernels.omfwdUnzip(long) eq long)
+    assert(HttpKernels.omfwdUnzip(b("znot zlib at all")) == null)
+  }
+
   test("gzip round-trips; malformed stream rejects as null (processDataCompressed)") {
     val payload = "m1 alpha\nx42\n".getBytes("UTF-8")
     val back = HttpKernels.gunzip(HttpKernels.gzip(payload))
