@@ -1768,7 +1768,9 @@ object Queries {
     // = routed count per action, ONE aggregation over the compiled
     // frame's frozen per-action condition columns (no per-action re-scan)
     "config_e2e" -> ((s, dir) => {
-      val spool = s"/tmp/graft_config_e2e_${math.abs(dir.hashCode)}"
+      // deterministic path (overwritten per sf) + exit-reaped
+      val spool = graft.Tmp.register(java.nio.file.Paths.get(
+        s"/tmp/graft_config_e2e_${math.abs(dir.hashCode)}")).toString
       synthSyslog(s, dir).select(col("rawmsg"))
         .coalesce(1).write.mode("overwrite").text(spool)
       val conf =
@@ -2806,7 +2808,7 @@ object Queries {
     // read them back through fileLines (provenance cols) → deframe →
     // decode — the full imtcp/imfile ingest surface on actual files
     "imfile_read" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_imfile_")
+      val tmp = graft.Tmp.dir("graft_imfile_")
       val framed = synthSyslog(s, dir)
         .select(concat(length(col("rawmsg")), lit(" "), col("rawmsg")).as("value"))
       framed.write.mode("overwrite").text(tmp.toString)
@@ -2825,7 +2827,7 @@ object Queries {
     // path + fd cache) — write partitioned by the computed key, read the
     // directory back, verify content per partition
     "omfile_dynafile" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_dynafile_")
+      val tmp = graft.Tmp.dir("graft_dynafile_")
       val ev = synthSyslog(s, dir)
         .select(col("event_id"), col("severity"), col("hostname"), col("v100"))
       graft.sources.Sources.omfilePartitioned(ev, tmp.toString, Seq("severity"))
@@ -2844,7 +2846,7 @@ object Queries {
     // being lost (omelasticsearch error-file pattern)
     "dead_letter" -> ((s, dir) => {
       import graft.sources.ReliableSink
-      val base = java.nio.file.Files.createTempDirectory("graft_dlq_")
+      val base = graft.Tmp.dir("graft_dlq_")
       val (primary, dlq) = (s"$base/primary", s"$base/dlq")
       val ev = synthSyslog(s, dir).select(col("event_id"), col("severity"))
       val policy = ReliableSink.RetryPolicy(maxRetries = 2,
@@ -3252,7 +3254,7 @@ object Queries {
     // same (epoch, cls) contract as the batch `lookup_reload` query.
     "stream_lookup_reload" -> ((s, dir) => {
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val work = Files.createTempDirectory("graft_slr_").toFile
+      val work = graft.Tmp.dir("graft_slr_").toFile
       work.deleteOnExit()
       val inDir = new java.io.File(work, "in"); inDir.mkdirs()
       val outDir = new java.io.File(work, "out").getPath

@@ -285,8 +285,8 @@ class ConfigSpec extends SparkSpec {
     // DIFFERENT rulesets, and check routing + imfile message shaping
     // (msg = the file line, tag/PRI from params, hostname = receiver —
     // plugins/imfile defaults iSeverity=5 iFacility=128=local0<<3)
-    val dirA = java.nio.file.Files.createTempDirectory("graft_imfile_a_")
-    val dirB = java.nio.file.Files.createTempDirectory("graft_imfile_b_")
+    val dirA = graft.Tmp.dir("graft_imfile_a_")
+    val dirB = graft.Tmp.dir("graft_imfile_b_")
     java.nio.file.Files.writeString(dirA.resolve("app.log"),
       "line one\nline two\nERROR line three\n")
     java.nio.file.Files.writeString(dirB.resolve("other.log"),
@@ -352,7 +352,7 @@ class ConfigSpec extends SparkSpec {
   }
 
   test("bindStreamImfile threads multiline params through the state machine") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_imfile_ml_")
+    val dir = graft.Tmp.dir("graft_imfile_ml_")
     java.nio.file.Files.writeString(dir.resolve("t.log"),
       "START a\n cont 1\n cont 2\nSTART b\n tail\n")
     val out = graft.rainerscript.InputBinding.bindStreamImfile(spark,
@@ -394,7 +394,7 @@ class ConfigSpec extends SparkSpec {
       // missing var → empty; static text passes through
       assert(RsyslogConfig.parse(
         """set $.v = `echo a${NOPE_UNSET_VAR}b`;""").mainStmts.nonEmpty)
-      val f = java.nio.file.Files.createTempFile("graft_bt", ".txt")
+      val f = graft.Tmp.register(java.nio.file.Files.createTempFile("graft_bt", ".txt"))
       java.nio.file.Files.writeString(f, "from-file")
       val cfg2 = RsyslogConfig.parse(
         s"""if `cat ${f.toString}` == "from-file" then action(type="omfile" file=`pwd`)
@@ -567,7 +567,7 @@ class ConfigSpec extends SparkSpec {
   }
 
   test("mmnormalize + mmtaghostname inline actions") {
-    val rb = java.nio.file.Files.createTempFile("graft_rb", ".rulebase")
+    val rb = graft.Tmp.register(java.nio.file.Files.createTempFile("graft_rb", ".rulebase"))
     java.nio.file.Files.writeString(rb,
       "version=2\n# comment\nrule=auth:login user %u:word% from %ip:ipv4%\n")
     val cfg = RsyslogConfig.parse(
@@ -982,7 +982,7 @@ class ConfigSpec extends SparkSpec {
     // tests/mmnormalize_tokenized.sh over its exact rulebase + inputs:
     // tokenized fields render as (nested) string arrays in json-c SPACED
     // form with '/' escaped like the reference's jsonToString
-    val rb = java.io.File.createTempFile("graft_tok", ".rulebase")
+    val rb = graft.Tmp.file("graft_tok", ".rulebase")
     java.nio.file.Files.writeString(rb.toPath,
       """rule=only_ips:%only_ips:tokenized:, :ipv4%
         |rule=local_ips:local ips are %local_ips:tokenized:, :ipv4%

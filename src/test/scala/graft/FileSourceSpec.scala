@@ -13,7 +13,7 @@ class FileSourceSpec extends SparkSpec {
   test("imfile addMetadata: $!metadata!filename and line_number") {
     // tests/imfile-metadata-line-number.sh: each line carries its file
     // and 1-based line number under $!metadata
-    val dir = Files.createTempDirectory("graft_imfile_meta")
+    val dir = graft.Tmp.dir("graft_imfile_meta")
     val f = dir.resolve("in.log")
     Files.writeString(f, "msgnum:00000000:\nmsgnum:00000001:\nmsgnum:00000002:\n")
     try {
@@ -120,9 +120,9 @@ class FileSourceSpec extends SparkSpec {
   }
 
   test("file source → decode → template → file sink round trip") {
-    val inDir = Files.createTempDirectory("graft_in").toFile
+    val inDir = graft.Tmp.dir("graft_in").toFile
     val outDir = new java.io.File(
-      Files.createTempDirectory("graft_out").toFile, "out")
+      graft.Tmp.dir("graft_out").toFile, "out")
     val lines = (0 until 100).map(i =>
       f"<${8 * (i % 24) + i % 8}%d>Mar  1 01:00:00 host$i%d app[$i%d]: msgnum:$i%08d:")
     Files.write(new java.io.File(inDir, "a.log").toPath,
@@ -162,7 +162,7 @@ class FileSourceSpec extends SparkSpec {
 
   test("dynafile ≡ partitioned write by computed columns") {
     val outDir = new java.io.File(
-      Files.createTempDirectory("graft_dyna").toFile, "part")
+      graft.Tmp.dir("graft_dyna").toFile, "part")
     import spark.implicits._
     val df = Seq((0, "err", "m0"), (1, "info", "m1"), (2, "err", "m2"))
       .toDF("id", "sev", "msg")
@@ -173,7 +173,7 @@ class FileSourceSpec extends SparkSpec {
   }
 
   test("streaming fileTail processes appended files") {
-    val inDir = Files.createTempDirectory("graft_stream").toFile
+    val inDir = graft.Tmp.dir("graft_stream").toFile
     Files.write(new java.io.File(inDir, "one.log").toPath,
       "<13>Mar  1 01:00:00 h1 a: first\n<13>Mar  1 01:00:00 h2 b: second".getBytes)
     val q = Sources.decodeSyslog(Sources.fileTail(spark, inDir.getAbsolutePath))
@@ -225,7 +225,7 @@ class FileSourceSpec extends SparkSpec {
   }
 
   test("imfile ignoreOlderThan skips stale files (imfile-ignore-old-file.sh)") {
-    val dir = Files.createTempDirectory("graft_imfile_old")
+    val dir = graft.Tmp.dir("graft_imfile_old")
     val fresh = dir.resolve("fresh.log")
     val old = dir.resolve("old.log")
     Files.writeString(fresh, "msgnum:new:\n")

@@ -207,7 +207,7 @@ class YamlConfigSpec extends SparkSpec {
     // tests/yaml-include.sh shape: a RainerScript config includes a
     // .yaml main config, which itself includes a nested .yaml (module)
     // and a .conf fragment (template)
-    val dir = java.nio.file.Files.createTempDirectory("graft_yinc")
+    val dir = graft.Tmp.dir("graft_yinc")
     val sub = dir.resolve("sub.yaml")
     val inc = dir.resolve("inc.conf")
     val main = dir.resolve("main.yaml")
