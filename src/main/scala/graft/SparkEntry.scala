@@ -269,6 +269,44 @@ object Queries {
             === col("w")).as("roundtrip_ok"))
     }),
 
+    // §2.10 omfwd compression.mode="stream:always" + imptcp receive
+    // (omfwd.c:1204-1310, imptcp.c:1376-1460): one zlib stream per
+    // 64-msg session, SYNC_FLUSH at each 16-msg transaction end, finish
+    // at close; the receiver inflates incrementally and the AUTO-mode
+    // sniff classifies the session's first two bytes (RFC 1950 check
+    // bits). Deflate bytes are impl-defined, so the oracle pins session
+    // shape while round-trip/sniff are engine-verified booleans
+    "omfwd_zipstream" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val framed = ev.select(col("event_id"),
+        (col("event_id") / 64).cast("long").as("session"),
+        ((col("event_id") % 64) / 16).cast("int").as("tx"),
+        graft.sources.Sources.frameOctetCounted(
+          concat(lit("<13>h fwdz msgnum:"), lpad(col("event_id"), 8, "0"),
+            lit(" t="), col("event_type"))).as("frame"))
+      val txs = framed
+        .groupBy(col("session"), col("tx"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws("", sort_array(collect_list(
+            struct(col("event_id"), col("frame")))).getField("frame"))
+            .as("payload"))
+      val z = txs
+        .groupBy(col("session"))
+        .agg(sum(col("n")).as("n_msgs"),
+          graft.functions.HttpExprs.omfwdZipStream(
+            sort_array(collect_list(struct(col("tx"), col("payload"))))
+              .getField("payload").cast("array<binary>")).as("z"),
+          concat_ws("", sort_array(collect_list(
+            struct(col("tx"), col("payload")))).getField("payload"))
+            .as("expected"))
+      z.select(col("session"), col("n_msgs"),
+        (graft.functions.HttpExprs.imptcpInflateStream(col("z")).cast("string")
+          === col("expected")).as("roundtrip_ok"),
+        graft.functions.HttpExprs.zlibSniff(col("z")).as("zlib_detected"),
+        graft.functions.HttpExprs.zlibSniff(col("expected").cast("binary"))
+          .as("plain_detected"))
+    }),
+
     // §2.10 omfwd target POOL load balancing (omfwd.c:1883-1901): a
     // static 3-target pool with the middle target down — active members
     // round-robin in pool order per worker (closed form pinned by
@@ -5198,6 +5236,17 @@ object Queries {
     // the deflate BYTES are impl-defined, so the oracle pins the
     // closed-form compress decision; roundtrip/gain are engine-verified
     // booleans (same contract as imhttp_body's gzip rows)
+    // session shape closed-form; round-trip and the RFC1950 sniff are
+    // engine-verified (plaintext sessions start with an octet-count
+    // digit — low nibble never 8)
+    "omfwd_zipstream" ->
+      """SELECT event_id // 64 AS session,
+        |  count(*) AS n_msgs,
+        |  true AS roundtrip_ok,
+        |  true AS zlib_detected,
+        |  false AS plain_detected
+        |FROM events GROUP BY 1""".stripMargin,
+
     "omfwd_compress" ->
       """SELECT event_id,
         |  strlen('<13>h fwd msgnum:' || lpad(CAST(event_id AS VARCHAR), 8, '0'))

@@ -141,6 +141,58 @@ object HttpKernels {
       bos.toByteArray
     } catch { case _: java.util.zip.DataFormatException => null }
 
+  /** omfwd compression.mode="stream:always" (omfwd.c:1204-1310): one
+    * continuous zlib stream per connection, each transaction flushed
+    * with Z_SYNC_FLUSH (compression.stream.flushontxend default on) so
+    * the receiver can decode message boundaries without waiting for the
+    * stream to close; finish at connection end. Input = the session's
+    * transaction payloads in order. */
+  def zipStream(txs: Array[Array[Byte]], level: Int): Array[Byte] = {
+    val defl = new java.util.zip.Deflater(level)
+    val bos = new java.io.ByteArrayOutputStream(256)
+    val tmp = new Array[Byte](8192)
+    txs.foreach { tx =>
+      defl.setInput(tx)
+      var n = defl.deflate(tmp, 0, tmp.length, java.util.zip.Deflater.SYNC_FLUSH)
+      while (n > 0) {
+        bos.write(tmp, 0, n)
+        n = defl.deflate(tmp, 0, tmp.length, java.util.zip.Deflater.SYNC_FLUSH)
+      }
+    }
+    defl.finish()
+    while (!defl.finished()) bos.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    bos.toByteArray
+  }
+
+  /** imptcp stream-mode receive (imptcp.c:1376-1432): inflate the
+    * connection's bytes incrementally; null on a corrupt stream OR on
+    * trailing bytes after Z_STREAM_END (the reference's
+    * logCompressedStreamFailure reject paths). */
+  def inflateStream(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(bytes)
+      val bos = new java.io.ByteArrayOutputStream(bytes.length * 2 + 32)
+      val tmp = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val r = inf.inflate(tmp)
+        if (r == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        bos.write(tmp, 0, r)
+      }
+      // "received trailing data after end of compressed stream"
+      if (inf.getRemaining > 0) { inf.end(); null }
+      else { inf.end(); bos.toByteArray }
+    } catch { case _: java.util.zip.DataFormatException => null }
+
+  /** imptcp compression="auto" session sniff (imptcp.c:1437-1460): the
+    * first two bytes are a CANDIDATE zlib (RFC 1950) header iff
+    * CM = deflate (low nibble 8) and the CMF/FLG check bits divide
+    * by 31. */
+  def zlibCandidate(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0x0f) == 8 &&
+      (((bytes(0) & 0xff) << 8 | (bytes(1) & 0xff)) % 31) == 0
+
   /** null on a malformed stream — the request-reject path. */
   def gunzip(bytes: Array[Byte]): Array[Byte] =
     try {
@@ -250,6 +302,65 @@ case class OmfwdUnzipExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class ZipStreamExpr(child: Expression, level: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "omfwd_zip_stream"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    HttpKernels.zipStream(
+      Array.tabulate(arr.numElements())(i => arr.getBinary(i)), level)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val txs = ctx.freshName("txs")
+      s"""byte[][] $txs = new byte[($c).numElements()][];
+         |for (int $i = 0; $i < $txs.length; $i++) $txs[$i] = ($c).getBinary($i);
+         |${ev.value} = graft.functions.HttpKernels$$.MODULE$$.zipStream($txs, $level);
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class InflateStreamExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "imptcp_inflate_stream"
+  override protected def nullSafeEval(input: Any): Any =
+    HttpKernels.inflateStream(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.HttpKernels$$.MODULE$$.inflateStream($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ZlibSniffExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "zlib_candidate"
+  override protected def nullSafeEval(input: Any): Any =
+    HttpKernels.zlibCandidate(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HttpKernels$$.MODULE$$.zlibCandidate($c);")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HttpExprs {
   /** imhttp body → array of message payloads. modeName: "lf" (default
     * LF delimiting), "block" (disableLFDelim="on"), "octet"
@@ -280,5 +391,18 @@ object HttpExprs {
   /** imptcp/tcps_sess receive-side inflate of the 'z' extension. */
   def omfwdUnzip(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(OmfwdUnzipExpr(
+      org.apache.spark.sql.GraftBridge.expression(c)))
+  /** compression.mode="stream:always" per-session zlib stream over an
+    * ARRAY of transaction payloads (SYNC_FLUSH at each txend). */
+  def omfwdZipStream(c: Column, level: Int = 9): Column =
+    org.apache.spark.sql.GraftBridge.column(ZipStreamExpr(
+      org.apache.spark.sql.GraftBridge.expression(c), level))
+  /** imptcp stream-mode inflate; null on corrupt/trailing-data streams. */
+  def imptcpInflateStream(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(InflateStreamExpr(
+      org.apache.spark.sql.GraftBridge.expression(c)))
+  /** imptcp compression="auto" two-byte RFC1950 candidate sniff. */
+  def zlibSniff(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(ZlibSniffExpr(
       org.apache.spark.sql.GraftBridge.expression(c)))
 }

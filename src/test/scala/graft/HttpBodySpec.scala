@@ -65,6 +65,27 @@ class HttpBodySpec extends AnyFunSuite {
     assert(HttpKernels.omfwdUnzip(b("znot zlib at all")) == null)
   }
 
+  test("omfwd stream zlib: sync-flush tx boundaries, trailing-data reject, sniff") {
+    def b(s: String) = s.getBytes("UTF-8")
+    val txs = Array(b("26 <13>h one msg in this tx"), b("10 <13>h two"), b("8 <13>end"))
+    val z = HttpKernels.zipStream(txs, 9)
+    // continuous stream inflates to the concatenation of all txs
+    assert(java.util.Arrays.equals(HttpKernels.inflateStream(z), txs.flatten))
+    // each SYNC_FLUSH writes the 00 00 FF FF empty-stored-block marker
+    // (one per tx) so the receiver can decode at tx granularity
+    def countFlushMarks(a: Array[Byte]): Int =
+      (0 until a.length - 3).count(i => a(i) == 0 && a(i + 1) == 0 &&
+        a(i + 2) == 0xff.toByte && a(i + 3) == 0xff.toByte)
+    assert(countFlushMarks(z) >= txs.length)
+    // trailing data after Z_STREAM_END -> reject (imptcp.c:1389,1427)
+    assert(HttpKernels.inflateStream(z ++ b("junk")) == null)
+    assert(HttpKernels.inflateStream(b("znot a stream")) == null)
+    // AUTO sniff: zlib header passes the RFC1950 check, plaintext doesn't
+    assert(HttpKernels.zlibCandidate(z))
+    assert(!HttpKernels.zlibCandidate(txs(0)))
+    assert(!HttpKernels.zlibCandidate(Array[Byte]()))
+  }
+
   test("gzip round-trips; malformed stream rejects as null (processDataCompressed)") {
     val payload = "m1 alpha\nx42\n".getBytes("UTF-8")
     val back = HttpKernels.gunzip(HttpKernels.gzip(payload))
