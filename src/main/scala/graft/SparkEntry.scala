@@ -269,6 +269,48 @@ object Queries {
             === col("w")).as("roundtrip_ok"))
     }),
 
+    // §2.10 omfile zip output (stream.c doZipWrite → zlibw.c: gzip
+    // wrapping via windowBits=31, SYNC_FLUSH per buffer flush) in BOTH
+    // reliability modes: veryRobustZip="on" finishes every flushed
+    // block into its own gzip member (multi-member file — a torn tail
+    // loses only the last member), off = one member with sync-flushed
+    // block boundaries. The member walk (header, raw inflate, CRC32
+    // trailer — what `gzip -d` checks) is engine-verified; the oracle
+    // pins file shape and the closed-form member counts
+    "omfile_zip" -> ((s, dir) => {
+      import graft.functions.FileZipExprs
+      val ev = Tables.events(s, dir)
+      val lines = ev.select(col("event_id"),
+        (col("event_id") % 8).as("file"),
+        ((col("event_id") / 8).cast("long") % 4).cast("int").as("blk"),
+        concat(lit("<13>h zf msgnum:"), lpad(col("event_id"), 8, "0"),
+          lit("\n")).as("line"))
+      val blocks = lines.groupBy(col("file"), col("blk"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws("", sort_array(collect_list(
+            struct(col("event_id"), col("line")))).getField("line")).as("part"))
+      val parts = sort_array(collect_list(struct(col("blk"), col("part"))))
+        .getField("part")
+      val files = blocks.groupBy(col("file"))
+        .agg(sum(col("n")).as("n_lines"), count(lit(1)).as("n_parts"),
+          FileZipExprs.omfileZip(parts.cast("array<binary>"), 6,
+            veryRobust = true).as("robust"),
+          FileZipExprs.omfileZip(parts.cast("array<binary>"), 6,
+            veryRobust = false).as("plain"),
+          concat_ws("", parts).as("expected"))
+        .select(col("file"), col("n_lines"), col("n_parts"),
+          FileZipExprs.gzipMembers(col("robust")).as("r"),
+          FileZipExprs.gzipMembers(col("plain")).as("p"),
+          col("expected"))
+      files.select(col("file"), col("n_lines"), col("n_parts"),
+        col("r").getField("members").as("robust_members"),
+        (col("r").getField("decoded").cast("string") === col("expected"))
+          .as("robust_rt"),
+        col("p").getField("members").as("plain_members"),
+        (col("p").getField("decoded").cast("string") === col("expected"))
+          .as("plain_rt"))
+    }),
+
     // §2.10 omfwd compression.mode="stream:always" + imptcp receive
     // (omfwd.c:1204-1310, imptcp.c:1376-1460): one zlib stream per
     // 64-msg session, SYNC_FLUSH at each 16-msg transaction end, finish
@@ -5236,6 +5278,19 @@ object Queries {
     // the deflate BYTES are impl-defined, so the oracle pins the
     // closed-form compress decision; roundtrip/gain are engine-verified
     // booleans (same contract as imhttp_body's gzip rows)
+    // file shape + member counts closed-form (robust = one member per
+    // flushed block, plain = one member total); decode equality and the
+    // CRC-checked member walk are engine-verified
+    "omfile_zip" ->
+      """SELECT event_id % 8 AS file,
+        |  count(*) AS n_lines,
+        |  count(DISTINCT (event_id // 8) % 4) AS n_parts,
+        |  CAST(count(DISTINCT (event_id // 8) % 4) AS INT) AS robust_members,
+        |  true AS robust_rt,
+        |  CAST(1 AS INT) AS plain_members,
+        |  true AS plain_rt
+        |FROM events GROUP BY 1""".stripMargin,
+
     // session shape closed-form; round-trip and the RFC1950 sniff are
     // engine-verified (plaintext sessions start with an octet-count
     // digit — low nibble never 8)

@@ -86,6 +86,36 @@ class HttpBodySpec extends AnyFunSuite {
     assert(!HttpKernels.zlibCandidate(Array[Byte]()))
   }
 
+  test("omfile zip: veryRobustZip members survive a torn tail, CRC checked") {
+    import graft.functions.FileZipKernels
+    def b(s: String) = s.getBytes("UTF-8")
+    val parts = Array(b("line one\n"), b("line two\n"), b("line three\n"))
+    // robust: one complete gzip member per flushed block
+    val robust = FileZipKernels.omfileZip(parts, 6, veryRobust = true)
+    val (rn, rdec) = FileZipKernels.walkMembers(robust)
+    assert(rn == 3 && java.util.Arrays.equals(rdec, parts.flatten))
+    // plain: one member, sync-flushed boundaries inside
+    val plain = FileZipKernels.omfileZip(parts, 6, veryRobust = false)
+    val (pn, pdec) = FileZipKernels.walkMembers(plain)
+    assert(pn == 1 && java.util.Arrays.equals(pdec, parts.flatten))
+    // torn tail: cut the file mid-last-member -> the strict walk rejects,
+    // but cutting AT the member boundary (what a crash leaves after the
+    // earlier members' completed writes) decodes every earlier member —
+    // the veryRobustZip recovery contract (zlibw.c:161)
+    val m01 = FileZipKernels.gzipMember(parts(0), 6).length +
+      FileZipKernels.gzipMember(parts(1), 6).length
+    assert(FileZipKernels.walkMembers(robust.take(robust.length - 4)) == null)
+    val (tn, tdec) = FileZipKernels.walkMembers(robust.take(m01))
+    assert(tn == 2 && java.util.Arrays.equals(tdec, parts(0) ++ parts(1)))
+    // a flipped payload byte fails the CRC32 trailer check
+    val corrupt = robust.clone()
+    corrupt(12) = (corrupt(12) ^ 0x41).toByte
+    assert(FileZipKernels.walkMembers(corrupt) == null)
+    // interop: the JDK's multi-member reader agrees with the walk
+    val jdk = HttpKernels.gunzip(robust)
+    assert(java.util.Arrays.equals(jdk, parts.flatten))
+  }
+
   test("gzip round-trips; malformed stream rejects as null (processDataCompressed)") {
     val payload = "m1 alpha\nx42\n".getBytes("UTF-8")
     val back = HttpKernels.gunzip(HttpKernels.gzip(payload))
