@@ -311,6 +311,46 @@ object Queries {
           .as("plain_rt"))
     }),
 
+    // §2.10 the zstd compression driver (runtime/zstdw.c, selected by
+    // compressionDriver="zstd"): same block/flush contract as the zlib
+    // writer — veryRobust = one complete zstd FRAME per flushed block,
+    // otherwise ZSTD_e_flush boundaries inside one frame, e_end at
+    // close. Frame walk via findFrameCompressedSize is engine-verified;
+    // the codec is Spark's own zstd-jni, no stub
+    "omfile_zstd" -> ((s, dir) => {
+      import graft.functions.FileZipExprs
+      val ev = Tables.events(s, dir)
+      val lines = ev.select(col("event_id"),
+        (col("event_id") % 8).as("file"),
+        ((col("event_id") / 8).cast("long") % 4).cast("int").as("blk"),
+        concat(lit("<13>h zs msgnum:"), lpad(col("event_id"), 8, "0"),
+          lit("\n")).as("line"))
+      val blocks = lines.groupBy(col("file"), col("blk"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws("", sort_array(collect_list(
+            struct(col("event_id"), col("line")))).getField("line")).as("part"))
+      val parts = sort_array(collect_list(struct(col("blk"), col("part"))))
+        .getField("part")
+      val files = blocks.groupBy(col("file"))
+        .agg(sum(col("n")).as("n_lines"), count(lit(1)).as("n_parts"),
+          FileZipExprs.omfileZstd(parts.cast("array<binary>"), 3,
+            veryRobust = true).as("robust"),
+          FileZipExprs.omfileZstd(parts.cast("array<binary>"), 3,
+            veryRobust = false).as("plain"),
+          concat_ws("", parts).as("expected"))
+        .select(col("file"), col("n_lines"), col("n_parts"),
+          FileZipExprs.zstdFrames(col("robust")).as("r"),
+          FileZipExprs.zstdFrames(col("plain")).as("p"),
+          col("expected"))
+      files.select(col("file"), col("n_lines"), col("n_parts"),
+        col("r").getField("members").as("robust_members"),
+        (col("r").getField("decoded").cast("string") === col("expected"))
+          .as("robust_rt"),
+        col("p").getField("members").as("plain_members"),
+        (col("p").getField("decoded").cast("string") === col("expected"))
+          .as("plain_rt"))
+    }),
+
     // §2.10 omfwd compression.mode="stream:always" + imptcp receive
     // (omfwd.c:1204-1310, imptcp.c:1376-1460): one zlib stream per
     // 64-msg session, SYNC_FLUSH at each 16-msg transaction end, finish
@@ -5281,6 +5321,16 @@ object Queries {
     // file shape + member counts closed-form (robust = one member per
     // flushed block, plain = one member total); decode equality and the
     // CRC-checked member walk are engine-verified
+    "omfile_zstd" ->
+      """SELECT event_id % 8 AS file,
+        |  count(*) AS n_lines,
+        |  count(DISTINCT (event_id // 8) % 4) AS n_parts,
+        |  CAST(count(DISTINCT (event_id // 8) % 4) AS INT) AS robust_members,
+        |  true AS robust_rt,
+        |  CAST(1 AS INT) AS plain_members,
+        |  true AS plain_rt
+        |FROM events GROUP BY 1""".stripMargin,
+
     "omfile_zip" ->
       """SELECT event_id % 8 AS file,
         |  count(*) AS n_lines,

@@ -111,6 +111,117 @@ object FileZipKernels {
     } catch { case _: java.util.zip.DataFormatException => null }
 }
 
+/** The zstd compression driver (runtime/zstdw.c, selected by
+  * compression.driver="zstd" / omfile compressionDriver): same stream
+  * contract as the zlib writer — ZSTD_e_flush at each buffer flush,
+  * ZSTD_e_end at close, and with bVeryReliableZip a doCompressFinish per
+  * flush, i.e. one complete zstd FRAME per flushed block
+  * (zstdw.c:102-123). zstd-jni ships with Spark, so the codec is real. */
+object ZstdKernels {
+
+  /** One complete zstd frame at `level`. */
+  def zstdFrame(bytes: Array[Byte], level: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val zos = new com.github.luben.zstd.ZstdOutputStream(bos, level)
+    zos.write(bytes); zos.close()
+    bos.toByteArray
+  }
+
+  def omfileZstd(parts: Array[Array[Byte]], level: Int,
+                 veryRobust: Boolean): Array[Byte] =
+    if (veryRobust) {
+      val bos = new java.io.ByteArrayOutputStream(256)
+      parts.foreach(p => bos.write(zstdFrame(p, level)))
+      bos.toByteArray
+    } else {
+      val bos = new java.io.ByteArrayOutputStream(256)
+      val zos = new com.github.luben.zstd.ZstdOutputStream(bos, level)
+      parts.foreach { p => zos.write(p); zos.flush() } // ZSTD_e_flush
+      zos.close() // ZSTD_e_end
+      bos.toByteArray
+    }
+
+  /** Walk the zstd frames exactly (findFrameCompressedSize per frame,
+    * streaming decode of the whole image), returning
+    * (frameCount, decoded); null when `zstd -d` would reject. */
+  def walkFrames(bytes: Array[Byte]): (Int, Array[Byte]) =
+    try {
+      var off = 0
+      var count = 0
+      while (off < bytes.length) {
+        val sz = com.github.luben.zstd.Zstd.findFrameCompressedSize(bytes, off)
+        if (sz <= 0 || off + sz > bytes.length) return null
+        off += sz.toInt
+        count += 1
+      }
+      val zis = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val bos = new java.io.ByteArrayOutputStream(bytes.length * 2 + 32)
+      val tmp = new Array[Byte](8192)
+      var r = zis.read(tmp)
+      while (r > 0) { bos.write(tmp, 0, r); r = zis.read(tmp) }
+      zis.close()
+      (count, bos.toByteArray)
+    } catch { case _: java.io.IOException => null
+              case _: com.github.luben.zstd.ZstdException => null }
+}
+
+case class OmfileZstdExpr(child: Expression, level: Int, veryRobust: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(BinaryType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "omfile_zstd"
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    ZstdKernels.omfileZstd(
+      Array.tabulate(arr.numElements())(i => arr.getBinary(i)), level, veryRobust)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val ps = ctx.freshName("ps")
+      s"""byte[][] $ps = new byte[($c).numElements()][];
+         |for (int $i = 0; $i < $ps.length; $i++) $ps[$i] = ($c).getBinary($i);
+         |${ev.value} = graft.functions.ZstdKernels$$.MODULE$$.omfileZstd(
+         |  $ps, $level, $veryRobust);
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (frameCount INT, decoded BINARY) of a zstd file image; null when
+  * `zstd -d` would reject it. */
+case class ZstdFramesExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("members", IntegerType, nullable = false),
+    StructField("decoded", BinaryType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "zstd_frames"
+  override protected def nullSafeEval(input: Any): Any = {
+    val r = ZstdKernels.walkFrames(input.asInstanceOf[Array[Byte]])
+    if (r == null) null
+    else org.apache.spark.sql.catalyst.InternalRow(r._1, r._2)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val t = ctx.freshName("t")
+      s"""scala.Tuple2 $t = graft.functions.ZstdKernels$$.MODULE$$.walkFrames($c);
+         |if ($t == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $t._1(), $t._2() });
+         |}""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class OmfileZipExpr(child: Expression, level: Int, veryRobust: Boolean)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(BinaryType))
@@ -173,5 +284,11 @@ object FileZipExprs {
       org.apache.spark.sql.GraftBridge.expression(parts), level, veryRobust))
   def gzipMembers(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(GzipMembersExpr(
+      org.apache.spark.sql.GraftBridge.expression(c)))
+  def omfileZstd(parts: Column, level: Int = 3, veryRobust: Boolean): Column =
+    org.apache.spark.sql.GraftBridge.column(OmfileZstdExpr(
+      org.apache.spark.sql.GraftBridge.expression(parts), level, veryRobust))
+  def zstdFrames(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(ZstdFramesExpr(
       org.apache.spark.sql.GraftBridge.expression(c)))
 }

@@ -116,6 +116,26 @@ class HttpBodySpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(jdk, parts.flatten))
   }
 
+  test("omfile zstd driver: frames per flushed block, torn tail, corrupt reject") {
+    import graft.functions.ZstdKernels
+    def b(s: String) = s.getBytes("UTF-8")
+    val parts = Array(b("alpha block\n"), b("beta block\n"), b("gamma block\n"))
+    val robust = ZstdKernels.omfileZstd(parts, 3, veryRobust = true)
+    val (rn, rdec) = ZstdKernels.walkFrames(robust)
+    assert(rn == 3 && java.util.Arrays.equals(rdec, parts.flatten))
+    val plain = ZstdKernels.omfileZstd(parts, 3, veryRobust = false)
+    val (pn, pdec) = ZstdKernels.walkFrames(plain)
+    assert(pn == 1 && java.util.Arrays.equals(pdec, parts.flatten))
+    // torn tail at a frame boundary decodes the earlier frames
+    val f01 = ZstdKernels.zstdFrame(parts(0), 3).length +
+      ZstdKernels.zstdFrame(parts(1), 3).length
+    val (tn, tdec) = ZstdKernels.walkFrames(robust.take(f01))
+    assert(tn == 2 && java.util.Arrays.equals(tdec, parts(0) ++ parts(1)))
+    // mid-frame truncation and garbage are rejected
+    assert(ZstdKernels.walkFrames(robust.take(robust.length - 3)) == null)
+    assert(ZstdKernels.walkFrames(b("not zstd data")) == null)
+  }
+
   test("gzip round-trips; malformed stream rejects as null (processDataCompressed)") {
     val payload = "m1 alpha\nx42\n".getBytes("UTF-8")
     val back = HttpKernels.gunzip(HttpKernels.gzip(payload))
