@@ -276,7 +276,11 @@ object Queries {
     // loses only the last member), off = one member with sync-flushed
     // block boundaries. The member walk (header, raw inflate, CRC32
     // trailer — what `gzip -d` checks) is engine-verified; the oracle
-    // pins file shape and the closed-form member counts
+    // pins file shape and the closed-form member counts. Blocks model
+    // the stream's FLUSH BUFFER (bounded bytes at any corpus size); the
+    // whole-file collect here is the verification fixture — production
+    // is a partitioned streaming sink appending one member per
+    // microbatch flush, never a full-file materialization
     "omfile_zip" -> ((s, dir) => {
       import graft.functions.FileZipExprs
       val ev = Tables.events(s, dir)
