@@ -91,7 +91,7 @@ object FileZipKernels {
         val memberStart = bos.size()
         while (!inf.finished()) {
           val r = inf.inflate(tmp)
-          if (r == 0 && inf.needsInput()) { inf.end(); return null }
+          if (r == 0 && !inf.finished() && inf.needsInput()) { inf.end(); return null }
           bos.write(tmp, 0, r)
         }
         val consumed = (bytes.length - off) - inf.getRemaining

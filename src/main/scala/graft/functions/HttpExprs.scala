@@ -134,7 +134,7 @@ object HttpKernels {
       val tmp = new Array[Byte](8192)
       while (!inf.finished()) {
         val r = inf.inflate(tmp)
-        if (r == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        if (r == 0 && !inf.finished() && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
         bos.write(tmp, 0, r)
       }
       inf.end()
@@ -177,7 +177,7 @@ object HttpKernels {
       val tmp = new Array[Byte](8192)
       while (!inf.finished()) {
         val r = inf.inflate(tmp)
-        if (r == 0 && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
+        if (r == 0 && !inf.finished() && inf.needsInput()) throw new java.util.zip.DataFormatException("truncated")
         bos.write(tmp, 0, r)
       }
       // "received trailing data after end of compressed stream"
