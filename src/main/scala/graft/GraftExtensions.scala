@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
+
+/** SQL surface for the engine's native kernels: register with
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`) and every
+  * kernel below is callable from plain `spark.sql(...)` — the standard
+  * Spark mechanism for shipping a function library, so a SQL-only user
+  * gets the syslog/dedup/JSON kernels without touching the Scala API.
+  * All implementations are the same codegen'd Catalyst expressions the
+  * DataFrame API uses; nothing here is a UDF.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an INTEGER literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def reg(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+
+    // syslog reception
+    reg("graft_syslog_parse",
+      "graft_syslog_parse(raw) - RFC3164/5424 auto-detect parse to a struct") {
+      es => SyslogParseExpr(es.head)
+    }
+    reg("graft_parse_sd",
+      "graft_parse_sd(sd) - RFC5424 STRUCTURED-DATA to JSON") {
+      es => ParseStructuredDataExpr(es.head)
+    }
+
+    // text analysis / dedup kernels
+    reg("graft_tokens",
+      "graft_tokens(text) - casefolded whitespace tokens") {
+      es => TokensExpr(es.head)
+    }
+    reg("graft_langid",
+      "graft_langid(text) - marker-stopword language id ('und' if none)") {
+      es => LangIdExpr(TokensExpr(es.head), graft.operators.TextAnalysis.langMarkers)
+    }
+    reg("graft_ngrams",
+      "graft_ngrams(tokens, n) - space-joined word n-grams") {
+      es => NgramJoinExpr(es.head, litInt(es(1), "graft_ngrams", "n"))
+    }
+    reg("graft_shingles",
+      "graft_shingles(text, n) - distinct word-shingle hashes") {
+      es => ShinglesExpr(es.head, litInt(es(1), "graft_shingles", "n"))
+    }
+    reg("graft_minhash",
+      "graft_minhash(text, n, k) - k-hash minhash signature of n-shingles") {
+      es => MinHashTextExpr(es.head, litInt(es(1), "graft_minhash", "n"),
+        litInt(es(2), "graft_minhash", "k"))
+    }
+    reg("graft_simhash",
+      "graft_simhash(text) - 64-bit simhash over the casefolded tokens") {
+      es => SimHash64Expr(TokensExpr(es.head))
+    }
+    reg("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two float arrays") {
+      es => CosineSimilarityExpr(es.head, es(1))
+    }
+    reg("graft_winnow",
+      "graft_winnow(text, k, w) - winnowing fingerprint hashes") {
+      es => WinnowFingerprintExpr(es.head, litInt(es(1), "graft_winnow", "k"),
+        litInt(es(2), "graft_winnow", "w"))
+    }
+
+    // net
+    reg("graft_is_in_subnet",
+      "graft_is_in_subnet(ip, cidr) - CIDR membership") {
+      es => IsInSubnetExpr(es.head, es(1))
+    }
+
+    // JSON tree mutation (the $! variable tree operations)
+    reg("graft_json_set",
+      "graft_json_set(json, path, value) - set a $!-style path") {
+      es => JsonSetExpr(es.head, es(1), es(2))
+    }
+    reg("graft_json_unset",
+      "graft_json_unset(json, path) - unset a $!-style path") {
+      es => JsonUnsetExpr(es.head, es(1))
+    }
+    reg("graft_json_exists",
+      "graft_json_exists(json, path) - path existence") {
+      es => JsonExistsExpr(es.head, es(1))
+    }
+    reg("graft_json_merge",
+      "graft_json_merge(dst, src) - recursive JSON merge") {
+      es => JsonMergeExpr(es.head, es(1))
+    }
+    reg("graft_find_json",
+      "graft_find_json(text) - first embedded JSON object (mmjsonparse find-json)") {
+      es => FindJsonExpr(es.head)
+    }
+
+    // compression wire kernels
+    reg("graft_gzip", "graft_gzip(bin) - gzip bytes") {
+      es => GzipExpr(es.head)
+    }
+    reg("graft_gunzip", "graft_gunzip(bin) - gunzip bytes, NULL if malformed") {
+      es => GunzipExpr(es.head)
+    }
+    reg("graft_fwd_zip",
+      "graft_fwd_zip(bin, level) - omfwd single-msg compression ('z' frame on gain)") {
+      es => OmfwdZipExpr(es.head, litInt(es(1), "graft_fwd_zip", "level"))
+    }
+    reg("graft_fwd_unzip",
+      "graft_fwd_unzip(bin) - inflate a 'z' frame, pass through raw") {
+      es => OmfwdUnzipExpr(es.head)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL function surface registered by [[GraftExtensions]] — a
+  * SQL-only user's view of the engine. Uses its own session because the
+  * extension must be installed at build time. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-ext-spec")
+    .config("spark.sql.shuffle.partitions", 2)
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("syslog, text and dedup kernels answer from plain SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_syslog_parse('<13>Oct 11 22:14:15 host app[42]: hi').hostname AS h,
+        |  graft_langid('the cat and the hat of the thing') AS lang,
+        |  graft_tokens('A b  C') AS toks,
+        |  graft_ngrams(graft_tokens('a b c'), 2) AS bi,
+        |  round(graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)), 4) AS cos,
+        |  graft_simhash('some repeated text some repeated text') AS sh,
+        |  size(graft_minhash('one two three four five', 2, 8)) AS mh_k,
+        |  graft_is_in_subnet('192.168.1.77', '192.168.0.0/16') AS in_net
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[String]("h") == "host")
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[scala.collection.Seq[String]]("toks").toSeq == Seq("a", "b", "c"))
+    assert(r.getAs[scala.collection.Seq[String]]("bi").toSeq == Seq("a b", "b c"))
+    assert(r.getAs[Double]("cos") == 1.0)
+    assert(r.getAs[Int]("mh_k") == 8)
+    assert(r.getAs[Boolean]("in_net"))
+  }
+
+  test("JSON tree and compression kernels answer from plain SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_json_set('{}', '$!a!b', 'v') AS set_j,
+        |  graft_json_exists(graft_json_set('{}', '$!a!b', 'v'), '$!a!b') AS ex,
+        |  graft_json_unset(graft_json_set('{}', '$!a!b', 'v'), '$!a') AS unset_j,
+        |  graft_find_json('garbage {"x": 1} tail') AS found,
+        |  CAST(graft_gunzip(graft_gzip(CAST('payload' AS BINARY))) AS STRING) AS rt,
+        |  CAST(graft_fwd_unzip(graft_fwd_zip(CAST(repeat('log line ', 30) AS BINARY), 9)) AS STRING)
+        |    = repeat('log line ', 30) AS fwd_rt
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Boolean]("ex"))
+    assert(r.getAs[String]("unset_j") == "{}")
+    assert(r.getAs[String]("found").contains("\"x\""))
+    assert(r.getAs[String]("rt") == "payload")
+    assert(r.getAs[Boolean]("fwd_rt"))
+    // non-literal static args are rejected with a clear message
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_ngrams(graft_tokens('a b'), 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("INTEGER literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("INTEGER literal"))
+  }
+}
