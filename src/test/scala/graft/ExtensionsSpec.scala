@@ -8,13 +8,25 @@ import org.scalatest.funsuite.AnyFunSuite
   * extension must be installed at build time. */
 class ExtensionsSpec extends AnyFunSuite {
 
-  private lazy val spark = SparkSession.builder()
-    .master("local[2]")
-    .appName("graft-ext-spec")
-    .config("spark.sql.shuffle.partitions", 2)
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new GraftExtensions)
-    .getOrCreate()
+  // extensions only apply to a NEWLY built session, and the suite JVM
+  // shares TestSpark's — so clear the active/default slots, build an
+  // isolated session over the same SparkContext, then put the shared
+  // one back so later suites are untouched
+  private lazy val spark: SparkSession = {
+    val shared = TestSpark.spark // materialize the shared session first
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-spec")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    s
+  }
 
   test("syslog, text and dedup kernels answer from plain SQL") {
     val r = spark.sql(
