@@ -533,6 +533,23 @@ object Bench {
       case _ =>
         """"baseline_ratio":1.0,"baseline_anchor":"assumed""""
     }
+    // sf100 near-linearity spot runs FIRST of the scale sections: its
+    // two queries are single-trial, and r10 measured a single trial
+    // placed after ~45 min of sf1/sf10 sections reading 28x its sf10
+    // pairing while the verify-stage INPUT scaled exactly 10.00x
+    // (candidate pairs counted on both corpora) — coldest-JVM placement
+    // removes the heap-shape artifact the retry ladder can't average
+    // away on a one-shot section
+    val (sf100Json, sf100Summary) =
+      if ((args.nonEmpty && !args.contains("sf100")) ||
+          sys.env.get("SPARK_GRAFT_SF100").contains("off")) ("", "")
+      else try {
+        reclaim(spark)
+        val (full, short) = sf100Spot(spark, sfDir)
+        ("," + full, "," + short)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench:sf100] section failed: ${e.getMessage}"); ("", "")
+      }
     // sf1 scale rehearsal (skipped during single-query local iteration or
     // with SPARK_GRAFT_SF1=off; `sf1` as an explicit arg forces it — the
     // local-iteration aid for the scale sections themselves)
@@ -562,18 +579,6 @@ object Bench {
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf10] section failed: ${e.getMessage}"); ("", "")
-      }
-    // sf100 near-linearity spot (two queries; skipped in single-query
-    // mode or with SPARK_GRAFT_SF100=off; `sf100` as an arg forces it)
-    val (sf100Json, sf100Summary) =
-      if ((args.nonEmpty && !args.contains("sf100")) ||
-          sys.env.get("SPARK_GRAFT_SF100").contains("off")) ("", "")
-      else try {
-        reclaim(spark)
-        val (full, short) = sf100Spot(spark, sfDir)
-        ("," + full, "," + short)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench:sf100] section failed: ${e.getMessage}"); ("", "")
       }
     val trialStats = "{\"median\":" + f"$trialMed%.0f" + ",\"mad\":" +
       f"$trialMad%.0f" + ",\"trials\":" +

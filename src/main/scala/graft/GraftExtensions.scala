@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, RegExpReplace, RegExpExtractAll, Md5, StringTrim, Lower, Size, Cast}
 import org.apache.spark.sql.types.IntegerType
 import graft.functions._
 
@@ -74,6 +74,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_winnow(text, k, w) - winnowing fingerprint hashes") {
       es => WinnowFingerprintExpr(es.head, litInt(es(1), "graft_winnow", "k"),
         litInt(es(2), "graft_winnow", "w"))
+    }
+
+    // composed text signals, assembled as RESOLVED catalyst trees (the
+    // Column API can't cross the FunctionBuilder boundary: composed
+    // Columns carry unresolved nodes the analyzer won't revisit here).
+    // Richer compositions (quality score, Gopher flags) stay Scala-API /
+    // SQL-composable from the kernels above.
+    def re(e: Expression, pat: String, to: String): Expression =
+      RegExpReplace(e, Literal(pat), Literal(to))
+    reg("graft_redact",
+      "graft_redact(text) - emails/IPv4s/long digit runs to class tokens") {
+      es =>
+        import graft.operators.TextAnalysis._
+        re(re(re(es.head, emailRe, "<EMAIL>"), ipv4Re, "<IP>"),
+          longDigitsRe, "<NUM>")
+    }
+    reg("graft_fingerprint",
+      "graft_fingerprint(text) - md5 of normalized content") {
+      es => Md5(org.apache.spark.sql.catalyst.expressions.Cast(
+        StringTrim(re(re(Lower(es.head), "[^a-z0-9\\s]", ""), "\\s+", " ")),
+        org.apache.spark.sql.types.BinaryType))
+    }
+    reg("graft_subwords",
+      "graft_subwords(text) - BPE-ish subword count estimate") {
+      es => Size(RegExpExtractAll(es.head,
+        Literal("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), Literal(0)))
     }
 
     // net

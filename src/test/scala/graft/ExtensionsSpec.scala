@@ -49,6 +49,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("in_net"))
   }
 
+  test("composed text signals answer from plain SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_redact('mail a@b.co from 10.1.2.3 acct 12345678') AS red,
+        |  graft_fingerprint('A  b!') = graft_fingerprint('a b') AS fp_eq,
+        |  graft_subwords('hello world42!') AS sub
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[String]("red") == "mail <EMAIL> from <IP> acct <NUM>")
+    assert(r.getAs[Boolean]("fp_eq"))
+    assert(r.getAs[Int]("sub") == 4) // hello | world | 42 | !
+    // the fingerprint matches the Scala-API kernel exactly
+    import org.apache.spark.sql.functions._
+    val viaApi = spark.range(1).select(
+      graft.operators.TextAnalysis.fingerprint(lit("A  b!")).as("fp"))
+      .collect()(0).getString(0)
+    val viaSql = spark.sql("SELECT graft_fingerprint('A  b!') AS fp")
+      .collect()(0).getString(0)
+    assert(viaApi == viaSql)
+  }
+
   test("JSON tree and compression kernels answer from plain SQL") {
     val r = spark.sql(
       """SELECT
