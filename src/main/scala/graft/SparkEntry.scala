@@ -3833,7 +3833,8 @@ object Queries {
         |      lpad(CAST(event_id AS VARCHAR), 8, '0') AS m
         |    FROM events))
         |SELECT stat_name, 'omfwd' AS origin,
-        |  count(*) AS messages_sent, SUM(blen) AS bytes_sent
+        |  count(*) AS messages_sent,
+        |  CAST(SUM(blen) AS BIGINT) AS bytes_sent
         |FROM a GROUP BY 1""".stripMargin,
 
     "omdb_insert" -> (Queries.synthSql +
@@ -5187,7 +5188,7 @@ object Queries {
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM grp WHERE doc_id = rep),
         |sh AS (
         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
@@ -5217,7 +5218,7 @@ object Queries {
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
         |  FROM grp WHERE doc_id = rep),
         |sh AS (
         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
@@ -5268,7 +5269,7 @@ object Queries {
     "seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 64 AS shard,
-        |    len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
         |      AS n_tok
         |  FROM documents)
         |SELECT doc_id, shard, n_tok,
@@ -5345,16 +5346,26 @@ object Queries {
         |  true AS plain_rt
         |FROM events GROUP BY 1""".stripMargin,
 
-    // session shape closed-form; round-trip and the RFC1950 sniff are
-    // engine-verified (plaintext sessions start with an octet-count
-    // digit — low nibble never 8)
+    // session shape closed-form; round-trip and the deflate-side sniff
+    // are engine-verified. plain_detected is COMPUTED from the first
+    // frame's rendered octet-count header (not pinned false): a digit
+    // CAN pass both RFC1950 checks — '8'(0x38) has low nibble 8 and
+    // 0x3830 = 14384 = 31*464 — so a session whose first frame length
+    // starts "80" would legitimately sniff as zlib. The oracle mirrors
+    // HttpKernels.zlibCandidate over the first two header bytes.
     "omfwd_zipstream" ->
-      """SELECT event_id // 64 AS session,
-        |  count(*) AS n_msgs,
+      """WITH s AS (
+        |  SELECT event_id // 64 AS session, count(*) AS n_msgs,
+        |    CAST(29 + strlen(arg_min(event_type, event_id)) AS VARCHAR)
+        |      || ' ' AS hdr
+        |  FROM events GROUP BY 1)
+        |SELECT session, n_msgs,
         |  true AS roundtrip_ok,
         |  true AS zlib_detected,
-        |  false AS plain_detected
-        |FROM events GROUP BY 1""".stripMargin,
+        |  (ord(substr(hdr, 1, 1)) % 16 = 8
+        |   AND (ord(substr(hdr, 1, 1)) * 256 + ord(substr(hdr, 2, 1))) % 31
+        |     = 0) AS plain_detected
+        |FROM s""".stripMargin,
 
     "omfwd_compress" ->
       """SELECT event_id,
@@ -5372,7 +5383,7 @@ object Queries {
     "text_quality" ->
       """WITH base AS (
         |  SELECT doc_id, text,
-        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
         |    length(text) AS n_chars,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
@@ -5661,7 +5672,7 @@ object Queries {
       (s"""WITH li AS (SELECT doc_id, text, predicted FROM ${TextAnalysis.langIdSql("text")}),
         |sc AS (
         |  SELECT doc_id, predicted,
-        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
         |    length(text) AS n_chars,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
         |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
@@ -5690,7 +5701,7 @@ object Queries {
     "decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(
@@ -5744,7 +5755,7 @@ object Queries {
       (s"""WITH li AS (SELECT doc_id, text, predicted FROM ${TextAnalysis.langIdSql("text")}),
         |sc AS (
         |  SELECT doc_id, text, predicted,
-        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
         |    length(text) AS n_chars,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
         |    len(regexp_extract_all(text, '[0-9]')) AS n_digit
@@ -5769,7 +5780,7 @@ object Queries {
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang,
-        |  len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+        |  len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
         |FROM documents
         |WHERE ${Sampling.hashBucketSql("lang || ':' || doc_id",
              numerator = 64, digits = 2, salt = "graft")}""".stripMargin,
@@ -6046,7 +6057,7 @@ object Queries {
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
@@ -6068,7 +6079,7 @@ object Queries {
     "dedup_canonical" ->
       """WITH base AS (
         |  SELECT doc_id, text,
-        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
         |    length(text) AS n_chars,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
         |    len(regexp_extract_all(text, '[0-9]')) AS n_digit

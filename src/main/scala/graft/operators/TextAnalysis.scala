@@ -228,7 +228,7 @@ object TextAnalysis {
   def tfidfOracleSql(k: Int = 5): String =
     s"""WITH toks AS (
        |  SELECT doc_id,
-       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
        |  FROM documents),
        |n AS (SELECT count(*) AS nd FROM toks),
        |tf AS (
@@ -248,7 +248,7 @@ object TextAnalysis {
   def gopherOracleSql: String =
     """WITH staged AS (
       |  SELECT doc_id, text,
-      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
       |    string_split(text, chr(10)) AS lines
       |  FROM documents),
       |m AS (
@@ -295,7 +295,7 @@ object TextAnalysis {
   def langIdSql(col: String): String = {
     val hitExprs = langMarkers.map { case (l, ms) =>
       val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
-      s"len(list_filter(list_filter(string_split(lower($col), ' '), x -> x <> ''), x -> list_contains($lst, x))) AS hits_$l"
+      s"len(list_filter(list_filter(string_split_regex(lower($col), '\\s+'), x -> x <> ''), x -> list_contains($lst, x))) AS hits_$l"
     }.mkString(",\n    ")
     val bestExpr = langMarkers.map { case (l, _) => s"hits_$l" }.mkString("greatest(", ", ", ")")
     val caseExpr = langMarkers.foldRight("'und'") { case ((l, _), rest) =>
