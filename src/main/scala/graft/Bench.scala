@@ -9,13 +9,43 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (the reference's own bench gate — multiple paired trials
   * judged on median ± MAD, benchmarks/ratelimit-port-keys/RESULTS.md):
-  * each query runs SPARK_GRAFT_TRIALS (default 5) times inside one JVM
+  * each query runs SPARK_GRAFT_TRIALS (default 3) times inside one JVM
   * and the JSON carries {median, mad, trials[]} per query, so a noisy
   * neighbor on a shared host shows up as a fat MAD instead of silently
   * poisoning a single-trial number. `queries` keeps the flat
   * name→median map for round-over-round comparability.
   */
 object Bench {
+
+  /** Wall-clock budget (r11): BENCH_r10 died at the driver's hard
+    * timeout (rc 124, parsed:null) because the default invocation grew
+    * past the driver's wall-clock allowance — an unparseable bench is a
+    * failed bench regardless of engine speed. Everything below paces
+    * itself against ONE deadline: `budgetS` seconds from main() entry
+    * (env SPARK_GRAFT_BUDGET_S, default 1500 — r9's successful run took
+    * 1524 s and r10's was killed, so the driver allowance is near there;
+    * 1500 plus sbt/JVM startup stays inside it with margin). Sections
+    * run in MUST-HAVE order (main medians → trial → sf1 → sf10 → sf100)
+    * and each scale section is skipped — loudly, with a
+    * "sfN_skipped":"budget" marker in the JSON — when its measured-cost
+    * estimate no longer fits. The sf100 linearity evidence therefore
+    * comes from a standalone `runMain graft.Bench sf100` invocation
+    * (coldest-JVM, which is also what its single-trial methodology
+    * wants) recorded in benchmarks/NOTES_r11.md, not from squeezing the
+    * default run past its deadline. */
+  private val benchStart = System.nanoTime()
+  private def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
+  private[graft] var budgetS: Double =
+    sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "1500").toDouble
+  private def remainingS: Double = budgetS - elapsedS
+
+  // clean-run section cost estimates (NOTES_r10 medians + headroom);
+  // used only for skip decisions, never reported as measurements
+  private val estSf1 = 520.0
+  private val estSf10 = 380.0
+  private val estSf100Synth = 280.0
+  private val estSf100Query =
+    Map("dedup_verified" -> 420.0, "dedup_substring" -> 360.0)
 
   /** Deterministic cross-query heap reclaim: System.gc() alone leaves
     * localCheckpoint/persist blocks to the ASYNC ContextCleaner, so a
@@ -268,22 +298,34 @@ object Bench {
     * sf10 queries (near-dup verify, substring dedup): single-trial spot
     * run at sf100 (5M docs). The check is near-linearity — each query
     * should land within ~10× its sf10 wall-time. */
-  private def sf100Spot(spark: SparkSession, sfDir: String): (String, String) = {
+  private def sf100Spot(spark: SparkSession, sfDir: String,
+                        forced: Boolean): (String, String) = {
+    // dedup_verified first: it is the one open linearity question; if
+    // the deadline only fits one query, it is the one that must land
     val names = Seq("dedup_verified", "dedup_substring")
     val dir = synthesizeSf100(spark, sfDir)
     reclaim(spark)
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val timed = names.flatMap { n =>
-      SparkEntry.queries.get(n).map { fn =>
-        reclaim(spark) // same retained-heap guard as the sf10 section
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench:sf100] $n failed: ${e.getMessage}"); false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench:sf100] $n%-18s $dt%8.2fs${if (ok) "" else "  FAILED"}")
-        (n, dt, ok)
+      SparkEntry.queries.get(n).flatMap { fn =>
+        // per-query deadline check (bypassed when `sf100` was an
+        // explicit arg — standalone runs own their wall clock)
+        if (!forced && remainingS < estSf100Query.getOrElse(n, 400.0)) {
+          System.err.println(f"[bench:sf100] $n skipped (budget: ${remainingS}%.0fs left)")
+          skipped += n
+          None
+        } else {
+          reclaim(spark) // same retained-heap guard as the sf10 section
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench:sf100] $n failed: ${e.getMessage}"); false
+            }
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench:sf100] $n%-18s $dt%8.2fs${if (ok) "" else "  FAILED"}")
+          Some((n, dt, ok))
+        }
       }
     }
     val nDocs = Tables.documents(spark, dir).count()
@@ -292,7 +334,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = timed.filter(_._3).map(_._2).sum
     val failed = timed.count(!_._3)
-    (f""""sf100_spot":{"dir":"$dir","shards":1000,"rows":{"documents":$nDocs},"queries":$qj,"total":$total%.3f,"failed":$failed}""",
+    val skipJson =
+      if (skipped.isEmpty) ""
+      else skipped.map("\"" + _ + "\"")
+        .mkString(""","skipped":[""", ",", "]")
+    (f""""sf100_spot":{"dir":"$dir","shards":1000,"rows":{"documents":$nDocs},"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
      f""""sf100_total":$total%.3f,"sf100_failed":$failed""")
   }
 
@@ -310,8 +356,8 @@ object Bench {
       "dedup_clusters", "dedup_clusters_verified", "dedup_semantic",
       "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
       "llm_prep", "text_quality", "text_repetition", "text_fingerprint",
-      "decontaminate", "sample_stratified", "seq_pack", "lm_score",
-      "quality_gopher", "tfidf_topk")
+      "decontaminate", "decontaminate_fuzzy", "sample_stratified",
+      "seq_pack", "lm_score", "quality_gopher", "tfidf_topk")
     // the four+ heavyweights re-run and report MIN: r10 measured the
     // SAME query at the SAME section position swinging 2× between
     // otherwise-identical runs (simhash 82 vs 126 s; clusters 90 vs
@@ -341,6 +387,11 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           if (dt < best) best = dt
           t += 1
+          // the second (noise-averaging) trial is a luxury the deadline
+          // can veto: skip it unless there's room for the re-run plus a
+          // finish-the-section cushion
+          if (t < trials && remainingS < dt + 180)
+            t = trials
         }
         val dt = best
         System.err.println(f"[bench:sf10] $n%-18s $dt%8.2fs${if (ok) "" else "  FAILED"}")
@@ -405,7 +456,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt
+    // 3 trials (was 5): the median/MAD discipline survives, and the two
+    // shed executions per query buy the sf1+sf10 sections room inside
+    // the driver's wall-clock budget (see the budget note at the top)
+    val nTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -441,7 +495,13 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => failed = true }
       var i = 0
-      while (i < nTrials && !failed) {
+      // contention guard: on a clean host the whole main loop fits well
+      // under 40% of the budget, but a contended host inflates it up to
+      // 3x (NOTES_r10) — shed to single-trial rather than starve the
+      // scale sections (the trials[] array shows the reduced count)
+      val qTrials =
+        if (args.isEmpty && elapsedS > budgetS * 0.4) 1 else nTrials
+      while (i < qTrials && !failed) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -533,30 +593,26 @@ object Bench {
       case _ =>
         """"baseline_ratio":1.0,"baseline_anchor":"assumed""""
     }
-    // sf100 near-linearity spot runs FIRST of the scale sections: its
-    // two queries are single-trial, and r10 measured a single trial
-    // placed after ~45 min of sf1/sf10 sections reading 28x its sf10
-    // pairing while the verify-stage INPUT scaled exactly 10.00x
-    // (candidate pairs counted on both corpora) — coldest-JVM placement
-    // removes the heap-shape artifact the retry ladder can't average
-    // away on a one-shot section
-    val (sf100Json, sf100Summary) =
-      if ((args.nonEmpty && !args.contains("sf100")) ||
-          sys.env.get("SPARK_GRAFT_SF100").contains("off")) ("", "")
-      else try {
-        reclaim(spark)
-        val (full, short) = sf100Spot(spark, sfDir)
-        ("," + full, "," + short)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench:sf100] section failed: ${e.getMessage}"); ("", "")
-      }
+    // Scale sections in MUST-HAVE order (sf1 → sf10 → sf100), each
+    // gated on the remaining wall-clock budget: a section whose
+    // clean-run cost estimate no longer fits is skipped with a
+    // "sfN_skipped":"budget" marker instead of running the whole bench
+    // into the driver's hard timeout (BENCH_r10: rc 124, everything
+    // lost). After each section a cumulative {"metric":"progress"} line
+    // goes to stdout so a kill mid-way still leaves the completed
+    // sections parseable in the driver's output tail.
+    def progress(fields: String): Unit =
+      println(f"""{"metric":"progress","elapsed_s":$elapsedS%.1f,"budget_s":$budgetS%.0f,"value":$total%.3f,"unit":"sec","trial_msgs_per_sec":$trialMed%.0f,$ratioJson$fields}""")
     // sf1 scale rehearsal (skipped during single-query local iteration or
     // with SPARK_GRAFT_SF1=off; `sf1` as an explicit arg forces it — the
     // local-iteration aid for the scale sections themselves)
     val (sf1Json, sf1Summary) =
       if ((args.nonEmpty && !args.contains("sf1")) ||
           sys.env.get("SPARK_GRAFT_SF1").contains("off")) ("", "")
-      else try {
+      else if (args.isEmpty && remainingS < estSf1) {
+        System.err.println(f"[bench:sf1] skipped (budget: ${remainingS}%.0fs left, need ~${estSf1}%.0f)")
+        (""","sf1_skipped":"budget"""", ""","sf1_skipped":"budget"""")
+      } else try {
         // reclaim main-loop state before the 10x section: the r9 notes
         // measured sf1 sections reading 1.5-5x above fresh-JVM runs
         // after ~160 query executions (accumulated heap, cached plans,
@@ -568,17 +624,43 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf1] section failed: ${e.getMessage}"); ("", "")
       }
+    if (args.isEmpty) progress(sf1Summary)
     // sf10 dedup/ANN spot-run (skipped in single-query mode or with
     // SPARK_GRAFT_SF10=off; `sf10` as an explicit arg forces it)
     val (sf10Json, sf10Summary) =
       if ((args.nonEmpty && !args.contains("sf10")) ||
           sys.env.get("SPARK_GRAFT_SF10").contains("off")) ("", "")
-      else try {
+      else if (args.isEmpty && remainingS < estSf10) {
+        System.err.println(f"[bench:sf10] skipped (budget: ${remainingS}%.0fs left, need ~${estSf10}%.0f)")
+        (""","sf10_skipped":"budget"""", ""","sf10_skipped":"budget"""")
+      } else try {
         reclaim(spark)
         val (full, short) = sf10Section(spark, sfDir)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf10] section failed: ${e.getMessage}"); ("", "")
+      }
+    if (args.isEmpty) progress(sf1Summary + sf10Summary)
+    // sf100 near-linearity spot LAST: it is the most expensive section
+    // and the only one whose evidence can also come from a standalone
+    // `runMain graft.Bench sf100` (coldest-JVM — which its single-trial
+    // methodology prefers anyway; r10 measured a late-JVM single trial
+    // at 28x while the verify-stage input scaled exactly 10.00x).
+    // Default driver runs only reach it when the budget still fits the
+    // synth + at least dedup_verified.
+    val (sf100Json, sf100Summary) =
+      if ((args.nonEmpty && !args.contains("sf100")) ||
+          sys.env.get("SPARK_GRAFT_SF100").contains("off")) ("", "")
+      else if (args.isEmpty &&
+               remainingS < estSf100Synth + estSf100Query("dedup_verified")) {
+        System.err.println(f"[bench:sf100] skipped (budget: ${remainingS}%.0fs left)")
+        (""","sf100_skipped":"budget"""", ""","sf100_skipped":"budget"""")
+      } else try {
+        reclaim(spark)
+        val (full, short) = sf100Spot(spark, sfDir, forced = args.nonEmpty)
+        ("," + full, "," + short)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench:sf100] section failed: ${e.getMessage}"); ("", "")
       }
     val trialStats = "{\"median\":" + f"$trialMed%.0f" + ",\"mad\":" +
       f"$trialMad%.0f" + ",\"trials\":" +

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, RegExpReplace, RegExpExtractAll, Md5, StringTrim, Lower, Size, Cast}
 import org.apache.spark.sql.types.IntegerType
@@ -14,8 +14,20 @@ import graft.functions._
   * gets the syslog/dedup/JSON kernels without touching the Scala API.
   * All implementations are the same codegen'd Catalyst expressions the
   * DataFrame API uses; nothing here is a UDF.
+  *
+  * `GraftExtensions.register(spark)` injects the same functions into an
+  * ALREADY-built session (idempotent) — for notebooks/REPLs where the
+  * builder ran without extensions, and for the `sql_surface` oracle
+  * query, which runs against the driver's plain session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.forEachFunction { (id, inf, builder) =>
+      ext.injectFunction((id, inf, builder))
+    }
+}
+
+object GraftExtensions {
 
   private def litInt(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -26,9 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "")
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
+  /** Register into a live session's function registry (idempotent —
+    * re-registration replaces the same builder). */
+  def register(spark: SparkSession): Unit =
+    forEachFunction { (id, inf, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, id, inf, builder)
+    }
+
+  private def forEachFunction(
+      sink: (FunctionIdentifier, ExpressionInfo,
+             Seq[Expression] => Expression) => Unit): Unit = {
     def reg(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
-      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+      sink(FunctionIdentifier(name), info(name, usage), b)
 
     // syslog reception
     reg("graft_syslog_parse",

@@ -3218,6 +3218,71 @@ object Queries {
         .agg(countDistinct(col("g")).as("n_shared"))
     }),
 
+    // fuzzy decontamination (VERDICT r10 #5a): max n-gram Jaccard per
+    // corpus doc against the eval split — catches paraphrased eval
+    // leakage the exact gram-count pass above waves through. Same
+    // broadcast shape (eval side small by nature), per-pair cost only
+    // for docs already sharing a gram — see Dedup.decontaminateFuzzy
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dedup.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+    }),
+
+    // URL/domain dedup (VERDICT r10 #5b): crawl frontier hygiene — the
+    // same page fetched via www./casing/default-port/tracking-param
+    // variants collapses to one canonical doc per normalized
+    // host+path key. URLs are a deterministic fixture over the doc
+    // columns (the documents table has no URL column); the
+    // normalization runs through the faup extractors (ffaup contrib,
+    // reference tests/rscript_faup_*.sh). One scan + one map-side-
+    // combinable groupBy — no join, 100 TB-safe by construction
+    "dedup_url" -> ((s, dir) => {
+      import graft.functions.rainer
+      val url = concat(lit("https://WWW."), upper(col("source")),
+        lit(".Example.COM:443/"), col("lang"), lit("/item/"),
+        col("doc_id") % 40, lit("/?utm_source=feed&ref="), col("doc_id"),
+        lit("#sec"))
+      val host = regexp_replace(lower(rainer.faup_host(url)), "^www\\.", "")
+      val path = regexp_replace(rainer.faup_path(url), "/$", "")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), host.as("host"), path.as("path"),
+          lower(rainer.faup_domain(url)).as("domain"))
+        .groupBy(col("host"), col("path"), col("domain"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+    }),
+
+    // quality-classifier calibration (VERDICT r10 #5c): per-source
+    // Gopher rule pass-rate table — the sanity check before trusting
+    // the filter at corpus scale. Scan-bound flags + one combinable
+    // groupBy; micro-rates are BIGINT floor divisions (hash-stable)
+    "quality_calibration" -> ((s, dir) =>
+      TextAnalysis.gopherCalibration(
+        Tables.documents(s, dir), "doc_id", "text", "source")),
+
+    // the SQL-only user's path (VERDICT r10 #6): the same pipeline a
+    // Scala user writes with the operators above, expressed entirely in
+    // spark.sql over the graft_* function surface (GraftExtensions) —
+    // six registered kernels exercised end-to-end under oracle
+    "sql_surface" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+      s.sql("""
+        SELECT doc_id,
+          graft_langid(text) AS predicted,
+          size(graft_tokens(text)) AS n_tokens,
+          graft_subwords(text) AS n_subwords,
+          graft_fingerprint(text) AS fp,
+          graft_redact(concat('contact user', doc_id, '@example.com at 10.0.',
+            doc_id % 256, '.7 acct 123456789')) AS redacted,
+          graft_is_in_subnet(concat('10.0.', doc_id % 256, '.7'),
+            '10.0.128.0/17') AS upper_half
+        FROM graft_docs
+        WHERE size(graft_tokens(text)) > 0""")
+    }),
+
     // embedding QA stats (the corpus-health face of the ANN family):
     // per-label counts + L2-norm distribution — the standard sanity pass
     // before indexing/training. Per-row norm is a sequential fold (same
@@ -5713,6 +5778,50 @@ object Queries {
         |co AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0)
         |SELECT doc_id, count(DISTINCT g) AS n_shared
         |FROM co JOIN ev USING (g) GROUP BY 1""".stripMargin,
+
+    "decontaminate_fuzzy" ->
+      graft.operators.Dedup.decontaminateFuzzyOracleSql(),
+
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://WWW.' || upper(source) || '.Example.COM:443/' || lang
+        |      || '/item/' || (doc_id % 40) || '/?utm_source=feed&ref='
+        |      || doc_id || '#sec' AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS hostfull,
+        |    regexp_replace(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1),
+        |      '/$', '') AS path
+        |  FROM u)
+        |SELECT regexp_replace(hostfull, '^www\.', '') AS host, path,
+        |  regexp_extract(hostfull, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  count(*) AS n_dups, min(doc_id) AS keep_id
+        |FROM p GROUP BY 1, 2, 3""".stripMargin,
+
+    "quality_calibration" -> TextAnalysis.gopherCalibrationOracleSql,
+
+    "sql_surface" ->
+      (s"""SELECT doc_id, predicted, n_tokens, n_subwords, fp, redacted,
+        |  upper_half
+        |FROM (
+        |  SELECT doc_id, predicted,
+        |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      x -> x <> '')) AS n_tokens,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      'contact user' || doc_id || '@example.com at 10.0.'
+        |        || (doc_id % 256) || '.7 acct 123456789',
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |      '\\b\\d{7,}\\b', '<NUM>', 'g') AS redacted,
+        |    (doc_id % 256) >= 128 AS upper_half
+        |  FROM ${TextAnalysis.langIdSql("text")}
+        |) WHERE n_tokens > 0""".stripMargin),
 
     "emb_stats" ->
       """WITH n AS (

@@ -667,4 +667,82 @@ object Dedup {
       .orderBy(col("n").desc, col("w"))
       .limit(cap)
   }
+
+  /** Fuzzy benchmark decontamination: per corpus doc, the MAX n-gram
+    * Jaccard against any eval-set doc (exact `decontaminate` only counts
+    * shared grams — a doc paraphrasing an eval item with 40% gram
+    * overlap passes it; this is the GPT-3/PaLM-style fuzzy pass).
+    *
+    * Shape = the `decontaminate` broadcast pattern extended with
+    * nearDupVerified's per-candidate exact-Jaccard idea: the eval side
+    * is small by nature, so its exploded distinct-gram set broadcasts;
+    * the corpus side is one scan + explode; the only shuffles are the
+    * combinable (doc, eval) intersection count and the per-doc max.
+    * Verifier cost ∝ docs sharing ≥1 gram with the eval set — at 100 TB
+    * that's the contaminated sliver, not the corpus.
+    *
+    * Jaccard is quantized to an integer micro-score and the per-doc
+    * argmax packs (micro_jaccard, eval_id) into one BIGINT key so the
+    * winner is order-independent and hash-stable across engines (the
+    * tfidf_topk discipline). Packing factor 1e12 > any synth-corpus
+    * doc_id (sf100 ids reach ~1e11); integer `div`, never double
+    * division (1e18-scale keys exceed 2^53). */
+  def decontaminateFuzzy(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, n: Int = 5,
+                         threshold: Double = 0.5): DataFrame = {
+    val P = 1000000000000L // micro-jaccard × 1e12 + eval_id
+    def gramSets(d: DataFrame, as: String) = d.select(col(idCol).as(as),
+        array_distinct(TextAnalysis.wordNgrams(
+          TextAnalysis.tokens(col(textCol)), n)).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val cg = gramSets(corpus, "doc_id")
+      .select(col("doc_id"), size(col("gs")).as("na"), explode(col("gs")).as("g"))
+    val eg = gramSets(evalSet, "eval_id")
+      .select(col("eval_id"), size(col("gs")).as("nb"), explode(col("gs")).as("g"))
+    val inter = cg.join(broadcast(eg), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_id"), col("na"), col("nb"))
+      // grams are distinct within each doc, so count(*) = |A ∩ B|
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("mjac", floor(col("inter") * lit(1000000.0) /
+        (col("na") + col("nb") - col("inter"))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("mjac") * lit(P) + col("eval_id")).as("k"))
+      .select(col("doc_id"),
+        expr(s"k div $P").as("micro_jaccard"),
+        pmod(col("k"), lit(P)).as("best_eval_id"),
+        (expr(s"k div $P") >= lit((threshold * 1e6).toLong)).as("contaminated"))
+  }
+
+  /** DuckDB oracle for [[decontaminateFuzzy]] with the standard
+    * `doc_id % 97` eval split over `documents`. */
+  def decontaminateFuzzyOracleSql(n: Int = 5, threshold: Double = 0.5): String = {
+    val gram = (1 until n).foldLeft("toks[i]")((a, j) => s"$a || ' ' || toks[i+$j]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - ${n - 2}), i -> $gram))) AS g
+       |  FROM t WHERE len(toks) >= $n),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+       |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+       |co AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+       |inter AS (
+       |  SELECT co.doc_id, ev.eval_id, count(*) AS i
+       |  FROM co JOIN ev USING (g) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT inter.doc_id,
+       |    CAST(floor(inter.i * 1000000.0 / (a.sz + b.sz - inter.i)) AS BIGINT)
+       |      * 1000000000000 + inter.eval_id AS k
+       |  FROM inter
+       |  JOIN sz a ON a.doc_id = inter.doc_id
+       |  JOIN sz b ON b.doc_id = inter.eval_id)
+       |SELECT doc_id,
+       |  max(k) // 1000000000000 AS micro_jaccard,
+       |  max(k) % 1000000000000 AS best_eval_id,
+       |  max(k) // 1000000000000 >= ${(threshold * 1e6).toLong} AS contaminated
+       |FROM sc GROUP BY 1""".stripMargin
+  }
 }

@@ -155,10 +155,11 @@ object TextAnalysis {
     * shared token array — codegen'd, shuffle-free, scan-bound. Ratios
     * floor-quantized at 1e-6 (cross-engine bit-stability, as in
     * [[qualityScoreFrom]]). */
-  def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val staged = df.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-      tokens(col(textCol)).as("toks"),
-      split(col(textCol), "\n").as("lines"))
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    keep: Seq[String] = Nil): DataFrame = {
+    val staged = df.select(col(idCol).as("doc_id") +: col(textCol).as("text") +:
+      tokens(col(textCol)).as("toks") +:
+      split(col(textCol), "\n").as("lines") +: keep.map(col): _*)
     val nWords = size(col("toks"))
     val q6 = (c: Column) => floor(c * 1e6) / 1e6
     val meanLen = q6(when(nWords > 0,
@@ -178,11 +179,11 @@ object TextAnalysis {
     // distinct-membership count, not occurrence count
     val nStop = gopherStopwords.map(w =>
       when(array_contains(col("toks"), w), 1).otherwise(0)).reduce(_ + _)
-    staged.select(col("doc_id"),
-        nWords.as("n_words"), meanLen.as("mean_word_len"),
-        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
-        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
-        nStop.as("n_stop"))
+    staged.select(col("doc_id") +:
+        nWords.as("n_words") +: meanLen.as("mean_word_len") +:
+        symbolRatio.as("symbol_ratio") +: bulletFrac.as("bullet_frac") +:
+        ellipsisFrac.as("ellipsis_frac") +: alphaFrac.as("alpha_frac") +:
+        nStop.as("n_stop") +: keep.map(col): _*)
       .withColumn("r_words", col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("r_meanlen", col("mean_word_len") >= 3 && col("mean_word_len") <= 10)
       .withColumn("r_symbols", col("symbol_ratio") <= 0.1)
@@ -192,6 +193,48 @@ object TextAnalysis {
       .withColumn("r_stop", col("n_stop") >= 2)
       .withColumn("pass", col("r_words") && col("r_meanlen") && col("r_symbols") &&
         col("r_bullets") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
+  /** Quality-classifier calibration: per-group (domain/source) Gopher
+    * pass-rate table — the standard sanity check before trusting a
+    * filter at corpus scale (a rule failing 90% of one domain usually
+    * means the rule is wrong for that domain, not the domain is bad).
+    * One scan (the flags are scan-bound projections) + one map-side-
+    * combinable groupBy; rates are integer micro-rates (BIGINT floor
+    * division) so the table hashes identically across engines. */
+  def gopherCalibration(df: DataFrame, idCol: String, textCol: String,
+                        byCol: String): DataFrame = {
+    val rules = Seq("r_words", "r_meanlen", "r_symbols", "r_bullets",
+      "r_ellipsis", "r_alpha", "r_stop", "pass")
+    val flags = gopherQuality(df, idCol, textCol, keep = Seq(byCol))
+    val aggs = count(lit(1)).as("n_docs") +:
+      rules.map(r => sum(when(col(r), 1L).otherwise(0L)).as(s"n_$r"))
+    flags.groupBy(col(byCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(byCol) +: col("n_docs") +:
+        rules.map(r => col(s"n_$r")) ++:
+        rules.map(r =>
+          expr(s"(n_$r * 1000000) div n_docs").as(s"micro_rate_$r")): _*)
+  }
+
+  /** DuckDB oracle for [[gopherCalibration]] grouped by `source`. */
+  def gopherCalibrationOracleSql: String = {
+    val rules = Seq("r_words", "r_meanlen", "r_symbols", "r_bullets",
+      "r_ellipsis", "r_alpha", "r_stop", "pass")
+    val sums = rules.map(r =>
+      s"CAST(sum(CASE WHEN $r THEN 1 ELSE 0 END) AS BIGINT) AS n_$r").mkString(",\n    ")
+    val rates = rules.map(r =>
+      s"n_$r * 1000000 // n_docs AS micro_rate_$r").mkString(",\n  ")
+    s"""WITH flags AS ($gopherOracleSql),
+       |agg AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |    $sums
+       |  FROM flags f JOIN documents d USING (doc_id)
+       |  GROUP BY 1)
+       |SELECT source, n_docs,
+       |  ${rules.map(r => s"n_$r").mkString(", ")},
+       |  $rates
+       |FROM agg""".stripMargin
   }
 
   /** Per-document top-k terms by TF-IDF — the classic keyword-extraction
@@ -214,7 +257,11 @@ object TextAnalysis {
     val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "term")
+    // df is vocabulary-sized by construction — broadcast it explicitly
+    // rather than betting on AQE's runtime size estimate (a shuffled
+    // join here would re-shuffle the full (doc, term) side on term,
+    // the corpus-sized side, for nothing; VERDICT r10 #7)
+    tf.join(broadcast(dfreq), "term")
       .withColumn("mscore",
         floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long"))
       .withColumn("rk", row_number().over(

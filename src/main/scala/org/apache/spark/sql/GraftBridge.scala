@@ -11,4 +11,14 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Register a function into a LIVE session's registry (sessionState is
+    * private[sql]) — lets GraftExtensions.register() add the graft_*
+    * SQL surface to sessions built without withExtensions. */
+  def registerFunction(spark: SparkSession,
+      id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(id, info, builder)
 }

@@ -193,4 +193,28 @@ class DedupSpec extends SparkSpec {
     val short = Seq((9L, "tiny")).toDF("doc_id", "text")
     assert(Dedup.substringDupSpans(short, "doc_id", "text").count() == 0)
   }
+
+  test("decontaminateFuzzy: max Jaccard + deterministic argmax") {
+    // eval 100: grams {a b c d e, b c d e f} (6 tokens → 2 distinct 5-grams)
+    // eval 200: a disjoint doc
+    // corpus 1 ≡ eval 100 → jaccard 1.0 against it
+    // corpus 2 shares exactly one of eval 100's two grams and has two
+    //   grams of its own → jaccard = 1 / (2 + 2 - 1) = 1/3
+    // corpus 3 shares nothing → absent from the output
+    val evalSet = Seq(
+      (100L, "a b c d e f"),
+      (200L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e zz"),
+      (3L, "m n o ww xx yy")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateFuzzy(corpus, evalSet, "doc_id", "text")
+      .select("doc_id", "micro_jaccard", "best_eval_id", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 1000000L, 100L, true),
+      (2L, 333333L, 100L, false)))
+  }
 }

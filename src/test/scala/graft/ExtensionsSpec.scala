@@ -92,4 +92,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("INTEGER literal") ||
       e.getCause != null && e.getCause.getMessage.contains("INTEGER literal"))
   }
+
+  test("GraftExtensions.register injects into an already-built session") {
+    // a plain session (no withExtensions at build time) gains the full
+    // surface after register() — the notebook/REPL path, and what the
+    // sql_surface oracle query relies on. newSession() shares the
+    // SparkContext but gets a FRESH function registry (same isolation
+    // discipline as the suite session above — never stop() here)
+    val plain = TestSpark.spark.newSession()
+    intercept[Exception] {
+      plain.sql("SELECT graft_tokens('x')").collect()
+    }
+    graft.GraftExtensions.register(plain)
+    val r = plain.sql(
+      "SELECT size(graft_tokens('one  two\tthree')) AS n, " +
+      "graft_langid('the cat and the dog have that') AS l").collect()(0)
+    assert(r.getAs[Int]("n") == 3)
+    assert(r.getAs[String]("l") == "en")
+    // idempotent: re-registration replaces, not duplicates/throws
+    graft.GraftExtensions.register(plain)
+    assert(plain.sql("SELECT size(graft_tokens('x')) AS n")
+      .collect()(0).getAs[Int]("n") == 1)
+  }
 }

@@ -142,6 +142,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("tfidf_topk: the df join broadcasts the vocabulary side") {
+    val p = plan("tfidf_topk")
+    // df is vocabulary-sized — re-shuffling the corpus-sized (doc, term)
+    // side on term to meet it would be the dominant cost at scale
+    // (VERDICT r10 #7); the explicit broadcast() must survive planning
+    assert(p.contains("BroadcastHashJoin"),
+      "tfidf df join must be a broadcast hash join")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffled join tier in tfidf")
+  }
+
+  test("decontaminate_fuzzy: eval grams broadcast; intersection combines") {
+    val p = plan("decontaminate_fuzzy")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the eval-set gram explosion must broadcast")
+    assert(p.contains("HashAggregate"), "intersection count must hash-agg")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_url: one pruned scan + one combinable groupBy, no join") {
+    val p = plan("dedup_url")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("text"), s"URL dedup must not read text: $read")
+    assert(!p.contains("Join"), "URL key dedup is a single groupBy")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("quality_calibration: scan-bound flags + one combinable groupBy") {
+    val p = plan("quality_calibration")
+    assert(!p.contains("Join"),
+      "flags must be computed inline (keep=source), not joined back")
+    assert(p.contains("HashAggregate"))
+  }
+
   test("dedup_semantic: capped cluster pairing, no all-pairs cross product") {
     val p = plan("dedup_semantic")
     // within-cell pairing goes through the collect_list kernel
