@@ -356,8 +356,9 @@ object Bench {
       "dedup_clusters", "dedup_clusters_verified", "dedup_semantic",
       "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
       "llm_prep", "text_quality", "text_repetition", "text_fingerprint",
-      "decontaminate", "decontaminate_fuzzy", "sample_stratified",
-      "seq_pack", "lm_score", "quality_gopher", "tfidf_topk")
+      "decontaminate", "decontaminate_fuzzy", "dedup_lines",
+      "sample_stratified", "seq_pack", "lm_score", "quality_gopher",
+      "tfidf_topk")
     // the four+ heavyweights re-run and report MIN: r10 measured the
     // SAME query at the SAME section position swinging 2× between
     // otherwise-identical runs (simhash 82 vs 126 s; clusters 90 vs

@@ -3254,6 +3254,21 @@ object Queries {
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
     }),
 
+    // C4-style line-level dedup: corpus-wide boilerplate lines (the
+    // cookie banner on every page, per-site footers) are removed and
+    // the documents reassembled in original line order. The fixture
+    // wraps each doc in one corpus-wide banner, one per-residue footer
+    // (repeats n/3 times) and one unique id line, so the hot-line
+    // detector, the anti-join, and order-preserving reassembly all
+    // fire. See Dedup.lineDedup for the broadcast-anti-join shape
+    "dedup_lines" -> ((s, dir) => {
+      val staged = Tables.documents(s, dir).withColumn("txt", concat(
+        lit("cookie notice please accept\n"), col("text"),
+        lit("\ncopyright footer "), col("doc_id") % 3,
+        lit("\nid line "), col("doc_id")))
+      graft.operators.Dedup.lineDedup(staged, "doc_id", "txt")
+    }),
+
     // quality-classifier calibration (VERDICT r10 #5c): per-source
     // Gopher rule pass-rate table — the sanity check before trusting
     // the filter at corpus scale. Scan-bound flags + one combinable
@@ -5801,6 +5816,24 @@ object Queries {
         |FROM p GROUP BY 1, 2, 3""".stripMargin,
 
     "quality_calibration" -> TextAnalysis.gopherCalibrationOracleSql,
+
+    "dedup_lines" ->
+      """WITH staged AS (
+        |  SELECT doc_id,
+        |    'cookie notice please accept' || chr(10) || text || chr(10)
+        |      || 'copyright footer ' || (doc_id % 3) || chr(10)
+        |      || 'id line ' || doc_id AS txt
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(string_split(txt, chr(10))))) AS pos,
+        |    unnest(string_split(txt, chr(10))) AS line
+        |  FROM staged),
+        |hot AS (SELECT line FROM l GROUP BY 1 HAVING count(*) >= 3),
+        |kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line))
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |FROM kept GROUP BY 1""".stripMargin,
 
     "sql_surface" ->
       (s"""SELECT doc_id, predicted, n_tokens, n_subwords, fp, redacted,

@@ -668,6 +668,33 @@ object Dedup {
       .limit(cap)
   }
 
+  /** C4-style LINE-level dedup: drop every line that occurs >=
+    * `minRepeat` times corpus-wide (boilerplate — cookie banners,
+    * nav bars, copyright footers — survives document-level dedup
+    * because the surrounding text differs), then reassemble each
+    * document with its remaining lines in original order.
+    *
+    * Scale shape: the hot-line table is tiny BY CONSTRUCTION (only
+    * lines repeated >= minRepeat times corpus-wide — boilerplate, not
+    * content), so the removal join is a broadcast LEFT ANTI; the only
+    * corpus-sized shuffles are the combinable line count and the
+    * per-doc reassembly groupBy. Docs whose every line is boilerplate
+    * drop out of the output (nothing left to train on).
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                minRepeat: Int = 3): DataFrame = {
+    val lines = df.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.groupBy(col("line")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minRepeat).select(col("line"))
+    lines.join(broadcast(hot), Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean_text"))
+  }
+
   /** Fuzzy benchmark decontamination: per corpus doc, the MAX n-gram
     * Jaccard against any eval-set doc (exact `decontaminate` only counts
     * shared grams — a doc paraphrasing an eval item with 40% gram

@@ -194,6 +194,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDupSpans(short, "doc_id", "text").count() == 0)
   }
 
+  test("lineDedup removes corpus-wide boilerplate, preserves line order") {
+    val docs = Seq(
+      (1L, "BANNER\nalpha one\nmid\nFOOTER"),
+      (2L, "BANNER\nbeta two\nFOOTER"),
+      (3L, "BANNER\ngamma three\nFOOTER"),
+      (4L, "BANNER\nBANNER\nBANNER") // all-boilerplate doc drops out
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().toSet
+    // BANNER ×6 and FOOTER ×3 cross the >=3 threshold; unique lines stay
+    assert(out == Set(
+      (1L, 2L, "alpha one\nmid"),
+      (2L, 1L, "beta two"),
+      (3L, 1L, "gamma three")))
+  }
+
   test("decontaminateFuzzy: max Jaccard + deterministic argmax") {
     // eval 100: grams {a b c d e, b c d e f} (6 tokens → 2 distinct 5-grams)
     // eval 200: a disjoint doc

@@ -169,6 +169,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("dedup_lines: hot-line removal is a broadcast anti-join") {
+    val p = plan("dedup_lines")
+    // the hot-line table is boilerplate-sized by construction — a
+    // shuffled anti-join would re-shuffle every line in the corpus
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "hot-line removal must be a broadcast left-anti join")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("quality_calibration: scan-bound flags + one combinable groupBy") {
     val p = plan("quality_calibration")
     assert(!p.contains("Join"),
