@@ -44,8 +44,8 @@ object Bench {
   private val estSf1 = 520.0
   private val estSf10 = 380.0
   private val estSf100Synth = 280.0
-  private val estSf100Query =
-    Map("dedup_verified" -> 420.0, "dedup_substring" -> 360.0)
+  private val estSf100Query = // r11 post-fix cold-JVM measurements + margin
+    Map("dedup_verified" -> 280.0, "dedup_substring" -> 260.0)
 
   /** Deterministic cross-query heap reclaim: System.gc() alone leaves
     * localCheckpoint/persist blocks to the ASYNC ContextCleaner, so a

@@ -2480,7 +2480,7 @@ object Queries {
     // index; verifier cost scales with candidates, not corpus²)
     "dedup_verified" -> ((s, dir) => {
       Dedup.nearDupVerified(Tables.documents(s, dir), "doc_id", "text",
-        n = 3, bands = 16, rows = 4, minEstJaccard = 0.35, minJaccard = 0.5)
+        n = 3, bands = 16, rows = 4, minJaccard = 0.5)
     }),
 
     // the FLAGSHIP 100 TB dedup pipeline, end to end: exact dedup (reps)
@@ -2489,7 +2489,7 @@ object Queries {
     "dedup_clusters_verified" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.nearDupVerified(docs, "doc_id", "text",
-        minEstJaccard = 0.35, minJaccard = 0.5)
+        minJaccard = 0.5)
       val repLabels = Dedup.clusters(pairs)
       val members = Dedup.textMembersGlobal(docs, "doc_id", "text")
       members.join(repLabels, members("rep") === repLabels("doc"), "left")
@@ -5343,9 +5343,9 @@ object Queries {
     "dedup_minhash" -> Dedup.minhashOracleSql(n = 3, bands = 16, rows = 4,
       minEstJaccard = 0.5),
     "dedup_verified" -> Dedup.nearDupVerifiedOracleSql(n = 3, bands = 16,
-      rows = 4, minEstJaccard = 0.35, minJaccard = 0.5),
+      rows = 4, minJaccard = 0.5),
     "dedup_clusters_verified" -> Dedup.verifiedClustersOracleSql(n = 3,
-      bands = 16, rows = 4, minEstJaccard = 0.35, minJaccard = 0.5),
+      bands = 16, rows = 4, minJaccard = 0.5),
     "seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 64 AS shard,

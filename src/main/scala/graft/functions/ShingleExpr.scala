@@ -94,6 +94,65 @@ object ShinglesExpr {
   * such a doc has no content to near-match and its all-MaxValue signature
   * would collide with every other short doc in every band).
   */
+/** Exact shingle-set Jaccard of TWO texts in one fused kernel:
+  * value-identical to
+  * `size(array_intersect(shingles(a,n), shingles(b,n))) / (|A|+|B|-inter)`
+  * (both sets distinct by construction; string equality, no hashing —
+  * KernelParitySpec pins the parity), but the verify JOIN ships the two
+  * ~300-byte TEXTS instead of two ~10 KB shingle-STRING arrays.
+  *
+  * Why this exists (r11): at the sf100 probe (11.7M candidate pairs,
+  * ~300-token docs) the array-carrying verify join moved ~230 GB
+  * through its exchanges — past page cache, disk-bound, 419 s measured
+  * for the JOIN ALONE with the intersect removed, and per-partition
+  * sizing didn't help because the BYTES were the cost, not the sort.
+  * Re-shingling per pair is ~15 µs of CPU per text — the measured
+  * trade is ~25x less exchange mass for ~12 s of extra CPU at sf100.
+  * (r10 had measured a fused variant slower at sf10 and kept the
+  * join-back form; the sf100 diagnostic showed that verdict doesn't
+  * survive the scale where the arrays stop fitting in page cache.)
+  */
+case class JaccardTextsExpr(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = s"jaccard_texts$n"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardTextsExpr.kernel(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardTextsExpr$$.MODULE$$.kernel($a, $b, $n);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object JaccardTextsExpr {
+  def kernel(a: UTF8String, b: UTF8String, n: Int): Double = {
+    val sa = ShinglesExpr.kernel(a, n).asInstanceOf[GenericArrayData]
+    val sb = ShinglesExpr.kernel(b, n).asInstanceOf[GenericArrayData]
+    val na = sa.numElements()
+    val nb = sb.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val setA = new java.util.HashSet[Any](na * 2)
+    var i = 0
+    while (i < na) { setA.add(sa.array(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (setA.contains(sb.array(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
 case class MinHashTextExpr(child: Expression, n: Int, k: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {

@@ -86,16 +86,13 @@ object Dedup {
         slice(col("ms"), col("i") + lit(2), size(col("ms")) - col("i") - 1)).as("b"))
       .select(struct(col("a").as("a"), col("b").as("b")).as("p"))
 
-  /** MinHash-LSH candidate pairs: b bands of r rows (k = b*r). Docs
-    * sharing any band bucket become candidates; estimated Jaccard =
-    * matching-minhash fraction. Returns (id_a, id_b, est_jaccard) with
-    * id_a < id_b. Two shuffles total (band-bucket groupBy + pair dedupe);
-    * no all-pairs stage, no self-join, no cache.
-    */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, bands: Int = 16, rows: Int = 4,
-                      minEstJaccard: Double = 0.5,
-                      maxBucket: Int = 1024): DataFrame = {
+  /** LSH core shared by [[minhashLshPairs]] and [[nearDupVerified]]:
+    * checkpointed signatures + distinct band-bucket candidate id pairs.
+    * Banding shuffles doc ids ONLY — the 64-long signature (~0.5 KB)
+    * does not ride every one of the 16 band rows. */
+  private[operators] def lshCore(df: DataFrame, idCol: String,
+      textCol: String, n: Int, bands: Int, rows: Int,
+      maxBucket: Int): (DataFrame, DataFrame) = {
     val k = bands * rows
     // signature computation is CPU-bound (k hashes × shingles per doc);
     // a small input often arrives as 1-2 parquet partitions, which would
@@ -105,20 +102,27 @@ object Dedup {
     // lowered text's token ranges (MinHashTextExpr) — no shingle strings,
     // no Filter/Project hand-off of the shingle array. NULL signature =
     // fewer than n tokens: such a doc has no content to near-match (its
-    // all-MaxValue signature would collide with every short doc) — drop it
+    // all-MaxValue signature would collide with every short doc) — drop it.
+    //
+    // The signature set is consumed by THREE branches below (banding +
+    // the two est-jaccard signature joins); left lazy, each branch
+    // re-runs the kernel on its own map side — the physical plan builds
+    // three independent scan→kernel stacks and ReuseExchange does NOT
+    // dedupe them (verified on the executed plan: zero ReusedExchange
+    // nodes; measured as the dominant term of the sf100 LSH stage).
+    // localCheckpoint materializes the signatures ONCE. The block is
+    // SIGNATURE-sized — doc id + k longs ≈ 0.5 KB/doc, ~1.8 GB at the
+    // sf100 probe — not corpus-sized; at cluster scale that is the same
+    // size class as the candidate-pair checkpoint this pipeline already
+    // holds, and strictly cheaper than paying the shingle+hash kernel
+    // twice more over every document.
     val withSig = df
       .select(col(idCol).as("doc"), col(textCol).as("t"))
       .repartition(par)
       .withColumn("sig", minhashTextSignature(col("t"), n, k))
       .filter(col("sig").isNotNull)
       .select(col("doc"), col("sig"))
-    // Banding shuffles doc ids ONLY — the 64-long signature (~0.5 KB)
-    // does not ride every one of the 16 band rows (16× shuffle mass at
-    // corpus scale); candidate pairs dedupe across bands first, then the
-    // two signature joins attach sig_a/sig_b once per pair. The
-    // signature stage recomputes on each side of the join instead of
-    // caching — at cluster scale a corpus-sized cache is the riskier
-    // resource, and the stage is a linear scan.
+      .localCheckpoint()
     val banded = withSig.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -128,6 +132,23 @@ object Dedup {
         struct(col("doc")), maxBucket)
       .select(col("p.a.doc").as("id_a"), col("p.b.doc").as("id_b"))
       .distinct()
+    (cand, withSig)
+  }
+
+  /** MinHash-LSH candidate pairs: b bands of r rows (k = b*r). Docs
+    * sharing any band bucket become candidates; estimated Jaccard =
+    * matching-minhash fraction. Returns (id_a, id_b, est_jaccard) with
+    * id_a < id_b. Two shuffles total (band-bucket groupBy + pair dedupe);
+    * no all-pairs stage, no self-join.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 16, rows: Int = 4,
+                      minEstJaccard: Double = 0.5,
+                      maxBucket: Int = 1024): DataFrame = {
+    val k = bands * rows
+    val (cand, withSig) = lshCore(df, idCol, textCol, n, bands, rows, maxBucket)
+    // the two signature joins attach sig_a/sig_b once per pair (the
+    // checkpointed signature table serves both sides)
     cand
       .join(withSig.select(col("doc").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(withSig.select(col("doc").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -147,20 +168,25 @@ object Dedup {
     * exhaustive recall-1 fallback when a full sweep is required.
     *
     * Shuffle profile: the LSH stages (two shuffles) + one semi-join that
-    * restricts shingle computation to candidate-participating docs + two
-    * id-keyed joins that attach the shingle sets once per pair. Per-pair
-    * verification is a single codegen'd `array_intersect` — O(|A|+|B|)
-    * with sorted-set semantics, no per-pair kernel re-tokenization.
+    * restricts the pair join's text payload to candidate-participating
+    * docs + two id-keyed joins that attach the two TEXTS once per pair.
+    * Per-pair verification is the fused [[graft.functions.JaccardTextsExpr]]
+    * kernel — re-shingling per pair costs ~15 µs of CPU while cutting the
+    * exchange mass ~25× vs carrying shingle-string arrays (the r11 sf100
+    * diagnostic; NOTES_r11.md).
     *
-    * Recall: bounded by the LSH S-curve at (bands, rows, minEstJaccard) —
-    * a pair the filter misses is never verified (the standard trade; the
-    * sf10 corpus measures it at ~2× faster than the exhaustive verifier
-    * with identical survivors). The DuckDB oracle mirrors the exact
-    * composition, filter and verifier both.
+    * Recall: bounded by the LSH S-curve at (bands, rows) — a pair the
+    * banding misses is never verified (the standard trade). There is NO
+    * est-jaccard layer between banding and exact verify: the estimate
+    * priced ~12 GB of signature-attach exchange at the sf100 probe to
+    * prune almost nothing ahead of a verifier that recomputes exactly,
+    * and as a probabilistic filter it could only LOSE true pairs. The
+    * DuckDB oracle mirrors the exact composition, banding and verifier
+    * both.
     */
   def nearDupVerified(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, bands: Int = 16, rows: Int = 4,
-                      minEstJaccard: Double = 0.35, minJaccard: Double = 0.5,
+                      minJaccard: Double = 0.5,
                       maxBucket: Int = 1024,
                       preDedup: Boolean = true): DataFrame = {
     // dedup-before-near-dup (same composition order as ngramJaccardPairs):
@@ -182,32 +208,64 @@ object Dedup {
     // magnitude smaller than the corpus; re-deriving the LSH pipeline per
     // consumer would repeat every upstream shuffle instead. Bounded: LSH
     // survivor pairs, the same size class the clusters() probe holds.
-    val cand = minhashLshPairs(src, idCol, textCol, n, bands, rows,
-        minEstJaccard, maxBucket)
-      .select(col("id_a"), col("id_b"))
+    //
+    // Band-bucket pairs go STRAIGHT to exact verification — no
+    // est-jaccard middle layer (r11). The estimate stage existed to
+    // prune candidates cheaply, but here a full verifier follows anyway,
+    // and attaching two 64-long signatures per pair cost ~12 GB of
+    // exchange at the sf100 probe to prune almost nothing (the est
+    // filter is also probabilistic — it could DROP pairs whose true
+    // jaccard passes minJaccard, so removing it strictly improves
+    // recall at lower cost). `dedup_minhash` keeps the estimate as its
+    // output contract; the oracle mirrors this exact composition.
+    val cand = lshCore(src, idCol, textCol, n, bands, rows, maxBucket)._1
       .localCheckpoint()
-    // only candidate-participating docs need exact shingle sets: the
-    // semi-join bounds the shingle CPU and the array shuffle mass to the
-    // candidate vertex set, never the corpus. Each shingle set is built
-    // ONCE per doc and the pair join carries the two arrays; the
-    // alternative — join the two TEXTS and re-derive both sets per pair
-    // in a fused kernel (~3× less join payload) — MEASURED SLOWER both
-    // at sf10 (34.7 s vs 11.3 s) and sf100 (189.9 s vs 147.6 s): at
-    // local[32] the shuffle payload is local disk while the per-pair
-    // set rebuild (each doc rides ~6-21 pairs) is pure CPU, the scarce
-    // resource. Sorted-array array_intersect keeps the per-pair cost to
-    // one codegen'd merge.
+    // Data-dependent shuffle sizing for the verify join (r11). The pair
+    // join below carries TWO shingle arrays (~2.4 KB each for 300-token
+    // docs), so its exchange mass is ~5 KB × |pairs| — at the sf100
+    // probe (11.7M pairs) that is ~56 GB through a session-default
+    // 32-partition exchange: ~1.8 GB per SORTED partition against
+    // <1 GB of per-slot execution memory. Measured: 490 s cold-JVM at
+    // sf100 vs 14.5 s at sf10 — 34x wall for 10.00x counted input; the
+    // spill cliff, not the plan, was the superlinearity r10 blamed on
+    // heap state. Sizing the exchange so each partition holds ~25k
+    // pairs (~125 MB) keeps every sort in memory at any corpus size —
+    // the "size your shuffle partitions to fit executor memory" rule
+    // applied adaptively. The count is one bounded job against the
+    // already-materialized checkpoint; AQE still coalesces everything
+    // upstream, and small corpora keep the session default.
+    val defaultParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val verifyParts = math.max(defaultParts, (cand.count() / 25000L).toInt)
+    // only candidate-participating docs join the pair set (semi-join
+    // bound), and the pair join carries the two TEXTS (~300 B each),
+    // re-deriving both shingle sets per pair inside the fused
+    // JaccardTextsExpr kernel. The r10 verdict ("arrays once per doc,
+    // fused kernel measured slower") did NOT survive sf100: shingle
+    // STRING arrays are ~10 KB per 300-token doc, so the array-carrying
+    // join moved ~230 GB at 11.7M pairs — past page cache, disk-bound,
+    // measured 419 s for the join ALONE (intersect removed), and
+    // partition sizing didn't help because the bytes were the cost.
+    // Texts cut the exchange mass ~25x for ~15 µs of re-shingling CPU
+    // per pair side (~12 s at sf100). Measured A/B in NOTES_r11.md.
     val ids = cand.select(explode(array(col("id_a"), col("id_b"))).as("doc"))
       .distinct()
-    val sh = df.select(col(idCol).as("doc"), col(textCol).as("t"))
+    val txt = df.select(col(idCol).as("doc"), col(textCol).as("t"))
       .join(ids, Seq("doc"), "left_semi")
-      .select(col("doc"), shingles(col("t"), n).as("sh"))
-    cand
-      .join(sh.select(col("doc").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jacc", col("inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+    // explicit co-partitioning at verifyParts: both sides of each join
+    // land as HashPartitioning(key, verifyParts), so the SMJ reuses the
+    // exchanges (no extra shuffle) and every sort fits in memory at any
+    // corpus size
+    cand.repartition(verifyParts, col("id_a"))
+      .join(txt.select(col("doc").as("id_a"), col("t").as("t_a"))
+        .repartition(verifyParts, col("id_a")), "id_a")
+      .repartition(verifyParts, col("id_b"))
+      .join(txt.select(col("doc").as("id_b"), col("t").as("t_b"))
+        .repartition(verifyParts, col("id_b")), "id_b")
+      .withColumn("jacc", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.JaccardTextsExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("t_a")),
+          org.apache.spark.sql.GraftBridge.expression(col("t_b")), n)))
       .filter(col("jacc") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jacc"), 4).as("jaccard"))
   }
@@ -278,11 +336,9 @@ object Dedup {
     * (list_intersect over the distinct-shingle lists) — mirroring the
     * engine's filter→verify composition stage for stage. */
   def nearDupVerifiedOracleSql(n: Int = 3, bands: Int = 16, rows: Int = 4,
-                               minEstJaccard: Double = 0.35,
                                minJaccard: Double = 0.5,
                                maxBucket: Int = 1024): String =
-    s"""WITH ${nearDupVerifiedCtes(n, bands, rows, minEstJaccard, minJaccard,
-          maxBucket)}
+    s"""WITH ${nearDupVerifiedCtes(n, bands, rows, minJaccard, maxBucket)}
        |SELECT id_a, id_b, jaccard FROM verified""".stripMargin
 
   /** The full preDedup→filter→verify chain as CTEs ending in `verified`
@@ -291,7 +347,6 @@ object Dedup {
     * (doc_id, rep per identical lowered text, grp_n) for member
     * expansion. */
   def nearDupVerifiedCtes(n: Int = 3, bands: Int = 16, rows: Int = 4,
-                          minEstJaccard: Double = 0.35,
                           minJaccard: Double = 0.5,
                           maxBucket: Int = 1024): String = {
     val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
@@ -302,8 +357,8 @@ object Dedup {
        |  FROM documents),
        |reps AS (SELECT doc_id, text FROM grp WHERE doc_id = rep),
        |${minhashCtes(n, bands, rows, maxBucket, src = "reps")},
-       |cand AS (
-       |  SELECT id_a, id_b FROM est WHERE est_jaccard >= $minEstJaccard),
+       |cand AS ( -- band-bucket pairs straight to exact verify (no est layer)
+       |  SELECT DISTINCT id_a, id_b FROM pairs),
        |shs AS ( -- exact distinct-shingle sets (ShinglesExpr semantics)
        |  SELECT doc_id, list_distinct(list_transform(
        |    range(len(t) - ${n - 1}), i -> $grams)) AS sh
@@ -327,11 +382,10 @@ object Dedup {
     * member doc mapped to its representative's cluster (an unclustered
     * rep with an exact-dup group still forms its own cluster). */
   def verifiedClustersOracleSql(n: Int = 3, bands: Int = 16, rows: Int = 4,
-                                minEstJaccard: Double = 0.35,
                                 minJaccard: Double = 0.5,
                                 maxBucket: Int = 1024): String =
-    s"""WITH RECURSIVE ${nearDupVerifiedCtes(n, bands, rows, minEstJaccard,
-          minJaccard, maxBucket)},
+    s"""WITH RECURSIVE ${nearDupVerifiedCtes(n, bands, rows, minJaccard,
+          maxBucket)},
        |edges AS (
        |  SELECT id_a AS a, id_b AS b FROM verified
        |  UNION SELECT id_b, id_a FROM verified),

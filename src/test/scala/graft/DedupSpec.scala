@@ -36,7 +36,7 @@ class DedupSpec extends SparkSpec {
            "nothing shared at all between documents whatsoever truly")
     ).toDF("doc_id", "text")
     val out = Dedup.nearDupVerified(docs, "doc_id", "text",
-      minEstJaccard = 0.35, minJaccard = 0.5)
+      minJaccard = 0.5)
       .as[(Long, Long, Double)].collect()
     // the 1-2 pair survives filter AND verify; exact jaccard matches the
     // exhaustive verifier's number for the same pair
@@ -50,7 +50,7 @@ class DedupSpec extends SparkSpec {
     // a doc pair below the verify threshold is filtered even if LSH
     // proposed it: verify with an impossible threshold → empty
     assert(Dedup.nearDupVerified(docs, "doc_id", "text",
-      minEstJaccard = 0.35, minJaccard = 0.999).count() == 0)
+      minJaccard = 0.999).count() == 0)
   }
 
   test("verified composition: exact copies collapse, members expand to clusters") {
@@ -66,7 +66,7 @@ class DedupSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     // preDedup: LSH sees reps {1, 3, 4} only; pair (1,3) verifies
     val pairs = Dedup.nearDupVerified(docs, "doc_id", "text",
-      minEstJaccard = 0.35, minJaccard = 0.5)
+      minJaccard = 0.5)
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 3L)))
     // member expansion: 2 rides its rep 1's cluster; 4 unclustered

@@ -40,6 +40,29 @@ class KernelParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("JaccardTextsExpr == array_intersect over ShinglesExpr pairs") {
+    val texts = (0 until 200).map(_ => randText()) ++ Seq(
+      "", "a b c", "a b c d e f", "x y z x y z x y z")
+    val pairs = (0 until 150).map(_ =>
+      (texts(rnd.nextInt(texts.size)), texts(rnd.nextInt(texts.size)))) ++
+      Seq(("a b c d", "a b c d"), ("a b c d", "b c d e"), ("", "a b c"))
+    val df = pairs.toDF("ta", "tb")
+    def sh(c: org.apache.spark.sql.Column) = graft.operators.Dedup.shingles(c, 3)
+    val got = df.select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.JaccardTextsExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("ta")),
+          org.apache.spark.sql.GraftBridge.expression(col("tb")), 3)).as("j"))
+      .as[Double].collect().toSeq
+    val want = df.select((size(array_intersect(sh(col("ta")), sh(col("tb"))))
+        .cast("double") /
+        greatest(lit(1), size(sh(col("ta"))) + size(sh(col("tb"))) -
+          size(array_intersect(sh(col("ta")), sh(col("tb"))))).cast("double"))
+        .as("j"))
+      .as[Double].collect().toSeq
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+  }
+
   test("NgramJoinExpr == zip-shift construction on random token arrays") {
     val arrays = (0 until 200).map { _ =>
       (0 until rnd.nextInt(8)).map(_ =>

@@ -84,13 +84,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("dedup_verified: shingle compute is semi-join-bounded to candidates") {
-    // the verifier must never shingle the whole corpus: the corpus scan
-    // is filtered by a semi join against the candidate vertex set before
-    // ShinglesExpr runs (the 100 TB contract of the composition)
+  test("dedup_verified: semi-join-bounded texts + fused per-pair Jaccard") {
+    // the verifier must never touch the whole corpus: the corpus scan is
+    // filtered by a semi join against the candidate vertex set before
+    // the texts ride the pair join (the 100 TB contract). And the pair
+    // join must carry TEXTS through the fused JaccardTextsExpr kernel —
+    // carrying shingle-STRING arrays instead moved ~230 GB at the sf100
+    // probe (see NOTES_r11.md)
     val p = plan("dedup_verified")
     assert(p.toLowerCase.contains("leftsemi"),
-      "candidate semi join missing — shingles would be computed corpus-wide")
+      "candidate semi join missing — texts would ride corpus-wide")
+    assert(p.contains("jaccard_texts"),
+      "verify must use the fused two-text kernel, not array-carrying joins")
     assert(!p.contains("CartesianProduct"))
   }
 
