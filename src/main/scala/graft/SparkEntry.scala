@@ -3298,6 +3298,68 @@ object Queries {
         WHERE size(graft_tokens(text)) > 0""")
     }),
 
+    // the SQL-only user's STREAMING path (VERDICT r11 #7): the same
+    // graft_* kernel surface, but the FROM is a readStream view — one
+    // spark.sql statement is the whole pipeline (scan-side kernels +
+    // a complete-mode streaming aggregation), run through the stream
+    // gate like every other stream_* query
+    "stream_sql_surface" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      graft.streaming.StreamGate.readTable(s, dir, "documents")
+        .createOrReplaceTempView("graft_stream_docs")
+      val agg = s.sql("""
+        SELECT graft_langid(text) AS predicted,
+               count(*) AS n_docs,
+               CAST(sum(size(graft_tokens(text))) AS BIGINT) AS sum_tokens
+        FROM graft_stream_docs
+        WHERE size(graft_tokens(text)) > 0
+        GROUP BY graft_langid(text)""")
+      graft.streaming.StreamGate.run(agg, "complete",
+        graft.streaming.StreamGate.tableBytes(dir, "documents"))
+    }),
+
+    // hashed-ngram linear quality classifier (VERDICT r11 #4a): the
+    // fastText shape with closed-form NB log-odds training — training
+    // is itself a distributed query (two combinable groupBys + one
+    // 2-scalar collect), the model a ≤4096-row broadcast bounded by
+    // feature hashing, scoring a scan + one combinable per-doc sum.
+    // Holdout agreement is read off the (predicted, teacher, is_train)
+    // columns. See QualityClassifier.distillQuality
+    "quality_classifier" -> ((s, dir) =>
+      graft.operators.QualityClassifier.distillQuality(
+        Tables.documents(s, dir), "doc_id", "text")),
+
+    // substring-span REMOVAL (VERDICT r11 #4b): the substringDupSpans
+    // detector composed back onto the corpus — the capped span list
+    // (bounded driver collect, ≤100 rows by contract) scrubbed from
+    // every document in deterministic order; pure scan-bound replace
+    // chain after the detection pass
+    "dedup_substring_removal" -> ((s, dir) =>
+      Dedup.removeDupSpans(Tables.documents(s, dir), "doc_id", "text")),
+
+    // token-accounting table (VERDICT r11 #5): per-source token totals
+    // + cumulative mixture shares — the planning input for
+    // sample_domain_mix. One combinable corpus-sized groupBy; the
+    // cumulative window runs over the DOMAIN table (#domains rows,
+    // orders of magnitude below the corpus), integer micro-shares
+    "token_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      val cum = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+        .withColumn("total_tokens",
+          sum(col("n_tokens")).over(Window.partitionBy()))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("cum_tokens"),
+          expr("(n_tokens * 1000000) div total_tokens").as("micro_share"))
+    }),
+
     // embedding QA stats (the corpus-health face of the ANN family):
     // per-label counts + L2-norm distribution — the standard sanity pass
     // before indexing/training. Per-row norm is a sequential fold (same
@@ -5268,7 +5330,7 @@ object Queries {
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |    list_filter(string_split_regex(lower(text), '[\s\x0B]+'), x -> x <> '') AS t
         |  FROM grp WHERE doc_id = rep),
         |sh AS (
         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
@@ -5298,7 +5360,7 @@ object Queries {
         |  FROM documents),
         |toks AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |    list_filter(string_split_regex(lower(text), '[\s\x0B]+'), x -> x <> '') AS t
         |  FROM grp WHERE doc_id = rep),
         |sh AS (
         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
@@ -5349,7 +5411,7 @@ object Queries {
     "seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 64 AS shard,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+        |    len(list_filter(string_split_regex(lower(text), '[\s\x0B]+'), x -> x <> ''))
         |      AS n_tok
         |  FROM documents)
         |SELECT doc_id, shard, n_tok,
@@ -5463,7 +5525,7 @@ object Queries {
     "text_quality" ->
       """WITH base AS (
         |  SELECT doc_id, text,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[\s\x0B]+'), x -> x <> '')) AS n_tokens,
         |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords,
         |    length(text) AS n_chars,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
@@ -5752,12 +5814,12 @@ object Queries {
       (s"""WITH li AS (SELECT doc_id, text, predicted FROM ${TextAnalysis.langIdSql("text")}),
         |sc AS (
         |  SELECT doc_id, predicted,
-        |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '')) AS n_tokens,
         |    length(text) AS n_chars,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
         |    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+        |      '[^a-z0-9\\s\\x0B]', '', 'g'), '[\\s\\x0B]+', ' ', 'g'))) AS fp
         |  FROM li),
         |q AS (
         |  SELECT *, floor((
@@ -5781,7 +5843,7 @@ object Queries {
     "decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(text), '[\s\x0B]+'), x -> x <> '') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, unnest(list_transform(
@@ -5829,8 +5891,9 @@ object Queries {
         |    unnest(range(len(string_split(txt, chr(10))))) AS pos,
         |    unnest(string_split(txt, chr(10))) AS line
         |  FROM staged),
-        |hot AS (SELECT line FROM l GROUP BY 1 HAVING count(*) >= 3),
-        |kept AS (SELECT l.* FROM l ANTI JOIN hot USING (line))
+        |hot AS ( -- keyed on md5(line), mirroring the engine's 32-byte key
+        |  SELECT md5(line) AS lh FROM l GROUP BY 1 HAVING count(*) >= 3),
+        |kept AS (SELECT l.* FROM l ANTI JOIN hot ON md5(l.line) = hot.lh)
         |SELECT doc_id, count(*) AS n_kept,
         |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
         |FROM kept GROUP BY 1""".stripMargin,
@@ -5840,12 +5903,12 @@ object Queries {
         |  upper_half
         |FROM (
         |  SELECT doc_id, predicted,
-        |    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |    len(list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'),
         |      x -> x <> '')) AS n_tokens,
         |    len(regexp_extract_all(text,
-        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_subwords,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s\\x0B]')) AS n_subwords,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+        |      '[^a-z0-9\\s\\x0B]', '', 'g'), '[\\s\\x0B]+', ' ', 'g'))) AS fp,
         |    regexp_replace(regexp_replace(regexp_replace(
         |      'contact user' || doc_id || '@example.com at 10.0.'
         |        || (doc_id % 256) || '.7 acct 123456789',
@@ -5855,6 +5918,35 @@ object Queries {
         |    (doc_id % 256) >= 128 AS upper_half
         |  FROM ${TextAnalysis.langIdSql("text")}
         |) WHERE n_tokens > 0""".stripMargin),
+
+    "stream_sql_surface" ->
+      (s"""SELECT predicted, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'),
+        |    x -> x <> ''))) AS BIGINT) AS sum_tokens
+        |FROM ${TextAnalysis.langIdSql("text")}
+        |WHERE len(list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'),
+        |  x -> x <> '')) > 0
+        |GROUP BY 1""".stripMargin),
+
+    "quality_classifier" ->
+      graft.operators.QualityClassifier.distillQualityOracleSql(),
+
+    "dedup_substring_removal" ->
+      Dedup.removeDupSpansOracleSql(),
+
+    "token_budget" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '[\s\x0B]+'),
+        |      x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT)
+        |    AS micro_share
+        |FROM per""".stripMargin,
 
     "emb_stats" ->
       """WITH n AS (
@@ -5897,7 +5989,7 @@ object Queries {
       (s"""WITH li AS (SELECT doc_id, text, predicted FROM ${TextAnalysis.langIdSql("text")}),
         |sc AS (
         |  SELECT doc_id, text, predicted,
-        |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '')) AS n_tokens,
         |    length(text) AS n_chars,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
         |    len(regexp_extract_all(text, '[0-9]')) AS n_digit
@@ -5922,7 +6014,7 @@ object Queries {
 
     "sample_stratified" ->
       s"""SELECT doc_id, lang,
-        |  len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+        |  len(list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '')) AS n_tokens
         |FROM documents
         |WHERE ${Sampling.hashBucketSql("lang || ':' || doc_id",
              numerator = 64, digits = 2, salt = "graft")}""".stripMargin,
@@ -5936,7 +6028,7 @@ object Queries {
     "chunk_tokens" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(text, '[\s\x0B]+'), x -> x <> '') AS toks
         |  FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
         |e AS (SELECT doc_id, toks, n,
@@ -6199,7 +6291,7 @@ object Queries {
     "text_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(text), '[\s\x0B]+'), x -> x <> '') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
@@ -6221,7 +6313,7 @@ object Queries {
     "dedup_canonical" ->
       """WITH base AS (
         |  SELECT doc_id, text,
-        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens,
+        |    len(list_filter(string_split_regex(lower(text), '[\s\x0B]+'), x -> x <> '')) AS n_tokens,
         |    length(text) AS n_chars,
         |    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
         |    len(regexp_extract_all(text, '[0-9]')) AS n_digit

@@ -163,6 +163,34 @@ object CosineSimilarityExpr {
   }
 }
 
+/** Scalar FNV-1a 64 of a string — the same kernel SimHash/MinHash fold
+  * internally, exposed as its own codegen'd expression for feature
+  * hashing (hashed bag-of-ngrams buckets: pmod(fnv64(gram), D)). The
+  * DuckDB oracle mirror is the HUGEINT list_reduce in
+  * [[graft.operators.Dedup]] (`fnvSql`) — deterministic, engine-equal
+  * for the whole BMP (UTF-16 code-unit loop on both sides).
+  */
+case class Fnv1a64Expr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "fnv1a64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.fnv1a64(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashUtil$$.MODULE$$.fnv1a64($c.toString());")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object HashUtil {
   /** FNV-1a 64-bit — deterministic, seedable by suffixing. */
   def fnv1a64(s: String): Long = {

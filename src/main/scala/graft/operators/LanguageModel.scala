@@ -70,7 +70,7 @@ object LanguageModel {
   def bigramOracleSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+      |    list_filter(string_split_regex(lower(text), '[\s\x0B]+'), x -> x <> '') AS t
       |  FROM documents),
       |uni AS (
       |  SELECT w, count(*) AS uc

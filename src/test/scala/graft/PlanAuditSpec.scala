@@ -174,13 +174,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
-  test("dedup_lines: hot-line removal is a broadcast anti-join") {
+  test("dedup_lines: hint-free anti-join on the 32-byte md5 key (AQE decides)") {
+    // the hot-line table is NOT bounded by construction on a web corpus
+    // (every site's nav/footer variants repeat >= minRepeat corpus-wide;
+    // VERDICT r11 #2) — a forced broadcast() would OOM there with no
+    // fallback, so the join must carry no hint and let AQE choose from
+    // runtime sizes (it picks broadcast at every test SF, shuffled
+    // skew-split left-anti at web scale)
+    val df = SparkEntry.queries("dedup_lines")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h }
+    assert(hints.isEmpty, "hot-line anti-join must not force a broadcast")
     val p = plan("dedup_lines")
-    // the hot-line table is boilerplate-sized by construction — a
-    // shuffled anti-join would re-shuffle every line in the corpus
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      "hot-line removal must be a broadcast left-anti join")
-    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("LeftAnti"), "hot-line removal must be a left-anti join")
+    assert(p.contains("md5"),
+      "anti-join key must be the fixed-width md5, not the line text")
   }
 
   test("quality_calibration: scan-bound flags + one combinable groupBy") {
