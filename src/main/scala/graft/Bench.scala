@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (the reference's own bench gate — multiple paired trials
   * judged on median ± MAD, benchmarks/ratelimit-port-keys/RESULTS.md):
-  * each query runs SPARK_GRAFT_TRIALS (default 3) times inside one JVM
+  * each query runs SPARK_GRAFT_TRIALS (default 2, + 1 untimed warm-up)
+  * times inside one JVM
   * and the JSON carries {median, mad, trials[]} per query, so a noisy
   * neighbor on a shared host shows up as a fat MAD instead of silently
   * poisoning a single-trial number. `queries` keeps the flat
@@ -39,13 +40,18 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_BUDGET_S", "1500").toDouble
   private def remainingS: Double = budgetS - elapsedS
 
-  // clean-run section cost estimates (NOTES_r10 medians + headroom);
-  // used only for skip decisions, never reported as measurements
-  private val estSf1 = 520.0
+  // clean-run section cost estimates (NOTES_r10/r11 medians + headroom);
+  // used only for skip decisions, never reported as measurements.
+  // estSf1 dropped 520 -> 230 in r12: the section now runs the curated
+  // join/agg/stateful subset (sf1Names, ~40 queries incl. synth) instead
+  // of all 193 — the r11 full-suite section cost 399 s and starved sf10
+  // out of the driver artifact two rounds running (VERDICT r11 #1).
+  private val estSf1 = 230.0
   private val estSf10 = 380.0
   private val estSf100Synth = 280.0
   private val estSf100Query = // r11 post-fix cold-JVM measurements + margin
-    Map("dedup_verified" -> 280.0, "dedup_substring" -> 260.0)
+    Map("dedup_verified" -> 280.0, "dedup_substring" -> 260.0,
+      "dedup_lines" -> 120.0, "decontaminate_fuzzy" -> 120.0)
 
   /** Deterministic cross-query heap reclaim: System.gc() alone leaves
     * localCheckpoint/persist blocks to the ASYNC ContextCleaner, so a
@@ -300,9 +306,12 @@ object Bench {
     * should land within ~10× its sf10 wall-time. */
   private def sf100Spot(spark: SparkSession, sfDir: String,
                         forced: Boolean): (String, String) = {
-    // dedup_verified first: it is the one open linearity question; if
-    // the deadline only fits one query, it is the one that must land
-    val names = Seq("dedup_verified", "dedup_substring")
+    // dedup_verified first: it is the historical linearity question; if
+    // the deadline only fits one query, it is the one that must land.
+    // dedup_lines + decontaminate_fuzzy appended r12 (VERDICT r11 #3:
+    // both were new at r11 with sf10 points only)
+    val names = Seq("dedup_verified", "dedup_substring",
+      "dedup_lines", "decontaminate_fuzzy")
     val dir = synthesizeSf100(spark, sfDir)
     reclaim(spark)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -350,7 +359,8 @@ object Bench {
     * compositions over the same 100-shard document corpus (llm_prep's
     * dedup shuffle, decontaminate's broadcast-gram join, seq_pack's
     * per-shard windows); the rest of the suite has its sf1 point. */
-  private def sf10Section(spark: SparkSession, sfDir: String): (String, String) = {
+  private def sf10Section(spark: SparkSession, sfDir: String,
+                          sf1Times: Map[String, Double]): (String, String) = {
     // PRIORITY order, not family order: the per-query deadline guard
     // truncates the TAIL, so the flagship compositions and the
     // representative one-per-family entries run first and the expensive
@@ -363,10 +373,23 @@ object Bench {
       "dedup_exact", "dedup_canonical", "dedup_minhash", "dedup_semantic",
       "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
       "llm_prep", "decontaminate", "decontaminate_fuzzy", "dedup_lines",
+      "dedup_url", "quality_classifier", "token_budget",
       "text_quality", "text_repetition", "text_fingerprint",
       "sample_stratified", "seq_pack", "lm_score", "quality_gopher",
       "tfidf_topk",
-      "dedup_clusters", "dedup_simhash", "dedup_substring", "dedup_ngram")
+      "dedup_clusters", "dedup_simhash", "dedup_substring",
+      "dedup_substring_removal", "dedup_ngram")
+    // per-query wall-cost estimate for the deadline guard: the query's
+    // OWN measured sf1 time from the section that just ran, scaled by
+    // the 10x data factor plus a 30% mid-JVM margin, clamped to
+    // [60, 300] s (fixed overhead floors small queries; 300 covers the
+    // worst measured mid-JVM heavyweight, clusters at 225 s). Replaces
+    // the r11 flat 160 s guard, which a 225 s query could blow through
+    // by ~60 s (ADVICE r11 #5); queries without an sf1 point (subset
+    // miss) keep a conservative flat 160.
+    def needS(n: String): Double =
+      sf1Times.get(n).map(t => (t * 13.0).max(60.0).min(300.0))
+        .getOrElse(160.0)
     // the four+ heavyweights re-run and report MIN: r10 measured the
     // SAME query at the SAME section position swinging 2× between
     // otherwise-identical runs (simhash 82 vs 126 s; clusters 90 vs
@@ -386,7 +409,7 @@ object Bench {
         // against a 380 s clean estimate (mid-JVM inflation: clusters
         // 225 s vs 45 s standalone), which pushed the whole run past the
         // wall. Skip the tail loudly rather than blow the budget.
-        if (remainingS < 160) { skipped += n; None } else Some(fn)
+        if (remainingS < needS(n)) { skipped += n; None } else Some(fn)
       }.map { fn =>
         val trials = if (retry(n)) 2 else 1
         var best = Double.MaxValue
@@ -432,15 +455,45 @@ object Bench {
      f""""sf10_total":$total%.3f,"sf10_failed":$failed,"sf10_worst":$worst""")
   }
 
-  /** One bench pass of the FULL query suite at the synthesized sf1
-    * scale — every operator family (parse/template/stream/dedup/ANN/
-    * text) gets a recorded data point one decade above verification
-    * scale, so a scale cliff in any family surfaces here instead of in
-    * production. Single trial each (the medians come from the main
-    * sf0.1 loop); the point is no-OOM/no-pathology completion and the
-    * timing curve vs sf0.1. */
-  private def sf1Section(spark: SparkSession, sfDir: String): (String, String) = {
-    val names = SparkEntry.queries.keys.toSeq.sorted
+  /** The curated sf1 rehearsal subset (r12): the join/agg/stateful/
+    * iterative shapes whose scale behavior is NOT a linear extrapolation
+    * of their sf0.1 medians — every sf10-section query (so the sf10
+    * deadline guard has a measured per-query sf1 anchor) plus the core
+    * relational/streaming compositions. The r11 section ran all 189
+    * queries (399 s), but ~160 of them are scan-bound projections whose
+    * sf1 point is just 10x their sf0.1 median — information the main
+    * loop already has — and that spend starved the sf10 section out of
+    * the driver artifact two rounds running (VERDICT r11 #1). */
+  private val sf1Names = Seq(
+    // flagship + relational core
+    "llm_prep", "pipeline_e2e", "q1_agg", "q3_join", "skew_join",
+    "window_agg", "session_window", "stream_llm_prep",
+    // dedup family (candidate generation, iterative CC, anti-joins)
+    "dedup_exact", "dedup_canonical", "dedup_minhash", "dedup_verified",
+    "dedup_clusters_verified", "dedup_clusters", "dedup_simhash",
+    "dedup_ngram", "dedup_substring", "dedup_substring_removal",
+    "dedup_lines", "dedup_semantic", "dedup_url",
+    // decontamination + sampling/packing
+    "decontaminate", "decontaminate_fuzzy", "sample_stratified",
+    "sample_domain_mix", "seq_pack", "chunk_tokens",
+    // ANN / embeddings
+    "ann_cosine", "ann_lsh", "ann_ivf", "emb_neardup", "emb_stats",
+    // text-analysis aggregations and model scoring
+    "tfidf_topk", "lm_score", "quality_classifier", "quality_gopher",
+    "quality_calibration", "token_budget",
+    "text_quality", "text_repetition", "text_fingerprint")
+
+  /** One bench pass of the curated sf1 subset at the synthesized sf1
+    * scale — the families whose scale behavior is non-obvious get a
+    * recorded data point one decade above verification scale, so a
+    * scale cliff surfaces here instead of in production. Single trial
+    * each (the medians come from the main sf0.1 loop); the point is
+    * no-OOM/no-pathology completion and the timing curve vs sf0.1.
+    * Also returns the per-query wall times — the sf10 section derives
+    * its per-query deadline guards from them. */
+  private def sf1Section(spark: SparkSession, sfDir: String)
+      : (String, String, Map[String, Double]) = {
+    val names = sf1Names
     val sf1Dir = synthesizeSf1(spark, sfDir)
     // the section runs after ~700 query executions in this JVM — shed
     // cached blocks and give the old gen a chance to compact so the
@@ -480,7 +533,8 @@ object Bench {
       else skipped.map("\"" + _ + "\"")
         .mkString(""","skipped":[""", ",", "]")
     (f""""sf1":{"dir":"$sf1Dir","shards":10,"rows":{"documents":$nDocs,"embeddings":$nEmb,"events":$nEv},"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
-     f""""sf1_total":$total%.3f,"sf1_failed":$failed,"sf1_worst":$worst""")
+     f""""sf1_total":$total%.3f,"sf1_failed":$failed,"sf1_worst":$worst""",
+     timed.filter(_._3).map { case (n, t, _) => n -> t }.toMap)
   }
 
   private def buildSession(cpus: String): SparkSession = {
@@ -506,10 +560,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // 3 trials (was 5): the median/MAD discipline survives, and the two
-    // shed executions per query buy the sf1+sf10 sections room inside
-    // the driver's wall-clock budget (see the budget note at the top)
-    val nTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    // 2 trials (r12; was 3, originally 5): with the warm-up run every
+    // query still executes 3×, and the shed execution per query buys
+    // the sf10 section ~200 s — the r11 run spent ~700 s on the main
+    // loop + trial and then skipped sf10 on budget for the second
+    // round running (VERDICT r11 #1). median-of-2 = midpoint; the
+    // trials[] array still exposes the spread per query.
+    val nTrials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "2").toInt
     val spark = buildSession(cpus)
     // warm the JVM/codegen once so per-query numbers measure the plan,
     // not first-call classloading
@@ -654,18 +711,21 @@ object Bench {
     // sf1 scale rehearsal (skipped during single-query local iteration or
     // with SPARK_GRAFT_SF1=off; `sf1` as an explicit arg forces it — the
     // local-iteration aid for the scale sections themselves)
-    val (sf1Json, sf1Summary) =
+    val (sf1Json, sf1Summary, sf1Times) =
       if ((args.nonEmpty && !args.contains("sf1")) ||
-          sys.env.get("SPARK_GRAFT_SF1").contains("off")) ("", "")
+          sys.env.get("SPARK_GRAFT_SF1").contains("off"))
+        ("", "", Map.empty[String, Double])
       else if (args.isEmpty && remainingS < estSf1) {
         System.err.println(f"[bench:sf1] skipped (budget: ${remainingS}%.0fs left, need ~${estSf1}%.0f)")
-        (""","sf1_skipped":"budget"""", ""","sf1_skipped":"budget"""")
+        (""","sf1_skipped":"budget"""", ""","sf1_skipped":"budget"""",
+          Map.empty[String, Double])
       } else try {
         reclaim(sparkScale)
-        val (full, short) = sf1Section(sparkScale, sfDir)
-        ("," + full, "," + short)
+        val (full, short, times) = sf1Section(sparkScale, sfDir)
+        ("," + full, "," + short, times)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench:sf1] section failed: ${e.getMessage}"); ("", "")
+        System.err.println(s"[bench:sf1] section failed: ${e.getMessage}")
+        ("", "", Map.empty[String, Double])
       }
     if (args.isEmpty) progress(sf1Summary)
     // sf10 dedup/ANN spot-run (skipped in single-query mode or with
@@ -678,7 +738,7 @@ object Bench {
         (""","sf10_skipped":"budget"""", ""","sf10_skipped":"budget"""")
       } else try {
         reclaim(sparkScale)
-        val (full, short) = sf10Section(sparkScale, sfDir)
+        val (full, short) = sf10Section(sparkScale, sfDir, sf1Times)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf10] section failed: ${e.getMessage}"); ("", "")

@@ -3360,6 +3360,38 @@ object Queries {
           expr("(n_tokens * 1000000) div total_tokens").as("micro_share"))
     }),
 
+    // embedding-space (semantic) eval decontamination — third rung of
+    // the ladder (exact 13-gram → fuzzy micro-Jaccard → embedding
+    // cosine): sign-bit-LSH banding on both sides, train-bands joined
+    // against BROADCAST eval-bands (eval sets are benchmark-sized by
+    // nature), per-train combinable max-sim. Catches paraphrase
+    // contamination that shares no n-gram
+    "decontaminate_semantic" -> ((s, dir) =>
+      Similarity.decontaminateSemantic(Tables.embeddings(s, dir),
+        evalMod = 50, tau = 0.3)),
+
+    // CCNet-style perplexity-stratified sampling: corpus-trained bigram
+    // LM score → per-language ntile(3) (head = most LM-typical) →
+    // per-bucket deterministic keep rates (head whole, tail thinned).
+    // The window shuffles (avg_lp, id) pairs only — text never rides it
+    "sample_perplexity" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(LanguageModel.bigramLogProb(docs, "doc_id", "text"), "doc_id")
+      Sampling.perplexitySample(scored, stratumCol = "lang",
+        idCol = "doc_id", rates = Map(1 -> 1.0, 2 -> 0.5, 3 -> 0.1),
+        salt = "graft-ppl")
+    }),
+
+    // keep-BEST exact dedup: duplicate groups resolved to the richest
+    // capture (max n_chars, ties to smallest id) instead of the
+    // smallest id — the crawl-snapshot policy. Same single combinable
+    // fingerprint groupBy as dedup_exact; the argmax is max(struct),
+    // not a window, so map-side combine survives
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(Tables.documents(s, dir), "doc_id", "text",
+        score = col("n_chars"))),
+
     // embedding QA stats (the corpus-health face of the ANN family):
     // per-label counts + L2-norm distribution — the standard sanity pass
     // before indexing/training. Per-row norm is a sequential fold (same
@@ -5947,6 +5979,46 @@ object Queries {
         |  CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT)
         |    AS micro_share
         |FROM per""".stripMargin,
+
+    "decontaminate_semantic" ->
+      Similarity.decontaminateSemanticOracleSql(evalMod = 50, tau = 0.3),
+
+    "sample_perplexity" ->
+      (s"""WITH lm AS (
+        |  SELECT * FROM (${LanguageModel.bigramOracleSql}) ),
+        |scored AS (
+        |  SELECT d.doc_id, d.lang, lm.n_bigrams, lm.avg_lp
+        |  FROM documents d JOIN lm ON d.doc_id = lm.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, lang,
+        |    NTILE(3) OVER (PARTITION BY lang
+        |                   ORDER BY avg_lp DESC, doc_id ASC) AS ppl_bucket
+        |  FROM scored WHERE n_bigrams > 0),
+        |uni AS (
+        |  SELECT * FROM ranked
+        |  UNION ALL
+        |  SELECT doc_id, lang, 3 AS ppl_bucket
+        |  FROM scored WHERE n_bigrams = 0)
+        |SELECT doc_id, lang, ppl_bucket FROM uni
+        |WHERE ${Sampling.hashFractionSql("doc_id", "graft-ppl")} <
+        |  CASE ppl_bucket WHEN 1 THEN 1.0 WHEN 2 THEN 0.5 ELSE 0.1 END"""
+        .stripMargin),
+
+    "dedup_keep_best" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |    CAST(n_chars AS DOUBLE) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT fp, doc_id, score,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY score DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS n_dups
+        |  FROM s)
+        |SELECT fp, doc_id AS keep_id, score AS best_score, n_dups
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "emb_stats" ->
       """WITH n AS (

@@ -26,6 +26,38 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
+  /** Exact-duplicate resolution keeping the BEST copy of each group
+    * instead of the smallest id — the crawl-snapshot policy: several
+    * fetches of one page share a normalized fingerprint but differ in
+    * trim/boilerplate, and the pipeline should keep the richest capture,
+    * not an arbitrary one. `score` ranks copies (the caller picks the
+    * policy — raw length, a quality score, a recency column); ties break
+    * to the smallest id, so the selection is a deterministic total order.
+    *
+    * Scale shape: ONE map-side-combinable hash groupBy on the
+    * fingerprint — best-copy selection is `max(struct(score, -id))`, an
+    * ordinary combinable max, NOT a window (a row_number over fp would
+    * shuffle the same bytes but lose the map-side combine; duplicate
+    * groups are exactly the high-multiplicity keys where partial
+    * aggregation pays). Requires a non-negative numeric id (the struct
+    * max recovers min-id-on-tie through the negated id).
+    *
+    * Reference anchor: pmlastmsg's "last message repeated n times" keeps
+    * one representative of a repeat run (contrib/pmlastmsg/pmlastmsg.c);
+    * this is the corpus-level analogue with an explicit best-copy policy.
+    */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+               score: Column): DataFrame = {
+    df.select(col(idCol).cast("long").as("id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        score.cast("double").as("score"))
+      .groupBy(col("fp"))
+      .agg(max(struct(col("score").as("s"), (-col("id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_dups"))
+      .select(col("fp"), (-col("best.nid")).as("keep_id"),
+        col("best.s").as("best_score"), col("n_dups"))
+  }
+
   /** Word n-gram shingles of a text column — native one-pass expression
     * (see ShinglesExpr: the equivalent transform/element_at HOF chain is
     * interpreted and re-evaluated per reference, ~9× slower here). */

@@ -48,14 +48,20 @@ object QualityClassifier {
     * drop out. */
   def distillQuality(df: DataFrame, idCol: String, textCol: String,
                      buckets: Int = 4096): DataFrame = {
+    // char-class counts via length difference, NOT regexp_extract_all:
+    // the extract-all form materializes an array of single-char strings
+    // per match (thousands of allocations per doc on a scan that runs
+    // for every training and scoring pass); length(x) - length(replace
+    // (x, class, '')) counts the same matches allocation-free. Same
+    // integers, so the oracle's regexp_extract_all count is unchanged.
     val staged = df.select(col(idCol).as("doc_id"),
         col(textCol).as("text"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
         (col("doc_id") % 10 < 8).as("is_train"),
         (TextAnalysis.qualityScoreFrom(length(col("text")), size(col("toks")),
-          size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
-          size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+          length(col("text")) - length(regexp_replace(col("text"), "[A-Za-z]", "")),
+          length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
           >= 0.5).as("teacher"))
     // bounded scalar collect: the two train-split class totals — two
     // longs, independent of corpus size (the same discipline as
@@ -73,8 +79,19 @@ object QualityClassifier {
     val bucketArr = array_distinct(transform(
       concat(col("toks"), TextAnalysis.wordNgrams(col("toks"), 2)),
       g => pmod(fnv64(g), lit(buckets.toLong))))
+    // feat is consumed TWICE (training counts + scoring) and each
+    // consumer would otherwise rebuild the whole scan→tokenize→teacher→
+    // gram→fnv stack — the dedup_verified lesson (ReuseExchange never
+    // fires across independent branches). localCheckpoint materializes
+    // the hashed features once: (doc_id, 2 bools, bucket) rows, ~20 B
+    // each, block-manager-resident with disk spill. At true 100 TB
+    // scale prefer persist(DISK_ONLY) or accept the one recompute —
+    // either is linear; the double compute of the fnv/gram kernel is
+    // the part worth paying memory to avoid (measured 29.9 s → the
+    // checkpoint form at sf1, see NOTES_r12).
     val feat = staged.select(col("doc_id"), col("is_train"), col("teacher"),
-      explode(bucketArr).as("b"))
+        explode(bucketArr).as("b"))
+      .localCheckpoint()
     // closed-form training: per-bucket class presence counts
     // (combinable), ≤ `buckets` rows out
     val cnt = feat.filter(col("is_train"))

@@ -150,6 +150,57 @@ object Sampling {
       perDomainLit(domainCol, rates, defaultRate))
   }
 
+  /** CCNet-style perplexity-stratified sampling (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): rank documents by their LM score WITHIN each
+    * stratum (CCNet strata are languages — the score distribution is not
+    * comparable across them), split the ranking into `nBuckets` equal
+    * tiles (head = most LM-typical text), and keep each tile at its own
+    * rate — head kept whole, tail thinned, the standard quality-mixture
+    * curriculum. Input is [[LanguageModel.bigramLogProb]] output joined
+    * with the stratum column: (idCol, stratumCol, n_bigrams, avg_lp).
+    *
+    * Documents with NO bigram evidence (n_bigrams = 0: empty or 1-token
+    * texts) can't be ranked; they're assigned the TAIL bucket — "no
+    * evidence of quality" is treated like "evidence of low quality",
+    * matching CCNet's discard-short behavior. They are EXCLUDED from the
+    * tile computation so they don't shift real documents' bucket
+    * boundaries.
+    *
+    * The keep draw is [[hashFraction]] — deterministic per id, so the
+    * selection reproduces across runs/engines and is oracle-exact.
+    *
+    * Scale shape: ntile is a window over (stratum) — ONE shuffle on the
+    * stratum key plus an in-partition sort of (avg_lp, id) pairs
+    * (16 B/row; the text never rides the window). Strata are languages,
+    * so a partition holds one language's score pairs — at 100 TB that is
+    * the documented ceiling of this exact-tile contract: past ~10⁹ docs
+    * per language, switch the tile assignment to fixed micro-lp
+    * thresholds calibrated from a sample (the CaseWhen then makes this a
+    * pure scan-side filter; CCNet itself uses precomputed per-language
+    * cutoffs exactly so the pass stays streaming). The exact-ntile form
+    * is the deterministic, oracle-verifiable default. */
+  def perplexitySample(scored: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[Int, Double], nBuckets: Int = 3,
+                       salt: String = "ppl"): DataFrame = {
+    require(rates.keySet == (1 to nBuckets).toSet,
+      s"rates must cover buckets 1..$nBuckets")
+    require(rates.values.forall(r => r >= 0 && r <= 1), "rates in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("avg_lp").desc, col(idCol).asc)
+    val ranked = scored.filter(col("n_bigrams") > 0)
+      .withColumn("ppl_bucket", ntile(nBuckets).over(w))
+    val unranked = scored.filter(col("n_bigrams") === 0)
+      .withColumn("ppl_bucket", lit(nBuckets))
+    val rateCol = (2 to nBuckets).foldLeft(
+        when(col("ppl_bucket") === 1, lit(rates(1)))) {
+      (acc, b) => acc.when(col("ppl_bucket") === b, lit(rates(b)))
+    }.otherwise(lit(0.0))
+    ranked.unionByName(unranked)
+      .filter(hashFraction(col(idCol), salt) < rateCol)
+      .select(col(idCol), col(stratumCol), col("ppl_bucket"))
+  }
+
   /** Epoch-weighted UP-sampling for mixture weights ≥ 0: weight w emits
     * floor(w) copies of every row in the domain plus one extra copy for a
     * hash-selected frac(w) share of keys, so the expected multiplicity is

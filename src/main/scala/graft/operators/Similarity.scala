@@ -357,6 +357,97 @@ object Similarity {
        |SELECT a.vec_id, a.cl, d.vec_id IS NULL AS kept
        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin
 
+  /** Embedding-space (semantic) eval-set decontamination — the third
+    * rung of the decontamination ladder next to Dedup.decontaminate
+    * (exact n-gram) and Dedup.decontaminateFuzzy (micro-Jaccard): a
+    * training document is contaminated when its embedding is tau-close
+    * in cosine to ANY eval-set embedding, catching paraphrases that
+    * share no 13-gram. Eval membership is `vec_id % evalMod == 0`
+    * (deterministic synth split standing in for an external benchmark
+    * table).
+    *
+    * Scale shape: both sides are sign-bit-LSH banded (shared [[planes]]
+    * matrix — `bands` bands of `rowsPerBand` bits), and the only join is
+    * train-bands × BROADCAST eval-bands on (band, bkey). The broadcast
+    * is bounded by nature, not by luck: an eval set is a curated
+    * benchmark suite (10³–10⁵ rows), never corpus-scale — same
+    * precondition as the exact decontaminator's broadcast gram set, and
+    * the banding bounds the comparison fan-out to colliding buckets
+    * (≈ |eval|/2^rowsPerBand per band per train row) instead of
+    * brute-force |train|×|eval|. Per-train max-sim is one combinable
+    * groupBy. LSH recall < 1 by design (a tau-close pair colliding in no
+    * band is missed) — the documented trade for never computing the
+    * cross product.
+    *
+    * Returns every TRAIN row: (vec_id, max_sim round-4 of collided evals
+    * or NULL, contaminated). */
+  def decontaminateSemantic(corpus: DataFrame, evalMod: Int, tau: Double,
+                            bands: Int = 8, rowsPerBand: Int = 6,
+                            dim: Int = 64): DataFrame = {
+    require(bands * rowsPerBand <= 62, "bit budget: keep the bucket id positive")
+    val pl = planes(bands * rowsPerBand, dim)
+    val bandMask = (1L << rowsPerBand) - 1
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs))
+        .withColumn("bits", lshBucket(col(embAs), pl))
+        .select(col(idAs), col(embAs),
+          posexplode(array((0 until bands).map(b =>
+            shiftrightunsigned(col("bits"), b * rowsPerBand)
+              .bitwiseAND(lit(bandMask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val train = corpus.filter(col("vec_id") % evalMod =!= 0)
+    val eval = corpus.filter(col("vec_id") % evalMod === 0)
+    val hits = banded(train, "vec_id", "emb_t")
+      .join(broadcast(banded(eval, "eval_id", "emb_e")), Seq("band", "bkey"))
+      .select(col("vec_id"), cosine(col("emb_t"), col("emb_e")).as("sim"))
+      .groupBy(col("vec_id")).agg(max(col("sim")).as("ms"))
+    train.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), round(col("ms"), 4).as("max_sim"),
+        coalesce(col("ms") >= tau, lit(false)).as("contaminated"))
+  }
+
+  /** DuckDB oracle for [[decontaminateSemantic]]: literal plane matrix,
+    * band keys as bit-slices (bit budget ≤ 62 keeps the BIGINT positive,
+    * so DuckDB's arithmetic `>>` equals the engine's unsigned shift),
+    * cross-set band join, per-train max cosine. */
+  def decontaminateSemanticOracleSql(evalMod: Int, tau: Double,
+                                     bands: Int = 8, rowsPerBand: Int = 6,
+                                     dim: Int = 64): String = {
+    val pl = planes(bands * rowsPerBand, dim)
+    val terms = pl.zipWithIndex.map { case (row, i) =>
+      s"(CASE WHEN list_dot_product(embedding, [${row.mkString(",")}]) >= 0 " +
+        s"THEN ${1L << i}::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
+    // cosine is spelled out in DOUBLE (dot/(sqrt·sqrt) over cast lists)
+    // rather than list_cosine_similarity: on FLOAT lists DuckDB returns
+    // a FLOAT32 result, and its final-rounding noise vs the engine's
+    // all-double kernel flips borderline round(…,4) digits (seen at
+    // sf0.001: 2 of 490 rows, enough to misalign the gate's sorted
+    // compare). The explicit form reproduces the kernel's exact op
+    // sequence: double promote → sequential dot → sqrt(na)·sqrt(nb).
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de,
+       |    ($terms) AS bits FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, de, band,
+       |    (bits >> (band * $rowsPerBand)::INT) % ${1L << rowsPerBand} AS bkey
+       |  FROM (SELECT *, unnest(range($bands)) AS band FROM b)),
+       |hits AS (
+       |  SELECT t.vec_id,
+       |    max(list_dot_product(t.de, e.de) /
+       |        (sqrt(list_dot_product(t.de, t.de)) *
+       |         sqrt(list_dot_product(e.de, e.de)))) AS ms
+       |  FROM banded t JOIN banded e ON t.band = e.band AND t.bkey = e.bkey
+       |  WHERE t.vec_id % $evalMod <> 0 AND e.vec_id % $evalMod = 0
+       |  GROUP BY 1)
+       |SELECT b.vec_id, round(h.ms, 4) AS max_sim,
+       |  coalesce(h.ms >= $tau, false) AS contaminated
+       |FROM b LEFT JOIN hits h ON b.vec_id = h.vec_id
+       |WHERE b.vec_id % $evalMod <> 0""".stripMargin
+  }
+
   /** DuckDB oracle for embeddingNearDupPairs: the seeded plane matrix
     * embeds as literals, band keys are bit-slices of the sign vector, and
     * the maxBucket hot-bucket guard is mirrored (as in

@@ -91,6 +91,30 @@ class DedupSpec extends SparkSpec {
     assert(out(12L) == 1)
   }
 
+  test("keepBest resolves duplicate groups to max score, ties to smallest id") {
+    val docs = Seq(
+      // one normalized group: 20 wins on score; 22 ties 20 but has larger id
+      (20L, "Hello,  World!", 9.0), (21L, "hello world", 3.0),
+      (22L, "HELLO WORLD", 9.0),
+      // singleton group
+      (30L, "other text", 1.0)
+    ).toDF("doc_id", "text", "q")
+    val out = Dedup.keepBest(docs, "doc_id", "text", col("q"))
+      .select("keep_id", "best_score", "n_dups")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((20L, 9.0, 3L), (30L, 1.0, 1L)), out.toString)
+    // same groups as exact(), different representative policy
+    val fps = Dedup.exact(docs, "doc_id", "text").select("fp")
+      .as[String].collect().sorted.toSeq
+    val fps2 = Dedup.keepBest(docs, "doc_id", "text", col("q")).select("fp")
+      .as[String].collect().sorted.toSeq
+    assert(fps == fps2)
+    // the per-group argmax stays a combinable aggregate, not a window
+    val plan = Dedup.keepBest(docs, "doc_id", "text", col("q"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"keepBest must not window:\n$plan")
+  }
+
   test("connected components cluster transitive near-dups") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), // chain: 1-2-3

@@ -166,6 +166,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("decontaminate_semantic: eval bands broadcast; max-sim combines; no cartesian") {
+    val p = plan("decontaminate_semantic")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the banded eval side must broadcast (eval sets are benchmark-sized)")
+    assert(p.contains("HashAggregate"), "per-train max-sim must hash-agg")
+    assert(!p.contains("CartesianProduct"),
+      "LSH banding exists precisely to avoid train × eval")
+  }
+
   test("dedup_url: one pruned scan + one combinable groupBy, no join") {
     val p = plan("dedup_url")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString

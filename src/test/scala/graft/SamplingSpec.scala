@@ -97,6 +97,41 @@ class SamplingSpec extends SparkSpec {
     assert(chunks.count(_._1 == 4L) == 1)
   }
 
+  test("perplexitySample: per-stratum tiles, no-evidence docs go to tail without shifting boundaries") {
+    // 9 ranked docs per lang (distinct avg_lp, descending by id) + 2
+    // zero-evidence docs; keep-all rates expose the raw bucketing
+    val scored = (for {
+      (lang, base) <- Seq(("en", 100L), ("de", 200L)); i <- 0 until 9
+    } yield (base + i, lang, 5L, -1.0 - i * 0.1))
+      .toDF("doc_id", "lang", "n_bigrams", "avg_lp")
+      .unionByName(Seq((9001L, "en", 0L, Option.empty[Double]),
+        (9002L, "de", 0L, Option.empty[Double]))
+        .toDF("doc_id", "lang", "n_bigrams", "avg_lp"))
+    val all = Sampling.perplexitySample(scored, "lang", "doc_id",
+      rates = Map(1 -> 1.0, 2 -> 1.0, 3 -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // highest avg_lp = head: per lang exactly 3/3/3 ranked + unranked in tail
+    for (lang <- Seq("en", "de")) {
+      val ranked = all.filter(t => t._2 == lang && t._1 < 9000).sortBy(_._1)
+      assert(ranked.map(_._3).toSeq == Seq(1, 1, 1, 2, 2, 2, 3, 3, 3),
+        ranked.mkString(","))
+    }
+    assert(all.filter(_._1 >= 9000).forall(_._3 == 3))
+    // head-only rates keep exactly the head tiles
+    val head = Sampling.perplexitySample(scored, "lang", "doc_id",
+      rates = Map(1 -> 1.0, 2 -> 0.0, 3 -> 0.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(head == all.filter(_._3 == 1).map(_._1).toSet)
+    // deterministic under repartitioning
+    val again = Sampling.perplexitySample(scored.repartition(7), "lang",
+      "doc_id", rates = Map(1 -> 1.0, 2 -> 0.5, 3 -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    val base = Sampling.perplexitySample(scored, "lang", "doc_id",
+      rates = Map(1 -> 1.0, 2 -> 0.5, 3 -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).sortBy(_._1).toSeq
+    assert(again == base)
+  }
+
   test("upsample by weight: multiplicity = floor(w) or floor(w)+1, mean ~ w") {
     val up = Sampling.upsampleByWeight(docs, "lang", "id",
       weights = Map("en" -> 2.5, "de" -> 0.25), salt = "t")

@@ -124,6 +124,34 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.count() == 40L)
   }
 
+  test("decontaminateSemantic flags tau-close train vectors, returns every train row") {
+    // plant: train id 101 = exact copy of eval id 100 (evalMod 50 →
+    // 100 is eval, 101 train); identical vectors share every band key,
+    // so the LSH can never miss the pair
+    val evalRow = corpus.filter(col("vec_id") === 7)
+      .select(lit(100L).as("vec_id"), col("embedding"))
+    val copyRow = corpus.filter(col("vec_id") === 7)
+      .select(lit(101L).as("vec_id"), col("embedding"))
+    val base = corpus.filter(col("vec_id") < 90 && col("vec_id") % 50 =!= 0)
+    val df = base.unionByName(evalRow).unionByName(copyRow)
+    val out = Similarity.decontaminateSemantic(df, evalMod = 50, tau = 0.9)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1), r.getBoolean(2)))
+    // every train row present, eval rows absent
+    assert(out.map(_._1).toSet == base.collect().map(_.getLong(0)).toSet + 101L)
+    val planted = out.find(_._1 == 101L).get
+    assert(planted._3 && planted._2 > 0.999, planted.toString)
+    // train vec 7 is the eval vector's own source — flagged too; every
+    // flagged row must actually clear tau
+    assert(out.find(_._1 == 7L).get._3)
+    assert(out.filter(_._3).forall(_._2 >= 0.9), out.filter(_._3).mkString(","))
+    // determinism under repartitioning
+    val again = Similarity.decontaminateSemantic(df.repartition(5),
+        evalMod = 50, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(again == out.map(t => (t._1, t._3)).sortBy(_._1).toSeq)
+  }
+
   test("brute force top-k is deterministic, self-excluded, ordered") {
     val q = corpus.filter(col("vec_id") === 0)
     val rows = Similarity.bruteForceTopK(corpus, q, k = 10)
