@@ -285,3 +285,118 @@ object NgramJoinExpr {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Single-pass multi-literal span removal — Rabin-Karp over a set of
+  * FIXED-WIDTH spans (all the same character length, as
+  * Dedup.substringDupSpans' W-char windows are by construction).
+  *
+  * Semantics: scan the text left to right; whenever one of the spans
+  * starts at the current position, drop it and continue AFTER it (the
+  * seam is never re-scanned) — exactly a global `regexp_replace` over a
+  * literal alternation of the spans, which is what the DuckDB oracle
+  * runs. This replaces the k-step sequential `replace` fold, whose cost
+  * is O(k·n) per document (k full substring searches); one rolling-hash
+  * pass is O(n + hits·W) regardless of k, the difference between a
+  * pipeline that tolerates 100 hot spans and one that re-reads the
+  * corpus 100 times.
+  *
+  * The hash is a polynomial rolling hash over UTF-16 code units
+  * (base 31); candidate hits are verified with String.startsWith, so
+  * collisions cost one W-char compare and never a wrong removal.
+  */
+case class MultiRemoveExpr(child: Expression, spans: Seq[String])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(spans.map(_.length).distinct.size <= 1,
+    "MultiRemoveExpr: spans must share one fixed width")
+  require(spans.forall(_.nonEmpty), "MultiRemoveExpr: empty span")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "multi_remove"
+
+  @transient private lazy val width: Int =
+    if (spans.isEmpty) 0 else spans.head.length
+  // span hash -> candidate spans with that hash (collision list)
+  @transient private lazy val table: java.util.HashMap[java.lang.Long, Array[String]] = {
+    val m = new java.util.HashMap[java.lang.Long, Array[String]]()
+    spans.foreach { s =>
+      val h = java.lang.Long.valueOf(MultiRemoveExpr.hashOf(s))
+      val prev = m.get(h)
+      m.put(h, if (prev == null) Array(s) else prev :+ s)
+    }
+    m
+  }
+  // 31^(width-1) for the rolling subtract
+  @transient private lazy val pow: Long = {
+    var p = 1L; var i = 1
+    while (i < width) { p *= 31L; i += 1 }
+    p
+  }
+
+  /** Instance kernel (referenced from generated code). */
+  def kernel(in: UTF8String): UTF8String = {
+    if (spans.isEmpty) return in
+    val text = in.toString
+    val n = text.length
+    if (n < width) return in
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    // rolling hash of text[i, i+width)
+    var h = 0L
+    var j = 0
+    while (j < width) { h = h * 31L + text.charAt(j); j += 1 }
+    var changed = false
+    while (i + width <= n) {
+      val cand = table.get(java.lang.Long.valueOf(h))
+      var matched: String = null
+      if (cand != null) {
+        var c = 0
+        while (matched == null && c < cand.length) {
+          if (text.startsWith(cand(c), i)) matched = cand(c)
+          c += 1
+        }
+      }
+      if (matched != null) {
+        changed = true
+        i += width
+        // recompute the window hash at the new position (rare: once per hit)
+        if (i + width <= n) {
+          h = 0L; var k = i
+          while (k < i + width) { h = h * 31L + text.charAt(k); k += 1 }
+        }
+      } else {
+        sb.append(text.charAt(i))
+        if (i + width < n) h = (h - text.charAt(i) * pow) * 31L + text.charAt(i + width)
+        i += 1
+      }
+    }
+    if (!changed) return in
+    sb.append(text, i, n)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("multiRemove", this,
+      "graft.functions.MultiRemoveExpr")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MultiRemoveExpr {
+  private[functions] def hashOf(s: String): Long = {
+    var h = 0L; var i = 0
+    while (i < s.length) { h = h * 31L + s.charAt(i); i += 1 }
+    h
+  }
+}

@@ -756,16 +756,27 @@ object Dedup {
 
   /** Substring-span REMOVAL — composes [[substringDupSpans]] back onto
     * the corpus the way [[lineDedup]] does for lines (VERDICT r11 #4b):
-    * the detected duplicated windows are scrubbed from every document,
-    * longest-count-first, and the cleaned text re-emitted.
+    * the detected duplicated windows are scrubbed from every document
+    * and the cleaned text re-emitted.
+    *
+    * Semantics (r12): ONE left-to-right pass — whenever a span starts
+    * at the scan position it is dropped and scanning continues after
+    * it, never re-reading the seam. This is a global regexp_replace
+    * over a literal alternation (the oracle's form) and the C4-style
+    * production semantic. The first cut was a sequential ≤cap-step
+    * `replace` FOLD — semantically a re-scanning edit chain, and
+    * O(cap·n) per document: 100 hot spans made removal re-read the
+    * corpus 100 times (measured 27.5 s warmed at sf1 vs 9.5 s for
+    * detection alone). The fused Rabin-Karp kernel
+    * ([[graft.functions.MultiRemoveExpr]]) does the same alternation
+    * removal in O(n + hits·window) — one rolling-hash scan however
+    * many spans are hot.
     *
     * Scale shape: the span list is ≤ `cap` rows BY CONTRACT
     * (substringDupSpans ends in a deterministic top-`cap`), so the
     * driver collect is bounded the way a broadcast dim is — the
-    * removal itself is then a pure scan-bound replace chain, no join,
-    * no shuffle. Replacement order is the spans' own deterministic
-    * (count desc, window asc) order, sequential, so engine and oracle
-    * apply byte-identical edits even when spans overlap.
+    * removal itself is then a pure scan-bound kernel projection, no
+    * join, no shuffle.
     */
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
                      window: Int = 120, cap: Int = 100): DataFrame = {
@@ -773,9 +784,9 @@ object Dedup {
     // own output contract), fetched once at plan-build time
     val spans = substringDupSpans(df, idCol, textCol, window, cap)
       .select(col("w")).collect().map(_.getString(0)).toSeq
-    val cleaned = spans.foldLeft(col(textCol)) { (acc, w) =>
-      replace(acc, lit(w), lit(""))
-    }
+    val cleaned = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MultiRemoveExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), spans))
     df.select(col(idCol).as("doc_id"), length(col(textCol)).as("n0"),
         cleaned.as("clean_text"))
       .select(col("doc_id"), col("clean_text"),
@@ -784,8 +795,11 @@ object Dedup {
   }
 
   /** DuckDB oracle for [[removeDupSpans]]: the substringDupSpans CTE,
-    * its spans folded over each document with list_reduce in the same
-    * (count desc, window asc) order. */
+    * its spans regex-escaped and joined into one literal alternation,
+    * removed globally — RE2's leftmost-match-then-continue-after scan
+    * is exactly the engine kernel's single pass (spans share one fixed
+    * width, so no two distinct spans can match at one position and
+    * alternation order never matters). */
   def removeDupSpansOracleSql(window: Int = 120, cap: Int = 100): String =
     s"""WITH wins AS (
        |  SELECT doc_id AS doc, substr(text, CAST(gs.i AS INT), $window) AS w
@@ -796,13 +810,21 @@ object Dedup {
        |  FROM wins WHERE substr(md5(w), 32, 1) = '0'
        |  GROUP BY w HAVING count(DISTINCT doc) >= 2
        |  ORDER BY n DESC, w LIMIT $cap),
-       |sl AS (SELECT coalesce(list(w ORDER BY n DESC, w), []) AS ws FROM spans)
-       |SELECT doc_id,
-       |  list_reduce(list_prepend(text, sl.ws),
-       |    (acc, w) -> replace(acc, w, '')) AS clean_text,
-       |  length(text) - length(list_reduce(list_prepend(text, sl.ws),
-       |    (acc, w) -> replace(acc, w, ''))) AS n_chars_removed
-       |FROM documents CROSS JOIN sl""".stripMargin
+       |pat AS (
+       |  SELECT count(*) AS nspans, list_aggregate(
+       |    list(regexp_replace(w,
+       |      '([\\.\\^\\$$\\|\\?\\*\\+\\(\\)\\[\\]\\{\\}\\\\])',
+       |      '\\\\\\1', 'g') ORDER BY n DESC, w),
+       |    'string_agg', '|') AS p
+       |  FROM spans),
+       |cleaned AS (
+       |  SELECT doc_id,
+       |    CASE WHEN pat.nspans = 0 THEN text
+       |         ELSE regexp_replace(text, pat.p, '', 'g') END AS clean_text
+       |  FROM documents CROSS JOIN pat)
+       |SELECT c.doc_id, c.clean_text,
+       |  length(d.text) - length(c.clean_text) AS n_chars_removed
+       |FROM cleaned c JOIN documents d USING (doc_id)""".stripMargin
 
   /** C4-style LINE-level dedup: drop every line that occurs >=
     * `minRepeat` times corpus-wide (boilerplate — cookie banners,

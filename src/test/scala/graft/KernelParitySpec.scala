@@ -181,4 +181,37 @@ class KernelParitySpec extends SparkSpec {
     val want = df.select(to_json(legacy).as("x")).as[String].collect().toSeq
     assert(got == want)
   }
+
+  test("MultiRemoveExpr == global regex alternation removal on random text") {
+    def kernel(text: String, spans: Seq[String]): String = {
+      val df = Seq(text).toDF("t")
+      df.select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MultiRemoveExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("t")), spans))
+        .as("x")).as[String].collect().head
+    }
+    // hand cases: adjacency, seam NOT re-scanned, no-match identity
+    assert(kernel("XXXX", Seq("XX")) == "")
+    assert(kernel("XYXX", Seq("XX")) == "XY")
+    // removing "ab" at 1 forms a new "ab" across the seam — single-pass
+    // semantics leaves it (a global regex pass does too)
+    assert(kernel("aabb", Seq("ab")) == "ab")
+    assert(kernel("hello", Seq("zz")) == "hello")
+    assert(kernel("hello", Nil) == "hello")
+    // randomized parity vs java.util.regex literal alternation (small
+    // alphabet with a metachar so matches are dense and escaping is hit)
+    val W = 4
+    (0 until 200).foreach { _ =>
+      val alpha = "abc."
+      def rs(n: Int) = (0 until n).map(_ =>
+        alpha(rnd.nextInt(alpha.length))).mkString
+      val spans = (0 until 1 + rnd.nextInt(4)).map(_ => rs(W)).distinct
+      val text = rs(rnd.nextInt(60))
+      val pat = spans.map(java.util.regex.Pattern.quote).mkString("|")
+      val want = java.util.regex.Pattern.compile(pat)
+        .matcher(text).replaceAll("")
+      val got = kernel(text, spans)
+      assert(got == want, s"text=$text spans=$spans got=$got want=$want")
+    }
+  }
 }
