@@ -368,13 +368,22 @@ object Bench {
     // buckets, substring's window explode) run last — a budget squeeze
     // drops the least informative queries first (the r11 validation run
     // lost dedup_verified to a 131 s dedup_ngram placed ahead of it)
+    // text_quality leads NOT for priority but as the section's warm-up:
+    // a cheap full-corpus scan absorbs the fresh context's first-read
+    // and codegen costs so they don't land inside the flagship's timing
+    // (the r12 driver simulation measured dedup_verified at 258 s as
+    // the section opener vs 31.5 s standalone-fresh — same binary, same
+    // corpus). The four VERDICT-mandated entries follow immediately so
+    // a budget squeeze can never cut them behind the cheaper families.
     val names = Seq(
+      "text_quality",
       "dedup_verified", "dedup_clusters_verified",
-      "dedup_exact", "dedup_canonical", "dedup_minhash", "dedup_semantic",
-      "emb_neardup", "emb_stats", "ann_cosine", "ann_lsh", "ann_ivf",
-      "llm_prep", "decontaminate", "decontaminate_fuzzy", "dedup_lines",
+      "decontaminate_fuzzy", "dedup_lines",
+      "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats",
+      "dedup_exact", "dedup_canonical", "dedup_semantic", "dedup_minhash",
+      "emb_neardup", "llm_prep", "decontaminate",
       "dedup_url", "quality_classifier", "token_budget",
-      "text_quality", "text_repetition", "text_fingerprint",
+      "text_repetition", "text_fingerprint",
       "sample_stratified", "seq_pack", "lm_score", "quality_gopher",
       "tfidf_topk",
       "dedup_clusters", "dedup_simhash", "dedup_substring",
@@ -728,6 +737,17 @@ object Bench {
         ("", "", Map.empty[String, Double])
       }
     if (args.isEmpty) progress(sf1Summary)
+    // SECOND context restart between sf1 and sf10 (r12): the r12 driver
+    // simulation measured the sf10 opener (dedup_verified) at 258 s in
+    // the context that had just run the sf1 section, vs 31.5 s in a
+    // fresh one — the same shuffle-dir/block-manager accumulation the
+    // r11 pre-sf1 restart was added for, re-accumulated by sf1 itself.
+    // ~15 s, bought back 8x in the first flagship query alone.
+    val sparkScale2 =
+      if (args.isEmpty || args.exists(Set("sf10", "sf100"))) {
+        sparkScale.stop()
+        buildSession(cpus)
+      } else sparkScale
     // sf10 dedup/ANN spot-run (skipped in single-query mode or with
     // SPARK_GRAFT_SF10=off; `sf10` as an explicit arg forces it)
     val (sf10Json, sf10Summary) =
@@ -737,8 +757,8 @@ object Bench {
         System.err.println(f"[bench:sf10] skipped (budget: ${remainingS}%.0fs left, need ~${estSf10}%.0f)")
         (""","sf10_skipped":"budget"""", ""","sf10_skipped":"budget"""")
       } else try {
-        reclaim(sparkScale)
-        val (full, short) = sf10Section(sparkScale, sfDir, sf1Times)
+        reclaim(sparkScale2)
+        val (full, short) = sf10Section(sparkScale2, sfDir, sf1Times)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf10] section failed: ${e.getMessage}"); ("", "")
@@ -759,8 +779,8 @@ object Bench {
         System.err.println(f"[bench:sf100] skipped (budget: ${remainingS}%.0fs left)")
         (""","sf100_skipped":"budget"""", ""","sf100_skipped":"budget"""")
       } else try {
-        reclaim(sparkScale)
-        val (full, short) = sf100Spot(sparkScale, sfDir, forced = args.nonEmpty)
+        reclaim(sparkScale2)
+        val (full, short) = sf100Spot(sparkScale2, sfDir, forced = args.nonEmpty)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf100] section failed: ${e.getMessage}"); ("", "")
@@ -773,6 +793,6 @@ object Bench {
     // few KB of stdout, and the full line's headline fields sit at its
     // FRONT — this short line guarantees they survive the tail window
     println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$ratioJson$sf1Summary$sf10Summary$sf100Summary}""")
-    sparkScale.stop()
+    sparkScale2.stop()
   }
 }

@@ -166,5 +166,26 @@ object GraftExtensions {
       "graft_fwd_unzip(bin) - inflate a 'z' frame, pass through raw") {
       es => OmfwdUnzipExpr(es.head)
     }
+
+    // feature hashing + span scrubbing (the r12 LLM-prep kernels)
+    reg("graft_fnv64",
+      "graft_fnv64(text) - FNV-1a 64-bit hash (feature hashing)") {
+      es => Fnv1a64Expr(es.head)
+    }
+    reg("graft_multi_remove",
+      "graft_multi_remove(text, spans) - single-pass removal of " +
+        "fixed-width literal spans (Rabin-Karp; = regexp_replace over " +
+        "a literal alternation)") { es =>
+      val spansExpr = es(1)
+      if (!spansExpr.foldable) throw new IllegalArgumentException(
+        "graft_multi_remove: spans must be a foldable array literal")
+      val spans = spansExpr.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"graft_multi_remove: spans must be ARRAY<STRING>, got $other")
+      }
+      MultiRemoveExpr(es.head, spans)
+    }
   }
 }

@@ -93,6 +93,26 @@ class ExtensionsSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("INTEGER literal"))
   }
 
+  test("feature-hash and span-scrub kernels answer from plain SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  graft_fnv64('hello') AS h,
+        |  graft_multi_remove('XXabYYabZZ', array('ab', 'YY')) AS scrubbed,
+        |  graft_multi_remove('clean', array('zz', 'qq')) AS untouched
+        |""".stripMargin).collect()(0)
+    // FNV-1a 64 of "hello" (public test vector), as a signed long
+    assert(r.getAs[Long]("h") == 0xa430d84680aabd0bL)
+    assert(r.getAs[String]("scrubbed") == "XXZZ")
+    assert(r.getAs[String]("untouched") == "clean")
+    // non-foldable spans must be rejected, not silently mis-planned
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_multi_remove('x', array(repeat('a', id))) " +
+        "FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("foldable") ||
+      e.getMessage.toLowerCase.contains("multi_remove"))
+  }
+
   test("GraftExtensions.register injects into an already-built session") {
     // a plain session (no withExtensions at build time) gains the full
     // surface after register() — the notebook/REPL path, and what the
