@@ -113,9 +113,7 @@ object GraftExtensions {
     }
     reg("graft_fingerprint",
       "graft_fingerprint(text) - md5 of normalized content") {
-      es => Md5(org.apache.spark.sql.catalyst.expressions.Cast(
-        StringTrim(re(re(Lower(es.head), "[^a-z0-9\\s]", ""), "\\s+", " ")),
-        org.apache.spark.sql.types.BinaryType))
+      es => FingerprintExpr(es.head)
     }
     reg("graft_subwords",
       "graft_subwords(text) - BPE-ish subword count estimate") {

@@ -3392,6 +3392,24 @@ object Queries {
       Dedup.keepBest(Tables.documents(s, dir), "doc_id", "text",
         score = col("n_chars"))),
 
+    // contamination-coverage REPORT (eval-side view of the fuzzy pass):
+    // per eval doc, how many corpus docs leak it, worst micro-Jaccard,
+    // smallest offending id; zero rows included — the audit artifact
+    // filed alongside a decontamination run
+    "contamination_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+    }),
+
+    // topic/diversity report: deterministic coarse cells (the semDedup
+    // quantizer) -> per-cluster mass + integer micro cosine-to-centroid
+    // distribution; the corpus-balance audit before mixture design
+    "cluster_topics" -> ((s, dir) =>
+      Similarity.clusterTopics(Tables.embeddings(s, dir))),
+
     // embedding QA stats (the corpus-health face of the ANN family):
     // per-label counts + L2-norm distribution — the standard sanity pass
     // before indexing/training. Per-row norm is a sequential fold (same
@@ -5979,6 +5997,10 @@ object Queries {
         |  CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT)
         |    AS micro_share
         |FROM per""".stripMargin,
+
+    "contamination_report" -> Dedup.contaminationReportOracleSql(),
+
+    "cluster_topics" -> Similarity.clusterTopicsOracleSql(),
 
     "decontaminate_semantic" ->
       Similarity.decontaminateSemanticOracleSql(evalMod = 50, tau = 0.3),

@@ -400,3 +400,74 @@ object MultiRemoveExpr {
     h
   }
 }
+
+/** Fused content fingerprint — md5 of casefolded, punctuation-stripped,
+  * whitespace-collapsed text, value-identical to the Column chain
+  * `md5(trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9\s]", ""),
+  * "\s+", " ")))` it replaces (parity pinned in KernelParitySpec), but
+  * ONE lowercase pass + one state-machine pass + one md5 instead of two
+  * regex rewrites with their intermediate strings. The fingerprint is
+  * the key of every exact-dedup groupBy (Dedup.exact/keepBest/
+  * textGroups, streaming dedup), so this sits on the hottest corpus
+  * scan: stripped chars are invisible to the whitespace state (a ws
+  * run interrupted by punctuation still collapses to ONE space, exactly
+  * like strip-then-collapse), leading/trailing ws never emits.
+  */
+case class FingerprintExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "content_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    FingerprintExpr.kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.FingerprintExpr$$.MODULE$$.kernel($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object FingerprintExpr {
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def isWsJava(c: Char): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def kernel(in: UTF8String): UTF8String = {
+    // same lowercase as the Lower expression (full Unicode), so parity
+    // with the regex chain holds for every input, not just ASCII
+    val t = in.toLowerCase.toString
+    val sb = new java.lang.StringBuilder(t.length)
+    var pendingWs = false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingWs && sb.length > 0) sb.append(' ')
+        sb.append(c)
+        pendingWs = false
+      } else if (isWsJava(c)) {
+        pendingWs = true
+      } // stripped char: invisible to the whitespace state
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var j = 0
+    while (j < 16) {
+      out(j * 2) = HEX((md(j) >> 4) & 0xf)
+      out(j * 2 + 1) = HEX(md(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+}

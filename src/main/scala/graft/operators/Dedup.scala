@@ -885,10 +885,15 @@ object Dedup {
     * tfidf_topk discipline). Packing factor 1e12 > any synth-corpus
     * doc_id (sf100 ids reach ~1e11); integer `div`, never double
     * division (1e18-scale keys exceed 2^53). */
-  def decontaminateFuzzy(corpus: DataFrame, evalSet: DataFrame,
-                         idCol: String, textCol: String, n: Int = 5,
-                         threshold: Double = 0.5): DataFrame = {
-    val P = 1000000000000L // micro-jaccard × 1e12 + eval_id
+  /** Shared core of [[decontaminateFuzzy]] and [[contaminationReport]]:
+    * per (corpus doc, eval doc) pair sharing ≥ 1 n-gram, the exact
+    * micro-Jaccard (⌊jaccard·10⁶⌋ BIGINT). Broadcast eval grams,
+    * combinable intersection count — pair volume ∝ the contaminated
+    * sliver, never corpus × eval. */
+  private[operators] def fuzzyMicroJaccard(corpus: DataFrame,
+      evalSet: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val P = 1000000000000L
     def gramSets(d: DataFrame, as: String) = d.select(col(idCol).as(as),
         array_distinct(TextAnalysis.wordNgrams(
           TextAnalysis.tokens(col(textCol)), n)).as("gs"))
@@ -907,19 +912,58 @@ object Dedup {
             lit("decontaminateFuzzy: eval id out of [0, 1e12): "),
             col("eval_id").cast("string")))).as("eval_id"),
         size(col("gs")).as("nb"), explode(col("gs")).as("g"))
-    val inter = cg.join(broadcast(eg), Seq("g"))
+    cg.join(broadcast(eg), Seq("g"))
       .groupBy(col("doc_id"), col("eval_id"), col("na"), col("nb"))
       // grams are distinct within each doc, so count(*) = |A ∩ B|
       .agg(count(lit(1)).as("inter"))
-    inter
       .withColumn("mjac", floor(col("inter") * lit(1000000.0) /
         (col("na") + col("nb") - col("inter"))).cast("long"))
+  }
+
+  def decontaminateFuzzy(corpus: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, n: Int = 5,
+                         threshold: Double = 0.5): DataFrame = {
+    val P = 1000000000000L // micro-jaccard × 1e12 + eval_id
+    fuzzyMicroJaccard(corpus, evalSet, idCol, textCol, n)
       .groupBy(col("doc_id"))
       .agg(max(col("mjac") * lit(P) + col("eval_id")).as("k"))
       .select(col("doc_id"),
         expr(s"k div $P").as("micro_jaccard"),
         pmod(col("k"), lit(P)).as("best_eval_id"),
         (expr(s"k div $P") >= lit((threshold * 1e6).toLong)).as("contaminated"))
+  }
+
+  /** Contamination-coverage REPORT — the EVAL-side view of
+    * [[decontaminateFuzzy]]: for each eval document, how many corpus
+    * documents are fuzzy-contaminated with it (micro-Jaccard ≥
+    * threshold), the worst offender's score, and the smallest offending
+    * doc id (a stable exemplar to inspect). Eval docs nothing leaked
+    * from report n_contaminated = 0, so the table always covers the
+    * whole eval set — this is the audit artifact a training run files
+    * alongside the decontamination pass (GPT-3 appendix-C style).
+    *
+    * Scale shape: [[fuzzyMicroJaccard]]'s broadcast-gram join + one
+    * more combinable groupBy on eval_id (eval-sized output) + a
+    * broadcast-sized left join back to the eval id list for the zero
+    * rows. */
+  def contaminationReport(corpus: DataFrame, evalSet: DataFrame,
+                          idCol: String, textCol: String, n: Int = 5,
+                          threshold: Double = 0.5): DataFrame = {
+    val hits = fuzzyMicroJaccard(corpus, evalSet, idCol, textCol, n)
+      .filter(col("mjac") >= lit((threshold * 1e6).toLong))
+      .groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        max(col("mjac")).as("max_micro_jaccard"),
+        min(col("doc_id")).as("first_doc"))
+    // every eval doc with gram evidence appears, zeros included
+    val evalIds = evalSet
+      .select(col(idCol).as("eval_id"),
+        TextAnalysis.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n).select(col("eval_id"))
+    evalIds.join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        col("max_micro_jaccard"), col("first_doc"))
   }
 
   /** DuckDB oracle for [[decontaminateFuzzy]] with the standard
@@ -952,5 +996,43 @@ object Dedup {
        |  max(k) % 1000000000000 AS best_eval_id,
        |  max(k) // 1000000000000 >= ${(threshold * 1e6).toLong} AS contaminated
        |FROM sc GROUP BY 1""".stripMargin
+  }
+
+  /** DuckDB oracle for [[contaminationReport]] with the standard
+    * `doc_id % 97` eval split over `documents`. */
+  def contaminationReportOracleSql(n: Int = 5, threshold: Double = 0.5): String = {
+    val gram = (1 until n).foldLeft("toks[i]")((a, j) => s"$a || ' ' || toks[i+$j]")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(toks) - ${n - 2}), i -> $gram))) AS g
+       |  FROM t WHERE len(toks) >= $n),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY 1),
+       |ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+       |co AS (SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0),
+       |inter AS (
+       |  SELECT co.doc_id, ev.eval_id, count(*) AS i
+       |  FROM co JOIN ev USING (g) GROUP BY 1, 2),
+       |mj AS (
+       |  SELECT inter.doc_id, inter.eval_id,
+       |    CAST(floor(inter.i * 1000000.0 / (a.sz + b.sz - inter.i)) AS BIGINT)
+       |      AS mjac
+       |  FROM inter
+       |  JOIN sz a ON a.doc_id = inter.doc_id
+       |  JOIN sz b ON b.doc_id = inter.eval_id),
+       |hits AS (
+       |  SELECT eval_id, count(*) AS n_contaminated,
+       |    max(mjac) AS max_micro_jaccard, min(doc_id) AS first_doc
+       |  FROM mj WHERE mjac >= ${(threshold * 1e6).toLong} GROUP BY 1),
+       |eids AS (
+       |  SELECT doc_id AS eval_id FROM t
+       |  WHERE doc_id % 97 = 0 AND len(toks) >= $n)
+       |SELECT e.eval_id,
+       |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+       |  h.max_micro_jaccard, h.first_doc
+       |FROM eids e LEFT JOIN hits h USING (eval_id)""".stripMargin
   }
 }

@@ -326,6 +326,83 @@ object Similarity {
       .select(col("vec_id"), col("cl"), col("dup").isNull.as("kept"))
   }
 
+  /** Topic/diversity report over the embedding space — the corpus-
+    * balance audit a mixture designer reads before setting domain
+    * weights: assign every vector to its coarse cell (the same
+    * deterministic quantizer as [[semDedup]]: adaptive nlist,
+    * first-nlist codebook, argmax cosine) and report per-cluster mass
+    * plus the cosine-to-centroid distribution. Tight clusters with
+    * huge mass = redundant content; singletons = outliers/noise.
+    *
+    * Determinism discipline: per-row cosine is floor-quantized to an
+    * integer micro-sim BEFORE aggregation, so sums are order-
+    * independent and the whole report is oracle-exact; the table
+    * reports (n, sum, min, max) rather than a float average (integer
+    * division semantics differ between engines for negative sums).
+    *
+    * Scale shape: one codegen'd projection against the broadcast
+    * codebook + ONE map-side-combinable groupBy with ≤ nlist output
+    * rows. At 100 TB: train the codebook on a sample
+    * ([[trainIvfCodebook]]) and pass it in, exactly as [[semDedup]]
+    * documents. */
+  def clusterTopics(corpus: DataFrame,
+                    codebook: Option[Array[Array[Float]]] = None,
+                    cellTarget: Int = 512, nlistCap: Int = 1024): DataFrame = {
+    val cents: Array[Array[Float]] = codebook.getOrElse {
+      val nlist = math.min(nlistCap.toLong,
+        math.max(16L, (corpus.count() + cellTarget - 1) / cellTarget)).toInt
+      corpus.filter(col("vec_id") < nlist)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2)
+    }
+    val sims = array(cents.map(ce =>
+      cosine(col("embedding"), array(ce.map(lit): _*))): _*)
+    corpus.select(col("vec_id"), sims.as("s"))
+      .select(col("vec_id"),
+        (array_position(col("s"), array_max(col("s"))) - 1).cast("int").as("cl"),
+        floor(array_max(col("s")) * 1e6).cast("long").as("msim"))
+      .groupBy(col("cl"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("msim")).as("sum_micro_sim"),
+        min(col("msim")).as("min_micro_sim"),
+        max(col("msim")).as("max_micro_sim"))
+  }
+
+  /** DuckDB oracle for [[clusterTopics]] with the deterministic default
+    * quantizer. Cosine spelled out in DOUBLE over cast lists (the
+    * [[decontaminateSemanticOracleSql]] precedent — float32
+    * list_cosine_similarity flips borderline micro-sim floors);
+    * centroids come FROM THE TABLE (not literals), so the f32→f64
+    * promotion is bit-identical to the engine's lit(Float) path. */
+  def clusterTopicsOracleSql(cellTarget: Int = 512,
+                             nlistCap: Int = 1024): String =
+    s"""WITH n AS (
+       |  SELECT least($nlistCap,
+       |    greatest(16, CAST(ceil(count(*) / $cellTarget.0) AS INT))) AS nl
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    ORDER BY vec_id) AS ce
+       |  FROM embeddings, n WHERE vec_id < n.nl),
+       |assigned AS (
+       |  SELECT vec_id,
+       |    list_position(sims, list_max(sims)) - 1 AS cl,
+       |    CAST(floor(list_max(sims) * 1e6) AS BIGINT) AS msim
+       |  FROM (SELECT e.vec_id,
+       |          list_transform(cb.ce, c ->
+       |            list_dot_product(de, c) /
+       |            (sqrt(list_dot_product(de, de)) *
+       |             sqrt(list_dot_product(c, c)))) AS sims
+       |        FROM (SELECT vec_id,
+       |                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+       |              FROM embeddings) e, cb))
+       |SELECT cl, count(*) AS n,
+       |  CAST(sum(msim) AS BIGINT) AS sum_micro_sim,
+       |  min(msim) AS min_micro_sim,
+       |  max(msim) AS max_micro_sim
+       |FROM assigned GROUP BY 1""".stripMargin
+
   /** DuckDB oracle for [[semDedup]] with the deterministic default
     * quantizer: adaptive nlist, first-nlist codebook, argmax-cosine
     * assignment (first-max-wins both engines), maxCluster guard mirrored

@@ -90,9 +90,15 @@ object TextAnalysis {
 
   /** Stable content fingerprint: md5 of casefolded, punctuation-stripped,
     * whitespace-collapsed text — the exact-near-dup key for clustering.
+    * Native fused kernel (FingerprintExpr; value-identical to the
+    * `md5(trim(regexp_replace(regexp_replace(lower(t), …), …)))` chain it
+    * replaced — KernelParitySpec — without the two regex rewrite passes
+    * on the hottest dedup scan).
     */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.FingerprintExpr(
+        org.apache.spark.sql.GraftBridge.expression(text)))
 
   /** Word n-grams as an array column — native kernel (NgramJoinExpr; no
     * explode, no shuffle, and no per-gram interpreted zip_with chain). */

@@ -115,6 +115,33 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"keepBest must not window:\n$plan")
   }
 
+  test("contaminationReport: eval-side coverage with zero rows included") {
+    // eval doc 100 leaked verbatim into train docs 1 and 2; eval doc 200
+    // shares nothing; train doc 3 is unrelated
+    val leak = "alpha beta gamma delta epsilon zeta"
+    val train = Seq(
+      (1L, leak), (2L, leak + " tail"), (3L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, leak), (200L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationReport(train, eval, "doc_id", "text",
+        n = 5, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(100L, 200L))
+    val hit = out(0)
+    assert(hit._2 == 2 && hit._3 == 1000000L && hit._4 == 1L, hit.toString)
+    assert(out(1) == ((200L, 0L, -1L, -1L)), out(1).toString)
+    // consistency with the doc-side view: every contaminated doc's best
+    // eval must appear in the report with n_contaminated > 0
+    val docSide = Dedup.decontaminateFuzzy(train, eval, "doc_id", "text",
+        n = 5, threshold = 0.3)
+      .filter(col("contaminated")).select("best_eval_id")
+      .as[Long].collect().toSet
+    assert(docSide.subsetOf(out.filter(_._2 > 0).map(_._1).toSet))
+  }
+
   test("connected components cluster transitive near-dups") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), // chain: 1-2-3

@@ -182,6 +182,19 @@ class KernelParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("FingerprintExpr == md5(trim(collapse(strip(lower)))) chain on random text") {
+    val texts = (0 until 300).map(_ => randText()) ++ Seq(
+      "", " ", "\t\n", "a", " A ", "A.B", "a .. \t b", "ä ö",
+      "x  ,  y", "1a2b!3c", "中 文 .", "..!!..")
+    val df = texts.toDF("t")
+    val got = df.select(graft.operators.TextAnalysis.fingerprint(col("t")).as("x"))
+      .as[String].collect().toSeq
+    val want = df.select(md5(trim(regexp_replace(regexp_replace(
+        lower(col("t")), "[^a-z0-9\\s]", ""), "\\s+", " "))).as("x"))
+      .as[String].collect().toSeq
+    assert(got == want)
+  }
+
   test("MultiRemoveExpr == global regex alternation removal on random text") {
     def kernel(text: String, spans: Seq[String]): String = {
       val df = Seq(text).toDF("t")

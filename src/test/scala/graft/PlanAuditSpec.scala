@@ -175,6 +175,13 @@ class PlanAuditSpec extends SparkSpec {
       "LSH banding exists precisely to avoid train × eval")
   }
 
+  test("cluster_topics: literal codebook projection + one combinable groupBy, no join") {
+    val p = plan("cluster_topics")
+    assert(!p.contains("Join"), "codebook must ride as literals, not a join")
+    assert(p.contains("HashAggregate"), "per-cluster stats must hash-agg")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dedup_url: one pruned scan + one combinable groupBy, no join") {
     val p = plan("dedup_url")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString

@@ -152,6 +152,25 @@ class SimilaritySpec extends SparkSpec {
     assert(again == out.map(t => (t._1, t._3)).sortBy(_._1).toSeq)
   }
 
+  test("clusterTopics: every vector assigned once, mass sums to corpus, codebook members self-match") {
+    val out = Similarity.clusterTopics(corpus)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // total mass = corpus size; cluster ids inside the adaptive nlist
+    assert(out.map(_._2).sum == 300)
+    assert(out.forall(t => t._1 >= 0 && t._1 < 16)) // 300/512 -> nlist 16
+    // micro-sims are exact integers in [-1e6, 1e6]; min <= max per row
+    assert(out.forall(t => t._4 <= t._5 && t._5 <= 1000000L && t._4 >= -1000000L))
+    // each codebook vector (vec_id < nlist) has cosine 1.0 to itself, so
+    // every cluster's max micro-sim is exactly 1e6 minus float-floor slack
+    assert(out.forall(_._5 >= 999999L), out.mkString(","))
+    // deterministic under repartitioning
+    val again = Similarity.clusterTopics(corpus.repartition(7))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(again == out.map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq)
+  }
+
   test("brute force top-k is deterministic, self-excluded, ordered") {
     val q = corpus.filter(col("vec_id") === 0)
     val rows = Similarity.bruteForceTopK(corpus, q, k = 10)
