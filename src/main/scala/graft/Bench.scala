@@ -382,6 +382,8 @@ object Bench {
       "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats",
       "dedup_exact", "dedup_canonical", "dedup_semantic", "dedup_minhash",
       "emb_neardup", "llm_prep", "decontaminate",
+      "decontaminate_semantic", "contamination_report", "sample_perplexity",
+      "dedup_keep_best", "cluster_topics",
       "dedup_url", "quality_classifier", "token_budget",
       "text_repetition", "text_fingerprint",
       "sample_stratified", "seq_pack", "lm_score", "quality_gopher",
@@ -483,10 +485,13 @@ object Bench {
     "dedup_ngram", "dedup_substring", "dedup_substring_removal",
     "dedup_lines", "dedup_semantic", "dedup_url",
     // decontamination + sampling/packing
-    "decontaminate", "decontaminate_fuzzy", "sample_stratified",
-    "sample_domain_mix", "seq_pack", "chunk_tokens",
+    "decontaminate", "decontaminate_fuzzy", "decontaminate_semantic",
+    "contamination_report", "sample_stratified",
+    "sample_domain_mix", "sample_perplexity", "seq_pack", "chunk_tokens",
+    "dedup_keep_best",
     // ANN / embeddings
     "ann_cosine", "ann_lsh", "ann_ivf", "emb_neardup", "emb_stats",
+    "cluster_topics",
     // text-analysis aggregations and model scoring
     "tfidf_topk", "lm_score", "quality_classifier", "quality_gopher",
     "quality_calibration", "token_budget",

@@ -117,8 +117,7 @@ object GraftExtensions {
     }
     reg("graft_subwords",
       "graft_subwords(text) - BPE-ish subword count estimate") {
-      es => Size(RegExpExtractAll(es.head,
-        Literal("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), Literal(0)))
+      es => SubwordCountExpr(es.head)
     }
 
     // net

@@ -401,6 +401,72 @@ object MultiRemoveExpr {
   }
 }
 
+/** BPE-ish subword COUNT — the number of matches of
+  * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]` (alpha runs + digit runs + each
+  * isolated non-space symbol ≈ one token), as one counting pass.
+  * Value-identical to `size(regexp_extract_all(text, re, 0))`
+  * (KernelParitySpec) but never materializes the match ARRAY — the
+  * extract-all form allocates a string per match (thousands per doc)
+  * on the quality-scoring scan. Whitespace class = Java regex `\s`.
+  */
+case class SubwordCountExpr(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "subword_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SubwordCountExpr.kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SubwordCountExpr$$.MODULE$$.kernel($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SubwordCountExpr {
+  private final val NONE = 0
+  private final val ALPHA = 1
+  private final val DIGIT = 2
+
+  def kernel(in: UTF8String): Int = {
+    val t = in.toString
+    var count = 0
+    var cls = NONE
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+        if (cls != ALPHA) count += 1
+        cls = ALPHA
+      } else if (c >= '0' && c <= '9') {
+        if (cls != DIGIT) count += 1
+        cls = DIGIT
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
+                 c == '\f' || c == '\r') {
+        cls = NONE
+      } else {
+        // each non-alnum non-space CODEPOINT is its own match (the
+        // regex third alternative) — including all non-ASCII; a
+        // surrogate pair is one codepoint to the regex engine
+        if (Character.isHighSurrogate(c) && i + 1 < t.length &&
+            Character.isLowSurrogate(t.charAt(i + 1))) i += 1
+        count += 1
+        cls = NONE
+      }
+      i += 1
+    }
+    count
+  }
+}
+
 /** Fused content fingerprint — md5 of casefolded, punctuation-stripped,
   * whitespace-collapsed text, value-identical to the Column chain
   * `md5(trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9\s]", ""),

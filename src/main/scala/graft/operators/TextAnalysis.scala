@@ -34,10 +34,15 @@ object TextAnalysis {
 
   /** BPE-ish subword estimate: alpha runs + digit runs + isolated
     * punctuation, each ≈ one token (a public, common char-class regex
-    * approximation of byte-pair tokenizers).
+    * approximation of byte-pair tokenizers). Native counting kernel
+    * (SubwordCountExpr — value-identical to
+    * `size(regexp_extract_all(text, re, 0))` per KernelParitySpec,
+    * without materializing the match array).
     */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SubwordCountExpr(
+        org.apache.spark.sql.GraftBridge.expression(text)))
 
   /** Language-ID: argmax of marker hits; 'und' when no marker at all.
     * Tie-break: earlier language in `langMarkers` wins (deterministic).

@@ -195,6 +195,19 @@ class KernelParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("SubwordCountExpr == size(regexp_extract_all(alpha|digit|symbol)) on random text") {
+    val texts = (0 until 300).map(_ => randText()) ++ Seq(
+      "", " ", "a", "1a2b!3c", "..!!..", "abc123", "ä中é", "a😀b",
+      "x  ,  y\t9 9")
+    val df = texts.toDF("t")
+    val got = df.select(graft.operators.TextAnalysis.subwordCount(col("t")).as("x"))
+      .as[Int].collect().toSeq
+    val want = df.select(size(regexp_extract_all(col("t"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("x"))
+      .as[Int].collect().toSeq
+    assert(got == want)
+  }
+
   test("MultiRemoveExpr == global regex alternation removal on random text") {
     def kernel(text: String, spans: Seq[String]): String = {
       val df = Seq(text).toDF("t")
