@@ -384,7 +384,8 @@ object Bench {
       "emb_neardup", "llm_prep", "decontaminate",
       "decontaminate_semantic", "contamination_report", "sample_perplexity",
       "dedup_keep_best", "cluster_topics",
-      "dedup_url", "quality_classifier", "token_budget",
+      "dedup_url", "dedup_snapshot", "quality_classifier", "token_budget",
+      "ngram_hot",
       "text_repetition", "text_fingerprint",
       "sample_stratified", "seq_pack", "lm_score", "quality_gopher",
       "tfidf_topk",
@@ -483,7 +484,7 @@ object Bench {
     "dedup_exact", "dedup_canonical", "dedup_minhash", "dedup_verified",
     "dedup_clusters_verified", "dedup_clusters", "dedup_simhash",
     "dedup_ngram", "dedup_substring", "dedup_substring_removal",
-    "dedup_lines", "dedup_semantic", "dedup_url",
+    "dedup_lines", "dedup_semantic", "dedup_url", "dedup_snapshot",
     // decontamination + sampling/packing
     "decontaminate", "decontaminate_fuzzy", "decontaminate_semantic",
     "contamination_report", "sample_stratified",
@@ -494,7 +495,7 @@ object Bench {
     "cluster_topics",
     // text-analysis aggregations and model scoring
     "tfidf_topk", "lm_score", "quality_classifier", "quality_gopher",
-    "quality_calibration", "token_budget",
+    "quality_calibration", "token_budget", "ngram_hot",
     "text_quality", "text_repetition", "text_fingerprint")
 
   /** One bench pass of the curated sf1 subset at the synthesized sf1

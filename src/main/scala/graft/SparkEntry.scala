@@ -3410,6 +3410,23 @@ object Queries {
     "cluster_topics" -> ((s, dir) =>
       Similarity.clusterTopics(Tables.embeddings(s, dir))),
 
+    // corpus-wide hot n-grams, EXACT, via Misra-Gries candidates +
+    // recount — the shuffle carries capacity-bounded sketch buffers,
+    // never the gram stream (see TextAnalysis.hotNgrams)
+    "ngram_hot" -> ((s, dir) =>
+      TextAnalysis.hotNgrams(Tables.documents(s, dir), "text")),
+
+    // cross-snapshot dedup: prior crawl (doc_id % 3 = 0) folds into one
+    // fixed-size bloom; only possibly-seen input rows reach the exact
+    // anti-join (see Dedup.snapshotDedup)
+    "dedup_snapshot" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.snapshotDedup(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+    }),
+
     // embedding QA stats (the corpus-health face of the ANN family):
     // per-label counts + L2-norm distribution — the standard sanity pass
     // before indexing/training. Per-row norm is a sequential fold (same
@@ -6001,6 +6018,10 @@ object Queries {
     "contamination_report" -> Dedup.contaminationReportOracleSql(),
 
     "cluster_topics" -> Similarity.clusterTopicsOracleSql(),
+
+    "ngram_hot" -> TextAnalysis.hotNgramsOracleSql(),
+
+    "dedup_snapshot" -> Dedup.snapshotDedupOracleSql,
 
     "decontaminate_semantic" ->
       Similarity.decontaminateSemanticOracleSql(evalMod = 50, tau = 0.3),

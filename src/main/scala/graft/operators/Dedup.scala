@@ -998,6 +998,80 @@ object Dedup {
        |FROM sc GROUP BY 1""".stripMargin
   }
 
+  /** Cross-snapshot dedup — "drop every document already ingested by a
+    * prior crawl" — with a bloom-filter pre-pass so the join only ever
+    * sees the possibly-seen sliver. The 100 TB problem with the plain
+    * anti-join is not the scan, it's the exchange: EVERY input
+    * fingerprint shuffles to meet the snapshot side, though ~all of a
+    * fresh crawl is new. Here:
+    *
+    *  1. the snapshot folds into ONE fixed-size bloom filter via
+    *     Spark's own distributed [[org.apache.spark.sql.catalyst
+    *     .expressions.aggregate.BloomFilterAggregate]] (the kernel
+    *     behind AQE runtime row-level filtering) — a combinable
+    *     aggregate whose buffer is `numBits/8` bytes REGARDLESS of
+    *     snapshot row count, so the driver collect is bounds-checked
+    *     by construction;
+    *  2. the input's (id, fingerprint) projection is materialized once
+    *     (localCheckpoint — scanned twice below, and ReuseExchange
+    *     never fires across independent branches);
+    *  3. definite-new rows (bloom miss) pass through with NO exchange —
+    *     [[org.apache.spark.sql.catalyst.expressions
+    *     .BloomFilterMightContain]] is a scan-side codegen'd predicate;
+    *  4. only bloom hits (true dupes + the fpp sliver) anti-join the
+    *     snapshot for exact verification, so the result is EXACT — the
+    *     bloom can only fail toward extra verification work, never
+    *     toward a wrong answer.
+    *
+    * `expectedItems`/`numBits` size the filter (defaults: 2²⁰ items /
+    * 2²³ bits ≈ 1 MB, ~2% fpp at full load; stay under
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, and raise
+    * both for snapshots past ~10⁶ keys — an undersized bloom only
+    * degrades the pre-filter rate, not correctness). Output: the kept
+    * (idCol, fp) rows — input documents whose content fingerprint does
+    * not appear in the snapshot. */
+  def snapshotDedup(input: DataFrame, snapshot: DataFrame,
+                    idCol: String, textCol: String,
+                    expectedItems: Long = 1L << 20,
+                    numBits: Long = 1L << 23): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexp}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val snapFp = snapshot.select(
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val bloomAgg = gcol(new BloomFilterAggregate(
+      gexp(xxhash64(col("fp"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // bounded collect: numBits/8 bytes by construction (1 MB default) —
+    // the bloom's size is a PARAMETER, not a function of the data
+    val bfBytes = snapFp.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val fps = input.select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .localCheckpoint()
+    if (bfBytes == null) return fps // empty snapshot: everything is new
+    val might = gcol(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), gexp(xxhash64(col("fp")))))
+    val defNew = fps.filter(!might)
+    val verified = fps.filter(might)
+      .join(snapFp, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+    defNew.select(col("doc_id"), col("fp")).union(verified)
+  }
+
+  /** DuckDB oracle for [[snapshotDedup]] with the `doc_id % 3` snapshot
+    * split over `documents`: the bloom is invisible to semantics (exact
+    * verify), so the oracle is the plain anti-join. */
+  def snapshotDedupOracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s\x0B]', '', 'g'), '[\s\x0B]+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |snap AS (SELECT fp FROM f WHERE doc_id % 3 = 0),
+      |inp AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0)
+      |SELECT doc_id, fp FROM inp ANTI JOIN snap USING (fp)""".stripMargin
+
   /** DuckDB oracle for [[contaminationReport]] with the standard
     * `doc_id % 97` eval split over `documents`. */
   def contaminationReportOracleSql(n: Int = 5, threshold: Double = 0.5): String = {

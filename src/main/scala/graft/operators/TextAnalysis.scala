@@ -314,6 +314,75 @@ object TextAnalysis {
        |  (PARTITION BY doc_id ORDER BY mscore DESC, term) AS rk FROM sc)
        |SELECT doc_id, rk, term, tf, mscore FROM r WHERE rk <= $k""".stripMargin
 
+  /** Corpus-wide hot n-grams with EXACT counts via the two-pass
+    * heavy-hitters pattern: pass 1 folds the gram stream into one
+    * capacity-bounded Misra-Gries summary
+    * ([[graft.functions.MisraGriesAgg]]) plus the total gram count N —
+    * the exchange carries one ≤`capacity`-entry buffer per partition,
+    * never the gram stream itself; pass 2 exact-counts ONLY the
+    * candidate grams (broadcast semi-join, map-side-combinable groupBy)
+    * and keeps those at or above the threshold.
+    *
+    * Threshold = max(`floorCount`, ⌈N/`denom`⌉) — "grams that are at
+    * least 1/denom of the corpus gram mass" with an absolute floor. The
+    * result is EXACT (not approximate): MG guarantees every item with
+    * true count > N/(capacity+1) survives in the summary, and
+    * `capacity+1 > denom` (enforced) makes threshold > N/(capacity+1)
+    * for every N, so the candidate set is a superset of the true answer
+    * and the recount removes the false positives. This is the C4
+    * boilerplate-phrase detector at 100 TB shape: the naive
+    * one-pass `groupBy(gram)` shuffles every gram occurrence (≈ the
+    * corpus itself); this shuffles kilobytes, then recounts a
+    * candidate sliver.
+    *
+    * Driver state: one row — N plus the ≤`capacity`-entry summary map
+    * (the codebook-collect discipline; ~6 MB at the 64 Ki default). */
+  def hotNgrams(docs: DataFrame, textCol: String, n: Int = 3,
+                denom: Long = 50000L, floorCount: Long = 5L,
+                capacity: Int = 1 << 16): DataFrame = {
+    require(capacity + 1 > denom,
+      s"hotNgrams: capacity ($capacity) must exceed denom ($denom) — " +
+        "otherwise threshold <= N/(capacity+1) and the MG candidate set " +
+        "is no longer a guaranteed superset of the true hot grams")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.select(
+      explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    val mgCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MisraGriesAgg(
+        org.apache.spark.sql.GraftBridge.expression(col("gram")),
+        capacity).toAggregateExpression())
+    // bounded collect: one row — the scalar N and the capacity-bounded
+    // candidate map
+    val row = grams.agg(count(lit(1)).as("n_total"), mgCol.as("mg")).head()
+    val total = row.getLong(0)
+    val threshold = math.max(floorCount, (total + denom - 1) / denom)
+    val cands = row.getMap[String, Long](1).keys.toSeq
+    val candDf = broadcast(cands.toDF("gram"))
+    grams.join(candDf, Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+
+  /** DuckDB oracle for [[hotNgrams]] — the sketch never changes the
+    * answer (superset + exact recount), so the oracle is the plain
+    * exact GROUP BY ... HAVING form. */
+  def hotNgramsOracleSql(n: Int = 3, denom: Long = 50000L,
+                         floorCount: Long = 5L): String = {
+    val gramExpr = (1 to n).map(i => s"toks[i + ${i - 1}]").mkString(" || ' ' || ")
+    s"""WITH t AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> $gramExpr)) AS gram
+       |  FROM t WHERE len(toks) >= $n),
+       |tot AS (SELECT count(*) AS tg FROM g),
+       |c AS (SELECT gram, count(*) AS n FROM g GROUP BY 1)
+       |SELECT gram, n FROM c CROSS JOIN tot
+       |WHERE n >= greatest($floorCount, (tg + ${denom - 1}) // $denom)""".stripMargin
+  }
+
   /** DuckDB oracle for [[gopherQuality]] over the `documents` table. */
   def gopherOracleSql: String =
     """WITH staged AS (
