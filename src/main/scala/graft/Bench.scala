@@ -384,8 +384,8 @@ object Bench {
       "emb_neardup", "llm_prep", "decontaminate",
       "decontaminate_semantic", "contamination_report", "sample_perplexity",
       "dedup_keep_best", "cluster_topics",
-      "dedup_url", "dedup_snapshot", "quality_classifier", "token_budget",
-      "ngram_hot",
+      "dedup_url", "dedup_snapshot", "dedup_snapshot_fuzzy",
+      "quality_classifier", "token_budget", "ngram_hot",
       "text_repetition", "text_fingerprint",
       "sample_stratified", "seq_pack", "lm_score", "quality_gopher",
       "tfidf_topk",
@@ -485,6 +485,7 @@ object Bench {
     "dedup_clusters_verified", "dedup_clusters", "dedup_simhash",
     "dedup_ngram", "dedup_substring", "dedup_substring_removal",
     "dedup_lines", "dedup_semantic", "dedup_url", "dedup_snapshot",
+    "dedup_snapshot_fuzzy",
     // decontamination + sampling/packing
     "decontaminate", "decontaminate_fuzzy", "decontaminate_semantic",
     "contamination_report", "sample_stratified",

@@ -3427,6 +3427,18 @@ object Queries {
         "doc_id", "text")
     }),
 
+    // fuzzy face of the cross-snapshot dedup: input docs near-matching
+    // (jaccard >= tau) ANY prior-crawl doc are dropped; candidates come
+    // from input-bands-probe-snapshot-bands LSH — never snapshot x
+    // snapshot (see Dedup.snapshotNearDup)
+    "dedup_snapshot_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.snapshotNearDup(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text")
+    }),
+
     // embedding QA stats (the corpus-health face of the ANN family):
     // per-label counts + L2-norm distribution — the standard sanity pass
     // before indexing/training. Per-row norm is a sequential fold (same
@@ -3790,6 +3802,20 @@ object Queries {
       graft.streaming.StreamGate.run(dd.select(col("fp")), "append",
           graft.streaming.StreamGate.tableBytes(dir, "documents"))
         .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    }),
+
+    // streaming face of the cross-snapshot dedup (continuous crawl
+    // ingest): prior snapshot = static side (bloom built once,
+    // driver-side, fixed bytes); fresh docs stream through a stateless
+    // bloom-miss filter, bloom hits exact-verify via a stream-static
+    // LEFT ANTI join. Zero streaming state — no watermark, no store.
+    "stream_dedup_snapshot" -> ((s, dir) => {
+      val stream = graft.streaming.StreamGate.readTable(s, dir, "documents")
+        .filter(col("doc_id") % 3 =!= 0)
+      val snapshot = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+      val kept = Dedup.snapshotDedupStream(stream, snapshot, "doc_id", "text")
+      graft.streaming.StreamGate.run(kept, "append",
+        graft.streaming.StreamGate.tableBytes(dir, "documents"))
     }),
 
     // the flagship LLM corpus-prep composition on the REAL streaming
@@ -6022,6 +6048,12 @@ object Queries {
     "ngram_hot" -> TextAnalysis.hotNgramsOracleSql(),
 
     "dedup_snapshot" -> Dedup.snapshotDedupOracleSql,
+
+    "dedup_snapshot_fuzzy" -> Dedup.snapshotNearDupOracleSql(),
+
+    // identical contract to the batch operator: the bloom + the
+    // stream-static anti-join are invisible to semantics
+    "stream_dedup_snapshot" -> Dedup.snapshotDedupOracleSql,
 
     "decontaminate_semantic" ->
       Similarity.decontaminateSemanticOracleSql(evalMod = 50, tau = 0.3),

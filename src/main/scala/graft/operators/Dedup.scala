@@ -438,7 +438,29 @@ object Dedup {
     * `est_jaccard` in the `est` CTE — composed by minhashOracleSql and
     * nearDupVerifiedOracleSql. */
   private def minhashCtes(n: Int, bands: Int, rows: Int,
-                          maxBucket: Int, src: String = "documents"): String = {
+                          maxBucket: Int, src: String = "documents"): String =
+    s"""${minhashBandedCtes(n, bands, rows, src)},
+       |kept AS ( -- the engine's maxBucket hot-bucket guard, mirrored
+       |  SELECT band, bkey FROM banded GROUP BY 1, 2
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN kept k ON k.band = a.band AND k.bkey = a.bkey),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_filter(range(${bands * rows}), j -> sig_a[j+1] = sig_b[j+1])) / ${bands * rows}.0, 4) AS est_jaccard
+       |  FROM pairs)""".stripMargin
+
+  /** The signature+banding CTE prefix (toks→sh→hashed→perms→sigs→banded)
+    * over `src(doc_id, text)` — shared by the same-corpus pair chain
+    * ([[minhashCtes]]) and the cross-snapshot chain
+    * ([[snapshotNearDupOracleSql]]). Band membership tests the signature
+    * slice directly — the semantic definition the engine's xxhash64
+    * bucketing approximates. */
+  private def minhashBandedCtes(n: Int, bands: Int, rows: Int,
+                                src: String): String = {
     val k = bands * rows
     val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
     s"""toks AS (
@@ -474,19 +496,7 @@ object Dedup {
        |banded AS (
        |  SELECT doc_id, sig,
        |    sig[(band*$rows+1)::INT:((band+1)*$rows)::INT] AS bkey, band
-       |  FROM (SELECT doc_id, sig, unnest(range($bands)) AS band FROM sigs)),
-       |kept AS ( -- the engine's maxBucket hot-bucket guard, mirrored
-       |  SELECT band, bkey FROM banded GROUP BY 1, 2
-       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-       |  FROM banded a JOIN banded b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |  JOIN kept k ON k.band = a.band AND k.bkey = a.bkey),
-       |est AS (
-       |  SELECT id_a, id_b,
-       |    round(len(list_filter(range($k), j -> sig_a[j+1] = sig_b[j+1])) / $k.0, 4) AS est_jaccard
-       |  FROM pairs)""".stripMargin
+       |  FROM (SELECT doc_id, sig, unnest(range($bands)) AS band FROM sigs))""".stripMargin
   }
 
   /** DuckDB oracle for simhashPairs (SimHash64Expr semantics: per-token
@@ -1034,29 +1044,79 @@ object Dedup {
                     idCol: String, textCol: String,
                     expectedItems: Long = 1L << 20,
                     numBits: Long = 1L << 23): DataFrame = {
-    import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexp}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
     val snapFp = snapshot.select(
       TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val bloomAgg = gcol(new BloomFilterAggregate(
-      gexp(xxhash64(col("fp"))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
-    // bounded collect: numBits/8 bytes by construction (1 MB default) —
-    // the bloom's size is a PARAMETER, not a function of the data
-    val bfBytes = snapFp.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val bfBytes = snapshotBloom(snapFp, expectedItems, numBits)
     val fps = input.select(col(idCol).as("doc_id"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .localCheckpoint()
     if (bfBytes == null) return fps // empty snapshot: everything is new
-    val might = gcol(BloomFilterMightContain(
-      Literal(bfBytes, BinaryType), gexp(xxhash64(col("fp")))))
+    val might = bloomMightContain(bfBytes, col("fp"))
     val defNew = fps.filter(!might)
     val verified = fps.filter(might)
       .join(snapFp, Seq("fp"), "left_anti")
       .select(col("doc_id"), col("fp"))
     defNew.select(col("doc_id"), col("fp")).union(verified)
+  }
+
+  /** Distributed bloom build over a one-column `fp` frame: ONE combinable
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate
+    * .BloomFilterAggregate]] whose buffer (and the driver collect) is
+    * `numBits/8` bytes by construction — a PARAMETER, not a function of
+    * the data. Null when the frame is empty. */
+  private[graft] def snapshotBloom(snapFp: DataFrame, expectedItems: Long,
+                                   numBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexp}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = gcol(new BloomFilterAggregate(
+      gexp(xxhash64(col("fp"))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    snapFp.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Scan-side codegen'd bloom membership predicate over a fingerprint
+    * column — usable in batch AND streaming plans (it is a plain
+    * deterministic expression, no join, no state). */
+  private[graft] def bloomMightContain(bfBytes: Array[Byte],
+                                       fp: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexp}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    gcol(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), gexp(xxhash64(fp))))
+  }
+
+  /** Streaming face of [[snapshotDedup]] — continuous crawl ingest: the
+    * PRIOR snapshot is static (bloom built once, driver-side, fixed
+    * size), the fresh crawl arrives as a stream. Bloom misses pass
+    * through as a stateless scan-side filter (no state store, no
+    * exchange); bloom hits exact-verify through a stream-static LEFT
+    * ANTI join against the snapshot fingerprints (allowed by Structured
+    * Streaming with the static side on the right; re-planned per
+    * micro-batch, never stateful). The union of the two branches is the
+    * kept stream. Semantics identical to the batch operator: EXACT —
+    * the bloom only ever errs toward extra verification.
+    *
+    * State profile at 100 TB/day: ZERO streaming state (no watermark
+    * needed — both branches are stateless per-row decisions against
+    * static data); the static side re-scans per micro-batch, which is
+    * the standard stream-static trade and is bounded by snapshot size,
+    * not stream history. */
+  def snapshotDedupStream(input: DataFrame, snapshot: DataFrame,
+                          idCol: String, textCol: String,
+                          expectedItems: Long = 1L << 20,
+                          numBits: Long = 1L << 23): DataFrame = {
+    val snapFp = snapshot.select(
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val bfBytes = snapshotBloom(snapFp, expectedItems, numBits)
+    val fps = input.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    if (bfBytes == null) return fps
+    val might = bloomMightContain(bfBytes, col("fp"))
+    fps.filter(!might).union(
+      fps.filter(might).join(snapFp, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp")))
   }
 
   /** DuckDB oracle for [[snapshotDedup]] with the `doc_id % 3` snapshot
@@ -1071,6 +1131,146 @@ object Dedup {
       |snap AS (SELECT fp FROM f WHERE doc_id % 3 = 0),
       |inp AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0)
       |SELECT doc_id, fp FROM inp ANTI JOIN snap USING (fp)""".stripMargin
+
+  /** Cross-snapshot NEAR-dup — the fuzzy face of [[snapshotDedup]]:
+    * drop input documents whose exact shingle-set Jaccard against ANY
+    * prior-snapshot document reaches `tau`, with MinHash-LSH banding as
+    * the candidate filter. The scale shape differs from running
+    * [[nearDupVerified]] over the union: candidates are generated ONLY
+    * across the corpus boundary (input bands probe snapshot bands), so
+    * the operator never pays for snapshot×snapshot pairs — and in
+    * incremental ingest the snapshot is typically 10-100× the fresh
+    * crawl, making union-pairing mostly wasted work.
+    *
+    * Stage shapes, all bounded:
+    *  - one rep per identical lowered text PER SIDE (combinable groupBy;
+    *    an exact-duplicate group shares one verdict);
+    *  - signatures via the fused [[graft.functions.MinHashTextExpr]]
+    *    kernel, banding shuffles (doc, band, bucket) triples only;
+    *  - snapshot stop-buckets (> `maxBucket` members) are dropped before
+    *    the probe join — a band key shared by thousands of snapshot docs
+    *    identifies boilerplate, not provenance (same cap contract as
+    *    [[bucketPairs]], mirrored by the oracle);
+    *  - candidates verify by exact per-pair Jaccard on the TEXTS
+    *    ([[graft.functions.JaccardTextsExpr]] — the r11 exchange-mass
+    *    lesson), co-partitioned at a data-dependent width so sorts stay
+    *    in memory at any corpus size;
+    *  - verdicts map back to members through the identical-text group
+    *    key, and docs with <n tokens (null signature) are kept — they
+    *    carry no shingle content to near-match.
+    *
+    * Recall is bounded by the LSH S-curve at (bands, rows), exactly as
+    * in [[nearDupVerified]]; the oracle mirrors banding and verifier
+    * both. Output: (doc_id) — input documents that survive. */
+  def snapshotNearDup(input: DataFrame, snapshot: DataFrame,
+                      idCol: String, textCol: String,
+                      n: Int = 3, bands: Int = 16, rows: Int = 4,
+                      tau: Double = 0.5, maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexp}
+    val k = bands * rows
+    val par = input.sparkSession.sparkContext.defaultParallelism
+    // one rep per identical lowered text (min doc id; struct min is
+    // deterministic because the id leads). Checkpointed: each rep table
+    // feeds 2-3 independent branches below and ReuseExchange never
+    // fires across branches.
+    def reps(df: DataFrame): DataFrame = df
+      .groupBy(md5(lower(col(textCol))).as("g"))
+      .agg(min(struct(col(idCol).as("doc"), col(textCol).as("t"))).as("m"))
+      .select(col("g"), col("m.doc").as("doc"), col("m.t").as("t"))
+      .localCheckpoint()
+    val inReps = reps(input)   // banding + text attach + verdict map-back
+    val snReps = reps(snapshot) // banding + text attach
+    def banded(repsDf: DataFrame): DataFrame = repsDf
+      .repartition(par)
+      .withColumn("sig", minhashTextSignature(col("t"), n, k))
+      .filter(col("sig").isNotNull)
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // snapshot bands feed the stop-bucket count AND the probe join;
+    // (doc, band, bucket) triples only — checkpoint, don't re-sign
+    val bSnap = banded(snReps).localCheckpoint()
+    val keptBuckets = bSnap.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c")).filter(col("c") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val cand = banded(inReps)
+      .join(bSnap.join(keptBuckets, Seq("band", "bucket"), "left_semi")
+        .select(col("band"), col("bucket"), col("doc").as("snap_rep")),
+        Seq("band", "bucket"))
+      .select(col("doc").as("in_rep"), col("snap_rep"))
+      .distinct()
+      .localCheckpoint() // bounded: LSH survivors; consumed 3x below
+    // data-dependent verify width (the nearDupVerified discipline):
+    // the pair join carries two ~300 B texts per row; ~25k pairs per
+    // partition keeps every sort in memory at any corpus size
+    val defaultParts =
+      input.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val verifyParts = math.max(defaultParts, (cand.count() / 25000L).toInt)
+    val tIn = inReps.select(col("doc").as("in_rep"), col("t").as("t_a"))
+      .join(cand.select(col("in_rep")), Seq("in_rep"), "left_semi")
+    val tSn = snReps.select(col("doc").as("snap_rep"), col("t").as("t_b"))
+      .join(cand.select(col("snap_rep")), Seq("snap_rep"), "left_semi")
+    val contaminated = cand
+      .repartition(verifyParts, col("in_rep"))
+      .join(tIn.repartition(verifyParts, col("in_rep")), "in_rep")
+      .repartition(verifyParts, col("snap_rep"))
+      .join(tSn.repartition(verifyParts, col("snap_rep")), "snap_rep")
+      .withColumn("jacc", gcol(graft.functions.JaccardTextsExpr(
+        gexp(col("t_a")), gexp(col("t_b")), n)))
+      .filter(col("jacc") >= tau)
+      .select(col("in_rep").as("rep")).distinct()
+    input.select(col(idCol), md5(lower(col(textCol))).as("g"))
+      .join(inReps.select(col("g"), col("doc").as("rep")), "g")
+      .join(contaminated, Seq("rep"), "left_anti")
+      .select(col(idCol))
+  }
+
+  /** DuckDB oracle for [[snapshotNearDup]] with the `doc_id % 3`
+    * snapshot split over `documents`: per-side identical-text reps, the
+    * shared signature+banding chain over the union, input bands probing
+    * capped snapshot bands, exact shingle-set Jaccard on survivors,
+    * verdict mapped back through the rep. */
+  def snapshotNearDupOracleSql(n: Int = 3, bands: Int = 16, rows: Int = 4,
+                               tau: Double = 0.5,
+                               maxBucket: Int = 1024): String = {
+    val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
+    s"""WITH inp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+       |snap AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |ing AS (
+       |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY lower(text)) AS rep
+       |  FROM inp),
+       |inreps AS (SELECT doc_id, text FROM ing WHERE doc_id = rep),
+       |snreps AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      min(doc_id) OVER (PARTITION BY lower(text)) AS rep
+       |    FROM snap) WHERE doc_id = rep),
+       |allreps AS (SELECT * FROM inreps UNION ALL SELECT * FROM snreps),
+       |${minhashBandedCtes(n, bands, rows, src = "allreps")},
+       |bin AS (
+       |  SELECT b.* FROM banded b JOIN inreps r ON r.doc_id = b.doc_id),
+       |bsnap AS (
+       |  SELECT b.* FROM banded b JOIN snreps r ON r.doc_id = b.doc_id),
+       |kept AS ( -- snapshot stop-bucket cap, mirrored
+       |  SELECT band, bkey FROM bsnap GROUP BY 1, 2
+       |  HAVING count(*) <= $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS id_in, s.doc_id AS id_snap
+       |  FROM bin i JOIN bsnap s ON i.band = s.band AND i.bkey = s.bkey
+       |  JOIN kept k ON k.band = i.band AND k.bkey = i.bkey),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(t) - ${n - 1}), i -> $grams)) AS sh
+       |  FROM toks WHERE len(t) >= $n),
+       |bad AS (
+       |  SELECT DISTINCT c.id_in FROM cand c
+       |  JOIN shs a ON a.doc_id = c.id_in
+       |  JOIN shs b ON b.doc_id = c.id_snap
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $tau)
+       |SELECT doc_id FROM ing WHERE rep NOT IN (SELECT id_in FROM bad)""".stripMargin
+  }
 
   /** DuckDB oracle for [[contaminationReport]] with the standard
     * `doc_id % 97` eval split over `documents`. */

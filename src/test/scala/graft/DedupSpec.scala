@@ -285,4 +285,22 @@ class DedupSpec extends SparkSpec {
       (1L, 1000000L, 100L, true),
       (2L, 333333L, 100L, false)))
   }
+
+  test("snapshotNearDup: exact copies and near-copies drop, distinct and short docs stay") {
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val snap = Seq(
+      (1000L, base),
+      (1001L, "completely different snapshot content about maritime navigation charts")
+    ).toDF("doc_id", "text")
+    val input = Seq(
+      (1L, base),                          // exact copy → identical sig → dropped
+      (2L, base.toUpperCase),              // case variant → identical lowered text → dropped
+      (3L, base + " extra tail"),          // near-copy (jaccard ≈ 12/15) → dropped
+      (4L, "entirely unrelated fresh text about quantum chromodynamics lattice results"),
+      (5L, "ab cd")                        // < n tokens: null signature → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.snapshotNearDup(input, snap, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(kept == Set(4L, 5L))
+  }
 }
