@@ -309,9 +309,12 @@ object Bench {
     // dedup_verified first: it is the historical linearity question; if
     // the deadline only fits one query, it is the one that must land.
     // dedup_lines + decontaminate_fuzzy appended r12 (VERDICT r11 #3:
-    // both were new at r11 with sf10 points only)
+    // both were new at r11 with sf10 points only); the incremental-
+    // ingest family (snapshot bloom + cross-corpus LSH) appended
+    // late-r12 for the same reason
     val names = Seq("dedup_verified", "dedup_substring",
-      "dedup_lines", "decontaminate_fuzzy")
+      "dedup_lines", "decontaminate_fuzzy",
+      "dedup_snapshot", "dedup_snapshot_fuzzy")
     val dir = synthesizeSf100(spark, sfDir)
     reclaim(spark)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -2603,6 +2603,24 @@ object Queries {
         Multimodal.synthEncodedMedia(Tables.documents(s, dir), "audio"))
     }),
 
+    // multimodal REAL video round-trip: per-doc MJPEG-in-AVI written by
+    // the fixture (RIFF container + JDK-imageio JPEG frames, all fields
+    // id-derived) → RIFF walk + per-frame JPEG decode; header facts,
+    // frame counts, and decoded dimensions closed-form for the oracle
+    "multimodal_video_decode" -> ((s, dir) => {
+      Multimodal.decodeVideo(
+        Multimodal.synthEncodedMedia(Tables.documents(s, dir), "video"))
+    }),
+
+    // multimodal REAL keyframe sampling: decode only every 2nd AVI
+    // frame — the production "sample then decode" order (never decode
+    // what the sample drops)
+    "multimodal_video_frames" -> ((s, dir) => {
+      Multimodal.sampleVideoFrames(
+        Multimodal.synthEncodedMedia(Tables.documents(s, dir), "video"),
+        everyNth = 2)
+    }),
+
     // §2.9 mmfields — delimiter split into f_1..f_n
     "mmfields" -> ((s, dir) => {
       val ev = synthSyslog(s, dir)
@@ -5691,6 +5709,30 @@ object Queries {
         |    x -> x % 3 = 0)) AS blk)
         |) f
         |WHERE doc_id % 3 = 2""".stripMargin,
+
+    // every header field, frame count, and decoded dimension of the
+    // MJPEG-AVI fixture is a closed-form function of doc_id; JPEG pixel
+    // VALUES are lossy and stay out of the contract
+    "multimodal_video_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + (doc_id % 4) * 8 AS INT) AS width,
+        |  CAST(8 + (doc_id % 3) * 8 AS INT) AS height,
+        |  CAST(2 + doc_id % 4 AS INT) AS n_frames,
+        |  CAST(40000 + (doc_id % 5) * 20000 AS BIGINT) AS us_per_frame,
+        |  CAST((2 + doc_id % 4) * (40000 + (doc_id % 5) * 20000) // 1000
+        |    AS BIGINT) AS dur_ms,
+        |  CAST(2 + doc_id % 4 AS INT) AS frames_decoded,
+        |  CAST(16 + (doc_id % 4) * 8 AS INT) AS first_w,
+        |  CAST(8 + (doc_id % 3) * 8 AS INT) AS first_h
+        |FROM documents""".stripMargin,
+
+    "multimodal_video_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(f AS INT) AS frame_no,
+        |  CAST(16 + (doc_id % 4) * 8 AS INT) AS frame_w,
+        |  CAST(8 + (doc_id % 3) * 8 AS INT) AS frame_h
+        |FROM documents,
+        |LATERAL (SELECT unnest(range(0, 2 + doc_id % 4, 2)) AS f) t""".stripMargin,
 
     // ------------------------- device parser / mm-module oracles ------------
 

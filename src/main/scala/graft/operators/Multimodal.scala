@@ -157,7 +157,11 @@ object Multimodal {
     docs.select(col("doc_id")).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        Row(id, if (kind == "image") pngBytes(id) else wavBytes(id))
+        Row(id, kind match {
+          case "image" => pngBytes(id)
+          case "video" => aviBytes(id)
+          case _ => wavBytes(id)
+        })
       }
     }(enc)
   }
@@ -250,5 +254,188 @@ object Multimodal {
               i => when(i % everyNth === 0, i)),
             x => x.isNotNull)))
       .select(col("media_id"), col("pos").as("frame_no"), col("col").as("block_offset_kib"))
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video path — MJPEG-in-AVI. An AVI file is a RIFF container
+  // (reference container handling: plugins/impcap parses link-layer
+  // containers the same walk-a-length-prefixed-chunk way); MJPEG frames
+  // are plain JPEG payloads in '00dc' chunks, decodable by the JDK's
+  // own javax.imageio JPEG reader. So the full encode→container-walk→
+  // per-frame-decode loop runs with ZERO external codecs: the fixture
+  // writes genuine AVI bytes whose header fields and frame dimensions
+  // are closed-form functions of the id, the kernel re-parses RIFF and
+  // decodes every sampled frame, and the DuckDB oracle asserts the
+  // header/dimension/count facts analytically. (Pixel VALUES stay out
+  // of the oracle — JPEG is lossy; dimensions and structure are exact.)
+  // ------------------------------------------------------------------
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+    fourcc(id) ++ le32(data.length.toLong) ++ data ++ pad
+  }
+
+  private def list(typ: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", fourcc(typ) ++ body)
+
+  /** One solid-color JPEG frame (JDK imageio writer). */
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG-AVI: id-derived frame count, dimensions, and
+    * frame interval — all closed-form for the oracle. Dimensions are
+    * multiples of 8 (JPEG MCU-friendly), frames are solid id/frame-
+    * derived colors. */
+  private[graft] def aviBytes(id: Long): Array[Byte] = {
+    val nF = (2 + id % 4).toInt
+    val w = (16 + (id % 4) * 8).toInt
+    val h = (8 + (id % 3) * 8).toInt
+    val usPf = (40000 + (id % 5) * 20000).toInt
+    val frames = (0 until nF).map { i =>
+      jpegFrame(w, h, (((id * 37 + i * 53) % 256).toInt << 16) |
+        (((id * 11 + i * 29) % 256).toInt << 8) | ((id * 7 + i * 3) % 256).toInt)
+    }
+    val avih = chunk("avih", le32(usPf.toLong) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(nF.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ new Array[Byte](16))
+    val strh = chunk("strh", fourcc("vids") ++ fourcc("MJPG") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ // flags, prio+lang, initialFrames
+      le32(usPf.toLong) ++ le32(1000000L) ++ // scale, rate => fps = rate/scale
+      le32(0) ++ le32(nF.toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      new Array[Byte](8)) // rcFrame
+    val strf = chunk("strf", le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ fourcc("MJPG") ++
+      le32((w * h * 3).toLong) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  private def rdLe32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  private def fccAt(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Minimal RIFF-AVI walk: returns (usPerFrame, headerW, headerH,
+    * '00dc' frame payload slices) or null if not an AVI. Bounds-checked
+    * — truncated/garbage payloads quarantine as null rows, never a task
+    * failure. */
+  private[graft] def parseAvi(b: Array[Byte]): (Long, Int, Int, Seq[Array[Byte]]) = {
+    if (b.length < 12 || fccAt(b, 0) != "RIFF" || fccAt(b, 8) != "AVI ")
+      return null
+    var usPf = -1L; var w = -1; var h = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fccAt(b, off)
+        val len = rdLe32(b, off + 4).toInt
+        val dataOff = off + 8
+        if (dataOff + len > to) return // truncated chunk: stop the walk
+        id match {
+          case "LIST" => walk(dataOff + 4, dataOff + len) // skip list type
+          case "avih" if len >= 40 =>
+            usPf = rdLe32(b, dataOff)
+            w = rdLe32(b, dataOff + 32).toInt
+            h = rdLe32(b, dataOff + 36).toInt
+          case "00dc" =>
+            frames += java.util.Arrays.copyOfRange(b, dataOff, dataOff + len)
+          case _ =>
+        }
+        off = dataOff + len + (len % 2) // chunks pad to even
+      }
+    }
+    walk(12, math.min(b.length, 8 + rdLe32(b, 4).toInt))
+    if (usPf < 0) null else (usPf, w, h, frames.toSeq)
+  }
+
+  /** REAL video decode: RIFF/AVI container walk + per-frame JPEG decode
+    * through javax.imageio. Output = header facts (dimensions, frame
+    * interval, duration) + the decoded-frame count and first decoded
+    * frame's dimensions — the structural loop the oracle can assert
+    * exactly (pixel values are lossy-JPEG territory and stay out). */
+  def decodeVideo(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("us_per_frame", LongType),
+      StructField("dur_ms", LongType),
+      StructField("frames_decoded", IntegerType),
+      StructField("first_w", IntegerType),
+      StructField("first_h", IntegerType)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val parsed =
+          try parseAvi(r.getAs[Array[Byte]](1))
+          catch { case _: Exception => null }
+        if (parsed == null) Row(id, null, null, null, null, null, null, null, null)
+        else {
+          val (usPf, w, h, frames) = parsed
+          val decoded = frames.flatMap { f =>
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(f)))
+            catch { case _: java.io.IOException => None }
+          }
+          val (fw, fh) = decoded.headOption
+            .map(i => (i.getWidth, i.getHeight)).getOrElse((-1, -1))
+          Row(id, w, h, frames.length, usPf,
+            frames.length.toLong * usPf / 1000L, decoded.length,
+            if (fw < 0) null else fw, if (fh < 0) null else fh)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL keyframe sampling: every `everyNth` '00dc' frame of the AVI is
+    * decoded; one output row per sampled frame with its decoded
+    * dimensions — the production frame-sample shape (decode only what
+    * the sample keeps). */
+  def sampleVideoFrames(media: DataFrame, everyNth: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame_w", IntegerType),
+      StructField("frame_h", IntegerType)))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("media_id"), col("content")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val parsed =
+          try parseAvi(r.getAs[Array[Byte]](1))
+          catch { case _: Exception => null }
+        if (parsed == null) Iterator.empty
+        else parsed._4.iterator.zipWithIndex
+          .filter(_._2 % everyNth == 0)
+          .map { case (f, i) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+              catch { case _: java.io.IOException => null }
+            if (img == null) Row(id, i, null, null)
+            else Row(id, i, img.getWidth, img.getHeight)
+          }
+      }
+    }(enc)
   }
 }

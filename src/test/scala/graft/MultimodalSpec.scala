@@ -44,6 +44,46 @@ class MultimodalSpec extends SparkSpec {
     assert(magic == "RIFF")
   }
 
+  test("video: MJPEG-AVI round-trip — container facts and decoded dims are id-derived") {
+    val docs = Seq(0L, 7L, 123L).toDF("doc_id")
+    val out = Multimodal.decodeVideo(
+        Multimodal.synthEncodedMedia(docs, "video"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(0L, 7L, 123L)) {
+      val r = out(id)
+      val (w, h, nF) = ((16 + (id % 4) * 8).toInt, (8 + (id % 3) * 8).toInt,
+        (2 + id % 4).toInt)
+      val usPf = 40000 + (id % 5) * 20000
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"header dims of $id")
+      assert(r.getInt(3) == nF && r.getLong(4) == usPf)
+      assert(r.getLong(5) == nF * usPf / 1000)
+      // EVERY frame must decode through the real JPEG reader, and the
+      // decoded dimensions must match the container header
+      assert(r.getInt(6) == nF, s"frames_decoded of $id")
+      assert(r.getInt(7) == w && r.getInt(8) == h)
+    }
+    val magic = new String(Multimodal.aviBytes(5L).take(4), "US-ASCII")
+    assert(magic == "RIFF")
+  }
+
+  test("video: keyframe sampling decodes every Nth frame only") {
+    val docs = Seq(3L).toDF("doc_id") // 2 + 3%4 = 5 frames; sample 0, 2, 4
+    val rows = Multimodal.sampleVideoFrames(
+        Multimodal.synthEncodedMedia(docs, "video"), everyNth = 2)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).sorted
+    assert(rows.toSeq == Seq((0, 40, 8), (2, 40, 8), (4, 40, 8)))
+  }
+
+  test("video: garbage and truncated payloads quarantine, never fail") {
+    assert(Multimodal.parseAvi(Array[Byte](1, 2, 3)) == null)
+    val good = Multimodal.aviBytes(9L)
+    // truncation mid-movi: the walk stops at the broken chunk; whatever
+    // parsed stays usable (header), frames list may be shorter
+    val cut = java.util.Arrays.copyOfRange(good, 0, good.length - 7)
+    val p = Multimodal.parseAvi(cut)
+    assert(p == null || p._2 == 24) // header-only parse is acceptable
+  }
+
   test("undecodable payloads quarantine as null fields, never fail the task") {
     val junk = spark.createDataFrame(
       java.util.Arrays.asList(

@@ -222,6 +222,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ngram_hot: candidate semi-join broadcasts; recount combines") {
+    // the two-pass contract: the exact recount must only ever see the
+    // capacity-bounded candidate set, broadcast to the gram scan — a
+    // shuffled semi-join here would re-shuffle the gram stream the
+    // sketch exists to avoid
+    val p = plan("ngram_hot")
+    assert(p.toLowerCase.contains("leftsemi"), "candidate semi-join missing")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the <=capacity candidate set must broadcast")
+    assert(p.contains("HashAggregate"), "recount must partial-aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_snapshot: bloom predicate is scan-side; only hits reach the anti-join") {
+    // the bloom branch must be a plain codegen'd predicate (no join, no
+    // exchange) — that is the whole point: definite-new rows pass with
+    // zero exchange; only the possibly-seen sliver anti-joins
+    val p = plan("dedup_snapshot")
+    assert(p.contains("might_contain"),
+      "bloom membership must be the scan-side might_contain predicate")
+    assert(p.contains("LeftAnti"), "exact verification anti-join missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dedup_snapshot_fuzzy: texts verify through the fused kernel; verdict maps back anti-join") {
+    val p = plan("dedup_snapshot_fuzzy")
+    assert(p.contains("jaccard_texts"),
+      "verify must use the fused two-text kernel, not array-carrying joins")
+    assert(p.contains("LeftAnti"), "contaminated-rep map-back must be anti-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no-cartesian / no-Python sweep over the lazily-built batch suite") {
     // every query that constructs lazily: the physical plan must never
     // contain a cartesian product or a Python eval barrier. Eagerly-
