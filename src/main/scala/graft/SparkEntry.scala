@@ -1891,6 +1891,41 @@ object Queries {
     // file input → ruleset → action counts, no hand-built frame. Output
     // = routed count per action, ONE aggregation over the compiled
     // frame's frozen per-action condition columns (no per-action re-scan)
+    // global(variables.casesensitive="off") — the reference's DEFAULT
+    // fjson mode (glbl.c:1405; its only test, tests/json_var_case.sh,
+    // pins the "on" path this engine always had): variable reads find
+    // the first case-insensitively matching key, writes respell the
+    // matched leaf, unset/exists fold case, and the overlay cache keys
+    // fold to agree with the tree
+    "json_var_case" -> ((s, dir) => {
+      val ev = synthSyslog(s, dir).select("event_id", "severity")
+      val conf =
+        """global(variables.casesensitive="off")
+          |set $!MixedCase!Inner = $severity * 10;
+          |set $!mixedCASE!INNER = $!mixedcase!inner + 1;
+          |set $.LocalVar = "L" & $!MIXEDCASE!inner;
+          |set $!Tmp!Gone = 1;
+          |unset $!tmp!gone;
+          |set $!out!read_ci = $!MixedCase!INNER;
+          |set $!out!exists_gone = exists($!TMP!GONE);
+          |set $!out!tmp_obj = exists($!tMp);
+          |""".stripMargin
+      val cfg = graft.rainerscript.RsyslogConfig.parse(conf)
+      val res = cfg.run(ev)
+      res.output.select(
+        col("event_id"),
+        // case-SENSITIVE readback proves the final spelling: the ci
+        // write found "Inner" and respelled it "INNER" under the
+        // original "MixedCase" parent
+        get_json_object(col("vars_msg"), "$.MixedCase.INNER")
+          .cast("long").as("v_spell"),
+        get_json_object(col("vars_msg"), "$.out.read_ci")
+          .cast("long").as("read_ci"),
+        get_json_object(col("vars_local"), "$.LocalVar").as("l_ci"),
+        get_json_object(col("vars_msg"), "$.out.exists_gone").as("exists_gone"),
+        get_json_object(col("vars_msg"), "$.out.tmp_obj").as("tmp_obj"))
+    }),
+
     "config_e2e" -> ((s, dir) => {
       // deterministic path (overwritten per sf) + exit-reaped
       val spool = graft.Tmp.register(java.nio.file.Paths.get(
@@ -5104,6 +5139,15 @@ object Queries {
         |  END AS line,
         |  event_id % 3 <> 0 AS parsesuccess
         |FROM events""".stripMargin,
+
+    "json_var_case" -> (synthSql +
+      """ SELECT event_id,
+        |  CAST(severity * 10 + 1 AS BIGINT) AS v_spell,
+        |  CAST(severity * 10 + 1 AS BIGINT) AS read_ci,
+        |  'L' || (severity * 10 + 1) AS l_ci,
+        |  'false' AS exists_gone,
+        |  'true' AS tmp_obj
+        | FROM ev""".stripMargin),
 
     "config_e2e" -> (synthSql +
       """ SELECT

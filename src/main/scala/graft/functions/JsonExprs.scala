@@ -27,12 +27,31 @@ object JsonPathUtil {
     p0.split('!').filter(_.nonEmpty)
   }
 
+  /** Field lookup with the reference's `variables.casesensitive` toggle
+    * (glbl.c:1405 → fjson_global_do_case_sensitive_comparison): ci=false
+    * is a plain exact get; ci=true returns the FIRST case-insensitively
+    * matching field in insertion order — libfastjson's comparison under
+    * the insensitive global (an exact match is also a ci match, so
+    * first-in-order wins regardless of exactness). */
+  def getField(node: JsonNode, name: String, ci: Boolean): JsonNode = {
+    if (!ci) return node.get(name)
+    val it = node.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.equalsIgnoreCase(name)) return e.getValue
+    }
+    null
+  }
+
   /** Navigate to parent of the leaf, creating objects along the way. */
-  def ensureParent(root: ObjectNode, segs: Array[String]): ObjectNode = {
+  def ensureParent(root: ObjectNode, segs: Array[String]): ObjectNode =
+    ensureParent(root, segs, ci = false)
+
+  def ensureParent(root: ObjectNode, segs: Array[String], ci: Boolean): ObjectNode = {
     var cur = root
     var i = 0
     while (i < segs.length - 1) {
-      val nxt = cur.get(segs(i))
+      val nxt = getField(cur, segs(i), ci)
       cur = nxt match {
         case o: ObjectNode => o
         case _ =>
@@ -49,11 +68,14 @@ object JsonPathUtil {
     * "foo[3][0]" (lexer VAR charset includes [], lexer.l:373;
     * tests/json_array_subscripting.sh). 0-based like the reference;
     * subscript on a non-array or out of bounds → null. */
-  def navSeg(node: JsonNode, seg: String): JsonNode = {
+  def navSeg(node: JsonNode, seg: String): JsonNode =
+    navSeg(node, seg, ci = false)
+
+  def navSeg(node: JsonNode, seg: String, ci: Boolean): JsonNode = {
     val bracket = seg.indexOf('[')
-    if (bracket < 0) return node.get(seg)
+    if (bracket < 0) return getField(node, seg, ci)
     var cur: JsonNode =
-      if (bracket == 0) node else node.get(seg.substring(0, bracket))
+      if (bracket == 0) node else getField(node, seg.substring(0, bracket), ci)
     var k = bracket
     while (cur != null && k < seg.length && seg.charAt(k) == '[') {
       val close = seg.indexOf(']', k)
@@ -84,7 +106,22 @@ object JsonPathUtil {
     case _ => 4
   }
 
-  def putTagged(parent: ObjectNode, leaf: String, v: Any, tag: Int): Unit = {
+  def putTagged(parent: ObjectNode, leaf: String, v: Any, tag: Int): Unit =
+    putTagged(parent, leaf, v, tag, ci = false)
+
+  def putTagged(parent: ObjectNode, leaf: String, v: Any, tag: Int,
+                ci: Boolean): Unit = {
+    // fjson add under the insensitive global replaces the (first)
+    // case-insensitively matching entry; the NEW spelling wins
+    if (ci) {
+      val it = parent.fieldNames()
+      var hit: String = null
+      while (hit == null && it.hasNext) {
+        val k = it.next()
+        if (k.equalsIgnoreCase(leaf)) hit = k
+      }
+      if (hit != null && hit != leaf) parent.remove(hit)
+    }
     if (v == null) { parent.putNull(leaf); return }
     tag match {
       case 0 => parent.put(leaf, v.asInstanceOf[Long])
@@ -106,27 +143,36 @@ object JsonPathUtil {
   // ---- static kernels for generated code (null dispatch inside) ----
 
   /** json_set kernel: p==null → j unchanged (may be null). */
-  def setKernel(j: UTF8String, p: UTF8String, v: Any, tag: Int): UTF8String = {
+  def setKernel(j: UTF8String, p: UTF8String, v: Any, tag: Int): UTF8String =
+    setKernel(j, p, v, tag, false)
+
+  def setKernel(j: UTF8String, p: UTF8String, v: Any, tag: Int,
+                ci: Boolean): UTF8String = {
     if (p == null) return j
     val root = parseOrEmpty(if (j == null) "{}" else j.toString)
     val segs = splitPath(p.toString)
     if (segs.isEmpty) return j
-    val parent = ensureParent(root, segs)
-    putTagged(parent, segs.last, v, tag)
+    val parent = ensureParent(root, segs, ci)
+    putTagged(parent, segs.last, v, tag, ci)
     UTF8String.fromString(mapper.writeValueAsString(root))
   }
 
   /** batched json_set kernel: guard==false/null → j unchanged. */
   def setMultiKernel(j: UTF8String, guard: java.lang.Boolean, paths: Array[String],
-                     values: Array[AnyRef], tags: Array[Int]): UTF8String = {
+                     values: Array[AnyRef], tags: Array[Int]): UTF8String =
+    setMultiKernel(j, guard, paths, values, tags, false)
+
+  def setMultiKernel(j: UTF8String, guard: java.lang.Boolean, paths: Array[String],
+                     values: Array[AnyRef], tags: Array[Int],
+                     ci: Boolean): UTF8String = {
     if (guard == null || !guard.booleanValue()) return j
     val root = parseOrEmpty(if (j == null) "{}" else j.toString)
     var i = 0
     while (i < paths.length) {
       val segs = splitPath(paths(i))
       if (segs.nonEmpty) {
-        val parent = ensureParent(root, segs)
-        putTagged(parent, segs.last, values(i), tags(i))
+        val parent = ensureParent(root, segs, ci)
+        putTagged(parent, segs.last, values(i), tags(i), ci)
       }
       i += 1
     }
@@ -134,7 +180,10 @@ object JsonPathUtil {
   }
 
   /** json_unset kernel: j==null → null; p==null → j. */
-  def unsetKernel(j: UTF8String, p: UTF8String): UTF8String = {
+  def unsetKernel(j: UTF8String, p: UTF8String): UTF8String =
+    unsetKernel(j, p, false)
+
+  def unsetKernel(j: UTF8String, p: UTF8String, ci: Boolean): UTF8String = {
     if (j == null) return null
     if (p == null) return j
     val root = parseOrEmpty(j.toString)
@@ -142,9 +191,20 @@ object JsonPathUtil {
     if (segs.nonEmpty) {
       var cur: JsonNode = root
       var i = 0
-      while (i < segs.length - 1 && cur != null) { cur = cur.get(segs(i)); i += 1 }
+      while (i < segs.length - 1 && cur != null) {
+        cur = getField(cur, segs(i), ci); i += 1
+      }
       cur match {
-        case o: ObjectNode => o.remove(segs.last)
+        case o: ObjectNode =>
+          if (ci) {
+            val it = o.fieldNames()
+            var hit: String = null
+            while (hit == null && it.hasNext) {
+              val k = it.next()
+              if (k.equalsIgnoreCase(segs.last)) hit = k
+            }
+            if (hit != null) o.remove(hit)
+          } else o.remove(segs.last)
         case _ =>
       }
     }
@@ -152,12 +212,15 @@ object JsonPathUtil {
   }
 
   /** json_exists kernel. */
-  def existsKernel(j: UTF8String, p: UTF8String): Boolean = {
+  def existsKernel(j: UTF8String, p: UTF8String): Boolean =
+    existsKernel(j, p, false)
+
+  def existsKernel(j: UTF8String, p: UTF8String, ci: Boolean): Boolean = {
     if (j == null || p == null) return false
     val segs = splitPath(p.toString)
     var cur: JsonNode = try mapper.readTree(j.toString) catch { case _: Exception => null }
     var i = 0
-    while (i < segs.length && cur != null) { cur = cur.get(segs(i)); i += 1 }
+    while (i < segs.length && cur != null) { cur = getField(cur, segs(i), ci); i += 1 }
     cur != null
   }
 
@@ -276,7 +339,10 @@ object JsonPathUtil {
     * json-c SPACED form. Missing path, JSON null, or an unparsable tree
     * → SQL null. Path segments split on `!` and `.` like the template
     * resolver's get_json_object form did. */
-  def renderKernel(j: UTF8String, path: String): UTF8String = {
+  def renderKernel(j: UTF8String, path: String): UTF8String =
+    renderKernel(j, path, false)
+
+  def renderKernel(j: UTF8String, path: String, ci: Boolean): UTF8String = {
     if (j == null) return null
     var cur: JsonNode =
       try mapper.readTree(j.toString) catch { case _: Exception => null }
@@ -284,7 +350,7 @@ object JsonPathUtil {
       val segs = path.split(Array('!', '.')).filter(_.nonEmpty)
       var i = 0
       while (i < segs.length && cur != null) {
-        cur = JsonPathUtil.navSeg(cur, segs(i)); i += 1
+        cur = JsonPathUtil.navSeg(cur, segs(i), ci); i += 1
       }
     }
     if (cur == null || cur.isNull || cur.isMissingNode) return null
@@ -390,19 +456,20 @@ object JsonPathUtil {
   * string coercion goes through (runtime/msg.c:1067, glbl.c:104).
   * path "" renders the whole tree.
   */
-case class JsonRenderExpr(child: Expression, path: String)
+case class JsonRenderExpr(child: Expression, path: String,
+                          ci: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def prettyName: String = "json_render"
 
   override protected def nullSafeEval(j: Any): Any =
-    JsonPathUtil.renderKernel(j.asInstanceOf[UTF8String], path)
+    JsonPathUtil.renderKernel(j.asInstanceOf[UTF8String], path, ci)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pathRef = ctx.addReferenceObj("renderPath", path, "java.lang.String")
     nullSafeCodeGen(ctx, ev, j => s"""
-      ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.renderKernel($j, $pathRef);
+      ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.renderKernel($j, $pathRef, $ci);
       ${ev.isNull} = ${ev.value} == null;""")
   }
 
@@ -415,7 +482,8 @@ case class JsonRenderExpr(child: Expression, path: String)
   * booleans; a string that itself parses as JSON object/array is embedded
   * as a subtree (mirrors rsyslog's 'J'-typed svar assignment).
   */
-case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
+case class JsonSetExpr(json: Expression, path: Expression, value: Expression,
+                       ci: Boolean = false)
     extends TernaryExpression {
   override def first: Expression = json
   override def second: Expression = path
@@ -428,7 +496,7 @@ case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
     JsonPathUtil.setKernel(
       json.eval(input).asInstanceOf[UTF8String],
       path.eval(input).asInstanceOf[UTF8String],
-      value.eval(input), JsonPathUtil.typeTag(value.dataType))
+      value.eval(input), JsonPathUtil.typeTag(value.dataType), ci)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val j = json.genCode(ctx); val p = path.genCode(ctx); val v = value.genCode(ctx)
@@ -440,7 +508,7 @@ case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
       UTF8String ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.setKernel(
         ${j.isNull} ? null : ${j.value},
         ${p.isNull} ? null : ${p.value},
-        ${v.isNull} ? null : (Object) ${v.value}, $tag);
+        ${v.isNull} ? null : (Object) ${v.value}, $tag, $ci);
       boolean ${ev.isNull} = ${ev.value} == null;""")
   }
 
@@ -454,7 +522,8 @@ case class JsonSetExpr(json: Expression, path: Expression, value: Expression)
   * roundtrip; scripts routinely run 5-10 sets in a row).
   * children = json +: guard +: values; writes apply only when guard=true.
   */
-case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
+case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression],
+                            ci: Boolean = false)
     extends Expression {
   private def json: Expression = children.head
   private def guard: Expression = children(1)
@@ -473,7 +542,7 @@ case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
     if (g == null || !g.booleanValue()) return j
     JsonPathUtil.setMultiKernel(j, g, paths.toArray,
       values.map(v => v.eval(input).asInstanceOf[AnyRef]).toArray,
-      values.map(v => JsonPathUtil.typeTag(v.dataType)).toArray)
+      values.map(v => JsonPathUtil.typeTag(v.dataType)).toArray, ci)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -498,7 +567,7 @@ case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
         $fill
         ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.setMultiKernel(
           ${j.isNull} ? null : ${j.value}, Boolean.TRUE,
-          $pathsRef, $valsArr, $tagsRef);
+          $pathsRef, $valsArr, $tagsRef, $ci);
       } else {
         ${ev.value} = ${j.isNull} ? null : ${j.value};
       }
@@ -511,7 +580,8 @@ case class JsonSetMultiExpr(paths: Seq[String], children: Seq[Expression])
 }
 
 /** json_unset(json, path): delete the node at path (rsyslog `unset`). */
-case class JsonUnsetExpr(json: Expression, path: Expression)
+case class JsonUnsetExpr(json: Expression, path: Expression,
+                         ci: Boolean = false)
     extends BinaryExpression {
   override def left: Expression = json
   override def right: Expression = path
@@ -522,7 +592,7 @@ case class JsonUnsetExpr(json: Expression, path: Expression)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     JsonPathUtil.unsetKernel(
       json.eval(input).asInstanceOf[UTF8String],
-      path.eval(input).asInstanceOf[UTF8String])
+      path.eval(input).asInstanceOf[UTF8String], ci)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val j = json.genCode(ctx); val p = path.genCode(ctx)
@@ -531,7 +601,7 @@ case class JsonUnsetExpr(json: Expression, path: Expression)
       ${p.code}
       UTF8String ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.unsetKernel(
         ${j.isNull} ? null : ${j.value},
-        ${p.isNull} ? null : ${p.value});
+        ${p.isNull} ? null : ${p.value}, $ci);
       boolean ${ev.isNull} = ${ev.value} == null;""")
   }
 
@@ -624,7 +694,8 @@ case class JsonUnflattenExpr(json: Expression, sep: Expression)
 /** json_exists(json, path): rsyslog `exists($!a!b)` — existence is distinct
   * from null/empty (grammar/grammar.y:224, runtime/msg.h:286).
   */
-case class JsonExistsExpr(json: Expression, path: Expression)
+case class JsonExistsExpr(json: Expression, path: Expression,
+                          ci: Boolean = false)
     extends BinaryExpression {
   override def left: Expression = json
   override def right: Expression = path
@@ -635,7 +706,7 @@ case class JsonExistsExpr(json: Expression, path: Expression)
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     JsonPathUtil.existsKernel(
       json.eval(input).asInstanceOf[UTF8String],
-      path.eval(input).asInstanceOf[UTF8String])
+      path.eval(input).asInstanceOf[UTF8String], ci)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val j = json.genCode(ctx); val p = path.genCode(ctx)
@@ -645,7 +716,7 @@ case class JsonExistsExpr(json: Expression, path: Expression)
         ${p.code}
         boolean ${ev.value} = graft.functions.JsonPathUtil$$.MODULE$$.existsKernel(
           ${j.isNull} ? null : ${j.value},
-          ${p.isNull} ? null : ${p.value});""",
+          ${p.isNull} ? null : ${p.value}, $ci);""",
       isNull = FalseLiteral)
   }
 

@@ -197,18 +197,26 @@ object rainer {
 
   // ---------- JSON (custom expressions; SURVEY §1.2) ----------
 
+  /** The reference's fjson case-comparison global applies to every json
+    * object op in the process (glbl.c:1405) — mirrored here by reading
+    * the compile-scoped flag at Column-construction time in each of the
+    * four variable-tree entry points below. Default false == the
+    * casesensitive="on" mode the reference's own test pins. */
+  private def varsCi: Boolean =
+    graft.rainerscript.EnvSource.varsCaseInsensitive
+
   def json_set(json: Column, path: String, value: Column): Column =
-    col2(JsonSetExpr(json.expr, lit(path).expr, value.expr))
+    col2(JsonSetExpr(json.expr, lit(path).expr, value.expr, varsCi))
   def json_unset(json: Column, path: String): Column =
-    col2(JsonUnsetExpr(json.expr, lit(path).expr))
+    col2(JsonUnsetExpr(json.expr, lit(path).expr, varsCi))
   def json_merge(dst: Column, src: Column): Column =
     col2(JsonMergeExpr(dst.expr, src.expr))
   def json_exists(json: Column, path: String): Column =
-    col2(JsonExistsExpr(json.expr, lit(path).expr))
+    col2(JsonExistsExpr(json.expr, lit(path).expr, varsCi))
   /** Reference-default tree render: objects/arrays in json-c SPACED form
     * (`{ "a": 1 }`), strings bare, scalars by literal (msg.c:1067). */
   def json_render(json: Column, path: String): Column =
-    col2(JsonRenderExpr(json.expr, path))
+    col2(JsonRenderExpr(json.expr, path, varsCi))
   def unflatten(json: Column, sep: String): Column =
     col2(JsonUnflattenExpr(json.expr, lit(sep).expr))
 

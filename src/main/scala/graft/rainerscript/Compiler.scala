@@ -110,6 +110,19 @@ object RainerCompiler {
     }
   }
 
+  /** One JSON-tree variable read: Spark's codegen'd get_json_object in
+    * the (default) case-sensitive mode; the ci render kernel when
+    * global(variables.casesensitive="off") is in force — get_json_object
+    * cannot fold key case, and the render kernel's scalar output matches
+    * it (textValue/asText vs unquoted scalar extraction). */
+  private def varRead(vc: String, p: String): Column =
+    if (EnvSource.varsCaseInsensitive)
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.JsonRenderExpr(
+          org.apache.spark.sql.GraftBridge.expression(col(vc)),
+          p.replace('.', '!'), ci = true))
+    else get_json_object(col(vc), "$." + p.replace('!', '.'))
+
   /** Property name → Column for the fixed schema + JSON var trees. */
   def resolveProp(name: String): Column = name match {
     // bare tree roots: the whole namespace column (compact JSON — the
@@ -118,15 +131,14 @@ object RainerCompiler {
     case "$." => col("vars_local")
     case "$/" => col("vars_global")
     case n if n.startsWith("$!") || n.startsWith("!") =>
-      val p = n.dropWhile(c => c == '$' || c == '!')
-      get_json_object(col("vars_msg"), "$." + p.replace('!', '.'))
+      varRead("vars_msg", n.dropWhile(c => c == '$' || c == '!'))
     case n if n.startsWith("$.") =>
-      get_json_object(col("vars_local"), "$." + n.drop(2).replace('!', '.'))
+      varRead("vars_local", n.drop(2))
     // $/ globals: own namespace column, per-message scope — cross-message
     // mutation is per-partition-unsafe in a parallel engine (rsyslog
     // itself documents $/ as not reliably thread-safe); SURVEY §1.2
     case n if n.startsWith("$/") =>
-      get_json_object(col("vars_global"), "$." + n.drop(2).replace('!', '.'))
+      varRead("vars_global", n.drop(2))
     case n if n.startsWith("$") => resolveProp(n.drop(1))
     case "severity" => col("severity")
     case "facility" => col("facility")
@@ -177,7 +189,8 @@ object RainerCompiler {
     def r(vc: String, p: String): Column =
       coalesce(org.apache.spark.sql.GraftBridge.column(
         graft.functions.JsonRenderExpr(
-          org.apache.spark.sql.GraftBridge.expression(col(vc)), p)), lit(""))
+          org.apache.spark.sql.GraftBridge.expression(col(vc)), p,
+          EnvSource.varsCaseInsensitive)), lit(""))
     // json-c's double rendering is not guaranteed to match a SQL cast,
     // so double overlays keep the render path here (allowDouble=false).
     // String context coerces a null value to "" (the same var2String
@@ -516,16 +529,23 @@ object RainerCompiler {
     def isVarName(raw: String): Boolean =
       raw.startsWith("$!") || raw.startsWith("$.") || raw.startsWith("$/") ||
       raw.startsWith("!")
+    // under variables.casesensitive="off", overlay cache keys fold case
+    // so a read of $!ABC after `set $!abc = v` hits the same entry the
+    // ci JSON lookup would resolve to
+    def ovPath(p: String): String =
+      if (EnvSource.varsCaseInsensitive) p.toLowerCase else p
+
     def ovLookup(raw: String): Option[OverlayInfo] =
       if (!isVarName(raw)) None
       else {
         val (vc, p) = varCol(raw)
-        if (p.isEmpty) None else overlays.get(s"$vc:$p")
+        if (p.isEmpty) None else overlays.get(s"$vc:${ovPath(p)}")
       }
     /** Drop overlays whose path is the written path, a descendant of it,
       * or an ancestor (writing $.a invalidates a cached $.a!b and vice
       * versa — ensureParent can replace intermediate nodes). */
-    def invalidateOverlaps(vc: String, p: String): Unit = {
+    def invalidateOverlaps(vc: String, p0: String): Unit = {
+      val p = ovPath(p0)
       val me = s"$vc:$p"
       overlays.keys.toSeq.foreach { k =>
         if (k == me || k.startsWith(me + ".") ||
@@ -640,7 +660,7 @@ object RainerCompiler {
                 col(rcN)))
               .otherwise(col(tvc)))
             invalidateOverlaps(tvc, tp)
-            overlays(s"$tvc:$tp") =
+            overlays(s"$tvc:${ovPath(tp)}") =
               OverlayInfo(guard, col(rcN), org.apache.spark.sql.types.LongType)
             idx += 1
           case RSet(RVar(raw0), _) if varCol(raw0)._2.nonEmpty =>
@@ -687,14 +707,15 @@ object RainerCompiler {
               val expr = graft.functions.JsonSetMultiExpr(
                 run.map(_._1).toSeq,
                 (col(vc0) +: coalesce(guard, lit(false)) +: ovCols.map(col))
-                  .map(org.apache.spark.sql.GraftBridge.expression))
+                  .map(org.apache.spark.sql.GraftBridge.expression),
+                EnvSource.varsCaseInsensitive)
               df = df.withColumn(vc0, org.apache.spark.sql.GraftBridge.column(expr))
             }
             val schema = df.schema
             run.toSeq.zip(ovCols).foreach { case ((bangPath, _), ovn) =>
               val dotPath = bangPath.replace('!', '.')
               invalidateOverlaps(vc0, dotPath)
-              overlays(s"$vc0:$dotPath") =
+              overlays(s"$vc0:${ovPath(dotPath)}") =
                 OverlayInfo(guard, col(ovn), schema(ovn).dataType)
             }
             idx = j
@@ -829,7 +850,7 @@ object RainerCompiler {
         // loop-var reads in the body resolve straight to the exploded
         // item column (the main JSON-roundtrip saver for foreach bodies)
         invalidateOverlaps(lvCol, lvPath)
-        overlays(s"$lvCol:$lvPath") = OverlayInfo(col(iterCond),
+        overlays(s"$lvCol:${ovPath(lvPath)}") = OverlayInfo(col(iterCond),
           col(s"__fe_item_$tag"), org.apache.spark.sql.types.StringType)
         val sitesBeforeBody = rec.sites.length
         val actionsBeforeBody = actions.length

@@ -84,9 +84,18 @@ case class RsyslogConfig(
     val stmts = if (ruleset.isEmpty) mainStmts
                 else rulesets.getOrElse(ruleset,
                   throw new IllegalArgumentException(s"unknown ruleset $ruleset"))
-    RainerCompiler.runStmts(inlineCalls(stmts, Set.empty, 0, callNestingLimit),
+    // global(variables.casesensitive="off") — glbl.c:1405 flips fjson's
+    // key comparison to case-INsensitive. Bracketed around the compile:
+    // the flag is read at expression-CONSTRUCTION time and baked into
+    // each json expression, so task-time evaluation is immune, and the
+    // finally prevents a leak into queries built after this config
+    EnvSource.varsCaseInsensitive = globals.get("variables.casesensitive")
+      .exists(v => v == "off" || v == "0")
+    try RainerCompiler.runStmts(
+      inlineCalls(stmts, Set.empty, 0, callNestingLimit),
       input, lookupTables, templates, timezones, templateEscapes, http,
       jsonfTemplates, jsonfTree)
+    finally EnvSource.varsCaseInsensitive = false
   }
 
   private def inlineCalls(stmts: Seq[RStmt], seen: Set[String], depth: Int,

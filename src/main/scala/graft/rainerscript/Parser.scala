@@ -20,6 +20,19 @@ object EnvSource {
     * the `$myhostname` system property reads it; unset falls back to
     * the JVM's hostname. */
   @volatile var localHostname: Option[String] = None
+
+  /** global(variables.casesensitive="off") — JSON variable key
+    * comparison goes case-insensitive (glbl.c:1405 →
+    * fjson_global_do_case_sensitive_comparison; the reference's own
+    * DEFAULT is the insensitive mode, but its only test —
+    * tests/json_var_case.sh — pins casesensitive="on", so THIS engine
+    * defaults to the tested sensitive mode and configs opt into the
+    * insensitive one explicitly). Read at COMPILE time: the flag is
+    * baked into each constructed json expression, so task-time
+    * evaluation is immune to later mutation. Set/reset in a
+    * try/finally bracket around RsyslogConfig.run's compile, so it can
+    * never leak into queries built outside that config. */
+  @volatile var varsCaseInsensitive: Boolean = false
 }
 
 class RainerParserBase extends RegexParsers {

@@ -130,7 +130,8 @@ object TemplateCompiler {
     // form (msg.c:3991-4010).
     def render(vc: String, path: String): Column =
       org.apache.spark.sql.GraftBridge.column(graft.functions.JsonRenderExpr(
-        org.apache.spark.sql.GraftBridge.expression(props(vc)), path))
+        org.apache.spark.sql.GraftBridge.expression(props(vc)), path,
+        graft.rainerscript.EnvSource.varsCaseInsensitive))
     // Bare tree roots: a never-written tree is a NULL root in the
     // reference and getJSONPropVal renders it EMPTY (runtime/msg.c:
     // 3155-3178 "*jroot == NULL → FINALIZE → ''"); our columns hold "{}"

@@ -555,4 +555,39 @@ class RainerScriptSpec extends SparkSpec {
     assert(row.getString(1) == "03/01/5")
     assert(row.getString(2) == "1709300823")
   }
+
+  test("variables.casesensitive=off: ci read/write/unset/exists; on-mode unchanged") {
+    val ev = Seq((1, 5)).toDF("event_id", "severity")
+    val off = graft.rainerscript.RsyslogConfig.parse(
+      """global(variables.casesensitive="off")
+        |set $!Aa!Bb = 7;
+        |set $!AA!BB = $!aa!bb + 1;
+        |set $!r = $!aA!bB;
+        |set $!e = exists($!AA!bb);
+        |unset $!aa!BB;
+        |set $!g = exists($!Aa!Bb);
+        |""".stripMargin).run(ev)
+    val r = off.output.select(
+      get_json_object(col("vars_msg"), "$.Aa.BB"),   // ci write respells leaf
+      get_json_object(col("vars_msg"), "$.r"),
+      get_json_object(col("vars_msg"), "$.e"),
+      get_json_object(col("vars_msg"), "$.g")).head
+    // the set BEFORE the unset read 8; unset then removed the leaf
+    assert(r.isNullAt(0), "unset must remove the ci-matched leaf")
+    assert(r.getString(1) == "8" && r.getString(2) == "true" &&
+      r.getString(3) == "false")
+    // default (no global): distinct-case paths are distinct keys
+    val on = graft.rainerscript.RsyslogConfig.parse(
+      """set $!Aa!Bb = 7;
+        |set $!AA!BB = 1;
+        |set $!r = $!aa!bb;
+        |""".stripMargin).run(ev)
+    val r2 = on.output.select(
+      get_json_object(col("vars_msg"), "$.Aa.Bb"),
+      get_json_object(col("vars_msg"), "$.AA.BB"),
+      get_json_object(col("vars_msg"), "$.r")).head
+    assert(r2.getString(0) == "7" && r2.getString(1) == "1" && r2.isNullAt(2))
+    // the off-mode run must not leak: the bracket resets the flag
+    assert(!graft.rainerscript.EnvSource.varsCaseInsensitive)
+  }
 }
