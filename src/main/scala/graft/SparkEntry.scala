@@ -1288,6 +1288,86 @@ object Queries {
             .cast("long").as("probe_total"))
     }),
 
+    // §2.5 impcap app-layer parsers (contrib/impcap/{dns,http,ftp,smb}
+    // _parser.c): well-known-port dispatch off the TCP/UDP layer into
+    // DNS question-section, HTTP status-line+headers, FTP code/command,
+    // and SMB2 header extraction — every probed field a closed-form
+    // function of event_id
+    "impcap_applayer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val m4 = col("event_id") % 4
+      def h2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def h4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def h8(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def le32(c: org.apache.spark.sql.Column) = concat(h2(c), lit("000000"))
+      val eth = concat(lit("001A2B3C4D5EAABBCCDDEE"),
+        h2(col("user_id") % 256), lit("0800"))
+      val proto = when(m4 === 0, "11").otherwise("06")
+      val ip = concat(lit("4500000000000000"), lit("40"), proto, lit("0000"),
+        lit("0A00"), h2((col("event_id") / 256).cast("long") % 256),
+        h2(col("event_id") % 256), lit("C0A80101"))
+      val tcpHdr = (dst: String) => concat(
+        h4(lit(40000) + col("event_id") % 10000), lit(dst),
+        h8(col("event_id") % 100000), lit("00000000"), lit("5018"),
+        lit("000000000000"))
+      val dnsPay = concat(
+        h4(col("event_id") % 65536), lit("0100"),
+        lit("0001000000000000"),
+        lit("03777777076578616D706C6503636F6D00"),
+        when(col("event_id") % 8 === 0, "0001").otherwise("001C"),
+        lit("0001"))
+      val httpPay = hex(concat(lit("GET /p"), col("event_id") % 100,
+        lit(" HTTP/1.1\r\nHost: h"), col("event_id") % 10,
+        lit(".example\r\nXKey: v"), col("event_id") % 7,
+        lit("\r\n\r\nbody")))
+      val ftpPay = hex(
+        when(col("event_id") % 8 === 2,
+          concat(lit("USER u"), col("event_id") % 5, lit("\r\n")))
+        .otherwise(lit("230 Login ok\r\n")))
+      val smbPay = concat(
+        lit("FE534D42"), lit("4000"), lit("0000"),
+        le32(col("event_id") % 256),           // ntStatus
+        h2(col("event_id") % 19), lit("00"),   // opCode (LE16)
+        lit("0000"), lit("01000000"),          // padding2, flags=R
+        lit("00000000"),                       // chainOffset
+        le32(col("event_id") % 256), lit("00000000"), // comSeqNumber
+        le32(col("event_id") % 200),           // processID
+        le32(col("event_id") % 50),            // treeID
+        le32(col("event_id") % 100), lit("00000000"), // userID
+        lit("0000000000000000000000000000000000000000000000000000000000000000"))
+      val l4 =
+        when(m4 === 0, concat(
+          h4(lit(2048) + col("event_id") % 1000), lit("0035"),
+          lit("0010"), lit("BEEF"), dnsPay))
+        .when(m4 === 1, concat(tcpHdr("0050"), httpPay))
+        .when(m4 === 2, concat(tcpHdr("0015"), ftpPay))
+        .otherwise(concat(tcpHdr("01BD"), smbPay))
+      val feed = ev.select(col("event_id"),
+        col("event_id").as("id"),
+        unhex(concat(eth, ip, l4)).as("packet"),
+        to_timestamp(lit("2024-06-01 10:00:00")).as("ts"))
+      val dec = graft.sources.Sources.impcapDecode(feed, tag = "pcap:")
+      def j(p: String) = get_json_object(col("vars_msg"), "$.impcap." + p)
+      dec.select(col("event_id"),
+        j("DNS_transaction_id").cast("long").as("dns_txid"),
+        j("DNS_error").as("dns_err"),
+        j("DNS_Names[0].qname").as("dns_qname"),
+        j("DNS_Names[0].type").as("dns_type"),
+        j("HTTP_method").as("http_method"),
+        j("HTTP_request_URI").as("http_uri"),
+        j("HTTP_header_fields.Host").as("http_host"),
+        j("HTTP_header_fields.XKey").as("http_xkey"),
+        j("FTP_request").as("ftp_req"),
+        j("FTP_response").cast("long").as("ftp_resp"),
+        j("SMB_version").cast("long").as("smb_ver"),
+        j("SMB_NTstatus").cast("long").as("smb_nt"),
+        j("SMB_operation").cast("long").as("smb_op"),
+        j("SMB_flags").as("smb_flags"),
+        j("SMB_seqNumber").cast("long").as("smb_seq"),
+        j("SMB_treeID").cast("long").as("smb_tree"),
+        j("SMB_userID").cast("long").as("smb_user"))
+    }),
+
     // §2.5 imtuxedoulog: Tuxedo ULOG line parse — time-of-day + file
     // date, host!prog split, procid truncation, gtrid skip, ECID → SD
     // (contrib/imtuxedoulog parseMsg, README cases 1-4); Java exception
@@ -4742,6 +4822,40 @@ object Queries {
         |  CASE WHEN NOT pods THEN 'cid' || event_id END AS probe_cid,
         |  CASE WHEN pods THEN event_id % 4 END AS probe_restart
         |FROM d""".stripMargin,
+
+    // every app-layer field is a closed-form function of event_id; rows
+    // of other kinds carry NULLs
+    "impcap_applayer" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0
+        |    THEN CAST(event_id % 65536 AS BIGINT) END AS dns_txid,
+        |  CASE WHEN event_id % 4 = 0 THEN 'NoError' END AS dns_err,
+        |  CASE WHEN event_id % 4 = 0 THEN 'www.example.com' END AS dns_qname,
+        |  CASE WHEN event_id % 8 = 0 THEN 'A'
+        |       WHEN event_id % 4 = 0 THEN 'AAAA' END AS dns_type,
+        |  CASE WHEN event_id % 4 = 1 THEN 'GET' END AS http_method,
+        |  CASE WHEN event_id % 4 = 1
+        |    THEN '/p' || (event_id % 100) END AS http_uri,
+        |  CASE WHEN event_id % 4 = 1
+        |    THEN 'h' || (event_id % 10) || '.example' END AS http_host,
+        |  CASE WHEN event_id % 4 = 1
+        |    THEN 'v' || (event_id % 7) END AS http_xkey,
+        |  CASE WHEN event_id % 8 = 2 THEN 'USER' END AS ftp_req,
+        |  CASE WHEN event_id % 8 = 6
+        |    THEN CAST(230 AS BIGINT) END AS ftp_resp,
+        |  CASE WHEN event_id % 4 = 3 THEN CAST(2 AS BIGINT) END AS smb_ver,
+        |  CASE WHEN event_id % 4 = 3
+        |    THEN CAST(event_id % 256 AS BIGINT) END AS smb_nt,
+        |  CASE WHEN event_id % 4 = 3
+        |    THEN CAST(event_id % 19 AS BIGINT) END AS smb_op,
+        |  CASE WHEN event_id % 4 = 3 THEN 'R' END AS smb_flags,
+        |  CASE WHEN event_id % 4 = 3
+        |    THEN CAST(event_id % 256 AS BIGINT) END AS smb_seq,
+        |  CASE WHEN event_id % 4 = 3
+        |    THEN CAST(event_id % 50 AS BIGINT) END AS smb_tree,
+        |  CASE WHEN event_id % 4 = 3
+        |    THEN CAST(event_id % 100 AS BIGINT) END AS smb_user
+        |FROM events""".stripMargin,
 
     "impcap_decode" ->
       """WITH f AS (

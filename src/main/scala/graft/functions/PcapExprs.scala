@@ -132,7 +132,12 @@ object PcapUtil {
     }
     val dataHex = hex(b, dataFrom)
     sb.append(",\"net_bytes_data\":").append(b.length - dataFrom)
-    UTF8String.fromString(sb.toString + " " + dataHex)
+    // fragment/hex separator is '\n': it cannot occur in the fragment —
+    // numeric/hex/MAC renderings never produce one and every
+    // packet-lifted string value goes through jstr, which escapes
+    // control chars (a ' ' separator broke on app-layer values like
+    // HTTP_reason "Not Found")
+    UTF8String.fromString(sb.toString + "\n" + dataHex)
   }
 
   /** returns the offset where unparsed data starts */
@@ -175,21 +180,262 @@ object PcapUtil {
     val flags = new StringBuilder(8)
     var i = 0
     while (i < 8) { if ((flagBits & (1 << i)) != 0) flags.append(tcpFlagCodes(i)); i += 1 }
-    sb.append(",\"net_src_port\":").append(u16(b, off))
-      .append(",\"net_dst_port\":").append(u16(b, off + 2))
+    val sp = u16(b, off)
+    val dp = u16(b, off + 2)
+    sb.append(",\"net_src_port\":").append(sp)
+      .append(",\"net_dst_port\":").append(dp)
       .append(",\"TCP_seq_number\":").append(u32(b, off + 4))
       .append(",\"TCP_ack_number\":").append(u32(b, off + 8))
       .append(",\"net_flags\":\"").append(flags).append('"')
-    off + hdrLen
+    // app-layer dispatch by well-known port (tcp_parser.c:110-119;
+    // parsers.h port constants). The app parsers only ADD fields — the
+    // unparsed remainder stays the whole app payload, exactly the
+    // reference's RETURN_DATA_AFTER(0) on the payload pointer.
+    val pay = off + hdrLen
+    if (sp == 445 || dp == 445) smbApp(b, pay, sb)
+    else if (sp == 21 || dp == 21 || sp == 20 || dp == 20) ftpApp(b, pay, sb)
+    else if (sp == 80 || dp == 80 || sp == 8080 || dp == 8080) httpApp(b, pay, sb)
+    pay
   }
 
   private def udp(b: Array[Byte], off: Int, sb: StringBuilder): Int = {
     if (b.length - off < 8) return off
-    sb.append(",\"net_src_port\":").append(u16(b, off))
-      .append(",\"net_dst_port\":").append(u16(b, off + 2))
+    val sp = u16(b, off)
+    val dp = u16(b, off + 2)
+    sb.append(",\"net_src_port\":").append(sp)
+      .append(",\"net_dst_port\":").append(dp)
       .append(",\"UDP_Length\":").append(u16(b, off + 4))
       .append(",\"UDP_Checksum\":").append(u16(b, off + 6))
+    if (sp == 53 || dp == 53) dnsApp(b, off + 8, sb) // udp_parser.c:85-87
     off + 8
+  }
+
+  // ---- app-layer parsers (contrib/impcap/{dns,http,ftp,smb}_parser.c)
+
+  /** json-c string escape for values lifted out of packet bytes. */
+  private def jstr(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case x if x < 0x20 => sb.append(f"\\u${x.toInt}%04x")
+        case x => sb.append(x)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  private val dnsRcodes = Array("NoError", "FormErr", "ServFail", "NXDomain",
+    "NotImp", "Refused", "YXDomain", "YXRRSet", "NXRRSet", "NotAuth",
+    "NotZone", "", "", "", "", "")
+  private val dnsTypes = Map(1 -> "A", 2 -> "NS", 5 -> "CNAME", 6 -> "SOA",
+    12 -> "PTR", 15 -> "MX", 16 -> "TXT", 28 -> "AAAA", 33 -> "SRV",
+    35 -> "NAPTR", 41 -> "OPT", 43 -> "DS", 46 -> "RRSIG", 47 -> "NSEC",
+    48 -> "DNSKEY", 52 -> "SMIMEA", 99 -> "SPF", 255 -> "*", 257 -> "CAA")
+  private def dnsClass(x: Int): String = x match {
+    case 1 => "IN"; case 3 => "CH"; case 4 => "HS"
+    case 254 => "QCLASS NONE"; case 255 => "QCLASS *"
+    case _ => "UNKNOWN"
+  }
+
+  /** dns_parser.c dns_parse: header + question-section walk. Answers are
+    * deliberately not processed (dns_parser.c:352 "do not process
+    * them"); a set Z (reserved) bit aborts, oversized / truncated
+    * queries stop the walk but keep the header fields. */
+  private def dnsApp(b: Array[Byte], off: Int, sb: StringBuilder): Unit = {
+    val size = b.length - off
+    if (size < 12) return
+    val txid = u16(b, off)
+    val flags = u16(b, off + 2)
+    if (((flags >> 6) & 1) != 0) return // reserved Z bit MUST be 0
+    val rcode = flags & 0xf
+    val qd = u16(b, off + 4)
+    val names = new StringBuilder(64)
+    names.append('[')
+    var p = off + 12
+    var q = 0
+    var first = true
+    var ok = true
+    while (ok && q < qd && p < b.length) {
+      // strnlen to the first 0 byte (name length incl. label bytes)
+      var z = p
+      while (z < b.length && b(z) != 0) z += 1
+      val qs = z - p
+      if (qs >= 256 || qs + 5 > b.length - p) ok = false
+      else {
+        val dom = new StringBuilder(qs)
+        var nb = u8(b, p); p += 1
+        var cpt = 0
+        while (cpt + 1 < qs) {
+          if (nb == 0) { nb = u8(b, p); dom.append('.') }
+          else { dom.append((b(p) & 0xff).toChar); nb -= 1 }
+          cpt += 1; p += 1
+        }
+        if (cpt > 0) p += 1 // pass the terminating 0
+        val qtype = u16(b, p); p += 2
+        val qclass = u16(b, p); p += 2
+        if (!first) names.append(',')
+        first = false
+        names.append("{\"qname\":"); jstr(dom.toString, names)
+        names.append(",\"qtype\":").append(qtype).append(",\"type\":")
+        jstr(dnsTypes.getOrElse(qtype, "UNKNOWN"), names)
+        names.append(",\"qclass\":").append(qclass).append(",\"class\":")
+        jstr(dnsClass(qclass), names)
+        names.append('}')
+        q += 1
+      }
+    }
+    names.append(']')
+    sb.append(",\"DNS_transaction_id\":").append(txid)
+      .append(",\"DNS_response_flag\":").append(((flags >> 15) & 1) == 1)
+      .append(",\"DNS_opcode\":").append((flags >> 11) & 0xf)
+      .append(",\"DNS_rcode\":").append(rcode)
+      .append(",\"DNS_error\":")
+    jstr(dnsRcodes(rcode), sb)
+    sb.append(",\"DNS_QDCOUNT\":").append(qd)
+      .append(",\"DNS_ANCOUNT\":").append(u16(b, off + 6))
+      .append(",\"DNS_NSCOUNT\":").append(u16(b, off + 8))
+      .append(",\"DNS_ARCOUNT\":").append(u16(b, off + 10))
+      .append(",\"DNS_Names\":").append(names)
+  }
+
+  private val httpKeywords = Array("OPTIONS", "GET", "HEAD", "POST", "PUT",
+    "DELETE", "TRACE", "CONNECT", "HTTP")
+
+  /** http_parser.c http_parse: status line + header fields of either a
+    * request or a response; body (after CRLFCRLF) ignored. Gate = any
+    * method/HTTP keyword appearing within the first 20 bytes. */
+  private def httpApp(b: Array[Byte], off: Int, sb: StringBuilder): Unit = {
+    val size = b.length - off
+    if (size < 6) return
+    val s = new String(b, off, size, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!httpKeywords.exists { k => val i = s.indexOf(k); i >= 0 && i < 20 })
+      return
+    val header = { val i = s.indexOf("\r\n\r\n"); if (i < 0) s else s.substring(0, i) }
+    val lines = header.split("\r\n", -1)
+    val status = lines(0)
+    val sp1 = status.indexOf(' ')
+    val sp2 = if (sp1 < 0) -1 else status.indexOf(' ', sp1 + 1)
+    if (sp1 > 0 && sp2 > sp1) {
+      val a = status.substring(0, sp1)
+      val c = status.substring(sp1 + 1, sp2)
+      val d = status.substring(sp2 + 1)
+      if (a.contains("HTTP")) {
+        sb.append(",\"HTTP_version\":"); jstr(a, sb)
+        sb.append(",\"HTTP_status_code\":"); jstr(c, sb)
+        sb.append(",\"HTTP_reason\":"); jstr(d, sb)
+      } else {
+        sb.append(",\"HTTP_method\":"); jstr(a, sb)
+        sb.append(",\"HTTP_request_URI\":"); jstr(c, sb)
+        sb.append(",\"HTTP_version\":"); jstr(d, sb)
+      }
+    }
+    sb.append(",\"HTTP_header_fields\":{")
+    var first = true
+    var i = 1
+    while (i < lines.length) {
+      val fv = lines(i)
+      val colonAt = fv.indexOf(':')
+      if (colonAt >= 0) {
+        var v = colonAt + 1
+        while (v < fv.length && fv.charAt(v) == ' ') v += 1
+        if (!first) sb.append(',')
+        first = false
+        jstr(fv.substring(0, colonAt), sb)
+        sb.append(':')
+        jstr(fv.substring(v), sb)
+      }
+      i += 1
+    }
+    sb.append('}')
+  }
+
+  private val ftpCodes = Set(100, 110, 120, 125, 150, 200, 202, 211, 212,
+    213, 214, 215, 220, 221, 225, 226, 227, 228, 229, 230, 231, 232, 250,
+    257, 300, 331, 332, 350, 400, 421, 425, 426, 430, 434, 450, 451, 452,
+    500, 501, 502, 503, 504, 530, 532, 550, 551, 552, 553, 600, 631, 632,
+    633, 10000, 100054, 10060, 10061, 10066, 10068)
+  private val ftpCmds = Array("STOR", "TYPE", "ABOR", "ACCT", "ALLO", "APPE",
+    "CDUP", "CWD", "DELE", "HELP", "LIST", "MKD", "MODE", "NLST", "NOOP",
+    "PASS", "PASV", "PORT", "PWD", "QUIT", "REIN", "REST", "RETR", "RMD",
+    "RNFR", "RNTO", "SITE", "SMNT", "STAT", "STOU", "STRU", "SYST", "USER")
+
+  /** ftp_parser.c ftp_parse: the first space-token is either a known
+    * reply code (strtol leading-digits) or a command; a non-numeric
+    * unknown token reports FTP_request "UNKNOWN" — the reference's own
+    * fallthrough. */
+  private def ftpApp(b: Array[Byte], off: Int, sb: StringBuilder): Unit = {
+    val size = b.length - off
+    if (size < 5) return
+    val s = new String(b, off, size, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // strtok(" "): skip leading delimiters, token to the next one
+    var st = 0
+    while (st < s.length && s.charAt(st) == ' ') st += 1
+    var en = st
+    while (en < s.length && s.charAt(en) != ' ') en += 1
+    if (en == st) return
+    val tok = s.substring(st, en)
+    // strtol: leading optional sign + digits
+    var dg = 0
+    while (dg < tok.length && tok.charAt(dg).isDigit) dg += 1
+    val code = if (dg == 0) 0L else
+      try tok.substring(0, dg).toLong catch { case _: Exception => 0L }
+    if (code != 0 && ftpCodes(code.toInt))
+      sb.append(",\"FTP_response\":").append(code)
+    else {
+      val cmd = ftpCmds.find(_ == tok).getOrElse("UNKNOWN")
+      sb.append(",\"FTP_request\":"); jstr(cmd, sb)
+    }
+  }
+
+  /** smb_parser.c smb_parse: scan to the 'SMB' magic, read the 64-byte
+    * SMB2 header (little-endian struct fields, no byte swap in the
+    * reference either). Faithful quirks kept with cites: the version
+    * test compares the whole uint32 magic to 0xFF (smb_parser.c:124 —
+    * never true once the scan demanded 'SMB' at bytes 1-3, so version
+    * reports 2), and the 64-bit sequence/user ids combine their halves
+    * with `<< 16` in uint32 arithmetic (smb_parser.c:126-127). */
+  private def smbApp(b: Array[Byte], off: Int, sb: StringBuilder): Unit = {
+    var p = off
+    while (b.length - p >= 4 &&
+           !(b(p + 1) == 'S'.toByte && b(p + 2) == 'M'.toByte &&
+             b(p + 3) == 'B'.toByte)) p += 1
+    if (b.length - p < 64) return
+    val version = if (leU32(b, p) == 0xffL) 1 else 2
+    val ntStatus = leU32(b, p + 8)
+    val opCode = leU16(b, p + 12)
+    val flags32 = leU32(b, p + 16)
+    val seqNum = (leU32(b, p + 24) | ((leU32(b, p + 28) << 16) & 0xffffffffL)) & 0xffffffffL
+    val processId = leU32(b, p + 32)
+    val treeId = leU32(b, p + 36)
+    val userId = (leU32(b, p + 40) | ((leU32(b, p + 44) << 16) & 0xffffffffL)) & 0xffffffffL
+    val flagCodes = "RPCS"
+    val flags = new StringBuilder(4)
+    var i = 0
+    while (i < 4) { if ((flags32 & (1L << i)) != 0) flags.append(flagCodes.charAt(i)); i += 1 }
+    sb.append(",\"SMB_version\":").append(version)
+      .append(",\"SMB_NTstatus\":").append(ntStatus)
+      .append(",\"SMB_operation\":").append(opCode)
+      .append(",\"SMB_flags\":\"").append(flags).append('"')
+      .append(",\"SMB_seqNumber\":").append(seqNum)
+      .append(",\"SMB_processID\":").append(processId)
+      .append(",\"SMB_treeID\":").append(treeId)
+      .append(",\"SMB_userID\":").append(userId)
   }
 
   private def icmp(b: Array[Byte], off: Int, sb: StringBuilder): Int = {

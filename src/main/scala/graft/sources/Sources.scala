@@ -1743,8 +1743,8 @@ object Sources {
     val prog = graft.functions.SyslogParseExpr.programName(tag)
     val stage = src
       .withColumn("__dec", dec)
-      .withColumn("__frag", expr("split(__dec, ' ', 2)[0]"))
-      .withColumn("__hex", expr("split(__dec, ' ', 2)[1]"))
+      .withColumn("__frag", expr("split(__dec, '\\n', 2)[0]"))
+      .withColumn("__hex", expr("split(__dec, '\\n', 2)[1]"))
     val varsMsg = concat(
       lit("{\"" + dataContainer + "\":{\"length\":"), length(col("__hex")),
       lit(",\"content\":\""), col("__hex"),

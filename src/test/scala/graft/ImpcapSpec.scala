@@ -101,4 +101,97 @@ class ImpcapSpec extends SparkSpec {
     assert(lldp.contains(""""content":"0207""""))
     assert(lldp.contains(""""net_bytes_data":2"""))
   }
+
+  private val ip4Tcp20 = // ihl5 ttl64 tcp, 10.0.1.2 -> 192.168.1.1
+    "45 00 00 00 00 00 00 00 40 06 00 00 0A 00 01 02 C0 A8 01 01"
+  private def tcpTo(dstPortHex: String): String =
+    "D4 31 " + dstPortHex + " 00 00 00 07 00 00 00 00 50 18 00 00 00 00 00 00"
+
+  test("app-layer dns: question walk, rcode/type/class tables (dns_parser.c)") {
+    val dns = "30 39" + "01 00" + // txid 12345, flags RD (Z=0)
+      "00 01 00 00 00 00 00 00" +
+      "03 77 77 77 07 65 78 61 6D 70 6C 65 03 63 6F 6D 00" + // www.example.com
+      "00 1C 00 01" // AAAA IN
+    val udp = "08 00 00 35 00 10 BE EF" // src 2048 -> dst 53
+    val out = graft.sources.Sources.impcapDecode(
+      Seq((1L, pkt(ethIp4 +
+        "45 00 00 00 00 00 00 00 40 11 00 00 0A 00 01 02 C0 A8 01 01" +
+        udp + dns))).toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(out.contains(""""DNS_transaction_id":12345"""))
+    assert(out.contains(""""DNS_response_flag":false"""))
+    assert(out.contains(""""DNS_rcode":0,"DNS_error":"NoError""""))
+    assert(out.contains(""""DNS_QDCOUNT":1"""))
+    assert(out.contains(
+      """{"qname":"www.example.com","qtype":28,"type":"AAAA","qclass":1,"class":"IN"}"""))
+    // a set reserved (Z) bit aborts the DNS parse entirely
+    val badFlags = "30 39" + "01 40" + "00 01 00 00 00 00 00 00"
+    val bad = graft.sources.Sources.impcapDecode(
+      Seq((2L, pkt(ethIp4 +
+        "45 00 00 00 00 00 00 00 40 11 00 00 0A 00 01 02 C0 A8 01 01" +
+        udp + badFlags + "00 00 00 00"))).toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(!bad.contains("DNS_transaction_id"))
+  }
+
+  test("app-layer http: request + response status lines and header fields") {
+    val req = "GET /x HTTP/1.1\r\nHost: a.example\r\nXK: 1\r\n\r\nbody"
+    val out = graft.sources.Sources.impcapDecode(
+      Seq((1L, pkt(ethIp4 + ip4Tcp20 + tcpTo("00 50")) ++
+        req.getBytes("US-ASCII"))).toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(out.contains(""""HTTP_method":"GET""""))
+    assert(out.contains(""""HTTP_request_URI":"/x""""))
+    assert(out.contains(""""HTTP_version":"HTTP/1.1""""))
+    assert(out.contains(""""HTTP_header_fields":{"Host":"a.example","XK":"1"}"""))
+    val resp = "HTTP/1.1 404 Not Found\r\nServer: s\r\n\r\n"
+    val out2 = graft.sources.Sources.impcapDecode(
+      Seq((2L, pkt(ethIp4 + ip4Tcp20 + tcpTo("1F 90")) ++ // 8080
+        resp.getBytes("US-ASCII"))).toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(out2.contains(""""HTTP_version":"HTTP/1.1""""))
+    assert(out2.contains(""""HTTP_status_code":"404""""))
+    assert(out2.contains(""""HTTP_reason":"Not Found""""))
+  }
+
+  test("app-layer ftp: code vs command vs the UNKNOWN fallthrough (ftp_parser.c)") {
+    def ftp(payload: String): String = graft.sources.Sources.impcapDecode(
+      Seq((1L, pkt(ethIp4 + ip4Tcp20 + tcpTo("00 15")) ++
+        payload.getBytes("US-ASCII"))).toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(ftp("USER alice\r\n").contains(""""FTP_request":"USER""""))
+    assert(ftp("230 Login ok\r\n").contains(""""FTP_response":230"""))
+    // non-numeric unknown first token reports UNKNOWN (the reference's
+    // own fallthrough: check_Command_ftp never returns NULL)
+    assert(ftp("XYZZY now\r\n").contains(""""FTP_request":"UNKNOWN""""))
+  }
+
+  test("app-layer smb2: header fields, LE layout, R flag (smb_parser.c)") {
+    val smb = "FE 53 4D 42" + "40 00" + "00 00" + // magic, hdrLen 64, pad
+      "16 00 00 00" +  // ntStatus 22 (LE)
+      "05 00" + "00 00" + // opCode CREATE, pad2
+      "01 00 00 00" +  // flags = R
+      "00 00 00 00" +  // chainOffset
+      "2A 00 00 00 00 00 00 00" + // comSeq 42
+      "07 00 00 00" +  // processID 7
+      "03 00 00 00" +  // treeID 3
+      "09 00 00 00 00 00 00 00" + // userID 9
+      "00 00 00 00 00 00 00 00 00 00 00 00 00 00 00 00" // signature
+    val out = graft.sources.Sources.impcapDecode(
+      Seq((1L, pkt(ethIp4 + ip4Tcp20 + tcpTo("01 BD") + smb)))
+        .toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(out.contains(""""SMB_version":2""")) // smb_parser.c:124 quirk
+    assert(out.contains(""""SMB_NTstatus":22"""))
+    assert(out.contains(""""SMB_operation":5"""))
+    assert(out.contains(""""SMB_flags":"R""""))
+    assert(out.contains(""""SMB_seqNumber":42"""))
+    assert(out.contains(""""SMB_processID":7,"SMB_treeID":3,"SMB_userID":9"""))
+    // short payload on the SMB port: no fields, no failure
+    val short = graft.sources.Sources.impcapDecode(
+      Seq((2L, pkt(ethIp4 + ip4Tcp20 + tcpTo("01 BD") + "FE 53 4D 42")))
+        .toDF("id", "packet"))
+      .select("vars_msg").as[String].collect().head
+    assert(!short.contains("SMB_version"))
+  }
 }
