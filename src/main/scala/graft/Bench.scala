@@ -390,7 +390,8 @@ object Bench {
       "dedup_url", "dedup_snapshot", "dedup_snapshot_fuzzy",
       "quality_classifier", "token_budget", "ngram_hot",
       "text_repetition", "text_fingerprint",
-      "sample_stratified", "seq_pack", "lm_score", "quality_gopher",
+      "sample_stratified", "sample_shuffle", "seq_pack", "lm_score",
+      "quality_gopher",
       "tfidf_topk",
       "dedup_clusters", "dedup_simhash", "dedup_substring",
       "dedup_substring_removal", "dedup_ngram")
@@ -491,7 +492,7 @@ object Bench {
     "dedup_snapshot_fuzzy",
     // decontamination + sampling/packing
     "decontaminate", "decontaminate_fuzzy", "decontaminate_semantic",
-    "contamination_report", "sample_stratified",
+    "contamination_report", "sample_stratified", "sample_shuffle",
     "sample_domain_mix", "sample_perplexity", "seq_pack", "chunk_tokens",
     "dedup_keep_best",
     // ANN / embeddings

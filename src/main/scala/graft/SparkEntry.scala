@@ -3155,6 +3155,17 @@ object Queries {
     // deterministic stratified hash-bucket sampling (Sampling.scala): the
     // reproducible-across-engines sample every pipeline debug/eval loop
     // needs — row-level output so the oracle verifies the exact selection
+    // LLM-prep: deterministic training-order shuffle — every doc gets a
+    // pseudo-random (shard, pos); one hash shuffle + per-shard sort,
+    // window PARTITIONED BY SHARD (never a global row_number — see
+    // Sampling.trainingShuffle)
+    "sample_shuffle" -> ((s, dir) => {
+      Sampling.trainingShuffle(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          keyCol = "doc_id", nShards = 16, salt = "e0-")
+        .select(col("doc_id"), col("lang"), col("shard"), col("pos"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       Sampling.stratifiedHashSample(Tables.documents(s, dir),
           stratumCol = "lang", keyCol = "doc_id",
@@ -6385,6 +6396,20 @@ object Queries {
         |  array_to_string(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ') AS chunk_text,
         |  CAST(least(64, n - chunk_idx*48) AS INT) AS n_tokens
         |FROM e""".stripMargin,
+
+    // md5-derived shard and order key replayed exactly; row_number ties
+    // broken by doc_id on both sides
+    "sample_shuffle" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('e0-shard:' || doc_id), 1, 2))::BIGINT
+        |      % 16 AS INT) AS shard,
+        |    md5('e0-order:' || doc_id) AS ord
+        |  FROM documents)
+        |SELECT doc_id, lang, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+        |    AS BIGINT) AS pos
+        |FROM s""".stripMargin,
 
     "sample_upsample" ->
       s"""WITH w AS (

@@ -208,6 +208,34 @@ object Sampling {
     * disambiguates repeats for downstream shuffling/seeding). w < 1
     * degenerates to [[domainMixSample]] semantics. explode(sequence) is a
     * narrow op — no shuffle; output mass is Σ w_d·N_d by construction. */
+  /** Deterministic training-order shuffle: every document gets a
+    * pseudo-random (shard, pos) — the read order a data-parallel
+    * training job consumes (worker w reads shard w in pos order). The
+    * 100 TB shape: ONE hash-partition shuffle on the shard key plus a
+    * per-shard external sort; position numbering is a window
+    * PARTITIONED BY SHARD, never a global row_number (a one-partition
+    * window is the classic scale killer this operator exists to avoid).
+    * Both the shard draw and the order key are md5-derived from the
+    * document key alone, so the permutation is independent of input
+    * partitioning/arrival order, reproducible across runs, and
+    * re-seedable per epoch via `salt` — and the DuckDB oracle can
+    * replay it exactly. */
+  def trainingShuffle(df: DataFrame, keyCol: String, nShards: Int,
+                      salt: String = ""): DataFrame = {
+    require(nShards > 0, "trainingShuffle: nShards must be positive")
+    val key = col(keyCol).cast("string")
+    val shard = (conv(substring(md5(concat(lit(salt + "shard:"), key)), 1, 2),
+      16, 10).cast("long") % nShards).cast("int")
+    val ord = md5(concat(lit(salt + "order:"), key))
+    df.withColumn("shard", shard)
+      .withColumn("__ord", ord)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__ord"), col(keyCol)))
+        .cast("long"))
+      .drop("__ord")
+  }
+
   def upsampleByWeight(df: DataFrame, domainCol: String, keyCol: String,
                        weights: Map[String, Double],
                        defaultWeight: Double = 1.0,

@@ -152,4 +152,29 @@ class SamplingSpec extends SparkSpec {
       .filter(expr("cs != sequence(0, cast(n - 1 as int))")).count()
     assert(copies == 0)
   }
+
+  test("trainingShuffle: total permutation, dense per-shard positions, arrival-order-free") {
+    val docs = (1L to 500L).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    val out = Sampling.trainingShuffle(docs, "doc_id", nShards = 8, salt = "e0-")
+    val rows = out.select("doc_id", "shard", "pos")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.length == 500 && rows.map(_._1).distinct.length == 500)
+    // every shard's positions are dense 1..n
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // shards spread (8 shards over 500 docs: none empty, none hot)
+    val sizes = rows.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == 8 && sizes.min > 20)
+    // determinism under different input partitioning/arrival order
+    val again = Sampling.trainingShuffle(
+        docs.repartition(7).sortWithinPartitions(desc("doc_id")),
+        "doc_id", nShards = 8, salt = "e0-")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different epoch salt permutes differently
+    val e1 = Sampling.trainingShuffle(docs, "doc_id", 8, salt = "e1-")
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq != rows.sortBy(_._1).toSeq)
+  }
 }
