@@ -194,4 +194,29 @@ class ImpcapSpec extends SparkSpec {
       .select("vars_msg").as[String].collect().head
     assert(!short.contains("SMB_version"))
   }
+
+  test("fuzz: random payloads on app ports never throw and always yield valid JSON") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val ports = Seq("00 35", "00 50", "1F 90", "00 15", "00 14", "01 BD")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val frames = (0 until 120).map { i =>
+      val payload = new Array[Byte](rnd.nextInt(120))
+      rnd.nextBytes(payload)
+      val port = ports(i % ports.length)
+      val head =
+        if (port == "00 35") // UDP for the DNS port
+          pkt(ethIp4 +
+            "45 00 00 00 00 00 00 00 40 11 00 00 0A 00 01 02 C0 A8 01 01" +
+            "08 00 " + port + " 00 10 BE EF")
+        else pkt(ethIp4 + ip4Tcp20 + tcpTo(port))
+      (i.toLong, head ++ payload)
+    }
+    val out = graft.sources.Sources.impcapDecode(
+      frames.toDF("id", "packet")).select("vars_msg").as[String].collect()
+    assert(out.length == 120)
+    out.foreach { j =>
+      val node = mapper.readTree(j) // throws on any escaping/structure slip
+      assert(node.isObject && node.has("impcap"), j.take(200))
+    }
+  }
 }

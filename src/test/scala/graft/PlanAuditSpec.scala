@@ -254,6 +254,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("sample_shuffle: position window partitions by shard — never a global row_number") {
+    val p = plan("sample_shuffle")
+    assert(p.contains("Window"), "row_number window missing")
+    assert(!p.contains("SinglePartition"),
+      "global (one-partition) window — the scale killer this operator exists to avoid")
+  }
+
   test("no-cartesian / no-Python sweep over the lazily-built batch suite") {
     // every query that constructs lazily: the physical plan must never
     // contain a cartesian product or a Python eval barrier. Eagerly-
