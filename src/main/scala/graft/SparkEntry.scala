@@ -2674,8 +2674,8 @@ object Queries {
           TextAnalysis.subwordCount(col("text")).as("n_subwords"))
         .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
           TextAnalysis.qualityScoreFrom(length(col("text")), col("n_tokens"),
-            size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
-            size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+            TextAnalysis.charClassCount(col("text"), "[A-Za-z]"),
+            TextAnalysis.charClassCount(col("text"), "[0-9]"))
             .as("quality"))
     }),
 
@@ -3136,8 +3136,8 @@ object Queries {
           col("doc_id"),
           TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"),
           TextAnalysis.qualityScoreFrom(length(col("text")), size(col("toks")),
-            size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
-            size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+            TextAnalysis.charClassCount(col("text"), "[A-Za-z]"),
+            TextAnalysis.charClassCount(col("text"), "[0-9]"))
             .as("quality"),
           size(col("toks")).as("n_tokens"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -3281,8 +3281,8 @@ object Queries {
           col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"),
           TextAnalysis.qualityScoreFrom(length(col("text")), col("n_tokens"),
-            size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
-            size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+            TextAnalysis.charClassCount(col("text"), "[A-Za-z]"),
+            TextAnalysis.charClassCount(col("text"), "[0-9]"))
             .as("quality"))
       val byFp = Window.partitionBy(col("fp"))
       scored
@@ -3977,8 +3977,8 @@ object Queries {
         .select(col("text"), col("ts"),
           TextAnalysis.langIdFromTokens(col("toks")).as("lang_pred"),
           TextAnalysis.qualityScoreFrom(length(col("text")), size(col("toks")),
-            size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))),
-            size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))))
+            TextAnalysis.charClassCount(col("text"), "[A-Za-z]"),
+            TextAnalysis.charClassCount(col("text"), "[0-9]"))
             .as("quality"),
           size(col("toks")).as("n_tokens"))
         .filter(col("quality") >= 0.5)

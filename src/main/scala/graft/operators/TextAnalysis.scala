@@ -68,8 +68,17 @@ object TextAnalysis {
     */
   def qualityScore(text: Column): Column =
     qualityScoreFrom(length(text), tokenCount(text),
-      size(regexp_extract_all(text, lit("[A-Za-z]"), lit(0))),
-      size(regexp_extract_all(text, lit("[0-9]"), lit(0))))
+      charClassCount(text, "[A-Za-z]"),
+      charClassCount(text, "[0-9]"))
+
+  /** Single-char-class occurrence count via length difference — value-
+    * identical to `size(regexp_extract_all(text, clazz, 0))` for
+    * one-char classes, without materializing an array of single-char
+    * strings per match (the QualityClassifier r12 lesson; the oracles
+    * keep the regexp_extract_all form). NOT valid for multi-char
+    * alternations — those count matches, not removed chars. */
+  def charClassCount(text: Column, clazz: String): Column =
+    length(text) - length(regexp_replace(text, clazz, ""))
 
   /** Staged form over pre-computed per-doc stats. `nToks` is referenced
     * several times by the score arithmetic — pass an attribute (staged
