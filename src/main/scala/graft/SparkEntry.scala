@@ -3962,6 +3962,20 @@ object Queries {
         graft.streaming.StreamGate.tableBytes(dir, "documents"))
     }),
 
+    // fuzzy face of the streaming ingest: each arriving doc's LSH bands
+    // probe the static snapshot's capped band table (stream-static
+    // inner join), survivors exact-verify, and the complete-mode fold
+    // emits one (doc_id, micro_jaccard) per contaminated doc — the
+    // drop feed a continuous crawl acts on. Zero watermark state.
+    "stream_dedup_snapshot_fuzzy" -> ((s, dir) => {
+      val stream = graft.streaming.StreamGate.readTable(s, dir, "documents")
+        .filter(col("doc_id") % 3 =!= 0)
+      val snapshot = Tables.documents(s, dir).filter(col("doc_id") % 3 === 0)
+      val bad = Dedup.snapshotNearDupStream(stream, snapshot, "doc_id", "text")
+      graft.streaming.StreamGate.run(bad, "complete",
+        graft.streaming.StreamGate.tableBytes(dir, "documents"))
+    }),
+
     // the flagship LLM corpus-prep composition on the REAL streaming
     // path: scan-side scoring → quality filter → exact-bytes streaming
     // dedup (md5 of raw text as the key, so every group member is
@@ -6265,6 +6279,8 @@ object Queries {
     // identical contract to the batch operator: the bloom + the
     // stream-static anti-join are invisible to semantics
     "stream_dedup_snapshot" -> Dedup.snapshotDedupOracleSql,
+
+    "stream_dedup_snapshot_fuzzy" -> Dedup.snapshotNearDupStreamOracleSql(),
 
     "decontaminate_semantic" ->
       Similarity.decontaminateSemanticOracleSql(evalMod = 50, tau = 0.3),

@@ -1226,6 +1226,103 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** Streaming face of [[snapshotNearDup]] — flag-on-arrival: each
+    * streaming document computes its MinHash signature (a deterministic
+    * scan expression — no state), explodes its band keys, probes the
+    * STATIC snapshot's capped band table through a stream-static inner
+    * join, exact-verifies survivors with the fused text kernel, and
+    * folds to one (doc_id, micro_jaccard) row per contaminated doc.
+    * Differences from the batch operator, both semantics-free:
+    * per-DOC signatures instead of per-rep (identical lowered text ⟹
+    * identical signature ⟹ identical verdict — streaming cannot
+    * pre-group), and the output is the CONTAMINATED list (the drop
+    * feed a continuous ingest acts on) rather than the kept set.
+    * Zero watermark state; the per-doc max is the bounded complete-mode
+    * aggregate. */
+  def snapshotNearDupStream(input: DataFrame, snapshot: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 3, bands: Int = 16, rows: Int = 4,
+                            tau: Double = 0.5,
+                            maxBucket: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexp}
+    val k = bands * rows
+    val snReps = snapshot
+      .groupBy(md5(lower(col(textCol))).as("g"))
+      .agg(min(struct(col(idCol).as("doc"), col(textCol).as("t"))).as("m"))
+      .select(col("m.doc").as("doc"), col("m.t").as("t"))
+      .localCheckpoint()
+    val bSnap = snReps
+      .withColumn("sig", minhashTextSignature(col("t"), n, k))
+      .filter(col("sig").isNotNull)
+      .select(col("t").as("t_b"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint()
+    val keptBuckets = bSnap.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("c")).filter(col("c") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val snapBands = bSnap.join(keptBuckets, Seq("band", "bucket"), "left_semi")
+    input
+      .select(col(idCol).as("doc_id"), col(textCol).as("t_a"))
+      .withColumn("sig", minhashTextSignature(col("t_a"), n, k))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("t_a"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .join(snapBands, Seq("band", "bucket")) // stream-static inner
+      .withColumn("jacc", gcol(graft.functions.JaccardTextsExpr(
+        gexp(col("t_a")), gexp(col("t_b")), n)))
+      .filter(col("jacc") >= tau)
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("jacc")) * 1000000).cast("long").as("micro_jaccard"))
+  }
+
+  /** DuckDB oracle for [[snapshotNearDupStream]] with the `doc_id % 3`
+    * split: per-doc input signatures (no rep grouping) probing capped
+    * snapshot-rep bands; one max-jaccard row per contaminated doc. */
+  def snapshotNearDupStreamOracleSql(n: Int = 3, bands: Int = 16,
+                                     rows: Int = 4, tau: Double = 0.5,
+                                     maxBucket: Int = 1024): String = {
+    val grams = (0 until n).map(j => s"t[i+${j + 1}]").mkString(" || ' ' || ")
+    s"""WITH inp AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+       |snap AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+       |snreps AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      min(doc_id) OVER (PARTITION BY lower(text)) AS rep
+       |    FROM snap) WHERE doc_id = rep),
+       |allreps AS (SELECT * FROM inp UNION ALL SELECT * FROM snreps),
+       |${minhashBandedCtes(n, bands, rows, src = "allreps")},
+       |bin AS (
+       |  SELECT b.* FROM banded b JOIN inp r ON r.doc_id = b.doc_id),
+       |bsnap AS (
+       |  SELECT b.* FROM banded b JOIN snreps r ON r.doc_id = b.doc_id),
+       |kept AS (
+       |  SELECT band, bkey FROM bsnap GROUP BY 1, 2
+       |  HAVING count(*) <= $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS id_in, s.doc_id AS id_snap
+       |  FROM bin i JOIN bsnap s ON i.band = s.band AND i.bkey = s.bkey
+       |  JOIN kept k ON k.band = i.band AND k.bkey = i.bkey),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(len(t) - ${n - 1}), i -> $grams)) AS sh
+       |  FROM toks WHERE len(t) >= $n),
+       |j AS (
+       |  SELECT c.id_in AS doc_id,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jc
+       |  FROM cand c
+       |  JOIN shs a ON a.doc_id = c.id_in
+       |  JOIN shs b ON b.doc_id = c.id_snap
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $tau)
+       |SELECT doc_id, CAST(round(max(jc) * 1000000) AS BIGINT) AS micro_jaccard
+       |FROM j GROUP BY 1""".stripMargin
+  }
+
   /** DuckDB oracle for [[snapshotNearDup]] with the `doc_id % 3`
     * snapshot split over `documents`: per-side identical-text reps, the
     * shared signature+banding chain over the union, input bands probing
