@@ -627,6 +627,14 @@ object Dedup {
         .localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), Seq("doc"))
         .filter(col("n.cluster") =!= col("o.cluster")).limit(1).count() > 0
+      // release the superseded round's checkpoint blocks NOW: they are
+      // fully consumed (next is eager-checkpointed; `changed` just read
+      // them), and without the explicit unpersist every round's label
+      // table stays resident until GC — ~log(d) corpus-label copies of
+      // dead storage that amplify the mid-JVM eviction churn the bench
+      // sections measure (dedup_clusters 178.9 s in-section vs ~40 s
+      // standalone, driver-sim #5)
+      labels.unpersist()
       labels = next
       converged = !changed
       i += 1
