@@ -388,7 +388,7 @@ object Bench {
       "decontaminate_semantic", "contamination_report", "sample_perplexity",
       "dedup_keep_best", "cluster_topics",
       "dedup_url", "dedup_snapshot", "dedup_snapshot_fuzzy",
-      "quality_classifier", "token_budget", "ngram_hot",
+      "quality_classifier", "token_budget", "corpus_stats", "ngram_hot",
       "text_repetition", "text_fingerprint",
       "sample_stratified", "sample_shuffle", "seq_pack", "lm_score",
       "quality_gopher",
@@ -501,7 +501,7 @@ object Bench {
     "cluster_topics",
     // text-analysis aggregations and model scoring
     "tfidf_topk", "lm_score", "quality_classifier", "quality_gopher",
-    "quality_calibration", "token_budget", "ngram_hot",
+    "quality_calibration", "token_budget", "corpus_stats", "ngram_hot",
     "text_quality", "text_repetition", "text_fingerprint")
 
   /** One bench pass of the curated sf1 subset at the synthesized sf1

@@ -3486,6 +3486,29 @@ object Queries {
     // sample_domain_mix. One combinable corpus-sized groupBy; the
     // cumulative window runs over the DOMAIN table (#domains rows,
     // orders of magnitude below the corpus), integer micro-shares
+    // LLM-prep: per-(source, lang) corpus statistics table — the
+    // mixture-planning companion to token_budget with EXACT token-count
+    // quantiles. One combinable groupBy; Spark's exact percentile holds
+    // one value→count map per group (bounded by distinct token counts,
+    // ~10^4 — not by row count), so the aggregate stays map-side
+    // combinable at any corpus size. Interpolated ranks are multiples
+    // of 0.1 for p50/p90 → ×10 integers are exact on both engines.
+    "corpus_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          length(col("text")).as("n_chars"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("sum_tokens"),
+          round(avg(col("n_chars")) * 100).cast("long").as("mean_chars_x100"),
+          round(percentile(col("n_tok"), lit(0.5)) * 10).cast("long")
+            .as("p50_tokens_x10"),
+          round(percentile(col("n_tok"), lit(0.9)) * 10).cast("long")
+            .as("p90_tokens_x10"),
+          max(col("n_tok")).cast("long").as("max_tokens"))
+    }),
+
     "token_budget" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val per = Tables.documents(s, dir)
@@ -6251,6 +6274,26 @@ object Queries {
 
     "dedup_substring_removal" ->
       Dedup.removeDupSpansOracleSql(),
+
+    // quantile_cont uses the same 1+(n-1)p interpolated-rank definition
+    // as Spark's exact percentile; ×10 integers are exact for p in
+    // tenths, and avg moves to integer cents
+    "corpus_stats" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    len(list_filter(string_split_regex(lower(text), '[\s\x0B]+'),
+        |      x -> x <> '')) AS n_tok,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(round(avg(n_chars) * 100) AS BIGINT) AS mean_chars_x100,
+        |  CAST(round(quantile_cont(n_tok, 0.5) * 10) AS BIGINT)
+        |    AS p50_tokens_x10,
+        |  CAST(round(quantile_cont(n_tok, 0.9) * 10) AS BIGINT)
+        |    AS p90_tokens_x10,
+        |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "token_budget" ->
       """WITH per AS (
