@@ -261,6 +261,16 @@ class PlanAuditSpec extends SparkSpec {
       "global (one-partition) window — the scale killer this operator exists to avoid")
   }
 
+  test("corpus_stats: one combinable aggregate, no join, pruned scan") {
+    val p = plan("corpus_stats")
+    assert(!p.contains("Join"), "stats table is a single groupBy")
+    // exact percentile rides the ObjectHashAggregate path and must still
+    // partial-aggregate before the exchange (buffer bounded by distinct
+    // token counts, not rows)
+    assert(p.contains("ObjectHashAggregate"), "percentile aggregate missing")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("no-cartesian / no-Python sweep over the lazily-built batch suite") {
     // every query that constructs lazily: the physical plan must never
     // contain a cartesian product or a Python eval barrier. Eagerly-
