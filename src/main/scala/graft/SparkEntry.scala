@@ -1994,10 +1994,12 @@ object Queries {
       val res = cfg.run(ev)
       res.output.select(
         col("event_id"),
-        // case-SENSITIVE readback proves the final spelling: the ci
-        // write found "Inner" and respelled it "INNER" under the
-        // original "MixedCase" parent
-        get_json_object(col("vars_msg"), "$.MixedCase.INNER")
+        // case-SENSITIVE readback proves the final spelling: json-c's
+        // json_object_object_add under the insensitive global replaces
+        // the matched entry's VALUE in place — the ORIGINAL spelling
+        // "Inner" survives the `$!mixedCASE!INNER` write (the existing
+        // key remains valid; only the value changes)
+        get_json_object(col("vars_msg"), "$.MixedCase.Inner")
           .cast("long").as("v_spell"),
         get_json_object(col("vars_msg"), "$.out.read_ci")
           .cast("long").as("read_ci"),

@@ -56,7 +56,19 @@ object JsonPathUtil {
         case o: ObjectNode => o
         case _ =>
           val fresh = mapper.createObjectNode()
-          cur.set(segs(i), fresh)
+          // same in-place rule as putTagged: a ci-matched existing key
+          // keeps its original spelling/position when overwritten
+          var key = segs(i)
+          if (ci && nxt != null) {
+            val it = cur.fieldNames()
+            var hit: String = null
+            while (hit == null && it.hasNext) {
+              val k = it.next()
+              if (k.equalsIgnoreCase(key)) hit = k
+            }
+            if (hit != null) key = hit
+          }
+          cur.set(key, fresh)
           fresh
       }
       i += 1
@@ -111,8 +123,14 @@ object JsonPathUtil {
 
   def putTagged(parent: ObjectNode, leaf: String, v: Any, tag: Int,
                 ci: Boolean): Unit = {
-    // fjson add under the insensitive global replaces the (first)
-    // case-insensitively matching entry; the NEW spelling wins
+    // fjson add under the insensitive global (json-c lineage,
+    // json_object_object_add): a case-insensitively matched EXISTING
+    // entry has its value replaced IN PLACE — the hash-table slot keeps
+    // the original key pointer, so the ORIGINAL spelling and position
+    // survive the write; only the value changes. (An earlier build
+    // removed the old entry and re-inserted the new spelling at the
+    // end — that respells and reorders, diverging from the reference.)
+    var key = leaf
     if (ci) {
       val it = parent.fieldNames()
       var hit: String = null
@@ -120,14 +138,14 @@ object JsonPathUtil {
         val k = it.next()
         if (k.equalsIgnoreCase(leaf)) hit = k
       }
-      if (hit != null && hit != leaf) parent.remove(hit)
+      if (hit != null) key = hit
     }
-    if (v == null) { parent.putNull(leaf); return }
+    if (v == null) { parent.putNull(key); return }
     tag match {
-      case 0 => parent.put(leaf, v.asInstanceOf[Long])
-      case 1 => parent.put(leaf, v.asInstanceOf[Int].toLong)
-      case 2 => parent.put(leaf, v.asInstanceOf[Double])
-      case 3 => parent.put(leaf, v.asInstanceOf[Boolean])
+      case 0 => parent.put(key, v.asInstanceOf[Long])
+      case 1 => parent.put(key, v.asInstanceOf[Int].toLong)
+      case 2 => parent.put(key, v.asInstanceOf[Double])
+      case 3 => parent.put(key, v.asInstanceOf[Boolean])
       case _ =>
         val s = v.toString
         val trimmed = s.trim
@@ -135,8 +153,8 @@ object JsonPathUtil {
           if (trimmed.startsWith("{") || trimmed.startsWith("[")) {
             try mapper.readTree(trimmed) catch { case _: Exception => null }
           } else null
-        if (asTree != null && !asTree.isValueNode) parent.set[JsonNode](leaf, asTree)
-        else parent.put(leaf, s)
+        if (asTree != null && !asTree.isValueNode) parent.set[JsonNode](key, asTree)
+        else parent.put(key, s)
     }
   }
 

@@ -18,6 +18,21 @@ import graft.functions.rainer
   */
 object Dedup {
 
+  /** Drop the storage blocks behind a localCheckpoint'd Dataset.
+    *
+    * `Dataset.unpersist` only calls `CacheManager.uncacheQuery`, and a
+    * checkpointed Dataset is a bare `LogicalRDD` the CacheManager has
+    * never seen — so `ds.unpersist()` silently frees nothing (verified
+    * against the shipped spark-sql 4.1.2). The persisted blocks belong
+    * to the wrapped RDD itself; unpersist THAT. Falls back to the
+    * Dataset-level call for non-checkpoint plans. */
+  private[graft] def releaseLocalCheckpoint(ds: DataFrame): Unit =
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ds.unpersist()
+    }
+
   /** Exact dedup on a normalized-content fingerprint: keeps the smallest
     * id per group, reports group size. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -632,9 +647,11 @@ object Dedup {
       // them), and without the explicit unpersist every round's label
       // table stays resident until GC — ~log(d) corpus-label copies of
       // dead storage that amplify the mid-JVM eviction churn the bench
-      // sections measure (dedup_clusters 178.9 s in-section vs ~40 s
-      // standalone, driver-sim #5)
-      labels.unpersist()
+      // sections measure. Dataset.unpersist is a NO-OP here: a local-
+      // checkpointed Dataset is backed by a LogicalRDD never registered
+      // with the CacheManager, and unpersist only uncaches via the
+      // CacheManager — the blocks must be dropped on the RDD itself.
+      releaseLocalCheckpoint(labels)
       labels = next
       converged = !changed
       i += 1

@@ -343,27 +343,47 @@ object Multimodal {
       return null
     var usPf = -1L; var w = -1; var h = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(from: Int, to: Int): Unit = {
-      var off = from
-      while (off + 8 <= to) {
+    // Explicit range stack instead of recursion: crafted deeply-nested
+    // LIST chunks can't overflow the JVM stack (a StackOverflowError is
+    // not an Exception, so it would escape the quarantine catch). Chunk
+    // lengths stay Long until range-checked: a 32-bit length >= 2^31
+    // must not wrap negative (len = -7/-8 makes the advance zero — an
+    // infinite loop) nor overflow dataOff + len past Int range.
+    val stack = scala.collection.mutable.ArrayDeque.empty[(Int, Int)]
+    stack.append((12, math.min(b.length.toLong,
+      8L + rdLe32(b, 4)).toInt))
+    while (stack.nonEmpty) {
+      var (off, to) = stack.removeLast()
+      var walking = true
+      while (walking && off + 8 <= to) {
         val id = fccAt(b, off)
-        val len = rdLe32(b, off + 4).toInt
+        val len = rdLe32(b, off + 4) // unsigned, 0 .. 2^32-1
         val dataOff = off + 8
-        if (dataOff + len > to) return // truncated chunk: stop the walk
-        id match {
-          case "LIST" => walk(dataOff + 4, dataOff + len) // skip list type
-          case "avih" if len >= 40 =>
-            usPf = rdLe32(b, dataOff)
-            w = rdLe32(b, dataOff + 32).toInt
-            h = rdLe32(b, dataOff + 36).toInt
-          case "00dc" =>
-            frames += java.util.Arrays.copyOfRange(b, dataOff, dataOff + len)
-          case _ =>
+        if (dataOff.toLong + len > to) walking = false // truncated: stop
+        else {
+          val lenI = len.toInt // safe: <= to - dataOff <= Int range
+          val next = dataOff + lenI + (lenI % 2) // chunks pad to even
+          id match {
+            case "LIST" if lenI >= 4 =>
+              // Depth-first like the recursive form: save the rest of
+              // this range, descend into the list body (skip list type).
+              stack.append((next, to))
+              off = dataOff + 4; to = dataOff + lenI
+            case other =>
+              other match {
+                case "avih" if lenI >= 40 =>
+                  usPf = rdLe32(b, dataOff)
+                  w = rdLe32(b, dataOff + 32).toInt
+                  h = rdLe32(b, dataOff + 36).toInt
+                case "00dc" =>
+                  frames += java.util.Arrays.copyOfRange(b, dataOff, dataOff + lenI)
+                case _ =>
+              }
+              off = next
+          }
         }
-        off = dataOff + len + (len % 2) // chunks pad to even
       }
     }
-    walk(12, math.min(b.length, 8 + rdLe32(b, 4).toInt))
     if (usPf < 0) null else (usPf, w, h, frames.toSeq)
   }
 

@@ -88,14 +88,22 @@ case class RsyslogConfig(
     // key comparison to case-INsensitive. Bracketed around the compile:
     // the flag is read at expression-CONSTRUCTION time and baked into
     // each json expression, so task-time evaluation is immune, and the
-    // finally prevents a leak into queries built after this config
-    EnvSource.varsCaseInsensitive = globals.get("variables.casesensitive")
-      .exists(v => v == "off" || v == "0")
-    try RainerCompiler.runStmts(
-      inlineCalls(stmts, Set.empty, 0, callNestingLimit),
-      input, lookupTables, templates, timezones, templateEscapes, http,
-      jsonfTemplates, jsonfTree)
-    finally EnvSource.varsCaseInsensitive = false
+    // finally prevents a leak into queries built after this config.
+    // The whole set→compile→reset bracket holds a JVM-global lock: the
+    // flag is process-global, so two configs compiling concurrently
+    // (one "on", one "off") would otherwise race and bake the wrong ci
+    // mode into each other's expressions. Compilation is pure plan
+    // construction (no Spark actions), so the critical section is
+    // short; execution of the returned plan is NOT serialized.
+    RsyslogConfig.compileLock.synchronized {
+      EnvSource.varsCaseInsensitive = globals.get("variables.casesensitive")
+        .exists(v => v == "off" || v == "0")
+      try RainerCompiler.runStmts(
+        inlineCalls(stmts, Set.empty, 0, callNestingLimit),
+        input, lookupTables, templates, timezones, templateEscapes, http,
+        jsonfTemplates, jsonfTree)
+      finally EnvSource.varsCaseInsensitive = false
+    }
   }
 
   private def inlineCalls(stmts: Seq[RStmt], seen: Set[String], depth: Int,
@@ -214,6 +222,10 @@ case class RsyslogConfig(
 }
 
 object RsyslogConfig {
+
+  /** Serializes the casesensitive-flag compile bracket in `run` — see
+    * the comment there. */
+  private[rainerscript] val compileLock = new Object
 
   /** Built-in templates (runtime/rsconf.c:202-260, registered
     * rsconf.c:1570-1604; leading-space names are the reference's

@@ -84,6 +84,38 @@ class MultimodalSpec extends SparkSpec {
     assert(p == null || p._2 == 24) // header-only parse is acceptable
   }
 
+  test("video: hostile chunk lengths and deep LIST nesting terminate") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    // A 32-bit chunk length >= 2^31 used to wrap negative through .toInt:
+    // len = 0xFFFFFFF9 (-7 as Int) passed the truncation guard and made
+    // the chunk advance ZERO — an infinite loop pinning the executor.
+    val evil = fcc("RIFF") ++ le32(0xFFFFFFFFL) ++ fcc("AVI ") ++
+      fcc("JUNK") ++ le32(0xFFFFFFF9L) ++ new Array[Byte](32)
+    val t0 = System.nanoTime()
+    assert(Multimodal.parseAvi(evil) == null)
+    assert((System.nanoTime() - t0) < 5e9, "hostile AVI must not spin")
+    // Deeply nested LISTs: the recursive walker overflowed the JVM stack
+    // (StackOverflowError escapes a `catch Exception` quarantine). The
+    // explicit-stack walker is depth-immune.
+    val depth = 200000
+    val innerLen = 12 // each LIST: 4-byte type + one empty JUNK chunk
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(fcc("RIFF")); bos.write(le32(12L * depth + 12))
+    bos.write(fcc("AVI "))
+    var remaining = depth
+    while (remaining > 0) {
+      bos.write(fcc("LIST"))
+      bos.write(le32(innerLen.toLong + 12L * (remaining - 1)))
+      bos.write(fcc("rec "))
+      remaining -= 1
+    }
+    bos.write(fcc("JUNK")); bos.write(le32(0))
+    assert(Multimodal.parseAvi(bos.toByteArray) == null) // no avih → null
+  }
+
   test("undecodable payloads quarantine as null fields, never fail the task") {
     val junk = spark.createDataFrame(
       java.util.Arrays.asList(

@@ -558,24 +558,37 @@ class RainerScriptSpec extends SparkSpec {
 
   test("variables.casesensitive=off: ci read/write/unset/exists; on-mode unchanged") {
     val ev = Seq((1, 5)).toDF("event_id", "severity")
-    val off = graft.rainerscript.RsyslogConfig.parse(
+    // json-c in-place replace: the ci write through a different spelling
+    // updates the EXISTING entry's value, keeping the original key
+    // spelling (json_object_object_add: "the existing key remains
+    // valid" — no respell, no reorder)
+    val keep = graft.rainerscript.RsyslogConfig.parse(
       """global(variables.casesensitive="off")
         |set $!Aa!Bb = 7;
         |set $!AA!BB = $!aa!bb + 1;
         |set $!r = $!aA!bB;
+        |""".stripMargin).run(ev)
+    val k = keep.output.select(
+      get_json_object(col("vars_msg"), "$.Aa.Bb"),
+      get_json_object(col("vars_msg"), "$.Aa.BB"),
+      get_json_object(col("vars_msg"), "$.r")).head
+    assert(k.getString(0) == "8", "ci write must replace in place")
+    assert(k.isNullAt(1), "ci write must NOT introduce the new spelling")
+    assert(k.getString(2) == "8")
+    val off = graft.rainerscript.RsyslogConfig.parse(
+      """global(variables.casesensitive="off")
+        |set $!Aa!Bb = 7;
+        |set $!AA!BB = $!aa!bb + 1;
         |set $!e = exists($!AA!bb);
         |unset $!aa!BB;
         |set $!g = exists($!Aa!Bb);
         |""".stripMargin).run(ev)
     val r = off.output.select(
-      get_json_object(col("vars_msg"), "$.Aa.BB"),   // ci write respells leaf
-      get_json_object(col("vars_msg"), "$.r"),
+      get_json_object(col("vars_msg"), "$.Aa.Bb"),
       get_json_object(col("vars_msg"), "$.e"),
       get_json_object(col("vars_msg"), "$.g")).head
-    // the set BEFORE the unset read 8; unset then removed the leaf
     assert(r.isNullAt(0), "unset must remove the ci-matched leaf")
-    assert(r.getString(1) == "8" && r.getString(2) == "true" &&
-      r.getString(3) == "false")
+    assert(r.getString(1) == "true" && r.getString(2) == "false")
     // default (no global): distinct-case paths are distinct keys
     val on = graft.rainerscript.RsyslogConfig.parse(
       """set $!Aa!Bb = 7;
