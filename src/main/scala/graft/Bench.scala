@@ -49,9 +49,19 @@ object Bench {
   private val estSf1 = 230.0
   private val estSf10 = 380.0
   private val estSf100Synth = 280.0
-  private val estSf100Query = // r11 post-fix cold-JVM measurements + margin
-    Map("dedup_verified" -> 280.0, "dedup_substring" -> 260.0,
-      "dedup_lines" -> 120.0, "decontaminate_fuzzy" -> 120.0)
+  private val estSf100Query = // cold-JVM measurements (NOTES_r12) + margin
+    Map("dedup_verified" -> 380.0, "dedup_substring" -> 300.0,
+      "dedup_lines" -> 60.0, "decontaminate_fuzzy" -> 100.0,
+      "dedup_snapshot" -> 60.0, "dedup_snapshot_fuzzy" -> 150.0)
+
+  /** Host-speed calibration anchor: the r11 (uncontended) median of the
+    * 524,288-msg trial on this host class, in msgs/s. The engine code
+    * behind the trial is frozen (ingest decode→filter→template→agg),
+    * so the ratio current/ref measures the HOST, not the engine — r12
+    * measured 892 k on identical code purely from neighbor contention.
+    * Published as "host_factor" (ref/current; >1 = today's host is
+    * slower) so cross-round comparisons can ratio-correct absolutes. */
+  private val hostRefMsgsPerSec = 1016000.0
 
   /** Deterministic cross-query heap reclaim: System.gc() alone leaves
     * localCheckpoint/persist blocks to the ASYNC ContextCleaner, so a
@@ -306,15 +316,17 @@ object Bench {
     * should land within ~10× its sf10 wall-time. */
   private def sf100Spot(spark: SparkSession, sfDir: String,
                         forced: Boolean): (String, String) = {
-    // dedup_verified first: it is the historical linearity question; if
-    // the deadline only fits one query, it is the one that must land.
-    // dedup_lines + decontaminate_fuzzy appended r12 (VERDICT r11 #3:
-    // both were new at r11 with sf10 points only); the incremental-
-    // ingest family (snapshot bloom + cross-corpus LSH) appended
-    // late-r12 for the same reason
-    val names = Seq("dedup_verified", "dedup_substring",
-      "dedup_lines", "decontaminate_fuzzy",
-      "dedup_snapshot", "dedup_snapshot_fuzzy")
+    // CHEAP-FIRST order (r13): the driver run reaches this section with
+    // a small remaining budget, so the queries carrying the SUBLINEARITY
+    // claims (snapshot bloom 3.4×, line-dedup 2.7× at 10× data — the
+    // micro-spot VERDICT r12 #4 asked to land in the artifact) run
+    // first at ~20 s each; the 250-340 s exhaustive heavies
+    // (dedup_verified's pair verify, substring's window explode) run
+    // only when the wall allows — their sf100 points are already three
+    // rounds deep in NOTES.
+    val names = Seq("dedup_snapshot", "dedup_lines",
+      "dedup_snapshot_fuzzy", "decontaminate_fuzzy",
+      "dedup_verified", "dedup_substring")
     val dir = synthesizeSf100(spark, sfDir)
     reclaim(spark)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -362,59 +374,67 @@ object Bench {
     * compositions over the same 100-shard document corpus (llm_prep's
     * dedup shuffle, decontaminate's broadcast-gram join, seq_pack's
     * per-shard windows); the rest of the suite has its sf1 point. */
-  private def sf10Section(spark: SparkSession, sfDir: String,
-                          sf1Times: Map[String, Double]): (String, String) = {
+  private def sf10Section(spark0: SparkSession, cpus: String, sfDir: String,
+                          sf1Times: Map[String, Double],
+                          reserveS: Double): (String, String, SparkSession) = {
     // PRIORITY order, not family order: the per-query deadline guard
-    // truncates the TAIL, so the flagship compositions and the
-    // representative one-per-family entries run first and the expensive
-    // exhaustive fallbacks (ngram's inverted index, simhash's fat
-    // buckets, substring's window explode) run last — a budget squeeze
-    // drops the least informative queries first (the r11 validation run
-    // lost dedup_verified to a 131 s dedup_ngram placed ahead of it)
-    // text_quality leads NOT for priority but as the section's warm-up:
-    // a cheap full-corpus scan absorbs the fresh context's first-read
-    // and codegen costs so they don't land inside the flagship's timing
-    // (the r12 driver simulation measured dedup_verified at 258 s as
-    // the section opener vs 31.5 s standalone-fresh — same binary, same
-    // corpus). The four VERDICT-mandated entries follow immediately so
-    // a budget squeeze can never cut them behind the cheaper families.
-    val names = Seq(
+    // truncates the TAIL, so a budget squeeze drops the least
+    // informative queries first (the r11 validation run lost
+    // dedup_verified to a 131 s dedup_ngram placed ahead of it).
+    // Three tiers (VERDICT r12 #1b):
+    //   1. text_quality warm-up + the four mandated flagship entries +
+    //      the ANN family;
+    //   2. EVERY round-new operator (r12 sketch/ingest family + r13
+    //      additions) — these had zero sf10 points in the r12 driver
+    //      artifact because they sat BEHIND the legacy heavies whose
+    //      sf10 points were already three rounds deep;
+    //   3. medium legacy, then the expensive exhaustive fallbacks
+    //      (ngram's inverted index, simhash's fat buckets, substring's
+    //      window explode) last.
+    // text_quality leads NOT for priority but as the warm-up: a cheap
+    // full-corpus scan absorbs the fresh context's first-read cost so
+    // it doesn't land inside the flagship's timing.
+    val tier1 = Seq(
       "text_quality",
       "dedup_verified", "dedup_clusters_verified",
       "decontaminate_fuzzy", "dedup_lines",
-      "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats",
-      "dedup_exact", "dedup_canonical", "dedup_semantic", "dedup_minhash",
-      "emb_neardup", "llm_prep", "decontaminate",
-      "decontaminate_semantic", "contamination_report", "sample_perplexity",
-      "dedup_keep_best", "cluster_topics",
-      "dedup_url", "dedup_snapshot", "dedup_snapshot_fuzzy",
-      "quality_classifier", "token_budget", "corpus_stats", "ngram_hot",
+      "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
+    val tierNew = Seq(
+      "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
+      "quality_classifier", "token_budget", "corpus_stats",
+      "cluster_topics", "sample_shuffle", "sample_perplexity",
+      "tokenize_bpe", "token_budget_bpe")
+    val tierMid = Seq(
+      "dedup_exact", "dedup_canonical", "dedup_semantic", "dedup_url",
+      "dedup_keep_best", "llm_prep", "decontaminate",
+      "decontaminate_semantic", "contamination_report",
       "text_repetition", "text_fingerprint",
-      "sample_stratified", "sample_shuffle", "seq_pack", "lm_score",
-      "quality_gopher",
-      "tfidf_topk",
-      "dedup_clusters", "dedup_simhash", "dedup_substring",
-      "dedup_substring_removal", "dedup_ngram")
+      "sample_stratified", "seq_pack", "lm_score", "quality_gopher",
+      "tfidf_topk")
+    val tierHeavy = Seq(
+      "dedup_minhash", "emb_neardup",
+      "dedup_clusters", "dedup_simhash",
+      "dedup_substring", "dedup_substring_removal", "dedup_ngram")
+    val names = tier1 ++ tierNew ++ tierMid ++ tierHeavy
+    // Context restarts BEFORE the accumulation-sensitive heavies
+    // (VERDICT r12 #1a/#7): the in-section inflation (clusters 161-179 s
+    // vs ~40 s standalone; minhash 91 vs ~20 — with NO iterative loop)
+    // tracks accumulated section state, so each 2-3-heavy block starts
+    // in a fresh SparkContext (~15 s each; shuffle dirs, block manager
+    // and broadcast state all reset — JIT warmth stays in the JVM).
+    val restartBefore = Set("dedup_minhash", "dedup_clusters",
+      "dedup_substring")
     // per-query wall-cost estimate for the deadline guard: the query's
     // OWN measured sf1 time from the section that just ran, scaled by
-    // the 10x data factor plus a 30% mid-JVM margin, clamped to
-    // [60, 300] s (fixed overhead floors small queries; 300 covers the
-    // worst measured mid-JVM heavyweight, clusters at 225 s). Replaces
-    // the r11 flat 160 s guard, which a 225 s query could blow through
-    // by ~60 s (ADVICE r11 #5); queries without an sf1 point (subset
-    // miss) keep a conservative flat 160.
+    // the 10x data factor plus a 30% margin, clamped to [60, 300] s
+    // (fixed overhead floors small queries). Queries without an sf1
+    // point keep a conservative flat 160. The guard also holds back
+    // `reserveS` for the sf100 micro-spot that follows this section
+    // (VERDICT r12 #4: the spot is worth two sf10 tail queries).
     def needS(n: String): Double =
       sf1Times.get(n).map(t => (t * 13.0).max(60.0).min(300.0))
         .getOrElse(160.0)
-    // the four+ heavyweights re-run and report MIN: r10 measured the
-    // SAME query at the SAME section position swinging 2× between
-    // otherwise-identical runs (simhash 82 vs 126 s; clusters 90 vs
-    // 160 s) even after deterministic reclaim — single-JVM heap shape +
-    // host noise, not plan cost (fresh-JVM simhash is a stable
-    // ~50 s). min-of-2 is the defensible uncontended estimate; the
-    // cheap tail stays single-trial.
-    val retry = Set("dedup_simhash", "dedup_ngram", "dedup_verified",
-      "dedup_substring", "dedup_clusters", "emb_neardup")
+    var spark = spark0
     val sf10Dir = synthesizeSf10(spark, sfDir)
     reclaim(spark)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -422,34 +442,28 @@ object Bench {
       SparkEntry.queries.get(n).flatMap { fn =>
         // per-query deadline guard: section-ENTRY gating is not enough —
         // the r11 driver-simulation run measured this section at 763 s
-        // against a 380 s clean estimate (mid-JVM inflation: clusters
-        // 225 s vs 45 s standalone), which pushed the whole run past the
-        // wall. Skip the tail loudly rather than blow the budget.
-        if (remainingS < needS(n)) { skipped += n; None } else Some(fn)
+        // against a 380 s clean estimate. Skip the tail loudly rather
+        // than blow the budget (or eat the sf100 micro-spot's reserve).
+        if (remainingS - reserveS < needS(n)) { skipped += n; None }
+        else Some(fn)
       }.map { fn =>
-        val trials = if (retry(n)) 2 else 1
-        var best = Double.MaxValue
-        var ok = true
-        var t = 0
-        while (t < trials && ok) {
-          // deterministic reclaim between queries/trials — see `reclaim`
-          reclaim(spark)
-          val t0 = System.nanoTime()
-          ok = try {
-            fn(spark, sf10Dir).write.format("noop").mode("overwrite").save(); true
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench:sf10] $n failed: ${e.getMessage}"); false
-          }
-          val dt = (System.nanoTime() - t0) / 1e9
-          if (dt < best) best = dt
-          t += 1
-          // the second (noise-averaging) trial is a luxury the deadline
-          // can veto: skip it unless there's room for the re-run plus a
-          // finish-the-section cushion
-          if (t < trials && remainingS < dt + 180)
-            t = trials
+        if (restartBefore(n)) {
+          spark.stop()
+          spark = buildSession(cpus)
+          // absorb the fresh context's first-read cost outside the
+          // timed window (same role text_quality plays at section entry)
+          try Tables.documents(spark, sf10Dir).limit(32).count()
+          catch { case _: Throwable => }
         }
-        val dt = best
+        // deterministic reclaim between queries — see `reclaim`
+        reclaim(spark)
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sf10Dir).write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench:sf10] $n failed: ${e.getMessage}"); false
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench:sf10] $n%-18s $dt%8.2fs${if (ok) "" else "  FAILED"}")
         (n, dt, ok)
       }
@@ -468,7 +482,8 @@ object Bench {
       else skipped.map("\"" + _ + "\"")
         .mkString(""","skipped":[""", ",", "]")
     (f""""sf10":{"dir":"$sf10Dir","shards":100,"rows":{"documents":$nDocs,"embeddings":$nEmb},"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
-     f""""sf10_total":$total%.3f,"sf10_failed":$failed,"sf10_worst":$worst""")
+     f""""sf10_total":$total%.3f,"sf10_failed":$failed,"sf10_worst":$worst""",
+     spark)
   }
 
   /** The curated sf1 rehearsal subset (r12): the join/agg/stateful/
@@ -558,6 +573,108 @@ object Bench {
      timed.filter(_._3).map { case (n, t, _) => n -> t }.toMap)
   }
 
+  /** Parse the parent's sf1-times handoff file ({"query":secs,...}). */
+  private def readTimes(path: String): Map[String, Double] = try {
+    import scala.jdk.CollectionConverters._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    om.readTree(new java.io.File(path)).fields().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+  } catch { case _: Throwable => Map.empty }
+
+  /** Child-JVM entry for the scale sections (VERDICT r12 #1/#7): the
+    * r12 driver artifact measured dedup_verified at 103 s inside the
+    * section vs 31.5 s standalone on the SAME binary — and the r12
+    * falsification runs showed a fresh SparkCONTEXT does not clear it
+    * (the accumulation is JVM-level: old-gen shape after ~1000 query
+    * executions). A fresh child JVM is the state the standalone
+    * methodology measures, so the driver artifact's numbers become
+    * reproducible standalone numbers by construction. The child
+    * inherits the parent's exact JVM flags and classpath; its wall
+    * budget arrives via SPARK_GRAFT_BUDGET_S (benchStart is process
+    * start, so the child's own per-query deadline guards just work). */
+  private def runChild(mode: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sf1Times = sys.env.get("SPARK_GRAFT_SF1TIMES")
+      .map(readTimes).getOrElse(Map.empty)
+    val spark = buildSession(cpus)
+    mode match {
+      case "child_sf10" =>
+        val (full, short, s2) = sf10Section(spark, cpus, sfDir, sf1Times, 0.0)
+        println("@@FULL@@" + full)
+        println("@@SHORT@@" + short)
+        s2.stop()
+      case "child_sf100" =>
+        val (full, short) = sf100Spot(spark, sfDir, forced = false)
+        println("@@FULL@@" + full)
+        println("@@SHORT@@" + short)
+        spark.stop()
+      case other =>
+        System.err.println(s"[bench] unknown child mode $other")
+        sys.exit(2)
+    }
+  }
+
+  /** Fork a child JVM running `runChild(mode)` with `budget` seconds of
+    * wall allowance; returns its (full, short) JSON fragments. The
+    * child gets the parent's own java binary, JVM args (--add-opens,
+    * -Xmx) and classpath; stderr streams through live so the driver
+    * log keeps the per-query lines. A hard watchdog at budget+180 s
+    * kills a wedged child — the parent's remaining sections still
+    * report. Returns None on fork failure / crash / missing markers. */
+  private def forkChild(mode: String, budget: Double,
+                        sf1TimesPath: Option[String]): Option[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xdebug") ||
+          a.startsWith("-Xrunjdwp"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench", mode)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_BUDGET_S", f"$budget%.0f")
+      sf1TimesPath.foreach(p => pb.environment().put("SPARK_GRAFT_SF1TIMES", p))
+      val proc = pb.start()
+      val outLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def pump(in: java.io.InputStream, sink: String => Unit): Thread = {
+        val t = new Thread(() => {
+          val br = new java.io.BufferedReader(new java.io.InputStreamReader(in))
+          var line = br.readLine()
+          while (line != null) { sink(line); line = br.readLine() }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      val errT = pump(proc.getErrorStream, System.err.println)
+      val outT = pump(proc.getInputStream, l => { outLines.add(l); () })
+      val finished = proc.waitFor((budget + 180).toLong,
+        java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) {
+        System.err.println(s"[bench] child $mode overran its watchdog; killing")
+        proc.destroyForcibly()
+        proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      }
+      outT.join(3000); errT.join(3000)
+      val lines = outLines.asScala.toSeq
+      val full = lines.collectFirst {
+        case l if l.startsWith("@@FULL@@") => l.substring(8) }
+      val short = lines.collectFirst {
+        case l if l.startsWith("@@SHORT@@") => l.substring(9) }
+      val rc = proc.exitValue()
+      (full, short) match {
+        case (Some(f), Some(s)) if rc == 0 => Some((f, s))
+        case _ =>
+          System.err.println(
+            s"[bench] child $mode rc=$rc markers=${full.nonEmpty}/${short.nonEmpty}")
+          None
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] child fork failed: ${e.getMessage}"); None
+    }
+  }
+
   private def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -579,6 +696,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.length == 1 && args(0).startsWith("child_")) {
+      runChild(args(0)); return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // 2 trials (r12; was 3, originally 5): with the warm-up run every
@@ -611,9 +731,15 @@ object Bench {
       // contention guard: on a clean host the whole main loop fits well
       // under 40% of the budget, but a contended host inflates it up to
       // 3x (NOTES_r10) — shed to single-trial rather than starve the
-      // scale sections (the trials[] array shows the reduced count)
+      // scale sections (the trials[] array shows the reduced count).
+      // The ~160 queries OUTSIDE the curated sf1 subset are stable
+      // scan-bound projections (sub-second, MAD ≈ 0 every round) — one
+      // warmed trial each (r13): the shed execution buys the scale
+      // sections ~80 s without losing information the medians carry.
       val qTrials =
-        if (args.isEmpty && elapsedS > budgetS * 0.4) 1 else nTrials
+        if (args.isEmpty && (elapsedS > budgetS * 0.4 ||
+          !sf1Names.contains(name))) 1
+        else nTrials
       while (i < qTrials && !failed) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -706,6 +832,13 @@ object Bench {
       case _ =>
         """"baseline_ratio":1.0,"baseline_anchor":"assumed""""
     }
+    // Host-speed calibration (VERDICT r12 #1): the 524k-trial rate on
+    // FROZEN ingest code, ratioed against the r11 uncontended anchor,
+    // names today's host factor explicitly so cross-round absolute
+    // comparisons can be ratio-corrected (r12's artifact carried a ~2×
+    // contended host and its absolutes were misread as regressions).
+    val hostJson =
+      f""""host_ref_msgs_per_sec":$hostRefMsgsPerSec%.0f,"host_factor":${if (trialMed > 0) hostRefMsgsPerSec / trialMed else 0.0}%.3f"""
     // Scale sections in MUST-HAVE order (sf1 → sf10 → sf100), each
     // gated on the remaining wall-clock budget: a section whose
     // clean-run cost estimate no longer fits is skipped with a
@@ -715,20 +848,20 @@ object Bench {
     // goes to stdout so a kill mid-way still leaves the completed
     // sections parseable in the driver's output tail.
     def progress(fields: String): Unit =
-      println(f"""{"metric":"progress","elapsed_s":$elapsedS%.1f,"budget_s":$budgetS%.0f,"value":$total%.3f,"unit":"sec","trial_msgs_per_sec":$trialMed%.0f,$ratioJson$fields}""")
-    // FRESH SparkContext for the scale sections (r11): ~1000 query
+      println(f"""{"metric":"progress","elapsed_s":$elapsedS%.1f,"budget_s":$budgetS%.0f,"value":$total%.3f,"unit":"sec","trial_msgs_per_sec":$trialMed%.0f,$hostJson,$ratioJson$fields}""")
+    // FRESH SparkContext for the sf1 section (r11): ~1000 query
     // executions leave the first context with shuffle-file and
-    // block-manager accumulation that reclaim() cannot fully shed — the
-    // driver-simulation run measured sf10 dedup_clusters at 225 s
-    // mid-JVM vs 45 s standalone (5x) even with blocking unpersist + GC
-    // between queries. Stopping the context deletes its shuffle dirs
-    // and broadcast state; JIT/codegen warmth stays in the JVM. Costs
-    // ~15 s, bought back many times over inside the sections.
+    // block-manager accumulation that reclaim() cannot fully shed.
+    // Stopping the context deletes its shuffle dirs and broadcast
+    // state; JIT/codegen warmth stays in the JVM. Costs ~15 s.
     val sparkScale =
       if (args.isEmpty || args.exists(Set("sf1", "sf10", "sf100"))) {
         spark.stop()
         buildSession(cpus)
       } else spark
+    // standalone path only: tracks the latest session across the
+    // in-process sf10 section's internal restarts
+    var sparkScaleFinal: SparkSession = sparkScale
     // sf1 scale rehearsal (skipped during single-query local iteration or
     // with SPARK_GRAFT_SF1=off; `sf1` as an explicit arg forces it — the
     // local-iteration aid for the scale sections themselves)
@@ -749,50 +882,80 @@ object Bench {
         ("", "", Map.empty[String, Double])
       }
     if (args.isEmpty) progress(sf1Summary)
-    // SECOND context restart between sf1 and sf10 (r12): the r12 driver
-    // simulation measured the sf10 opener (dedup_verified) at 258 s in
-    // the context that had just run the sf1 section, vs 31.5 s in a
-    // fresh one — the same shuffle-dir/block-manager accumulation the
-    // r11 pre-sf1 restart was added for, re-accumulated by sf1 itself.
-    // ~15 s, bought back 8x in the first flagship query alone.
-    val sparkScale2 =
-      if (args.isEmpty || args.exists(Set("sf10", "sf100"))) {
-        sparkScale.stop()
-        buildSession(cpus)
-      } else sparkScale
-    // sf10 dedup/ANN spot-run (skipped in single-query mode or with
-    // SPARK_GRAFT_SF10=off; `sf10` as an explicit arg forces it)
+    // sf10 and sf100 run in FRESH CHILD JVMs on the driver path
+    // (VERDICT r12 #1/#7): the r12 falsification showed the in-section
+    // inflation (dedup_verified 103 s in-artifact vs 31.5 s standalone)
+    // survives a SparkContext restart — it is JVM-level accumulated
+    // state, so only a new JVM yields the standalone numbers the gate
+    // should read. The sf100 micro-spot gets a RESERVE carved out of
+    // the sf10 child's budget (VERDICT r12 #4: worth two sf10 tail
+    // queries); the reserve is small when the /tmp synth cache is warm
+    // (the corpus survives between driver rounds on this host).
+    val childStartS = 30.0
+    val sf100Cached =
+      new java.io.File("/tmp/graft_sf100/_SYNTH_DONE_v1").exists()
+    val sf100NeedS =
+      (if (sf100Cached) 0.0 else estSf100Synth) + childStartS +
+        estSf100Query("dedup_snapshot") + estSf100Query("dedup_lines")
+    val isDriverRun = args.isEmpty
+    if (isDriverRun) {
+      // children own the host's cores and memory from here; the parent
+      // only aggregates JSON
+      sparkScale.stop()
+    }
+    val timesPath: Option[String] =
+      if (!isDriverRun || sf1Times.isEmpty) None
+      else try {
+        val p = java.nio.file.Paths.get("/tmp/graft_sf1times.json")
+        val body = sf1Times.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+        Some(p.toString)
+      } catch { case _: Throwable => None }
     val (sf10Json, sf10Summary) =
       if ((args.nonEmpty && !args.contains("sf10")) ||
           sys.env.get("SPARK_GRAFT_SF10").contains("off")) ("", "")
-      else if (args.isEmpty && remainingS < estSf10) {
-        System.err.println(f"[bench:sf10] skipped (budget: ${remainingS}%.0fs left, need ~${estSf10}%.0f)")
+      else if (isDriverRun && remainingS < estSf10 + childStartS) {
+        System.err.println(f"[bench:sf10] skipped (budget: ${remainingS}%.0fs left, need ~${estSf10 + childStartS}%.0f)")
         (""","sf10_skipped":"budget"""", ""","sf10_skipped":"budget"""")
+      } else if (isDriverRun) {
+        // reserve the sf100 micro-spot's slice (guards inside the child
+        // then spend freely — the reserve already left the building)
+        val grant = (remainingS - sf100NeedS - 15.0).max(estSf10)
+        forkChild("child_sf10", grant, timesPath)
+          .map { case (f, s) => ("," + f, "," + s) }
+          .getOrElse((""","sf10_child_failed":true""",
+            ""","sf10_child_failed":true"""))
       } else try {
-        reclaim(sparkScale2)
-        val (full, short) = sf10Section(sparkScale2, sfDir, sf1Times)
+        reclaim(sparkScale)
+        val (full, short, s2) =
+          sf10Section(sparkScale, cpus, sfDir, sf1Times, 0.0)
+        sparkScaleFinal = s2
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf10] section failed: ${e.getMessage}"); ("", "")
       }
     if (args.isEmpty) progress(sf1Summary + sf10Summary)
-    // sf100 near-linearity spot LAST: it is the most expensive section
-    // and the only one whose evidence can also come from a standalone
-    // `runMain graft.Bench sf100` (coldest-JVM — which its single-trial
-    // methodology prefers anyway; r10 measured a late-JVM single trial
-    // at 28x while the verify-stage input scaled exactly 10.00x).
-    // Default driver runs only reach it when the budget still fits the
-    // synth + at least dedup_verified.
+    // sf100 near-linearity micro-spot LAST — in the driver path it now
+    // actually RUNS (a fresh child JVM is also the coldest-JVM state
+    // its single-trial methodology wants): the cheap sublinearity
+    // queries land inside the reserve; the exhaustive heavies still
+    // need a standalone `runMain graft.Bench sf100`.
     val (sf100Json, sf100Summary) =
       if ((args.nonEmpty && !args.contains("sf100")) ||
           sys.env.get("SPARK_GRAFT_SF100").contains("off")) ("", "")
-      else if (args.isEmpty &&
-               remainingS < estSf100Synth + estSf100Query("dedup_verified")) {
-        System.err.println(f"[bench:sf100] skipped (budget: ${remainingS}%.0fs left)")
+      else if (isDriverRun && remainingS < sf100NeedS) {
+        System.err.println(f"[bench:sf100] skipped (budget: ${remainingS}%.0fs left, need ~$sf100NeedS%.0f)")
         (""","sf100_skipped":"budget"""", ""","sf100_skipped":"budget"""")
+      } else if (isDriverRun) {
+        forkChild("child_sf100", remainingS - 10.0, None)
+          .map { case (f, s) => ("," + f, "," + s) }
+          .getOrElse((""","sf100_child_failed":true""",
+            ""","sf100_child_failed":true"""))
       } else try {
-        reclaim(sparkScale2)
-        val (full, short) = sf100Spot(sparkScale2, sfDir, forced = args.nonEmpty)
+        val s = sparkScaleFinal
+        reclaim(s)
+        val (full, short) = sf100Spot(s, sfDir, forced = args.nonEmpty)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf100] section failed: ${e.getMessage}"); ("", "")
@@ -800,11 +963,11 @@ object Bench {
     val trialStats = "{\"median\":" + f"$trialMed%.0f" + ",\"mad\":" +
       f"$trialMad%.0f" + ",\"trials\":" +
       trialRates.map(r => f"$r%.0f").mkString("[", ",", "]") + "}"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$ratioJson$sf1Json$sf10Json$sf100Json}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$hostJson,$ratioJson$sf1Json$sf10Json$sf100Json}""")
     // compact recap AFTER the full line: the driver keeps only the last
     // few KB of stdout, and the full line's headline fields sit at its
     // FRONT — this short line guarantees they survive the tail window
-    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$ratioJson$sf1Summary$sf10Summary$sf100Summary}""")
-    sparkScale2.stop()
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$hostJson,$ratioJson$sf1Summary$sf10Summary$sf100Summary}""")
+    if (!isDriverRun) sparkScaleFinal.stop()
   }
 }
