@@ -3587,11 +3587,18 @@ object Queries {
 
     // cross-snapshot dedup: prior crawl (doc_id % 3 = 0) folds into one
     // fixed-size bloom; only possibly-seen input rows reach the exact
-    // anti-join (see Dedup.snapshotDedup)
+    // anti-join (see Dedup.snapshotDedup). The input carries re-keyed
+    // copies of half the snapshot (ids + 1e6, identical text) so the
+    // gate exercises the DROP path — the raw %3 split has zero cross-
+    // boundary duplicate fingerprints at test scale, which would leave
+    // the verify branch semantically dormant.
     "dedup_snapshot" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val recrawled = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       Dedup.snapshotDedup(
-        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"))
+          .union(recrawled),
         docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "text")
     }),
@@ -6317,7 +6324,7 @@ object Queries {
 
     "ngram_hot" -> TextAnalysis.hotNgramsOracleSql(),
 
-    "dedup_snapshot" -> Dedup.snapshotDedupOracleSql,
+    "dedup_snapshot" -> Dedup.snapshotDedupRecrawlOracleSql,
 
     "dedup_snapshot_fuzzy" -> Dedup.snapshotNearDupOracleSql(),
 

@@ -1056,7 +1056,17 @@ object Dedup {
     *  4. only bloom hits (true dupes + the fpp sliver) anti-join the
     *     snapshot for exact verification, so the result is EXACT — the
     *     bloom can only fail toward extra verification work, never
-    *     toward a wrong answer.
+    *     toward a wrong answer;
+    *  5. the verify anti-join's SNAPSHOT side is pruned by a SECOND
+    *     bloom built over the sliver (also fixed-size — the sliver is
+    *     small by construction): without it, one fingerprint per
+    *     snapshot document shuffles to meet a sliver typically orders
+    *     of magnitude smaller, which is the cost that dominates once
+    *     the accumulated snapshot is 10-100x the fresh input. A bloom
+    *     has no false negatives, so every snapshot fingerprint equal to
+    *     a sliver fingerprint still reaches the join — false positives
+    *     only add shuffle rows, never change the answer. Verify cost is
+    *     now ∝ sliver on BOTH sides.
     *
     * `expectedItems`/`numBits` size the filter (defaults: 2²⁰ items /
     * 2²³ bits ≈ 1 MB, ~2% fpp at full load; stay under
@@ -1078,9 +1088,18 @@ object Dedup {
     if (bfBytes == null) return fps // empty snapshot: everything is new
     val might = bloomMightContain(bfBytes, col("fp"))
     val defNew = fps.filter(!might)
-    val verified = fps.filter(might)
-      .join(snapFp, Seq("fp"), "left_anti")
-      .select(col("doc_id"), col("fp"))
+    // the sliver re-filters from fps' checkpoint blocks (no exchange),
+    // so its two consumers below (bloom build + join probe) are cheap
+    // re-scans, not recomputed lineage
+    val sliver = fps.filter(might)
+    val sliverBloom = snapshotBloom(sliver.select(col("fp")),
+      expectedItems, numBits)
+    val verified =
+      if (sliverBloom == null) sliver.limit(0) // empty sliver: no dupes
+      else sliver
+        .join(snapFp.filter(bloomMightContain(sliverBloom, col("fp"))),
+          Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"))
     defNew.select(col("doc_id"), col("fp")).union(verified)
   }
 
@@ -1155,6 +1174,21 @@ object Dedup {
       |  FROM documents),
       |snap AS (SELECT fp FROM f WHERE doc_id % 3 = 0),
       |inp AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0)
+      |SELECT doc_id, fp FROM inp ANTI JOIN snap USING (fp)""".stripMargin
+
+  /** Batch-fixture oracle: the input additionally carries re-keyed
+    * copies of the `doc_id % 6 = 0` snapshot half (ids + 1e6, same
+    * text), all of which the exact verify must DROP. */
+  def snapshotDedupRecrawlOracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s\x0B]', '', 'g'), '[\s\x0B]+', ' ', 'g'))) AS fp
+      |  FROM documents),
+      |snap AS (SELECT fp FROM f WHERE doc_id % 3 = 0),
+      |inp AS (SELECT doc_id, fp FROM f WHERE doc_id % 3 <> 0
+      |        UNION ALL
+      |        SELECT doc_id + 1000000, fp FROM f WHERE doc_id % 6 = 0)
       |SELECT doc_id, fp FROM inp ANTI JOIN snap USING (fp)""".stripMargin
 
   /** Cross-snapshot NEAR-dup — the fuzzy face of [[snapshotDedup]]:

@@ -257,6 +257,11 @@ object TextAnalysis {
        |FROM agg""".stripMargin
   }
 
+  /** Broadcast ceiling for [[tfidfTopK]]'s auto-gate: 2M distinct terms
+    * ≈ a 50-100 MB (term, df) broadcast — comfortably inside a
+    * production executor, far outside driver-collect danger. */
+  val broadcastVocabMax: Long = 2000000L
+
   /** Per-document top-k terms by TF-IDF — the classic keyword-extraction
     * / topic-fingerprint step of a corpus pipeline. idf = ln(N/df) with
     * df = #docs containing the term (tf rows are already distinct
@@ -270,30 +275,48 @@ object TextAnalysis {
     * cardinality is a document's vocabulary, so no skew and no global
     * sort.
     *
-    * `vocabBroadcast` (default true) pins the df join as a broadcast —
+    * `vocabBroadcast`: `Some(true)` pins the df join as a broadcast —
     * the right plan whenever the distinct-term table fits executor
     * memory (the shuffled alternative re-shuffles the corpus-sized
     * (doc, term) side on term for nothing; measured 5.3 → 3.8 s at sf1,
     * VERDICT r10 #7). That is a PRECONDITION, not a law of nature
     * (ADVICE r11): an open web-scale vocabulary — typos, numbers,
     * hex hashes — can reach billions of distinct terms, where a forced
-    * broadcast OOMs with no AQE fallback. There is no cheap pre-pass
-    * that could size the vocabulary without running the tf aggregation
-    * itself, so the choice is the caller's: pass false on open-
-    * vocabulary corpora and AQE plans the join from runtime stats
-    * (shuffled, linear, skew-split — and still a broadcast when the
-    * measured size allows). */
+    * broadcast OOMs with no AQE fallback. The DEFAULT (`None`, r13)
+    * GATES the choice at runtime: one cheap sampled scan estimates the
+    * distinct-term count (approx_count_distinct over a 2% doc sample,
+    * linearly extrapolated — a deliberate UPPER bound, since Heaps-law
+    * vocabulary growth is sublinear, so estimation error only ever
+    * forgoes a broadcast, never OOMs one), and the broadcast is pinned
+    * only under `broadcastVocabMax` terms. Above it AQE plans the join
+    * from runtime stats (shuffled, linear, skew-split — and still a
+    * broadcast when the measured size allows). `Some(false)` forces
+    * the AQE path unconditionally. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
-                k: Int = 5, vocabBroadcast: Boolean = true): DataFrame = {
+                k: Int = 5,
+                vocabBroadcast: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
     val nDocs = toks.count() // bounded collect: one scalar
     val tf = toks.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val useBroadcast = vocabBroadcast.getOrElse {
+      // runtime gate: sampled distinct-term estimate, extrapolated
+      // linearly (upper bound — see scaladoc). Tiny corpora sample
+      // everything: the scan is bounded either way.
+      val f = 0.02
+      val sample = if (nDocs * f < 500) toks else toks.sample(f)
+      val est = sample.select(explode(col("t")).as("term"))
+        .agg(approx_count_distinct(col("term"), 0.05).as("v"))
+        .head().getLong(0)
+      val scaled = if (nDocs * f < 500) est
+                   else (est / f).toLong
+      scaled <= broadcastVocabMax
+    }
     // see the vocabBroadcast scaladoc: pinned broadcast under the
-    // bounded-vocabulary precondition, AQE-planned otherwise
-    tf.join(if (vocabBroadcast) broadcast(dfreq) else dfreq, "term")
+    // bounded-vocabulary gate, AQE-planned otherwise
+    tf.join(if (useBroadcast) broadcast(dfreq) else dfreq, "term")
       .withColumn("mscore",
         floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6).cast("long"))
       .withColumn("rk", row_number().over(

@@ -303,4 +303,25 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(kept == Set(4L, 5L))
   }
+
+  test("snapshotDedup: seen fingerprints drop; disjoint and empty slivers pass all") {
+    val snap = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val input = Seq(
+      (10L, "alpha beta gamma"),   // byte-identical → dropped
+      (11L, "Alpha, beta GAMMA!"), // canonical-fingerprint-equal → dropped
+      (12L, "totally new text")    // unseen → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.snapshotDedup(input, snap, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L))
+    // fully disjoint input: the sliver (bloom hits) is empty, the
+    // sliver bloom is null, and the verify join prunes away entirely —
+    // everything passes
+    val disjoint = Seq((20L, "nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.snapshotDedup(disjoint, snap, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(20L))
+  }
 }

