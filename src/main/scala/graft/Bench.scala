@@ -517,7 +517,8 @@ object Bench {
     // text-analysis aggregations and model scoring
     "tfidf_topk", "lm_score", "quality_classifier", "quality_gopher",
     "quality_calibration", "token_budget", "corpus_stats", "ngram_hot",
-    "text_quality", "text_repetition", "text_fingerprint")
+    "text_quality", "text_repetition", "text_fingerprint",
+    "tokenize_bpe", "token_budget_bpe")
 
   /** One bench pass of the curated sf1 subset at the synthesized sf1
     * scale — the families whose scale behavior is non-obvious get a

@@ -3529,6 +3529,46 @@ object Queries {
           expr("(n_tokens * 1000000) div total_tokens").as("micro_share"))
     }),
 
+    // REAL subword tokenization (greedy longest-match BPE under the
+    // checked-in pretrained vocabulary, functions.BpeFixture): per-doc
+    // whitespace vs subword counts — the accounting delta that skews
+    // mixture planning up to ~3x — plus the first word's exact
+    // segmentation so the gate pins token BOUNDARIES, not just counts.
+    // One codegen'd trie kernel on the scan; vocab size is a training
+    // parameter, never a function of the corpus.
+    "tokenize_bpe" -> ((s, dir) => {
+      val v = graft.functions.BpeFixture.vocab
+      val firstWord = element_at(TextAnalysis.tokens(col("text")), 1)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.bpeCount(col("text"), v).cast("long").as("n_bpe"),
+        array_join(TextAnalysis.bpeEncode(firstWord, v), "|").as("w1_toks"))
+    }),
+
+    // token_budget re-based on SUBWORD tokens (VERDICT r12 #2): same
+    // per-source budget/share accounting, denominated in the unit a
+    // training mixture actually consumes
+    "token_budget_bpe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val v = graft.functions.BpeFixture.vocab
+      val per = Tables.documents(s, dir)
+        .select(col("source"),
+          TextAnalysis.bpeCount(col("text"), v).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      val cum = Window.orderBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      per
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+        .withColumn("total_tokens",
+          sum(col("n_tokens")).over(Window.partitionBy()))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("cum_tokens"),
+          expr("(n_tokens * 1000000) div total_tokens").as("micro_share"))
+    }),
+
     // embedding-space (semantic) eval decontamination — third rung of
     // the ladder (exact 13-gram → fuzzy micro-Jaccard → embedding
     // cosine): sign-bit-LSH banding on both sides, train-bands joined
@@ -6317,6 +6357,40 @@ object Queries {
         |  CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT)
         |    AS micro_share
         |FROM per""".stripMargin,
+
+    // greedy longest-match replay of the fixture vocabulary: one
+    // recursive-CTE chain per DISTINCT word, corpus joins back through
+    // the word (see functions.Bpe.oracleCtes)
+    "tokenize_bpe" ->
+      (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
+        """,
+          |perdoc AS (
+          |  SELECT doc_id, count(*) AS n_ws, sum(s.n_tok) AS n_bpe
+          |  FROM words JOIN steps s USING (w) GROUP BY doc_id)
+          |SELECT b.doc_id, CAST(coalesce(p.n_ws, 0) AS BIGINT) AS n_ws,
+          |  CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe,
+          |  s1.toks AS w1_toks
+          |FROM base b
+          |LEFT JOIN perdoc p USING (doc_id)
+          |LEFT JOIN steps s1 ON s1.w = b.ws[1]""".stripMargin),
+
+    "token_budget_bpe" ->
+      (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
+        """,
+          |perdoc AS (
+          |  SELECT doc_id, sum(s.n_tok) AS n_tok
+          |  FROM words JOIN steps s USING (w) GROUP BY doc_id),
+          |per AS (
+          |  SELECT b.source, count(*) AS n_docs,
+          |    CAST(sum(coalesce(p.n_tok, 0)) AS BIGINT) AS n_tokens
+          |  FROM base b LEFT JOIN perdoc p USING (doc_id) GROUP BY 1)
+          |SELECT source, n_docs, n_tokens,
+          |  CAST(sum(n_tokens) OVER (ORDER BY source
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS cum_tokens,
+          |  CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT)
+          |    AS micro_share
+          |FROM per""".stripMargin),
 
     "contamination_report" -> Dedup.contaminationReportOracleSql(),
 

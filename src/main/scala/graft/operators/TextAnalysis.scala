@@ -44,6 +44,21 @@ object TextAnalysis {
       graft.functions.SubwordCountExpr(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** REAL subword token count under a trained BPE vocabulary (greedy
+    * longest-match trie kernel; see [[graft.functions.Bpe]]) — the
+    * token denomination mixture planning budgets in. `vocab` is
+    * bounded by the training `numMerges` parameter by construction. */
+  def bpeCount(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BpeCountExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), vocab))
+
+  /** The subword tokens themselves, document order (see [[bpeCount]]). */
+  def bpeEncode(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.BpeEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), vocab))
+
   /** Language-ID: argmax of marker hits; 'und' when no marker at all.
     * Tie-break: earlier language in `langMarkers` wins (deterministic).
     * Markers are SHARED across languages ("de"/"la"/"en" each appear in

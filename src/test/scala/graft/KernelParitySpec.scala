@@ -40,6 +40,43 @@ class KernelParitySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("BpeCount/BpeEncode == naive all-entry longest-match reference") {
+    // independent reference path: split words, then at each position
+    // scan EVERY vocab entry with startsWith (no trie), codepoint
+    // fallback — any trie-walk bug diverges
+    val vocab = Seq("a", "ab", "abc", "bc", "c0", "xy", "xyz", "z8",
+      "89", "ä", "äß", "ß=", "中.", "%=", "_-", "--")
+    def refEncode(text: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      text.toLowerCase.split("[\\s]+").filter(_.nonEmpty).foreach { w =>
+        var i = 0
+        while (i < w.length) {
+          val m = vocab.filter(v => w.startsWith(v, i)).map(_.length)
+            .sorted.lastOption.getOrElse(0)
+          if (m > 0) { out += w.substring(i, i + m); i += m }
+          else {
+            val step = Character.charCount(w.codePointAt(i))
+            out += w.substring(i, i + step); i += step
+          }
+        }
+      }
+      out.toSeq
+    }
+    val texts = (0 until 300).map(_ => randText()) ++ Seq(
+      "", " ", "abcabc", "ABCABC", "xyz89 xy z8", "äß ä ß=",
+      "a" + new String(Character.toChars(0x1D11E)) + "b")
+    val df = texts.toDF("t")
+    val got = df.select(
+        TextAnalysis.bpeEncode(col("t"), vocab).as("e"),
+        TextAnalysis.bpeCount(col("t"), vocab).as("n"))
+      .as[(Seq[String], Int)].collect().toSeq
+    texts.zip(got).foreach { case (t, (e, n)) =>
+      val want = refEncode(t)
+      assert(e == want, s"encode mismatch on '$t'")
+      assert(n == want.size, s"count mismatch on '$t'")
+    }
+  }
+
   test("JaccardTextsExpr == array_intersect over ShinglesExpr pairs") {
     val texts = (0 until 200).map(_ => randText()) ++ Seq(
       "", "a b c", "a b c d e f", "x y z x y z x y z")
