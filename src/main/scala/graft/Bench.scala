@@ -500,6 +500,7 @@ object Bench {
     "llm_prep", "pipeline_e2e", "q1_agg", "q3_join", "skew_join",
     "window_agg", "session_window", "stream_llm_prep",
     "stream_dedup_snapshot", "stream_dedup_snapshot_fuzzy",
+    "stream_cluster_topics", "stream_corpus_stats",
     // dedup family (candidate generation, iterative CC, anti-joins)
     "dedup_exact", "dedup_canonical", "dedup_minhash", "dedup_verified",
     "dedup_clusters_verified", "dedup_clusters", "dedup_simhash",

@@ -4048,6 +4048,45 @@ object Queries {
         graft.streaming.StreamGate.tableBytes(dir, "documents"))
     }),
 
+    // streaming face of the cluster-balance audit: the codebook trains
+    // from the STATIC table before the stream starts (bounded ≤nlist
+    // collect — production loads a trained codebook the same way), then
+    // every arriving vector assigns statelessly via the broadcast
+    // centroids and the complete-mode fold keeps ≤nlist groups of four
+    // combinable aggregates. Zero watermark state.
+    "stream_cluster_topics" -> ((s, dir) => {
+      val cents = graft.operators.Similarity.defaultTopicCodebook(
+        Tables.embeddings(s, dir))
+      val stream = graft.streaming.StreamGate.readTable(s, dir, "embeddings")
+      val agg = graft.operators.Similarity.clusterTopics(stream, Some(cents))
+      graft.streaming.StreamGate.run(agg, "complete",
+        graft.streaming.StreamGate.tableBytes(dir, "embeddings"))
+    }),
+
+    // streaming face of the corpus statistics table: scan-side token
+    // counting feeds a complete-mode groupBy whose exact-percentile
+    // buffers are bounded by DISTINCT token counts per (source, lang) —
+    // the same bound that makes the batch shape safe makes the
+    // streaming state safe. ≤ #groups output rows.
+    "stream_corpus_stats" -> ((s, dir) => {
+      val stream = graft.streaming.StreamGate.readTable(s, dir, "documents")
+      val agg = stream
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"),
+          length(col("text")).as("n_chars"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("sum_tokens"),
+          round(avg(col("n_chars")) * 100).cast("long").as("mean_chars_x100"),
+          round(percentile(col("n_tok"), lit(0.5)) * 10).cast("long")
+            .as("p50_tokens_x10"),
+          round(percentile(col("n_tok"), lit(0.9)) * 10).cast("long")
+            .as("p90_tokens_x10"),
+          max(col("n_tok")).cast("long").as("max_tokens"))
+      graft.streaming.StreamGate.run(agg, "complete",
+        graft.streaming.StreamGate.tableBytes(dir, "documents"))
+    }),
+
     // the flagship LLM corpus-prep composition on the REAL streaming
     // path: scan-side scoring → quality filter → exact-bytes streaming
     // dedup (md5 of raw text as the key, so every group member is
@@ -6407,6 +6446,26 @@ object Queries {
     "stream_dedup_snapshot" -> Dedup.snapshotDedupOracleSql,
 
     "stream_dedup_snapshot_fuzzy" -> Dedup.snapshotNearDupStreamOracleSql(),
+
+    // complete-mode folds over the full table = the batch contracts
+    "stream_cluster_topics" -> Similarity.clusterTopicsOracleSql(),
+
+    "stream_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    len(list_filter(string_split_regex(lower(text), '[\s\x0B]+'),
+        |      x -> x <> '')) AS n_tok,
+        |    length(text) AS n_chars
+        |  FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(round(avg(n_chars) * 100) AS BIGINT) AS mean_chars_x100,
+        |  CAST(round(quantile_cont(n_tok, 0.5) * 10) AS BIGINT)
+        |    AS p50_tokens_x10,
+        |  CAST(round(quantile_cont(n_tok, 0.9) * 10) AS BIGINT)
+        |    AS p90_tokens_x10,
+        |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "decontaminate_semantic" ->
       Similarity.decontaminateSemanticOracleSql(evalMod = 50, tau = 0.3),

@@ -348,14 +348,8 @@ object Similarity {
   def clusterTopics(corpus: DataFrame,
                     codebook: Option[Array[Array[Float]]] = None,
                     cellTarget: Int = 512, nlistCap: Int = 1024): DataFrame = {
-    val cents: Array[Array[Float]] = codebook.getOrElse {
-      val nlist = math.min(nlistCap.toLong,
-        math.max(16L, (corpus.count() + cellTarget - 1) / cellTarget)).toInt
-      corpus.filter(col("vec_id") < nlist)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        .sortBy(_._1).map(_._2)
-    }
+    val cents: Array[Array[Float]] =
+      codebook.getOrElse(defaultTopicCodebook(corpus, cellTarget, nlistCap))
     val sims = array(cents.map(ce =>
       cosine(col("embedding"), array(ce.map(lit): _*))): _*)
     corpus.select(col("vec_id"), sims.as("s"))
@@ -367,6 +361,21 @@ object Similarity {
         sum(col("msim")).as("sum_micro_sim"),
         min(col("msim")).as("min_micro_sim"),
         max(col("msim")).as("max_micro_sim"))
+  }
+
+  /** The deterministic default quantizer codebook (adaptive nlist,
+    * first-nlist rows) — extracted so the STREAMING face can train it
+    * from the static table before the stream starts (a streaming DF
+    * cannot run the count/collect actions; a production run loads a
+    * trained codebook the same way). Bounded collect: ≤ nlistCap rows. */
+  def defaultTopicCodebook(corpus: DataFrame, cellTarget: Int = 512,
+                           nlistCap: Int = 1024): Array[Array[Float]] = {
+    val nlist = math.min(nlistCap.toLong,
+      math.max(16L, (corpus.count() + cellTarget - 1) / cellTarget)).toInt
+    corpus.filter(col("vec_id") < nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
   }
 
   /** DuckDB oracle for [[clusterTopics]] with the deterministic default
