@@ -1974,9 +1974,10 @@ object Queries {
     // global(variables.casesensitive="off") — the reference's DEFAULT
     // fjson mode (glbl.c:1405; its only test, tests/json_var_case.sh,
     // pins the "on" path this engine always had): variable reads find
-    // the first case-insensitively matching key, writes respell the
-    // matched leaf, unset/exists fold case, and the overlay cache keys
-    // fold to agree with the tree
+    // the first case-insensitively matching key, writes replace the
+    // matched entry's value IN PLACE (original spelling survives —
+    // json-c's json_object_object_add contract), unset/exists fold
+    // case, and the overlay cache keys fold to agree with the tree
     "json_var_case" -> ((s, dir) => {
       val ev = synthSyslog(s, dir).select("event_id", "severity")
       val conf =
@@ -2551,6 +2552,16 @@ object Queries {
     "seq_pack" -> ((s, dir) => {
       graft.operators.Sampling.sequencePack(
         Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    // sequence packing denominated in SUBWORD tokens (the unit a
+    // training run actually packs to): same per-shard window, the
+    // count column is the BPE trie kernel under the fixture vocab
+    "seq_pack_bpe" -> ((s, dir) => {
+      graft.operators.Sampling.sequencePack(
+        Tables.documents(s, dir), "doc_id", "text",
+        tokenCount = c =>
+          TextAnalysis.bpeCount(c, graft.functions.BpeFixture.vocab))
     }),
 
     // exact duplicated-span detection: every 120-char window, thinned
@@ -4061,6 +4072,26 @@ object Queries {
       val agg = graft.operators.Similarity.clusterTopics(stream, Some(cents))
       graft.streaming.StreamGate.run(agg, "complete",
         graft.streaming.StreamGate.tableBytes(dir, "embeddings"))
+    }),
+
+    // corpus statistics denominated in SUBWORD tokens: the per-language
+    // share/quantile table a mixture plan actually budgets from (the
+    // whitespace-vs-BPE delta this fixes is up to ~3x per language)
+    "corpus_stats_bpe" -> ((s, dir) => {
+      val v = graft.functions.BpeFixture.vocab
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TextAnalysis.bpeCount(col("text"), v).as("n_tok"),
+          length(col("text")).as("n_chars"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("sum_tokens"),
+          round(avg(col("n_chars")) * 100).cast("long").as("mean_chars_x100"),
+          round(percentile(col("n_tok"), lit(0.5)) * 10).cast("long")
+            .as("p50_tokens_x10"),
+          round(percentile(col("n_tok"), lit(0.9)) * 10).cast("long")
+            .as("p90_tokens_x10"),
+          max(col("n_tok")).cast("long").as("max_tokens"))
     }),
 
     // streaming face of the corpus statistics table: scan-side token
@@ -6412,6 +6443,45 @@ object Queries {
           |FROM base b
           |LEFT JOIN perdoc p USING (doc_id)
           |LEFT JOIN steps s1 ON s1.w = b.ws[1]""".stripMargin),
+
+    "corpus_stats_bpe" ->
+      (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
+        """,
+          |perdoc AS (
+          |  SELECT doc_id, CAST(sum(s.n_tok) AS BIGINT) AS n_tok
+          |  FROM words JOIN steps s USING (w) GROUP BY doc_id),
+          |t AS (
+          |  SELECT d.source, d.lang, coalesce(p.n_tok, 0) AS n_tok,
+          |    length(d.text) AS n_chars
+          |  FROM documents d LEFT JOIN perdoc p USING (doc_id))
+          |SELECT source, lang, count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+          |  CAST(round(avg(n_chars) * 100) AS BIGINT) AS mean_chars_x100,
+          |  CAST(round(quantile_cont(n_tok, 0.5) * 10) AS BIGINT)
+          |    AS p50_tokens_x10,
+          |  CAST(round(quantile_cont(n_tok, 0.9) * 10) AS BIGINT)
+          |    AS p90_tokens_x10,
+          |  CAST(max(n_tok) AS BIGINT) AS max_tokens
+          |FROM t GROUP BY 1, 2""".stripMargin),
+
+    "seq_pack_bpe" ->
+      (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
+        """,
+          |perdoc AS (
+          |  SELECT doc_id, CAST(sum(s.n_tok) AS BIGINT) AS n_tok
+          |  FROM words JOIN steps s USING (w) GROUP BY doc_id),
+          |t AS (
+          |  SELECT b.doc_id, b.doc_id % 64 AS shard,
+          |    CAST(coalesce(p.n_tok, 0) AS BIGINT) AS n_tok
+          |  FROM base b LEFT JOIN perdoc p USING (doc_id))
+          |SELECT doc_id, shard, n_tok,
+          |  CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+          |    AS BIGINT) AS start_off,
+          |  CAST(floor((sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+          |    / 2048) AS BIGINT) AS chunk
+          |FROM t""".stripMargin),
 
     "token_budget_bpe" ->
       (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +

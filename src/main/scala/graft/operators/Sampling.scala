@@ -65,13 +65,17 @@ object Sampling {
     * shards map to data-parallel workers. One shuffle on the shard key.
     */
   def sequencePack(df: DataFrame, idCol: String, textCol: String,
-                   seqLen: Int = 2048, shards: Int = 64): DataFrame = {
+                   seqLen: Int = 2048, shards: Int = 64,
+                   tokenCount: Column => Column =
+                     TextAnalysis.tokenCount): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
     // shard = id mod shards (portable across engines; ids are dense —
-    // a content hash would also work but is engine-specific)
+    // a content hash would also work but is engine-specific).
+    // `tokenCount` picks the token denomination — whitespace default,
+    // or the BPE kernel for subword-budgeted packing (seq_pack_bpe)
     df.select(col(idCol), pmod(col(idCol), lit(shards)).as("shard"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+        tokenCount(col(textCol)).cast("long").as("n_tok"))
       .withColumn("end_off", sum(col("n_tok")).over(w))
       .withColumn("start_off", col("end_off") - col("n_tok"))
       .withColumn("chunk", (col("start_off") / seqLen).cast("long"))
