@@ -410,7 +410,7 @@ object Bench {
       "text_quality",
       "dedup_verified", "dedup_clusters_verified",
       "decontaminate_fuzzy", "dedup_lines",
-      "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
+      "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "emb_stats")
     val tierNew = Seq(
       "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
       "quality_classifier", "token_budget", "corpus_stats",
@@ -539,8 +539,8 @@ object Bench {
     "sample_domain_mix", "sample_perplexity", "seq_pack", "chunk_tokens",
     "dedup_keep_best",
     // ANN / embeddings
-    "ann_cosine", "ann_lsh", "ann_ivf", "emb_neardup", "emb_stats",
-    "cluster_topics",
+    "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "emb_neardup",
+    "emb_stats", "cluster_topics",
     // text-analysis aggregations and model scoring
     "tfidf_topk", "lm_score", "quality_classifier", "quality_gopher",
     "quality_calibration", "token_budget", "corpus_stats", "ngram_hot",

@@ -2639,6 +2639,16 @@ object Queries {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // product-quantization ANN (PQ-ADC): 4-byte codes replace 256-byte
+    // float vectors on the scan; per-query integer lookup tables score
+    // codes only — the memory-bound billion-vector layout (compose with
+    // ivf cells for IVF-PQ). Deterministic first-ksub codebooks +
+    // integer micro-L2² make the whole pipeline oracle-exact
+    "ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
     // embedding-cosine near-dup pairs within label blocks (banded sign-bit
     // LSH candidates → capped buckets → exact-cosine verify)
     "emb_neardup" -> ((s, dir) => {
@@ -5835,6 +5845,8 @@ object Queries {
     // multi-probe LSH fully oracled: the deterministic plane matrix embeds
     // as SQL literals (see Similarity.lshOracleSql)
     "ann_lsh" -> Similarity.lshOracleSql(nPlanes = 8, dim = 64, k = 5),
+
+    "ann_pq" -> Similarity.pqOracleSql(k = 5, m = 8, ksub = 16, dim = 64),
 
     // minhash/simhash fully oracled: FNV-1a + splitmix replicated in
     // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)

@@ -222,6 +222,146 @@ object Similarity {
       col("sim")), k)
   }
 
+  /** Product-quantization ANN (PQ-ADC) — the memory-bound scale path for
+    * billion-vector search: each embedding compresses to `m` small codes
+    * (one per subvector, `ksub` centroids each → m·log2(ksub) bits,
+    * here 8×4 = 4 bytes per vector vs 256 bytes of float32), and query
+    * scoring reads ONLY the codes via per-query lookup tables
+    * (asymmetric distance: LUT[j][c] = ‖q_j − centroid_{j,c}‖²,
+    * dist(x) = Σ_j LUT[j][code_j(x)]). At 100 TB the corpus scan
+    * touches m bytes per vector instead of the embedding column — the
+    * compression IS the operator; compose with [[ivfTopK]]'s cell
+    * filter for the production IVF-PQ layout.
+    *
+    * Determinism discipline (the whole pipeline is oracle-exact):
+    *  - codebooks = the first `ksub` corpus vectors' subvectors
+    *    (deterministic stand-in for per-subspace k-means, exactly the
+    *    [[ivfTopK]] quantizer convention; train on a sample and pass
+    *    real codebooks at scale);
+    *  - subspace distances quantize to integer micro-L2² BEFORE any
+    *    sum — floor(1e6·(⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩)), each dot product a
+    *    sequential left fold both engines share — so ADC distances are
+    *    sums of integers (order-free) and ranks can never split on a
+    *    ulp;
+    *  - code assignment and top-k tie-break: lowest centroid index /
+    *    lowest neighbor id.
+    *
+    * Bounded collects by construction: the `ksub` codebook rows and the
+    * query set (LUTs are built driver-side from it — ksub·m integers
+    * per query, the standard ADC table). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    // codebook: subvectors of the first ksub corpus vectors (bounded)
+    val cents: Array[Array[Float]] = corpus.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    require(cents.length == ksub, s"expected $ksub codebook rows")
+    def subvec(emb: Column, j: Int): Column = slice(emb, j * sub + 1, sub)
+    def dot(a: Column, b: Array[Float]): Column =
+      aggregate(zip_with(a, array(b.map(v => lit(v.toDouble)): _*),
+        (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
+    def dotSelf(a: Column): Column =
+      aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+    def centSub(c: Int, j: Int): Array[Float] =
+      java.util.Arrays.copyOfRange(cents(c), j * sub, (j + 1) * sub)
+    def centSelf(c: Int, j: Int): Double = {
+      val s = centSub(c, j); var acc = 0.0; var i = 0
+      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
+      acc
+    }
+    // per-vector codes: argmin micro-L2² per subspace, first-min-wins
+    // (one codegen'd projection over the single corpus scan)
+    def codeExpr(emb: Column, j: Int): Column = {
+      val dAA = dotSelf(subvec(emb, j))
+      val dists = array((0 until ksub).map { c =>
+        floor((dAA - lit(2.0) * dot(subvec(emb, j), centSub(c, j)) +
+          lit(centSelf(c, j))) * 1e6).cast("long")
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val codes = corpus.select(col("vec_id") +:
+      (0 until m).map(j => codeExpr(col("embedding"), j).as(s"c$j")): _*)
+    // query LUTs driver-side (bounded: |queries| rows, m·ksub ints each)
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def lutVal(q: Array[Float], j: Int, c: Int): Long = {
+      val cs = centSub(c, j)
+      var dAA = 0.0; var dAB = 0.0; var i = 0
+      while (i < sub) {
+        val qa = q(j * sub + i).toDouble
+        dAA += qa * qa; dAB += qa * cs(i)
+        i += 1
+      }
+      math.floor((dAA - 2.0 * dAB + centSelf(c, j)) * 1e6).toLong
+    }
+    // one distance per query as an array column + posexplode: ONE scan
+    // of the codes, no per-query union, no join
+    val qIds = array(qRows.map(q => lit(q._1)): _*)
+    val distArr = array(qRows.map { case (_, q) =>
+      (0 until m).map { j =>
+        val lut = array((0 until ksub).map(c => lit(lutVal(q, j, c))): _*)
+        element_at(lut, col(s"c$j") + 1)
+      }.reduce(_ + _)
+    }: _*)
+    val scored = codes
+      .select(col("vec_id").as("neighbor"), posexplode(distArr))
+      .select(element_at(qIds, col("pos") + 1).as("q_id"),
+        col("neighbor"), (-col("col")).as("sim"))
+      .filter(col("neighbor") =!= col("q_id"))
+    topKPerQuery(scored, k)
+      .select(col("q_id"), col("rk"), col("neighbor"),
+        (-col("sim")).as("dist_micro"))
+  }
+
+  /** DuckDB oracle for [[pqTopK]]: codebooks from the table (vec_id <
+    * ksub), codes via the same packed argmin (md·ksub + c → min →
+    * % ksub = deterministic first-min-wins), LUT join on (j, code),
+    * integer ADC sums. Dot products are list_dot_product over DOUBLE
+    * lists — the sequential fold parity every ANN oracle here relies
+    * on. */
+  def pqOracleSql(k: Int = 5, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                  maxQueryId: Int = 8): String = {
+    val sub = dim / m
+    s"""WITH cb AS (
+       |  SELECT CAST(vec_id AS INT) AS c,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+       |  FROM embeddings WHERE vec_id < $ksub),
+       |sj AS (SELECT CAST(unnest(range($m)) AS INT) AS j),
+       |ev AS (SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS demb
+       |       FROM embeddings),
+       |md AS (
+       |  SELECT e.vec_id, s.j, cb.c,
+       |    CAST(floor((
+       |      list_dot_product(e.demb[s.j*$sub+1 : s.j*$sub+$sub],
+       |                       e.demb[s.j*$sub+1 : s.j*$sub+$sub])
+       |      - 2 * list_dot_product(e.demb[s.j*$sub+1 : s.j*$sub+$sub],
+       |                             cb.cemb[s.j*$sub+1 : s.j*$sub+$sub])
+       |      + list_dot_product(cb.cemb[s.j*$sub+1 : s.j*$sub+$sub],
+       |                         cb.cemb[s.j*$sub+1 : s.j*$sub+$sub])
+       |    ) * 1e6) AS BIGINT) AS md
+       |  FROM ev e, sj s, cb),
+       |codes AS (
+       |  SELECT vec_id, j, CAST(min(md * $ksub + c) % $ksub AS INT) AS code
+       |  FROM md GROUP BY 1, 2),
+       |luts AS (
+       |  SELECT vec_id AS q_id, j, c, md FROM md WHERE vec_id < $maxQueryId),
+       |adc AS (
+       |  SELECT l.q_id, x.vec_id AS neighbor, CAST(sum(l.md) AS BIGINT) AS d
+       |  FROM codes x JOIN luts l ON l.j = x.j AND l.c = x.code
+       |  WHERE x.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, neighbor, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, neighbor) AS rk
+       |  FROM adc)
+       |SELECT q_id, rk, neighbor, d AS dist_micro
+       |FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold within a blocking
     * key (label), ids ascending — the embedding-cosine near-dup operator.
     *

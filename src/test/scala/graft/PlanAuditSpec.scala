@@ -254,6 +254,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("ann_pq: ADC scoring is join-free — one scan over the code projection") {
+    // PQ's whole point at scale: queries score CODES via literal lookup
+    // tables, so the plan is scan → code projection → posexplode →
+    // windows. Any join here means the embedding column leaked back
+    // into the scoring path.
+    val p = plan("ann_pq")
+    assert(!p.contains("Join"), "ADC scoring must not join")
+    assert(!p.contains("CartesianProduct"))
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("vec_id") && read.contains("embedding"))
+  }
+
   test("dedup_snapshot: bloom predicate is scan-side; only hits reach the anti-join") {
     // the bloom branch must be a plain codegen'd predicate (no join, no
     // exchange) — that is the whole point: definite-new rows pass with

@@ -171,6 +171,47 @@ class SimilaritySpec extends SparkSpec {
     assert(again == out.map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq)
   }
 
+  test("PQ-ADC: clustered corpus ranks exactly; self-excluded, deterministic") {
+    // corpus built to make ADC behavior closed-form: vectors 0..15 are
+    // the anchors (and therefore the first-ksub codebook rows); vector
+    // i > 15 is anchor(i % 16) plus a tiny perturbation that can never
+    // flip a subspace assignment (anchors are mutually far). Every
+    // member of cluster a then shares anchor a's exact code, ADC
+    // distance depends ONLY on the code, all same-cluster members tie,
+    // and ties break by ascending id — so for query a the top-5 is
+    // exactly [a+16, a+32, a+48, a+64, a+80].
+    val rows = (0 until 128).map { id =>
+      val a = id % 16
+      val eps = 1e-4f * (id / 16)
+      val v = Array.tabulate(64) { d =>
+        var z = a * 7919L + d * 104729L + 17
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        (z.toFloat / Long.MaxValue) + eps
+      }
+      (id.toLong, v.toSeq)
+    }
+    val c = rows.toDF("vec_id", "embedding")
+    val q = c.filter(col("vec_id") < 4)
+    val out = Similarity.pqTopK(c, q, k = 5)
+      .select("q_id", "rk", "neighbor", "dist_micro")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.length == 20)
+    assert(out.forall { case (q0, _, n, _) => q0 != n })
+    (0L until 4L).foreach { a =>
+      val got = out.filter(_._1 == a).sortBy(_._2).map(_._3).toSeq
+      assert(got == Seq(a + 16, a + 32, a + 48, a + 64, a + 80),
+        s"query $a neighbors $got")
+    }
+    // the query IS its own codebook anchor: its ADC distance to its
+    // cluster's code is exactly 0 micro-units
+    assert(out.filter(_._2 == 1).forall(_._4 == 0L))
+    // deterministic across runs
+    val again = Similarity.pqTopK(c, q, k = 5)
+      .select("q_id", "rk", "neighbor", "dist_micro")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("brute force top-k is deterministic, self-excluded, ordered") {
     val q = corpus.filter(col("vec_id") === 0)
     val rows = Similarity.bruteForceTopK(corpus, q, k = 10)
