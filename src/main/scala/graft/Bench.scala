@@ -415,6 +415,7 @@ object Bench {
       "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
       "quality_classifier", "token_budget", "corpus_stats",
       "cluster_topics", "sample_shuffle", "sample_perplexity",
+      "sample_temperature",
       "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",
       "seq_pack_bpe")
     val tierMid = Seq(
@@ -536,7 +537,8 @@ object Bench {
     // decontamination + sampling/packing
     "decontaminate", "decontaminate_fuzzy", "decontaminate_semantic",
     "contamination_report", "sample_stratified", "sample_shuffle",
-    "sample_domain_mix", "sample_perplexity", "seq_pack", "chunk_tokens",
+    "sample_domain_mix", "sample_perplexity", "sample_temperature",
+    "seq_pack", "chunk_tokens",
     "dedup_keep_best",
     // ANN / embeddings
     "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "emb_neardup",

@@ -3567,6 +3567,32 @@ object Queries {
         array_join(TextAnalysis.bpeEncode(firstWord, v), "|").as("w1_toks"))
     }),
 
+    // temperature-flattened mixture weights (T=2, alpha=1/2): the
+    // standard multilingual/multi-source rebalancing — a source's raw
+    // token share p flattens to p^(1/T), renormalized, upweighting the
+    // tail sources a proportional mixture starves. sqrt is correctly
+    // rounded per IEEE-754 in BOTH engines, and flattened weights are
+    // quantized to integer micro-units BEFORE normalization so the
+    // share arithmetic is integer division — order-free, oracle-exact
+    // (a double SUM across sources would be addition-order-dependent).
+    "sample_temperature" -> ((s, dir) => {
+      val per = Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast("long").as("n_tokens"))
+      per
+        .withColumn("micro_share",
+          expr("(n_tokens * 1000000) div (sum(n_tokens) over ())"))
+        .withColumn("xq",
+          floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+        .withColumn("micro_share_t",
+          expr("(xq * 1000000) div (sum(xq) over ())"))
+        .withColumn("boost_x1000",
+          expr("(micro_share_t * 1000) div greatest(micro_share, 1)"))
+        .select(col("source"), col("n_tokens"), col("micro_share"),
+          col("micro_share_t"), col("boost_x1000"))
+    }),
+
     // token_budget re-based on SUBWORD tokens (VERDICT r12 #2): same
     // per-source budget/share accounting, denominated in the unit a
     // training mixture actually consumes
@@ -6455,6 +6481,27 @@ object Queries {
           |FROM base b
           |LEFT JOIN perdoc p USING (doc_id)
           |LEFT JOIN steps s1 ON s1.w = b.ws[1]""".stripMargin),
+
+    "sample_temperature" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '[\s\x0B]+'),
+        |      x -> x <> ''))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |x AS (
+        |  SELECT source, n_tokens,
+        |    CAST(n_tokens * 1000000 // sum(n_tokens) OVER () AS BIGINT)
+        |      AS micro_share,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS xq
+        |  FROM per),
+        |t AS (
+        |  SELECT source, n_tokens, micro_share,
+        |    CAST(xq * 1000000 // sum(xq) OVER () AS BIGINT) AS micro_share_t
+        |  FROM x)
+        |SELECT source, n_tokens, micro_share, micro_share_t,
+        |  CAST(micro_share_t * 1000 // greatest(micro_share, 1) AS BIGINT)
+        |    AS boost_x1000
+        |FROM t""".stripMargin,
 
     "corpus_stats_bpe" ->
       (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +

@@ -250,23 +250,24 @@ object Similarity {
     * query set (LUTs are built driver-side from it — ksub·m integers
     * per query, the standard ADC table). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-             m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+             m: Int = 8, ksub: Int = 16, dim: Int = 64,
+             codebook: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
-    // codebook: subvectors of the first ksub corpus vectors (bounded)
-    val cents: Array[Array[Float]] = corpus.filter(col("vec_id") < ksub)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).map(_._2)
-    require(cents.length == ksub, s"expected $ksub codebook rows")
+    // codebook(j)(c) = subspace-j centroid c. Default: subvectors of
+    // the first ksub corpus vectors (bounded collect); pass
+    // [[trainPqCodebooks]]' output at scale.
+    val cents: Array[Array[Array[Float]]] =
+      codebook.getOrElse(firstKsubCodebooks(corpus, m, ksub, dim))
+    require(cents.length == m && cents.forall(_.length == ksub),
+      "codebook must be m x ksub")
     def subvec(emb: Column, j: Int): Column = slice(emb, j * sub + 1, sub)
     def dot(a: Column, b: Array[Float]): Column =
       aggregate(zip_with(a, array(b.map(v => lit(v.toDouble)): _*),
         (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
     def dotSelf(a: Column): Column =
       aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
-    def centSub(c: Int, j: Int): Array[Float] =
-      java.util.Arrays.copyOfRange(cents(c), j * sub, (j + 1) * sub)
+    def centSub(c: Int, j: Int): Array[Float] = cents(j)(c)
     def centSelf(c: Int, j: Int): Double = {
       val s = centSub(c, j); var acc = 0.0; var i = 0
       while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
@@ -314,6 +315,65 @@ object Similarity {
     topKPerQuery(scored, k)
       .select(col("q_id"), col("rk"), col("neighbor"),
         (-col("sim")).as("dist_micro"))
+  }
+
+  /** The deterministic default PQ codebook: subvectors of the first
+    * ksub corpus vectors (bounded collect). */
+  private def firstKsubCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                                 dim: Int): Array[Array[Array[Float]]] = {
+    val sub = dim / m
+    val rows: Array[Array[Float]] = corpus.filter(col("vec_id") < ksub)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    require(rows.length == ksub, s"expected $ksub codebook rows")
+    Array.tabulate(m, ksub)((j, c) =>
+      java.util.Arrays.copyOfRange(rows(c), j * sub, (j + 1) * sub))
+  }
+
+  /** Per-subspace PQ codebook training — Lloyd iterations where each
+    * round assigns ALL m subspaces in one distributed projection and
+    * updates means driver-side over m·ksub·(dim/m) doubles (the
+    * [[trainIvfCodebook]] discipline, subspace-factored). Empty cells
+    * keep their previous centroid. At 100 TB: train on a sample
+    * (`sampleMod`) and pass the result into [[pqTopK]]. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+                       dim: Int = 64, iters: Int = 5,
+                       sampleMod: Int = 1): Array[Array[Array[Float]]] = {
+    val sub = dim / m
+    val sample = (if (sampleMod > 1)
+        corpus.filter(col("vec_id") % sampleMod === 0)
+      else corpus).select(col("embedding"))
+    var cents = firstKsubCodebooks(corpus, m, ksub, dim)
+    for (_ <- 0 until iters) {
+      def codeExpr(j: Int): Column = {
+        val sv = slice(col("embedding"), j * sub + 1, sub)
+        val dists = array((0 until ksub).map { c =>
+          aggregate(zip_with(sv,
+            array(cents(j)(c).map(v => lit(v.toDouble)): _*),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v)
+        }: _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }
+      // one distributed pass: every subspace's assignment + subvector,
+      // then per-(subspace, cell, position) means
+      val means = sample
+        .select(posexplode(array((0 until m).map(j =>
+          struct(codeExpr(j).as("cl"),
+            slice(col("embedding"), j * sub + 1, sub).as("sv"))): _*)))
+        .select(col("pos").as("j"), col("col.cl").as("cl"),
+          posexplode(col("col.sv")))
+        .groupBy(col("j"), col("cl"), col("pos"))
+        .agg(avg(col("col")).as("mean"))
+        .collect()
+      val next = cents.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      cents = next
+    }
+    cents
   }
 
   /** DuckDB oracle for [[pqTopK]]: codebooks from the table (vec_id <

@@ -65,6 +65,38 @@ class SimilaritySpec extends SparkSpec {
     assert(e1 < e0 * 0.95, s"training barely moved: $e0 -> $e1")
   }
 
+  test("PQ codebook training reduces per-subspace quantization error") {
+    import org.apache.spark.sql.functions._
+    val (m, ksub, dim) = (8, 8, 64)
+    val sub = dim / m
+    def quantError(cents: Array[Array[Array[Float]]]): Double = {
+      // mean over vectors of the total (all-subspace) min squared L2
+      val perJ = (0 until m).map { j =>
+        val sv = slice(col("embedding"), j * sub + 1, sub)
+        array_min(array((0 until ksub).map { c =>
+          aggregate(zip_with(sv,
+            array(cents(j)(c).map(v => lit(v.toDouble)): _*),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, v) => acc + v)
+        }: _*))
+      }.reduce(_ + _)
+      corpus.select(avg(perJ).as("e")).collect()(0).getDouble(0)
+    }
+    val init = Array.tabulate(m, ksub) { (j, c) =>
+      corpus.filter(col("vec_id") === c).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).toArray.slice(j * sub, (j + 1) * sub)
+    }
+    val trained = Similarity.trainPqCodebooks(corpus, m, ksub, dim, iters = 4)
+    val e0 = quantError(init)
+    val e1 = quantError(trained)
+    assert(e1 <= e0 + 1e-9, s"training worsened quantization: $e0 -> $e1")
+    assert(e1 < e0 * 0.9, s"training barely moved: $e0 -> $e1")
+    // trained codebooks feed straight into the search (shape contract)
+    val out = Similarity.pqTopK(corpus, corpus.filter(col("vec_id") < 2),
+      k = 3, m, ksub, dim, codebook = Some(trained)).collect()
+    assert(out.length == 6)
+  }
+
   test("embedding near-dup: finds planted near-duplicates within a block") {
     // plant near-dups: vectors 1000/1001 and 1002/1003 are tiny
     // perturbations of corpus vectors — cosine ≈ 1 within the same block
