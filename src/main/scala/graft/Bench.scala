@@ -429,7 +429,15 @@ object Bench {
       "dedup_minhash", "emb_neardup",
       "dedup_clusters", "dedup_simhash",
       "dedup_substring", "dedup_substring_removal", "dedup_ngram")
-    val names = tier1 ++ tierNew ++ tierMid ++ tierHeavy
+    // round-new operators BEFORE the flagship heavies (r13 sim #5): the
+    // residual heap-fault bill lands stochastically in the first heavy
+    // allocators (verified/clusters_verified swung 34-111 s across
+    // same-binary sims), and when it lands hard it must only ever eat
+    // the tail — the ~15 round-new queries cost ~90 s total and their
+    // artifact presence is the round mandate. text_quality stays first
+    // as the scan warm-up.
+    val names = Seq("text_quality") ++ tierNew ++ tier1.filterNot(_ == "text_quality") ++
+      tierMid ++ tierHeavy
     // NO in-section context restarts (r13): the r12 in-section
     // inflation (clusters 161-179 s vs ~40 s standalone; minhash 91 vs
     // ~20) was a symptom of the BIG polluted parent JVM; in the fresh

@@ -261,30 +261,21 @@ object Similarity {
       codebook.getOrElse(firstKsubCodebooks(corpus, m, ksub, dim))
     require(cents.length == m && cents.forall(_.length == ksub),
       "codebook must be m x ksub")
-    def subvec(emb: Column, j: Int): Column = slice(emb, j * sub + 1, sub)
-    def dot(a: Column, b: Array[Float]): Column =
-      aggregate(zip_with(a, array(b.map(v => lit(v.toDouble)): _*),
-        (x, y) => x.cast("double") * y), lit(0.0), (acc, v) => acc + v)
-    def dotSelf(a: Column): Column =
-      aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
     def centSub(c: Int, j: Int): Array[Float] = cents(j)(c)
     def centSelf(c: Int, j: Int): Double = {
       val s = centSub(c, j); var acc = 0.0; var i = 0
       while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
       acc
     }
-    // per-vector codes: argmin micro-L2² per subspace, first-min-wins
-    // (one codegen'd projection over the single corpus scan)
-    def codeExpr(emb: Column, j: Int): Column = {
-      val dAA = dotSelf(subvec(emb, j))
-      val dists = array((0 until ksub).map { c =>
-        floor((dAA - lit(2.0) * dot(subvec(emb, j), centSub(c, j)) +
-          lit(centSelf(c, j))) * 1e6).cast("long")
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    val codes = corpus.select(col("vec_id") +:
-      (0 until m).map(j => codeExpr(col("embedding"), j).as(s"c$j")): _*)
+    // per-vector codes: ONE native kernel call per row
+    // (graft.functions.PqCodesExpr — the m·ksub aggregate-expression
+    // formulation fell out of whole-stage codegen's method limits into
+    // interpreted evaluation, measured 110 s vs ~3 s at sf10)
+    val codes = corpus.select(col("vec_id"),
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.PqCodesExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+          cents)).as("codes"))
     // query LUTs driver-side (bounded: |queries| rows, m·ksub ints each)
     val qRows = queries.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
@@ -304,7 +295,7 @@ object Similarity {
     val distArr = array(qRows.map { case (_, q) =>
       (0 until m).map { j =>
         val lut = array((0 until ksub).map(c => lit(lutVal(q, j, c))): _*)
-        element_at(lut, col(s"c$j") + 1)
+        element_at(lut, element_at(col("codes"), j + 1) + 1)
       }.reduce(_ + _)
     }: _*)
     val scored = codes
