@@ -2649,6 +2649,17 @@ object Queries {
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // IVF-PQ composition (the production layout): coarse cell filter
+    // prunes the codes scan to the probed cells, ADC scores codes only,
+    // and each probed cell contributes at most maxPerCell candidates
+    // (deterministic truncation — rank by (dist, id) — so the oracle
+    // replays it exactly)
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        nlist = 16, nprobe = 4, maxPerCell = 8)
+    }),
+
     // embedding-cosine near-dup pairs within label blocks (banded sign-bit
     // LSH candidates → capped buckets → exact-cosine verify)
     "emb_neardup" -> ((s, dir) => {
@@ -5873,6 +5884,9 @@ object Queries {
     "ann_lsh" -> Similarity.lshOracleSql(nPlanes = 8, dim = 64, k = 5),
 
     "ann_pq" -> Similarity.pqOracleSql(k = 5, m = 8, ksub = 16, dim = 64),
+
+    "ann_ivfpq" -> Similarity.ivfPqOracleSql(k = 5, nlist = 16, nprobe = 4,
+      m = 8, ksub = 16, dim = 64, maxPerCell = 8),
 
     // minhash/simhash fully oracled: FNV-1a + splitmix replicated in
     // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)

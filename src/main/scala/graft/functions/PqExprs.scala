@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -89,4 +89,85 @@ case class PqCodesExpr(child: Expression,
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** ADC scoring over PQ codes — every query's asymmetric distance to one
+  * row's codes in ONE kernel call (see
+  * [[graft.operators.Similarity.pqTopK]] / `ivfPqTopK`).
+  *
+  * The Column formulation emitted one literal LUT array per
+  * query×subspace (m·ksub longs per query) into a single projection —
+  * plan size grew linearly with |queries| and at 10^4-query batches
+  * would hand Janino a megabyte method, the exact blowup
+  * [[PqCodesExpr]] was added to kill on the encode side. Here the full
+  * LUT matrix (|queries|·m·ksub longs) rides in as ONE reference
+  * object, so the generated code is a single static call regardless of
+  * query count.
+  *
+  * Per query q: dist = Σ_j luts(q)(j)(code_j) — a sum of integers, so
+  * the result is order-free and oracle-exact (the LUT entries are the
+  * same integer micro-L2² both engines quantize BEFORE summation).
+  * Output slot q is NULL when the row IS query q (self-exclusion) or,
+  * when `probeCells` is non-null (the IVF-PQ composition), when the
+  * row's coarse cell is not among query q's probed cells — the
+  * downstream filter is a codegen'd isNotNull, never a per-query
+  * literal comparison.
+  */
+case class PqAdcExpr(codes: Expression, vecId: Expression, cell: Expression,
+                     luts: Array[Array[Array[Long]]], qIds: Array[Long],
+                     probeCells: Array[Array[Int]], nlist: Int)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def first: Expression = codes
+  override def second: Expression = vecId
+  override def third: Expression = cell
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "pq_adc"
+
+  private val nQ = luts.length
+  // probe membership as a dense (q × nlist) mask: O(1) per (q, cell)
+  @transient private lazy val mask: Array[Array[Boolean]] =
+    if (probeCells == null) null
+    else Array.tabulate(nQ) { q =>
+      val row = new Array[Boolean](nlist)
+      probeCells(q).foreach(c => row(c) = true)
+      row
+    }
+
+  def kernel(codes: ArrayData, vecId: Long, cl: Int): ArrayData = {
+    val out = new Array[Any](nQ)
+    var q = 0
+    while (q < nQ) {
+      if (vecId == qIds(q) || (mask != null && !mask(q)(cl))) out(q) = null
+      else {
+        val lq = luts(q)
+        var acc = 0L
+        var j = 0
+        while (j < lq.length) { acc += lq(j)(codes.getInt(j)); j += 1 }
+        out(q) = acc
+      }
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(c: Any, v: Any, cl: Any): Any =
+    kernel(c.asInstanceOf[ArrayData], v.asInstanceOf[Long],
+      cl.asInstanceOf[Int])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdc", this, "graft.functions.PqAdcExpr")
+    nullSafeCodeGen(ctx, ev, (c, v, cl) =>
+      s"${ev.value} = $ref.kernel($c, $v, $cl);")
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(codes = f, vecId = s, cell = t)
 }

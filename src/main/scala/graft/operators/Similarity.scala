@@ -289,23 +289,156 @@ object Similarity {
       }
       math.floor((dAA - 2.0 * dAB + centSelf(c, j)) * 1e6).toLong
     }
-    // one distance per query as an array column + posexplode: ONE scan
-    // of the codes, no per-query union, no join
-    val qIds = array(qRows.map(q => lit(q._1)): _*)
-    val distArr = array(qRows.map { case (_, q) =>
-      (0 until m).map { j =>
-        val lut = array((0 until ksub).map(c => lit(lutVal(q, j, c))): _*)
-        element_at(lut, element_at(col("codes"), j + 1) + 1)
-      }.reduce(_ + _)
-    }: _*)
+    // all per-query distances from ONE reference-object kernel call +
+    // posexplode: one scan of the codes, no per-query union, no join —
+    // and no per-query LITERALS: the LUT matrix rides in as a reference
+    // object, so plan size is independent of |queries| (the Column
+    // formulation emitted m·ksub literal longs per query and would hand
+    // Janino a megabyte projection at 10^4-query batches; exactly the
+    // PqCodesExpr lesson, applied to the scoring side)
+    val luts: Array[Array[Array[Long]]] =
+      qRows.map { case (_, q) => Array.tabulate(m, ksub)(
+        (j, c) => lutVal(q, j, c)) }
+    val qIdArr = qRows.map(_._1)
+    val dists = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PqAdcExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("codes")),
+        org.apache.spark.sql.GraftBridge.expression(col("vec_id")),
+        org.apache.spark.sql.GraftBridge.expression(lit(0)),
+        luts, qIdArr, null, 0))
     val scored = codes
-      .select(col("vec_id").as("neighbor"), posexplode(distArr))
-      .select(element_at(qIds, col("pos") + 1).as("q_id"),
-        col("neighbor"), (-col("col")).as("sim"))
-      .filter(col("neighbor") =!= col("q_id"))
+      .select(col("vec_id").as("neighbor"), posexplode(dists))
+      .filter(col("col").isNotNull) // self-exclusion (kernel emits null)
+      .select(col("pos").as("q_id"), col("neighbor"),
+        (-col("col")).as("sim"))
+    // q_id rides as the dense query INDEX through the windows; the real
+    // id maps back via one tiny literal array over the ≤ |q|·k result
+    // rows — the only place literal size is O(|queries|), far off the
+    // scan path
+    val qIds = array(qIdArr.map(lit(_)): _*)
     topKPerQuery(scored, k)
-      .select(col("q_id"), col("rk"), col("neighbor"),
-        (-col("sim")).as("dist_micro"))
+      .select(element_at(qIds, col("q_id").cast("int") + 1).as("q_id"),
+        col("rk"), col("neighbor"), (-col("sim")).as("dist_micro"))
+  }
+
+  /** IVF-PQ — the production billion-vector layout SURVEY §2.11
+    * promises: [[ivfTopK]]'s coarse cell filter composes with
+    * [[pqTopK]]'s code-only ADC scoring. One corpus scan computes the
+    * coarse cell AND the PQ codes; a codegen'd `cl IN probedCells`
+    * filter prunes the scan to the union of all probed cells BEFORE any
+    * explode (at nprobe/nlist selectivity this is the IVF win); the ADC
+    * kernel then scores only (query, row) pairs whose cell the query
+    * actually probes (null otherwise — see
+    * [[graft.functions.PqAdcExpr]]).
+    *
+    * The composition's own correctness subtlety is PER-CELL CANDIDATE
+    * TRUNCATION: production IVF-PQ caps how many candidates each probed
+    * cell contributes before the final ranking (memory-bounds the
+    * per-query merge at scale). The cap here is deterministic — rank
+    * within (query, cell) by (ADC distance, neighbor id), keep
+    * `maxPerCell` — so the DuckDB oracle replays it exactly; like
+    * ann_lsh's probe set, recall < 1 vs exhaustive PQ is part of the
+    * operator contract. The truncation rank uses the same two-phase
+    * partition-local pre-cut as [[topKPerQuery]], so no (query, cell)
+    * group ever serializes more than maxPerCell·partitions rows.
+    *
+    * Query probes are computed with the SAME Spark expression ivfTopK
+    * uses (collected — queries are bounded by the pqTopK LUT contract
+    * anyway), so engine parity never rests on driver-side float
+    * arithmetic. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                maxPerCell: Int = 8,
+                coarseCodebook: Option[Array[Array[Float]]] = None,
+                pqCodebook: Option[Array[Array[Array[Float]]]] = None)
+      : DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val coarse: Array[Array[Float]] = coarseCodebook.getOrElse(
+      corpus.filter(col("vec_id") < nlist)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).map(_._2))
+    require(coarse.length == nlist, s"expected $nlist coarse centroids")
+    val cents: Array[Array[Array[Float]]] =
+      pqCodebook.getOrElse(firstKsubCodebooks(corpus, m, ksub, dim))
+    def sims(emb: Column): Column =
+      array(coarse.map(ce => cosine(emb, array(ce.map(lit): _*))): _*)
+    def cell(emb: Column): Column = {
+      val s = sims(emb)
+      (array_position(s, array_max(s)) - 1).cast("int")
+    }
+    // per-query probe cells via the exact ivfTopK expression (collected:
+    // |queries| × nprobe ints)
+    val qProbeRows = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("s", sims(col("q_emb")))
+      .withColumn("probes", slice(transform(
+        array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+          i => struct((-element_at(col("s"), i + 1)).as("ns"), i.as("i")))),
+        x => x.getField("i")), 1, nprobe))
+      .select(col("q_id"), col("probes")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray)).sortBy(_._1)
+    // LUTs exactly as pqTopK (same centroid arithmetic, same query sort)
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def centSelf(c: Int, j: Int): Double = {
+      val s = cents(j)(c); var acc = 0.0; var i = 0
+      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
+      acc
+    }
+    def lutVal(q: Array[Float], j: Int, c: Int): Long = {
+      val cs = cents(j)(c)
+      var dAA = 0.0; var dAB = 0.0; var i = 0
+      while (i < sub) {
+        val qa = q(j * sub + i).toDouble
+        dAA += qa * qa; dAB += qa * cs(i)
+        i += 1
+      }
+      math.floor((dAA - 2.0 * dAB + centSelf(c, j)) * 1e6).toLong
+    }
+    val luts: Array[Array[Array[Long]]] =
+      qRows.map { case (_, q) => Array.tabulate(m, ksub)(
+        (j, c) => lutVal(q, j, c)) }
+    val qIdArr = qRows.map(_._1)
+    val probeCells: Array[Array[Int]] = qProbeRows.map(_._2)
+    val allProbed = probeCells.flatten.distinct.sorted
+    // ONE scan: cell + codes in the same codegen'd projection, then the
+    // visible cell-filter prune (nprobe/nlist of the corpus survives)
+    val scan = corpus.select(col("vec_id"), cell(col("embedding")).as("cl"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.PqCodesExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("embedding")),
+            cents)).as("codes"))
+      .filter(col("cl").isin(allProbed.map(_.asInstanceOf[Any]): _*))
+    val dists = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.PqAdcExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("codes")),
+        org.apache.spark.sql.GraftBridge.expression(col("vec_id")),
+        org.apache.spark.sql.GraftBridge.expression(col("cl")),
+        luts, qIdArr, probeCells, nlist))
+    val scored = scan
+      .select(col("vec_id").as("neighbor"), col("cl"), posexplode(dists))
+      .filter(col("col").isNotNull) // self + unprobed-cell exclusion
+      .select(col("pos").as("q_id"), col("cl"), col("neighbor"),
+        (-col("col")).as("sim"))
+    // deterministic per-cell truncation, two-phase like topKPerQuery
+    val preCell = Window.partitionBy(col("q_id"), col("cl"), col("__pid"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    val finCell = Window.partitionBy(col("q_id"), col("cl"))
+      .orderBy(col("sim").desc, col("neighbor"))
+    val trunc = scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__pcrk", row_number().over(preCell))
+      .filter(col("__pcrk") <= maxPerCell)
+      .withColumn("crk", row_number().over(finCell))
+      .filter(col("crk") <= maxPerCell)
+      .select(col("q_id"), col("neighbor"), col("sim"))
+    val qIds = array(qIdArr.map(lit(_)): _*)
+    topKPerQuery(trunc, k)
+      .select(element_at(qIds, col("q_id").cast("int") + 1).as("q_id"),
+        col("rk"), col("neighbor"), (-col("sim")).as("dist_micro"))
   }
 
   /** The deterministic default PQ codebook: subvectors of the first
@@ -409,6 +542,77 @@ object Similarity {
        |  SELECT q_id, neighbor, d,
        |    row_number() OVER (PARTITION BY q_id ORDER BY d, neighbor) AS rk
        |  FROM adc)
+       |SELECT q_id, rk, neighbor, d AS dist_micro
+       |FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB oracle for [[ivfPqTopK]]: the [[pqOracleSql]] replay (PQ
+    * codebooks, packed-argmin codes, integer ADC) composed with the
+    * ann_ivf replay (coarse cells from the first nlist vectors, probe
+    * set = nprobe best cells per query) plus the deterministic per-cell
+    * truncation rank. */
+  def ivfPqOracleSql(k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+                     m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                     maxPerCell: Int = 8, maxQueryId: Int = 8): String = {
+    val sub = dim / m
+    s"""WITH cb AS (
+       |  SELECT CAST(vec_id AS INT) AS c,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
+       |  FROM embeddings WHERE vec_id < $ksub),
+       |sj AS (SELECT CAST(unnest(range($m)) AS INT) AS j),
+       |ev AS (SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS demb
+       |       FROM embeddings),
+       |md AS (
+       |  SELECT e.vec_id, s.j, cb.c,
+       |    CAST(floor((
+       |      list_dot_product(e.demb[s.j*$sub+1 : s.j*$sub+$sub],
+       |                       e.demb[s.j*$sub+1 : s.j*$sub+$sub])
+       |      - 2 * list_dot_product(e.demb[s.j*$sub+1 : s.j*$sub+$sub],
+       |                             cb.cemb[s.j*$sub+1 : s.j*$sub+$sub])
+       |      + list_dot_product(cb.cemb[s.j*$sub+1 : s.j*$sub+$sub],
+       |                         cb.cemb[s.j*$sub+1 : s.j*$sub+$sub])
+       |    ) * 1e6) AS BIGINT) AS md
+       |  FROM ev e, sj s, cb),
+       |codes AS (
+       |  SELECT vec_id, j, CAST(min(md * $ksub + c) % $ksub AS INT) AS code
+       |  FROM md GROUP BY 1, 2),
+       |luts AS (
+       |  SELECT vec_id AS q_id, j, c, md FROM md WHERE vec_id < $maxQueryId),
+       |coarse AS (
+       |  SELECT list(embedding ORDER BY vec_id) AS ce
+       |  FROM embeddings WHERE vec_id < $nlist),
+       |simd AS (
+       |  SELECT e.vec_id,
+       |    list_transform(coarse.ce,
+       |      x -> list_cosine_similarity(e.embedding, x)) AS sims
+       |  FROM embeddings e, coarse),
+       |assigned AS (
+       |  SELECT vec_id, list_position(sims, list_max(sims)) - 1 AS cl
+       |  FROM simd),
+       |qp AS (
+       |  SELECT vec_id AS q_id,
+       |    unnest(list_transform(list_sort(list_transform(range($nlist),
+       |        i -> {'ns': -sims[i + 1], 'i': i})),
+       |      x -> x.i)[1:$nprobe]) AS probe
+       |  FROM simd WHERE vec_id < $maxQueryId),
+       |adc AS (
+       |  SELECT l.q_id, x.vec_id AS neighbor, CAST(sum(l.md) AS BIGINT) AS d
+       |  FROM codes x JOIN luts l ON l.j = x.j AND l.c = x.code
+       |  WHERE x.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT adc.q_id, adc.neighbor, adc.d, a.cl
+       |  FROM adc JOIN assigned a ON a.vec_id = adc.neighbor
+       |  JOIN qp ON qp.q_id = adc.q_id AND qp.probe = a.cl),
+       |cellranked AS (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id, cl ORDER BY d, neighbor) AS crk
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT q_id, neighbor, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, neighbor) AS rk
+       |  FROM cellranked WHERE crk <= $maxPerCell)
        |SELECT q_id, rk, neighbor, d AS dist_micro
        |FROM ranked WHERE rk <= $k""".stripMargin
   }

@@ -264,6 +264,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(read.contains("vec_id") && read.contains("embedding"))
+    // scoring is the reference-object kernel, not per-query literal LUT
+    // arrays (plan size must be independent of |queries|)
+    assert(p.contains("pq_adc"), "ADC must go through the PqAdcExpr kernel")
+  }
+
+  test("ann_ivfpq: cell filter prunes the codes scan; still join-free") {
+    // the IVF half of IVF-PQ: the coarse-cell IN-filter must sit ON the
+    // one scan-projection that computes (cl, codes), so only probed
+    // cells' rows ever reach the explode — and the PQ half stays
+    // join-free (kernel scoring, no embedding join-back)
+    val p = plan("ann_ivfpq")
+    assert(!p.contains("Join"), "IVF-PQ scoring must not join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("pq_codes") && p.contains("pq_adc"),
+      "encode + ADC kernels must both be on the scan")
+    assert(p.contains("cl#") && (p.contains("INSET") || p.contains(" IN ")),
+      "coarse-cell IN-filter missing from the plan")
+  }
+
+  test("pqTopK: plan size independent of query count (1024 queries compile)") {
+    // the PqAdcExpr contract: 1024 queries × 8 subspaces × 16 centroids
+    // of LUT ride in ONE reference object — the per-query-literal
+    // formulation this replaced would emit 128k literals and blow
+    // Janino's method limit (the measured 110 s interpreted fallback)
+    import spark.implicits._
+    val rows = (0 until 1100).map { id =>
+      (id.toLong, Array.tabulate(64)(d =>
+        (((id * 37 + d * 101) % 997) / 997.0f)).toSeq)
+    }
+    val c = rows.toDF("vec_id", "embedding")
+    val out = operators.Similarity.pqTopK(
+      c, c.filter(col("vec_id") < 1024), k = 2)
+    val p = out.queryExecution.explainString(FormattedMode)
+    assert(p.contains("pq_adc") && !p.contains("Join"))
+    assert(out.count() == 1024 * 2)
   }
 
   test("dedup_snapshot: bloom predicate is scan-side; only hits reach the anti-join") {
