@@ -52,7 +52,10 @@ object Bench {
   private val estSf100Query = // cold-JVM measurements (NOTES_r12) + margin
     Map("dedup_verified" -> 380.0, "dedup_substring" -> 300.0,
       "dedup_lines" -> 60.0, "decontaminate_fuzzy" -> 100.0,
-      "dedup_snapshot" -> 60.0, "dedup_snapshot_fuzzy" -> 150.0)
+      "dedup_snapshot" -> 60.0, "dedup_snapshot_fuzzy" -> 150.0,
+      // r14 rotation (VERDICT r13 #6): one cheap round-new scan-bound
+      // operator + the PQ family's at-scale point (2M vectors)
+      "tokenize_bpe" -> 60.0, "ann_pq" -> 90.0)
 
   /** Host-speed calibration anchor: the r11 (uncontended) median of the
     * 524,288-msg trial on this host class, in msgs/s. The engine code
@@ -311,6 +314,31 @@ object Bench {
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       marker.createNewFile()
     }
+    // embeddings arrived r14 (the ann_pq rotation needs a 2M-vector
+    // point): own marker so cached documents never re-synthesize. Same
+    // block scheme as sf10 — 100 blocks of 10 shards, per-block
+    // sign-flip pattern for cross-block near-orthogonality, small
+    // within-block shift for the 10-wide near-dup groups.
+    val embMarker = new java.io.File(out, "_SYNTH_DONE_EMB_v1")
+    if (!embMarker.exists()) {
+      val shards = 1000
+      val sh = spark.range(shards).select(col("id").as("shard"))
+      val block = (col("shard") / 10).cast("int")
+      Tables.embeddings(spark, sfDir).crossJoin(sh).select(
+        (col("vec_id") + col("shard") * 100000000L).as("vec_id"),
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (v, i) => {
+            val flip = when(((i + lit(1)) * (block + lit(2))) % 7 < 3,
+              lit(-1.0f)).otherwise(lit(1.0f))
+            (v * flip + (col("shard") % 10).cast("float") * lit(0.001f))
+              .cast("float")
+          }).as("embedding"),
+        col("label"))
+        .repartition(shards / 4)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      embMarker.createNewFile()
+    }
     out
   }
 
@@ -329,7 +357,8 @@ object Bench {
     // (dedup_verified's pair verify, substring's window explode) run
     // only when the wall allows — their sf100 points are already three
     // rounds deep in NOTES.
-    val names = Seq("dedup_snapshot", "dedup_lines",
+    val names = Seq("tokenize_bpe", "ann_pq",
+      "dedup_snapshot", "dedup_lines",
       "dedup_snapshot_fuzzy", "decontaminate_fuzzy",
       "dedup_verified", "dedup_substring")
     val dir = synthesizeSf100(spark, sfDir)
@@ -338,7 +367,7 @@ object Bench {
     // already paid — every spot name is a subset of the sf10 list
     if (!shared) {
       warmQueries(spark, sfDir, names, capS = 90.0)
-      absorbHeapFloor(spark, dir)
+      val _ = absorbHeapFloor(spark, dir)
     }
     reclaim(spark, gc = false)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -374,7 +403,7 @@ object Bench {
       if (skipped.isEmpty) ""
       else skipped.map("\"" + _ + "\"")
         .mkString(""","skipped":[""", ",", "]")
-    (f""""sf100_spot":{"dir":"$dir","shards":1000,"rows":{"documents":$nDocs},"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
+    (f""""sf100_spot":{"dir":"$dir","shards":1000,"rows":{"documents":$nDocs},$hostEchoJson"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
      f""""sf100_total":$total%.3f,"sf100_failed":$failed""")
   }
 
@@ -386,9 +415,9 @@ object Bench {
     * compositions over the same 100-shard document corpus (llm_prep's
     * dedup shuffle, decontaminate's broadcast-gram join, seq_pack's
     * per-shard windows); the rest of the suite has its sf1 point. */
-  private def sf10Section(spark0: SparkSession, cpus: String, sfDir: String,
+  private def sf10Section(spark0: SparkSession, sfDir: String,
                           sf1Times: Map[String, Double],
-                          reserveS: Double): (String, String, SparkSession) = {
+                          reserveS: Double): (String, String) = {
     // PRIORITY order, not family order: the per-query deadline guard
     // truncates the TAIL, so a budget squeeze drops the least
     // informative queries first (the r11 validation run lost
@@ -406,12 +435,17 @@ object Bench {
     // text_quality leads NOT for priority but as the warm-up: a cheap
     // full-corpus scan absorbs the fresh context's first-read cost so
     // it doesn't land inside the flagship's timing.
+    // tierNew = EVERY not-yet-two-rounds-old operator (r13 lesson: the
+    // round-new operator MUST sit inside the protected block — ann_pq
+    // was r13-new but sat in tier1's ANN group and was shed at the wall,
+    // VERDICT r13 #1a). r14-new: ann_ivfpq, chunk_tokens_bpe.
     val tier1 = Seq(
       "text_quality",
       "dedup_verified", "dedup_clusters_verified",
       "decontaminate_fuzzy", "dedup_lines",
-      "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "emb_stats")
+      "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
     val tierNew = Seq(
+      "ann_pq", "ann_ivfpq", "chunk_tokens_bpe",
       "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
       "quality_classifier", "token_budget", "corpus_stats",
       "cluster_topics", "sample_shuffle", "sample_perplexity",
@@ -438,12 +472,9 @@ object Bench {
     // as the scan warm-up.
     val names = Seq("text_quality") ++ tierNew ++ tier1.filterNot(_ == "text_quality") ++
       tierMid ++ tierHeavy
-    // NO in-section context restarts (r13): the r12 in-section
-    // inflation (clusters 161-179 s vs ~40 s standalone; minhash 91 vs
-    // ~20) was a symptom of the BIG polluted parent JVM; in the fresh
-    // warm-code/pinned-heap child, sim #2's 18-query tail showed zero
-    // inflation creep, so the 3×15 s restarts buy nothing here.
-    val restartBefore = Set.empty[String]
+    // NO in-section context restarts (r13, branch deleted r14 — ADVICE):
+    // the r12 in-section inflation was JVM-level; in the fresh
+    // warm-code/pinned-heap child a context restart buys nothing.
     // per-query wall-cost estimate for the deadline guard: the query's
     // OWN measured sf1 time from the section that just ran, scaled by
     // the 10x data factor plus a 30% margin, clamped to [60, 300] s
@@ -454,22 +485,20 @@ object Bench {
     def needS(n: String): Double =
       sf1Times.get(n).map(t => (t * 13.0).max(60.0).min(300.0))
         .getOrElse(160.0)
-    var spark = spark0
+    val spark = spark0
     val sf10Dir = synthesizeSf10(spark, sfDir)
     // tiny-corpus code warm-up, EXPENSIVE-at-sf10 queries first so the
     // cap cuts only the cheap tail (a cold cheap query costs ~5 s of
     // codegen in its timed run; a cold HEAVY costs 10x its steady time)
     warmQueries(spark, sfDir, tierHeavy ++ tier1 ++ tierNew ++ tierMid)
-    // ONE untimed ALLOCATION-heavy absorber: the heap floor's one-time
+    // untimed ALLOCATION-heavy absorber with a MEASURED completion
+    // precondition (r14; see absorbHeapFloor): the heap floor's one-time
     // page-fault bill (G1 region sweep faults pages on first touch of
     // the committed floor — ~45 s for 24 GB on this slow-zeroing host)
-    // lands here instead of inside the first timed queries (sim #2
-    // measured the un-absorbed bill as text_quality 105 s /
-    // dedup_verified 165 s timed vs ~10 / ~20-30 s steady). sf1 scale
+    // lands here instead of inside the first timed queries. sf1 scale
     // is enough: faulting follows cumulative ALLOCATION, not input
-    // size, so a ~6 s sf1 flagship run sweeps the floor at a tenth of
-    // the sf10 cost. Falls back to the sf10 corpus if sf1 isn't cached.
-    absorbHeapFloor(spark, sf10Dir)
+    // size. Falls back to the sf10 corpus if sf1 isn't cached.
+    val absorbJson = absorbHeapFloor(spark, sf10Dir)
     reclaim(spark, gc = false)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val timed = names.flatMap { n =>
@@ -481,14 +510,6 @@ object Bench {
         if (remainingS - reserveS < needS(n)) { skipped += n; None }
         else Some(fn)
       }.map { fn =>
-        if (restartBefore(n)) {
-          spark.stop()
-          spark = buildSession(cpus)
-          // absorb the fresh context's first-read cost outside the
-          // timed window (same role text_quality plays at section entry)
-          try Tables.documents(spark, sf10Dir).limit(32).count()
-          catch { case _: Throwable => }
-        }
         // deterministic block reclaim between queries — no full GC (see
         // `reclaim`: 38 multi-second Pause Fulls in the v5 child)
         reclaim(spark, gc = false)
@@ -516,10 +537,19 @@ object Bench {
       if (skipped.isEmpty) ""
       else skipped.map("\"" + _ + "\"")
         .mkString(""","skipped":[""", ",", "]")
-    (f""""sf10":{"dir":"$sf10Dir","shards":100,"rows":{"documents":$nDocs,"embeddings":$nEmb},"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
-     f""""sf10_total":$total%.3f,"sf10_failed":$failed,"sf10_worst":$worst""",
-     spark)
+    (f""""sf10":{"dir":"$sf10Dir","shards":100,"rows":{"documents":$nDocs,"embeddings":$nEmb},$absorbJson$hostEchoJson"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
+     f""""sf10_total":$total%.3f,"sf10_failed":$failed,"sf10_worst":$worst""")
   }
+
+  /** The parent's measured host factor, passed into scale children via
+    * env so every section JSON names the contention level its absolutes
+    * were measured under (VERDICT r13 #1c: the gate should read
+    * ratios). Empty when the parent's trial failed or when running
+    * standalone. */
+  private def hostEchoJson: String =
+    sys.env.get("SPARK_GRAFT_HOST_FACTOR")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .map(f => f""""host_factor_at_trial":$f%.3f,""").getOrElse("")
 
   /** The curated sf1 rehearsal subset (r12): the join/agg/stateful/
     * iterative shapes whose scale behavior is NOT a linear extrapolation
@@ -546,10 +576,10 @@ object Bench {
     "decontaminate", "decontaminate_fuzzy", "decontaminate_semantic",
     "contamination_report", "sample_stratified", "sample_shuffle",
     "sample_domain_mix", "sample_perplexity", "sample_temperature",
-    "seq_pack", "chunk_tokens",
+    "seq_pack", "chunk_tokens", "chunk_tokens_bpe",
     "dedup_keep_best",
     // ANN / embeddings
-    "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "emb_neardup",
+    "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "emb_neardup",
     "emb_stats", "cluster_topics",
     // text-analysis aggregations and model scoring
     "tfidf_topk", "lm_score", "quality_classifier", "quality_gopher",
@@ -648,20 +678,47 @@ object Bench {
     * timed query (see the forkChild -Xms note and sf10Section's
     * absorber comment). Prefers the cached sf1 corpus (a ~6 s flagship
     * run allocates enough to fault the floor); falls back to the
-    * caller's own corpus when sf1 was never synthesized. */
-  private def absorbHeapFloor(spark: SparkSession, fallbackDir: String): Unit = {
+    * caller's own corpus when sf1 was never synthesized.
+    *
+    * Completion is a MEASURED precondition, not a hope (VERDICT r13
+    * #1b: the single-pass absorber's effectiveness was stochastic —
+    * sim #5 "swept only 14 s worth" and the residual bill landed
+    * inside timed queries): after each absorber pass a cheap timed
+    * canary (text_quality at the absorber corpus) runs TWICE; if the
+    * first canary exceeds 1.5× the second, the bill was still landing
+    * mid-canary — run another absorber pass. Bounded at 3 total
+    * passes; every absorb and canary time lands in the section JSON so
+    * the gate can see what the precondition measured. Returns that
+    * JSON fragment (trailing comma) for the section line. */
+  private def absorbHeapFloor(spark: SparkSession, fallbackDir: String): String = {
     val dir =
       if (new java.io.File("/tmp/graft_sf1/_SYNTH_DONE_v6").exists())
         "/tmp/graft_sf1"
       else fallbackDir
-    try {
-      SparkEntry.queries.get("dedup_verified").foreach { fn =>
-        val t0 = System.nanoTime()
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-        System.err.println(
-          f"[bench] heap-floor absorber (untimed dedup_verified at $dir): ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      }
-    } catch { case _: Throwable => }
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries.get(name).foreach(
+        _(spark, dir).write.format("noop").mode("overwrite").save())
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val absorbS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaryS = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var settled = false
+    while (!settled && absorbS.size < 3) {
+      absorbS += run("dedup_verified")
+      val c1 = run("text_quality")
+      val c2 = run("text_quality")
+      canaryS += c1; canaryS += c2
+      settled = c1 <= math.max(1.5 * c2, c2 + 2.0)
+      System.err.println(
+        f"[bench] heap-floor absorber pass ${absorbS.size} at $dir: " +
+        f"absorb ${absorbS.last}%.1fs canary $c1%.2fs/$c2%.2fs " +
+        (if (settled) "(settled)" else "(still faulting)"))
+    }
+    val aj = absorbS.map(a => f"$a%.2f").mkString("[", ",", "]")
+    val cj = canaryS.map(c => f"$c%.2f").mkString("[", ",", "]")
+    s""""absorber":{"passes":${absorbS.size},"settled":$settled,"absorb_s":$aj,"canary_s":$cj},"""
   }
 
   /** Parse the parent's sf1-times handoff file ({"query":secs,...}). */
@@ -691,10 +748,10 @@ object Bench {
     val spark = buildSession(cpus)
     mode match {
       case "child_sf10" =>
-        val (full, short, s2) = sf10Section(spark, cpus, sfDir, sf1Times, 0.0)
+        val (full, short) = sf10Section(spark, sfDir, sf1Times, 0.0)
         println("@@FULL10@@" + full)
         println("@@SHORT10@@" + short)
-        s2.stop()
+        spark.stop()
       case "child_sf100" =>
         val (full, short) = sf100Spot(spark, sfDir, forced = false)
         println("@@FULL100@@" + full)
@@ -708,15 +765,15 @@ object Bench {
         // The sf10 guards hold back the sf100 micro-spot's reserve.
         val reserve = sys.env.getOrElse("SPARK_GRAFT_SF100_RESERVE", "140")
           .toDouble
-        val (full10, short10, s2) =
-          sf10Section(spark, cpus, sfDir, sf1Times, reserve)
+        val (full10, short10) =
+          sf10Section(spark, sfDir, sf1Times, reserve)
         println("@@FULL10@@" + full10)
         println("@@SHORT10@@" + short10)
-        val (full100, short100) = sf100Spot(s2, sfDir, forced = false,
+        val (full100, short100) = sf100Spot(spark, sfDir, forced = false,
           shared = true)
         println("@@FULL100@@" + full100)
         println("@@SHORT100@@" + short100)
-        s2.stop()
+        spark.stop()
       case other =>
         System.err.println(s"[bench] unknown child mode $other")
         sys.exit(2)
@@ -733,7 +790,8 @@ object Bench {
     * sections still report. Returns None on fork failure / crash /
     * zero markers. */
   private def forkChild(mode: String, budget: Double,
-                        sf1TimesPath: Option[String]): Option[Map[String, String]] = {
+                        sf1TimesPath: Option[String],
+                        hostFactor: Option[Double] = None): Option[Map[String, String]] = {
     import scala.jdk.CollectionConverters._
     try {
       val javaBin = new java.io.File(new java.io.File(
@@ -761,6 +819,10 @@ object Bench {
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("SPARK_GRAFT_BUDGET_S", f"$budget%.0f")
       sf1TimesPath.foreach(p => pb.environment().put("SPARK_GRAFT_SF1TIMES", p))
+      // the parent's measured contention level rides into every scale
+      // section's JSON (host_factor_at_trial) so the gate reads ratios
+      hostFactor.foreach(f =>
+        pb.environment().put("SPARK_GRAFT_HOST_FACTOR", f"$f%.3f"))
       val proc = pb.start()
       val outLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       def pump(in: java.io.InputStream, sink: String => Unit): Thread = {
@@ -898,8 +960,13 @@ object Bench {
     // names today's host factor explicitly so cross-round absolute
     // comparisons can be ratio-corrected (r12's artifact carried a ~2x
     // contended host and its absolutes were misread as regressions).
+    // null (not 0.0) when the trial failed: a 0 reads as "infinitely
+    // fast host" to any ratio-correcting consumer (ADVICE r13)
     val hostJson =
-      f""""host_ref_msgs_per_sec":$hostRefMsgsPerSec%.0f,"host_factor":${if (trialMed > 0) hostRefMsgsPerSec / trialMed else 0.0}%.3f"""
+      if (trialMed > 0)
+        f""""host_ref_msgs_per_sec":$hostRefMsgsPerSec%.0f,"host_factor":${hostRefMsgsPerSec / trialMed}%.3f"""
+      else
+        f""""host_ref_msgs_per_sec":$hostRefMsgsPerSec%.0f,"host_factor":null"""
     // cumulative progress lines: a kill mid-way still leaves the
     // completed sections parseable in the driver's output tail
     def progress(fields: String): Unit =
@@ -914,9 +981,7 @@ object Bench {
         spark.stop()
         buildSession(cpus)
       } else spark
-    // standalone path only: tracks the latest session across the
-    // in-process sf10 section's internal restarts
-    var sparkScaleFinal: SparkSession = sparkScale
+    val sparkScaleFinal: SparkSession = sparkScale
     val (sf1Json, sf1Summary, sf1Times) =
       if ((args.nonEmpty && !args.contains("sf1")) ||
           sys.env.get("SPARK_GRAFT_SF1").contains("off"))
@@ -971,7 +1036,8 @@ object Bench {
           if (sf10On && sf100On) "child_scale"
           else if (sf10On) "child_sf10"
           else "child_sf100"
-        forkChild(mode, remainingS - mainReserveS - 15.0, timesPath)
+        forkChild(mode, remainingS - mainReserveS - 15.0, timesPath,
+          if (trialMed > 0) Some(hostRefMsgsPerSec / trialMed) else None)
       }
     def fromChild(key: String, skipTag: String, on: Boolean): String =
       if (!on) ""
@@ -986,9 +1052,8 @@ object Bench {
          fromChild("SHORT10", "sf10_skipped", sf10On))
       else try {
         reclaim(sparkScale)
-        val (full, short, s2) =
-          sf10Section(sparkScale, cpus, sfDir, sf1Times, 0.0)
-        sparkScaleFinal = s2
+        val (full, short) =
+          sf10Section(sparkScale, sfDir, sf1Times, 0.0)
         ("," + full, "," + short)
       } catch { case e: Throwable =>
         System.err.println(s"[bench:sf10] section failed: ${e.getMessage}"); ("", "")

@@ -3227,6 +3227,18 @@ object Queries {
         chunkTokens = 64, overlapTokens = 16)
     }),
 
+    // the same sliding window denominated in SUBWORD tokens — the unit a
+    // RAG/pretraining context window is actually budgeted in (a 64-BPE
+    // window is NOT a 64-word window; whitespace counts understate
+    // subword length ~2x on this vocab). Tokens come casefolded from the
+    // BPE trie kernel; window arithmetic identical
+    "chunk_tokens_bpe" -> ((s, dir) => {
+      Sampling.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16,
+        tokens = c =>
+          TextAnalysis.bpeEncode(c, graft.functions.BpeFixture.vocab))
+    }),
+
     // LLM-prep: epoch-weighted upsampling — weight w ⇒ floor(w) copies
     // + one more for a hash-chosen frac(w) share, expected multiplicity
     // exactly w; deterministic copy index for downstream seeding
@@ -6740,6 +6752,28 @@ object Queries {
         |  array_to_string(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ') AS chunk_text,
         |  CAST(least(64, n - chunk_idx*48) AS INT) AS n_tokens
         |FROM e""".stripMargin,
+
+    // the recursive-CTE greedy encode (steps: per distinct word) composes
+    // with the window oracle: per-doc ordered token stream = the per-word
+    // token lists flattened in word order, then identical slice windows
+    "chunk_tokens_bpe" ->
+      (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
+        """,
+          |wo AS (SELECT doc_id, unnest(ws) AS w,
+          |         generate_subscripts(ws, 1) AS wi FROM base),
+          |docs AS (
+          |  SELECT doc_id,
+          |    flatten(list(string_split(s.toks, '|') ORDER BY wi)) AS toks
+          |  FROM wo JOIN steps s USING (w) GROUP BY doc_id),
+          |n AS (SELECT doc_id, toks, len(toks) AS n FROM docs
+          |      WHERE len(toks) > 0),
+          |e AS (SELECT doc_id, toks, n,
+          |  unnest(range(0, greatest(1, (n - 16 + 47) // 48))) AS chunk_idx
+          |  FROM n)
+          |SELECT doc_id, chunk_idx,
+          |  array_to_string(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64), ' ') AS chunk_text,
+          |  CAST(least(64, n - chunk_idx*48) AS INT) AS n_tokens
+          |FROM e""".stripMargin),
 
     // md5-derived shard and order key replayed exactly; row_number ties
     // broken by doc_id on both sides

@@ -33,7 +33,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * replay at encode time for the same reason: it is a pure function of
   * the VOCABULARY, which an oracle can replay with one correlated
   * max-length lookup per position instead of an iterative pair-merge
-  * no SQL engine expresses.
+  * no SQL engine expresses. MEASURED divergence (BpeSpec, both
+  * encoders over every distinct word of the sf0.01 training corpus
+  * under the fixture vocab, frequency-weighted): 3.1% of word
+  * instances get different token BOUNDARIES (1/31 distinct words) and
+  * 0.0% get a different token COUNT — the unit every budgeting
+  * operator (token_budget/corpus_stats/seq_pack/chunk windows)
+  * actually consumes. The spec pins both rates (≤5% / ≤1%).
   *
   * Reference anchor: rsyslog has no subword tokenizer; this extends the
   * token-accounting family (token_budget/corpus_stats/chunk_tokens)
@@ -47,21 +53,33 @@ object Bpe {
     * lexicographically smallest (left, right)); stops early when no
     * pair repeats. Returns the merge products in merge order — the
     * encoder vocabulary. */
-  def train(texts: Iterable[String], numMerges: Int): Seq[String] = {
+  def train(texts: Iterable[String], numMerges: Int): Seq[String] =
+    trainMerges(texts, numMerges).map { case (l, r) => l + r }
+
+  /** [[train]] with the merge PAIRS exposed (left, right) — what a
+    * merge-order-replay encoder needs (the greedy trie encoder only
+    * needs the products; BpeSpec measures the divergence between the
+    * two encoders under the fixture vocabulary). */
+  def trainMerges(texts: Iterable[String],
+                  numMerges: Int): Seq[(String, String)] = {
     // word frequency over casefolded whitespace tokens
+    // (Locale.ROOT: encode-time folding is UTF8String.toLowerCase —
+    // locale-independent — so a Turkish-locale host regenerating the
+    // fixture must not dot-fold 'I' differently; ADVICE r13)
     val wordFreq = new java.util.HashMap[String, Long]()
     texts.foreach { t =>
-      if (t != null) t.toLowerCase.split("[\\s]+").foreach { w =>
-        if (w.nonEmpty)
-          wordFreq.merge(w, 1L, (a, b) => a + b)
-      }
+      if (t != null)
+        t.toLowerCase(java.util.Locale.ROOT).split("[\\s]+").foreach { w =>
+          if (w.nonEmpty)
+            wordFreq.merge(w, 1L, (a, b) => a + b)
+        }
     }
     // each word as a mutable symbol sequence
     import scala.jdk.CollectionConverters._
     var words: Array[(Array[String], Long)] = wordFreq.entrySet().asScala
       .toArray.sortBy(_.getKey)
       .map(e => (e.getKey.map(_.toString).toArray, e.getValue.longValue()))
-    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
@@ -86,7 +104,7 @@ object Bpe {
         if (bestN < 2) exhausted = true // nothing repeats: stop
         else {
           val merged = best._1 + best._2
-          merges += merged
+          merges += best
           words = words.map { case (syms, f) =>
             if (syms.length < 2) (syms, f)
             else {

@@ -91,15 +91,23 @@ object Sampling {
     * Chunk text keeps the original casing (unlike the casefolded
     * analysis tokens). Narrow plan: split + explode(sequence) + slice,
     * no shuffle, no UDF — survives any corpus size the scan survives.
-    * Documents with zero tokens emit no chunks. */
+    * Documents with zero tokens emit no chunks.
+    *
+    * `tokens` picks the token DENOMINATION (r13 verdict #5: context
+    * windows are subword-denominated, and the unit mismatch matters
+    * most exactly in the windowing operator): default = whitespace
+    * words with original casing; pass [[TextAnalysis.bpeEncode]] for
+    * subword windows (chunk_tokens_bpe) — the window arithmetic is
+    * identical over whatever array comes back. */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkTokens: Int = 512,
-                    overlapTokens: Int = 64): DataFrame = {
+                    overlapTokens: Int = 64,
+                    tokens: Column => Column =
+                      c => filter(split(c, "\\s+"), t => t =!= "")): DataFrame = {
     require(chunkTokens > 0 && overlapTokens >= 0 &&
       overlapTokens < chunkTokens, "0 <= overlap < chunk")
     val stride = chunkTokens - overlapTokens
-    df.select(col(idCol),
-        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast("long"))
       .filter(col("__n") > 0)
       .withColumn("chunk_idx", explode(sequence(lit(0L),

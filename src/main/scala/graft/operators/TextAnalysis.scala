@@ -321,7 +321,10 @@ object TextAnalysis {
       // linearly (upper bound — see scaladoc). Tiny corpora sample
       // everything: the scan is bounded either way.
       val f = 0.02
-      val sample = if (nDocs * f < 500) toks else toks.sample(f)
+      // seeded: the broadcast-vs-AQE plan choice must be reproducible
+      // run-to-run near the threshold (ADVICE r13; values were never
+      // affected, only the plan)
+      val sample = if (nDocs * f < 500) toks else toks.sample(f, 42L)
       val est = sample.select(explode(col("t")).as("term"))
         .agg(approx_count_distinct(col("term"), 0.05).as("v"))
         .head().getLong(0)

@@ -69,6 +69,82 @@ class BpeSpec extends SparkSpec {
       s"BPE tokens (${r._2}) should exceed whitespace tokens (${r._1}) by >1.5x")
   }
 
+  test("greedy encode vs merge-order replay: divergence measured and bounded") {
+    // The documented encode divergence (r13 verdict #4), quantified: the
+    // engine encodes by greedy longest-match against the merge products
+    // (WordPiece-style — what the oracle can replay); reference BPE
+    // replays the merges in training order. Both encoders run here over
+    // every distinct word of the training corpus and the disagreement is
+    // pinned, word-frequency-weighted.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    // must reproduce the checked-in fixture (trainer/fixture sync guard —
+    // also pins the Locale.ROOT casefold fix: ROOT folding produced this
+    // exact vocab)
+    val sample = docs.select(col("text").cast("string"))
+      .orderBy(col("doc_id")).limit(400).collect().map(_.getString(0)).toSeq
+    val merges = Bpe.trainMerges(sample, 48)
+    assert(merges.map { case (l, r) => l + r } == BpeFixture.vocab,
+      "trainMerges out of sync with the checked-in fixture vocab")
+
+    // merge-order replay: per word, apply each merge pair in training
+    // order, left-to-right (the reference BPE apply loop)
+    def replay(word: String): Seq[String] = {
+      var syms: Vector[String] = {
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < word.length) {
+          val n = if (Character.isHighSurrogate(word.charAt(i)) &&
+            i + 1 < word.length &&
+            Character.isLowSurrogate(word.charAt(i + 1))) 2 else 1
+          b += word.substring(i, i + n); i += n
+        }
+        b.result()
+      }
+      merges.foreach { case (l, r) =>
+        if (syms.length >= 2) {
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+
+    // corpus word frequencies + the engine's greedy encode per word
+    val wf = docs
+      .select(explode(split(lower(col("text")), "[\\s]+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count().as[(String, Long)].collect()
+    val greedy: Map[String, Seq[String]] = wf.map(_._1).toSeq.toDF("w")
+      .select(col("w"), TextAnalysis.bpeEncode(col("w"), BpeFixture.vocab))
+      .as[(String, Seq[String])].collect().toMap
+
+    val total = wf.map(_._2).sum
+    val diffSeq = wf.filter { case (w, _) => greedy(w) != replay(w) }
+    val diffCount = diffSeq.filter { case (w, _) =>
+      greedy(w).length != replay(w).length }
+    val seqRate = diffSeq.map(_._2).sum.toDouble / total
+    val cntRate = diffCount.map(_._2).sum.toDouble / total
+    info(f"sequence-divergence rate: $seqRate%.4f " +
+      f"(${diffSeq.length}/${wf.length} distinct words: " +
+      diffSeq.map(_._1).mkString(",") + "); " +
+      f"token-COUNT divergence: $cntRate%.4f (${diffCount.length} words)")
+    // measured on this corpus/vocab: 0.0314 of word instances (1/31
+    // distinct words) get different token BOUNDARIES; token COUNTS —
+    // the unit every budgeting operator consumes — diverge on 0.0000.
+    // Pinned with headroom so a vocab or kernel change that balloons
+    // the divergence fails here before the scaladoc's claim goes stale.
+    assert(seqRate <= 0.05,
+      f"greedy vs merge-order sequence divergence $seqRate%.4f > 5%%")
+    assert(cntRate <= 0.01,
+      f"greedy vs merge-order token-count divergence $cntRate%.4f > 1%%")
+  }
+
   test("trainOnSample is deterministic and bounded") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val a = Bpe.trainOnSample(docs, "doc_id", "text", 16, 50)
