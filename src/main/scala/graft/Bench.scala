@@ -566,6 +566,7 @@ object Bench {
     "window_agg", "session_window", "stream_llm_prep",
     "stream_dedup_snapshot", "stream_dedup_snapshot_fuzzy",
     "stream_cluster_topics", "stream_corpus_stats",
+    "stream_contamination_report",
     // dedup family (candidate generation, iterative CC, anti-joins)
     "dedup_exact", "dedup_canonical", "dedup_minhash", "dedup_verified",
     "dedup_clusters_verified", "dedup_clusters", "dedup_simhash",

@@ -4118,6 +4118,54 @@ object Queries {
         graft.streaming.StreamGate.tableBytes(dir, "documents"))
     }),
 
+    // streaming face of the contamination REPORT (r13 verdict #7): the
+    // batch report needs two aggregations (gram-level intersection,
+    // then the eval-side fold) and streaming allows one — so the
+    // gram-level half moves scan-side into the eval_contam kernel (the
+    // eval gram sets are a bounded reference object, the same
+    // justification as the batch broadcast) and the single complete-mode
+    // groupBy(eval_id) holds eval-sized state. Eval docs ride the SAME
+    // stream: their rows emit one zero-marker each (mjac null), so
+    // n_contaminated = count(non-null doc) covers the whole eval set —
+    // values bit-equal to the batch report (same oracle)
+    "stream_contamination_report" -> ((s, dir) => {
+      val n = 5
+      // bounded collect: the eval split (doc_id % 97), gram sets via the
+      // SAME Spark expressions the batch path uses
+      val evalRows = Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), array_distinct(TextAnalysis.wordNgrams(
+          TextAnalysis.tokens(col("text")), n)).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+        .sortBy(_._1)
+      val stream = graft.streaming.StreamGate.readTable(s, dir, "documents")
+      val withToks = stream.select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("t"))
+      val matches = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.EvalContamExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("t")),
+          evalRows.map(_._1), evalRows.map(_._2), n, 500000L))
+      val marker = array(struct(col("doc_id").as("eval_id"),
+        lit(null).cast("long").as("mjac")))
+      val shaped = withToks
+        .select(col("doc_id"),
+          when(col("doc_id") % 97 === 0,
+            // eval row: one zero-marker iff it meets the >=n-token
+            // membership rule; slice(.., 1, 0) = typed empty array
+            when(size(col("t")) >= n, marker).otherwise(slice(marker, 1, 0)))
+          .otherwise(matches).as("ms"))
+        .select(col("doc_id"), explode(col("ms")).as("m"))
+        .select(col("m.eval_id").as("eval_id"), col("m.mjac").as("mjac"),
+          when(col("m.mjac").isNotNull, col("doc_id")).as("doc"))
+        .groupBy(col("eval_id"))
+        .agg(count(col("doc")).as("n_contaminated"),
+          max(col("mjac")).as("max_micro_jaccard"),
+          min(col("doc")).as("first_doc"))
+      graft.streaming.StreamGate.run(shaped, "complete",
+        graft.streaming.StreamGate.tableBytes(dir, "documents"))
+    }),
+
     // streaming face of the cluster-balance audit: the codebook trains
     // from the STATIC table before the stream starts (bounded ≤nlist
     // collect — production loads a trained codebook the same way), then
@@ -6604,6 +6652,10 @@ object Queries {
 
     // complete-mode folds over the full table = the batch contracts
     "stream_cluster_topics" -> Similarity.clusterTopicsOracleSql(),
+
+    // bit-equal to the batch report by construction (same tokenization,
+    // gram join, double micro-Jaccard arithmetic) — same oracle
+    "stream_contamination_report" -> Dedup.contaminationReportOracleSql(),
 
     "stream_corpus_stats" ->
       """WITH t AS (

@@ -537,3 +537,120 @@ object FingerprintExpr {
     UTF8String.fromString(new String(out))
   }
 }
+
+/** Every eval document fuzzily contaminated by one corpus document, in
+  * ONE kernel call — the streaming face of the contamination report
+  * (see [[graft.operators.Dedup.contaminationReport]]): Structured
+  * Streaming allows a single aggregation per query, and the batch
+  * report needs two (gram-level intersection, then the eval-side
+  * fold), so the gram-level half moves scan-side into this kernel and
+  * the one remaining groupBy(eval_id) streams in complete mode with
+  * eval-sized state.
+  *
+  * The eval gram sets ride in as a reference object — bounded because
+  * EVAL SETS are bounded by nature (the same justification as the
+  * batch operator's broadcast(eval grams)); the gram→eval index is
+  * built once per executor, and each input document costs one pass
+  * over its own distinct n-grams with O(1) index probes. Input is the
+  * already-tokenized array (TokensExpr — the exact tokenization the
+  * batch path and the DuckDB oracle share); grams join with ' ' like
+  * [[NgramJoinExpr]]; micro-Jaccard uses the identical double
+  * arithmetic floor(inter·1e6 / (na+nb−inter)) so values are
+  * bit-equal to the batch report. Emits (eval_id, mjac) for every
+  * eval doc at or above `thresholdMicro`.
+  */
+case class EvalContamExpr(child: Expression, evalIds: Array[Long],
+                          evalGramSets: Array[Array[String]], n: Int,
+                          thresholdMicro: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(evalIds.length == evalGramSets.length, "ids/gram sets misaligned")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("eval_id", LongType, nullable = false),
+    StructField("mjac", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "eval_contam"
+
+  private val nEval = evalIds.length
+  // gram -> indexes of eval docs containing it (distinct per eval set
+  // by construction: the caller passes array_distinct'ed gram sets)
+  @transient private lazy val index: java.util.HashMap[String, Array[Int]] = {
+    val tmp = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+    var e = 0
+    while (e < nEval) {
+      evalGramSets(e).foreach { g =>
+        var l = tmp.get(g)
+        if (l == null) { l = new java.util.ArrayList[Integer](); tmp.put(g, l) }
+        l.add(e)
+      }
+      e += 1
+    }
+    val out = new java.util.HashMap[String, Array[Int]](tmp.size())
+    tmp.forEach { (g, l) =>
+      val a = new Array[Int](l.size())
+      var i = 0
+      while (i < a.length) { a(i) = l.get(i).intValue(); i += 1 }
+      out.put(g, a)
+    }
+    out
+  }
+
+  def kernel(toks: ArrayData): ArrayData = {
+    val len = toks.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[String]()
+    val counters = new Array[Int](nEval)
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(k + j).toString)
+        j += 1
+      }
+      val g = sb.toString
+      if (seen.add(g)) {
+        val hits = index.get(g)
+        if (hits != null) {
+          var i = 0
+          while (i < hits.length) { counters(hits(i)) += 1; i += 1 }
+        }
+      }
+      k += 1
+    }
+    val na = seen.size
+    val out = new java.util.ArrayList[Any]()
+    var e = 0
+    while (e < nEval) {
+      if (counters(e) > 0) {
+        val denom = na + evalGramSets(e).length - counters(e)
+        // identical double arithmetic to the batch/oracle floor()
+        val mj = math.floor(counters(e) * 1000000.0 / denom).toLong
+        if (mj >= thresholdMicro)
+          out.add(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](evalIds(e), mj)))
+      }
+      e += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("evalContam", this,
+      "graft.functions.EvalContamExpr")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
