@@ -438,14 +438,15 @@ object Bench {
     // tierNew = EVERY not-yet-two-rounds-old operator (r13 lesson: the
     // round-new operator MUST sit inside the protected block — ann_pq
     // was r13-new but sat in tier1's ANN group and was shed at the wall,
-    // VERDICT r13 #1a). r14-new: ann_ivfpq, chunk_tokens_bpe.
+    // VERDICT r13 #1a). r14-new: ann_ivfpq, chunk_tokens_bpe, ann_sq8,
+    // bm25_topk.
     val tier1 = Seq(
       "text_quality",
       "dedup_verified", "dedup_clusters_verified",
       "decontaminate_fuzzy", "dedup_lines",
       "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
     val tierNew = Seq(
-      "ann_pq", "ann_ivfpq", "chunk_tokens_bpe",
+      "ann_pq", "ann_ivfpq", "ann_sq8", "bm25_topk", "chunk_tokens_bpe",
       "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
       "quality_classifier", "token_budget", "corpus_stats",
       "cluster_topics", "sample_shuffle", "sample_perplexity",

@@ -2660,6 +2660,16 @@ object Queries {
         nlist = 16, nprobe = 4, maxPerCell = 8)
     }),
 
+    // scalar-quantized ANN (SQ8): per-dim byte codes over uniform
+    // min/max levels — scalar quantization IS product quantization with
+    // 1-dim subspaces, so this is pqTopK with m=dim, ksub=256 and the
+    // level-ladder codebook; both PQ kernels and the join-free plan
+    // reused unchanged
+    "ann_sq8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
     // embedding-cosine near-dup pairs within label blocks (banded sign-bit
     // LSH candidates → capped buckets → exact-cosine verify)
     "emb_neardup" -> ((s, dir) => {
@@ -2687,6 +2697,16 @@ object Queries {
     // per-doc top-k terms by tf-idf (keyword extraction)
     "tfidf_topk" -> ((s, dir) => {
       TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text")
+    }),
+
+    // BM25 ranked retrieval: top-k docs per keyword query (queries =
+    // first-3-distinct-token keyword sets of docs 0-7). Query terms
+    // broadcast and prune the token stream scan-side; per-term integer
+    // micro-scores sum order-free per (query, doc)
+    "bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        TextAnalysis.keywordQueries(docs, "doc_id", "text"))
     }),
 
     // language-ID heuristic (marker stopword argmax)
@@ -4206,6 +4226,23 @@ object Queries {
     // buffers are bounded by DISTINCT token counts per (source, lang) —
     // the same bound that makes the batch shape safe makes the
     // streaming state safe. ≤ #groups output rows.
+    // BPE tokenization on the streaming path: encode is a stateless
+    // scan-side kernel under the frozen fixture vocab (the codebook is
+    // a reference object, not state), so the stream face is a pure
+    // append projection — the shape a tokenize-on-ingest pipeline runs
+    "stream_tokenize_bpe" -> ((s, dir) => {
+      val v = graft.functions.BpeFixture.vocab
+      val stream = graft.streaming.StreamGate.readTable(s, dir, "documents")
+      val firstWord = element_at(TextAnalysis.tokens(col("text")), 1)
+      val out = stream.select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.bpeCount(col("text"), v).cast("long").as("n_bpe"),
+        array_join(TextAnalysis.bpeEncode(firstWord, v), "|").as("w1_toks"))
+      graft.streaming.StreamGate.run(out, "append",
+        graft.streaming.StreamGate.tableBytes(dir, "documents"))
+    }),
+
     "stream_corpus_stats" -> ((s, dir) => {
       val stream = graft.streaming.StreamGate.readTable(s, dir, "documents")
       val agg = stream
@@ -4352,6 +4389,23 @@ object Queries {
       |    ORDER BY event_id) AS rn
       |  FROM events)
       |SELECT user_id, count(*) AS n_passed FROM seq WHERE rn <= 3 GROUP BY 1""".stripMargin
+
+  // greedy longest-match replay of the fixture vocabulary: one
+  // recursive-CTE chain per DISTINCT word, corpus joins back through
+  // the word (see functions.Bpe.oracleCtes). Shared by the batch and
+  // streaming faces — the projection is identical on both paths.
+  private val tokenizeBpeOracleSql: String =
+    graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
+      """,
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_ws, sum(s.n_tok) AS n_bpe
+        |  FROM words JOIN steps s USING (w) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(coalesce(p.n_ws, 0) AS BIGINT) AS n_ws,
+        |  CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe,
+        |  s1.toks AS w1_toks
+        |FROM base b
+        |LEFT JOIN perdoc p USING (doc_id)
+        |LEFT JOIN steps s1 ON s1.w = b.ws[1]""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -5948,6 +6002,10 @@ object Queries {
     "ann_ivfpq" -> Similarity.ivfPqOracleSql(k = 5, nlist = 16, nprobe = 4,
       m = 8, ksub = 16, dim = 64, maxPerCell = 8),
 
+    "ann_sq8" -> Similarity.sq8OracleSql(k = 5, dim = 64, nlevels = 256),
+
+    "bm25_topk" -> TextAnalysis.bm25OracleSql(),
+
     // minhash/simhash fully oracled: FNV-1a + splitmix replicated in
     // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)
     "dedup_minhash" -> Dedup.minhashOracleSql(n = 3, bands = 16, rows = 4,
@@ -6543,18 +6601,10 @@ object Queries {
     // greedy longest-match replay of the fixture vocabulary: one
     // recursive-CTE chain per DISTINCT word, corpus joins back through
     // the word (see functions.Bpe.oracleCtes)
-    "tokenize_bpe" ->
-      (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
-        """,
-          |perdoc AS (
-          |  SELECT doc_id, count(*) AS n_ws, sum(s.n_tok) AS n_bpe
-          |  FROM words JOIN steps s USING (w) GROUP BY doc_id)
-          |SELECT b.doc_id, CAST(coalesce(p.n_ws, 0) AS BIGINT) AS n_ws,
-          |  CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe,
-          |  s1.toks AS w1_toks
-          |FROM base b
-          |LEFT JOIN perdoc p USING (doc_id)
-          |LEFT JOIN steps s1 ON s1.w = b.ws[1]""".stripMargin),
+    "tokenize_bpe" -> tokenizeBpeOracleSql,
+
+    // identical projection on the streaming path — same replay
+    "stream_tokenize_bpe" -> tokenizeBpeOracleSql,
 
     "sample_temperature" ->
       """WITH per AS (

@@ -500,6 +500,97 @@ object Similarity {
     cents
   }
 
+  /** Per-dimension uniform quantization levels for [[sq8TopK]]: dim ×
+    * nlevels × 1 — scalar quantization expressed as a PQ codebook of
+    * 1-dim subspaces. One combinable min/max aggregation over the
+    * exploded dimension index (dim groups, map-side combined), then a
+    * bounded collect of `dim` rows; level c of dimension d is
+    * `min_d + c·(max_d − min_d)/(nlevels−1)` computed in double and
+    * stored as Float (the codebook element type — the oracle replays
+    * the same double→float rounding). `max_d == min_d` degenerates to
+    * nlevels copies of the constant; code 0 wins the argmin tie. */
+  def trainSqLevels(corpus: DataFrame, dim: Int = 64,
+                    nlevels: Int = 256): Array[Array[Array[Float]]] = {
+    val mm = corpus.select(posexplode(col("embedding")))
+      .groupBy(col("pos"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getFloat(1), r.getFloat(2)))
+      .sortBy(_._1)
+    require(mm.length == dim, s"expected $dim dimension rows, got ${mm.length}")
+    mm.map { case (_, mnF, mxF) =>
+      val mn = mnF.toDouble
+      val delta = (mxF.toDouble - mn) / (nlevels - 1).toDouble
+      Array.tabulate(nlevels)(c => Array((mn + c * delta).toFloat))
+    }
+  }
+
+  /** Scalar-quantized ANN (SQ8) — the FAISS-family rung between
+    * brute-force floats and PQ: each dimension quantizes independently
+    * to one of 256 uniform levels spanning that dimension's corpus
+    * min/max, so a 64-float vector becomes 64 byte-codes (4× the PQ
+    * footprint, far better per-dim fidelity, zero codebook training).
+    *
+    * Implementation IS [[pqTopK]]: scalar quantization is exactly
+    * product quantization with 1-dimensional subspaces (m = dim,
+    * ksub = nlevels, codebook = the uniform level ladder from
+    * [[trainSqLevels]]) — the encode kernel's per-subspace argmin over
+    * micro-floored L2² degenerates to nearest-level rounding and the
+    * ADC scoring LUTs to per-dim (query − level)² tables, so both
+    * existing kernels ([[graft.functions.PqCodesExpr]],
+    * [[graft.functions.PqAdcExpr]]), the join-free plan shape, and the
+    * integer-micro exactness contract carry over unchanged. A
+    * production encode would use the closed-form
+    * `round((v−min)/Δ)` instead of the 256-way argmin (nlevels× cheaper,
+    * same result away from float-rounded level boundaries); the argmin
+    * form is kept because it is BY CONSTRUCTION bit-consistent with the
+    * DuckDB replay even at those boundaries. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              dim: Int = 64, nlevels: Int = 256): DataFrame =
+    pqTopK(corpus, queries, k, m = dim, ksub = nlevels, dim = dim,
+      codebook = Some(trainSqLevels(corpus, dim, nlevels)))
+
+  /** DuckDB oracle for [[sq8TopK]]: the [[pqOracleSql]] replay with the
+    * codebook CTE swapped for the uniform level ladder (per-dim min/max
+    * → double level → REAL cast, mirroring [[trainSqLevels]]' storage
+    * rounding), subspace arithmetic reduced to its 1-dim form. */
+  def sq8OracleSql(k: Int = 5, dim: Int = 64, nlevels: Int = 256,
+                   maxQueryId: Int = 8): String =
+    s"""WITH ev AS (SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS demb
+       |       FROM embeddings),
+       |sj AS (SELECT CAST(unnest(range($dim)) AS INT) AS j),
+       |mm AS (SELECT s.j, min(e.demb[s.j+1]) AS mn, max(e.demb[s.j+1]) AS mx
+       |       FROM ev e, sj s GROUP BY 1),
+       |lv AS (SELECT mm.j, CAST(c AS INT) AS c,
+       |         CAST(CAST(mm.mn + c * ((mm.mx - mm.mn) / ${(nlevels - 1).toDouble}) AS REAL)
+       |           AS DOUBLE) AS lev
+       |       FROM mm, (SELECT unnest(range($nlevels)) AS c) cs),
+       |md AS (
+       |  SELECT e.vec_id, l.j, l.c,
+       |    CAST(floor((
+       |      e.demb[l.j+1] * e.demb[l.j+1]
+       |      - 2 * (e.demb[l.j+1] * l.lev)
+       |      + l.lev * l.lev
+       |    ) * 1e6) AS BIGINT) AS md
+       |  FROM ev e, lv l),
+       |codes AS (
+       |  SELECT vec_id, j, CAST(min(md * $nlevels + c) % $nlevels AS INT) AS code
+       |  FROM md GROUP BY 1, 2),
+       |luts AS (
+       |  SELECT vec_id AS q_id, j, c, md FROM md WHERE vec_id < $maxQueryId),
+       |adc AS (
+       |  SELECT l.q_id, x.vec_id AS neighbor, CAST(sum(l.md) AS BIGINT) AS d
+       |  FROM codes x JOIN luts l ON l.j = x.j AND l.c = x.code
+       |  WHERE x.vec_id <> l.q_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, neighbor, d,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY d, neighbor) AS rk
+       |  FROM adc)
+       |SELECT q_id, rk, neighbor, d AS dist_micro
+       |FROM ranked WHERE rk <= $k""".stripMargin
+
   /** DuckDB oracle for [[pqTopK]]: codebooks from the table (vec_id <
     * ksub), codes via the same packed argmin (md·ksub + c → min →
     * % ksub = deterministic first-min-wins), LUT join on (j, code),

@@ -364,6 +364,118 @@ object TextAnalysis {
        |  (PARTITION BY doc_id ORDER BY mscore DESC, term) AS rk FROM sc)
        |SELECT doc_id, rk, term, tf, mscore FROM r WHERE rk <= $k""".stripMargin
 
+  /** Keyword queries for [[bm25TopK]] derived deterministically from the
+    * corpus itself: each doc with id < `maxId` contributes its first
+    * `nTerms` DISTINCT whitespace tokens as one query. Oracle-replayable
+    * (a list slice + distinct), and guarantees every query term has
+    * df ≥ 1. */
+  def keywordQueries(docs: DataFrame, idCol: String, textCol: String,
+                     maxId: Long = 8, nTerms: Int = 3): DataFrame =
+    docs.filter(col(idCol) < maxId)
+      .select(col(idCol).as("query_id"),
+        array_distinct(slice(tokens(col(textCol)), 1, nTerms)).as("qt"))
+
+  /** BM25 ranked retrieval — top-k documents per keyword query under the
+    * Robertson/Lucene scoring function
+    * `idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))` with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`. The retrieval
+    * counterpart of [[tfidfTopK]]'s keyword extraction (the reference's
+    * lookup/dyn_stats rank surface has no ranked-retrieval operator;
+    * this is part of the training-data/RAG family the engine adds).
+    *
+    * Exactness contract: every per-(doc, term) contribution is quantized
+    * to an integer micro-score BEFORE the per-(query, doc) sum, so the
+    * total is an order-free integer and rank ties break on doc_id — the
+    * DuckDB oracle replays scores bit-for-bit. All scalar inputs that
+    * feed double arithmetic are either exact binary (counts, dl) or a
+    * single shared division (`avgdl`, computed once from the two exact
+    * corpus scalars with the same IEEE op in both engines).
+    *
+    * Scale shape (the reason BM25 fits 100 TB where a generic rank
+    * query would not): query terms are broadcast and filter the token
+    * stream SCAN-SIDE — only occurrences of query terms ever reach a
+    * shuffle, so the big groupBys are proportional to matches, not to
+    * the corpus. Corpus-wide constants (N, Σdl) are one combinable
+    * aggregation → two scalars. The final per-query top-k uses the
+    * two-phase partition-local pre-cut (see
+    * [[graft.operators.Similarity]]'s topKPerQuery): a common query
+    * term may match millions of docs, and the pre-cut keeps any single
+    * per-query window task at k·partitions rows. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+    // bounded collect: two exact scalars; avgdl = ONE double division so
+    // both engines share its exact value
+    val statsRow = toks.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl")).head()
+    val nd = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / nd.toDouble
+    val qterms = queries.select(col("query_id"), explode(col("qt")).as("term"))
+    val matched = toks
+      .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+    val tf = matched.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nd.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfpart = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl))))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("micro", floor(idf * tfpart * lit(1e6)))
+    val perQueryDoc = scored.join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("micro")).as("mscore"))
+    val pre = Window.partitionBy(col("query_id"), col("__pid"))
+      .orderBy(col("mscore").desc, col("doc_id"))
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("mscore").desc, col("doc_id"))
+    perQueryDoc
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__prk", row_number().over(pre))
+      .filter(col("__prk") <= k)
+      .withColumn("rk", row_number().over(fin))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("mscore"))
+  }
+
+  /** DuckDB oracle for [[bm25TopK]] over the `documents` table with
+    * [[keywordQueries]]-derived queries. Double constants are
+    * interpolated via Scala's shortest-round-trip printing, so both
+    * engines evaluate the identical IEEE doubles; expression shapes
+    * (parenthesization, left-associative products) mirror the Column
+    * tree exactly. */
+  def bm25OracleSql(k: Int = 5, maxQueryId: Long = 8, nTerms: Int = 3,
+                    k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |s AS (SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl
+       |      FROM d),
+       |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:$nTerms])) AS term
+       |      FROM toks WHERE doc_id < $maxQueryId),
+       |occ AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM occ
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.term,
+       |  CAST(floor(
+       |    ln(1.0 + (CAST(s.nd AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |    * ((tf.tf * ${k1 + 1.0}) /
+       |       (tf.tf + $k1 * (${1.0 - b} + $b * (tf.dl / s.avgdl))))
+       |    * 1e6) AS BIGINT) AS micro
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN s),
+       |agg AS (SELECT q.query_id, sc.doc_id,
+       |          CAST(sum(sc.micro) AS BIGINT) AS mscore
+       |        FROM sc JOIN q USING (term) GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY mscore DESC, doc_id) AS rk FROM agg)
+       |SELECT query_id, rk, doc_id, mscore FROM r WHERE rk <= $k""".stripMargin
+
   /** Corpus-wide hot n-grams with EXACT counts via the two-pass
     * heavy-hitters pattern: pass 1 folds the gram stream into one
     * capacity-bounded Misra-Gries summary

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** BM25 ranked retrieval — closed-form scoring checks on a corpus small
+  * enough to hand-replay the Robertson/Lucene formula, plus the rank
+  * invariants the oracle comparison can't see (dense ranks, score
+  * monotonicity, query-term pruning). */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val k1 = 1.2
+  private val b = 0.75
+
+  // plain-Scala replay of the operator's per-(doc, term) micro-score —
+  // the same double arithmetic in the same order
+  private def micro(tf: Long, df: Long, dl: Long, nd: Long, avgdl: Double): Long = {
+    val idf = math.log(1.0 + (nd.toDouble - df + 0.5) / (df + 0.5))
+    val tfpart = (tf * (k1 + 1.0)) /
+      (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    math.floor(idf * tfpart * 1e6).toLong
+  }
+
+  private def docs = Seq(
+    (0L, "alpha beta alpha gamma"), // dl 4: alpha tf 2
+    (1L, "alpha beta"),             // dl 2
+    (2L, "delta epsilon zeta eta"), // dl 4: no query terms
+    (3L, "beta beta beta gamma")    // dl 4
+  ).toDF("doc_id", "text")
+
+  test("scores match the hand-replayed formula; non-matching docs absent") {
+    // query 100 = {alpha, gamma}
+    val queries = Seq((100L, Seq("alpha", "gamma"))).toDF("query_id", "qt")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, k = 5)
+      .select("query_id", "rk", "doc_id", "mscore")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+
+    val nd = 4L
+    val avgdl = 14.0 / 4.0
+    // df(alpha)=2 (docs 0,1), df(gamma)=2 (docs 0,3)
+    val s0 = micro(2, 2, 4, nd, avgdl) + micro(1, 2, 4, nd, avgdl) // doc 0
+    val s1 = micro(1, 2, 2, nd, avgdl)                             // doc 1
+    val s3 = micro(1, 2, 4, nd, avgdl)                             // doc 3
+    val expected = Seq((100L, 0L, s0), (100L, 1L, s1), (100L, 3L, s3))
+      .sortBy { case (_, id, m) => (-m, id) }
+      .zipWithIndex.map { case ((q, id, m), i) => (q, i + 1, id, m) }
+    assert(out.toSeq == expected, s"got ${out.toSeq}")
+    // doc 2 shares no query term and must not appear
+    assert(!out.exists(_._3 == 2L))
+  }
+
+  test("rank invariants: dense ranks from 1, scores non-increasing, k caps") {
+    val queries = Seq(
+      (100L, Seq("alpha")), (200L, Seq("beta", "gamma"))
+    ).toDF("query_id", "qt")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", queries, k = 2)
+      .select("query_id", "rk", "doc_id", "mscore")
+      .as[(Long, Int, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 2)
+      assert(sorted.sliding(2).forall {
+        case Array(a, c) => a._4 >= c._4
+        case _           => true
+      })
+    }
+  }
+
+  test("length normalization: at equal tf/df the shorter doc ranks first") {
+    // beta: tf 3 in doc 3 (dl 4), tf 1 in docs 0 (dl 4) and 1 (dl 2) —
+    // the tf advantage keeps doc 3 first, and between the equal-tf
+    // docs the shorter doc 1 must outrank doc 0 (the normalization
+    // BM25 adds over raw tf-idf)
+    val qBeta = Seq((8L, Seq("beta"))).toDF("query_id", "qt")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text", qBeta, k = 3)
+      .orderBy("rk").select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(3L, 1L, 0L), s"got ${out.toSeq}")
+  }
+
+  test("keywordQueries derives first-n distinct tokens of low-id docs") {
+    val q = TextAnalysis.keywordQueries(docs, "doc_id", "text",
+      maxId = 2, nTerms = 3)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(q.keySet == Set(0L, 1L))
+    // doc 0's first 3 tokens are (alpha, beta, alpha) → distinct keeps
+    // first occurrences
+    assert(q(0L) == Seq("alpha", "beta"))
+    assert(q(1L) == Seq("alpha", "beta"))
+  }
+}

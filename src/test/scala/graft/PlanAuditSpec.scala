@@ -283,6 +283,31 @@ class PlanAuditSpec extends SparkSpec {
       "coarse-cell IN-filter missing from the plan")
   }
 
+  test("ann_sq8: the 1-dim-subspace PQ reuse keeps the join-free kernels") {
+    // scalar quantization = pqTopK with m=dim, ksub=256: same contract —
+    // scoring must stay one scan over the code projection, through the
+    // two reference-object kernels, with no embedding join-back
+    val p = plan("ann_sq8")
+    assert(!p.contains("Join"), "SQ8 ADC scoring must not join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("pq_codes") && p.contains("pq_adc"),
+      "encode + ADC must ride the PQ kernels")
+  }
+
+  test("bm25_topk: query terms broadcast; no cartesian; combinable aggs") {
+    // the 100 TB contract: the token stream is pruned scan-side by a
+    // BROADCAST of the (tiny) query-term set — a shuffled join here
+    // would exchange every token occurrence in the corpus; the df and
+    // query-assignment joins broadcast for the same reason
+    val p = plan("bm25_topk")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term prune must be a broadcast hash join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-sized join side may shuffle")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "tf/score aggs must partial-combine")
+  }
+
   test("pqTopK: plan size independent of query count (1024 queries compile)") {
     // the PqAdcExpr contract: 1024 queries × 8 subspaces × 16 centroids
     // of LUT ride in ONE reference object — the per-query-literal

@@ -244,6 +244,59 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("SQ8: level ladder is the closed-form uniform grid per dimension") {
+    // two vectors pin every dimension's min/max to (0, d+1), so level c
+    // of dimension d must be exactly ((d+1) * c / (nlevels-1)).toFloat
+    // under the trainSqLevels double arithmetic
+    val dim = 4
+    val rows = Seq(
+      (0L, Array.fill(dim)(0.0f).toSeq),
+      (1L, Array.tabulate(dim)(d => (d + 1).toFloat).toSeq))
+    val c = rows.toDF("vec_id", "embedding")
+    val lv = Similarity.trainSqLevels(c, dim = dim, nlevels = 8)
+    assert(lv.length == dim && lv.forall(_.length == 8) &&
+      lv.forall(_.forall(_.length == 1)))
+    for (d <- 0 until dim; k <- 0 until 8) {
+      val expected = (0.0 + k * ((d + 1).toDouble / 7.0)).toFloat
+      assert(lv(d)(k)(0) == expected, s"level ($d, $k)")
+    }
+  }
+
+  test("SQ8: quantization is fine enough to reproduce brute-force top-1 " +
+       "on separated clusters; self-excluded, deterministic") {
+    // same clustered construction as the PQ-ADC test: members of a
+    // cluster differ by eps=1e-4 steps while clusters are mutually far,
+    // so even after per-dim rounding to 256 levels the nearest neighbor
+    // of every query is a member of its own cluster
+    val rows = (0 until 96).map { id =>
+      val a = id % 8
+      val eps = 1e-4f * (id / 8)
+      val v = Array.tabulate(64) { d =>
+        var z = a * 7919L + d * 104729L + 17
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        (z.toFloat / Long.MaxValue) + eps
+      }
+      (id.toLong, v.toSeq)
+    }
+    val c = rows.toDF("vec_id", "embedding")
+    val q = c.filter(col("vec_id") < 4)
+    val out = Similarity.sq8TopK(c, q, k = 5)
+      .select("q_id", "rk", "neighbor", "dist_micro")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.length == 20)
+    assert(out.forall { case (q0, _, n, _) => q0 != n })
+    // top-5 of query a are exactly its cluster siblings (all 11 other
+    // members are closer than any cross-cluster vector at this spread)
+    (0L until 4L).foreach { a =>
+      val got = out.filter(_._1 == a).map(_._3).toSet
+      assert(got.forall(n => n % 8 == a), s"query $a neighbors $got")
+    }
+    val again = Similarity.sq8TopK(c, q, k = 5)
+      .select("q_id", "rk", "neighbor", "dist_micro")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("brute force top-k is deterministic, self-excluded, ordered") {
     val q = corpus.filter(col("vec_id") === 0)
     val rows = Similarity.bruteForceTopK(corpus, q, k = 10)
