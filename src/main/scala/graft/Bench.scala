@@ -446,7 +446,8 @@ object Bench {
       "decontaminate_fuzzy", "dedup_lines",
       "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
     val tierNew = Seq(
-      "ann_pq", "ann_ivfpq", "ann_sq8", "bm25_topk", "chunk_tokens_bpe",
+      "ann_pq", "ann_ivfpq", "ann_sq8", "bm25_topk", "rag_retrieve",
+      "chunk_tokens_bpe",
       "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
       "quality_classifier", "token_budget", "corpus_stats",
       "cluster_topics", "sample_shuffle", "sample_perplexity",

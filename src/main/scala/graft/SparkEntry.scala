@@ -2709,6 +2709,26 @@ object Queries {
         TextAnalysis.keywordQueries(docs, "doc_id", "text"))
     }),
 
+    // RAG passage retrieval — the composition a retrieval pipeline
+    // actually runs: chunk_tokens' sliding windows become the retrieval
+    // units and BM25 ranks passages per query. Passage identity rides
+    // as doc_id·1e6 + chunk_idx through the generic scorer (bounded:
+    // chunk_idx < 1e6 ⇔ docs under ~48M whitespace tokens) and splits
+    // back in the result
+    "rag_retrieve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val chunks = Sampling.chunkByTokens(docs, "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .select((col("doc_id") * lit(1000000L) + col("chunk_idx")).as("pid"),
+          col("chunk_text"))
+      TextAnalysis.bm25TopK(chunks, "pid", "chunk_text",
+          TextAnalysis.keywordQueries(docs, "doc_id", "text"))
+        .select(col("query_id"), col("rk"),
+          expr("doc_id div 1000000").as("doc_id"),
+          (col("doc_id") % lit(1000000L)).as("chunk_idx"),
+          col("mscore"))
+    }),
+
     // language-ID heuristic (marker stopword argmax)
     "langid" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -6005,6 +6025,8 @@ object Queries {
     "ann_sq8" -> Similarity.sq8OracleSql(k = 5, dim = 64, nlevels = 256),
 
     "bm25_topk" -> TextAnalysis.bm25OracleSql(),
+
+    "rag_retrieve" -> TextAnalysis.ragRetrieveOracleSql(),
 
     // minhash/simhash fully oracled: FNV-1a + splitmix replicated in
     // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)

@@ -476,6 +476,67 @@ object TextAnalysis {
        |  (PARTITION BY query_id ORDER BY mscore DESC, doc_id) AS rk FROM agg)
        |SELECT query_id, rk, doc_id, mscore FROM r WHERE rk <= $k""".stripMargin
 
+  /** DuckDB oracle for the `rag_retrieve` composition: the
+    * `chunk_tokens` sliding-window replay (case-preserving split,
+    * stride = chunk − overlap, rejoined window text) feeds the
+    * [[bm25OracleSql]] scoring replay with passages as the retrieval
+    * units — passage id = doc_id·1e6 + chunk_idx, split back into
+    * (doc_id, chunk_idx) in the result. Same interpolated-constant and
+    * expression-shape discipline as [[bm25OracleSql]]. */
+  def ragRetrieveOracleSql(k: Int = 5, chunkTokens: Int = 64,
+                           overlapTokens: Int = 16, maxQueryId: Long = 8,
+                           nTerms: Int = 3, k1: Double = 1.2,
+                           b: Double = 0.75): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH t0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[\\s\\x0B]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |n0 AS (SELECT doc_id, toks, len(toks) AS n FROM t0 WHERE len(toks) > 0),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx,
+       |    array_to_string(list_slice(toks,
+       |      chunk_idx*$stride + 1, chunk_idx*$stride + $chunkTokens), ' ')
+       |      AS chunk_text
+       |  FROM (SELECT doc_id, toks, n,
+       |          unnest(range(0, greatest(1,
+       |            (n - $overlapTokens + ${stride - 1}) // $stride)))
+       |            AS chunk_idx
+       |        FROM n0)),
+       |p AS (SELECT doc_id*1000000 + chunk_idx AS pid,
+       |        list_filter(string_split_regex(lower(chunk_text), '[\\s\\x0B]+'),
+       |          x -> x <> '') AS t
+       |      FROM ch),
+       |d AS (SELECT pid, t, CAST(len(t) AS BIGINT) AS dl FROM p),
+       |s AS (SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl
+       |      FROM d),
+       |qsrc AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:$nTerms])) AS term
+       |      FROM qsrc WHERE doc_id < $maxQueryId),
+       |occ AS (SELECT pid, dl, unnest(t) AS term FROM d),
+       |tf AS (SELECT pid, term, count(*) AS tf, max(dl) AS dl FROM occ
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.pid, tf.term,
+       |  CAST(floor(
+       |    ln(1.0 + (CAST(s.nd AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |    * ((tf.tf * ${k1 + 1.0}) /
+       |       (tf.tf + $k1 * (${1.0 - b} + $b * (tf.dl / s.avgdl))))
+       |    * 1e6) AS BIGINT) AS micro
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN s),
+       |agg AS (SELECT q.query_id, sc.pid,
+       |          CAST(sum(sc.micro) AS BIGINT) AS mscore
+       |        FROM sc JOIN q USING (term) GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY mscore DESC, pid) AS rk FROM agg)
+       |SELECT query_id, rk, pid // 1000000 AS doc_id, pid % 1000000 AS chunk_idx,
+       |  mscore
+       |FROM r WHERE rk <= $k""".stripMargin
+  }
+
   /** Corpus-wide hot n-grams with EXACT counts via the two-pass
     * heavy-hitters pattern: pass 1 folds the gram stream into one
     * capacity-bounded Misra-Gries summary

@@ -308,6 +308,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "tf/score aggs must partial-combine")
   }
 
+  test("rag_retrieve: windows explode narrowly; retrieval joins broadcast") {
+    // the chunk half must stay a narrow per-row explode (no shuffle to
+    // build passages) and the BM25 half inherits bm25_topk's contract:
+    // broadcast-pruned token stream, no corpus-sized shuffle join
+    val p = plan("rag_retrieve")
+    assert(p.contains("Generate"),
+      "sliding windows must be a narrow explode on the scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term prune must be a broadcast hash join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-sized join side may shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("pqTopK: plan size independent of query count (1024 queries compile)") {
     // the PqAdcExpr contract: 1024 queries × 8 subspaces × 16 centroids
     // of LUT ride in ONE reference object — the per-query-literal
