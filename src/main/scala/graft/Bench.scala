@@ -365,10 +365,14 @@ object Bench {
     // `shared` = running right after the sf10 section in the same JVM
     // (child_scale): code warmth and the heap-floor fault bill are
     // already paid — every spot name is a subset of the sf10 list
-    if (!shared) {
+    // when running standalone the absorber telemetry must land in THIS
+    // section's JSON (the shared child_scale path already carries it in
+    // the sf10 section line) — an unsettled absorber inflating the
+    // timed spot entries is exactly what the gate needs to see
+    val absorbJson = if (!shared) {
       warmQueries(spark, sfDir, names, capS = 90.0)
-      val _ = absorbHeapFloor(spark, dir)
-    }
+      absorbHeapFloor(spark, dir)
+    } else ""
     reclaim(spark, gc = false)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val timed = names.flatMap { n =>
@@ -403,7 +407,7 @@ object Bench {
       if (skipped.isEmpty) ""
       else skipped.map("\"" + _ + "\"")
         .mkString(""","skipped":[""", ",", "]")
-    (f""""sf100_spot":{"dir":"$dir","shards":1000,"rows":{"documents":$nDocs},$hostEchoJson"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
+    (f""""sf100_spot":{"dir":"$dir","shards":1000,"rows":{"documents":$nDocs},$absorbJson$hostEchoJson"queries":$qj,"total":$total%.3f,"failed":$failed$skipJson}""",
      f""""sf100_total":$total%.3f,"sf100_failed":$failed""")
   }
 
@@ -582,10 +586,11 @@ object Bench {
     "seq_pack", "chunk_tokens", "chunk_tokens_bpe",
     "dedup_keep_best",
     // ANN / embeddings
-    "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "emb_neardup",
-    "emb_stats", "cluster_topics",
+    "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_sq8",
+    "emb_neardup", "emb_stats", "cluster_topics",
     // text-analysis aggregations and model scoring
-    "tfidf_topk", "lm_score", "quality_classifier", "quality_gopher",
+    "tfidf_topk", "bm25_topk", "rag_retrieve",
+    "lm_score", "quality_classifier", "quality_gopher",
     "quality_calibration", "token_budget", "corpus_stats", "ngram_hot",
     "text_quality", "text_repetition", "text_fingerprint",
     "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",

@@ -4422,7 +4422,7 @@ object Queries {
         |  FROM words JOIN steps s USING (w) GROUP BY doc_id)
         |SELECT b.doc_id, CAST(coalesce(p.n_ws, 0) AS BIGINT) AS n_ws,
         |  CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe,
-        |  s1.toks AS w1_toks
+        |  array_to_string(s1.toks, '|') AS w1_toks
         |FROM base b
         |LEFT JOIN perdoc p USING (doc_id)
         |LEFT JOIN steps s1 ON s1.w = b.ws[1]""".stripMargin
@@ -6887,7 +6887,7 @@ object Queries {
           |         generate_subscripts(ws, 1) AS wi FROM base),
           |docs AS (
           |  SELECT doc_id,
-          |    flatten(list(string_split(s.toks, '|') ORDER BY wi)) AS toks
+          |    flatten(list(s.toks ORDER BY wi)) AS toks
           |  FROM wo JOIN steps s USING (w) GROUP BY doc_id),
           |n AS (SELECT doc_id, toks, len(toks) AS n FROM docs
           |      WHERE len(toks) > 0),

@@ -144,7 +144,11 @@ object Bpe {
     * correlated max-length lookup inside a recursive CTE (one chain per
     * DISTINCT word — the corpus joins back through the word). Produces
     * CTEs `base` (doc_id, ws list, source), `words`, `steps`
-    * (w, n_tok, toks with '|' separators). */
+    * (w, n_tok, toks as a VARCHAR LIST — accumulated with list_append
+    * rather than a '|'-joined string, so a token that itself contains
+    * '|' can never corrupt a downstream split; consumers that expose a
+    * joined rendering apply array_to_string at the edge, where the
+    * ambiguity cancels because the engine joins identically). */
   def oracleCtes(vocabValues: String): String =
     s"""WITH RECURSIVE vocab(tok) AS (VALUES $vocabValues),
        |base AS (
@@ -155,11 +159,10 @@ object Bpe {
        |words AS (SELECT doc_id, unnest(ws) AS w FROM base),
        |dist AS (SELECT DISTINCT w FROM words),
        |enc(w, pos, n, toks) AS (
-       |  SELECT w, 1, 0, '' FROM dist
+       |  SELECT w, 1, 0, []::VARCHAR[] FROM dist
        |  UNION ALL
        |  SELECT w, pos + adv, n + 1,
-       |    toks || (CASE WHEN n = 0 THEN '' ELSE '|' END) ||
-       |      substr(w, pos, adv)
+       |    list_append(toks, substr(w, pos, adv))
        |  FROM (
        |    SELECT e.w, e.pos, e.n, e.toks,
        |      coalesce((SELECT max(length(v.tok)) FROM vocab v

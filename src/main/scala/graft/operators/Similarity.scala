@@ -261,12 +261,6 @@ object Similarity {
       codebook.getOrElse(firstKsubCodebooks(corpus, m, ksub, dim))
     require(cents.length == m && cents.forall(_.length == ksub),
       "codebook must be m x ksub")
-    def centSub(c: Int, j: Int): Array[Float] = cents(j)(c)
-    def centSelf(c: Int, j: Int): Double = {
-      val s = centSub(c, j); var acc = 0.0; var i = 0
-      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
-      acc
-    }
     // per-vector codes: ONE native kernel call per row
     // (graft.functions.PqCodesExpr — the m·ksub aggregate-expression
     // formulation fell out of whole-stage codegen's method limits into
@@ -276,19 +270,6 @@ object Similarity {
         graft.functions.PqCodesExpr(
           org.apache.spark.sql.GraftBridge.expression(col("embedding")),
           cents)).as("codes"))
-    // query LUTs driver-side (bounded: |queries| rows, m·ksub ints each)
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    def lutVal(q: Array[Float], j: Int, c: Int): Long = {
-      val cs = centSub(c, j)
-      var dAA = 0.0; var dAB = 0.0; var i = 0
-      while (i < sub) {
-        val qa = q(j * sub + i).toDouble
-        dAA += qa * qa; dAB += qa * cs(i)
-        i += 1
-      }
-      math.floor((dAA - 2.0 * dAB + centSelf(c, j)) * 1e6).toLong
-    }
     // all per-query distances from ONE reference-object kernel call +
     // posexplode: one scan of the codes, no per-query union, no join —
     // and no per-query LITERALS: the LUT matrix rides in as a reference
@@ -296,10 +277,7 @@ object Similarity {
     // formulation emitted m·ksub literal longs per query and would hand
     // Janino a megabyte projection at 10^4-query batches; exactly the
     // PqCodesExpr lesson, applied to the scoring side)
-    val luts: Array[Array[Array[Long]]] =
-      qRows.map { case (_, q) => Array.tabulate(m, ksub)(
-        (j, c) => lutVal(q, j, c)) }
-    val qIdArr = qRows.map(_._1)
+    val (qIdArr, luts) = pqQueryLuts(queries, cents, m, ksub, sub)
     val dists = org.apache.spark.sql.GraftBridge.column(
       graft.functions.PqAdcExpr(
         org.apache.spark.sql.GraftBridge.expression(col("codes")),
@@ -380,28 +358,10 @@ object Similarity {
         x => x.getField("i")), 1, nprobe))
       .select(col("q_id"), col("probes")).collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1).toArray)).sortBy(_._1)
-    // LUTs exactly as pqTopK (same centroid arithmetic, same query sort)
-    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    def centSelf(c: Int, j: Int): Double = {
-      val s = cents(j)(c); var acc = 0.0; var i = 0
-      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
-      acc
-    }
-    def lutVal(q: Array[Float], j: Int, c: Int): Long = {
-      val cs = cents(j)(c)
-      var dAA = 0.0; var dAB = 0.0; var i = 0
-      while (i < sub) {
-        val qa = q(j * sub + i).toDouble
-        dAA += qa * qa; dAB += qa * cs(i)
-        i += 1
-      }
-      math.floor((dAA - 2.0 * dAB + centSelf(c, j)) * 1e6).toLong
-    }
-    val luts: Array[Array[Array[Long]]] =
-      qRows.map { case (_, q) => Array.tabulate(m, ksub)(
-        (j, c) => lutVal(q, j, c)) }
-    val qIdArr = qRows.map(_._1)
+    // LUTs exactly as pqTopK — the shared helper, so the
+    // oracle-exactness-critical micro-L2² arithmetic can never drift
+    // between the exhaustive and IVF-composed paths
+    val (qIdArr, luts) = pqQueryLuts(queries, cents, m, ksub, sub)
     val probeCells: Array[Array[Int]] = qProbeRows.map(_._2)
     val allProbed = probeCells.flatten.distinct.sorted
     // ONE scan: cell + codes in the same codegen'd projection, then the
@@ -439,6 +399,41 @@ object Similarity {
     topKPerQuery(trunc, k)
       .select(element_at(qIds, col("q_id").cast("int") + 1).as("q_id"),
         col("rk"), col("neighbor"), (-col("sim")).as("dist_micro"))
+  }
+
+  /** Query-side PQ lookup tables — THE oracle-exactness-critical
+    * arithmetic (per (query, subspace, centroid): integer micro-floored
+    * asymmetric L2², `floor(1e6·(⟨q,q⟩ − 2⟨q,c⟩ + ⟨c,c⟩))`, every dot a
+    * sequential left fold over double-promoted floats). Lives in ONE
+    * place shared by [[pqTopK]] and [[ivfPqTopK]] so a change can never
+    * drift between the exhaustive and IVF-composed paths while only one
+    * of them trips the gate. Bounded collect: the query set (m·ksub
+    * longs per query). Returns (query ids sorted ascending, LUT matrix
+    * in the same order). */
+  private def pqQueryLuts(queries: DataFrame,
+                          cents: Array[Array[Array[Float]]],
+                          m: Int, ksub: Int, sub: Int)
+      : (Array[Long], Array[Array[Array[Long]]]) = {
+    val centSelf: Array[Array[Double]] = Array.tabulate(m, ksub) { (j, c) =>
+      val s = cents(j)(c); var acc = 0.0; var i = 0
+      while (i < s.length) { acc += s(i).toDouble * s(i).toDouble; i += 1 }
+      acc
+    }
+    def lutVal(q: Array[Float], j: Int, c: Int): Long = {
+      val cs = cents(j)(c)
+      var dAA = 0.0; var dAB = 0.0; var i = 0
+      while (i < sub) {
+        val qa = q(j * sub + i).toDouble
+        dAA += qa * qa; dAB += qa * cs(i)
+        i += 1
+      }
+      math.floor((dAA - 2.0 * dAB + centSelf(j)(c)) * 1e6).toLong
+    }
+    val qRows = queries.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    (qRows.map(_._1),
+     qRows.map { case (_, q) =>
+       Array.tabulate(m, ksub)((j, c) => lutVal(q, j, c)) })
   }
 
   /** The deterministic default PQ codebook: subvectors of the first
@@ -671,13 +666,20 @@ object Similarity {
        |luts AS (
        |  SELECT vec_id AS q_id, j, c, md FROM md WHERE vec_id < $maxQueryId),
        |coarse AS (
-       |  SELECT list(embedding ORDER BY vec_id) AS ce
+       |  SELECT list(list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |              ORDER BY vec_id) AS ce
        |  FROM embeddings WHERE vec_id < $nlist),
        |simd AS (
+       |  -- cosine spelled out in DOUBLE (the decontaminateSemantic
+       |  -- discipline): list_cosine_similarity on FLOAT lists returns a
+       |  -- FLOAT32 result, and here a borderline flip changes CELL
+       |  -- MEMBERSHIP (probe sets, truncation), not just a rounded digit
        |  SELECT e.vec_id,
        |    list_transform(coarse.ce,
-       |      x -> list_cosine_similarity(e.embedding, x)) AS sims
-       |  FROM embeddings e, coarse),
+       |      x -> list_dot_product(e.demb, x) /
+       |           (sqrt(list_dot_product(e.demb, e.demb)) *
+       |            sqrt(list_dot_product(x, x)))) AS sims
+       |  FROM ev e, coarse),
        |assigned AS (
        |  SELECT vec_id, list_position(sims, list_max(sims)) - 1 AS cl
        |  FROM simd),

@@ -441,12 +441,45 @@ object TextAnalysis {
       .select(col("query_id"), col("rk"), col("doc_id"), col("mscore"))
   }
 
+  /** The shared BM25 scoring replay (CTEs `s` through `r`): expects a
+    * prior CTE `d` exposing (`$idCol`, t, dl) — the scorable units —
+    * and `q` exposing (query_id, term). Lives in ONE place because the
+    * expression shapes must mirror [[bm25TopK]]'s Column tree exactly
+    * for the bit-equality contract; every caller (documents, chunk
+    * windows) composes it behind its own source CTEs.
+    *
+    * Double constants are interpolated via Scala's shortest-round-trip
+    * printing AND wrapped in CAST(… AS DOUBLE): a bare `2.2` literal
+    * parses as DECIMAL(2,1) in DuckDB, and BIGINT·DECIMAL is computed
+    * exactly then rounded ONCE — 1 ulp off Spark's tf.toDouble · 2.2
+    * (two roundings), enough to flip floor() at integer boundaries. The
+    * CAST forces the identical IEEE double before any arithmetic. */
+  private def bm25ScoringSql(idCol: String, k: Int, k1: Double,
+                             b: Double): String = {
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    s"""s AS (SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl
+       |      FROM d),
+       |occ AS (SELECT $idCol, dl, unnest(t) AS term FROM d),
+       |tf AS (SELECT $idCol, term, count(*) AS tf, max(dl) AS dl FROM occ
+       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.$idCol, tf.term,
+       |  CAST(floor(
+       |    ln(1.0 + (CAST(s.nd AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
+       |    * ((tf.tf * ${d(k1 + 1.0)}) /
+       |       (tf.tf + ${d(k1)} * (${d(1.0 - b)} + ${d(b)} * (tf.dl / s.avgdl))))
+       |    * 1e6) AS BIGINT) AS micro
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN s),
+       |agg AS (SELECT q.query_id, sc.$idCol,
+       |          CAST(sum(sc.micro) AS BIGINT) AS mscore
+       |        FROM sc JOIN q USING (term) GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY mscore DESC, $idCol) AS rk FROM agg)""".stripMargin
+  }
+
   /** DuckDB oracle for [[bm25TopK]] over the `documents` table with
-    * [[keywordQueries]]-derived queries. Double constants are
-    * interpolated via Scala's shortest-round-trip printing, so both
-    * engines evaluate the identical IEEE doubles; expression shapes
-    * (parenthesization, left-associative products) mirror the Column
-    * tree exactly. */
+    * [[keywordQueries]]-derived queries (scoring block shared with the
+    * rag_retrieve replay — see [[bm25ScoringSql]]). */
   def bm25OracleSql(k: Int = 5, maxQueryId: Long = 8, nTerms: Int = 3,
                     k1: Double = 1.2, b: Double = 0.75): String =
     s"""WITH toks AS (
@@ -454,26 +487,9 @@ object TextAnalysis {
        |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS t
        |  FROM documents),
        |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
-       |s AS (SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl
-       |      FROM d),
        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:$nTerms])) AS term
        |      FROM toks WHERE doc_id < $maxQueryId),
-       |occ AS (SELECT doc_id, dl, unnest(t) AS term FROM d),
-       |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM occ
-       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
-       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |sc AS (SELECT tf.doc_id, tf.term,
-       |  CAST(floor(
-       |    ln(1.0 + (CAST(s.nd AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
-       |    * ((tf.tf * ${k1 + 1.0}) /
-       |       (tf.tf + $k1 * (${1.0 - b} + $b * (tf.dl / s.avgdl))))
-       |    * 1e6) AS BIGINT) AS micro
-       |  FROM tf JOIN dfreq USING (term) CROSS JOIN s),
-       |agg AS (SELECT q.query_id, sc.doc_id,
-       |          CAST(sum(sc.micro) AS BIGINT) AS mscore
-       |        FROM sc JOIN q USING (term) GROUP BY 1, 2),
-       |r AS (SELECT *, row_number() OVER
-       |  (PARTITION BY query_id ORDER BY mscore DESC, doc_id) AS rk FROM agg)
+       |${bm25ScoringSql("doc_id", k, k1, b)}
        |SELECT query_id, rk, doc_id, mscore FROM r WHERE rk <= $k""".stripMargin
 
   /** DuckDB oracle for the `rag_retrieve` composition: the
@@ -508,30 +524,13 @@ object TextAnalysis {
        |          x -> x <> '') AS t
        |      FROM ch),
        |d AS (SELECT pid, t, CAST(len(t) AS BIGINT) AS dl FROM p),
-       |s AS (SELECT count(*) AS nd, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl
-       |      FROM d),
        |qsrc AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS t
        |  FROM documents),
        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:$nTerms])) AS term
        |      FROM qsrc WHERE doc_id < $maxQueryId),
-       |occ AS (SELECT pid, dl, unnest(t) AS term FROM d),
-       |tf AS (SELECT pid, term, count(*) AS tf, max(dl) AS dl FROM occ
-       |       WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
-       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |sc AS (SELECT tf.pid, tf.term,
-       |  CAST(floor(
-       |    ln(1.0 + (CAST(s.nd AS DOUBLE) - dfreq.df + 0.5) / (dfreq.df + 0.5))
-       |    * ((tf.tf * ${k1 + 1.0}) /
-       |       (tf.tf + $k1 * (${1.0 - b} + $b * (tf.dl / s.avgdl))))
-       |    * 1e6) AS BIGINT) AS micro
-       |  FROM tf JOIN dfreq USING (term) CROSS JOIN s),
-       |agg AS (SELECT q.query_id, sc.pid,
-       |          CAST(sum(sc.micro) AS BIGINT) AS mscore
-       |        FROM sc JOIN q USING (term) GROUP BY 1, 2),
-       |r AS (SELECT *, row_number() OVER
-       |  (PARTITION BY query_id ORDER BY mscore DESC, pid) AS rk FROM agg)
+       |${bm25ScoringSql("pid", k, k1, b)}
        |SELECT query_id, rk, pid // 1000000 AS doc_id, pid % 1000000 AS chunk_idx,
        |  mscore
        |FROM r WHERE rk <= $k""".stripMargin
