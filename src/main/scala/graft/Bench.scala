@@ -443,19 +443,21 @@ object Bench {
     // round-new operator MUST sit inside the protected block — ann_pq
     // was r13-new but sat in tier1's ANN group and was shed at the wall,
     // VERDICT r13 #1a). r14-new: ann_ivfpq, chunk_tokens_bpe, ann_sq8,
-    // bm25_topk.
+    // bm25_topk, rag_retrieve, ann_hamming, ann_recall_audit,
+    // hybrid_retrieve.
     val tier1 = Seq(
       "text_quality",
       "dedup_verified", "dedup_clusters_verified",
       "decontaminate_fuzzy", "dedup_lines",
       "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
     val tierNew = Seq(
-      "ann_pq", "ann_ivfpq", "ann_sq8", "bm25_topk", "rag_retrieve",
+      "ann_pq", "ann_ivfpq", "ann_sq8", "ann_hamming", "ann_recall_audit",
+      "bm25_topk", "rag_retrieve", "hybrid_retrieve",
       "chunk_tokens_bpe",
       "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
       "quality_classifier", "token_budget", "corpus_stats",
       "cluster_topics", "sample_shuffle", "sample_perplexity",
-      "sample_temperature",
+      "sample_temperature", "sample_dsir",
       "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",
       "seq_pack_bpe")
     val tierMid = Seq(
@@ -583,13 +585,15 @@ object Bench {
     "decontaminate", "decontaminate_fuzzy", "decontaminate_semantic",
     "contamination_report", "sample_stratified", "sample_shuffle",
     "sample_domain_mix", "sample_perplexity", "sample_temperature",
+    "sample_dsir",
     "seq_pack", "chunk_tokens", "chunk_tokens_bpe",
     "dedup_keep_best",
     // ANN / embeddings
     "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_sq8",
+    "ann_hamming", "ann_recall_audit",
     "emb_neardup", "emb_stats", "cluster_topics",
     // text-analysis aggregations and model scoring
-    "tfidf_topk", "bm25_topk", "rag_retrieve",
+    "tfidf_topk", "bm25_topk", "rag_retrieve", "hybrid_retrieve",
     "lm_score", "quality_classifier", "quality_gopher",
     "quality_calibration", "token_budget", "corpus_stats", "ngram_hot",
     "text_quality", "text_repetition", "text_fingerprint",

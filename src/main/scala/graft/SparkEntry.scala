@@ -2670,6 +2670,24 @@ object Queries {
       Similarity.sq8TopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // binary-quantization ANN: sign-bit codes (two 32-bit words/vector),
+    // Hamming popcount distance — the cheapest quantization rung. Zero
+    // arithmetic in the code path (a float sign test), so ranks are
+    // oracle-exact by construction
+    "ann_hamming" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    // recall@k audit of the PQ index vs the exact ranking — the metric
+    // a platform measures before committing a corpus to an index
+    // layout; both legs are the existing oracled operators, so the
+    // metric itself is oracle-replayable
+    "ann_recall_audit" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annRecallAudit(emb, emb.filter(col("vec_id") < 8), k = 10)
+    }),
+
     // embedding-cosine near-dup pairs within label blocks (banded sign-bit
     // LSH candidates → capped buckets → exact-cosine verify)
     "emb_neardup" -> ((s, dir) => {
@@ -2715,6 +2733,15 @@ object Queries {
     // as doc_id·1e6 + chunk_idx through the generic scorer (bounded:
     // chunk_idx < 1e6 ⇔ docs under ~48M whitespace tokens) and splits
     // back in the result
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical leg
+    // and the cosine-ANN semantic leg (vec_id = doc_id contract) —
+    // exact integer 1e9 div (60 + rank) contributions, so fused ranks
+    // replay bit-for-bit given two oracle-exact legs
+    "hybrid_retrieve" -> ((s, dir) => {
+      TextAnalysis.hybridRetrieve(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), k = 5, nLeg = 10)
+    }),
+
     "rag_retrieve" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val chunks = Sampling.chunkByTokens(docs, "doc_id", "text",
@@ -3638,6 +3665,15 @@ object Queries {
     // quantized to integer micro-units BEFORE normalization so the
     // share arithmetic is integer division — order-free, oracle-exact
     // (a double SUM across sources would be addition-order-dependent).
+    // DSIR importance resampling (Xie et al. 2023): hashed-ngram
+    // importance log-weights toward the target distribution (here:
+    // English docs), Gumbel-top-k selection per shard — exact weighted
+    // sampling without replacement, oracle-replayable end to end
+    "sample_dsir" -> ((s, dir) => {
+      Sampling.dsirResample(Tables.documents(s, dir), "doc_id", "text",
+        targetPred = col("lang") === "en", targetFrac = 0.25)
+    }),
+
     "sample_temperature" -> ((s, dir) => {
       val per = Tables.documents(s, dir)
         .select(col("source"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
@@ -6024,6 +6060,12 @@ object Queries {
 
     "ann_sq8" -> Similarity.sq8OracleSql(k = 5, dim = 64, nlevels = 256),
 
+    "ann_hamming" -> Similarity.hammingOracleSql(k = 5, dim = 64),
+
+    "ann_recall_audit" -> Similarity.recallAuditOracleSql(k = 10),
+
+    "hybrid_retrieve" -> TextAnalysis.hybridRetrieveOracleSql(k = 5, nLeg = 10),
+
     "bm25_topk" -> TextAnalysis.bm25OracleSql(),
 
     "rag_retrieve" -> TextAnalysis.ragRetrieveOracleSql(),
@@ -6627,6 +6669,8 @@ object Queries {
 
     // identical projection on the streaming path — same replay
     "stream_tokenize_bpe" -> tokenizeBpeOracleSql,
+
+    "sample_dsir" -> Sampling.dsirOracleSql("lang = 'en'", targetFrac = 0.25),
 
     "sample_temperature" ->
       """WITH per AS (

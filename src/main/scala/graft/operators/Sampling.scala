@@ -263,4 +263,149 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(0), col("__n_copies") - 1)))
       .drop("__n_copies")
   }
+
+  /** DSIR-style importance resampling (Xie et al. 2023,
+    * arXiv:2302.03169 — Data Selection for LMs via Importance
+    * Resampling): reweight a raw corpus toward a TARGET distribution by
+    * per-document importance log-weights over hashed-ngram features,
+    * then sample with Gumbel-top-k (exact weighted sampling without
+    * replacement). The step mixture designers run between heuristic
+    * filtering and training: "make the crawl look like the target
+    * domain".
+    *
+    *  - Features: hashed unigram+bigram OCCURRENCES (the
+    *    [[QualityClassifier]] hashing — `pmod(fnv1a64(gram), buckets)` —
+    *    but counts, not presence: DSIR's bag-of-ngrams likelihood).
+    *  - Per-bucket weight = floor(1e6·ln(p̂_target(b)/p̂_raw(b))) with
+    *    add-1 smoothing over `buckets` — ONE ln, quantized once (the
+    *    classifier discipline), so per-doc log-weights are order-free
+    *    integer sums.
+    *  - Selection: Gumbel-top-k per SHARD — g = −ln(−ln u) from the
+    *    md5-uniform draw (u offset by +0.5/2³² so it is never 0),
+    *    floor-quantized to micro units; keep the top
+    *    floor(shard_n·frac) of (w_micro + g_micro) per shard. The
+    *    shard partition is the [[trainingShuffle]] discipline: never a
+    *    global row_number — the rank window shuffles once on the shard
+    *    key and sorts (key, id) pairs, text never rides it.
+    *
+    * Scale shape: totals are a 2-scalar collect; per-bucket counts are
+    * one combinable groupBy with ≤ `buckets` output rows; the weight
+    * table broadcast is bounded BY CONSTRUCTION (feature hashing, the
+    * classifier's argument); the only corpus-sized shuffles are the
+    * per-doc weight groupBy and the per-shard rank window. Docs with
+    * zero tokens have no features and drop out (documented, as in
+    * [[QualityClassifier.distillQuality]]).
+    *
+    * Returns every featured doc: (doc_id, shard, w_micro, key_micro,
+    * kept). */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, targetFrac: Double = 0.25,
+                   buckets: Int = 4096, nShards: Int = 16,
+                   salt: String = "dsir"): DataFrame = {
+    require(targetFrac > 0 && targetFrac <= 1, "targetFrac in (0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val staged = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"),
+      targetPred.as("is_target"))
+    val bucketArr = transform(
+      concat(col("toks"), TextAnalysis.wordNgrams(col("toks"), 2)),
+      g => pmod(QualityClassifier.fnv64(g), lit(buckets.toLong)))
+    // occurrences consumed twice (distribution counts + per-doc sums):
+    // localCheckpoint materializes the fnv/gram stack once — the
+    // distillQuality lesson (ReuseExchange never fires across branches)
+    val occ = staged.select(col("doc_id"), col("is_target"),
+        explode(bucketArr).as("b"))
+      .localCheckpoint()
+    // bounded collect: the two gram-occurrence totals (2 longs)
+    val t = occ.agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"),
+      count(lit(1)).as("ts")).head()
+    val totT = if (t.isNullAt(0)) 0L else t.getLong(0)
+    val totS = t.getLong(1)
+    // per-bucket raw + target counts → micro-log importance ratio;
+    // ≤ `buckets` rows by construction, broadcast-safe at any corpus
+    val w = occ.groupBy(col("b"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n_s"))
+      .select(col("b"),
+        floor(log(((col("n_t") + 1).cast("double") *
+            lit((totS + buckets).toDouble)) /
+          ((col("n_s") + 1).cast("double") * lit((totT + buckets).toDouble)))
+          * 1e6).cast("long").as("w"))
+    // every bucket in occ exists in w (computed from the same rows) —
+    // inner join, no unseen-bucket case
+    val perDoc = occ.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("w_micro"))
+    // Gumbel key: u in (0,1) from the md5 draw (never 0 via +0.5),
+    // g = −ln(−ln u) micro-floored once; key = w + g
+    val u = (conv(substring(md5(concat(lit(salt + "g:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val shard = (conv(substring(md5(concat(lit(salt + "shard:"),
+        col("doc_id").cast("string"))), 1, 2), 16, 10).cast("long")
+      % nShards).cast("int")
+    val keyed = perDoc
+      .withColumn("shard", shard)
+      .withColumn("key_micro",
+        col("w_micro") + floor(-log(-log(u)) * 1e6).cast("long"))
+    val win = Window.partitionBy(col("shard"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+    val cntWin = Window.partitionBy(col("shard"))
+    keyed
+      .withColumn("__rk", row_number().over(win))
+      .withColumn("__n", count(lit(1)).over(cntWin))
+      .select(col("doc_id"), col("shard"), col("w_micro"), col("key_micro"),
+        (col("__rk") <= floor(col("__n").cast("double") * lit(targetFrac))
+          .cast("long")).as("kept"))
+  }
+
+  /** DuckDB oracle for [[dsirResample]] over the `documents` table:
+    * the full hashed-ngram distribution estimation (FNV replay via
+    * Dedup.fnvSql), one-ln micro weights, md5 Gumbel keys, and the
+    * per-shard top-frac rank — one SQL statement. `targetPredSql` is
+    * the SQL form of the target predicate (e.g. `lang = 'en'`). */
+  def dsirOracleSql(targetPredSql: String, targetFrac: Double = 0.25,
+                    buckets: Int = 4096, nShards: Int = 16,
+                    salt: String = "dsir"): String = {
+    val fnvG = Dedup.fnvSql("g")
+    s"""WITH t AS (
+       |  SELECT doc_id, ($targetPredSql) AS is_target,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, is_target, unnest(list_concat(toks,
+       |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS g
+       |  FROM t WHERE len(toks) > 0),
+       |occ AS (SELECT doc_id, is_target, ($fnvG) % $buckets AS b FROM g),
+       |tot AS (
+       |  SELECT sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt,
+       |         count(*) AS ts
+       |  FROM occ),
+       |w AS (
+       |  SELECT b, CAST(floor(ln(
+       |      (CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+       |        * CAST(tot.ts + $buckets AS DOUBLE)) /
+       |      (CAST(count(*) + 1 AS DOUBLE) * CAST(tot.tt + $buckets AS DOUBLE))
+       |    ) * 1e6) AS BIGINT) AS w
+       |  FROM occ CROSS JOIN tot GROUP BY b, tot.ts, tot.tt),
+       |pd AS (
+       |  SELECT occ.doc_id, CAST(sum(w.w) AS BIGINT) AS w_micro
+       |  FROM occ JOIN w USING (b) GROUP BY 1),
+       |keyed AS (
+       |  SELECT doc_id, w_micro,
+       |    CAST(('0x' || substr(md5('${salt}shard:' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+       |      % $nShards AS INT) AS shard,
+       |    w_micro + CAST(floor(-ln(-ln(
+       |      (('0x' || substr(md5('${salt}g:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+       |        / 4294967296.0)) * 1e6) AS BIGINT) AS key_micro
+       |  FROM pd),
+       |ranked AS (
+       |  SELECT *, row_number() OVER
+       |      (PARTITION BY shard ORDER BY key_micro DESC, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY shard) AS n
+       |  FROM keyed)
+       |SELECT doc_id, shard, w_micro, key_micro,
+       |  rk <= CAST(floor(CAST(n AS DOUBLE) * CAST($targetFrac AS DOUBLE)) AS BIGINT) AS kept
+       |FROM ranked""".stripMargin
+  }
 }

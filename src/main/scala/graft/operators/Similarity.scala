@@ -586,16 +586,160 @@ object Similarity {
        |SELECT q_id, rk, neighbor, d AS dist_micro
        |FROM ranked WHERE rk <= $k""".stripMargin
 
-  /** DuckDB oracle for [[pqTopK]]: codebooks from the table (vec_id <
-    * ksub), codes via the same packed argmin (md·ksub + c → min →
-    * % ksub = deterministic first-min-wins), LUT join on (j, code),
-    * integer ADC sums. Dot products are list_dot_product over DOUBLE
-    * lists — the sequential fold parity every ANN oracle here relies
-    * on. */
-  def pqOracleSql(k: Int = 5, m: Int = 8, ksub: Int = 16, dim: Int = 64,
-                  maxQueryId: Int = 8): String = {
+  /** Binary-quantization ANN (sign-bit Hamming top-k) — the cheapest
+    * rung of the quantization ladder (float32 256 B → SQ8 64 B → PQ
+    * 4 B → binary 8 B per 64-dim vector): each dimension contributes
+    * one SIGN bit (v_d ≥ 0), packed into two 32-bit words, and distance
+    * is the Hamming popcount over the XOR — the standard binary-
+    * quantization rerank-candidate generator (Indyk–Motwani SimHash
+    * applied with identity hyperplanes).
+    *
+    * Exactness contract: the code derivation involves ZERO arithmetic —
+    * a float sign test is bit-exact in any engine — and Hamming
+    * distances are small integers, so ranks (ties by neighbor id) are
+    * oracle-exact BY CONSTRUCTION; no micro-quantization needed
+    * anywhere. Recall < 1 vs exact cosine is the operator contract, as
+    * with every compressed rung ([[annRecallAudit]] measures it).
+    *
+    * Scale shape: one codegen'd projection packs the bits (scan-bound);
+    * scoring reads 8 bytes per vector — at 100 TB of float32 this scans
+    * ~3% of the raw bytes. Join-free: per-query codes ride as literals
+    * through one posexplode (queries bounded by the same contract as
+    * [[pqTopK]]'s LUTs; a 10⁴-query batch would move the code array
+    * into a reference-object kernel exactly like
+    * [[graft.functions.PqAdcExpr]]). */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                  dim: Int = 64): DataFrame = {
+    require(dim <= 64, s"dim=$dim exceeds the two-word bit budget")
+    val loEnd = math.min(32, dim)
+    def packWord(emb: Column, from: Int, until: Int): Column =
+      if (until <= from) lit(0L)
+      else (from until until).map(d =>
+        when(element_at(emb, d + 1) >= 0, lit(1L << (d - from)))
+          .otherwise(lit(0L))).reduce(_ + _)
+    val coded = corpus.select(col("vec_id"),
+      packWord(col("embedding"), 0, loEnd).as("clo"),
+      packWord(col("embedding"), 32, dim).as("chi"))
+    // query codes driver-side from the collected floats: the same sign
+    // test on the same parquet values — no arithmetic, exact parity.
+    // Bounded collect: the query set (the pqTopK LUT contract).
+    val qCodes: Array[(Long, Long, Long)] = queries
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        var lo = 0L; var hi = 0L
+        var d = 0
+        while (d < dim) {
+          if (v(d) >= 0f) {
+            if (d < 32) lo |= 1L << d else hi |= 1L << (d - 32)
+          }
+          d += 1
+        }
+        (r.getLong(0), lo, hi)
+      }.sortBy(_._1)
+    val dists = array(qCodes.map { case (qid, qlo, qhi) =>
+      when(col("vec_id") === lit(qid), lit(null))
+        .otherwise((bit_count(col("clo").bitwiseXOR(lit(qlo))) +
+          bit_count(col("chi").bitwiseXOR(lit(qhi)))).cast("long"))
+    }: _*)
+    val scored = coded
+      .select(col("vec_id").as("neighbor"), posexplode(dists))
+      .filter(col("col").isNotNull) // self-exclusion
+      .select(col("pos").as("q_id"), col("neighbor"), (-col("col")).as("sim"))
+    val qIds = array(qCodes.map(q => lit(q._1)): _*)
+    topKPerQuery(scored, k)
+      .select(element_at(qIds, col("q_id").cast("int") + 1).as("q_id"),
+        col("rk"), col("neighbor"), (-col("sim")).as("hamming"))
+  }
+
+  /** DuckDB oracle for [[hammingTopK]]: sign bits as CASE sums over the
+    * two 32-bit words (no 1<<63 BIGINT-overflow hazard), Hamming via
+    * bit_count(xor). Pure integer pipeline — no float arithmetic
+    * anywhere past the sign test. */
+  def hammingOracleSql(k: Int = 5, dim: Int = 64,
+                       maxQueryId: Long = 8): String = {
+    def word(from: Int, until: Int): String =
+      if (until <= from) "0"
+      else (from until until).map(d =>
+        s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1L << (d - from)} ELSE 0 END)")
+        .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id,
+       |    CAST(${word(0, math.min(32, dim))} AS BIGINT) AS clo,
+       |    CAST(${word(32, dim)} AS BIGINT) AS chi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, clo AS qlo, chi AS qhi FROM b
+       |      WHERE vec_id < $maxQueryId),
+       |d AS (
+       |  SELECT q.q_id, c.vec_id AS neighbor,
+       |    CAST(bit_count(xor(c.clo, q.qlo)) +
+       |         bit_count(xor(c.chi, q.qhi)) AS BIGINT) AS hamming
+       |  FROM b c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+       |ranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY q_id ORDER BY hamming, neighbor) AS rk FROM d)
+       |SELECT q_id, rk, neighbor, hamming FROM ranked WHERE rk <= $k""".stripMargin
+  }
+
+  /** Recall@k audit of the compressed index against the exact ranking —
+    * THE metric a platform measures before committing 100 TB to an
+    * index layout (every compressed rung trades recall for scan bytes;
+    * this quantifies the trade on the actual corpus + query set).
+    * Per query: |exact top-k ∩ PQ top-k| and the integer micro recall.
+    *
+    * Both legs are the existing oracled operators ([[bruteForceTopK]],
+    * [[pqTopK]]) — deterministic ranks on both sides make the METRIC
+    * itself oracle-replayable, which is the audit's whole value: a
+    * recall number you can trust to the last row. Cost = the two legs
+    * (at scale: run on a sampled query set; the join is |q|·k rows a
+    * side, broadcast). */
+  def annRecallAudit(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     m: Int = 8, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("q_id"), col("neighbor"))
+    val approx = pqTopK(corpus, queries, k, m, ksub, dim)
+      .select(col("q_id"), col("neighbor"), lit(1).as("hit"))
+    exact.join(broadcast(approx), Seq("q_id", "neighbor"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("q_id"), lit(k).as("k"), col("hits"),
+        expr(s"(hits * CAST(1000000 AS BIGINT)) div $k").as("recall_micro"))
+  }
+
+  /** DuckDB oracle for [[annRecallAudit]]: the [[pqOracleSql]] CTE chain
+    * (shared via pqRankedCtes — the approximate leg is REPLAYED, not
+    * restated) intersected with the ann_cosine replay; recall as exact
+    * integer division. */
+  def recallAuditOracleSql(k: Int = 10, m: Int = 8, ksub: Int = 16,
+                           dim: Int = 64, maxQueryId: Int = 8): String =
+    s"""WITH ${pqRankedCtes(m, ksub, dim, maxQueryId)},
+       |approx AS (SELECT q_id, neighbor FROM ranked WHERE rk <= $k),
+       |exq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |        WHERE vec_id < $maxQueryId),
+       |exs AS (
+       |  SELECT exq.q_id, c.vec_id AS neighbor,
+       |    round(list_cosine_similarity(exq.q_emb, c.embedding), 4) AS sim
+       |  FROM embeddings c CROSS JOIN exq WHERE c.vec_id <> exq.q_id),
+       |exr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk FROM exs),
+       |exact AS (SELECT q_id, neighbor FROM exr WHERE rk <= $k),
+       |h AS (
+       |  SELECT e.q_id, count(a.neighbor) AS hits
+       |  FROM exact e LEFT JOIN approx a
+       |    ON a.q_id = e.q_id AND a.neighbor = e.neighbor
+       |  GROUP BY 1)
+       |SELECT q_id, $k AS k, hits,
+       |  CAST(hits * 1000000 // $k AS BIGINT) AS recall_micro FROM h""".stripMargin
+
+  /** The [[pqOracleSql]] CTE chain through `ranked` (codebooks, packed-
+    * argmin codes, LUT join, integer ADC sums, per-query rank) — factored
+    * so [[recallAuditOracleSql]] replays the IDENTICAL approximate leg
+    * the standalone `ann_pq` oracle checks; a drift between the two
+    * would let the audit pass while the index query fails (or vice
+    * versa). */
+  private def pqRankedCtes(m: Int, ksub: Int, dim: Int,
+                           maxQueryId: Int): String = {
     val sub = dim / m
-    s"""WITH cb AS (
+    s"""cb AS (
        |  SELECT CAST(vec_id AS INT) AS c,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cemb
        |  FROM embeddings WHERE vec_id < $ksub),
@@ -627,10 +771,20 @@ object Similarity {
        |ranked AS (
        |  SELECT q_id, neighbor, d,
        |    row_number() OVER (PARTITION BY q_id ORDER BY d, neighbor) AS rk
-       |  FROM adc)
+       |  FROM adc)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[pqTopK]]: codebooks from the table (vec_id <
+    * ksub), codes via the same packed argmin (md·ksub + c → min →
+    * % ksub = deterministic first-min-wins), LUT join on (j, code),
+    * integer ADC sums. Dot products are list_dot_product over DOUBLE
+    * lists — the sequential fold parity every ANN oracle here relies
+    * on. CTE chain shared with [[recallAuditOracleSql]]. */
+  def pqOracleSql(k: Int = 5, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                  maxQueryId: Int = 8): String =
+    s"""WITH ${pqRankedCtes(m, ksub, dim, maxQueryId)}
        |SELECT q_id, rk, neighbor, d AS dist_micro
        |FROM ranked WHERE rk <= $k""".stripMargin
-  }
 
   /** DuckDB oracle for [[ivfPqTopK]]: the [[pqOracleSql]] replay (PQ
     * codebooks, packed-argmin codes, integer ADC) composed with the

@@ -536,6 +536,87 @@ object TextAnalysis {
        |FROM r WHERE rk <= $k""".stripMargin
   }
 
+  /** Hybrid retrieval — reciprocal-rank fusion (RRF, Cormack/Clarke/
+    * Büttcher 2009) of the lexical and semantic legs: BM25 keyword
+    * ranking ([[bm25TopK]]) fused with embedding-cosine ANN
+    * ([[Similarity.bruteForceTopK]]) under the one-embedding-per-
+    * document contract (vec_id = doc_id). The production RAG retrieval
+    * stack: lexical catches exact terminology ANN misses, ANN catches
+    * paraphrase BM25 misses, and RRF needs no score calibration between
+    * the two (ranks only).
+    *
+    * Exactness contract: each leg's per-rank contribution is the exact
+    * integer `1e9 div (k0 + rank)` — integral division, no floats — so
+    * fused scores are order-free integer sums and the final rank
+    * (ties by doc_id) is oracle-exact given two oracle-exact legs.
+    *
+    * Scale shape: all corpus-scale work lives in the two legs (each
+    * already 100 TB-shaped: BM25's scan-side term pruning, ANN's
+    * broadcast queries); the fusion itself touches only the legs'
+    * top-nLeg outputs — ≤ 2·nLeg rows per query BY CONSTRUCTION — so
+    * one small groupBy + rank window finishes the job with no
+    * partition-local pre-cut needed. */
+  def hybridRetrieve(docs: DataFrame, emb: DataFrame, k: Int = 5,
+                     nLeg: Int = 10, k0: Int = 60, maxQueryId: Long = 8,
+                     nTerms: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, "doc_id", "text",
+        keywordQueries(docs, "doc_id", "text", maxQueryId, nTerms), k = nLeg)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val sem = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < maxQueryId), nLeg)
+      .select(col("q_id").as("query_id"), col("neighbor").as("doc_id"),
+        col("rk"))
+    val fused = lex.unionByName(sem)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(s"CAST(1000000000 AS BIGINT) div ($k0 + rk)"))
+          .as("rrf_micro"),
+        count(lit(1)).as("n_legs"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf_micro"),
+        col("n_legs"))
+  }
+
+  /** DuckDB oracle for [[hybridRetrieve]]: the [[bm25OracleSql]] replay
+    * (shared [[bm25ScoringSql]] block) UNION ALL the ann_cosine replay,
+    * fused with the same exact integer `1e9 // (k0 + rank)`. */
+  def hybridRetrieveOracleSql(k: Int = 5, nLeg: Int = 10, k0: Int = 60,
+                              maxQueryId: Long = 8, nTerms: Int = 3,
+                              k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:$nTerms])) AS term
+       |      FROM toks WHERE doc_id < $maxQueryId),
+       |${bm25ScoringSql("doc_id", nLeg, k1, b)},
+       |lex AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= $nLeg),
+       |eq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE vec_id < $maxQueryId),
+       |esims AS (
+       |  SELECT eq.q_id, c.vec_id AS neighbor,
+       |    round(list_cosine_similarity(eq.q_emb, c.embedding), 4) AS sim
+       |  FROM embeddings c CROSS JOIN eq WHERE c.vec_id <> eq.q_id),
+       |eranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk FROM esims),
+       |sem AS (SELECT q_id AS query_id, neighbor AS doc_id, rk
+       |        FROM eranked WHERE rk <= $nLeg),
+       |uni AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(1000000000 // ($k0 + rk)) AS BIGINT) AS rrf_micro,
+       |    count(*) AS n_legs
+       |  FROM uni GROUP BY 1, 2),
+       |fr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rk
+       |  FROM fused)
+       |SELECT query_id, rk, doc_id, rrf_micro, n_legs
+       |FROM fr WHERE rk <= $k""".stripMargin
+
   /** Corpus-wide hot n-grams with EXACT counts via the two-pass
     * heavy-hitters pattern: pass 1 folds the gram stream into one
     * capacity-bounded Misra-Gries summary

@@ -79,6 +79,49 @@ class Bm25Spec extends SparkSpec {
     assert(out.toSeq == Seq(3L, 1L, 0L), s"got ${out.toSeq}")
   }
 
+  test("hybrid RRF fusion equals the manually fused legs") {
+    // corpus where every doc also has an embedding (vec_id = doc_id) —
+    // the operator's one-embedding-per-document contract. The test does
+    // NOT predict BM25 or cosine ranks; it recomputes both legs with
+    // the already-spec'd operators and replays the RRF arithmetic in
+    // plain Scala, pinning the fusion step itself.
+    val docTbl = (0 until 12).map { id =>
+      (id.toLong, s"term$id shared common word${id % 3} tail$id filler")
+    }.toDF("doc_id", "text")
+    val embTbl = (0 until 12).map { id =>
+      val v = Array.tabulate(64) { d =>
+        var z = id * 6271L + d * 31337L + 5
+        z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+        (z.toFloat / Long.MaxValue)
+      }
+      (id.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val k = 4; val nLeg = 6; val k0 = 60; val maxQ = 3L
+    val got = TextAnalysis.hybridRetrieve(docTbl, embTbl, k = k,
+        nLeg = nLeg, k0 = k0, maxQueryId = maxQ)
+      .select("query_id", "rk", "doc_id", "rrf_micro", "n_legs")
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    // manual fusion from the two independently-computed legs
+    val lex = TextAnalysis.bm25TopK(docTbl, "doc_id", "text",
+        TextAnalysis.keywordQueries(docTbl, "doc_id", "text", maxQ), k = nLeg)
+      .select("query_id", "doc_id", "rk").as[(Long, Long, Int)].collect()
+    val sem = graft.operators.Similarity.bruteForceTopK(embTbl,
+        embTbl.filter(col("vec_id") < maxQ), nLeg)
+      .select("q_id", "neighbor", "rk").as[(Long, Long, Int)].collect()
+    val expected = (lex ++ sem).groupBy(t => (t._1, t._2)).map {
+      case ((q, d), rows) =>
+        (q, d, rows.map(r => 1000000000L / (k0 + r._3)).sum, rows.length.toLong)
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.toSeq.sortBy(t => (-t._3, t._2)).take(k).zipWithIndex.map {
+        case ((q, d, s, n), i) => (q, i + 1, d, s, n)
+      }
+    }.toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // at least one fused row must draw from both legs for the test to
+    // exercise the sum path (guard against a degenerate fixture)
+    assert(expected.exists(_._5 == 2L), "no doc appeared in both legs")
+  }
+
   test("keywordQueries derives first-n distinct tokens of low-id docs") {
     val q = TextAnalysis.keywordQueries(docs, "doc_id", "text",
       maxId = 2, nTerms = 3)

@@ -294,6 +294,41 @@ class PlanAuditSpec extends SparkSpec {
       "encode + ADC must ride the PQ kernels")
   }
 
+  test("ann_hamming: join-free — one scan packs sign bits, literal query codes score") {
+    // binary quantization's scale story: scoring reads two longs per
+    // vector against per-query LITERAL codes — the plan must be scan →
+    // bit-pack projection → posexplode → windows, with no join and no
+    // embedding column past the pack projection
+    val p = plan("ann_hamming")
+    assert(!p.contains("Join"), "Hamming scoring must not join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("bit_count"), "distance must be the popcount expression")
+  }
+
+  test("ann_recall_audit: both legs keep their shapes; the intersection join broadcasts") {
+    // the audit composes two already-pinned legs; the only NEW join is
+    // the |q|·k-row intersection, which must broadcast — a shuffled
+    // join here would exchange the legs' outputs for no reason
+    val p = plan("ann_recall_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      "leg intersection must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("pq_adc"), "the PQ leg must ride the ADC kernel")
+  }
+
+  test("hybrid_retrieve: fusion adds no corpus-sized shuffle beyond the legs") {
+    // both legs are pinned elsewhere (bm25_topk broadcast prune,
+    // ann_cosine's broadcast query join); the fusion layer itself works
+    // on ≤ 2·nLeg rows per query and must not introduce a cartesian or
+    // a shuffled corpus join
+    val p = plan("hybrid_retrieve")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-sized join side may shuffle")
+    assert(p.contains("BroadcastHashJoin"),
+      "legs' broadcast contracts must survive the composition")
+  }
+
   test("bm25_topk: query terms broadcast; no cartesian; combinable aggs") {
     // the 100 TB contract: the token stream is pruned scan-side by a
     // BROADCAST of the (tiny) query-term set — a shuffled join here
@@ -372,6 +407,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "row_number window missing")
     assert(!p.contains("SinglePartition"),
       "global (one-partition) window — the scale killer this operator exists to avoid")
+  }
+
+  test("sample_dsir: weight table broadcasts; rank window is per-shard, never global") {
+    // DSIR's scale contract: the ≤`buckets`-row weight table is the only
+    // join (broadcast — feature hashing bounds it for ANY vocabulary),
+    // and the Gumbel-top-k rank partitions by shard (the sample_shuffle
+    // discipline: a one-partition window is the classic scale killer)
+    val p = plan("sample_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket-weight join must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-sized join side may shuffle")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "per-shard rank window missing")
+    assert(!p.contains("SinglePartition"),
+      "global (one-partition) window — the scale killer the shard split avoids")
   }
 
   test("corpus_stats: one combinable aggregate, no join, pruned scan") {

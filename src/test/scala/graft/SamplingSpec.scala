@@ -177,4 +177,44 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "shard", "pos").as[(Long, Int, Long)].collect()
     assert(e1.sortBy(_._1).toSeq != rows.sortBy(_._1).toSeq)
   }
+
+  test("dsirResample: target-like docs get higher weights; per-shard frac holds; deterministic") {
+    // two vocabularies: target-flavored docs repeat "alpha beta", raw
+    // docs "gamma delta" — the hashed-ngram likelihood ratio must push
+    // target-like docs' importance weights above raw-like docs'
+    val corpus = (0 until 400).map { i =>
+      val isT = i % 4 == 0
+      val text = if (isT) "alpha beta alpha beta gamma"
+                 else "gamma delta gamma delta epsilon"
+      (i.toLong, text, isT)
+    }.toDF("doc_id", "text", "is_t")
+    val out = Sampling.dsirResample(corpus, "doc_id", "text",
+      targetPred = col("is_t"), targetFrac = 0.25, nShards = 4)
+    val rows = out.select("doc_id", "shard", "w_micro", "key_micro", "kept")
+      .as[(Long, Int, Long, Long, Boolean)].collect()
+    assert(rows.length == 400)
+    // weight separation: every target-flavored doc outweighs every raw doc
+    val (tW, rW) = rows.partition(_._1 % 4 == 0)
+    assert(tW.map(_._3).min > rW.map(_._3).max,
+      "target-like docs must carry strictly higher importance weights")
+    // per-shard keep count = floor(shard_n * frac)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val expect = math.floor(rs.length * 0.25).toLong
+      assert(rs.count(_._5) == expect, s"shard keep ${rs.count(_._5)} != $expect")
+    }
+    // kept docs are exactly the per-shard top keys (Gumbel-top-k)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (-r._4, r._1))
+      val expectKept = sorted.take(math.floor(rs.length * 0.25).toInt)
+        .map(_._1).toSet
+      assert(rs.filter(_._5).map(_._1).toSet == expectKept)
+    }
+    // deterministic under re-evaluation and input reordering
+    val again = Sampling.dsirResample(
+        corpus.repartition(7).sortWithinPartitions(desc("doc_id")),
+        "doc_id", "text", targetPred = col("is_t"),
+        targetFrac = 0.25, nShards = 4)
+      .select("doc_id", "kept").as[(Long, Boolean)].collect().toSet
+    assert(again == rows.map(r => (r._1, r._5)).toSet)
+  }
 }

@@ -306,4 +306,51 @@ class SimilaritySpec extends SparkSpec {
     val sims = rows.map(_.getAs[Double]("sim"))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
+
+  test("hamming: closed-form ranks on constructed sign patterns") {
+    // vector j = the all-positive base with its first j dims flipped
+    // negative → hamming(v_0, v_j) = j exactly; ranks must follow j
+    val rows = (0 until 12).map { j =>
+      (j.toLong, Array.tabulate(64)(d => if (d < j) -1f else 1f).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.hammingTopK(df, df.filter(col("vec_id") === 0), k = 5)
+      .orderBy("rk").collect()
+    assert(got.map(_.getAs[Long]("neighbor")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.map(_.getAs[Long]("hamming")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("hamming: self-excluded, deterministic, tie-broken by neighbor") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val a = Similarity.hammingTopK(corpus, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val b = Similarity.hammingTopK(corpus, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b)
+    assert(a.size == 15)
+    assert(!a.exists(t => t._1 == t._3)) // self-excluded
+    // within a query, hamming non-decreasing by rank
+    a.groupBy(_._1).foreach { case (_, rows) =>
+      val byRk = rows.toSeq.sortBy(_._2).map(_._4)
+      assert(byRk.zip(byRk.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
+  test("recall audit: PQ recall matches the manual leg intersection") {
+    val q = corpus.filter(col("vec_id") < 4)
+    val k = 10
+    val auditRows = Similarity.annRecallAudit(corpus, q, k = k)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val exact = Similarity.bruteForceTopK(corpus, q, k)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(corpus, q, k)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    assert(auditRows.keySet == Set(0L, 1L, 2L, 3L))
+    auditRows.foreach { case (qid, (hits, microRecall)) =>
+      val manual = exact.filter(_._1 == qid).intersect(approx.filter(_._1 == qid)).size
+      assert(hits == manual, s"q$qid hits $hits != manual $manual")
+      assert(microRecall == hits * 1000000L / k)
+      assert(hits >= 0 && hits <= k)
+    }
+  }
 }
