@@ -459,7 +459,7 @@ object Bench {
       "cluster_topics", "sample_shuffle", "sample_perplexity",
       "sample_temperature", "sample_dsir",
       "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",
-      "seq_pack_bpe")
+      "seq_pack_bpe", "bpe_fertility", "dedup_report")
     val tierMid = Seq(
       "dedup_exact", "dedup_canonical", "dedup_semantic", "dedup_url",
       "dedup_keep_best", "llm_prep", "decontaminate",
@@ -598,7 +598,7 @@ object Bench {
     "quality_calibration", "token_budget", "corpus_stats", "ngram_hot",
     "text_quality", "text_repetition", "text_fingerprint",
     "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",
-      "seq_pack_bpe")
+      "seq_pack_bpe", "bpe_fertility", "dedup_report")
 
   /** One bench pass of the curated sf1 subset at the synthesized sf1
     * scale — the families whose scale behavior is non-obvious get a

@@ -3657,6 +3657,45 @@ object Queries {
         array_join(TextAnalysis.bpeEncode(firstWord, v), "|").as("w1_toks"))
     }),
 
+    // tokenizer-QA fertility audit: per source, whitespace words vs BPE
+    // subwords (fertility = subwords per word — the unit-cost table a
+    // tokenizer owner reads per corpus slice) plus the share of word
+    // instances that stay a single token. Per-word counts via ONE
+    // transform over the token array (same trie kernel, word-at-a-time),
+    // so n_bpe and n_single are definitionally consistent; all ratios
+    // exact integer div
+    "bpe_fertility" -> ((s, dir) => {
+      val v = graft.functions.BpeFixture.vocab
+      val wcounts = transform(TextAnalysis.tokens(col("text")),
+        w => TextAnalysis.bpeCount(w, v).cast("long"))
+      Tables.documents(s, dir)
+        .select(col("source"), wcounts.as("wc"))
+        .select(col("source"),
+          size(col("wc")).cast("long").as("n_words"),
+          aggregate(col("wc"), lit(0L), (a, c) => a + c).as("n_bpe"),
+          size(filter(col("wc"), c => c === 1L)).cast("long").as("n_single"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"),
+          sum(col("n_single")).as("n_single"))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_bpe"),
+          col("n_single"),
+          expr("(n_bpe * CAST(1000000 AS BIGINT)) div greatest(n_words, 1)")
+            .as("fertility_micro"),
+          expr("(n_single * CAST(1000000 AS BIGINT)) div greatest(n_words, 1)")
+            .as("single_micro"))
+    }),
+
+    // per-source dedup-impact report: docs/tokens removed by exact
+    // dedup, keeper = min-id, attribution to the source that lost its
+    // copies — the audit table a pipeline owner reads after every
+    // ingest. ONE fp-window shuffle (text never rides it) + one
+    // combinable per-source groupBy
+    "dedup_report" -> ((s, dir) => {
+      Dedup.dedupReport(Tables.documents(s, dir), "doc_id", "text", "source")
+    }),
+
     // temperature-flattened mixture weights (T=2, alpha=1/2): the
     // standard multilingual/multi-source rebalancing — a source's raw
     // token share p flattens to p^(1/T), renormalized, upweighting the
@@ -6671,6 +6710,30 @@ object Queries {
     "stream_tokenize_bpe" -> tokenizeBpeOracleSql,
 
     "sample_dsir" -> Sampling.dsirOracleSql("lang = 'en'", targetFrac = 0.25),
+
+    "bpe_fertility" ->
+      (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
+        """,
+          |perdoc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |    CAST(sum(s.n_tok) AS BIGINT) AS n_bpe,
+          |    CAST(sum(CASE WHEN s.n_tok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_single
+          |  FROM words JOIN steps s USING (w) GROUP BY doc_id),
+          |per AS (
+          |  SELECT b.source, count(*) AS n_docs,
+          |    CAST(sum(coalesce(p.n_words, 0)) AS BIGINT) AS n_words,
+          |    CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_bpe,
+          |    CAST(sum(coalesce(p.n_single, 0)) AS BIGINT) AS n_single
+          |  FROM base b LEFT JOIN perdoc p USING (doc_id) GROUP BY 1)
+          |SELECT source, n_docs, n_words, n_bpe, n_single,
+          |  CAST(n_bpe * 1000000 // greatest(n_words, 1) AS BIGINT)
+          |    AS fertility_micro,
+          |  CAST(n_single * 1000000 // greatest(n_words, 1) AS BIGINT)
+          |    AS single_micro
+          |FROM per""".stripMargin),
+
+    "dedup_report" -> Dedup.dedupReportOracleSql,
 
     "sample_temperature" ->
       """WITH per AS (

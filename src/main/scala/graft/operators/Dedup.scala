@@ -41,6 +41,71 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
+  /** Per-source dedup-impact report — the audit table a pipeline owner
+    * reads after every ingest: for each source, how many documents (and
+    * tokens) exact dedup removed. A crawl source with a high dup share
+    * is re-fetching itself; a curated source with ANY dup share has an
+    * upstream bug — this table is where both show up first.
+    *
+    * Keeper convention = [[exact]]'s min-id rule; a keeper is attributed
+    * to ITS OWN source, so a group spanning sources charges the removal
+    * to the sources that lost their copies (the standard way crawl
+    * overlap is reported). dup_pct_micro is exact integer arithmetic
+    * (removed·1e6 div docs) — order-free, oracle-exact.
+    *
+    * Scale shape: kept = `min(id) over (partition by fp)` — ONE hash
+    * shuffle on the fingerprint carrying only (fp, id, source, n_tok),
+    * never the text (the window's input is pre-projected); then one
+    * map-side-combinable groupBy with ≤ #sources output rows. A
+    * groupBy + join-back would shuffle the same bytes twice. */
+  def dedupReport(df: DataFrame, idCol: String, textCol: String,
+                  srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val slim = df.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+    val kept = slim.withColumn("is_kept",
+      col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("fp"))))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("is_kept"), col("n_tok")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_removed"),
+        col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_removed"),
+        expr("((n_docs - n_kept) * CAST(1000000 AS BIGINT)) div n_docs")
+          .as("dup_pct_micro"))
+  }
+
+  /** DuckDB oracle for [[dedupReport]]: the dedup_exact fingerprint
+    * mirror, min-id-over-fingerprint keeper, per-source integer tallies. */
+  def dedupReportOracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    md5(trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[\s\x0B]+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |k AS (
+      |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_kept
+      |  FROM f)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(count(*) - sum(CASE WHEN is_kept THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+      |  CAST(sum(CASE WHEN is_kept THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS tokens_kept,
+      |  CAST(sum(n_tok) - sum(CASE WHEN is_kept THEN n_tok ELSE 0 END)
+      |    AS BIGINT) AS tokens_removed,
+      |  CAST((count(*) - sum(CASE WHEN is_kept THEN 1 ELSE 0 END))
+      |    * 1000000 // count(*) AS BIGINT) AS dup_pct_micro
+      |FROM k GROUP BY 1""".stripMargin
+
   /** Exact-duplicate resolution keeping the BEST copy of each group
     * instead of the smallest id — the crawl-snapshot policy: several
     * fetches of one page share a normalized fingerprint but differ in

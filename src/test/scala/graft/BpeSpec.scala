@@ -151,4 +151,28 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.trainOnSample(docs, "doc_id", "text", 16, 50)
     assert(a == b && a.size <= 16 && a.nonEmpty)
   }
+
+  test("fertility: per-word transform counts sum to the doc-level kernel count") {
+    // bpe_fertility derives n_bpe from per-word counts (transform over
+    // the token array); this must equal the doc-level BpeCountExpr on
+    // the full text — the two kernel paths may never disagree
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val v = BpeFixture.vocab
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+    val rows = docs.select(
+        TextAnalysis.bpeCount(col("text"), v).cast("long").as("doc_n"),
+        aggregate(transform(TextAnalysis.tokens(col("text")),
+          w => TextAnalysis.bpeCount(w, v).cast("long")),
+          lit(0L), (a, c) => a + c).as("word_sum"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_words"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"doc-level ${r.getLong(0)} != per-word sum ${r.getLong(1)}")
+      // every word contributes at least one token
+      assert(r.getLong(1) >= r.getLong(2))
+    }
+  }
 }

@@ -324,4 +324,25 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 == Set(20L))
   }
+
+  test("dedupReport: closed-form per-source tallies, cross-source attribution") {
+    // srcA doc 0 keeps the shared text (min id); srcB docs 2,3 lose
+    // their copies — the removal is charged to srcB, the keeper to srcA
+    val docs = Seq(
+      (0L, "shared text here", "srcA"),   // keeper (3 tokens)
+      (1L, "unique alpha", "srcA"),       // keeper (2 tokens)
+      (2L, "shared text here", "srcB"),   // removed
+      (3L, "shared TEXT   here", "srcB"), // removed (same fingerprint)
+      (4L, "unique beta gamma", "srcB")   // keeper (3 tokens)
+    ).toDF("doc_id", "text", "source")
+    val rep = Dedup.dedupReport(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rep("srcA"); val b = rep("srcB")
+    assert(a.getLong(1) == 2 && a.getLong(2) == 2 && a.getLong(3) == 0)
+    assert(a.getLong(4) == 5 && a.getLong(5) == 5 && a.getLong(6) == 0)
+    assert(a.getLong(7) == 0) // dup_pct_micro
+    assert(b.getLong(1) == 3 && b.getLong(2) == 1 && b.getLong(3) == 2)
+    assert(b.getLong(4) == 9 && b.getLong(5) == 3 && b.getLong(6) == 6)
+    assert(b.getLong(7) == 2L * 1000000L / 3L)
+  }
 }

@@ -409,6 +409,29 @@ class PlanAuditSpec extends SparkSpec {
       "global (one-partition) window — the scale killer this operator exists to avoid")
   }
 
+  test("bpe_fertility: scan-bound projection + one combinable groupBy, no join") {
+    // the fertility audit must stay the corpus_stats shape: per-word
+    // trie counts ride the scan projection, then ONE map-side-combinable
+    // groupBy with ≤ #sources output rows
+    val p = plan("bpe_fertility")
+    assert(!p.contains("Join"), "fertility table is a single groupBy")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "per-source agg must partial-combine")
+  }
+
+  test("dedup_report: one fp-window shuffle without the text, then a combinable groupBy") {
+    // the keeper window may only carry (fp, id, source, n_tok) — the
+    // text column must be projected away BEFORE the exchange — and the
+    // window partitions by fingerprint, never a single partition
+    val p = plan("dedup_report")
+    assert(!p.contains("Join"), "report needs no join (window + groupBy)")
+    assert(!p.contains("SinglePartition"),
+      "global (one-partition) window — must partition by fingerprint")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchangeLines.contains("text"),
+      "document text must not ride the fingerprint exchange")
+  }
+
   test("sample_dsir: weight table broadcasts; rank window is per-shard, never global") {
     // DSIR's scale contract: the ≤`buckets`-row weight table is the only
     // join (broadcast — feature hashing bounds it for ANY vocabulary),
