@@ -452,7 +452,7 @@ object Bench {
       "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
     val tierNew = Seq(
       "ann_pq", "ann_ivfpq", "ann_sq8", "ann_hamming", "ann_recall_audit",
-      "bm25_topk", "rag_retrieve", "hybrid_retrieve",
+      "bm25_topk", "rag_retrieve", "hybrid_retrieve", "mmr_rerank",
       "chunk_tokens_bpe",
       "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
       "quality_classifier", "token_budget", "corpus_stats",
@@ -574,7 +574,7 @@ object Bench {
     "window_agg", "session_window", "stream_llm_prep",
     "stream_dedup_snapshot", "stream_dedup_snapshot_fuzzy",
     "stream_cluster_topics", "stream_corpus_stats",
-    "stream_contamination_report",
+    "stream_contamination_report", "stream_bpe_fertility",
     // dedup family (candidate generation, iterative CC, anti-joins)
     "dedup_exact", "dedup_canonical", "dedup_minhash", "dedup_verified",
     "dedup_clusters_verified", "dedup_clusters", "dedup_simhash",
@@ -594,6 +594,7 @@ object Bench {
     "emb_neardup", "emb_stats", "cluster_topics",
     // text-analysis aggregations and model scoring
     "tfidf_topk", "bm25_topk", "rag_retrieve", "hybrid_retrieve",
+    "mmr_rerank",
     "lm_score", "quality_classifier", "quality_gopher",
     "quality_calibration", "token_budget", "corpus_stats", "ngram_hot",
     "text_quality", "text_repetition", "text_fingerprint",

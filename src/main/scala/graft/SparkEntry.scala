@@ -2742,6 +2742,16 @@ object Queries {
         Tables.embeddings(s, dir), k = 5, nLeg = 10)
     }),
 
+    // MMR diversity re-rank: greedy maximal-marginal-relevance
+    // selection over each query's BM25 candidates — integer RRF-unit
+    // relevance minus penaltyWeight x micro-cosine to the already-
+    // selected set; the greedy loop runs once per query in a bounded
+    // kernel and the oracle replays it with a recursive CTE
+    "mmr_rerank" -> ((s, dir) => {
+      TextAnalysis.mmrRerank(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), k = 5, nCand = 12)
+    }),
+
     "rag_retrieve" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val chunks = Sampling.chunkByTokens(docs, "doc_id", "text",
@@ -4338,6 +4348,37 @@ object Queries {
         graft.streaming.StreamGate.tableBytes(dir, "documents"))
     }),
 
+    // streaming face of the tokenizer fertility audit: the per-word
+    // trie counts are a stateless scan-side transform (frozen vocab =
+    // reference object, not state) and the fold is one complete-mode
+    // groupBy with ≤ #sources rows of state — the stream_corpus_stats
+    // bound, with the trie kernel in place of the whitespace counter
+    "stream_bpe_fertility" -> ((s, dir) => {
+      val v = graft.functions.BpeFixture.vocab
+      val stream = graft.streaming.StreamGate.readTable(s, dir, "documents")
+      val wcounts = transform(TextAnalysis.tokens(col("text")),
+        w => TextAnalysis.bpeCount(w, v).cast("long"))
+      val agg = stream
+        .select(col("source"), wcounts.as("wc"))
+        .select(col("source"),
+          size(col("wc")).cast("long").as("n_words"),
+          aggregate(col("wc"), lit(0L), (a, c) => a + c).as("n_bpe"),
+          size(filter(col("wc"), c => c === 1L)).cast("long").as("n_single"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe"),
+          sum(col("n_single")).as("n_single"))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_bpe"),
+          col("n_single"),
+          expr("(n_bpe * CAST(1000000 AS BIGINT)) div greatest(n_words, 1)")
+            .as("fertility_micro"),
+          expr("(n_single * CAST(1000000 AS BIGINT)) div greatest(n_words, 1)")
+            .as("single_micro"))
+      graft.streaming.StreamGate.run(agg, "complete",
+        graft.streaming.StreamGate.tableBytes(dir, "documents"))
+    }),
+
     "stream_corpus_stats" -> ((s, dir) => {
       val stream = graft.streaming.StreamGate.readTable(s, dir, "documents")
       val agg = stream
@@ -4489,6 +4530,32 @@ object Queries {
   // recursive-CTE chain per DISTINCT word, corpus joins back through
   // the word (see functions.Bpe.oracleCtes). Shared by the batch and
   // streaming faces — the projection is identical on both paths.
+  /** Shared by `bpe_fertility` and its complete-mode streaming face —
+    * the per-word encode replay (Bpe.oracleCtes) rolled up to
+    * per-source fertility; values bit-equal in both modes by
+    * construction (same scan-side kernel, same fold). */
+  private val bpeFertilityOracleSql: String =
+    graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
+      """,
+        |perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(s.n_tok) AS BIGINT) AS n_bpe,
+        |    CAST(sum(CASE WHEN s.n_tok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_single
+        |  FROM words JOIN steps s USING (w) GROUP BY doc_id),
+        |per AS (
+        |  SELECT b.source, count(*) AS n_docs,
+        |    CAST(sum(coalesce(p.n_words, 0)) AS BIGINT) AS n_words,
+        |    CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_bpe,
+        |    CAST(sum(coalesce(p.n_single, 0)) AS BIGINT) AS n_single
+        |  FROM base b LEFT JOIN perdoc p USING (doc_id) GROUP BY 1)
+        |SELECT source, n_docs, n_words, n_bpe, n_single,
+        |  CAST(n_bpe * 1000000 // greatest(n_words, 1) AS BIGINT)
+        |    AS fertility_micro,
+        |  CAST(n_single * 1000000 // greatest(n_words, 1) AS BIGINT)
+        |    AS single_micro
+        |FROM per""".stripMargin
+
   private val tokenizeBpeOracleSql: String =
     graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
       """,
@@ -6109,6 +6176,8 @@ object Queries {
 
     "rag_retrieve" -> TextAnalysis.ragRetrieveOracleSql(),
 
+    "mmr_rerank" -> TextAnalysis.mmrOracleSql(k = 5, nCand = 12),
+
     // minhash/simhash fully oracled: FNV-1a + splitmix replicated in
     // HUGEINT mod-2^64 SQL (see Dedup.minhashOracleSql/simhashOracleSql)
     "dedup_minhash" -> Dedup.minhashOracleSql(n = 3, bands = 16, rows = 4,
@@ -6711,27 +6780,11 @@ object Queries {
 
     "sample_dsir" -> Sampling.dsirOracleSql("lang = 'en'", targetFrac = 0.25),
 
-    "bpe_fertility" ->
-      (graft.functions.Bpe.oracleCtes(graft.functions.BpeFixture.sqlValues) +
-        """,
-          |perdoc AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-          |    CAST(sum(s.n_tok) AS BIGINT) AS n_bpe,
-          |    CAST(sum(CASE WHEN s.n_tok = 1 THEN 1 ELSE 0 END) AS BIGINT)
-          |      AS n_single
-          |  FROM words JOIN steps s USING (w) GROUP BY doc_id),
-          |per AS (
-          |  SELECT b.source, count(*) AS n_docs,
-          |    CAST(sum(coalesce(p.n_words, 0)) AS BIGINT) AS n_words,
-          |    CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_bpe,
-          |    CAST(sum(coalesce(p.n_single, 0)) AS BIGINT) AS n_single
-          |  FROM base b LEFT JOIN perdoc p USING (doc_id) GROUP BY 1)
-          |SELECT source, n_docs, n_words, n_bpe, n_single,
-          |  CAST(n_bpe * 1000000 // greatest(n_words, 1) AS BIGINT)
-          |    AS fertility_micro,
-          |  CAST(n_single * 1000000 // greatest(n_words, 1) AS BIGINT)
-          |    AS single_micro
-          |FROM per""".stripMargin),
+    "bpe_fertility" -> bpeFertilityOracleSql,
+
+    // complete-mode fold over the full table = the batch contract;
+    // per-word trie counts are scan-side either way — same oracle
+    "stream_bpe_fertility" -> bpeFertilityOracleSql,
 
     "dedup_report" -> Dedup.dedupReportOracleSql,
 

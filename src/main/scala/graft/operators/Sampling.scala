@@ -297,7 +297,15 @@ object Sampling {
     * [[QualityClassifier.distillQuality]]).
     *
     * Returns every featured doc: (doc_id, shard, w_micro, key_micro,
-    * kept). */
+    * kept).
+    *
+    * BATCH-ONLY by boundary (the tfidf_topk argument): the target/raw
+    * feature distributions and the per-shard counts are corpus-wide
+    * state, and selection must be a consistent-snapshot decision — a
+    * drifting partial-stream importance ratio would silently re-rank
+    * docs already emitted. Streaming selection against a FROZEN weight
+    * table is a different operator (a stateless scan-side filter, which
+    * [[domainMixSample]] already models). */
   def dsirResample(docs: DataFrame, idCol: String, textCol: String,
                    targetPred: Column, targetFrac: Double = 0.25,
                    buckets: Int = 4096, nShards: Int = 16,

@@ -536,6 +536,107 @@ object TextAnalysis {
        |FROM r WHERE rk <= $k""".stripMargin
   }
 
+  /** MMR diversified re-rank (maximal marginal relevance, Carbonell &
+    * Goldstein 1998) — the step between retrieval and the context
+    * window: from each query's top-nCand BM25 candidates, greedily
+    * select k passages maximizing
+    * `relevance − penaltyWeight·max_cos_to_already_selected`, so
+    * near-duplicate passages can't crowd a RAG context window.
+    *
+    * Determinism contract: relevance is the integer RRF unit
+    * `1e9 div (60 + rank)` (rank-derived, scale-free against the
+    * micro-cosine penalty); the penalty is `floor(1e6·cos)` with the
+    * exact [[graft.functions.CosineSimilarityExpr]] arithmetic; every
+    * step's score is pure integer arithmetic and ties break to the
+    * lowest doc id — the DuckDB oracle replays the greedy loop with a
+    * recursive CTE (packed-argmin selection, the PQ-codes trick).
+    * Candidates without an embedding row (vec_id = doc_id contract)
+    * are excluded BEFORE selection; the oracle replays the same join.
+    *
+    * Scale shape: the corpus-scale work is bm25TopK's (pinned); the
+    * embedding join broadcasts the |q|·nCand candidate side against
+    * the embeddings scan; the greedy kernel evaluates once per QUERY
+    * over ≤ nCand structs ([[graft.functions.MmrSelectExpr]] — off the
+    * scan path by construction). BATCH-ONLY by boundary, inherited
+    * from [[bm25TopK]]. */
+  def mmrRerank(docs: DataFrame, emb: DataFrame, k: Int = 5,
+                nCand: Int = 12, penaltyWeight: Int = 3,
+                maxQueryId: Long = 8, nTerms: Int = 3): DataFrame = {
+    val cands = bm25TopK(docs, "doc_id", "text",
+        keywordQueries(docs, "doc_id", "text", maxQueryId, nTerms), k = nCand)
+      .select(col("query_id"), col("doc_id"),
+        expr("CAST(1000000000 AS BIGINT) div (60 + rk)").as("rel"))
+    val withEmb = emb
+      .select(col("vec_id").as("doc_id"), col("embedding").as("emb"))
+      .join(broadcast(cands), Seq("doc_id"))
+    val packed = withEmb.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("rel").as("rel"),
+        col("doc_id").as("doc"), col("emb").as("emb"))).as("cands"))
+    val sel = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MmrSelectExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("cands")),
+        k, penaltyWeight))
+    packed.select(col("query_id"), explode(sel).as("s"))
+      .select(col("query_id"), col("s.step").as("step"),
+        col("s.doc_id").as("doc_id"), col("s.mmr_micro").as("mmr_micro"))
+  }
+
+  /** DuckDB oracle for [[mmrRerank]]: the [[bm25OracleSql]] candidate
+    * replay joined to embeddings, then the greedy MMR loop as a
+    * recursive CTE — per (query, step), the argmax over remaining
+    * candidates is a packed-argmin
+    * `min((C − score)·K + doc_id)` (C = 32e6 bounds |score|, K = 1e8
+    * bounds doc ids), which encodes exactly the kernel's
+    * (score desc, doc asc) tie-break. The penalty's cosine is spelled
+    * out in DOUBLE (the decontaminateSemantic discipline). */
+  def mmrOracleSql(k: Int = 5, nCand: Int = 12, penaltyWeight: Int = 3,
+                   maxQueryId: Long = 8, nTerms: Int = 3,
+                   k1: Double = 1.2, b: Double = 0.75): String = {
+    val C = 32000000L
+    val K = 100000000L
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:$nTerms])) AS term
+       |      FROM toks WHERE doc_id < $maxQueryId),
+       |${bm25ScoringSql("doc_id", nCand, k1, b)},
+       |cand0 AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(1000000000 // (60 + rk) AS BIGINT) AS rel
+       |  FROM r WHERE rk <= $nCand),
+       |ce AS (
+       |  SELECT c.query_id, c.doc_id, c.rel,
+       |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS demb
+       |  FROM cand0 c JOIN embeddings e ON e.vec_id = c.doc_id),
+       |sel(query_id, step, doc_id, mmr_micro, chosen) AS (
+       |  SELECT query_id, 1,
+       |    CAST(min(($C - rel) * $K + doc_id) % $K AS BIGINT),
+       |    CAST($C - (min(($C - rel) * $K + doc_id) // $K) AS BIGINT),
+       |    [CAST(min(($C - rel) * $K + doc_id) % $K AS BIGINT)]
+       |  FROM ce GROUP BY query_id
+       |  UNION ALL
+       |  SELECT query_id, step + 1,
+       |    CAST(min(packed) % $K AS BIGINT),
+       |    CAST($C - (min(packed) // $K) AS BIGINT),
+       |    list_append(chosen, CAST(min(packed) % $K AS BIGINT))
+       |  FROM (
+       |    SELECT s.query_id, s.step, s.chosen,
+       |      ($C - (c.rel - $penaltyWeight * (
+       |        SELECT max(CAST(floor(1e6 * (list_dot_product(c.demb, x.demb) /
+       |          (sqrt(list_dot_product(c.demb, c.demb)) *
+       |           sqrt(list_dot_product(x.demb, x.demb))))) AS BIGINT))
+       |        FROM ce x WHERE x.query_id = s.query_id
+       |          AND list_contains(s.chosen, x.doc_id)))) * $K + c.doc_id
+       |        AS packed
+       |    FROM sel s JOIN ce c
+       |      ON c.query_id = s.query_id AND NOT list_contains(s.chosen, c.doc_id)
+       |    WHERE s.step < $k)
+       |  GROUP BY query_id, step, chosen)
+       |SELECT query_id, step, doc_id, mmr_micro FROM sel""".stripMargin
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (RRF, Cormack/Clarke/
     * Büttcher 2009) of the lexical and semantic legs: BM25 keyword
     * ranking ([[bm25TopK]]) fused with embedding-cosine ANN
@@ -555,7 +656,12 @@ object TextAnalysis {
     * broadcast queries); the fusion itself touches only the legs'
     * top-nLeg outputs — ≤ 2·nLeg rows per query BY CONSTRUCTION — so
     * one small groupBy + rank window finishes the job with no
-    * partition-local pre-cut needed. */
+    * partition-local pre-cut needed.
+    *
+    * BATCH-ONLY by boundary, inherited from [[bm25TopK]]: the lexical
+    * leg's df/avgdl are corpus-wide state no bounded scan-side kernel
+    * can absorb — retrieval over a stream is index maintenance, a
+    * different operator. */
   def hybridRetrieve(docs: DataFrame, emb: DataFrame, k: Int = 5,
                      nLeg: Int = 10, k0: Int = 60, maxQueryId: Long = 8,
                      nTerms: Int = 3): DataFrame = {

@@ -122,6 +122,40 @@ class Bm25Spec extends SparkSpec {
     assert(expected.exists(_._5 == 2L), "no doc appeared in both legs")
   }
 
+  test("MMR kernel: diversity penalty demotes the near-duplicate; pw=0 is pure relevance") {
+    // doc 1 (rel 1e6) and doc 2 (rel 999999) share an identical
+    // embedding; doc 3 (rel 5e5) is orthogonal. With penaltyWeight 3,
+    // step 2 must skip the twin (score 999999 - 3e6) for the diverse
+    // doc 3 (score 5e5); with penaltyWeight 0 the order is pure rel.
+    val e1 = Array.tabulate(8)(d => if (d == 0) 1f else 0f).toSeq
+    val e2 = Array.tabulate(8)(d => if (d == 1) 1f else 0f).toSeq
+    def run(pw: Int, rows: Seq[(Long, Long, Long, Seq[Float])]) = {
+      val packed = rows.toDF("query_id", "rel", "doc", "emb")
+        .groupBy(col("query_id"))
+        .agg(collect_list(struct(col("rel").as("rel"), col("doc").as("doc"),
+          col("emb").as("emb"))).as("cands"))
+      val sel = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.MmrSelectExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("cands")), 3, pw))
+      packed.select(col("query_id"), explode(sel).as("s"))
+        .select(col("s.step"), col("s.doc_id"), col("s.mmr_micro"))
+        .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    val rows = Seq(
+      (100L, 1000000L, 1L, e1), (100L, 999999L, 2L, e1),
+      (100L, 500000L, 3L, e2))
+    assert(run(3, rows) == Seq(
+      (1, 1L, 1000000L),
+      (2, 3L, 500000L),          // diverse doc beats the penalized twin
+      (3, 2L, 999999L - 3000000L)))
+    assert(run(0, rows).map(_._2) == Seq(1L, 2L, 3L))
+    // arrival order must not matter (kernel sorts internally)
+    assert(run(3, rows.reverse) == run(3, rows))
+    // score tie breaks to the lowest doc id
+    val tie = Seq((100L, 7L, 9L, e1), (100L, 7L, 4L, e2))
+    assert(run(0, tie).map(_._2) == Seq(4L, 9L))
+  }
+
   test("keywordQueries derives first-n distinct tokens of low-id docs") {
     val q = TextAnalysis.keywordQueries(docs, "doc_id", "text",
       maxId = 2, nTerms = 3)

@@ -316,6 +316,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("pq_adc"), "the PQ leg must ride the ADC kernel")
   }
 
+  test("mmr_rerank: candidate join broadcasts; the greedy kernel sits post-aggregation") {
+    // the only corpus-scale work is bm25's (pinned elsewhere) and one
+    // embeddings scan joined against the BROADCAST |q|·nCand candidate
+    // set; the greedy loop must ride the mmr_select kernel once per
+    // query, never per corpus row
+    val p = plan("mmr_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate-embedding join must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-sized join side may shuffle")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("mmr_select"), "selection must ride the MMR kernel")
+  }
+
   test("hybrid_retrieve: fusion adds no corpus-sized shuffle beyond the legs") {
     // both legs are pinned elsewhere (bm25_topk broadcast prune,
     // ann_cosine's broadcast query join); the fusion layer itself works
