@@ -54,8 +54,9 @@ object Bench {
       "dedup_lines" -> 60.0, "decontaminate_fuzzy" -> 100.0,
       "dedup_snapshot" -> 60.0, "dedup_snapshot_fuzzy" -> 150.0,
       // r14 rotation (VERDICT r13 #6): one cheap round-new scan-bound
-      // operator + the PQ family's at-scale point (2M vectors)
-      "tokenize_bpe" -> 60.0, "ann_pq" -> 90.0)
+      // operator + the PQ family's at-scale point (2M vectors), plus
+      // the retrieval family's (bm25's broadcast-pruned scan)
+      "tokenize_bpe" -> 60.0, "ann_pq" -> 90.0, "bm25_topk" -> 120.0)
 
   /** Host-speed calibration anchor: the r11 (uncontended) median of the
     * 524,288-msg trial on this host class, in msgs/s. The engine code
@@ -357,7 +358,7 @@ object Bench {
     // (dedup_verified's pair verify, substring's window explode) run
     // only when the wall allows — their sf100 points are already three
     // rounds deep in NOTES.
-    val names = Seq("tokenize_bpe", "ann_pq",
+    val names = Seq("tokenize_bpe", "ann_pq", "bm25_topk",
       "dedup_snapshot", "dedup_lines",
       "dedup_snapshot_fuzzy", "decontaminate_fuzzy",
       "dedup_verified", "dedup_substring")
@@ -459,7 +460,8 @@ object Bench {
       "cluster_topics", "sample_shuffle", "sample_perplexity",
       "sample_temperature", "sample_dsir",
       "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",
-      "seq_pack_bpe", "bpe_fertility", "dedup_report")
+      "seq_pack_bpe", "bpe_fertility", "dedup_report",
+      "split_leakage_safe")
     val tierMid = Seq(
       "dedup_exact", "dedup_canonical", "dedup_semantic", "dedup_url",
       "dedup_keep_best", "llm_prep", "decontaminate",
@@ -599,7 +601,8 @@ object Bench {
     "quality_calibration", "token_budget", "corpus_stats", "ngram_hot",
     "text_quality", "text_repetition", "text_fingerprint",
     "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",
-      "seq_pack_bpe", "bpe_fertility", "dedup_report")
+      "seq_pack_bpe", "bpe_fertility", "dedup_report",
+      "split_leakage_safe")
 
   /** One bench pass of the curated sf1 subset at the synthesized sf1
     * scale — the families whose scale behavior is non-obvious get a

@@ -2627,6 +2627,27 @@ object Queries {
         .filter(col("cluster").isNotNull)
     }),
 
+    // leakage-safe train/eval split: the split draw is keyed on the
+    // near-dup CLUSTER (verified pipeline labels; exact-dup groups and
+    // singletons fall back to rep/own id), so two near-duplicate docs
+    // can NEVER straddle the train/eval boundary — the eval-set
+    // contamination channel a doc_id-keyed split leaves open. One md5
+    // draw per doc on top of the already-pinned cluster pipeline
+    "split_leakage_safe" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.nearDupVerified(docs, "doc_id", "text",
+        minJaccard = 0.5)
+      val repLabels = Dedup.clusters(pairs)
+      val members = Dedup.textMembersGlobal(docs, "doc_id", "text")
+      members.join(repLabels, members("rep") === repLabels("doc"), "left")
+        .select(members("doc").as("doc_id"),
+          coalesce(repLabels("cluster"),
+            when(members("grp_n") >= 2, members("rep")),
+            members("doc")).as("split_key"))
+        .withColumn("is_train",
+          Sampling.hashFraction(col("split_key"), "split") < 0.9)
+    }),
+
     // brute-force cosine top-k ANN baseline
     "ann_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -6184,6 +6205,8 @@ object Queries {
       minEstJaccard = 0.5),
     "dedup_verified" -> Dedup.nearDupVerifiedOracleSql(n = 3, bands = 16,
       rows = 4, minJaccard = 0.5),
+    "split_leakage_safe" -> Dedup.leakageSafeSplitOracleSql(trainFrac = 0.9),
+
     "dedup_clusters_verified" -> Dedup.verifiedClustersOracleSql(n = 3,
       bands = 16, rows = 4, minJaccard = 0.5),
     "seq_pack" ->

@@ -514,6 +514,37 @@ object Dedup {
        |WHERE coalesce(l.cluster, CASE WHEN g.grp_n >= 2 THEN g.rep END)
        |  IS NOT NULL""".stripMargin
 
+  /** DuckDB oracle for the leakage-safe train/eval split: the
+    * [[verifiedClustersOracleSql]] chain kept for ALL docs (singletons
+    * fall back to their own id as the split key), then the md5 split
+    * draw keyed on the CLUSTER key — so every member of a near-dup
+    * cluster lands in the same split by construction. */
+  def leakageSafeSplitOracleSql(trainFrac: Double, salt: String = "split",
+                                n: Int = 3, bands: Int = 16, rows: Int = 4,
+                                minJaccard: Double = 0.5,
+                                maxBucket: Int = 1024): String =
+    s"""WITH RECURSIVE ${nearDupVerifiedCtes(n, bands, rows, minJaccard,
+          maxBucket)},
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM verified
+       |  UNION SELECT id_b, id_a FROM verified),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (
+       |  SELECT a AS doc, least(a, min(b)) AS cluster
+       |  FROM reach GROUP BY a),
+       |keyed AS (
+       |  SELECT g.doc_id,
+       |    coalesce(l.cluster, CASE WHEN g.grp_n >= 2 THEN g.rep END,
+       |      g.doc_id) AS split_key
+       |  FROM grp g LEFT JOIN labels l ON l.doc = g.rep)
+       |SELECT doc_id, split_key,
+       |  ${Sampling.hashFractionSql("split_key", salt)} < $trainFrac
+       |    AS is_train
+       |FROM keyed""".stripMargin
+
   /** The shared minhash-LSH CTE chain (toks→…→est), ending with per-pair
     * `est_jaccard` in the `est` CTE — composed by minhashOracleSql and
     * nearDupVerifiedOracleSql. */

@@ -325,6 +325,58 @@ class DedupSpec extends SparkSpec {
     assert(kept2 == Set(20L))
   }
 
+  test("leakage-safe split: exact dups and verified near-dups never straddle the boundary") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    val split = SparkEntry.queries("split_leakage_safe")(spark, dir)
+      .select("doc_id", "split_key", "is_train")
+      .as[(Long, Long, Boolean)].collect()
+    assert(split.length == docs.count())
+    val side = split.map(r => r._1 -> r._3).toMap
+    // every verified near-dup pair lands on the same side
+    val pairs = Dedup.nearDupVerified(docs, "doc_id", "text", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain verified near-dups")
+    pairs.foreach { case (a, b) =>
+      assert(side(a) == side(b), s"near-dup pair ($a,$b) straddles the split")
+    }
+    // every exact-dup group lands on the same side (the sf0.001 corpus
+    // has none — the branch is exercised by construction when present,
+    // since their split key is the shared rep)
+    val groups = Dedup.textMembersGlobal(docs, "doc_id", "text")
+      .filter(col("grp_n") >= 2)
+      .select("rep", "doc").as[(Long, Long)].collect().groupBy(_._1)
+    groups.values.foreach { ms =>
+      assert(ms.map(m => side(m._2)).toSet.size == 1,
+        "exact-dup group straddles the split")
+    }
+    // synthetic exact-dup check instead: identical texts share split_key
+    val synth = (0 until 40).map(i => (i.toLong, s"dup text ${i % 10}"))
+      .toDF("doc_id", "text")
+    val synthSplit = {
+      val pairs = Dedup.nearDupVerified(synth, "doc_id", "text",
+        minJaccard = 0.5)
+      val repLabels = Dedup.clusters(pairs)
+      val members = Dedup.textMembersGlobal(synth, "doc_id", "text")
+      members.join(repLabels, members("rep") === repLabels("doc"), "left")
+        .select(members("doc").as("doc_id"),
+          coalesce(repLabels("cluster"),
+            when(members("grp_n") >= 2, members("rep")),
+            members("doc")).as("split_key"))
+        .withColumn("is_train",
+          graft.operators.Sampling.hashFraction(col("split_key"), "split") < 0.9)
+        .select("doc_id", "is_train").as[(Long, Boolean)].collect().toMap
+    }
+    (0 until 40).foreach { i =>
+      assert(synthSplit(i.toLong) == synthSplit((i % 10).toLong),
+        s"exact dup $i split differently from its group")
+    }
+    // deterministic re-evaluation
+    val again = SparkEntry.queries("split_leakage_safe")(spark, dir)
+      .select("doc_id", "is_train").as[(Long, Boolean)].collect().toMap
+    assert(again == side)
+  }
+
   test("dedupReport: closed-form per-source tallies, cross-source attribution") {
     // srcA doc 0 keeps the shared text (min id); srcB docs 2,3 lose
     // their copies — the removal is charged to srcB, the keeper to srcA
