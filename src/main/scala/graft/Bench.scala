@@ -374,6 +374,12 @@ object Bench {
       warmQueries(spark, sfDir, names, capS = 90.0)
       absorbHeapFloor(spark, dir)
     } else ""
+    // untimed sf100-corpus first read — the sf10 section's rationale
+    // at one more decade (the 5M-doc parquet footer walk + cold page
+    // cache otherwise lands inside the first timed spot query)
+    try Tables.documents(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => }
     reclaim(spark, gc = false)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val timed = names.flatMap { n =>
@@ -487,13 +493,20 @@ object Bench {
     // warm-code/pinned-heap child a context restart buys nothing.
     // per-query wall-cost estimate for the deadline guard: the query's
     // OWN measured sf1 time from the section that just ran, scaled by
-    // the 10x data factor plus a 30% margin, clamped to [60, 300] s
-    // (fixed overhead floors small queries). Queries without an sf1
-    // point keep a conservative flat 160. The guard also holds back
-    // `reserveS` for the sf100 micro-spot that follows this section
-    // (VERDICT r12 #4: the spot is worth two sf10 tail queries).
+    // the 10x data factor plus a 30% margin, clamped to [25, 300] s.
+    // The floor was 60 s through r13; the r14 clean sim showed that on
+    // a 2.6x-contended host the floor itself became the shedding
+    // driver — 30 sub-2s-at-sf1 queries were skipped that would each
+    // have run in seconds. 25 s still covers fixed overhead (worst
+    // observed cheap-query time under contention ~10 s), and the guard
+    // re-checks ACTUAL remaining wall before every query, so the only
+    // exposure is one final query overshooting into the child's 180 s
+    // grace. Queries without an sf1 point keep a conservative flat
+    // 160. The guard also holds back `reserveS` for the sf100
+    // micro-spot that follows this section (VERDICT r12 #4: the spot
+    // is worth two sf10 tail queries).
     def needS(n: String): Double =
-      sf1Times.get(n).map(t => (t * 13.0).max(60.0).min(300.0))
+      sf1Times.get(n).map(t => (t * 13.0).max(25.0).min(300.0))
         .getOrElse(160.0)
     val spark = spark0
     val sf10Dir = synthesizeSf10(spark, sfDir)
@@ -509,6 +522,20 @@ object Bench {
     // is enough: faulting follows cumulative ALLOCATION, not input
     // size. Falls back to the sf10 corpus if sf1 isn't cached.
     val absorbJson = absorbHeapFloor(spark, sf10Dir)
+    // untimed sf10-corpus first read (r14, clean-sim finding): the
+    // absorber runs against the CACHED sf1 corpus, so the sf10
+    // parquet's cold first read (page cache + footer decode) still
+    // landed inside the first timed query — measured 102.7 s on
+    // text_quality at host_factor 2.57 vs its 5.5 s steady state,
+    // which then starved the deadline guard for the whole tail. Same
+    // rationale as the absorber: one-time I/O bills are not query
+    // compute and must land untimed.
+    try {
+      Tables.documents(spark, sf10Dir)
+        .write.format("noop").mode("overwrite").save()
+      Tables.embeddings(spark, sf10Dir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
     reclaim(spark, gc = false)
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val timed = names.flatMap { n =>
