@@ -457,18 +457,25 @@ object Bench {
       "dedup_verified", "dedup_clusters_verified",
       "decontaminate_fuzzy", "dedup_lines",
       "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
+    // tierNew = the not-yet-two-rounds-old operators ONLY (r13 + r14).
+    // The r12 family (snapshot dedup, ngram_hot, quality_classifier,
+    // token_budget, corpus_stats, cluster_topics, sample_shuffle,
+    // sample_perplexity) is three rounds old with artifact sf10 points
+    // in r13 and both r14 sims — it moves to the head of tierMid so a
+    // budget squeeze sheds it BEFORE the mandate tier, not instead of
+    // it (final-sim #2: dedup_snapshot_fuzzy alone ate 83 s of the
+    // window while 13 round-new operators were shed behind it).
     val tierNew = Seq(
       "ann_pq", "ann_ivfpq", "ann_sq8", "ann_hamming", "ann_recall_audit",
       "bm25_topk", "rag_retrieve", "hybrid_retrieve", "mmr_rerank",
-      "chunk_tokens_bpe",
-      "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
-      "quality_classifier", "token_budget", "corpus_stats",
-      "cluster_topics", "sample_shuffle", "sample_perplexity",
-      "sample_temperature", "sample_dsir",
+      "chunk_tokens_bpe", "sample_temperature", "sample_dsir",
       "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",
       "seq_pack_bpe", "bpe_fertility", "dedup_report",
       "split_leakage_safe")
     val tierMid = Seq(
+      "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
+      "quality_classifier", "token_budget", "corpus_stats",
+      "cluster_topics", "sample_shuffle", "sample_perplexity",
       "dedup_exact", "dedup_canonical", "dedup_semantic", "dedup_url",
       "dedup_keep_best", "llm_prep", "decontaminate",
       "decontaminate_semantic", "contamination_report",
@@ -513,7 +520,12 @@ object Bench {
     // tiny-corpus code warm-up, EXPENSIVE-at-sf10 queries first so the
     // cap cuts only the cheap tail (a cold cheap query costs ~5 s of
     // codegen in its timed run; a cold HEAVY costs 10x its steady time)
-    warmQueries(spark, sfDir, tierHeavy ++ tier1 ++ tierNew ++ tierMid)
+    // cap 90 (was the 150 default): final-sim #2 spent 152 s warming
+    // 30/60 under contention — the saved minute buys ~8 timed tail
+    // queries and the unwarmed tail is cheap scan-bound tierMid whose
+    // first-call codegen is a few seconds
+    warmQueries(spark, sfDir, tierHeavy ++ tier1 ++ tierNew ++ tierMid,
+      capS = 90.0)
     // untimed ALLOCATION-heavy absorber with a MEASURED completion
     // precondition (r14; see absorbHeapFloor): the heap floor's one-time
     // page-fault bill (G1 region sweep faults pages on first touch of
@@ -529,10 +541,13 @@ object Bench {
     // text_quality at host_factor 2.57 vs its 5.5 s steady state,
     // which then starved the deadline guard for the whole tail. Same
     // rationale as the absorber: one-time I/O bills are not query
-    // compute and must land untimed.
+    // compute and must land untimed. The documents touch IS an
+    // untimed text_quality run at the sf10 dir, so any residual
+    // heap-fault bill the absorber's bounded retries did not sweep
+    // also lands here — the timed pass then measures steady state.
     try {
-      Tables.documents(spark, sf10Dir)
-        .write.format("noop").mode("overwrite").save()
+      SparkEntry.queries.get("text_quality").foreach(
+        _(spark, sf10Dir).write.format("noop").mode("overwrite").save())
       Tables.embeddings(spark, sf10Dir)
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
@@ -753,7 +768,13 @@ object Bench {
       val c1 = run("text_quality")
       val c2 = run("text_quality")
       canaryS += c1; canaryS += c2
-      settled = c1 <= math.max(1.5 * c2, c2 + 2.0)
+      // SYMMETRIC settlement (r14 final-sim finding): the original
+      // `c1 <= max(1.5·c2, c2+2)` only caught the bill landing in the
+      // FIRST canary — a pass-2 pair of (0.58 s, 7.40 s) declared
+      // settled and the residual ~100 s bill landed in the first timed
+      // query anyway. Both canaries must sit near the smaller one.
+      val lo = math.min(c1, c2); val hi = math.max(c1, c2)
+      settled = hi <= math.max(1.5 * lo, lo + 2.0)
       System.err.println(
         f"[bench] heap-floor absorber pass ${absorbS.size} at $dir: " +
         f"absorb ${absorbS.last}%.1fs canary $c1%.2fs/$c2%.2fs " +
