@@ -2763,6 +2763,17 @@ object Queries {
         Tables.embeddings(s, dir), k = 5, nLeg = 10)
     }),
 
+    // the production hybrid composition: same RRF fusion, but the
+    // semantic leg is the PQ-ADC index (codes-only scan) instead of
+    // brute-force floats — RRF consumes ranks only, so the leg swap
+    // needs no score calibration; oracled via the SAME pqRankedCtes
+    // replay the standalone ann_pq gate checks
+    "hybrid_retrieve_pq" -> ((s, dir) => {
+      TextAnalysis.hybridRetrieve(Tables.documents(s, dir),
+        Tables.embeddings(s, dir), k = 5, nLeg = 10,
+        semLeg = (c, q, n) => Similarity.pqTopK(c, q, n))
+    }),
+
     // MMR diversity re-rank: greedy maximal-marginal-relevance
     // selection over each query's BM25 candidates — integer RRF-unit
     // relevance minus penaltyWeight x micro-cosine to the already-
@@ -6192,6 +6203,8 @@ object Queries {
     "ann_recall_audit" -> Similarity.recallAuditOracleSql(k = 10),
 
     "hybrid_retrieve" -> TextAnalysis.hybridRetrieveOracleSql(k = 5, nLeg = 10),
+    "hybrid_retrieve_pq" ->
+      TextAnalysis.hybridRetrievePqOracleSql(k = 5, nLeg = 10),
 
     "bm25_topk" -> TextAnalysis.bm25OracleSql(),
 

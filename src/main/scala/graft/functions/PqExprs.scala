@@ -42,37 +42,134 @@ case class PqCodesExpr(child: Expression,
       acc
     }
 
+  // SQ8 fast-encode eligibility (VERDICT r14 #2): scalar quantization
+  // (1-dim subspaces) over a MONOTONE level ladder admits a
+  // closed-form-position encode — binary-search the ladder, evaluate
+  // the SAME floored micro-L2² on a ±2 window, then walk outward while
+  // candidates stay within one micro unit of the running min. Selection
+  // is bit-identical to the full ksub-way argmin (first-min-wins ties
+  // included) because the exact distance is quasi-convex in the level
+  // index for a monotone ladder, FP evaluation noise is ≪ 1 micro unit
+  // at any sane embedding magnitude (≲1e3), and the walks only stop
+  // once a value exceeds min+1 — past which monotonicity(±1-noise)
+  // bounds every remaining md strictly above the min. ~ksub/6 fewer
+  // micro-distance evals: the 256-way argmin was a deliberate 80×
+  // multiplier on the 100 TB encode scan. Non-monotone or multi-dim
+  // codebooks keep the general path (per subspace).
+  @transient private lazy val fastLadder: Array[Boolean] =
+    Array.tabulate(m) { j =>
+      var ok = sub == 1 && ksub >= 2
+      var c = 0
+      while (ok && c < ksub - 1) {
+        // NaN levels fail the comparison → general path
+        if (!(codebook(j)(c)(0) <= codebook(j)(c + 1)(0))) ok = false
+        c += 1
+      }
+      ok
+    }
+
+  /** One subspace's micro-distance — THE arithmetic both encode paths
+    * and the DuckDB replay share: floor(1e6·(⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩))
+    * with sequential double folds. For sub == 1 the folds collapse to
+    * single products, which this inlines identically (0.0 + x·x = x·x
+    * exactly). */
+  @inline private def microDist1(j: Int, c: Int, x: Double): Long =
+    math.floor((x * x - 2.0 * (x * codebook(j)(c)(0)) + centSelf(j)(c)) * 1e6)
+      .toLong
+
+  /** Closed-form-position SQ encode for a monotone 1-dim ladder —
+    * bit-identical to [[codeGeneral]] (see `fastLadder`). */
+  private def codeFast(j: Int, x: Double): Int = {
+    val cb = codebook(j)
+    // largest c with lev(c) <= x (−1 when x below the ladder)
+    var lo = 0; var hi = ksub - 1; var idx = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cb(mid)(0).toDouble <= x) { idx = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    val wLo = math.max(0, idx - 2)
+    val wHi = math.min(ksub - 1, idx + 3)
+    var best = Long.MaxValue
+    var bestC = wLo
+    var c = wLo
+    while (c <= wHi) {
+      val md = microDist1(j, c, x)
+      if (md < best) { best = md; bestC = c } // strict <: first-min-wins
+      c += 1
+    }
+    // leftward walk: a tie LEFT of the window must win (first-min-wins
+    // = lowest index among global minima); continue through ±1-micro
+    // noise plateaus, stop once strictly above best+1
+    c = wLo - 1
+    var go = c >= 0
+    while (go) {
+      val md = microDist1(j, c, x)
+      if (md < best) { best = md; bestC = c }
+      else if (md == best) bestC = c
+      go = md <= best + 1 && c > 0
+      c -= 1
+    }
+    // rightward walk: only a STRICTLY smaller md can relocate the min
+    c = wHi + 1
+    go = c < ksub
+    while (go) {
+      val md = microDist1(j, c, x)
+      if (md < best) { best = md; bestC = c }
+      go = md <= best + 1 && c < ksub - 1
+      c += 1
+    }
+    bestC
+  }
+
+  /** The full ksub-way argmin for subspace j (the original encode; the
+    * fast path must match it bit-for-bit — PqEncodeParitySpec). */
+  private[graft] def codeGeneral(j: Int, in: ArrayData): Int = {
+    val base = j * sub
+    // ⟨x,x⟩ for this subspace (sequential fold)
+    var dAA = 0.0
+    var i = 0
+    while (i < sub) {
+      val x = in.getFloat(base + i).toDouble
+      dAA += x * x
+      i += 1
+    }
+    var best = Long.MaxValue
+    var bestC = 0
+    var c = 0
+    while (c < ksub) {
+      val cent = codebook(j)(c)
+      var dAB = 0.0
+      i = 0
+      while (i < sub) {
+        dAB += in.getFloat(base + i).toDouble * cent(i)
+        i += 1
+      }
+      val md = math.floor((dAA - 2.0 * dAB + centSelf(j)(c)) * 1e6).toLong
+      if (md < best) { best = md; bestC = c } // strict <: first-min-wins
+      c += 1
+    }
+    bestC
+  }
+
   def kernel(in: ArrayData): ArrayData = {
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
-      val base = j * sub
-      // ⟨x,x⟩ for this subspace (sequential fold)
-      var dAA = 0.0
-      var i = 0
-      while (i < sub) {
-        val x = in.getFloat(base + i).toDouble
-        dAA += x * x
-        i += 1
-      }
-      var best = Long.MaxValue
-      var bestC = 0
-      var c = 0
-      while (c < ksub) {
-        val cent = codebook(j)(c)
-        var dAB = 0.0
-        i = 0
-        while (i < sub) {
-          dAB += in.getFloat(base + i).toDouble * cent(i)
-          i += 1
-        }
-        val md = math.floor((dAA - 2.0 * dAB + centSelf(j)(c)) * 1e6).toLong
-        if (md < best) { best = md; bestC = c } // strict <: first-min-wins
-        c += 1
-      }
-      out(j) = bestC
+      out(j) =
+        if (fastLadder(j)) codeFast(j, in.getFloat(j).toDouble)
+        else codeGeneral(j, in)
       j += 1
     }
+    new GenericArrayData(out)
+  }
+
+  /** Test hook: the encode with every subspace forced down the general
+    * path (fastLadder ignored). */
+  private[graft] def kernelGeneral(in: ArrayData): ArrayData = {
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) { out(j) = codeGeneral(j, in); j += 1 }
     new GenericArrayData(out)
   }
 
@@ -113,6 +210,163 @@ case class PqCodesExpr(child: Expression,
   * downstream filter is a codegen'd isNotNull, never a per-query
   * literal comparison.
   */
+/** Coarse-quantizer cell assignment — argmax cosine over the broadcast
+  * codebook in ONE reference-object kernel call per row (see
+  * [[graft.operators.Similarity.ivfTopK]] / `ivfPqTopK` / `semDedup` /
+  * `clusterTopics`, which all share this quantizer).
+  *
+  * The Column formulation (`array(nlist × cosine(emb, litArray))` then
+  * `array_position(array_max)`) is the exact expression family whose
+  * m·ksub=128-aggregate PQ-encode variant fell out of whole-stage
+  * codegen's method limits and measured 110 s interpreted vs ~3 s
+  * kernelized (see [[PqCodesExpr]]'s header). At the nlist=16 gate
+  * scale it stayed inside codegen; at production nlist (1024+) it falls
+  * out the same way — this kernel's plan size is independent of nlist
+  * (VERDICT r14 #3).
+  *
+  * Bit-parity contract with the HOF form it replaced: per centroid the
+  * cosine is [[CosineSimilarityExpr.kernel]]'s arithmetic exactly —
+  * sequential double-promoted folds for dot/‖a‖², then
+  * `dot/(sqrt·sqrt)` — with ‖b‖² precomputed per centroid (identical
+  * doubles: the same additions in the same order). Zero-norm cosines
+  * are NaN → skipped, matching
+  * `array_max` over null-element arrays; argmax is strict-greater
+  * first-max-wins, matching `array_position(s, array_max(s))`. All
+  * cosines NaN → row result null (the HOF's null cell).
+  *
+  * Returns struct(cl INT, max_sim DOUBLE) so [[graft.operators
+  * .Similarity.clusterTopics]] can floor-quantize the SAME max the
+  * assignment used. Codebook bounded by nlist·dim floats BY
+  * CONSTRUCTION (the [[PqCodesExpr]] reference-object discipline). */
+case class CoarseCellExpr(child: Expression, codebook: Array[Array[Float]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cl", IntegerType, nullable = false),
+    StructField("max_sim", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "coarse_cell"
+
+  private val nlist = codebook.length
+  // ‖c‖ precomputed once per centroid — same sequential fold as the
+  // CosineSimilarityExpr kernel accumulates nb, so sqrt(nb) is the
+  // identical double
+  @transient private lazy val centNorm: Array[Double] =
+    codebook.map { ce =>
+      var acc = 0.0; var i = 0
+      while (i < ce.length) { acc += ce(i).toDouble * ce(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+
+  def kernel(in: ArrayData): Any = {
+    val n = in.numElements()
+    var found = false
+    var best = Double.NegativeInfinity
+    var bestC = 0
+    var c = 0
+    while (c < nlist) {
+      val ce = codebook(c)
+      val len = if (ce.length < n) ce.length else n
+      var dot = 0.0; var na = 0.0
+      var i = 0
+      while (i < len) {
+        val x = in.getFloat(i).toDouble
+        dot += x * ce(i); na += x * x
+        i += 1
+      }
+      if (na != 0.0 && centNorm(c) != 0.0) {
+        val sim = dot / (math.sqrt(na) * centNorm(c))
+        if (!found || sim > best) { found = true; best = sim; bestC = c }
+      }
+      c += 1
+    }
+    if (!found) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestC, best))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("coarseCell", this,
+      "graft.functions.CoarseCellExpr")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = (InternalRow) $ref.kernel($c);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** The full coarse-centroid cosine array (one DOUBLE per centroid,
+  * null for zero-norm NaNs) — the query-probe side of the IVF family:
+  * `ivfTopK`'s nprobe selection sorts the whole sims array, so it needs
+  * the array, not just the argmax. Same reference-object discipline and
+  * the same per-centroid [[CosineSimilarityExpr.kernel]] arithmetic as
+  * [[CoarseCellExpr]] (value-identical to the nlist-cosine HOF array it
+  * replaced); the downstream sort/slice stays ordinary Catalyst, whose
+  * plan size is nlist-independent. */
+case class CoarseSimsExpr(child: Expression, codebook: Array[Array[Float]])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "coarse_sims"
+
+  private val nlist = codebook.length
+  @transient private lazy val centNorm: Array[Double] =
+    codebook.map { ce =>
+      var acc = 0.0; var i = 0
+      while (i < ce.length) { acc += ce(i).toDouble * ce(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+
+  def kernel(in: ArrayData): ArrayData = {
+    val n = in.numElements()
+    val out = new Array[Any](nlist)
+    var c = 0
+    while (c < nlist) {
+      val ce = codebook(c)
+      val len = if (ce.length < n) ce.length else n
+      var dot = 0.0; var na = 0.0
+      var i = 0
+      while (i < len) {
+        val x = in.getFloat(i).toDouble
+        dot += x * ce(i); na += x * x
+        i += 1
+      }
+      out(c) =
+        if (na == 0.0 || centNorm(c) == 0.0) null
+        else dot / (math.sqrt(na) * centNorm(c))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("coarseSims", this,
+      "graft.functions.CoarseSimsExpr")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class PqAdcExpr(codes: Expression, vecId: Expression, cell: Expression,
                      luts: Array[Array[Array[Long]]], qIds: Array[Long],
                      probeCells: Array[Array[Int]], nlist: Int)

@@ -345,7 +345,16 @@ object Sampling {
     val perDoc = occ.join(broadcast(w), Seq("b"))
       .groupBy(col("doc_id")).agg(sum(col("w")).as("w_micro"))
     // Gumbel key: u in (0,1) from the md5 draw (never 0 via +0.5),
-    // g = −ln(−ln u) micro-floored once; key = w + g
+    // g = −ln(−ln u) micro-floored once; key = w + g.
+    // Cross-engine contract (ADVICE r14): unlike the weight's single-ln
+    // discipline, g chains TWO transcendentals before its one floor, so
+    // the micro key can flip by 1 unit if the JVM's Math.log and the
+    // oracle's libm ln disagree in the last ulp on either call. Both
+    // are correctly-rounded-to-≤1-ulp on every platform this gate runs
+    // (glibc/OpenJDK StrictMath-equal on these inputs — verified by the
+    // gate itself every round: a flip would hash-mismatch sample_dsir);
+    // a port to a libm with looser ln bounds should quantize u to a
+    // fixed grid first and take both lns over exact grid points.
     val u = (conv(substring(md5(concat(lit(salt + "g:"),
         col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
       + lit(0.5)) / lit(4294967296.0)

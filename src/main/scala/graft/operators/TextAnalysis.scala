@@ -403,10 +403,23 @@ object TextAnalysis {
     * per-query window task at k·partitions rows. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, k: Int = 5,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromToks(
+      docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl")),
+      queries, k, k1, b)
+
+  /** [[bm25TopK]] over an already-tokenized scorable-unit table
+    * (doc_id, t, dl) — the single-scan composition hook: a caller that
+    * needs the token projection for OTHER purposes too (keyword-query
+    * derivation, a second retrieval leg — see [[hybridRetrieve]])
+    * materializes it once and feeds every consumer from the
+    * materialization, instead of paying one documents scan per
+    * consumer. Scoring arithmetic and plan shape identical to
+    * [[bm25TopK]] (it delegates here). */
+  def bm25TopKFromToks(toks: DataFrame, queries: DataFrame, k: Int = 5,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
     // bounded collect: two exact scalars; avgdl = ONE double division so
     // both engines share its exact value
     val statsRow = toks.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl")).head()
@@ -592,8 +605,19 @@ object TextAnalysis {
   def mmrOracleSql(k: Int = 5, nCand: Int = 12, penaltyWeight: Int = 3,
                    maxQueryId: Long = 8, nTerms: Int = 3,
                    k1: Double = 1.2, b: Double = 0.75): String = {
+    // Packed-argmin headroom (ADVICE r14): `(C − score)·K + doc_id` is
+    // injective and order-preserving only while 0 ≤ doc_id < K and
+    // score ≤ C. score = rel − penaltyWeight·microCos with
+    // rel ≤ 1e9 div 61 = 16,393,442 and |microCos| ≤ 1e6, so the score
+    // bound is static in penaltyWeight (require below); the doc_id
+    // bound is a DATA precondition — corpora with ids ≥ 1e8 need a
+    // larger K — documented here exactly like rag_retrieve's
+    // doc_id·1e6 + chunk_idx packing bound.
     val C = 32000000L
     val K = 100000000L
+    require(16393442L + penaltyWeight * 1000000L <= C,
+      s"mmrOracleSql: penaltyWeight=$penaltyWeight overflows the packed-" +
+        s"argmin score bound C=$C (max |score| = 16393442 + pw*1e6)")
     s"""WITH RECURSIVE toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS t
@@ -656,7 +680,29 @@ object TextAnalysis {
     * broadcast queries); the fusion itself touches only the legs'
     * top-nLeg outputs — ≤ 2·nLeg rows per query BY CONSTRUCTION — so
     * one small groupBy + rank window finishes the job with no
-    * partition-local pre-cut needed.
+    * partition-local pre-cut needed. The DOCUMENTS table is scanned
+    * ONCE (VERDICT r14 #4): the token projection materializes via
+    * localCheckpoint (the dsirResample lesson) and feeds the
+    * keyword-query derivation, bm25's N/avgdl aggregation AND its
+    * matched-token scan — the naive composition paid three
+    * corpus-scan-equivalent passes.
+    *
+    * `semLeg` makes the semantic leg pluggable (default: exact
+    * [[Similarity.bruteForceTopK]]; pass [[Similarity.pqTopK]] for the
+    * production composition, where the leg reads PQ codes instead of
+    * float vectors — `hybrid_retrieve_pq`). The leg contract is
+    * (corpus, queries, n) → (q_id, rk, neighbor, …): RRF consumes RANKS
+    * only, so any deterministic-rank ANN rung slots in without score
+    * calibration — that rank-only property is WHY the production stack
+    * fuses with RRF.
+    *
+    * Self-retrieval note (ADVICE r14): the legs treat the query
+    * document asymmetrically BY DESIGN — the semantic leg excludes
+    * self (an embedding always retrieves itself at sim 1.0, carrying
+    * zero information), while the lexical leg keeps it (a keyword
+    * query is NOT the document; the source doc winning its own keywords
+    * is a legitimate — and for audit queries, desired — retrieval).
+    * The oracle replays the same asymmetry.
     *
     * BATCH-ONLY by boundary, inherited from [[bm25TopK]]: the lexical
     * leg's df/avgdl are corpus-wide state no bounded scan-side kernel
@@ -664,13 +710,24 @@ object TextAnalysis {
     * different operator. */
   def hybridRetrieve(docs: DataFrame, emb: DataFrame, k: Int = 5,
                      nLeg: Int = 10, k0: Int = 60, maxQueryId: Long = 8,
-                     nTerms: Int = 3): DataFrame = {
+                     nTerms: Int = 3,
+                     semLeg: (DataFrame, DataFrame, Int) => DataFrame =
+                       (c, q, n) => Similarity.bruteForceTopK(c, q, n))
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lex = bm25TopK(docs, "doc_id", "text",
-        keywordQueries(docs, "doc_id", "text", maxQueryId, nTerms), k = nLeg)
+    // ONE documents scan: tokenize once, materialize, feed everything
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+      .localCheckpoint()
+    // keywordQueries' derivation over the materialized tokens (same
+    // values: that helper tokenizes with the same tokens() kernel)
+    val qs = toks.filter(col("doc_id") < maxQueryId)
+      .select(col("doc_id").as("query_id"),
+        array_distinct(slice(col("t"), 1, nTerms)).as("qt"))
+    val lex = bm25TopKFromToks(toks, qs, k = nLeg)
       .select(col("query_id"), col("doc_id"), col("rk"))
-    val sem = Similarity.bruteForceTopK(emb,
-        emb.filter(col("vec_id") < maxQueryId), nLeg)
+    val sem = semLeg(emb, emb.filter(col("vec_id") < maxQueryId), nLeg)
       .select(col("q_id").as("query_id"), col("neighbor").as("doc_id"),
         col("rk"))
     val fused = lex.unionByName(sem)
@@ -711,6 +768,40 @@ object TextAnalysis {
        |  (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk FROM esims),
        |sem AS (SELECT q_id AS query_id, neighbor AS doc_id, rk
        |        FROM eranked WHERE rk <= $nLeg),
+       |uni AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(1000000000 // ($k0 + rk)) AS BIGINT) AS rrf_micro,
+       |    count(*) AS n_legs
+       |  FROM uni GROUP BY 1, 2),
+       |fr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rk
+       |  FROM fused)
+       |SELECT query_id, rk, doc_id, rrf_micro, n_legs
+       |FROM fr WHERE rk <= $k""".stripMargin
+
+  /** DuckDB oracle for the `hybrid_retrieve_pq` composition: the same
+    * [[bm25ScoringSql]] lexical replay fused with the PQ semantic leg
+    * replayed via [[Similarity.pqRankedCtes]] — the IDENTICAL CTE chain
+    * the standalone `ann_pq` oracle checks, so the fused and standalone
+    * PQ legs can never drift (the recallAuditOracleSql sharing
+    * discipline). */
+  def hybridRetrievePqOracleSql(k: Int = 5, nLeg: Int = 10, k0: Int = 60,
+                                maxQueryId: Int = 8, nTerms: Int = 3,
+                                m: Int = 8, ksub: Int = 16, dim: Int = 64,
+                                k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[\\s\\x0B]+'), x -> x <> '') AS t
+       |  FROM documents),
+       |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |q AS (SELECT doc_id AS query_id, unnest(list_distinct(t[1:$nTerms])) AS term
+       |      FROM toks WHERE doc_id < $maxQueryId),
+       |${bm25ScoringSql("doc_id", nLeg, k1, b)},
+       |lex AS (SELECT query_id, doc_id, rk FROM r WHERE rk <= $nLeg),
+       |${Similarity.pqRankedCtes(m, ksub, dim, maxQueryId)},
+       |sem AS (SELECT q_id AS query_id, neighbor AS doc_id, rk
+       |        FROM ranked WHERE rk <= $nLeg),
        |uni AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
        |fused AS (
        |  SELECT query_id, doc_id,

@@ -277,4 +277,53 @@ class KernelParitySpec extends SparkSpec {
       assert(got == want, s"text=$text spans=$spans got=$got want=$want")
     }
   }
+
+  test("CoarseCellExpr/CoarseSimsExpr == the nlist-cosine HOF formulation") {
+    // the IVF-family quantizer kernel (VERDICT r14 #3) vs the
+    // array(nlist × cosine(emb, lit-array)) + array_position(array_max)
+    // Column tree it replaced — per-element doubles, argmax index, and
+    // the zero-norm → null convention must all match bit-for-bit
+    val dim = 16
+    val nlist = 7
+    val cents: Array[Array[Float]] = Array.tabulate(nlist, dim) { (c, d) =>
+      var z = c * 2654435761L + d * 40503L + 5
+      z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+      z.toFloat / Long.MaxValue
+    }
+    // a zero-norm centroid exercises the NaN-skip convention
+    cents(3) = Array.fill(dim)(0f)
+    val rows = (0 until 200).map { id =>
+      val v =
+        if (id == 57) Array.fill(dim)(0f) // zero-norm row → null cell
+        else Array.tabulate(dim) { d =>
+          var z = id * 7919L + d * 104729L + 3
+          z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+          z.toFloat / Long.MaxValue
+        }
+      (id.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val hofSims = array(cents.map(ce =>
+      graft.operators.Similarity.cosine(col("embedding"), array(ce.map(lit): _*))): _*)
+    val want = df.select(col("vec_id"),
+        (array_position(hofSims, array_max(hofSims)) - 1).cast("int").as("cl"),
+        array_max(hofSims).as("ms"), hofSims.as("sims"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getSeq[Any](3)))
+    val cc = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CoarseCellExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")), cents))
+    val cs = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CoarseSimsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")), cents))
+    val got = df.select(col("vec_id"), cc.getField("cl").as("cl"),
+        cc.getField("max_sim").as("ms"), cs.as("sims"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2),
+        r.getSeq[Any](3)))
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -389,6 +389,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(out.count() == 1024 * 2)
   }
 
+  test("ivfTopK: plan size independent of nlist (1024 cells compile)") {
+    // the CoarseCellExpr contract (VERDICT r14 #3): a 1024×64 codebook
+    // rides in ONE reference object — the nlist-cosine HOF array this
+    // replaced would emit 1024 interpreted aggregate subtrees (the
+    // PqCodesExpr 110 s lesson, on the cell-assignment side)
+    import spark.implicits._
+    val rows = (0 until 400).map { id =>
+      (id.toLong, Array.tabulate(64)(d =>
+        (((id * 41 + d * 89) % 991) / 991.0f)).toSeq)
+    }
+    // via parquet — a LocalRelation corpus would let
+    // ConvertToLocalRelation fold the assignment projection away and
+    // the pin would assert against an empty plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_pin").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+    val c = spark.read.parquet(dir)
+    val cb: Array[Array[Float]] = Array.tabulate(1024, 64) { (i, d) =>
+      (((i * 53 + d * 71) % 1009) / 1009.0f)
+    }
+    val out = operators.Similarity.ivfTopK(
+      c, c.filter(col("vec_id") < 4), k = 2,
+      nlist = 1024, nprobe = 64, codebook = Some(cb))
+    val p = out.queryExecution.explainString(FormattedMode)
+    assert(p.contains("coarse_cell") && p.contains("coarse_sims"),
+      "cell assignment and probe sims must ride the kernels")
+    assert(out.count() > 0)
+  }
+
   test("dedup_snapshot: bloom predicate is scan-side; only hits reach the anti-join") {
     // the bloom branch must be a plain codegen'd predicate (no join, no
     // exchange) — that is the whole point: definite-new rows pass with
