@@ -341,6 +341,15 @@ class PlanAuditSpec extends SparkSpec {
       "no corpus-sized join side may shuffle")
     assert(p.contains("BroadcastHashJoin"),
       "legs' broadcast contracts must survive the composition")
+    // single-scan contract (VERDICT r14 #4): the token projection
+    // materializes once (localCheckpoint) and feeds the queries, the
+    // avgdl agg AND the matched scan — documents.parquet must appear in
+    // ZERO scans of this plan (the checkpoint RDD replaces them; the
+    // naive composition had three corpus-scan-equivalent passes)
+    assert(!p.contains("documents.parquet"),
+      "documents must be read via the one materialized token projection")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "the checkpointed token projection must feed the legs")
   }
 
   test("bm25_topk: query terms broadcast; no cartesian; combinable aggs") {
