@@ -448,14 +448,27 @@ object Bench {
     "dedup_verified", "dedup_clusters_verified",
     "decontaminate_fuzzy", "dedup_lines",
     "ann_cosine", "ann_lsh", "ann_ivf", "emb_stats")
-  private val tierNew = Seq(
-    "hybrid_retrieve_pq",
-    "ann_pq", "ann_ivfpq", "ann_sq8", "ann_hamming", "ann_recall_audit",
-    "bm25_topk", "rag_retrieve", "hybrid_retrieve", "mmr_rerank",
-    "chunk_tokens_bpe", "sample_temperature", "sample_dsir",
-    "tokenize_bpe", "token_budget_bpe", "corpus_stats_bpe",
-    "seq_pack_bpe", "bpe_fertility", "dedup_report",
+  // tierNew is split CHEAP/HEAVY (r15 sims #1-#2: the section's usable
+  // window under 5-8.6x contention is 100-300 s; sim #1 put
+  // hybrid_retrieve_pq's 57 s checkpoint ahead of the sub-2s ANN/BPE
+  // entries and landed 4 mandate entries where ~15 fit; sim #2 fixed
+  // that but the retrieval mid-weights (sample_dsir 98.6 s, hybrid
+  // 47.1) then starved the FLAGSHIP tier out entirely). Scan-bound
+  // round-new kernels run first (most mandate entries per second),
+  // the flagship tier second, the retrieval/composition mid-weights
+  // third — under a squeeze the artifact keeps the cheap round-new
+  // set AND the flagship entries, shedding the expensive round-new
+  // tail before either.
+  private val tierNewCheap = Seq(
+    "ann_pq", "ann_ivfpq", "ann_sq8", "ann_hamming", "ann_hamming_rerank",
+    "tokenize_bpe", "chunk_tokens_bpe", "sample_temperature",
+    "token_budget_bpe", "corpus_stats_bpe", "seq_pack_bpe",
+    "bpe_fertility", "dedup_report")
+  private val tierNewHeavy = Seq(
+    "hybrid_retrieve_pq", "ann_recall_audit", "bm25_topk",
+    "hybrid_retrieve", "mmr_rerank", "sample_dsir", "rag_retrieve",
     "split_leakage_safe")
+  private def tierNew = tierNewCheap ++ tierNewHeavy
   private val tierMid = Seq(
     "dedup_snapshot", "dedup_snapshot_fuzzy", "ngram_hot",
     "quality_classifier", "token_budget", "corpus_stats",
@@ -488,7 +501,8 @@ object Bench {
     // the tail — the ~15 round-new queries cost ~90 s total and their
     // artifact presence is the round mandate. text_quality stays first
     // as the scan warm-up.
-    val names = Seq("text_quality") ++ tierNew ++ tier1.filterNot(_ == "text_quality") ++
+    val names = Seq("text_quality") ++ tierNewCheap ++
+      tier1.filterNot(_ == "text_quality") ++ tierNewHeavy ++
       tierMid ++ tierHeavy
     // NO in-section context restarts (r13, branch deleted r14 — ADVICE):
     // the r12 in-section inflation was JVM-level; in the fresh
@@ -503,13 +517,24 @@ object Bench {
     // observed cheap-query time under contention ~10 s), and the guard
     // re-checks ACTUAL remaining wall before every query, so the only
     // exposure is one final query overshooting into the child's 180 s
-    // grace. Queries without an sf1 point keep a conservative flat
+    // grace. Queries WITHOUT an sf1 anchor fall back by TIER (r15 sim
+    // #1: heavy contention shed the whole sf1 section, every needS
+    // degraded to the old flat 160, and the flat estimate then shed
+    // the sub-10s mandate queries it was supposed to protect — 4/21
+    // mandate entries timed where ~15 fit): mandate-tier queries are
+    // round-new kernels measured sub-10s at sf10 post-kernel-fix → 60
+    // covers them at 5x contention; mid/heavy keep the conservative
     // 160. The guard also holds back `reserveS` for the sf100
     // micro-spot that follows this section (VERDICT r12 #4: the spot
     // is worth two sf10 tail queries).
+    val cheapFallbackSet = (tierNewCheap :+ "text_quality").toSet
+    val midFallbackSet = (tierNewHeavy ++ tier1).toSet
     def needS(n: String): Double =
       sf1Times.get(n).map(t => (t * 13.0).max(25.0).min(300.0))
-        .getOrElse(160.0)
+        .getOrElse(
+          if (cheapFallbackSet.contains(n)) 60.0
+          else if (midFallbackSet.contains(n)) 120.0
+          else 160.0)
     val spark = spark0
     val sf10Dir = synthesizeSf10(spark, sfDir)
     // `shared` = running inside child_scale AFTER the sf1 section: the
@@ -652,7 +677,7 @@ object Bench {
     "dedup_keep_best",
     // ANN / embeddings
     "ann_cosine", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq", "ann_sq8",
-    "ann_hamming", "ann_recall_audit",
+    "ann_hamming", "ann_hamming_rerank", "ann_recall_audit",
     "emb_neardup", "emb_stats", "cluster_topics",
     // text-analysis aggregations and model scoring
     "tfidf_topk", "bm25_topk", "rag_retrieve", "hybrid_retrieve",
@@ -923,8 +948,13 @@ object Bench {
         // same JVM on the same host.
         val sf100Reserve = sys.env
           .getOrElse("SPARK_GRAFT_SF100_RESERVE", "250").toDouble
+        // stream_* stays COLD in the warm pass (r15 sim #1: the warm
+        // loop ran 194 s against its 120 cap — AvailableNow checkpoint
+        // setup is expensive at ANY corpus size and the sf1 stream
+        // entries have always been cold-code numbers anyway)
         warmQueries(spark, sfDir,
-          (tierHeavy ++ tier1 ++ tierNew ++ tierMid ++ sf1Names).distinct,
+          (tierHeavy ++ tier1 ++ tierNew ++ tierMid ++ sf1Names)
+            .distinct.filterNot(_.startsWith("stream_")),
           capS = 120.0)
         val sf1Dir = synthesizeSf1(spark, sfDir)
         val prepJson = absorbHeapFloor(spark, sf1Dir)

@@ -2700,6 +2700,17 @@ object Queries {
       Similarity.hammingTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
 
+    // two-stage quantized retrieval: binary sign codes nominate nCand
+    // candidates per query (8 B/vector scan), exact cosine re-scores
+    // only the |q|·nCand candidate rows — the production rerank
+    // composition that recovers the recall binary codes trade away
+    // while keeping the corpus scan byte-bound
+    "ann_hamming_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hammingRerankTopK(emb, emb.filter(col("vec_id") < 8),
+        k = 5, nCand = 20)
+    }),
+
     // recall@k audit of the PQ index vs the exact ranking — the metric
     // a platform measures before committing a corpus to an index
     // layout; both legs are the existing oracled operators, so the
@@ -6199,6 +6210,8 @@ object Queries {
     "ann_sq8" -> Similarity.sq8OracleSql(k = 5, dim = 64, nlevels = 256),
 
     "ann_hamming" -> Similarity.hammingOracleSql(k = 5, dim = 64),
+    "ann_hamming_rerank" ->
+      Similarity.hammingRerankOracleSql(k = 5, nCand = 20, dim = 64),
 
     "ann_recall_audit" -> Similarity.recallAuditOracleSql(k = 10),
 

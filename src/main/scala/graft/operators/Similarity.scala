@@ -687,6 +687,75 @@ object Similarity {
        |SELECT q_id, rk, neighbor, hamming FROM ranked WHERE rk <= $k""".stripMargin
   }
 
+  /** Two-stage quantized retrieval — binary candidate generation +
+    * exact re-rank, the production composition every compressed rung
+    * feeds at scale: [[hammingTopK]] scans 8 bytes/vector to nominate
+    * `nCand` candidates per query, then exact cosine re-scores ONLY
+    * the |q|·nCand candidate rows (broadcast back onto one corpus
+    * scan). At 100 TB the float embeddings are touched for a few
+    * hundred rows per query instead of the corpus — the rerank stage
+    * recovers most of the recall the binary codes trade away while
+    * keeping the scan byte-bound.
+    *
+    * Determinism: stage 1 is integer-exact by construction (sign
+    * codes, popcount, ties by neighbor); stage 2 ranks on the same
+    * round-4 cosine + neighbor tie-break as [[bruteForceTopK]] — the
+    * DuckDB oracle replays both stages. Recall < 1 vs exact search is
+    * the operator contract (bounded by stage 1's candidate recall;
+    * [[annRecallAudit]]'s methodology applies). */
+  def hammingRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+                        nCand: Int = 20, dim: Int = 64): DataFrame = {
+    val cands = hammingTopK(corpus, queries, k = nCand, dim = dim)
+      .select(col("q_id"), col("neighbor"))
+    val qEmb = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    // both joins broadcast the SMALL side (|q|·nCand candidate rows,
+    // |q| query embeddings) against the one corpus scan
+    val rescored = corpus.select(col("vec_id").as("neighbor"),
+        col("embedding").as("n_emb"))
+      .join(broadcast(cands), Seq("neighbor"))
+      .join(broadcast(qEmb), Seq("q_id"))
+      .withColumn("sim", round(cosine(col("q_emb"), col("n_emb")), 4))
+    topKPerQuery(rescored.select(col("q_id"), col("neighbor"), col("sim")), k)
+  }
+
+  /** DuckDB oracle for [[hammingRerankTopK]]: the [[hammingOracleSql]]
+    * CTE chain truncated at nCand feeds an exact-cosine re-rank —
+    * stage 2 uses the same round-4 + neighbor tie-break as the
+    * ann_cosine replay. */
+  def hammingRerankOracleSql(k: Int = 5, nCand: Int = 20, dim: Int = 64,
+                             maxQueryId: Long = 8): String = {
+    def word(from: Int, until: Int): String =
+      if (until <= from) "0"
+      else (from until until).map(d =>
+        s"(CASE WHEN embedding[${d + 1}] >= 0 THEN ${1L << (d - from)} ELSE 0 END)")
+        .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id,
+       |    CAST(${word(0, math.min(32, dim))} AS BIGINT) AS clo,
+       |    CAST(${word(32, dim)} AS BIGINT) AS chi
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, clo AS qlo, chi AS qhi FROM b
+       |      WHERE vec_id < $maxQueryId),
+       |hd AS (
+       |  SELECT q.q_id, c.vec_id AS neighbor,
+       |    CAST(bit_count(xor(c.clo, q.qlo)) +
+       |         bit_count(xor(c.chi, q.qhi)) AS BIGINT) AS hamming
+       |  FROM b c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+       |hranked AS (SELECT *, row_number() OVER
+       |  (PARTITION BY q_id ORDER BY hamming, neighbor) AS hrk FROM hd),
+       |cand AS (SELECT q_id, neighbor FROM hranked WHERE hrk <= $nCand),
+       |rescored AS (
+       |  SELECT cand.q_id, cand.neighbor,
+       |    round(list_cosine_similarity(qe.embedding, ne.embedding), 4) AS sim
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.q_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor),
+       |rr AS (SELECT *, row_number() OVER
+       |  (PARTITION BY q_id ORDER BY sim DESC, neighbor) AS rk FROM rescored)
+       |SELECT q_id, rk, neighbor, sim FROM rr WHERE rk <= $k""".stripMargin
+  }
+
   /** Recall@k audit of the compressed index against the exact ranking —
     * THE metric a platform measures before committing 100 TB to an
     * index layout (every compressed rung trades recall for scan bytes;

@@ -305,6 +305,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("bit_count"), "distance must be the popcount expression")
   }
 
+  test("ann_hamming_rerank: candidate set broadcasts back onto one corpus scan") {
+    // the rerank contract: stage 2 must touch float embeddings for the
+    // |q|·nCand candidate rows only — the candidate and query-embedding
+    // joins BROADCAST their small sides against the one corpus scan; a
+    // shuffled join here would exchange the corpus for a 160-row probe
+    val p = plan("ann_hamming_rerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate join-back must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "no corpus-sized join side may shuffle")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("bit_count"),
+      "stage 1 must be the popcount candidate generator")
+  }
+
   test("ann_recall_audit: both legs keep their shapes; the intersection join broadcasts") {
     // the audit composes two already-pinned legs; the only NEW join is
     // the |q|·k-row intersection, which must broadcast — a shuffled

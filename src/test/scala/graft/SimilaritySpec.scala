@@ -336,6 +336,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hamming rerank: candidates re-rank by exact cosine; full-width candidates equal brute force") {
+    val q = corpus.filter(col("vec_id") < 4)
+    // nCand = corpus size ⇒ stage 1 nominates everything ⇒ the rerank
+    // IS brute force (same round-4 cosine + neighbor tie-break)
+    val full = Similarity.hammingRerankTopK(corpus, q, k = 5, nCand = 300)
+      .select("q_id", "rk", "neighbor").as[(Long, Int, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(corpus, q, k = 5)
+      .select("q_id", "rk", "neighbor").as[(Long, Int, Long)].collect().toSet
+    assert(full == exact)
+    // narrow candidates: every result must come from stage 1's
+    // candidate set, ordered by exact sim within each query
+    val cands = Similarity.hammingTopK(corpus, q, k = 20)
+      .select("q_id", "neighbor").as[(Long, Long)].collect().toSet
+    val got = Similarity.hammingRerankTopK(corpus, q, k = 5, nCand = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.forall(t => cands.contains((t._1, t._3))))
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byRk = rows.toSeq.sortBy(_._2).map(_._4)
+      assert(byRk.zip(byRk.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("recall audit: PQ recall matches the manual leg intersection") {
     val q = corpus.filter(col("vec_id") < 4)
     val k = 10
