@@ -529,12 +529,22 @@ object Bench {
     // is worth two sf10 tail queries).
     val cheapFallbackSet = (tierNewCheap :+ "text_quality").toSet
     val midFallbackSet = (tierNewHeavy ++ tier1).toSet
-    def needS(n: String): Double =
-      sf1Times.get(n).map(t => (t * 13.0).max(25.0).min(300.0))
+    // mandate-tier estimates clamp at 180, not 300 (r15 sim #3: one
+    // contention burst during sf1 put dedup_verified at 74.9 s — 8.5x
+    // its steady state — and the 13x-scaled 300-clamped estimate then
+    // shed the FLAGSHIP entry from sf10; every mandate query has
+    // measured ≤55 s at sf10 across three rehearsals, so 180 still
+    // carries 3x margin while keeping one bad sf1 sample from vetoing
+    // a mandate entry)
+    def needS(n: String): Double = {
+      val cap = if (cheapFallbackSet.contains(n) ||
+        midFallbackSet.contains(n)) 180.0 else 300.0
+      sf1Times.get(n).map(t => (t * 13.0).max(25.0).min(cap))
         .getOrElse(
           if (cheapFallbackSet.contains(n)) 60.0
           else if (midFallbackSet.contains(n)) 120.0
           else 160.0)
+    }
     val spark = spark0
     val sf10Dir = synthesizeSf10(spark, sfDir)
     // `shared` = running inside child_scale AFTER the sf1 section: the
@@ -1241,10 +1251,16 @@ object Bench {
     // sf100 heavies — the mandate set (round-new + flagship sf10
     // entries + ≥3 sf100 spots) is the FIRST claimant, not the
     // residual one.
+    // per-query 1.6 s covers warm-up + trials for the cheap tail and
+    // amortizes the curated head's 5-6 s full runs; the cap keeps a
+    // contended host from starving the child below its mandate floor
+    // (r15 sim #3: a 1.15 s/query reserve at host_factor 1.64 pushed
+    // 212 of 235 queries into lean mode — comparability prefers FULL
+    // medians whenever the host allows)
     val nQAll = SparkEntry.queries.size
     val hostFNow = if (trialMed > 0) hostRefMsgsPerSec / trialMed else 1.5
-    val mainReserveS = math.min(600.0, math.max(280.0,
-      nQAll * 1.15 * math.min(math.max(hostFNow, 1.0), 2.5) + 45.0))
+    val mainReserveS = math.min(620.0, math.max(320.0,
+      nQAll * 1.6 * math.min(math.max(hostFNow, 1.0), 2.2) + 45.0))
 
     // ---- standalone qscale section (VERDICT r14 #6; bench-only)
     if (args.contains("qscale")) {
@@ -1369,10 +1385,21 @@ object Bench {
     var fullDone = 0
     var fullSpentS = 0.0
     var qIdx = 0
+    val curatedCount = ordered.count(q => sf1Names.contains(q._1))
     val results = ordered.map { case (name, fn) =>
       val remQ = ordered.size - qIdx
+      // projection blends the two populations (r15 sim #3: the
+      // expensive curated head runs first, and projecting the cheap
+      // ~160-query tail at the head's 5-6 s average tipped 212 queries
+      // into lean mode at host_factor 1.64): remaining curated queries
+      // at the measured full-mode average, the stable scan-bound tail
+      // at min(avg, 1.6 s)
+      val remCurated = math.max(0, curatedCount - qIdx)
+      val remTail = remQ - remCurated
       val avgFullS = if (fullDone > 0) fullSpentS / fullDone else 2.2
-      val lean = isDriverRun && remainingS < remQ * avgFullS * 1.05
+      val projFullS = remCurated * avgFullS +
+        remTail * math.min(avgFullS, 1.6)
+      val lean = isDriverRun && remainingS < projFullS * 1.05
       val q0 = System.nanoTime()
       val trials = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
