@@ -2797,11 +2797,21 @@ object Queries {
 
     "rag_retrieve" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val chunks = Sampling.chunkByTokens(docs, "doc_id", "text",
+      // single-scan composition (r15, the hybrid_retrieve cure applied
+      // here too): bm25TopK's corpus-stats agg and its matched-token
+      // scan each rebuilt + re-tokenized EVERY chunk window — the
+      // chunk explode is the most expensive projection in the engine,
+      // and it ran twice. Materialize the (pid, t, dl) chunk token
+      // projection once (localCheckpoint, the dsirResample lesson) and
+      // feed bm25TopKFromToks — scoring arithmetic identical, oracle
+      // unchanged.
+      val ctoks = Sampling.chunkByTokens(docs, "doc_id", "text",
           chunkTokens = 64, overlapTokens = 16)
-        .select((col("doc_id") * lit(1000000L) + col("chunk_idx")).as("pid"),
-          col("chunk_text"))
-      TextAnalysis.bm25TopK(chunks, "pid", "chunk_text",
+        .select((col("doc_id") * lit(1000000L) + col("chunk_idx")).as("doc_id"),
+          TextAnalysis.tokens(col("chunk_text")).as("t"))
+        .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
+        .localCheckpoint()
+      TextAnalysis.bm25TopKFromToks(ctoks,
           TextAnalysis.keywordQueries(docs, "doc_id", "text"))
         .select(col("query_id"), col("rk"),
           expr("doc_id div 1000000").as("doc_id"),

@@ -654,3 +654,103 @@ case class EvalContamExpr(child: Expression, evalIds: Array[Long],
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** Content-selected duplicate-detection windows — every W-CHAR sliding
+  * window of the text whose md5 hex digest ends in '0' (the 1/16
+  * content-defined selection of Dedup.substringDupSpans), in one pass.
+  *
+  * Value-identical to the declarative form
+  * `filter(transform(sequence(1, length(t)-W+1), i -> substring(t,i,W)),
+  *         w -> substring(md5(w),32,1) = '0')`
+  * (SelectWindowsParitySpec) but never materializes the discarded 15/16:
+  * the transform/explode/filter chain allocates EVERY window string —
+  * ~W× the corpus bytes — before the md5 filter throws most of them
+  * away, and that allocation (not the shuffle, which only carries
+  * survivors' groupBy) dominated the dedup_substring scan stage. Here
+  * each window is hashed straight out of the text's UTF-8 buffer (two
+  * byte cursors advancing one code point per step, exactly Spark's
+  * substring() character semantics) and only survivors allocate.
+  *
+  * The md5-ends-in-'0' predicate is ON-CONTRACT (oracle-replayed):
+  * selection must depend only on the window bytes so both copies of any
+  * duplicated span ≥ W+15 chars keep identical windows. Only the
+  * evaluation strategy changes; java.security md5 == Spark md5() ==
+  * DuckDB md5 byte-for-byte. */
+case class SelectWindowsExpr(child: Expression, window: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(window > 0, "SelectWindowsExpr: window must be positive")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "select_windows"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SelectWindowsExpr.kernel(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SelectWindowsExpr$$.MODULE$$.kernel($c, $window);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SelectWindowsExpr {
+  // MessageDigest is stateful; one instance per thread, reset per window
+  private val md5TL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** UTF-8 byte width of the code point starting with byte `b` —
+    * exactly Spark's UTF8String.numBytesForFirstByte table (invalid
+    * first bytes 0x80–0xC1 and 0xF5–0xFF count 1), so char stepping
+    * matches length()/substring() bit-for-bit on ANY byte sequence. */
+  private def cpWidth(b: Byte): Int = {
+    val u = b & 0xFF
+    if (u < 0xC2) 1 // ASCII, continuation bytes, overlong 0xC0/0xC1
+    else if (u < 0xE0) 2
+    else if (u < 0xF0) 3
+    else if (u < 0xF5) 4
+    else 1 // 0xF5+ disallowed in UTF-8
+  }
+
+  def kernel(text: UTF8String, window: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    // advance `end` over `window` code points; shorter text -> no windows
+    var end = 0
+    var chars = 0
+    while (chars < window && end < nBytes) {
+      end += cpWidth(bytes(end)); chars += 1
+    }
+    if (chars < window || end > nBytes)
+      return new GenericArrayData(Array.empty[Any])
+    val md = md5TL.get()
+    val out = new java.util.ArrayList[Any]()
+    var start = 0
+    var done = false
+    while (!done) {
+      md.reset()
+      md.update(bytes, start, end - start)
+      val dig = md.digest()
+      if ((dig(15) & 0x0F) == 0)
+        out.add(UTF8String.fromBytes(bytes, start, end - start))
+      if (end >= nBytes) done = true
+      else {
+        start += cpWidth(bytes(start))
+        end += cpWidth(bytes(end))
+        // a truncated trailing code point would step past the buffer:
+        // stop at the last FULL window, as substring(i, W) with full
+        // windows from sequence(1, n-W+1) does
+        if (end > nBytes) done = true
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -869,13 +869,15 @@ object Dedup {
     */
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
                         window: Int = 120, cap: Int = 100): DataFrame = {
-    // sequence(1, 0) DESCENDS in Spark, so short docs need the guard
-    val wcol = explode(expr(
-      s"CASE WHEN length($textCol) < $window THEN array() " +
-      s"ELSE transform(sequence(1, length($textCol) - ${window - 1}), " +
-      s"i -> substring($textCol, i, $window)) END"))
+    // one-pass kernel: hash every W-char window straight out of the
+    // UTF-8 buffer and emit ONLY the md5-selected 1/16 (r15; the
+    // declarative transform-all-windows + filter form allocated ~W×
+    // the corpus in discarded window strings — value parity pinned by
+    // SelectWindowsParitySpec, selection contract unchanged/oracled)
+    val wcol = explode(org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SelectWindowsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)), window)))
     df.select(col(idCol).as("doc"), wcol.as("w"))
-      .filter(substring(md5(col("w")), 32, 1) === "0")
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("doc")).as("ndocs"),
