@@ -18,7 +18,7 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(5)
     val which = if (args.length > 1) args.drop(1).toSet
-                else Set("windows", "windows_long", "rag")
+                else Set("windows", "windows_long", "rag", "dsir")
     val spark = GraftSession("local[" +
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]", "graft-kernelbench")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,6 +64,55 @@ object KernelBench {
         operators.TextAnalysis.keywordQueries(docs, "doc_id", "text"))
     }
 
+    // sample_dsir: the pre-r15 form (exploded occurrence checkpoint,
+    // broadcast-join weight probe, corpus-sized groupBy(doc_id)) vs the
+    // r15 form (bucket-array checkpoint, scan-side weight kernel) —
+    // both end-to-end through the per-shard Gumbel-top-k window
+    def dsirOld = {
+      import org.apache.spark.sql.expressions.Window
+      val (buckets, nShards, targetFrac, salt) = (4096, 16, 0.25, "dsir")
+      val staged = docs.select(col("doc_id"),
+        operators.TextAnalysis.tokens(col("text")).as("toks"),
+        (length(col("text")) % 2 === 0).as("is_target"))
+      val bucketArr = transform(
+        concat(col("toks"), operators.TextAnalysis.wordNgrams(col("toks"), 2)),
+        g => pmod(operators.QualityClassifier.fnv64(g), lit(buckets.toLong)))
+      val occ = staged.select(col("doc_id"), col("is_target"),
+        explode(bucketArr).as("b")).localCheckpoint()
+      val t = occ.agg(sum(when(col("is_target"), 1L).otherwise(0L)),
+        count(lit(1))).head()
+      val (totT, totS) = (t.getLong(0), t.getLong(1))
+      val w = occ.groupBy(col("b"))
+        .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"),
+          count(lit(1)).as("n_s"))
+        .select(col("b"),
+          floor(log(((col("n_t") + 1).cast("double") *
+              lit((totS + buckets).toDouble)) /
+            ((col("n_s") + 1).cast("double") * lit((totT + buckets).toDouble)))
+            * 1e6).cast("long").as("w"))
+      val perDoc = occ.join(broadcast(w), Seq("b"))
+        .groupBy(col("doc_id")).agg(sum(col("w")).as("w_micro"))
+      val u = (conv(substring(md5(concat(lit(salt + "g:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+        + lit(0.5)) / lit(4294967296.0)
+      val shard = (conv(substring(md5(concat(lit(salt + "shard:"),
+          col("doc_id").cast("string"))), 1, 2), 16, 10).cast("long")
+        % nShards).cast("int")
+      val keyed = perDoc.withColumn("shard", shard)
+        .withColumn("key_micro",
+          col("w_micro") + floor(-log(-log(u)) * 1e6).cast("long"))
+      val win = Window.partitionBy(col("shard"))
+        .orderBy(col("key_micro").desc, col("doc_id"))
+      val cntWin = Window.partitionBy(col("shard"))
+      keyed.withColumn("__rk", row_number().over(win))
+        .withColumn("__n", count(lit(1)).over(cntWin))
+        .select(col("doc_id"), col("shard"), col("w_micro"), col("key_micro"),
+          (col("__rk") <= floor(col("__n").cast("double") * lit(targetFrac))
+            .cast("long")).as("kept"))
+    }
+    def dsirNew = operators.Sampling.dsirResample(docs, "doc_id", "text",
+      targetPred = length(col("text")) % 2 === 0)
+
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -92,6 +141,7 @@ object KernelBench {
     if (which("windows_long")) run("select_windows_8x_docs",
       declWindows(longDocs), kernWindows(longDocs))
     if (which("rag")) run("rag_single_scan", ragOld, ragNew)
+    if (which("dsir")) run("dsir_scan_side_weights", dsirOld, dsirNew)
     spark.stop()
   }
 }

@@ -754,3 +754,46 @@ object SelectWindowsExpr {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Σ weights(b) over a hashed-feature bucket array, with multiplicity —
+  * the per-document DSIR importance weight as ONE scan-side kernel.
+  * Replaces `explode(bs) ⋈ broadcast(weightTable) → groupBy(doc_id).sum`:
+  * the weight table is ≤ `buckets` rows BY CONSTRUCTION (feature
+  * hashing — the same boundedness argument that made it broadcast-safe
+  * makes it a reference object), so the per-doc sum needs neither the
+  * exploded occurrence rows, nor the join probe, nor a corpus-sized
+  * groupBy shuffle. Long addition is order-free, so summing in array
+  * order is bit-identical to the groupBy sum of joined rows. Null
+  * elements cannot occur (pmod of fnv64 over non-null grams).
+  */
+case class BucketWeightSumExpr(child: Expression, weights: Array[Long])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bucket_weight_sum"
+
+  def kernel(bs: ArrayData): Long = {
+    var s = 0L
+    var i = 0
+    val n = bs.numElements()
+    while (i < n) { s += weights(bs.getLong(i).toInt); i += 1 }
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bucketWeightSum", this,
+      "graft.functions.BucketWeightSumExpr")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

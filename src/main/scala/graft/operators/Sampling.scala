@@ -288,12 +288,19 @@ object Sampling {
     *    global row_number — the rank window shuffles once on the shard
     *    key and sorts (key, id) pairs, text never rides it.
     *
-    * Scale shape: totals are a 2-scalar collect; per-bucket counts are
-    * one combinable groupBy with ≤ `buckets` output rows; the weight
-    * table broadcast is bounded BY CONSTRUCTION (feature hashing, the
-    * classifier's argument); the only corpus-sized shuffles are the
-    * per-doc weight groupBy and the per-shard rank window. Docs with
-    * zero tokens have no features and drop out (documented, as in
+    * Scale shape (r15 form): the hashed-gram stack materializes ONCE as
+    * a per-doc bucket ARRAY (localCheckpoint — a fraction of the
+    * exploded occurrence rows' bytes); totals are a 2-scalar agg over
+    * array sizes (no explode); per-bucket counts are one combinable
+    * explode+groupBy with ≤ `buckets` output rows; the weight table is
+    * bounded BY CONSTRUCTION (feature hashing, the classifier's
+    * argument — 32 KB at the default 4096), so the per-doc weight is a
+    * scan-side reference-object kernel
+    * ([[graft.functions.BucketWeightSumExpr]]) instead of an
+    * explode→broadcast-join probe of every occurrence plus a
+    * corpus-sized groupBy(doc_id); the ONLY corpus-sized shuffle left
+    * is the per-shard rank window. Docs with zero tokens have no
+    * features and drop out (documented, as in
     * [[QualityClassifier.distillQuality]]).
     *
     * Returns every featured doc: (doc_id, shard, w_micro, key_micro,
@@ -318,21 +325,32 @@ object Sampling {
     val bucketArr = transform(
       concat(col("toks"), TextAnalysis.wordNgrams(col("toks"), 2)),
       g => pmod(QualityClassifier.fnv64(g), lit(buckets.toLong)))
-    // occurrences consumed twice (distribution counts + per-doc sums):
-    // localCheckpoint materializes the fnv/gram stack once — the
-    // distillQuality lesson (ReuseExchange never fires across branches)
-    val occ = staged.select(col("doc_id"), col("is_target"),
-        explode(bucketArr).as("b"))
+    // the fnv/gram stack feeds three branches (totals, the per-bucket
+    // distribution, the per-doc sums) and ReuseExchange never fires
+    // across branches — materialize it ONCE (the distillQuality
+    // lesson). r15: checkpoint the bucket ARRAY per doc, not the
+    // exploded occurrence ROWS — same information at a fraction of the
+    // bytes (no per-occurrence row header / doc_id / flag), and the
+    // totals read it without exploding at all.
+    val occA = staged.select(col("doc_id"), col("is_target"),
+        bucketArr.as("bs"))
       .localCheckpoint()
-    // bounded collect: the two gram-occurrence totals (2 longs)
-    val t = occ.agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("tt"),
-      count(lit(1)).as("ts")).head()
+    // bounded collect: the two gram-occurrence totals (2 longs) —
+    // Σ|bs| over all / target docs == the exploded row counts
+    val t = occA.agg(
+      sum(when(col("is_target"), size(col("bs")).cast("long"))
+        .otherwise(0L)).as("tt"),
+      sum(size(col("bs")).cast("long")).as("ts")).head()
     val totT = if (t.isNullAt(0)) 0L else t.getLong(0)
-    val totS = t.getLong(1)
+    val totS = if (t.isNullAt(1)) 0L else t.getLong(1)
     // per-bucket raw + target counts → micro-log importance ratio;
-    // ≤ `buckets` rows by construction, broadcast-safe at any corpus
-    val w = occ.groupBy(col("b"))
+    // ≤ `buckets` rows by construction — the feature-hashing bound
+    // that made this table broadcast-safe makes it a bounded driver
+    // collect (32 KB at the default 4096), so the per-doc weight can
+    // be a SCAN-SIDE kernel: no explode→join probe of every
+    // occurrence, no corpus-sized groupBy(doc_id) shuffle.
+    val w = occA.select(col("is_target"), explode(col("bs")).as("b"))
+      .groupBy(col("b"))
       .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"),
         count(lit(1)).as("n_s"))
       .select(col("b"),
@@ -340,10 +358,17 @@ object Sampling {
             lit((totS + buckets).toDouble)) /
           ((col("n_s") + 1).cast("double") * lit((totT + buckets).toDouble)))
           * 1e6).cast("long").as("w"))
-    // every bucket in occ exists in w (computed from the same rows) —
-    // inner join, no unseen-bucket case
-    val perDoc = occ.join(broadcast(w), Seq("b"))
-      .groupBy(col("doc_id")).agg(sum(col("w")).as("w_micro"))
+    val wArr = new Array[Long](buckets)
+    w.collect().foreach(r => wArr(r.getLong(0).toInt) = r.getLong(1))
+    // long addition is order-free: the kernel's array-order sum equals
+    // the groupBy sum of joined occurrence rows bit-for-bit. Docs with
+    // zero features drop out, as the explode form did.
+    val perDoc = occA.filter(size(col("bs")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.BucketWeightSumExpr(
+            org.apache.spark.sql.GraftBridge.expression(col("bs")), wArr))
+          .as("w_micro"))
     // Gumbel key: u in (0,1) from the md5 draw (never 0 via +0.5),
     // g = −ln(−ln u) micro-floored once; key = w + g.
     // Cross-engine contract (ADVICE r14): unlike the weight's single-ln

@@ -217,4 +217,47 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id", "kept").as[(Long, Boolean)].collect().toSet
     assert(again == rows.map(r => (r._1, r._5)).toSet)
   }
+
+  test("dsirResample r15 scan-side weight kernel == explode+join reference") {
+    import graft.operators.{QualityClassifier, TextAnalysis}
+    // small bucket count (64) forces hash collisions; texts include
+    // empty / whitespace-only / single-token docs (zero-feature docs
+    // must DROP, exactly as the explode form dropped them)
+    val texts = Seq("alpha beta alpha", "gamma delta", "", "   ", "solo",
+      "alpha gamma alpha gamma beta delta", "x y z w v u t s r q",
+      "beta beta beta beta") ++ (0 until 40).map(i => s"w$i w${i % 3} tail")
+    val corpus = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, i % 3 == 0) }
+      .toDF("doc_id", "text", "is_t")
+    val buckets = 64
+    val out = Sampling.dsirResample(corpus, "doc_id", "text",
+        targetPred = col("is_t"), targetFrac = 0.5,
+        buckets = buckets, nShards = 2)
+      .select("doc_id", "w_micro").as[(Long, Long)].collect().toMap
+    // pre-r15 reference: exploded occurrences, broadcast join, groupBy
+    val staged = corpus.select(col("doc_id"),
+      TextAnalysis.tokens(col("text")).as("toks"), col("is_t").as("is_target"))
+    val bucketArr = transform(
+      concat(col("toks"), TextAnalysis.wordNgrams(col("toks"), 2)),
+      g => pmod(QualityClassifier.fnv64(g), lit(buckets.toLong)))
+    val occ = staged.select(col("doc_id"), col("is_target"),
+      explode(bucketArr).as("b"))
+    val t = occ.agg(sum(when(col("is_target"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val (totT, totS) = (t.getLong(0), t.getLong(1))
+    val w = occ.groupBy(col("b"))
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("n_t"),
+        count(lit(1)).as("n_s"))
+      .select(col("b"),
+        floor(log(((col("n_t") + 1).cast("double") *
+            lit((totS + buckets).toDouble)) /
+          ((col("n_s") + 1).cast("double") * lit((totT + buckets).toDouble)))
+          * 1e6).cast("long").as("w"))
+    val ref = occ.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id")).agg(sum(col("w")).as("w_micro"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == ref, "kernel weights must equal the explode+join form")
+    // zero-feature docs (ids 2, 3) dropped by both
+    assert(!out.contains(2L) && !out.contains(3L))
+  }
 }
