@@ -18,7 +18,7 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(5)
     val which = if (args.length > 1) args.drop(1).toSet
-                else Set("windows", "windows_long", "rag", "dsir")
+                else Set("windows", "windows_long", "rag", "dsir", "impcap")
     val spark = GraftSession("local[" +
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]", "graft-kernelbench")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,6 +113,74 @@ object KernelBench {
     def dsirNew = operators.Sampling.dsirResample(docs, "doc_id", "text",
       targetPred = length(col("text")) % 2 === 0)
 
+    // impcap_applayer extraction: 17 independent get_json_object calls
+    // (each re-parses the FULL vars_msg incl. the hex payload) vs ONE
+    // $.impcap sub-extract + ONE json_tuple (13 flat fields) + 4 small
+    // nested extracts — same decode feed as the declared query
+    def impcapDec = {
+      val ev = Tables.events(spark, dir)
+      val m4 = col("event_id") % 4
+      def h2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def h4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def h8(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def le32(c: org.apache.spark.sql.Column) = concat(h2(c), lit("000000"))
+      val eth = concat(lit("001A2B3C4D5EAABBCCDDEE"),
+        h2(col("user_id") % 256), lit("0800"))
+      val proto = when(m4 === 0, "11").otherwise("06")
+      val ip = concat(lit("4500000000000000"), lit("40"), proto, lit("0000"),
+        lit("0A00"), h2((col("event_id") / 256).cast("long") % 256),
+        h2(col("event_id") % 256), lit("C0A80101"))
+      val tcpHdr = (dst: String) => concat(
+        h4(lit(40000) + col("event_id") % 10000), lit(dst),
+        h8(col("event_id") % 100000), lit("00000000"), lit("5018"),
+        lit("000000000000"))
+      val dnsPay = concat(h4(col("event_id") % 65536), lit("0100"),
+        lit("0001000000000000"),
+        lit("03777777076578616D706C6503636F6D00"),
+        when(col("event_id") % 8 === 0, "0001").otherwise("001C"), lit("0001"))
+      val httpPay = hex(concat(lit("GET /p"), col("event_id") % 100,
+        lit(" HTTP/1.1\r\nHost: h"), col("event_id") % 10,
+        lit(".example\r\nXKey: v"), col("event_id") % 7, lit("\r\n\r\nbody")))
+      val ftpPay = hex(when(col("event_id") % 8 === 2,
+          concat(lit("USER u"), col("event_id") % 5, lit("\r\n")))
+        .otherwise(lit("230 Login ok\r\n")))
+      val smbPay = concat(lit("FE534D42"), lit("4000"), lit("0000"),
+        le32(col("event_id") % 256), h2(col("event_id") % 19), lit("00"),
+        lit("0000"), lit("01000000"), lit("00000000"),
+        le32(col("event_id") % 256), lit("00000000"),
+        le32(col("event_id") % 200), le32(col("event_id") % 50),
+        le32(col("event_id") % 100), lit("00000000"),
+        lit("0000000000000000000000000000000000000000000000000000000000000000"))
+      val l4 =
+        when(m4 === 0, concat(h4(lit(2048) + col("event_id") % 1000),
+          lit("0035"), lit("0010"), lit("BEEF"), dnsPay))
+        .when(m4 === 1, concat(tcpHdr("0050"), httpPay))
+        .when(m4 === 2, concat(tcpHdr("0015"), ftpPay))
+        .otherwise(concat(tcpHdr("01BD"), smbPay))
+      val feed = ev.select(col("event_id"), col("event_id").as("id"),
+        unhex(concat(eth, ip, l4)).as("packet"),
+        to_timestamp(lit("2024-06-01 10:00:00")).as("ts"))
+      sources.Sources.impcapDecode(feed, tag = "pcap:")
+        .select(col("event_id"), col("vars_msg")).localCheckpoint()
+    }
+    lazy val impcapDecDf = impcapDec
+    val impFlat = Seq("DNS_transaction_id", "DNS_error", "HTTP_method",
+      "HTTP_request_URI", "FTP_request", "FTP_response", "SMB_version",
+      "SMB_NTstatus", "SMB_operation", "SMB_flags", "SMB_seqNumber",
+      "SMB_treeID", "SMB_userID")
+    val impNested = Seq("DNS_Names[0].qname", "DNS_Names[0].type",
+      "HTTP_header_fields.Host", "HTTP_header_fields.XKey")
+    def impcapOld = impcapDecDf.select(col("event_id") +:
+      (impFlat ++ impNested).map(p =>
+        get_json_object(col("vars_msg"), "$.impcap." + p).as(p.take(8))): _*)
+    def impcapNew = impcapDecDf
+      .withColumn("__imp", get_json_object(col("vars_msg"), "$.impcap"))
+      .select(Seq(col("event_id"), col("__imp")) :+
+        json_tuple(col("__imp"), impFlat: _*): _*)
+      .toDF(("event_id" +: "__imp" +: impFlat.map("f" + _)): _*)
+      .select(col("event_id") +: (impFlat.map(f => col("f" + f)) ++
+        impNested.map(p => get_json_object(col("__imp"), "$." + p))): _*)
+
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -142,6 +210,7 @@ object KernelBench {
       declWindows(longDocs), kernWindows(longDocs))
     if (which("rag")) run("rag_single_scan", ragOld, ragNew)
     if (which("dsir")) run("dsir_scan_side_weights", dsirOld, dsirNew)
+    if (which("impcap")) run("impcap_single_parse", impcapOld, impcapNew)
     spark.stop()
   }
 }

@@ -1347,25 +1347,45 @@ object Queries {
         unhex(concat(eth, ip, l4)).as("packet"),
         to_timestamp(lit("2024-06-01 10:00:00")).as("ts"))
       val dec = graft.sources.Sources.impcapDecode(feed, tag = "pcap:")
-      def j(p: String) = get_json_object(col("vars_msg"), "$.impcap." + p)
-      dec.select(col("event_id"),
-        j("DNS_transaction_id").cast("long").as("dns_txid"),
-        j("DNS_error").as("dns_err"),
-        j("DNS_Names[0].qname").as("dns_qname"),
-        j("DNS_Names[0].type").as("dns_type"),
-        j("HTTP_method").as("http_method"),
-        j("HTTP_request_URI").as("http_uri"),
-        j("HTTP_header_fields.Host").as("http_host"),
-        j("HTTP_header_fields.XKey").as("http_xkey"),
-        j("FTP_request").as("ftp_req"),
-        j("FTP_response").cast("long").as("ftp_resp"),
-        j("SMB_version").cast("long").as("smb_ver"),
-        j("SMB_NTstatus").cast("long").as("smb_nt"),
-        j("SMB_operation").cast("long").as("smb_op"),
-        j("SMB_flags").as("smb_flags"),
-        j("SMB_seqNumber").cast("long").as("smb_seq"),
-        j("SMB_treeID").cast("long").as("smb_tree"),
-        j("SMB_userID").cast("long").as("smb_user"))
+      // r15: 17 get_json_object calls each re-parsed the FULL vars_msg
+      // (incl. the hex payload — the document's bulk) per row; this
+      // query measured 3x the next-worst main-loop entry while its
+      // sibling impcap_decode (same packet kernel, 4 extracts) did
+      // not. Parse once: extract the $.impcap subtree (drops the
+      // payload), one json_tuple parse for the 13 flat fields, and 4
+      // small extracts for the nested paths. json_tuple and
+      // get_json_object return identical raw-token strings for
+      // scalars and null for missing keys, so values are unchanged.
+      def ji(p: String) = get_json_object(col("__imp"), "$." + p)
+      dec
+        .withColumn("__imp", get_json_object(col("vars_msg"), "$.impcap"))
+        .select(Seq(col("event_id"), col("__imp")) :+
+          json_tuple(col("__imp"), "DNS_transaction_id", "DNS_error",
+            "HTTP_method", "HTTP_request_URI", "FTP_request",
+            "FTP_response", "SMB_version", "SMB_NTstatus",
+            "SMB_operation", "SMB_flags", "SMB_seqNumber", "SMB_treeID",
+            "SMB_userID"): _*)
+        .toDF("event_id", "__imp", "f_txid", "f_dnserr", "f_method",
+          "f_uri", "f_ftpreq", "f_ftpresp", "f_smbver", "f_smbnt",
+          "f_smbop", "f_smbflags", "f_smbseq", "f_smbtree", "f_smbuser")
+        .select(col("event_id"),
+          col("f_txid").cast("long").as("dns_txid"),
+          col("f_dnserr").as("dns_err"),
+          ji("DNS_Names[0].qname").as("dns_qname"),
+          ji("DNS_Names[0].type").as("dns_type"),
+          col("f_method").as("http_method"),
+          col("f_uri").as("http_uri"),
+          ji("HTTP_header_fields.Host").as("http_host"),
+          ji("HTTP_header_fields.XKey").as("http_xkey"),
+          col("f_ftpreq").as("ftp_req"),
+          col("f_ftpresp").cast("long").as("ftp_resp"),
+          col("f_smbver").cast("long").as("smb_ver"),
+          col("f_smbnt").cast("long").as("smb_nt"),
+          col("f_smbop").cast("long").as("smb_op"),
+          col("f_smbflags").as("smb_flags"),
+          col("f_smbseq").cast("long").as("smb_seq"),
+          col("f_smbtree").cast("long").as("smb_tree"),
+          col("f_smbuser").cast("long").as("smb_user"))
     }),
 
     // §2.5 imtuxedoulog: Tuxedo ULOG line parse — time-of-day + file

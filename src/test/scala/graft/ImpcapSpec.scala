@@ -219,4 +219,54 @@ class ImpcapSpec extends SparkSpec {
       assert(node.isObject && node.has("impcap"), j.take(200))
     }
   }
+
+  test("applayer single-parse extraction == 17x get_json_object (r15)") {
+    // one frame per protocol branch + the fuzz mix, so every extracted
+    // path is exercised both PRESENT and MISSING (missing keys must
+    // stay null through json_tuple exactly as through get_json_object)
+    val rnd = new scala.util.Random(0xBEEF17)
+    val dns = "30 39 01 00 00 01 00 00 00 00 00 00" +
+      "03 77 77 77 07 65 78 61 6D 70 6C 65 03 63 6F 6D 00 00 1C 00 01"
+    val frames = Seq(
+      pkt(ethIp4 +
+        "45 00 00 00 00 00 00 00 40 11 00 00 0A 00 01 02 C0 A8 01 01" +
+        "08 00 00 35 00 10 BE EF" + dns),
+      pkt(ethIp4 + ip4Tcp20 + tcpTo("00 50")) ++
+        "GET /p7 HTTP/1.1\r\nHost: h3.example\r\nXKey: v2\r\n\r\nbody"
+          .getBytes("ISO-8859-1"),
+      pkt(ethIp4 + ip4Tcp20 + tcpTo("00 15")) ++
+        "USER u4\r\n".getBytes("ISO-8859-1"),
+      pkt(ethIp4 + ip4Tcp20 + tcpTo("00 15")) ++
+        "230 Login ok\r\n".getBytes("ISO-8859-1"),
+      pkt(ethIp4 + ip4Tcp20 + tcpTo("01 BD") +
+        "FE 53 4D 42 40 00 00 00 07 00 00 00 05 00 00 00 01 00 00 00" +
+        "00 00 00 00 09 00 00 00 00 00 00 00 0A 00 00 00 0B 00 00 00" +
+        "0C 00 00 00 00 00 00 00" + "00" * 32)
+    ) ++ (0 until 40).map { _ =>
+      val payload = new Array[Byte](rnd.nextInt(100))
+      rnd.nextBytes(payload)
+      pkt(ethIp4 + ip4Tcp20 + tcpTo("00 50")) ++ payload
+    }
+    val dec = graft.sources.Sources.impcapDecode(
+      frames.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("id", "packet"))
+    val flat = Seq("DNS_transaction_id", "DNS_error", "HTTP_method",
+      "HTTP_request_URI", "FTP_request", "FTP_response", "SMB_version",
+      "SMB_NTstatus", "SMB_operation", "SMB_flags", "SMB_seqNumber",
+      "SMB_treeID", "SMB_userID")
+    val nested = Seq("DNS_Names[0].qname", "DNS_Names[0].type",
+      "HTTP_header_fields.Host", "HTTP_header_fields.XKey")
+    val direct = dec.select(
+      (flat ++ nested).map(p =>
+        get_json_object(col("vars_msg"), "$.impcap." + p).as(p)): _*)
+      .collect().map(_.toSeq).toSeq
+    val staged = dec
+      .withColumn("__imp", get_json_object(col("vars_msg"), "$.impcap"))
+      .select(Seq(col("__imp")) :+ json_tuple(col("__imp"), flat: _*): _*)
+      .toDF(("__imp" +: flat.map("f_" + _)): _*)
+      .select(flat.map(f => col("f_" + f).as(f)) ++
+        nested.map(p => get_json_object(col("__imp"), "$." + p).as(p)): _*)
+      .collect().map(_.toSeq).toSeq
+    assert(staged == direct)
+  }
 }

@@ -498,16 +498,18 @@ class PlanAuditSpec extends SparkSpec {
       "document text must not ride the fingerprint exchange")
   }
 
-  test("sample_dsir: weight table broadcasts; rank window is per-shard, never global") {
-    // DSIR's scale contract: the ≤`buckets`-row weight table is the only
-    // join (broadcast — feature hashing bounds it for ANY vocabulary),
-    // and the Gumbel-top-k rank partitions by shard (the sample_shuffle
+  test("sample_dsir: scan-side weight kernel, join-free; per-shard rank window") {
+    // DSIR's r15 scale contract: the ≤`buckets`-row weight table is a
+    // reference object applied SCAN-side (bucket_weight_sum) — no join
+    // of any kind remains (pre-r15 this pinned a BroadcastHashJoin;
+    // feature hashing bounds the table for ANY vocabulary, which is
+    // what makes the collect as safe as the broadcast was) — and the
+    // Gumbel-top-k rank partitions by shard (the sample_shuffle
     // discipline: a one-partition window is the classic scale killer)
     val p = plan("sample_dsir")
-    assert(p.contains("BroadcastHashJoin"),
-      "bucket-weight join must broadcast")
-    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      "no corpus-sized join side may shuffle")
+    assert(p.contains("bucket_weight_sum"),
+      "per-doc weight must be the scan-side kernel")
+    assert(!p.contains("Join"), "dsir must be join-free")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("Window"), "per-shard rank window missing")
     assert(!p.contains("SinglePartition"),
