@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The perf driver parses the bench's FINAL stdout line as one raw JSON
+// object. BENCH_r14/r15 carried parsed:null because every program line
+// arrived behind sbt's "[info] " prefix and sbt's own "[success] Total
+// time" line landed after the JSON. Stream forked run output straight
+// to stdout (unprefixed) and drop the trailing success line so the last
+// line of `sbt "runMain graft.Bench"` is the bench's own JSON.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not by another task — the
+// unused-key lint can't see that (verified: the [success] line is gone)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

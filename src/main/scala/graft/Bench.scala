@@ -1483,11 +1483,60 @@ object Bench {
     val trialStats = "{\"median\":" + f"$trialMed%.0f" + ",\"mad\":" +
       f"$trialMad%.0f" + ",\"trials\":" +
       trialRates.map(r => f"$r%.0f").mkString("[", ",", "]") + "}"
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$hostJson,$ratioJson$mainSkipJson$prepJson$sf1Json$sf10Json$sf100Json}""")
-    // compact recap AFTER the full line: the driver keeps only the last
-    // few KB of stdout, and the full line's headline fields sit at its
-    // FRONT — this short line guarantees they survive the tail window
-    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$hostJson,$ratioJson$mainSkipJson$sf1Summary$sf10Summary$sf100Summary}""")
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"query_stats":$qstats,"bench_trials":$nTrials,"warmup_runs":1,"sf":"$sfDir","pipeline_msgs_per_sec":$e2eRate%.0f,"trial_msgs":524288,"trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"trial_stats":$trialStats,$hostJson,$ratioJson$mainSkipJson$prepJson$sf1Json$sf10Json$sf100Json}"""
+    // flat per-section query maps for the summary line: the driver's
+    // scaling comparison wants {name: sec} maps it can read without
+    // digging into the nested section objects
+    val sfQueriesJson =
+      sectionQueries(sf1Json).map(q => s""","sf1_queries":$q""").getOrElse("") +
+      sectionQueries(sf10Json).map(q => s""","sf10_queries":$q""").getOrElse("") +
+      sectionQueries(sf100Json).map(q => s""","sf100_queries":$q""").getOrElse("")
+    // VERDICT r15 #1 (the driver-parse contract): the summary line now
+    // carries the top-level "queries" map of main-loop medians — the
+    // driver parses ONE JSON line of the shape {"metric":...,"value":N,
+    // "unit":"sec","queries":{name:sec,...},"sf":...} and r14/r15 both
+    // came back parsed:null because the only line with "queries" was the
+    // huge "total" line and neither line was the final unprefixed one.
+    val summaryLine = f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","trial_msgs_per_sec":$trialMed%.0f,"trial_msgs_per_sec_mad":$trialMad%.0f,"pipeline_msgs_per_sec":$e2eRate%.0f,$hostJson,$ratioJson$mainSkipJson$sf1Summary$sf10Summary$sf100Summary$sfQueriesJson}"""
+    println(fullLine)
+    // plain-file copy (VERDICT r15 #1): the full result survives any
+    // stdout mangling by the launcher
+    try {
+      val outPath = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT", "benchmarks/bench_result.json")
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
+      try { w.println(fullLine); w.println(summaryLine) } finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] result-file write failed: ${e.getMessage}")
+    }
     sparkMain.stop()
+    // FINAL stdout line = the raw parseable JSON; printed after
+    // spark.stop() so nothing can land after it. build.sbt's
+    // StdoutOutput/showSuccess keep sbt from prefixing or appending.
+    println(summaryLine)
+    System.out.flush()
+  }
+
+  /** Pull the embedded "queries":{...} object out of a section's full
+    * JSON string (balanced-brace scan; the map holds only numbers and
+    * nulls, so brace counting is exact). */
+  private def sectionQueries(sectionJson: String): Option[String] = {
+    val key = "\"queries\":"
+    val i = sectionJson.indexOf(key)
+    if (i < 0) None
+    else {
+      val start = i + key.length
+      if (start >= sectionJson.length || sectionJson.charAt(start) != '{') None
+      else {
+        var depth = 0; var j = start; var end = -1
+        while (j < sectionJson.length && end < 0) {
+          val c = sectionJson.charAt(j)
+          if (c == '{') depth += 1
+          else if (c == '}') { depth -= 1; if (depth == 0) end = j }
+          j += 1
+        }
+        if (end < 0) None else Some(sectionJson.substring(start, end + 1))
+      }
+    }
   }
 }
