@@ -18,7 +18,8 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(5)
     val which = if (args.length > 1) args.drop(1).toSet
-                else Set("windows", "windows_long", "rag", "dsir", "impcap")
+                else Set("windows", "windows_long", "rag", "dsir", "impcap",
+                  "hybrid")
     val spark = GraftSession("local[" +
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]", "graft-kernelbench")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -181,19 +182,65 @@ object KernelBench {
       .select(col("event_id") +: (impFlat.map(f => col("f" + f)) ++
         impNested.map(p => get_json_object(col("__imp"), "$." + p))): _*)
 
+    // hybrid_retrieve compositions: the r15 full-token checkpoint
+    // (every token of every document materialized) vs the r16 narrowed
+    // checkpoint (doc_id, dl, query-term occurrences only — VERDICT
+    // r15 #4) — both end-to-end through the RRF fusion
+    def hybridOld = {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(spark, dir)
+      val (k, nLeg, k0, maxQueryId, nTerms) = (5, 10, 60, 8L, 3)
+      val toks = docs
+        .select(col("doc_id"),
+          operators.TextAnalysis.tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          size(col("t")).cast("long").as("dl"))
+        .localCheckpoint()
+      val qs = toks.filter(col("doc_id") < maxQueryId)
+        .select(col("doc_id").as("query_id"),
+          array_distinct(slice(col("t"), 1, nTerms)).as("qt"))
+      val lex = operators.TextAnalysis.bm25TopKFromToks(toks, qs, k = nLeg)
+        .select(col("query_id"), col("doc_id"), col("rk"))
+      val sem = operators.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < maxQueryId), nLeg)
+        .select(col("q_id").as("query_id"), col("neighbor").as("doc_id"),
+          col("rk"))
+      val fused = lex.unionByName(sem)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(expr(s"CAST(1000000000 AS BIGINT) div ($k0 + rk)"))
+            .as("rrf_micro"),
+          count(lit(1)).as("n_legs"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("rrf_micro").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("query_id"), col("rk"), col("doc_id"),
+          col("rrf_micro"), col("n_legs"))
+    }
+    def hybridNew = operators.TextAnalysis.hybridRetrieve(docs,
+      Tables.embeddings(spark, dir), k = 5, nLeg = 10)
+
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     def run(name: String, before: => DataFrame, after: => DataFrame): Unit = {
-      time(before); time(after) // untimed warm-up
+      // per-trial checkpoint hygiene (ADVICE r15): formulations that
+      // localCheckpoint inside their body (ragNew, hybrid*) would
+      // otherwise accumulate pinned blocks across reps and drift later
+      // trials — unpersist everything this run created after each trial,
+      // keeping the fixture checkpoints (docs/longDocs/impcap feed)
+      val pinned = spark.sparkContext.getPersistentRDDs.keySet
+      def sweep(): Unit = spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => pinned(id) }
+        .foreach { case (_, rdd) => rdd.unpersist(blocking = false) }
+      time(before); sweep(); time(after); sweep() // untimed warm-up
       val (bT, aT) = (Array.ofDim[Double](reps), Array.ofDim[Double](reps))
       for (i <- 0 until reps) {
         spark.sparkContext.setJobDescription(s"$name before #$i")
-        bT(i) = time(before)
+        bT(i) = time(before); sweep()
         spark.sparkContext.setJobDescription(s"$name after #$i")
-        aT(i) = time(after)
+        aT(i) = time(after); sweep()
       }
       def med(a: Array[Double]) = a.sorted.apply(a.length / 2)
       val ratios = bT.zip(aT).map { case (b, a) => b / a }
@@ -211,6 +258,7 @@ object KernelBench {
     if (which("rag")) run("rag_single_scan", ragOld, ragNew)
     if (which("dsir")) run("dsir_scan_side_weights", dsirOld, dsirNew)
     if (which("impcap")) run("impcap_single_parse", impcapOld, impcapNew)
+    if (which("hybrid")) run("hybrid_narrow_ckpt", hybridOld, hybridNew)
     spark.stop()
   }
 }

@@ -680,12 +680,12 @@ object TextAnalysis {
     * broadcast queries); the fusion itself touches only the legs'
     * top-nLeg outputs — ≤ 2·nLeg rows per query BY CONSTRUCTION — so
     * one small groupBy + rank window finishes the job with no
-    * partition-local pre-cut needed. The DOCUMENTS table is scanned
-    * ONCE (VERDICT r14 #4): the token projection materializes via
-    * localCheckpoint (the dsirResample lesson) and feeds the
-    * keyword-query derivation, bm25's N/avgdl aggregation AND its
-    * matched-token scan — the naive composition paid three
-    * corpus-scan-equivalent passes.
+    * partition-local pre-cut needed. The DOCUMENTS table pays ONE full
+    * scan (VERDICT r14 #4) — the materialized projection feeds bm25's
+    * N/avgdl aggregation AND its matched-token scan — plus ≤maxQueryId
+    * pushdown-pruned rows for the query derivation; since r16 the
+    * materialization itself is NARROW (VERDICT r15 #4): per-doc
+    * (doc_id, dl, query-term occurrences), not the full token payload.
     *
     * `semLeg` makes the semantic leg pluggable (default: exact
     * [[Similarity.bruteForceTopK]]; pass [[Similarity.pqTopK]] for the
@@ -715,16 +715,34 @@ object TextAnalysis {
                        (c, q, n) => Similarity.bruteForceTopK(c, q, n))
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // ONE documents scan: tokenize once, materialize, feed everything
-    val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl"))
-      .localCheckpoint()
-    // keywordQueries' derivation over the materialized tokens (same
-    // values: that helper tokenizes with the same tokens() kernel)
-    val qs = toks.filter(col("doc_id") < maxQueryId)
+    // Narrowed single-scan projection (VERDICT r15 #4; guide §2.3
+    // "shuffle keys and metadata instead of payloads"). r15 cut the
+    // composition to ONE documents scan; what that scan MATERIALIZED was
+    // still every token of every document (~corpus bytes pinned in
+    // executor storage, charged to hybrid_retrieve_pq's sf10 entry).
+    // The lexical leg only needs (a) the two corpus scalars nd/Σdl,
+    // (b) per-doc occurrences of QUERY terms, (c) the query derivation.
+    // (c) reads ≤maxQueryId rows via parquet pushdown, and the query
+    // term set is ≤ maxQueryId·nTerms BY CONSTRUCTION — collect it once
+    // (a bounded broadcast-equivalent, the sample_dsir precedent) and
+    // filter the token array scan-side, so the checkpoint holds
+    // (doc_id, dl, t≔query-term occurrences only — empty for most docs)
+    // instead of the full token payload. Values unchanged: dl is the
+    // size of the UNfiltered array, duplicates/order survive the HOF
+    // filter (tf exact), and the dropped tokens could never survive
+    // bm25's broadcast term join anyway.
+    val qs = docs.filter(col("doc_id") < maxQueryId)
       .select(col("doc_id").as("query_id"),
-        array_distinct(slice(col("t"), 1, nTerms)).as("qt"))
+        array_distinct(slice(tokens(col("text")), 1, nTerms)).as("qt"))
+    val qTerms: Seq[String] = qs.select(explode(col("qt")).as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val keep: Column => Column =
+      if (qTerms.isEmpty) _ => lit(false) else t => t.isin(qTerms: _*)
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("t0"))
+      .select(col("doc_id"), filter(col("t0"), keep).as("t"),
+        size(col("t0")).cast("long").as("dl"))
+      .localCheckpoint()
     val lex = bm25TopKFromToks(toks, qs, k = nLeg)
       .select(col("query_id"), col("doc_id"), col("rk"))
     val sem = semLeg(emb, emb.filter(col("vec_id") < maxQueryId), nLeg)

@@ -356,13 +356,16 @@ class PlanAuditSpec extends SparkSpec {
       "no corpus-sized join side may shuffle")
     assert(p.contains("BroadcastHashJoin"),
       "legs' broadcast contracts must survive the composition")
-    // single-scan contract (VERDICT r14 #4): the token projection
-    // materializes once (localCheckpoint) and feeds the queries, the
-    // avgdl agg AND the matched scan — documents.parquet must appear in
-    // ZERO scans of this plan (the checkpoint RDD replaces them; the
-    // naive composition had three corpus-scan-equivalent passes)
-    assert(!p.contains("documents.parquet"),
-      "documents must be read via the one materialized token projection")
+    // single-scan contract, narrowed (VERDICT r14 #4 → r15 #4): the
+    // corpus-sized pass feeds from the ONE materialized (doc_id, dl,
+    // query-term occurrences) checkpoint; any documents.parquet scan
+    // left in the plan must be a query-derivation scan pruned to
+    // ≤maxQueryId rows by parquet pushdown (LessThan(doc_id,8)) — an
+    // UNpruned documents scan would mean a corpus pass leaked back in
+    val docScanBlocks = p.split("\\) Scan parquet").toSeq.drop(1)
+      .filter(_.contains("documents.parquet"))
+    assert(docScanBlocks.forall(_.contains("LessThan(doc_id,8)")),
+      "every surviving documents scan must be pushdown-pruned to the query rows")
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       "the checkpointed token projection must feed the legs")
   }
