@@ -1097,6 +1097,15 @@ object Bench {
         operators.TextAnalysis.keywordQueries(docs, "doc_id", "text",
           maxId = n.toLong))
     }
+    // r16: the MaxScore-pruned path (exact top-k; Bm25Spec pins value
+    // equality) — swept side by side so the qscale line carries the
+    // direct-vs-pruned curve at every batch size
+    def bm25Pruned(n: Int): org.apache.spark.sql.DataFrame = {
+      val docs = Tables.documents(spark, dir)
+      operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        operators.TextAnalysis.keywordQueries(docs, "doc_id", "text",
+          maxId = n.toLong), maxScorePrune = true)
+    }
     def pq(n: Int): org.apache.spark.sql.DataFrame = {
       val emb = Tables.embeddings(spark, dir)
       operators.Similarity.pqTopK(emb, emb.filter(col("vec_id") < n), k = 5)
@@ -1124,8 +1133,9 @@ object Bench {
         s""""$n":{"s":${f"$dt%.3f"},"rows":$rows}"""
       }.mkString("{", ",", "}")
     val bj = sweep("bm25_topk", bm25)
+    val bpj = sweep("bm25_pruned", bm25Pruned)
     val pj = sweep("ann_pq", pq)
-    println(s"""{"metric":"qscale","sf1_dir":"$dir","counts":[8,64,256,1000],"bm25_topk":$bj,"ann_pq":$pj}""")
+    println(s"""{"metric":"qscale","sf1_dir":"$dir","counts":[8,64,256,1000],"bm25_topk":$bj,"bm25_topk_pruned":$bpj,"ann_pq":$pj}""")
   }
 
   private def buildSession(cpus: String): SparkSession = {

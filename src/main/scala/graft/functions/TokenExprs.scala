@@ -675,7 +675,17 @@ case class EvalContamExpr(child: Expression, evalIds: Array[Long],
   * selection must depend only on the window bytes so both copies of any
   * duplicated span ≥ W+15 chars keep identical windows. Only the
   * evaluation strategy changes; java.security md5 == Spark md5() ==
-  * DuckDB md5 byte-for-byte. */
+  * DuckDB md5 byte-for-byte.
+  *
+  * Invalid-UTF-8 divergence (documented contract, ADVICE r15): when the
+  * text ends in a TRUNCATED code point, Spark's UTF8String.substring
+  * steps past the buffer and copies undefined adjacent bytes into the
+  * final window (`j < numBytes` is checked before the width is added) —
+  * measured: a lone 0xE4 lead byte yielded E4 00 01. The kernel instead
+  * CLAMPS that final window to the real buffer bytes. Reachable only on
+  * non-UTF-8 input, which parquet string columns never carry, so no
+  * declared query observes the difference; the byte-level contract is
+  * pinned by SelectWindowsParitySpec's raw-invalid-bytes case. */
 case class SelectWindowsExpr(child: Expression, window: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
@@ -729,8 +739,13 @@ object SelectWindowsExpr {
     while (chars < window && end < nBytes) {
       end += cpWidth(bytes(end)); chars += 1
     }
-    if (chars < window || end > nBytes)
+    if (chars < window)
       return new GenericArrayData(Array.empty[Any])
+    // a truncated trailing code point (invalid UTF-8) steps past the
+    // buffer: emit the final window CLAMPED to the real bytes — see the
+    // documented divergence in the class scaladoc (Spark's substring
+    // copies past the buffer here; the r15 kernel dropped the window)
+    if (end > nBytes) end = nBytes
     val md = md5TL.get()
     val out = new java.util.ArrayList[Any]()
     var start = 0
@@ -745,10 +760,7 @@ object SelectWindowsExpr {
       else {
         start += cpWidth(bytes(start))
         end += cpWidth(bytes(end))
-        // a truncated trailing code point would step past the buffer:
-        // stop at the last FULL window, as substring(i, W) with full
-        // windows from sequence(1, n-W+1) does
-        if (end > nBytes) done = true
+        if (end > nBytes) end = nBytes // same clamp mid-walk
       }
     }
     new GenericArrayData(out.toArray)
@@ -774,11 +786,30 @@ case class BucketWeightSumExpr(child: Expression, weights: Array[Long])
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "bucket_weight_sum"
 
+  // Array fields get reference equals/hashCode from the case class —
+  // value semantics restore canonicalization/semanticEquals/CSE should
+  // this expression ever appear twice in one plan (ADVICE r15)
+  override def equals(o: Any): Boolean = o match {
+    case b: BucketWeightSumExpr =>
+      child == b.child && java.util.Arrays.equals(weights, b.weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+
   def kernel(bs: ArrayData): Long = {
     var s = 0L
     var i = 0
     val n = bs.numElements()
-    while (i < n) { s += weights(bs.getLong(i).toInt); i += 1 }
+    while (i < n) {
+      val b = bs.getLong(i)
+      // contract: elements must index the weight table — fail with the
+      // contract named instead of a bare codegen AIOOBE (ADVICE r15)
+      if (b < 0L || b >= weights.length)
+        throw new IllegalArgumentException(
+          s"bucket_weight_sum: bucket id $b outside [0, ${weights.length})")
+      s += weights(b.toInt); i += 1
+    }
     s
   }
 

@@ -198,6 +198,18 @@ object Dedup {
         slice(col("ms"), col("i") + lit(2), size(col("ms")) - col("i") - 1)).as("b"))
       .select(struct(col("a").as("a"), col("b").as("b")).as("p"))
 
+  /** Label the eager jobs an operator runs at construction time
+    * (checkpoint materializations, bounded counts) so a driver-run
+    * bench attributes stage time to the right stage instead of one
+    * opaque query entry (VERDICT r15 #2); restores the caller's
+    * description afterwards. */
+  private def labeled[A](df: DataFrame, label: String)(f: => A): A = {
+    val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** LSH core shared by [[minhashLshPairs]] and [[nearDupVerified]]:
     * checkpointed signatures + distinct band-bucket candidate id pairs.
     * Banding shuffles doc ids ONLY — the 64-long signature (~0.5 KB)
@@ -228,13 +240,14 @@ object Dedup {
     // size class as the candidate-pair checkpoint this pipeline already
     // holds, and strictly cheaper than paying the shingle+hash kernel
     // twice more over every document.
-    val withSig = df
-      .select(col(idCol).as("doc"), col(textCol).as("t"))
-      .repartition(par)
-      .withColumn("sig", minhashTextSignature(col("t"), n, k))
-      .filter(col("sig").isNotNull)
-      .select(col("doc"), col("sig"))
-      .localCheckpoint()
+    val withSig = labeled(df, "lsh: signature checkpoint") {
+      df.select(col(idCol).as("doc"), col(textCol).as("t"))
+        .repartition(par)
+        .withColumn("sig", minhashTextSignature(col("t"), n, k))
+        .filter(col("sig").isNotNull)
+        .select(col("doc"), col("sig"))
+        .localCheckpoint()
+    }
     val banded = withSig.select(
       col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -330,8 +343,10 @@ object Dedup {
     // jaccard passes minJaccard, so removing it strictly improves
     // recall at lower cost). `dedup_minhash` keeps the estimate as its
     // output contract; the oracle mirrors this exact composition.
-    val cand = lshCore(src, idCol, textCol, n, bands, rows, maxBucket)._1
-      .localCheckpoint()
+    val cand = labeled(df, "neardup: banding + candidate checkpoint") {
+      lshCore(src, idCol, textCol, n, bands, rows, maxBucket)._1
+        .localCheckpoint()
+    }
     // Data-dependent shuffle sizing for the verify join (r11). The pair
     // join below carries TWO shingle arrays (~2.4 KB each for 300-token
     // docs), so its exchange mass is ~5 KB × |pairs| — at the sf100
@@ -348,7 +363,8 @@ object Dedup {
     // upstream, and small corpora keep the session default.
     val defaultParts =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val verifyParts = math.max(defaultParts, (cand.count() / 25000L).toInt)
+    val nCand = labeled(df, "neardup: verify-width count")(cand.count())
+    val verifyParts = math.max(defaultParts, (nCand / 25000L).toInt)
     // only candidate-participating docs join the pair set (semi-join
     // bound), and the pair join carries the two TEXTS (~300 B each),
     // re-deriving both shingle sets per pair inside the fused
@@ -986,9 +1002,15 @@ object Dedup {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 minRepeat: Int = 3): DataFrame = {
+    // r16 (guide §2.3 narrower types): the join/agg key is the md5 as
+    // 16 RAW bytes, not the 32-char hex string — unhex(md5) is a
+    // bijection of the digest, so hot/cold decisions are bit-identical
+    // (a collision would require an md5 collision exactly as before)
+    // while both corpus-sized exchanges (hot-count agg, anti join)
+    // carry half the key bytes. lh never reaches the output.
     val lines = df.select(col(idCol).as("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("lh", md5(col("line")))
+      .withColumn("lh", unhex(md5(col("line"))))
     val hot = lines.groupBy(col("lh")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minRepeat).select(col("lh"))
     lines.join(hot, Seq("lh"), "left_anti")

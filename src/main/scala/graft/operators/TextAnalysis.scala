@@ -403,11 +403,12 @@ object TextAnalysis {
     * per-query window task at k·partitions rows. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, k: Int = 5,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+               k1: Double = 1.2, b: Double = 0.75,
+               maxScorePrune: Boolean = false): DataFrame =
     bm25TopKFromToks(
       docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
         .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("dl")),
-      queries, k, k1, b)
+      queries, k, k1, b, maxScorePrune)
 
   /** [[bm25TopK]] over an already-tokenized scorable-unit table
     * (doc_id, t, dl) — the single-scan composition hook: a caller that
@@ -418,7 +419,8 @@ object TextAnalysis {
     * consumer. Scoring arithmetic and plan shape identical to
     * [[bm25TopK]] (it delegates here). */
   def bm25TopKFromToks(toks: DataFrame, queries: DataFrame, k: Int = 5,
-                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                       k1: Double = 1.2, b: Double = 0.75,
+                       maxScorePrune: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // bounded collect: two exact scalars; avgdl = ONE double division so
     // both engines share its exact value
@@ -438,9 +440,12 @@ object TextAnalysis {
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl))))
     val scored = tf.join(broadcast(dfreq), "term")
       .withColumn("micro", floor(idf * tfpart * lit(1e6)))
-    val perQueryDoc = scored.join(broadcast(qterms), "term")
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("micro")).as("mscore"))
+    val perQueryDoc =
+      if (!maxScorePrune)
+        scored.join(broadcast(qterms), "term")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("micro")).as("mscore"))
+      else maxScoreCandidateScores(scored, qterms, k)
     val pre = Window.partitionBy(col("query_id"), col("__pid"))
       .orderBy(col("mscore").desc, col("doc_id"))
     val fin = Window.partitionBy(col("query_id"))
@@ -452,6 +457,82 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(fin))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("mscore"))
+  }
+
+  /** MaxScore/WAND-family term-impact pruning for the BM25 fan-out
+    * (VERDICT r15 #3; guide §2.3 "shuffle fewer bytes" / §3.2 "reduce
+    * the big side before shuffling it"). The direct formulation joins
+    * the (doc, term, micro) impact table against EVERY query containing
+    * the term before aggregating — with 10³–10⁴ queries sharing common
+    * terms, that (term → query) fan-out goes superlinear (r15 qscale:
+    * 125× queries ⇒ 14× time). This path prunes the fan-out EXACTLY
+    * (bit-identical top-k) using the MaxScore bound [Turtle & Flood
+    * 1995]:
+    *
+    *  1. Seed a per-query score floor θ_q: per term, the top-k docs by
+    *     single-term impact (their FULL scores are computed exactly);
+    *     θ_q = the k-th best seed score. θ_q ≤ the true k-th score
+    *     because seeds are a subset of all matching docs.
+    *  2. Per query, sort its terms by per-term max impact ub(t)
+    *     ascending; the maximal prefix with Σ ub < θ_q is
+    *     NON-ESSENTIAL: a doc matching only those terms has score
+    *     ≤ Σ ub < θ_q ≤ true k-th score, so it can never enter the
+    *     top-k (micro impacts are ≥ 0: idf > 0 for df ≤ N, tf part
+    *     > 0, floor ≥ 0).
+    *  3. Candidates = docs matching ≥ 1 ESSENTIAL term of q — a
+    *     superset of q's true top-k by (2)'s contrapositive. Only the
+    *     candidate (query, doc) pairs are scored fully.
+    *
+    * Queries with fewer than k seeds get θ_q = −∞ (left join, null
+    * theta) ⟹ every term essential ⟹ no pruning — exactness never
+    * depends on the seed count. The declared 8-query gate shape keeps
+    * maxScorePrune = false (plan unchanged); the pruned path is pinned
+    * value-identical to the direct one by Bm25Spec over 256-query
+    * shared-term batches and measured in the bench's qscale section. */
+  private def maxScoreCandidateScores(scored0: DataFrame, qterms: DataFrame,
+                                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the impact table feeds five consumers below — materialize once
+    // (bounded: one row per (doc, query-term) match, the same working
+    // set the direct path shuffles through its fan-out join)
+    val scored = scored0.select(col("doc_id"), col("term"), col("micro"))
+      .localCheckpoint()
+    val ubs = scored.groupBy(col("term")).agg(max(col("micro")).as("ub"))
+    // (1) seeds: per-term top-k docs by single-term impact, scored FULLY
+    val seedW = Window.partitionBy(col("term"))
+      .orderBy(col("micro").desc, col("doc_id"))
+    val seedDocs = scored.withColumn("__rk", row_number().over(seedW))
+      .filter(col("__rk") <= k).select(col("term"), col("doc_id"))
+    val seedPairs = seedDocs.join(broadcast(qterms), "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+    val seedTriples = seedPairs.join(broadcast(qterms), "query_id")
+    val seedScores = scored
+      .join(broadcast(seedTriples), Seq("doc_id", "term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("micro")).as("mscore"))
+    val thetaW = Window.partitionBy(col("query_id"))
+      .orderBy(col("mscore").desc, col("doc_id"))
+    val theta = seedScores.withColumn("__rk", row_number().over(thetaW))
+      .filter(col("__rk") === k)
+      .select(col("query_id"), col("mscore").as("__theta"))
+    // (2) essential terms: cumulative ub (ascending) reaches θ_q
+    val cumW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ub").asc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val essPairs = qterms.join(broadcast(ubs), "term")
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .withColumn("__cum", sum(col("ub")).over(cumW))
+      .filter(col("__theta").isNull || col("__cum") >= col("__theta"))
+      .select(col("query_id"), col("term"))
+    // (3) the PRUNED fan-out: only essential (term → query) pairs
+    // nominate docs; candidates are scored over all their query's terms
+    val candTriples = scored.select(col("term"), col("doc_id"))
+      .join(broadcast(essPairs), "term")
+      .select(col("query_id"), col("doc_id")).distinct()
+      .join(broadcast(qterms), "query_id")
+    scored.join(candTriples, Seq("doc_id", "term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("micro")).as("mscore"))
   }
 
   /** The shared BM25 scoring replay (CTEs `s` through `r`): expects a

@@ -156,6 +156,55 @@ class Bm25Spec extends SparkSpec {
     assert(run(0, tie).map(_._2) == Seq(4L, 9L))
   }
 
+  test("MaxScore pruning is value-identical to the direct fan-out (r16)") {
+    // the regime the pruning exists for: many queries sharing a small
+    // common vocabulary, so the direct (term → query) fan-out explodes.
+    // 400 docs over a 30-word vocabulary with heavy repetition; queries
+    // derived from the first 256 docs (keywordQueries), so query terms
+    // overlap massively. Assert the pruned path returns EXACTLY the
+    // direct path's rows (ranks, ids, micro scores) for several k,
+    // including k=1 (tightest θ) and k larger than many result sets.
+    val rnd = new scala.util.Random(0xB25)
+    val corpus = (0 until 400).map { id =>
+      val n = 3 + rnd.nextInt(12)
+      val words = (0 until n).map { _ =>
+        val v = rnd.nextInt(30)
+        if (v < 8) s"common$v" else s"w$v"   // hot head + tail
+      }
+      (id.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val queries = TextAnalysis.keywordQueries(corpus, "doc_id", "text",
+      maxId = 256, nTerms = 3)
+    for (k <- Seq(1, 5, 40)) {
+      val direct = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+          queries, k = k)
+        .select("query_id", "rk", "doc_id", "mscore")
+        .as[(Long, Int, Long, Long)].collect().toSet
+      val pruned = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+          queries, k = k, maxScorePrune = true)
+        .select("query_id", "rk", "doc_id", "mscore")
+        .as[(Long, Int, Long, Long)].collect().toSet
+      assert(pruned == direct,
+        s"k=$k: pruned ${pruned.size} rows vs direct ${direct.size}; " +
+          s"missing=${(direct -- pruned).take(5)} extra=${(pruned -- direct).take(5)}")
+    }
+    // tie stress: identical docs give identical scores at the θ
+    // boundary — the pruning must keep every doc that ties into the
+    // top-k by the (mscore desc, doc_id) order
+    val twins = (0 until 60).map(id => (id.toLong, "dup dup alpha"))
+      .toDF("doc_id", "text")
+    val tq = Seq((0L, Seq("dup")), (1L, Seq("dup", "alpha")))
+      .toDF("query_id", "qt")
+    val dT = TextAnalysis.bm25TopK(twins, "doc_id", "text", tq, k = 7)
+      .select("query_id", "rk", "doc_id", "mscore")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val pT = TextAnalysis.bm25TopK(twins, "doc_id", "text", tq, k = 7,
+        maxScorePrune = true)
+      .select("query_id", "rk", "doc_id", "mscore")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(pT == dT)
+  }
+
   test("keywordQueries derives first-n distinct tokens of low-id docs") {
     val q = TextAnalysis.keywordQueries(docs, "doc_id", "text",
       maxId = 2, nTerms = 3)
