@@ -219,6 +219,15 @@ object KernelBench {
     def hybridNew = operators.TextAnalysis.hybridRetrieve(docs,
       Tables.embeddings(spark, dir), k = 5, nLeg = 10)
 
+    // bm25_topk forms: direct (tokenizes the corpus twice — the eager
+    // stats collect + the matched scan) vs the r16 single-pass narrowed
+    // checkpoint
+    def bm25Old = operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      operators.TextAnalysis.keywordQueries(docs, "doc_id", "text"))
+    def bm25New = operators.TextAnalysis.bm25TopKSingleScan(docs,
+      "doc_id", "text",
+      operators.TextAnalysis.keywordQueries(docs, "doc_id", "text"))
+
     def time(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
@@ -259,6 +268,7 @@ object KernelBench {
     if (which("dsir")) run("dsir_scan_side_weights", dsirOld, dsirNew)
     if (which("impcap")) run("impcap_single_parse", impcapOld, impcapNew)
     if (which("hybrid")) run("hybrid_narrow_ckpt", hybridOld, hybridNew)
+    if (which("bm25")) run("bm25_single_scan", bm25Old, bm25New)
     spark.stop()
   }
 }

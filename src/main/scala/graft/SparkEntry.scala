@@ -2814,8 +2814,12 @@ object Queries {
     // broadcast and prune the token stream scan-side; per-term integer
     // micro-scores sum order-free per (query, doc)
     "bm25_topk" -> ((s, dir) => {
+      // r16: single-pass form — the direct bm25TopK tokenizes the
+      // corpus twice (eager stats collect + matched scan); the narrowed
+      // (doc_id, dl, query-term occurrences) checkpoint tokenizes once.
+      // Scoring inputs value-identical (oracle unchanged).
       val docs = Tables.documents(s, dir)
-      TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      TextAnalysis.bm25TopKSingleScan(docs, "doc_id", "text",
         TextAnalysis.keywordQueries(docs, "doc_id", "text"))
     }),
 

@@ -459,6 +459,33 @@ object TextAnalysis {
       .select(col("query_id"), col("rk"), col("doc_id"), col("mscore"))
   }
 
+  /** [[bm25TopK]] with the narrowed single-pass token projection
+    * (VERDICT r15 #4 generalized from [[hybridRetrieve]]): the direct
+    * form tokenizes the corpus TWICE — once eagerly for the nd/avgdl
+    * stats collect, once in the matched scan. Here the corpus is
+    * tokenized ONCE into a localCheckpoint of (doc_id, dl, query-term
+    * occurrences): the query-term set is bounded BY CONSTRUCTION
+    * (|queries|·nTerms), collected once, and filters the token arrays
+    * scan-side, so the materialization holds per-doc metadata plus the
+    * few matching tokens instead of the full token payload. Scoring
+    * inputs are value-identical: dl is the UNfiltered size, duplicates
+    * and order survive the HOF filter, nd counts every doc, and the
+    * dropped tokens could never survive bm25's broadcast term join. */
+  def bm25TopKSingleScan(docs: DataFrame, idCol: String, textCol: String,
+                         queries: DataFrame, k: Int = 5,
+                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms: Seq[String] = queries.select(explode(col("qt")).as("term"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val keep: Column => Column =
+      if (qTerms.isEmpty) _ => lit(false) else t => t.isin(qTerms: _*)
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t0"))
+      .select(col("doc_id"), filter(col("t0"), keep).as("t"),
+        size(col("t0")).cast("long").as("dl"))
+      .localCheckpoint()
+    bm25TopKFromToks(toks, queries, k, k1, b)
+  }
+
   /** MaxScore/WAND-family term-impact pruning for the BM25 fan-out
     * (VERDICT r15 #3; guide §2.3 "shuffle fewer bytes" / §3.2 "reduce
     * the big side before shuffling it"). The direct formulation joins
@@ -656,7 +683,10 @@ object TextAnalysis {
   def mmrRerank(docs: DataFrame, emb: DataFrame, k: Int = 5,
                 nCand: Int = 12, penaltyWeight: Int = 3,
                 maxQueryId: Long = 8, nTerms: Int = 3): DataFrame = {
-    val cands = bm25TopK(docs, "doc_id", "text",
+    // r16: single-pass candidate generation — bm25TopK tokenized the
+    // corpus twice (stats collect + matched scan); the narrowed
+    // checkpoint tokenizes once (value-identical scoring inputs)
+    val cands = bm25TopKSingleScan(docs, "doc_id", "text",
         keywordQueries(docs, "doc_id", "text", maxQueryId, nTerms), k = nCand)
       .select(col("query_id"), col("doc_id"),
         expr("CAST(1000000000 AS BIGINT) div (60 + rk)").as("rel"))
@@ -815,16 +845,7 @@ object TextAnalysis {
     val qs = docs.filter(col("doc_id") < maxQueryId)
       .select(col("doc_id").as("query_id"),
         array_distinct(slice(tokens(col("text")), 1, nTerms)).as("qt"))
-    val qTerms: Seq[String] = qs.select(explode(col("qt")).as("term"))
-      .distinct().collect().map(_.getString(0)).toSeq
-    val keep: Column => Column =
-      if (qTerms.isEmpty) _ => lit(false) else t => t.isin(qTerms: _*)
-    val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("t0"))
-      .select(col("doc_id"), filter(col("t0"), keep).as("t"),
-        size(col("t0")).cast("long").as("dl"))
-      .localCheckpoint()
-    val lex = bm25TopKFromToks(toks, qs, k = nLeg)
+    val lex = bm25TopKSingleScan(docs, "doc_id", "text", qs, k = nLeg)
       .select(col("query_id"), col("doc_id"), col("rk"))
     val sem = semLeg(emb, emb.filter(col("vec_id") < maxQueryId), nLeg)
       .select(col("q_id").as("query_id"), col("neighbor").as("doc_id"),
