@@ -219,6 +219,44 @@ object KernelBench {
     def hybridNew = operators.TextAnalysis.hybridRetrieve(docs,
       Tables.embeddings(spark, dir), k = 5, nLeg = 10)
 
+    // rag chunk-token forms (r16 second pass): both sides use the
+    // narrowed query-term checkpoint; old rebuilds chunk TEXT
+    // (array_join over case-preserving token slices) and lowers +
+    // re-splits it per chunk, new slices the doc's lowered token array
+    // directly (ChunkTokenSliceParitySpec pins value identity)
+    def ragChunksVia(slice64: Boolean) = {
+      val qs = operators.TextAnalysis.keywordQueries(docs, "doc_id", "text")
+      val qTerms = qs.select(explode(col("qt")).as("term")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val keep: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (qTerms.isEmpty) _ => lit(false) else t => t.isin(qTerms: _*)
+      val stride = 48
+      val base =
+        if (slice64)
+          docs.select(col("doc_id"),
+              operators.TextAnalysis.tokens(col("text")).as("__toks"))
+            .withColumn("__n", size(col("__toks")).cast("long"))
+            .filter(col("__n") > 0)
+            .withColumn("chunk_idx", explode(sequence(lit(0L),
+              greatest(lit(1L),
+                expr(s"(__n - 16 + ${stride - 1}) div $stride")) - 1)))
+            .select(
+              (col("doc_id") * lit(1000000L) + col("chunk_idx")).as("doc_id"),
+              slice(col("__toks"),
+                (col("chunk_idx") * stride + 1).cast("int"), lit(64)).as("t0"))
+        else
+          operators.Sampling.chunkByTokens(docs, "doc_id", "text",
+              chunkTokens = 64, overlapTokens = 16)
+            .select(
+              (col("doc_id") * lit(1000000L) + col("chunk_idx")).as("doc_id"),
+              operators.TextAnalysis.tokens(col("chunk_text")).as("t0"))
+      val ctoks = base
+        .select(col("doc_id"), filter(col("t0"), keep).as("t"),
+          size(col("t0")).cast("long").as("dl"))
+        .localCheckpoint()
+      operators.TextAnalysis.bm25TopKFromToks(ctoks, qs)
+    }
+
     // bm25_topk forms: direct (tokenizes the corpus twice — the eager
     // stats collect + the matched scan) vs the r16 single-pass narrowed
     // checkpoint
@@ -269,6 +307,8 @@ object KernelBench {
     if (which("impcap")) run("impcap_single_parse", impcapOld, impcapNew)
     if (which("hybrid")) run("hybrid_narrow_ckpt", hybridOld, hybridNew)
     if (which("bm25")) run("bm25_single_scan", bm25Old, bm25New)
+    if (which("rag_slice")) run("rag_token_slice",
+      ragChunksVia(slice64 = false), ragChunksVia(slice64 = true))
     spark.stop()
   }
 }

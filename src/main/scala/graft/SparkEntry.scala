@@ -2880,10 +2880,25 @@ object Queries {
         .collect().map(_.getString(0)).toSeq
       val keep: Column => Column =
         if (qTerms.isEmpty) _ => lit(false) else t => t.isin(qTerms: _*)
-      val ctoks = Sampling.chunkByTokens(docs, "doc_id", "text",
-          chunkTokens = 64, overlapTokens = 16)
+      // r16 second pass: the scorer never sees chunk_text — only its
+      // lowered tokens and their count — so each chunk's token array is
+      // a SLICE of the doc's token array. The old composition built
+      // ~1.33x corpus bytes of chunk text (array_join over the
+      // case-preserving token slices) only to lower + re-split it per
+      // chunk. Window arithmetic replicated from chunkByTokens
+      // verbatim; boundary/lowercasing commutation (incl. final-sigma
+      // context) pinned by ChunkTokenSliceParitySpec; oracle unchanged.
+      val stride = 48 // chunkTokens 64 − overlapTokens 16
+      val ctoks = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .withColumn("__n", size(col("__toks")).cast("long"))
+        .filter(col("__n") > 0)
+        .withColumn("chunk_idx", explode(sequence(lit(0L),
+          greatest(lit(1L),
+            expr(s"(__n - 16 + ${stride - 1}) div $stride")) - 1)))
         .select((col("doc_id") * lit(1000000L) + col("chunk_idx")).as("doc_id"),
-          TextAnalysis.tokens(col("chunk_text")).as("t0"))
+          slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(64)).as("t0"))
         .select(col("doc_id"), filter(col("t0"), keep).as("t"),
           size(col("t0")).cast("long").as("dl"))
         .localCheckpoint()
